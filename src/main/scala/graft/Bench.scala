@@ -1,24 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.operators.Analytics
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (driver contract). Each query is fully materialized
+  * via count() after a shared session warm-up. */
 object Bench {
+  private val headline = Seq(
+    "q1_pricing", "q3_shipping", "q5_local", "q_window_running", "q_topk_parts",
+    "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join",
+    "doc_dedup_exact", "doc_dedup_minhash", "doc_token_count", "doc_quality",
+    "emb_cosine_topk", "emb_neardup_pairs",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warm-up on the smallest SF (not timed)
+    try Analytics.q1Pricing(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

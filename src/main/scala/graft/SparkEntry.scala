@@ -1,13 +1,233 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6 (oracle
+  * strategy). Every `queries` key with SQL-expressible semantics has a
+  * matching `oracleSql` entry with identical column names; column types are
+  * aligned too (Spark ints widened to long where DuckDB yields BIGINT,
+  * decimal-exact sums cast to double on both sides). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. event-stream operators (reference semantics)
+    "ev_dedup_first"    -> ((s, d) => EventOps.dedupFirst(s, d)),
+    "ev_latest_by_key"  -> ((s, d) => EventOps.latestByKey(s, d)),
+    "ev_rate_limit"     -> ((s, d) => EventOps.rateLimit(s, d)),
+    "ev_rate_filter"    -> ((s, d) => EventOps.rateFilter(s, d)),
+    "ev_last_n"         -> ((s, d) => EventOps.lastN(s, d)),
+    "ev_counts_by_type" -> ((s, d) => EventOps.countsByType(s, d)),
+    "ev_throughput"     -> ((s, d) => EventOps.throughput(s, d)),
+    "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
+    "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
+    "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
+    "ev_enrich_join"    -> ((s, d) => EventOps.enrichJoin(s, d)),
+    "ev_error_alert"    -> ((s, d) => EventOps.errorAlert(s, d)),
+    "ev_checkpoint"     -> ((s, d) => EventOps.checkpoint(s, d)),
+    // B. analytics breadth
+    "q1_pricing"       -> ((s, d) => Analytics.q1Pricing(s, d)),
+    "q3_shipping"      -> ((s, d) => Analytics.q3Shipping(s, d)),
+    "q5_local"         -> ((s, d) => Analytics.q5Local(s, d)),
+    "q_window_running" -> ((s, d) => Analytics.windowRunning(s, d)),
+    "q_semi_join"      -> ((s, d) => Analytics.semiJoin(s, d)),
+    "q_anti_join"      -> ((s, d) => Analytics.antiJoin(s, d)),
+    "q_topk_parts"     -> ((s, d) => Analytics.topkParts(s, d)),
+    "q_rollup"         -> ((s, d) => Analytics.rollupFlags(s, d)),
+    "q_distinct_agg"   -> ((s, d) => Analytics.distinctAgg(s, d)),
+    // C. training-data pipeline
+    "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
+    "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
+    "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
+    "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
+    "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
+    "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
+  )
+
+  // Shared SQL fragments for the oracle (DuckDB 1.0 dialect).
+  private val rev = "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+  private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+  private val stop = "['the','a','an','and','of','to','in','is','it','for']"
+  private def hits(dict: String) =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($dict, t))) AS BIGINT)"
+  private val dotCQ = "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+  private def nrm(t: String) =
+    s"sqrt(list_dot_product(CAST($t.embedding AS DOUBLE[]), CAST($t.embedding AS DOUBLE[])))"
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_dedup_first" ->
+      """SELECT user_id, event_type, day, event_id, ts_ms, value FROM (
+        |  SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         event_id, epoch_ms(ts) AS ts_ms, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+        |                            ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "ev_latest_by_key" ->
+      """SELECT user_id, event_id, ts_ms, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "ev_rate_limit" ->
+      """SELECT user_id, day, n_events, least(n_events, 5) AS n_allowed,
+        |       greatest(n_events - 5, 0) AS n_dropped
+        |FROM (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        |      FROM events GROUP BY 1, 2) t""".stripMargin,
+    "ev_rate_filter" ->
+      """SELECT event_id, user_id, day, seq_in_window FROM (
+        |  SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        |                            ORDER BY epoch_ms(ts), event_id) AS seq_in_window
+        |  FROM events) t WHERE seq_in_window <= 5""".stripMargin,
+    "ev_last_n" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY epoch_ms(ts) DESC, event_id DESC LIMIT 50""".stripMargin,
+    "ev_counts_by_type" ->
+      s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS sum_value, ${dsum("value")} / count(*) AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type""".stripMargin,
+    "ev_throughput" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "ev_sessionize" ->
+      s"""SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |       count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM (
+         |  SELECT user_id, ts_ms, value,
+         |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+         |           CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |                THEN 1 ELSE 0 END AS is_new
+         |    FROM events) t1) t2
+         |GROUP BY user_id, session_id""".stripMargin,
+    "ev_topk_users" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "ev_json_extract" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "ev_enrich_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1""".stripMargin,
+    "ev_error_alert" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  CASE WHEN value >= 180.0 THEN 'critical' ELSE 'warning' END AS level,
+        |  'ALERT user=' || CAST(user_id AS VARCHAR) AS message
+        |FROM events WHERE event_type = 'error' AND value >= 150.0""".stripMargin,
+    "ev_checkpoint" ->
+      """SELECT event_id % 4 AS part_id, max(event_id) AS last_offset, count(*) AS n_processed
+        |FROM events GROUP BY 1""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty, ${dsum("l_extendedprice")} AS sum_base_price,
+         |  $rev AS sum_disc_price,
+         |  ${dsum("l_quantity")} / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, order_day, revenue FROM (
+         |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day, $rev AS revenue
+         |  FROM customer, orders, lineitem
+         |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |    AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         |  GROUP BY 1, 2) t
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local" ->
+      s"""SELECT n_name, $rev AS revenue
+         |FROM region, nation, customer, orders, lineitem
+         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+         |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS cum_spend
+        |FROM orders""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q_topk_parts" ->
+      s"""SELECT p_partkey, p_name, revenue, n_lines FROM (
+         |  SELECT p_partkey, p_name, $rev AS revenue, count(*) AS n_lines
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2) t
+         |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty, count(*) AS n_lines
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "emb_cosine_topk" ->
+      s"""SELECT q_id, vec_id, rank, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+         |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+         |WHERE rank <= 5""".stripMargin,
+    "emb_neardup_pairs" ->
+      s"""SELECT label, id_a, id_b, cos_sim FROM (
+         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |      (${nrm("a")} * ${nrm("b")}) AS cos_sim
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE cos_sim >= 0.3""".stripMargin,
+    "doc_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+    "doc_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |  CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS mean_word_len,
+         |  least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |    (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
+         |FROM documents""".stripMargin,
+    "doc_lang_id" ->
+      s"""SELECT doc_id, en_hits, es_hits, de_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred
+         |FROM (SELECT doc_id, ${hits(stop)} AS en_hits,
+         |        ${hits("['el','la','de','que','y','en']")} AS es_hits,
+         |        ${hits("['der','die','das','und','ist','ein']")} AS de_hits
+         |      FROM documents) t""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+  )
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared by all operators.
+  *
+  * Correctness-by-construction rules for the DuckDB oracle compare:
+  *   - timestamps → epoch millis (`unix_millis` here, `epoch_ms` in DuckDB;
+  *     both floor, so ns-parquet truncation agrees).
+  *   - money/quantity aggregates → cast to DECIMAL before SUM (exact,
+  *     summation-order independent), cast the final sum to DOUBLE (the same
+  *     exact decimal → the same double on both engines).
+  *   - ratios/averages → a single IEEE division of bit-identical operands,
+  *     never a rounded intermediate.
+  */
+object Cols {
+  /** Epoch milliseconds of a timestamp / timestamp_ntz column (session TZ is
+    * UTC, so the NTZ→LTZ cast is the identity). */
+  def tsMs(c: Column): Column = unix_millis(c.cast("timestamp_ltz"))
+
+  /** Calendar day as a yyyy-MM-dd string. */
+  def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Exact SUM: decimal-cast inputs, exact decimal accumulation, double out. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact-sum average: one double division of exact operands. */
+  def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+}

@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<double>` columns, built from Spark's
+  * codegen'd higher-order functions (no UDFs). Summation is sequential
+  * left-to-right, matching DuckDB's list_dot_product order, so oracle values
+  * are bit-identical. */
+object VectorFunctions {
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (|a|·|b|). Callers should precompute norms
+    * per row (see Similarity) rather than recomputing per pair. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Cols._
+
+/** Batch analytics over the stored event/order history (TPC-H-style breadth).
+  * Joins broadcast the dimension side; aggregates use decimal-exact sums;
+  * top-N uses TakeOrderedAndProject. */
+object Analytics {
+
+  /** B1: pricing summary (TPC-H Q1 shape) — single scan, partial agg. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** B2: shipping-priority style join + top-10 revenue. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"), dayStr(col("o_orderdate")).as("order_day"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("order_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: 5-way join region→nation→customer→orders→lineitem, revenue per nation. */
+  def q5Local(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val natInRegion = nat.join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val custInRegion = cust.join(broadcast(natInRegion), cust("c_nationkey") === natInRegion("n_nationkey"))
+      .select("c_custkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(custInRegion), ord("o_custkey") === custInRegion("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+  }
+
+  /** B4: running revenue per customer (window function, exact decimal cumsum). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("cum_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .withColumn("order_day", dayStr(col("o_orderdate")))
+      .drop("o_totalprice", "o_orderdate")
+  }
+
+  /** B5: customers WITH orders (left-semi join). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+  }
+
+  /** B6: customers with no large order (left-anti join on a pushed filter). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+  }
+
+  /** B7: top-10 parts by revenue (broadcast dim join + agg + TakeOrdered). */
+  def topkParts(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_name")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** B8: rollup over returnflag × linestatus (subtotals + grand total). */
+  def rollupFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_lines"))
+
+  /** B9: multi-distinct aggregate per event type. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), dayStr(col("ts")).as("day"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events"))
+}

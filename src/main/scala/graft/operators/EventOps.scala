@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols._
+
+/** The reference's event-processing surface re-expressed as declarative
+  * DataFrame transformations (batch form; streaming form in
+  * [[graft.streaming.EventPipeline]]).
+  *
+  * Reference anchors (read-only at /root/reference):
+  *   - dedup via Redis SETNX + TTL: auto_kafka_redis.py:316-329
+  *   - per-user rate limit INCR+TTL: auto_kafka_redis.py:331-345
+  *   - latest-value-per-key store:   auto_kafka_redis.py:352-367
+  *   - offset checkpoint hash:       auto_kafka_redis.py:233-276
+  *   - latest-50 replay:             websocket_server.py:55-63
+  *
+  * Scale notes: all keyed operators shuffle once on their key and rely on
+  * map-side partial aggregation; top-N uses TakeOrderedAndProject (no global
+  * sort); window-function operators sort only within key partitions.
+  */
+object EventOps {
+  private val RateLimit = 5 // reference RATE_LIMIT_COUNT (auto_kafka_redis.py:92)
+
+  /** A1: first-writer-wins dedup on (user_id, event_type, day).
+    * min(struct(ts,event_id,...)) = deterministic "earliest event" with a
+    * single shuffle + partial agg — no per-key sort. */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), dayStr(col("ts")).as("day"),
+        tsMs(col("ts")).as("ts_ms"), col("event_id"), col("value"))
+    ev.groupBy("user_id", "event_type", "day")
+      .agg(min(struct(col("ts_ms"), col("event_id"), col("value"))).as("first"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("first.event_id").as("event_id"), col("first.ts_ms").as("ts_ms"),
+        col("first.value").as("value"))
+  }
+
+  /** A2: latest event per user (Redis SET upsert semantics). */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"), col("value"))
+    ev.groupBy("user_id")
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"), col("value"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.ts_ms").as("ts_ms"), col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+  }
+
+  /** A3: per-user-per-day admitted/dropped counts (rate-limit accounting). */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), dayStr(col("ts")).as("day"))
+    ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        least(col("n_events"), lit(RateLimit.toLong)).as("n_allowed"),
+        greatest(col("n_events") - RateLimit, lit(0L)).as("n_dropped"))
+  }
+
+  /** A4: the per-event admit decision — the first 5 events per (user, day)
+    * pass, later ones are dropped (order = arrival order (ts, event_id)). */
+  def rateFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), dayStr(col("ts")).as("day"),
+        tsMs(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("seq_in_window", row_number().over(w).cast("long"))
+      .filter(col("seq_in_window") <= RateLimit)
+      .select(col("event_id"), col("user_id"), col("day"), col("seq_in_window"))
+  }
+
+  /** A5: latest-50 replay (websocket connect path). TakeOrdered, no global sort. */
+  def lastN(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+      .limit(n)
+
+  /** A6: dashboard aggregate per event type. */
+  def countsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** A7: tumbling-day throughput. */
+  def throughput(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(dayStr(col("ts")).as("day"), col("user_id"), col("value"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+
+  /** A8: session windows per user with a 30-minute inactivity gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** A9: top-10 users by event count (deterministic ties by user_id). */
+  def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
+  /** A10: JSON payload extraction + aggregate (consumer parses JSON values). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** A11: broadcast enrichment join against the customer dim. */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  /** A12: rule-based notification — errors above threshold become alerts. */
+  def errorAlert(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error" && col("value") >= 150.0)
+      .select(col("event_id"), col("user_id"), tsMs(col("ts")).as("ts_ms"), col("value"),
+        when(col("value") >= 180.0, "critical").otherwise("warning").as("level"),
+        concat(lit("ALERT user="), col("user_id").cast("string")).as("message"))
+
+  /** A13: offset checkpoint — max processed offset per partition bucket. */
+  def checkpoint(spark: SparkSession, dir: String, partitions: Int = 4): DataFrame =
+    Tables.events(spark, dir)
+      .select(pmod(col("event_id"), lit(partitions.toLong)).as("part_id"), col("event_id"))
+      .groupBy("part_id")
+      .agg(max(col("event_id")).as("last_offset"), count(lit(1)).as("n_processed"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity search (C5–C7).
+  *
+  * Scale design: norms are computed once per row before any join (never per
+  * pair); the small query side is broadcast so the corpus never shuffles;
+  * top-k per query is a bounded window over (query × corpus) partitioned by
+  * query. The IVF variant coarse-quantizes the corpus against broadcast
+  * centroids and probes only the nearest buckets — the 100 TB path. */
+object Similarity {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** C5: brute-force cosine top-k — queries are vec_id < nQueries, corpus is
+    * everything else. Broadcast the queries; one pass over the corpus. */
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** C6: near-duplicate embedding pairs above a cosine threshold, blocked by
+    * label (the generator's cluster id) to stay sub-quadratic; exact within
+    * blocks. */
+  def neardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`
+    * corpus vectors as centroids, broadcast), corpus bucketed by nearest
+    * centroid, queries probe `nprobe` nearest buckets only. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val centroids = emb.filter(col("vec_id") >= nQueries).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+
+    // assign each corpus vector to its nearest centroid (broadcast centroids)
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val bucketed = corpus.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rnk", row_number().over(assignW)).filter(col("rnk") === 1)
+      .select(col("c_id").as("bucket"), col("vec_id"), col("v"), col("nrm"))
+
+    // each query probes its nprobe nearest buckets
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("bucket"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    bucketed.join(broadcast(probes), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+}
