@@ -3,14 +3,18 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector primitives over `array<double>` columns, built from Spark's
-  * codegen'd higher-order functions (no UDFs). Summation is sequential
-  * left-to-right, matching DuckDB's list_dot_product order, so oracle values
-  * are bit-identical. */
+/** Dense-vector primitives over `array<double>` columns. The dot product is
+  * a native Catalyst expression with codegen (see [[DotProductExpr]]);
+  * summation is sequential left-to-right, matching DuckDB's
+  * list_dot_product order, so oracle values are bit-identical. */
 object VectorFunctions {
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
+
+  /** Interpreted higher-order-function form (kept as a cross-check for
+    * DotProductExpr in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,17 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Barrier.noInline
 import graft.functions.TextFunctions.normalized
 
 /** Corpus deduplication (C1–C4).
   *
   * Scale design: exact dedup is one hash-shuffle on the content hash with
-  * map-side partial aggregation (never ships full text twice — only the
-  * digest + representative id). Near-dup (MinHash/SimHash) avoids the O(n²)
-  * pair space by LSH banding: candidates meet only inside identical-band
-  * buckets, a key-partitioned self-join. */
+  * map-side partial aggregation (only the digest + representative id ship,
+  * never the text twice). Near-dup (MinHash/SimHash) avoids the O(n²) pair
+  * space by LSH banding: candidates meet only inside identical-band buckets,
+  * a key-partitioned self-join.
+  *
+  * MinHash signatures are computed as a flat explode → groupBy aggregation:
+  * one xxhash64 per shingle, then each of the n hash families is an affine
+  * remix (odd multiplier over Z/2^64, full period) aggregated with min().
+  * This keeps the whole pipeline in whole-stage codegen and map-side partial
+  * aggregation — no nested higher-order re-hashing per family, which is both
+  * the 100 TB shape (the shuffle carries doc_id + n longs, not text) and far
+  * faster than the naive nested-expression form on local[32]. */
 object Dedup {
 
   /** C1: exact dedup — md5(text) groupBy, keep the smallest doc_id. */
@@ -21,72 +30,89 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-k-shingles of the normalized text. */
-  private def shingles(text: org.apache.spark.sql.Column, k: Int) = {
+  /** Word-k-shingles of the normalized text (distinct set of strings). */
+  private def shingles(text: Column, k: Int): Column = {
     val words = split(normalized(text), " ")
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => array_join(slice(words, i + 1, lit(k)), " ")))
   }
 
-  /** MinHash signature: for each of `n` hash families, min over shingle
-    * hashes of (xxhash64(shingle, seed)). Pure codegen'd expressions. */
-  private def minhashSig(text: org.apache.spark.sql.Column, k: Int, n: Int) = {
-    val sh = shingles(text, k)
-    array((0 until n).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
+  /** 64-bit hashes of the word-k-shingles without materializing shingle
+    * strings: hash each word once, then hash k-slices of the hash array.
+    * Collision-equivalent to hashing the shingle text at ~1/k the cost. */
+  private def shingleHashes(text: Column, k: Int): Column = {
+    val wh = transform(split(normalized(text), " "), w => xxhash64(w))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(wh) - k, lit(0))),
+      i => xxhash64(slice(wh, i + 1, lit(k)))))
   }
 
-  /** C2: MinHash + LSH near-dup candidate pairs with verified signature
-    * similarity. bands×rows = signature length; identical band → candidate. */
+  /** Per-family remix of a base 64-bit hash (re-hash of 8 bytes + seed —
+    * cheap, and safe under ANSI overflow checking). */
+  private def remix(h: Column, i: Int): Column = xxhash64(h, lit(i))
+
+  /** MinHash signatures: doc_id → array of n per-family minima.
+    * One shingle-level explode, one groupBy(doc_id) with n min() aggs. */
+  private[operators] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), explode(noInline(shingleHashes(col("text"), shingleK))).as("h"))
+    val aggs = (0 until n).map(i => min(remix(col("h"), i)).as(s"m$i"))
+    base.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until n).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** C2: MinHash + LSH near-dup pairs with verified signature similarity.
+    * bands × rows = signature length; identical band hash → candidate. */
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSig(col("text"), shingleK, numHashes).as("sig"))
-      .cache()
-    // explode into (band, hash-of-band-slice) buckets
-    val banded = docs.select(col("doc_id"), col("sig"),
+    val sigs = minhashSigs(Tables.documents(spark, dir), shingleK, numHashes).cache()
+    // (doc_id, band, bucket) — bucket = hash of the band's minhash slice
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, array_join(
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")), ",")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-    // verify: fraction of agreeing minhashes ≈ Jaccard
-    cand.withColumn("est_jaccard",
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val verified = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes)
-      .filter(col("est_jaccard") >= threshold)
+    verified.filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits. */
-  private def simhash(text: org.apache.spark.sql.Column) = {
-    val words = split(normalized(text), " ")
-    val hashes = transform(words, w => xxhash64(w))
-    // For each bit position, sum ±1 over tokens; bit set if sum > 0.
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, lit(1L))
-        .otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  /** SimHash: explode words, hash once, then 64 sign-sum aggregates packed
+    * into one long — flat codegen, map-side partials. */
+  private[operators] def simhashes(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), explode(noInline(split(normalized(col("text")), " "))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    base.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), packed.as("sh"))
   }
 
   /** C3: SimHash near-dup pairs within hamming distance `maxDist`.
-    * LSH via 4×16-bit chunk buckets (two near-identical docs share a chunk). */
-  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 12): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("sh")).cache()
+    * LSH via 4×16-bit chunk buckets (near-identical docs share a chunk). */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val docs = simhashes(Tables.documents(spark, dir)).cache()
     val chunked = docs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bucket")
+      .toDF("doc_id", "sh", "chunk", "bucket")
     val a = chunked.select(col("chunk"), col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val cand = a.join(b, Seq("chunk", "bucket")).filter(col("id_a") < col("id_b"))
@@ -100,8 +126,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, k: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), k).as("grams"))
-    // candidate generation by cheap LSH on minhash, then exact verify
+      .select(col("doc_id"), shingleHashes(col("text"), k).as("grams"))
     val cand = minhashLsh(spark, dir, k, 16, 4, 0.2).select("id_a", "id_b")
     val a = docs.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
