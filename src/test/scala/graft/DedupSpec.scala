@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Dedup
+
+/** Semantics on planted duplicates (constructed corpus written to a temp
+  * parquet dir so the operators' Tables loaders read it like real data). */
+class DedupSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    val words = (0 until 40).map(i => s"w$i")
+    def doc(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val base = doc(1, 120)
+    val nearDup = base.split(" ").updated(5, "CHANGED").mkString(" ") // 1-word edit
+    val docs = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong),            // exact dup of 0
+      (2L, nearDup, "en", "s", nearDup.length.toLong),      // near dup of 0
+      (3L, doc(7, 120), "en", "s", 100L),                   // unrelated
+      (4L, doc(9, 120), "en", "s", 100L)                    // unrelated
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exact(spark, dir).collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds the exact and near duplicate, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(spark, dir, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard")))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L)), s"exact pair missing from $ids")
+    assert(ids.contains((0L, 2L)) || ids.contains((1L, 2L)), s"near pair missing from $ids")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0) // identical sigs
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at distance 0, near dup close, unrelated far") {
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 10).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard: exact pair at 1.0, near pair high, verified against LSH candidates") {
+    val pairs = Dedup.ngramJaccard(spark, dir, threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSuite {
+
+  test("dedupFirst keeps exactly one earliest event per (user, type, day)") {
+    val out = EventOps.dedupFirst(spark, sf).cache()
+    val keys = out.select("user_id", "event_type", "day").distinct().count()
+    assert(out.count() == keys)
+    // kept ts must be the min over the group: re-derive via rateFilter source
+    val ev = Tables.events(spark, sf)
+    assert(out.count() <= ev.count())
+  }
+
+  test("latestByKey returns one row per user with the max timestamp") {
+    val out = EventOps.latestByKey(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.length == users)
+    val ev = Tables.events(spark, sf)
+    import org.apache.spark.sql.functions._
+    val maxMs = ev.select(max(unix_millis(col("ts").cast("timestamp_ltz")))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("ts_ms")).max == maxMs)
+  }
+
+  test("rateLimit conserves events and caps allowed at 5") {
+    val out = EventOps.rateLimit(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    assert(out.forall(r => r.getAs[Long]("n_allowed") <= 5))
+    assert(out.forall(r => r.getAs[Long]("n_allowed") + r.getAs[Long]("n_dropped") ==
+      r.getAs[Long]("n_events")))
+  }
+
+  test("rateFilter admits exactly the per-group allowed counts") {
+    val admitted = EventOps.rateFilter(spark, sf).count()
+    val expected = EventOps.rateLimit(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_allowed")).head().getLong(0)
+    assert(admitted == expected)
+  }
+
+  test("lastN returns n rows in strictly descending (ts, id) order") {
+    val rows = EventOps.lastN(spark, sf, 10).collect()
+    assert(rows.length == 10)
+    val keys = rows.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Long]("event_id")))
+    assert(keys.sliding(2).forall { case Array(a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 > b._2) })
+  }
+
+  test("sessionize: session bounds ordered, counts conserve") {
+    val out = EventOps.sessionize(spark, sf).collect()
+    assert(out.forall(r => r.getAs[Long]("start_ms") <= r.getAs[Long]("end_ms")))
+    assert(out.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+  }
+
+  test("errorAlert only emits error events above threshold with correct level") {
+    val out = EventOps.errorAlert(spark, sf).collect()
+    assert(out.forall(_.getAs[Double]("value") >= 150.0))
+    assert(out.forall { r =>
+      val lvl = r.getAs[String]("level")
+      if (r.getAs[Double]("value") >= 180.0) lvl == "critical" else lvl == "warning"
+    })
+  }
+
+  test("checkpoint partitions cover all events") {
+    val out = EventOps.checkpoint(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_processed")).sum == Tables.events(spark, sf).count())
+    assert(out.map(_.getAs[Long]("part_id")).toSet == Set(0L, 1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  test("native DotProductExpr matches the interpreted HOF form bit-for-bit") {
+    val df = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.toDouble(col("embedding")).as("v"))
+      .limit(200)
+    val both = df.select(
+      VectorFunctions.dot(col("v"), col("v")).as("native"),
+      VectorFunctions.dotHof(col("v"), col("v")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-sim").toString
+    // orthogonal unit basis + a near-copy of e0
+    def unit(i: Int): Array[Float] = Array.tabulate(8)(j => if (i == j) 1f else 0f)
+    val near = Array.tabulate(8)(j => if (j == 0) 1f else if (j == 1) 0.1f else 0f)
+    val vecs = Seq(
+      (0L, unit(0), 0), (1L, unit(1), 1), (2L, unit(2), 2),
+      (10L, near, 0), (11L, unit(1), 1), (12L, unit(3), 3))
+      .toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("cosineTopK ranks the near-copy first for its query") {
+    val out = Similarity.cosineTopK(spark, dir, nQueries = 3, k = 2).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    // query 0 = e0: nearest corpus vec is 10 (cos ~0.995)
+    val q0 = out(0L).sortBy(_.getAs[Long]("rank"))
+    assert(q0.head.getAs[Long]("vec_id") == 10L)
+    assert(q0.head.getAs[Double]("cos_sim") > 0.99)
+    // query 1 = e1: corpus vec 11 is identical (cos = 1.0)
+    val q1 = out(1L).sortBy(_.getAs[Long]("rank"))
+    assert(q1.head.getAs[Long]("vec_id") == 11L)
+    assert(q1.head.getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("neardupPairs finds only the same-label near pair above threshold") {
+    val pairs = Similarity.neardupPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((0L, 10L), (1L, 11L)))
+  }
+
+  test("ivfTopK returns k ranked neighbours per query (recall vs brute force on real data)") {
+    val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
+    val bf = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
+    assert(ivf.length == 15)
+    val ivfTop = ivf.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    val bfTop = bf.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    // probing 3/8 buckets should still recover most rank-1 neighbours
+    val agree = ivfTop.count { case (q, v) => bfTop.get(q).contains(v) }
+    assert(agree >= 3, s"IVF rank-1 recall too low: $agree/5")
+  }
+}
