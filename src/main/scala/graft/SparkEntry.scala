@@ -51,6 +51,22 @@ object SparkEntry {
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
+    // A14 streaming path (bounded run, verified by the batch oracle) + C12
+    "stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.EventPipeline.windowedCountsViaStream(s, d)),
+    "mm_meta_stats" -> ((s, d) =>
+      graft.multimodal.Multimodal.metaStats(graft.multimodal.Multimodal.mediaTable(s, d))),
+    "mm_frame_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.mediaTable(s, d))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    }),
+    "mm_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaTable(s, d)).toDF()
+        .select(org.apache.spark.sql.functions.col("media_id"),
+          org.apache.spark.sql.functions.col("kind"))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB 1.0 dialect).
@@ -229,5 +245,22 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "stream_windowed_counts" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "mm_meta_stats" ->
+      """SELECT kind, count(*) AS n_media,
+        |  CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+        |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+        |FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |        CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |        n_chars * 10 AS duration_ms
+        |      FROM documents) t
+        |GROUP BY kind""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((CAST(ceil(length(text) / 32.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0""".stripMargin,
   )
 }

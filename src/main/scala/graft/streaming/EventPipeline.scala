@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** The reference pipeline (producer → Kafka → consumer → Redis → dashboard,
+  * /root/reference/auto_kafka_redis.py) re-expressed as Structured Streaming:
+  *
+  *   readStream (file/rate source standing in for the Kafka topic)
+  *     → watermark + dropDuplicatesWithinWatermark        (SETNX dedup + TTL)
+  *     → stateful per-user rate limiting                  (INCR + window TTL)
+  *     → windowed aggregation                             (dashboard counts)
+  *     → sinks: memory / parquet / foreachBatch upsert    (Redis SET + pub/sub)
+  *
+  * Scale: state is keyed by user (rate limit) or event id within the
+  * watermark horizon (dedup) — bounded per key and evicted by watermark, the
+  * same shape that runs on a 1000-executor cluster with RocksDB state. */
+object EventPipeline {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Admitted(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double, admitted: Boolean)
+  case class RateState(windowStartMs: Long, count: Int)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based event source (a directory of parquet/json standing in for the
+    * Kafka topic; new files = new messages). */
+  def fileSource(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Synthetic source mirroring the reference's simulated producer
+    * (auto_kafka_redis.py:160-210): sequential ids, 5 users, event types. */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int = 20): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(5L)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+          (pmod(col("value"), lit(5L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value") * 37L, lit(200L)) + 1).cast("double").as("value"))
+
+  /** Dedup on event_id within the watermark horizon — the streaming form of
+    * the reference's SETNX-with-TTL (TTL = watermark delay). */
+  def deduped(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful per-user rate limiting: at most `limit` admitted events per
+    * user per tumbling window (reference RATE_LIMIT_COUNT / WINDOW). Emits
+    * every event with an `admitted` flag (dropped events are observable,
+    * like the reference's log line). */
+  def rateLimited(events: Dataset[Event], limit: Int = 5,
+                  windowMs: Long = 60L * 60 * 1000): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[RateState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(RateState(-1L, 0))
+          val out = sorted.map { e =>
+            val w = e.ts.getTime / windowMs * windowMs
+            if (w != st.windowStartMs) st = RateState(w, 0)
+            val ok = st.count < limit
+            if (ok) st = st.copy(count = st.count + 1)
+            Admitted(e.event_id, e.ts, e.user_id, e.event_type, e.value, ok)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Windowed dashboard aggregation (event-time tumbling window). Pass
+    * `watermark = None` when the input already carries one (e.g. after
+    * [[deduped]]) — Spark disallows redefining it. */
+  def windowedCounts(events: DataFrame, watermark: Option[String] = Some("10 minutes"),
+                     window: String = "1 hour"): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Rule-based alert stream (errors above threshold → notification rows). */
+  def alerts(events: DataFrame, threshold: Double = 150.0): DataFrame =
+    events.filter(col("event_type") === "error" && col("value") >= threshold)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        when(col("value") >= 180.0, "critical").otherwise("warning").as("level"))
+
+  /** Latest-value-per-key upsert sink via foreachBatch — the Redis
+    * `SET event:{id}` store. `store` receives (key, latest event) upserts per
+    * micro-batch; batch-local dedup keeps the last write per key. */
+  def upsertQuery(events: DataFrame, store: java.util.concurrent.ConcurrentHashMap[Long, Double],
+                  checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+          .select(col("user_id"), col("last.value").as("value"))
+          .collect()
+        latest.foreach(r => store.put(r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      }
+      .start()
+
+  /** Memory-sink query for tests/dashboards (the WebSocket fan-out stand-in). */
+  def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Bounded end-to-end run of the streaming pipeline over the events table:
+    * stages the events as a file-source dir, streams dedup → hourly windowed
+    * counts into a memory sink, returns the final table. Lets the DRIVER's
+    * batch SQL oracle verify the STREAMING execution path. */
+  def windowedCountsViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage").toString
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(stage)
+    val in = spark.readStream.schema(eventSchema).parquet(stage)
+    val counts = in.dropDuplicates("event_id")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val name = s"stream_counts_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+    // materialize before the memory sink goes away
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+}

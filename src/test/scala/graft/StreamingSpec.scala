@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.Event
+
+/** A14–A16: the Structured Streaming pipeline driven end-to-end on a file
+  * source (new parquet files = new Kafka messages), with planted duplicate
+  * ids and a rate-limit-exceeding user. */
+class StreamingSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def writeBatch(dir: String, file: String, events: Seq[Event]): Unit = {
+    // the file stream source expects flat data files in the watched dir
+    val staging = Files.createTempDirectory("graft-stage").toString
+    events.toDF().coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$file.parquet"))
+  }
+
+  test("A14: dedup + windowed counts over a file source") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+    // batch 1: events 1..4 with a duplicate id 2; batch 2: replays id 3, adds 5
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "click", 10.0), Event(2, ts(1), 1, "view", 20.0),
+      Event(2, ts(1), 1, "view", 20.0), Event(3, ts(2), 2, "error", 190.0)))
+
+    val in = EventPipeline.fileSource(spark, src)
+    val counts = EventPipeline.windowedCounts(EventPipeline.deduped(in),
+      watermark = None, window = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+
+    writeBatch(src, "b2", Seq(
+      Event(3, ts(2), 2, "error", 190.0), // exact replay, must be deduped
+      Event(5, ts(3), 2, "click", 30.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_counts")
+      .groupBy("event_type").agg(max("n_events").as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(out("view") == 1L, s"duplicate id 2 not deduped: $out")
+    assert(out("error") == 1L, s"replayed id 3 not deduped: $out")
+    assert(out("click") == 2L, s"got $out")
+  }
+
+  test("A15: stateful per-user rate limit across micro-batches") {
+    val src = Files.createTempDirectory("graft-rate-src").toString
+    val chk = Files.createTempDirectory("graft-rate-chk").toString
+    // user 1 sends 4 events in batch 1 and 3 more in batch 2 (same window):
+    // limit 5 → 5 admitted, 2 dropped. user 2 stays under the limit.
+    writeBatch(src, "b1",
+      (1 to 4).map(i => Event(i, ts(i), 1, "click", 1.0)) :+ Event(10, ts(1), 2, "view", 1.0))
+    val in = EventPipeline.fileSource(spark, src).as[Event]
+    val limited = EventPipeline.rateLimited(in, limit = 5)
+    val q = limited.toDF().writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", (5 to 7).map(i => Event(i, ts(10 + i), 1, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("rate_out").collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 7)
+    assert(u1.count(_.getAs[Boolean]("admitted")) == 5, "state not carried across batches")
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.forall(_.getAs[Boolean]("admitted")))
+  }
+
+  test("A16: alert stream + latest-per-key upsert store") {
+    val src = Files.createTempDirectory("graft-alert-src").toString
+    val chk1 = Files.createTempDirectory("graft-alert-chk").toString
+    val chk2 = Files.createTempDirectory("graft-upsert-chk").toString
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "error", 200.0),  // critical
+      Event(2, ts(1), 1, "error", 160.0),  // warning
+      Event(3, ts(2), 2, "error", 10.0),   // below threshold
+      Event(4, ts(3), 2, "click", 999.0))) // not an error
+
+    val in = EventPipeline.fileSource(spark, src)
+    val qa = EventPipeline.toMemory(EventPipeline.alerts(in), "alerts_out")
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val qu = EventPipeline.upsertQuery(in, store, chk2)
+    qa.processAllAvailable(); qu.processAllAvailable()
+
+    writeBatch(src, "b2", Seq(Event(5, ts(9), 1, "view", 42.0)))
+    qa.processAllAvailable(); qu.processAllAvailable()
+    qa.stop(); qu.stop()
+
+    val alerts = spark.table("alerts_out").collect()
+    assert(alerts.map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L))
+    assert(alerts.find(_.getAs[Long]("event_id") == 1L).get.getAs[String]("level") == "critical")
+    // upsert store holds the LATEST value per user
+    assert(store.get(1L) == 42.0, s"store=$store")
+    assert(store.get(2L) == 999.0, s"store=$store")
+  }
+}
