@@ -51,6 +51,8 @@ object SparkEntry {
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
+    "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
+    "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventPipeline.windowedCountsViaStream(s, d)),
@@ -245,6 +247,23 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "doc_term_freq" ->
+      """SELECT term, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin,
+    "doc_tfidf_top" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
+        |WHERE rank <= 3""".stripMargin,
     "stream_windowed_counts" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value

@@ -51,4 +51,38 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Corpus term frequencies: top-k most frequent tokens overall.
+    * One explode + one agg; TakeOrdered for the top-k. */
+  def termFrequencies(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+
+  /** TF-IDF top terms per document. Document frequencies are aggregated
+    * once and broadcast back; ln() on identical double ratios keeps the
+    * oracle bit-compatible. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    // ln() differs by 1 ULP between JVM and C libm; report at 6 dp (ranking
+    // itself is ULP-stable since equal (tf, df) pairs tie-break on term)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
 }

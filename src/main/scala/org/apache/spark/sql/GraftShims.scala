@@ -9,4 +9,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function on a LIVE session (getOrCreate ignores
+    * extensions when a session already exists — tests and REPLs need this). */
+  def registerFunction(spark: SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }
