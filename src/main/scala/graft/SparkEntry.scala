@@ -29,6 +29,8 @@ object SparkEntry {
     "ev_enrich_join"    -> ((s, d) => EventOps.enrichJoin(s, d)),
     "ev_error_alert"    -> ((s, d) => EventOps.errorAlert(s, d)),
     "ev_checkpoint"     -> ((s, d) => EventOps.checkpoint(s, d)),
+    "ev_asof_join"      -> ((s, d) => EventOps.asofErrorClick(s, d)),
+    "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
     // B. analytics breadth
     "q1_pricing"       -> ((s, d) => Analytics.q1Pricing(s, d)),
     "q3_shipping"      -> ((s, d) => Analytics.q3Shipping(s, d)),
@@ -39,6 +41,7 @@ object SparkEntry {
     "q_topk_parts"     -> ((s, d) => Analytics.topkParts(s, d)),
     "q_rollup"         -> ((s, d) => Analytics.rollupFlags(s, d)),
     "q_distinct_agg"   -> ((s, d) => Analytics.distinctAgg(s, d)),
+    "q17_small_qty"    -> ((s, d) => Analytics.q17SmallQty(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -150,6 +153,25 @@ object SparkEntry {
     "ev_checkpoint" ->
       """SELECT event_id % 4 AS part_id, max(event_id) AS last_offset, count(*) AS n_processed
         |FROM events GROUP BY 1""".stripMargin,
+    "ev_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts_ms,
+        |       c.event_id AS click_event_id, c.ts_ms AS click_ts_ms,
+        |       e.ts_ms - c.ts_ms AS gap_ms
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |           WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts_ms < e.ts_ms""".stripMargin,
+    "ev_counts_salted" ->
+      s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "q17_small_qty" ->
+      s"""SELECT ${dsum("l_extendedprice")} AS total_price, count(*) AS n_lines
+         |FROM lineitem JOIN (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+         |  FROM lineitem GROUP BY 1) a USING (l_partkey)
+         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty, ${dsum("l_extendedprice")} AS sum_base_price,

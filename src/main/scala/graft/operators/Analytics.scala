@@ -118,6 +118,19 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_lines"))
 
+  /** B10: small-quantity revenue (TPC-H Q17 shape) — per-part average as a
+    * broadcast aggregate join, not a correlated per-row subquery. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), "l_partkey")
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** B9: multi-distinct aggregate per event type. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

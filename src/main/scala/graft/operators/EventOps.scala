@@ -154,6 +154,44 @@ object EventOps {
         when(col("value") >= 180.0, "critical").otherwise("warning").as("level"),
         concat(lit("ALERT user="), col("user_id").cast("string")).as("message"))
 
+  /** A17: as-of join — each error event matched to the most recent click of
+    * the same user at or before it. Spark-first shape: one union + one
+    * per-user sort window (single shuffle), not a per-row lookup; mirrors
+    * DuckDB's native ASOF JOIN in the oracle. */
+  def asofErrorClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"), tsMs(col("ts")).as("ts_ms"))
+    // range frame to -1 ms: strictly-before semantics, mirroring the
+    // oracle's ASOF ON click.ts_ms < error.ts_ms
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("click_event_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(byUser))
+      .withColumn("click_ts_ms",
+        last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "error" && col("click_event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("click_event_id"), col("click_ts_ms"),
+        (col("ts_ms") - col("click_ts_ms")).as("gap_ms"))
+  }
+
+  /** A18: skew-resistant aggregation — two-phase (salted) groupBy whose
+    * result must equal the plain aggregate. At 100 TB a single hot key
+    * (one event type is ~20% of the stream) would hotspot one reducer; the
+    * salt fans the first phase across 16 partitions, the second phase
+    * combines 16 rows per key. */
+  def countsByTypeSalted(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        pmod(col("event_id"), lit(salts.toLong)).as("salt"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("s"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).cast("double").as("sum_value"))
+
   /** A13: offset checkpoint — max processed offset per partition bucket. */
   def checkpoint(spark: SparkSession, dir: String, partitions: Int = 4): DataFrame =
     Tables.events(spark, dir)
