@@ -9,9 +9,12 @@ import graft.operators.Analytics
 object Bench {
   private val headline = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q_window_running", "q_topk_parts",
+    "q17_small_qty",
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join",
+    "ev_asof_join", "ev_counts_salted",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_token_count", "doc_quality",
-    "emb_cosine_topk", "emb_neardup_pairs",
+    "doc_tfidf_top",
+    "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk",
   )
 
   def main(args: Array[String]): Unit = {

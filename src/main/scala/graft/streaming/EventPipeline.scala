@@ -92,6 +92,19 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming sessionization: native session windows with an inactivity
+    * gap (state evicted by watermark — bounded per active user). */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Rule-based alert stream (errors above threshold → notification rows). */
   def alerts(events: DataFrame, threshold: Double = 150.0): DataFrame =
     events.filter(col("event_type") === "error" && col("value") >= threshold)

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSuite {
+
+  test("day-partitioned events: directory layout + partition pruning") {
+    val path = Files.createTempDirectory("graft-layout").toString + "/events"
+    Layout.writeEventsPartitioned(Tables.events(spark, sf), path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("day=")) == 30, s"got ${dirs.length} partition dirs")
+
+    val ranged = Layout.readEventsRange(spark, path, "2024-01-05", "2024-01-07")
+    val days = ranged.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.toSeq == Seq("2024-01-05", "2024-01-06", "2024-01-07"))
+    // pruning must reach the scan: only 3 of 30 partitions read
+    val scanned = ranged.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+  }
+
+  test("bucketed join on the bucket key has no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      Layout.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_orderkey", 4)
+      Layout.writeBucketed(Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "lineitem_b", "l_orderkey", 4)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity").as("qty"))
+      joined.collect()
+      // AQE's toString appends the pre-adaptive plan; only the final counts
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // the join itself must be shuffle-free (bucket co-location); only the
+      // final groupBy(o_custkey) may exchange
+      assert(shuffles <= 1, s"expected bucketed join without join-side shuffles:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

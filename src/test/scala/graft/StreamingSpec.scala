@@ -103,6 +103,31 @@ class StreamingSpec extends SparkSuite {
     assert(u2.forall(_.getAs[Boolean]("admitted")))
   }
 
+  test("A8-streaming: session windows close via watermark advance") {
+    val src = Files.createTempDirectory("graft-sess-src").toString
+    val chk = Files.createTempDirectory("graft-sess-chk").toString
+    // user 1: two events 5 min apart (one session), then one 2h later (new
+    // session). A far-future sentinel pushes the watermark so sessions emit.
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 3.0)))
+    val in = EventPipeline.fileSource(spark, src)
+    val q = EventPipeline.sessionized(in, gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", Seq(
+      Event(99, Timestamp.valueOf("2024-01-02 00:00:00"), 2, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess_out")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L).collect()
+    assert(sessions.length == 2, s"expected 2 closed sessions, got ${sessions.toSeq}")
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("A16: alert stream + latest-per-key upsert store") {
     val src = Files.createTempDirectory("graft-alert-src").toString
     val chk1 = Files.createTempDirectory("graft-alert-chk").toString
