@@ -31,6 +31,11 @@ object SparkEntry {
     "ev_checkpoint"     -> ((s, d) => EventOps.checkpoint(s, d)),
     "ev_asof_join"      -> ((s, d) => EventOps.asofErrorClick(s, d)),
     "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
+    "ev_funnel"         -> ((s, d) => EventOps.funnel(s, d)),
+    "ev_approx_stats"   -> ((s, d) => Sketches.approxStats(s, d)),
+    "ev_bloom_join"     -> ((s, d) => Sketches.bloomPrunedJoin(s, d)),
+    "ev_retention"      -> ((s, d) => EventOps.retention(s, d)),
+    "ev_dwell"          -> ((s, d) => EventOps.dwell(s, d)),
     // B. analytics breadth
     "q1_pricing"       -> ((s, d) => Analytics.q1Pricing(s, d)),
     "q3_shipping"      -> ((s, d) => Analytics.q3Shipping(s, d)),
@@ -165,6 +170,39 @@ object SparkEntry {
     "ev_counts_salted" ->
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+    "ev_bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1""".stripMargin,
+    "ev_funnel" ->
+      """SELECT user_id, first_signup_ms, n_purchases,
+        |       last_purchase_ms IS NOT NULL AND last_purchase_ms > first_signup_ms AS converted
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup_ms,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_purchase_ms,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1) t
+        |WHERE first_signup_ms IS NOT NULL""".stripMargin,
+    "ev_retention" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         strftime(CAST(ts AS DATE) + 1, '%Y-%m-%d') AS next_day
+        |  FROM events)
+        |SELECT a.day AS day, count(DISTINCT a.user_id) AS n_active,
+        |  count(DISTINCT CASE WHEN b.day IS NOT NULL THEN a.user_id END) AS n_retained
+        |FROM daily a LEFT JOIN daily b
+        |  ON a.user_id = b.user_id AND a.next_day = b.day
+        |GROUP BY 1""".stripMargin,
+    "ev_dwell" ->
+      """SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_ms) AS DOUBLE) / count(*) AS avg_gap_ms,
+        |  max(gap_ms) AS max_gap_ms
+        |FROM (
+        |  SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |  FROM events) t
+        |WHERE gap_ms IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q17_small_qty" ->
       s"""SELECT ${dsum("l_extendedprice")} AS total_price, count(*) AS n_lines
          |FROM lineitem JOIN (

@@ -192,6 +192,53 @@ object EventOps {
       .groupBy("event_type")
       .agg(sum(col("n")).as("n_events"), sum(col("s")).cast("double").as("sum_value"))
 
+  /** A19: signup → purchase conversion funnel — per user, did a purchase
+    * follow the first signup? One aggregation pass, no self-join. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), tsMs(col("ts")).as("ts_ms"))
+    ev.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_ms"))).as("first_signup_ms"),
+        max(when(col("event_type") === "purchase", col("ts_ms"))).as("last_purchase_ms"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .filter(col("first_signup_ms").isNotNull)
+      .select(col("user_id"), col("first_signup_ms"), col("n_purchases"),
+        (col("last_purchase_ms").isNotNull &&
+          col("last_purchase_ms") > col("first_signup_ms")).as("converted"))
+  }
+
+  /** A20: day-over-day retention — for each day, how many of its active
+    * users are active again the next day. Self-join on compact per-day user
+    * sets (shuffle on user_id+day, both sides pre-aggregated). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), dayStr(col("ts")).as("day"),
+        date_add(to_date(col("ts")), 1).as("next_day"))
+      .distinct()
+    val a = daily.select(col("user_id"), col("day"), col("next_day"))
+    val b = daily.select(col("user_id"), col("day").as("day_b"))
+    a.join(b, a("user_id") === b("user_id") &&
+        date_format(a("next_day"), "yyyy-MM-dd") === b("day_b"), "left")
+      .groupBy("day")
+      .agg(countDistinct(a("user_id")).as("n_active"),
+        countDistinct(when(col("day_b").isNotNull, a("user_id"))).as("n_retained"))
+  }
+
+  /** A21: dwell time — average gap between consecutive events per user. */
+  def dwell(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_ms")).cast("double") / count(lit(1))).as("avg_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+  }
+
   /** A13: offset checkpoint — max processed offset per partition bucket. */
   def checkpoint(spark: SparkSession, dir: String, partitions: Int = 4): DataFrame =
     Tables.events(spark, dir)

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+import graft.Tables
+
+/** Sketch/approximate operators — the cardinality and heavy-hitter toolkit
+  * a stream processor exposes on high-volume event data.
+  *
+  * Scale notes: approx_count_distinct (HLL++) and approx_percentile are
+  * mergeable aggregates — map-side partials, constant state per group, no
+  * exact-distinct shuffle explosion. Bloom-filter semi-join pruning drops
+  * non-matching fact rows BEFORE the shuffle (the classic 100 TB join
+  * reducer); Count-Min answers heavy-hitter queries from one compact pass. */
+object Sketches {
+
+  /** Approximate per-type stats: HLL distinct users + value percentiles.
+    * (No SQL oracle — sketch estimates are engine-specific; accuracy is
+    * asserted against exact values in SketchesSpec.) */
+  def approxStats(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("value_p50_p95"),
+        count(lit(1)).as("n_events"))
+
+  /** Bloom-pruned enrichment join: build a Bloom filter over the dimension
+    * keys (driver-side, broadcast with the closure), pre-filter the fact
+    * side before the join shuffle. Result must equal the plain join —
+    * the filter only removes rows that cannot match. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String,
+                      fpp: Double = 0.01): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val nKeys = cust.count()
+    val bloom: BloomFilter = cust.stat.bloomFilter("c_custkey", nKeys, fpp)
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+      .filter(mightContain(col("user_id"))) // pre-shuffle pruning
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Count-Min heavy hitters: one-pass sketch of user activity, then
+    * estimated counts for the exact top-k users (estimate >= true count). */
+  def cmsTopUsers(spark: SparkSession, dir: String, k: Int = 10,
+                  eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val cms: CountMinSketch = ev.stat.countMinSketch("user_id", eps, confidence, seed = 42)
+    val top = EventOps.topkUsers(spark, dir, k).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    top.map { case (u, exact) =>
+      (u, exact, cms.estimateCount(java.lang.Long.valueOf(u)))
+    }.toSeq.toDF("user_id", "exact_count", "cms_estimate")
+  }
+}

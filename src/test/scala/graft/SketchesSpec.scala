@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, Sketches}
+
+class SketchesSpec extends SparkSuite {
+
+  test("approx_count_distinct within rsd of exact; percentiles bracket the data") {
+    val approx = Sketches.approxStats(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Seq[Double]]("value_p50_p95"))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (t, u) =>
+      val est = approx(t)._1
+      assert(math.abs(est - u).toDouble / u < 0.15, s"$t: est=$est exact=$u")
+      val Seq(p50, p95) = approx(t)._2.toList
+      assert(p50 < p95 && p50 > 0)
+    }
+  }
+
+  test("bloom-pruned join equals the plain enrichment join") {
+    val pruned = Sketches.bloomPrunedJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+    val plain = EventOps.enrichJoin(spark, sf).collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_events")).toMap
+    assert(pruned == plain)
+  }
+
+  test("count-min estimates upper-bound the exact counts, tightly at this scale") {
+    val rows = Sketches.cmsTopUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_count")
+      val est = r.getAs[Long]("cms_estimate")
+      assert(est >= exact, s"CMS underestimated: $r")
+      assert(est <= exact * 1.1 + 10, s"CMS too loose: $r")
+    }
+  }
+}

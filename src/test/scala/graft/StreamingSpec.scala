@@ -128,6 +128,70 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static join: streaming events enriched against the customer dim") {
+    val src = Files.createTempDirectory("graft-ss-src").toString
+    val chk = Files.createTempDirectory("graft-ss-chk").toString
+    writeBatch(src, "b1", Seq(Event(1, ts(0), 3, "click", 1.0), Event(2, ts(1), 9999, "view", 2.0)))
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = EventPipeline.fileSource(spark, src)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_mktsegment")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(1L)) // 9999 has no dim row
+    assert(rows.head.getAs[String]("c_mktsegment").nonEmpty)
+  }
+
+  test("stream-stream join: click followed by error within the time bound") {
+    val srcA = Files.createTempDirectory("graft-ssa").toString
+    val srcB = Files.createTempDirectory("graft-ssb").toString
+    val chk = Files.createTempDirectory("graft-ss2-chk").toString
+    writeBatch(srcA, "b1", Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(40), 2, "click", 1.0)))
+    writeBatch(srcB, "b1", Seq(
+      Event(100, ts(10), 1, "error", 160.0),  // 10 min after user 1's click: joins
+      Event(101, ts(55), 2, "error", 160.0))) // 15 min after user 2's click: joins
+    val clicks = EventPipeline.fileSource(spark, srcA)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = EventPipeline.fileSource(spark, srcB)
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"), col("event_id").as("error_id"))
+      .withWatermark("error_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss2_join")
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ss2_join").collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("click_id"))).toSet
+    assert(pairs == Set((100L, 1L), (101L, 2L)), s"got $pairs")
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    val src = Files.createTempDirectory("graft-late-src").toString
+    val chk = Files.createTempDirectory("graft-late-chk").toString
+    writeBatch(src, "b1", Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "click", 1.0)))
+    val counts = EventPipeline.windowedCounts(
+      EventPipeline.fileSource(spark, src), watermark = Some("1 hour"), window = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // event at 10:30 is ~9.5h behind the 20:00 watermark head → dropped
+    writeBatch(src, "b2", Seq(Event(3, ts(30), 1, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("late_out")
+      .filter(col("event_type") === "click")
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(n == 1L, s"late event leaked into closed windows: n=$n") // only the 10:00 window closed
+  }
+
   test("A16: alert stream + latest-per-key upsert store") {
     val src = Files.createTempDirectory("graft-alert-src").toString
     val chk1 = Files.createTempDirectory("graft-alert-chk").toString
