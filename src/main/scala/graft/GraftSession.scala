@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for graft workloads.
+  *
+  * Local defaults mirror what a cluster deployment would set per executor
+  * count: shuffle partitions sized to cores (not the 200 default), AQE on
+  * (runtime coalescing + skew-join splitting), graft SQL functions
+  * registered via extensions.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // getOrCreate may have returned a pre-existing session — make sure the
+    // native functions are registered either way
+    GraftFunctions.register(s)
+    s
+  }
+}

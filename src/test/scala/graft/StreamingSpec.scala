@@ -192,6 +192,32 @@ class StreamingSpec extends SparkSuite {
     assert(n == 1L, s"late event leaked into closed windows: n=$n") // only the 10:00 window closed
   }
 
+  test("transformWithState latest-per-key: updates only on newer events") {
+    val src = Files.createTempDirectory("graft-tws-src").toString
+    val chk = Files.createTempDirectory("graft-tws-chk").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      writeBatch(src, "b1", Seq(
+        Event(1, ts(0), 1, "click", 10.0), Event(2, ts(5), 1, "view", 20.0)))
+      val in = EventPipeline.fileSource(spark, src).as[Event]
+      val q = EventPipeline.latestPerKey(in).toDF()
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      // an OLDER event for user 1 must NOT emit an update; a new user must
+      writeBatch(src, "b2", Seq(
+        Event(3, ts(2), 1, "error", 99.0), Event(4, ts(1), 2, "click", 5.0)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+      assert(rows.count(_._1 == 1L) == 1, s"stale event emitted: ${rows.toSeq}")
+      assert(rows.contains((1L, 2L)) && rows.contains((2L, 4L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("A16: alert stream + latest-per-key upsert store") {
     val src = Files.createTempDirectory("graft-alert-src").toString
     val chk1 = Files.createTempDirectory("graft-alert-chk").toString
