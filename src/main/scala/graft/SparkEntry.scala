@@ -47,6 +47,12 @@ object SparkEntry {
     "q_rollup"         -> ((s, d) => Analytics.rollupFlags(s, d)),
     "q_distinct_agg"   -> ((s, d) => Analytics.distinctAgg(s, d)),
     "q17_small_qty"    -> ((s, d) => Analytics.q17SmallQty(s, d)),
+    "q4_late_orders"   -> ((s, d) => Analytics.q4LateOrders(s, d)),
+    "q12_buckets"      -> ((s, d) => Analytics.q12Buckets(s, d)),
+    "q14_promo_share"  -> ((s, d) => Analytics.q14PromoShare(s, d)),
+    "q19_or_predicates"-> ((s, d) => Analytics.q19OrPredicates(s, d)),
+    "q_window_rank"    -> ((s, d) => Analytics.windowRankFamily(s, d)),
+    "q_pivot_daily"    -> ((s, d) => Analytics.pivotDaily(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -210,6 +216,54 @@ object SparkEntry {
          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
          |  FROM lineitem GROUP BY 1) a USING (l_partkey)
          |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_linestatus = 'F'
+        |                AND l_quantity > 45.0)
+        |GROUP BY 1""".stripMargin,
+    "q12_buckets" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty_lines,
+        |  CAST(sum(CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS promo_share_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q19_or_predicates" ->
+      s"""SELECT $rev AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 20.0)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 35.0)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20.0 AND 50.0)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, quartile FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events) t
+        |GROUP BY 1""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty, ${dsum("l_extendedprice")} AS sum_base_price,

@@ -131,6 +131,84 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B11: order-priority counts for orders with at least one late line
+    * (TPC-H Q4 shape: left-semi join with a range predicate). */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderpriority")
+    val lateLines = Tables.lineitem(spark, dir)
+      .filter(col("l_linestatus") === "F" && col("l_quantity") > 45.0)
+      .select("l_orderkey")
+    ord.join(lateLines, ord("o_orderkey") === lateLines("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** B12: conditional aggregation buckets (TPC-H Q12 shape). */
+  def q12Buckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_quantity") >= 25.0, 1L).otherwise(0L)).as("high_qty_lines"),
+        sum(when(col("l_quantity") < 25.0, 1L).otherwise(0L)).as("low_qty_lines"))
+
+  /** B13: percentage-of-total (TPC-H Q14 shape) — one pass, two
+    * conditional decimal sums, one exact division. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").startsWith("STANDARD"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") * 100.0 /
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n_lines"))
+
+  /** B14: OR-of-ANDs predicate (TPC-H Q19 shape) — the whole disjunction
+    * must reach the scan / evaluate codegen'd, no join explosion. */
+  def q19OrPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10.0, 35.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20.0, 50.0)))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** B15: window-function breadth — rank family over one partition pass. */
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** B16: pivot — daily event counts crosstabbed by type (fixed columns so
+    * the schema is stable for the oracle). */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(graft.functions.Cols.dayStr(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** B9: multi-distinct aggregate per event type. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
