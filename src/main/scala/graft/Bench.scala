@@ -40,11 +40,12 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // two timed reps per query, min taken: steady-state throughput robust to
-    // one-off JIT/IO noise (cache cleared between reps — no result reuse).
+    // timed reps per query, min taken: steady-state throughput robust to
+    // host-noise spikes (cache cleared between reps — no result reuse).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -59,12 +59,16 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val corpus = emb.filter(col("vec_id") >= nQueries)
 
-    // assign each corpus vector to its nearest centroid (broadcast centroids)
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+    // assign each corpus vector to its nearest centroid (broadcast
+    // centroids): argmax as a partial-aggregatable max(struct) — no per-key
+    // sort window, so assignment stays map-side-combinable at any scale
     val bucketed = corpus.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rnk", row_number().over(assignW)).filter(col("rnk") === 1)
-      .select(col("c_id").as("bucket"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg_id"))).as("best"),
+        any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+      .select((-col("best.neg_id")).as("bucket"), col("vec_id"), col("v"), col("nrm"))
 
     // each query probes its nprobe nearest buckets
     val queries = emb.filter(col("vec_id") < nQueries)
