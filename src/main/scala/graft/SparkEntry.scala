@@ -66,6 +66,8 @@ object SparkEntry {
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
+    "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
+    "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
     "stream_windowed_counts" -> ((s, d) =>
@@ -361,6 +363,23 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "doc_sample" ->
+      """SELECT source, doc_id, lang, n_chars, sample_rank FROM (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 5""".stripMargin,
+    "ev_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |  count(DISTINCT user_id) AS distinct_users,
+        |  count(DISTINCT event_type) AS distinct_types,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events""".stripMargin,
     "doc_term_freq" ->
       """SELECT term, count(*) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t

@@ -52,6 +52,36 @@ object TextOps {
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Deterministic per-group sampling: k docs per source, ranked by a
+    * content-independent hash of the id. Reproducible across runs,
+    * partitionings and engines (unlike rand()) — the training-data way to
+    * cut a fixed-size sample per shard/source at any scale. */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // md5-of-id ordering: engine-portable (oracle-checkable), uniform-ish
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Column profiler over the events table: per-column null counts,
+    * distinct estimates and ranges — the data-quality first pass. */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      countDistinct(col("user_id")).as("distinct_users"),
+      countDistinct(col("event_type")).as("distinct_types"),
+      min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   /** Corpus term frequencies: top-k most frequent tokens overall.
     * One explode + one agg; TakeOrdered for the top-k. */
   def termFrequencies(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
