@@ -27,6 +27,8 @@ object GraftFunctions {
 
 /** SparkSessionExtensions entry point (plans through whole-stage codegen). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.AutoBarrierExplode)
+  }
 }
