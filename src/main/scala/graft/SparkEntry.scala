@@ -58,6 +58,8 @@ object SparkEntry {
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
+    "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),

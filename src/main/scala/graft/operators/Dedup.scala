@@ -122,6 +122,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** C15: near-duplicate clusters — connected components over the LSH pair
+    * graph via iterative min-label propagation (the standard large-graph
+    * approach: each round is one shuffle join; label space only shrinks, so
+    * it converges in O(component diameter) rounds, checked per round). */
+  def neardupClusters(spark: SparkSession, dir: String,
+                      maxIters: Int = 10, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(spark, dir, threshold = threshold).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.withColumnRenamed("label", "new_label")
+        .join(labels, Seq("id"))
+        .filter(col("new_label") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iters += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** C16: the dedup keep-list — one canonical doc per near-dup cluster (the
+    * cluster minimum), singleton docs keep themselves. */
+  def keepList(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val clusters = neardupClusters(spark, dir)
+    docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+  }
+
   /** C4: exact word-n-gram Jaccard over LSH candidates (re-verification). */
   def ngramJaccard(spark: SparkSession, dir: String, k: Int = 3,
                    threshold: Double = 0.3): DataFrame = {

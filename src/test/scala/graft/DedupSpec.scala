@@ -53,6 +53,17 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("near-dup clusters unify the duplicate chain; keep-list keeps one canonical per cluster") {
+    val clusters = Dedup.neardupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // docs 0, 1 (exact) and 2 (near) must share a cluster rooted at 0
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L, s"$clusters")
+    val keep = Dedup.keepList(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(keep(0L) == (0L, true) && keep(1L) == (0L, false) && keep(2L) == (0L, false))
+    assert(keep(3L)._2 && keep(4L)._2) // singletons keep themselves
+  }
+
   test("ngram jaccard: exact pair at 1.0, near pair high, verified against LSH candidates") {
     val pairs = Dedup.ngramJaccard(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators._
+
+/** Plan-shape regression guards for the scale claims in SURVEY §5 / PLANS.md:
+  * pushdown reaches the scans, dims broadcast, top-N never globally sorts,
+  * keyed pipelines shuffle once. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q3: date filters pushed to parquet, both dims broadcast") {
+    val p = planOf(Analytics.q3Shipping(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk parts: TakeOrderedAndProject, no global Sort") {
+    val p = planOf(Analytics.topkParts(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("sessionize: exactly one exchange feeds windows AND aggregation") {
+    val p = planOf(EventOps.sessionize(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+  }
+
+  test("cosine topk: rank pushdown via WindowGroupLimit") {
+    val p = planOf(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("exact dedup: partial aggregation before the single exchange") {
+    val p = planOf(Dedup.exact(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(800))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("meta stats: payload column pruned from the scan") {
+    val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
+    val p = planOf(graft.multimodal.Multimodal.metaStats(media))
+    assert(!p.contains("payload"), "payload bytes must not reach the plan:\n" + p.take(800))
+  }
+}
