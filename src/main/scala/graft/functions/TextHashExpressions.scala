@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Native text-hash kernels for dedup signatures.
+  *
+  * The declarative form (normalize → split → transform(hash) → k-window
+  * hash → explode → n min-aggregates) walks interpreted higher-order
+  * expression trees per token AND shuffles one row per shingle. These
+  * kernels compute a whole document signature in one compiled pass over the
+  * string — map-only, no shuffle anywhere in signature computation, which
+  * is the correct 100 TB shape (the LSH band join afterwards is the only
+  * exchange).
+  *
+  * Tokenization contract (matches TextFunctions.normalized + single-space
+  * split): lowercase, runs of whitespace collapse to one separator,
+  * leading/trailing whitespace ignored.
+  */
+object TextHash {
+  /** Lowercased word hashes of the normalized text. */
+  private[functions] def wordHashes(s: UTF8String): Array[Long] = {
+    val str = s.toString.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > start) {
+        val bytes = str.substring(start, i).getBytes("UTF-8")
+        out += XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct k-shingle hashes: each shingle hash chains its k word hashes. */
+  private[functions] def shingleHashes(wh: Array[Long], k: Int): Array[Long] = {
+    if (wh.isEmpty) return Array.empty
+    val nSh = math.max(wh.length - k + 1, 1)
+    val set = new java.util.HashSet[Long](nSh * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 2862933555777941757L
+      var j = i
+      val end = math.min(i + k, wh.length)
+      while (j < end) { h = XXH64.hashLong(wh(j), h); j += 1 }
+      if (set.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** minhash_sig(text): array of `numHashes` per-family minima over the
+  * document's k-shingle hashes. */
+case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextHash.shingleHashes(
+      TextHash.wordHashes(input.asInstanceOf[UTF8String]), shingleK)
+    val sig = new Array[Long](numHashes)
+    var f = 0
+    while (f < numHashes) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val r = XXH64.hashLong(sh(i), f)
+        if (r < mn) mn = r
+        i += 1
+      }
+      sig(f) = if (sh.isEmpty) f.toLong else mn
+      f += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** shingle_hashes(text): the distinct k-shingle hash set itself (for exact
+  * Jaccard verification over candidates). */
+case class ShingleHashesExpr(child: Expression, shingleK: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(
+      TextHash.wordHashes(input.asInstanceOf[UTF8String]), shingleK))
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** simhash64(text): 64-bit sign-sum simhash over word hashes. */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val wh = TextHash.wordHashes(input.asInstanceOf[UTF8String])
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < wh.length) {
+      val h = wh(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object TextHashExpressions {
+  def minhashSig(text: Column, shingleK: Int = 3, numHashes: Int = 16): Column =
+    GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(text), shingleK, numHashes))
+  def shingleHashes(text: Column, shingleK: Int = 3): Column =
+    GraftShims.toColumn(ShingleHashesExpr(GraftShims.toExpression(text), shingleK))
+  def simhash64(text: Column): Column =
+    GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(text)))
+}

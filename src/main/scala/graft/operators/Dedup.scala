@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Barrier.noInline
-import graft.functions.TextFunctions.normalized
+
+
 
 /** Corpus deduplication (C1–C4).
   *
@@ -14,13 +14,11 @@ import graft.functions.TextFunctions.normalized
   * space by LSH banding: candidates meet only inside identical-band buckets,
   * a key-partitioned self-join.
   *
-  * MinHash signatures are computed as a flat explode → groupBy aggregation:
-  * one xxhash64 per shingle, then each of the n hash families is an affine
-  * remix (odd multiplier over Z/2^64, full period) aggregated with min().
-  * This keeps the whole pipeline in whole-stage codegen and map-side partial
-  * aggregation — no nested higher-order re-hashing per family, which is both
-  * the 100 TB shape (the shuffle carries doc_id + n longs, not text) and far
-  * faster than the naive nested-expression form on local[32]. */
+  * MinHash/SimHash signatures are computed by the native kernels in
+  * graft.functions.TextHashExpressions — one compiled pass per document,
+  * map-only (no shuffle until the LSH band join), which is the 100 TB
+  * shape: signature computation scales with input bytes, and the only
+  * exchange carries (doc_id, band, bucket) triples. */
 object Dedup {
 
   /** C1: exact dedup — md5(text) groupBy, keep the smallest doc_id. */
@@ -30,38 +28,13 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-k-shingles of the normalized text (distinct set of strings). */
-  private def shingles(text: Column, k: Int): Column = {
-    val words = split(normalized(text), " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => array_join(slice(words, i + 1, lit(k)), " ")))
-  }
-
-  /** 64-bit hashes of the word-k-shingles without materializing shingle
-    * strings: hash each word once, then hash k-slices of the hash array.
-    * Collision-equivalent to hashing the shingle text at ~1/k the cost. */
-  private def shingleHashes(text: Column, k: Int): Column = {
-    val wh = transform(split(normalized(text), " "), w => xxhash64(w))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(wh) - k, lit(0))),
-      i => xxhash64(slice(wh, i + 1, lit(k)))))
-  }
-
-  /** Per-family remix of a base 64-bit hash (re-hash of 8 bytes + seed —
-    * cheap, and safe under ANSI overflow checking). */
-  private def remix(h: Column, i: Int): Column = xxhash64(h, lit(i))
-
-  /** MinHash signatures: doc_id → array of n per-family minima.
-    * One shingle-level explode, one groupBy(doc_id) with n min() aggs. */
-  private[graft] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), explode(noInline(shingleHashes(col("text"), shingleK))).as("h"))
-    val aggs = (0 until n).map(i => min(remix(col("h"), i)).as(s"m$i"))
-    base.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until n).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** MinHash signatures: doc_id → array of n per-family minima, computed by
+    * the native [[graft.functions.MinHashSigExpr]] kernel in one compiled
+    * pass per document — map-only, no shuffle (the earlier explode → n-way
+    * min-aggregate form paid a full shuffle of one row per shingle). */
+  private[graft] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextHashExpressions.minhashSig(col("text"), shingleK, n).as("sig"))
 
   /** C2: MinHash + LSH near-dup pairs with verified signature similarity.
     * bands × rows = signature length; identical band hash → candidate. */
@@ -88,22 +61,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash: explode words, hash once, then 64 sign-sum aggregates packed
-    * into one long — flat codegen, map-side partials. */
-  private[graft] def simhashes(docs: DataFrame): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), explode(noInline(split(normalized(col("text")), " "))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    base.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), packed.as("sh"))
-  }
+  /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —
+    * map-only (the earlier explode → 64 sign-sum aggregates paid a
+    * one-row-per-token shuffle). */
+  private[graft] def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextHashExpressions.simhash64(col("text")).as("sh"))
 
   /** C3: SimHash near-dup pairs within hamming distance `maxDist`.
     * LSH via 4×16-bit chunk buckets (near-identical docs share a chunk). */
@@ -170,7 +133,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, k: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleHashes(col("text"), k).as("grams"))
+      .select(col("doc_id"), graft.functions.TextHashExpressions.shingleHashes(col("text"), k).as("grams"))
     val cand = minhashLsh(spark, dir, k, 16, 4, 0.2).select("id_a", "id_b")
     val a = docs.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
