@@ -24,7 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   */
 object TextHash {
   /** Lowercased word hashes of the normalized text. */
-  private[functions] def wordHashes(s: UTF8String): Array[Long] = {
+  private[graft] def wordHashes(s: UTF8String): Array[Long] = {
     val str = s.toString.toLowerCase
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
@@ -43,7 +43,7 @@ object TextHash {
   }
 
   /** Distinct k-shingle hashes: each shingle hash chains its k word hashes. */
-  private[functions] def shingleHashes(wh: Array[Long], k: Int): Array[Long] = {
+  private[graft] def shingleHashes(wh: Array[Long], k: Int): Array[Long] = {
     if (wh.isEmpty) return Array.empty
     val nSh = math.max(wh.length - k + 1, 1)
     val set = new java.util.HashSet[Long](nSh * 2)
