@@ -53,22 +53,43 @@ object Similarity {
     * corpus vectors as centroids, broadcast), corpus bucketed by nearest
     * centroid, queries probe `nprobe` nearest buckets only. */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+              nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir))
-    val centroids = emb.filter(col("vec_id") >= nQueries).limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val corpus = emb.filter(col("vec_id") >= nQueries)
 
-    // assign each corpus vector to its nearest centroid (broadcast
-    // centroids): argmax as a partial-aggregatable max(struct) — no per-key
-    // sort window, so assignment stays map-side-combinable at any scale
-    val bucketed = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_sim"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg_id"))).as("best"),
-        any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
-      .select((-col("best.neg_id")).as("bucket"), col("vec_id"), col("v"), col("nrm"))
+    // assignment of every corpus vector against broadcast centroids: argmax
+    // as a partial-aggregatable max(struct) — no per-key sort window, so it
+    // stays map-side-combinable at any scale
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg_id"))).as("best"),
+          any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+        .select((-col("best.neg_id")).as("bucket"), col("vec_id"), col("v"), col("nrm"))
+
+    // deterministic seeding (hash-spread sample), then Lloyd refinement:
+    // new centroid = element-wise mean of the bucket's vectors (posexplode →
+    // (bucket, dim) partial sums — one small shuffle per iteration)
+    var centroids = corpus
+      .orderBy(md5(col("vec_id").cast("string").cast("binary"))).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    var iter = 0
+    while (iter < lloydIters) {
+      val means = assign(centroids)
+        .select(col("bucket"), posexplode(col("v")))
+        .groupBy("bucket", "pos")
+        .agg((sum(col("col")) / count(lit(1))).as("m"))
+        .groupBy("bucket")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("bucket").as("c_id"), transform(col("pm"), e => e("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      centroids = means
+      iter += 1
+    }
+
+    val bucketed = assign(centroids)
 
     // each query probes its nprobe nearest buckets
     val queries = emb.filter(col("vec_id") < nQueries)
