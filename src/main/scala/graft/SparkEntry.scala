@@ -52,6 +52,8 @@ object SparkEntry {
     "q14_promo_share"  -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_or_predicates"-> ((s, d) => Analytics.q19OrPredicates(s, d)),
     "q_window_rank"    -> ((s, d) => Analytics.windowRankFamily(s, d)),
+    "q6_forecast"      -> ((s, d) => Analytics.q6Forecast(s, d)),
+    "q10_returns"      -> ((s, d) => Analytics.q10Returns(s, d)),
     "q_pivot_daily"    -> ((s, d) => Analytics.pivotDaily(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
@@ -252,6 +254,24 @@ object SparkEntry {
          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 20.0)
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 35.0)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20.0 AND 50.0)""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS revenue_effect,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_mktsegment, revenue FROM (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3) t
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, quartile FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

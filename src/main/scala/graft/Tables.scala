@@ -25,8 +25,12 @@ object Tables {
     * comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) parquet
+        df.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      case _ => df // already a timestamp table
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

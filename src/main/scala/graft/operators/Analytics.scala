@@ -131,6 +131,33 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B17: revenue-change forecast (TPC-H Q6 shape) — pure scan + pushed
+    * range predicates + one agg row; the canonical pushdown benchmark. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24.0)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 6)))
+        .cast("double").as("revenue_effect"),
+        count(lit(1)).as("n_lines"))
+
+  /** B18: top customers by returned-item revenue (TPC-H Q10 shape). */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** B11: order-priority counts for orders with at least one late line
     * (TPC-H Q4 shape: left-semi join with a range predicate). */
   def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.operators.{Dedup, EventOps, Similarity, TextOps}
+import graft.streaming.EventPipeline.Event
+
+/** Operators must behave sanely on empty inputs (empty partitions are the
+  * norm at scale: filters, late tails, new tenants). */
+class EmptyInputSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-empty").toString
+    Seq.empty[Event].toDF()
+      .withColumnRenamed("ts", "ts") // keep schema
+      .write.parquet(s"$d/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("event operators yield empty results, not errors, on an empty table") {
+    assert(EventOps.latestByKey(spark, dir).count() == 0)
+    assert(EventOps.sessionize(spark, dir).count() == 0)
+    assert(EventOps.rateLimit(spark, dir).count() == 0)
+    assert(EventOps.lastN(spark, dir).count() == 0)
+    assert(EventOps.asofErrorClick(spark, dir).count() == 0)
+    assert(EventOps.funnel(spark, dir).count() == 0)
+  }
+
+  test("dedup and similarity yield empty results on empty corpora") {
+    assert(Dedup.exact(spark, dir).count() == 0)
+    assert(Dedup.minhashLsh(spark, dir).count() == 0)
+    assert(Dedup.simhashPairs(spark, dir).count() == 0)
+    assert(Dedup.keepList(spark, dir).count() == 0)
+    assert(TextOps.tokenCount(spark, dir).count() == 0)
+    assert(Similarity.cosineTopK(spark, dir).count() == 0)
+    assert(Similarity.neardupPairs(spark, dir).count() == 0)
+  }
+}
