@@ -33,6 +33,19 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.funnel(spark, dir).count() == 0)
   }
 
+  test("null text rows don't break the text/dedup kernels") {
+    val d = Files.createTempDirectory("graft-nulls").toString
+    Seq((0L, "some real text here", "en", "s", 19L),
+      (1L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    assert(Dedup.minhashLsh(spark, d).count() == 0)   // null doc drops out
+    assert(Dedup.simhashPairs(spark, d).count() == 0)
+    val toks = TextOps.tokenCount(spark, d).collect()
+    assert(toks.length == 2)
+    assert(toks.exists(_.isNullAt(1))) // null text -> null counts, not a crash
+  }
+
   test("dedup and similarity yield empty results on empty corpora") {
     assert(Dedup.exact(spark, dir).count() == 0)
     assert(Dedup.minhashLsh(spark, dir).count() == 0)
