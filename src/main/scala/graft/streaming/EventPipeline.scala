@@ -165,6 +165,23 @@ object EventPipeline {
       }
       .start()
 
+  /** Live top-k leaderboard: per-micro-batch ranking of cumulative per-user
+    * counts into a shared store — the dashboard's "most active users" tile
+    * (complete-mode aggregation, rank computed per refresh like the UI
+    * would). */
+  def topUsersQuery(events: DataFrame, store: java.util.concurrent.ConcurrentHashMap[Long, Long],
+                    k: Int, checkpoint: String): StreamingQuery =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val top = batch.orderBy(col("n_events").desc, col("user_id")).limit(k).collect()
+        store.clear()
+        top.foreach(r => store.put(r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      }
+      .start()
+
   /** Memory-sink query for tests/dashboards (the WebSocket fan-out stand-in). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

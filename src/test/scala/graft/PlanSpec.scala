@@ -41,6 +41,17 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
 
+  test("q6: all four range predicates reach the parquet scan") {
+    val df = Analytics.q6Forecast(spark, sf)
+    // formatted mode prints the scan's full PushedFilters (toString truncates)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters"), p.take(500))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.03)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach(f =>
+      assert(p.contains(f), s"missing pushed filter $f:\n${p.take(900)}"))
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))

@@ -192,6 +192,22 @@ class StreamingSpec extends SparkSuite {
     assert(n == 1L, s"late event leaked into closed windows: n=$n") // only the 10:00 window closed
   }
 
+  test("live top-k leaderboard refreshes across micro-batches") {
+    val src = Files.createTempDirectory("graft-topk-src").toString
+    val chk = Files.createTempDirectory("graft-topk-chk").toString
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0),
+      Event(3, ts(2), 2, "click", 1.0)))
+    val q = EventPipeline.topUsersQuery(EventPipeline.fileSource(spark, src), store, k = 2, chk)
+    q.processAllAvailable()
+    assert(store.get(1L) == 2L && store.get(2L) == 1L)
+    // user 2 overtakes user 1 in the next batch
+    writeBatch(src, "b2", (10 to 12).map(i => Event(i, ts(i), 2, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    assert(store.get(2L) == 4L && store.get(1L) == 2L, store.toString)
+  }
+
   test("transformWithState latest-per-key: updates only on newer events") {
     val src = Files.createTempDirectory("graft-tws-src").toString
     val chk = Files.createTempDirectory("graft-tws-chk").toString
