@@ -12,8 +12,8 @@ object Bench {
     "q17_small_qty",
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join",
     "ev_asof_join", "ev_counts_salted",
-    "doc_dedup_exact", "doc_dedup_minhash", "doc_token_count", "doc_quality",
-    "doc_tfidf_top",
+    "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
+    "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk",
   )
 
