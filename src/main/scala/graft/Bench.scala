@@ -1,11 +1,16 @@
 package graft
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import graft.operators.Analytics
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Each query is fully materialized
-  * via count() after a shared session warm-up. */
+  * via count() after a shared session warm-up. The same line is also written
+  * to BENCH_LAST.json so the result survives log truncation.
+  *
+  * Failed queries are reported as null (never as their short elapsed time)
+  * and excluded from the total, with an "errors" list naming them. */
 object Bench {
   private val headline = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q_window_running", "q_topk_parts",
@@ -17,18 +22,43 @@ object Bench {
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk",
   )
 
+  /** Streaming throughput: the reference topology (dedup → stateful per-user
+    * rate limit → admitted filter) over the staged events table as a bounded
+    * file-source stream; reports end-to-end rows/sec and per-batch latency
+    * from the progress metrics. */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    import graft.streaming.EventPipeline
+    val stage = Files.createTempDirectory("graft-stream-bench").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val nRows = ev.count()
+    ev.write.mode("overwrite").parquet(stage)
+    val in = EventPipeline.fileSource(spark, stage)
+    val limited = EventPipeline
+      .rateLimited(EventPipeline.deduped(in, "2 hours").as[EventPipeline.Event], limit = 1000)
+      .filter(_.admitted)
+    val name = s"bench_stream_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    val q = limited.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val trigMs = q.recentProgress.toSeq.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    q.stop()
+    val outRows = spark.table(name).count()
+    val rps = if (wallSec > 0) nRows / wallSec else 0.0
+    val maxTrig = if (trigMs.nonEmpty) trigMs.max else 0L
+    f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"max_batch_ms":$maxTrig}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.maxResultSize", "4g")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // GraftSession: AQE + shuffle partitions = cores + graft extensions
+    // (AutoBarrierExplode etc.) — benches the session a user would run.
+    val spark = GraftSession.local(cpus, Map("spark.driver.maxResultSize" -> "4g"))
 
     // JVM + whole-stage-codegen warm-up per query shape on the smallest SF
     // (not timed): measures steady-state throughput, not Janino compilation.
@@ -43,21 +73,39 @@ object Bench {
     // timed reps per query, min taken: steady-state throughput robust to
     // host-noise spikes (cache cleared between reps — no result reuse).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = headline.flatMap { name =>
+    val results: Seq[(String, Option[Double])] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
         }
-        name -> times.min
+        // a query only counts as timed if every rep succeeded
+        name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streaming =
+      try streamingBench(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        "null"
+      }
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"streaming":$streaming,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Diagnostics main: time or explain a single SparkEntry query.
   * Usage: runMain graft.Explain <query> <sfDir> [explain|time] [reps]
   */
@@ -11,15 +9,10 @@ object Explain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mode = if (args.length > 2) args(2) else "time"
     val reps = if (args.length > 3) args(3).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // GraftSession: same extensions (AutoBarrierExplode, native functions)
+    // the shipped sessions run with — explain what users actually execute.
+    val spark = GraftSession.local(cpus)
     val fn = SparkEntry.queries(name)
     if (mode == "explain") {
       fn(spark, sfDir).explain("formatted")

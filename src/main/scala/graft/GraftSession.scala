@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * registered via extensions.
   */
 object GraftSession {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = SparkSession.builder()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            extraConf: Map[String, String] = Map.empty): SparkSession = {
+    var b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -24,7 +25,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => b = b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // getOrCreate may have returned a pre-existing session — make sure the
     // native functions are registered either way

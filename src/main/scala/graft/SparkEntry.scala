@@ -33,6 +33,7 @@ object SparkEntry {
     "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
     "ev_funnel"         -> ((s, d) => EventOps.funnel(s, d)),
     "ev_approx_stats"   -> ((s, d) => Sketches.approxStats(s, d)),
+    "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
     "ev_bloom_join"     -> ((s, d) => Sketches.bloomPrunedJoin(s, d)),
     "ev_retention"      -> ((s, d) => EventOps.retention(s, d)),
     "ev_dwell"          -> ((s, d) => EventOps.dwell(s, d)),
@@ -182,6 +183,16 @@ object SparkEntry {
     "ev_counts_salted" ->
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+    "ev_quantiles_exact" ->
+      """SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS value_p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS value_p95,
+        |  max(n) AS n_events
+        |FROM (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM events) t
+        |GROUP BY 1""".stripMargin,
     "ev_bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1""".stripMargin,
@@ -419,10 +430,18 @@ object SparkEntry {
         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
         |WHERE rank <= 3""".stripMargin,
+    // dedup-by-event_id CTE pins the oracle to the streaming path's
+    // dropDuplicates("event_id") semantics (first occurrence per id) — the
+    // two would otherwise diverge if the table ever carried duplicate ids.
     "stream_windowed_counts" ->
-      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+      s"""WITH ev AS (
+         |  SELECT ts, event_type, value FROM (
+         |    SELECT ts, event_type, value,
+         |      row_number() OVER (PARTITION BY event_id ORDER BY epoch_ms(ts)) AS rn
+         |    FROM events) t WHERE rn = 1)
+         |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2""".stripMargin,
+         |FROM ev GROUP BY 1, 2""".stripMargin,
     "mm_meta_stats" ->
       """SELECT kind, count(*) AS n_media,
         |  CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
@@ -432,9 +451,11 @@ object SparkEntry {
         |        n_chars * 10 AS duration_ms
         |      FROM documents) t
         |GROUP BY kind""".stripMargin,
+    // octet_length over the BLOB cast: the Spark side chunks the UTF-8 BYTES
+    // of the payload, so the oracle must count bytes, not characters.
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |  CAST((CAST(ceil(length(text) / 32.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0""".stripMargin,
+        |  CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 32.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) > 0""".stripMargin,
   )
 }

@@ -16,17 +16,44 @@ import graft.Tables
 object Sketches {
 
   /** Approximate per-type stats: HLL distinct users + value percentiles.
+    * Scalar p50/p95 columns (not an array) so downstream consumers — and the
+    * driver's sort/hash compare — can treat every column as orderable.
     * (No SQL oracle — sketch estimates are engine-specific; accuracy is
-    * asserted against exact values in SketchesSpec.) */
+    * asserted against exact values in SketchesSpec, and [[exactQuantiles]]
+    * is the oracle-gated exact companion.) */
   def approxStats(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"), col("value"))
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), rsd).as("approx_users"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("value_p50_p95"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("value_p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("value_p95"),
         count(lit(1)).as("n_events"))
+
+  /** Exact discrete quantiles per event type — rank-selected values (the
+    * element at ceil(p·n) in value order), so the result is engine-agnostic:
+    * no interpolation, no float formula to match, just row selection. The
+    * oracle-gated exact companion to [[approxStats]].
+    *
+    * Scale note: one shuffle on event_type + a per-type sort window. At
+    * 100 TB the same shape holds because the window partitions by the
+    * low-cardinality type key; for heavy skew the approx variant is the
+    * right tool (mergeable sketch, no sort). */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("value_p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("value"))).as("value_p95"),
+        max(col("n")).as("n_events"))
+  }
 
   /** Bloom-pruned enrichment join: build a Bloom filter over the dimension
     * keys (driver-side, broadcast with the closure), pre-filter the fact

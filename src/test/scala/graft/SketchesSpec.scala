@@ -8,15 +8,29 @@ class SketchesSpec extends SparkSuite {
   test("approx_count_distinct within rsd of exact; percentiles bracket the data") {
     val approx = Sketches.approxStats(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") ->
-        (r.getAs[Long]("approx_users"), r.getAs[Seq[Double]]("value_p50_p95"))).toMap
+        (r.getAs[Long]("approx_users"), r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95"))).toMap
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
     exact.foreach { case (t, u) =>
-      val est = approx(t)._1
+      val (est, p50, p95) = approx(t)
       assert(math.abs(est - u).toDouble / u < 0.15, s"$t: est=$est exact=$u")
-      val Seq(p50, p95) = approx(t)._2.toList
       assert(p50 < p95 && p50 > 0)
+    }
+  }
+
+  test("exact quantiles: rank-selected p50/p95 bracket the approx estimates") {
+    val ex = Sketches.exactQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95"), r.getAs[Long]("n_events"))).toMap
+    val ap = Sketches.approxStats(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95"))).toMap
+    ex.foreach { case (t, (p50, p95, n)) =>
+      assert(n > 0 && p50 <= p95)
+      // percentile_approx at accuracy 10000 is near-exact at this SF
+      assert(math.abs(ap(t)._1 - p50) <= math.max(1.0, p50 * 0.05), s"$t p50 ${ap(t)._1} vs $p50")
+      assert(math.abs(ap(t)._2 - p95) <= math.max(1.0, p95 * 0.05), s"$t p95 ${ap(t)._2} vs $p95")
     }
   }
 
