@@ -66,6 +66,10 @@ object SparkEntry {
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // exhaustive probes (nprobe = nlist): the IVF machinery must reproduce
+    // brute force EXACTLY — oracle-gated end-to-end check of assignment,
+    // probing and ranking
+    "emb_ivf_exhaustive"-> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
     "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
@@ -101,6 +105,17 @@ object SparkEntry {
   private val dotCQ = "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
   private def nrm(t: String) =
     s"sqrt(list_dot_product(CAST($t.embedding AS DOUBLE[]), CAST($t.embedding AS DOUBLE[])))"
+
+  // brute-force cosine top-k — also the oracle for the exhaustive-probe IVF
+  // path, which must reproduce it exactly
+  private val bruteTopkSql =
+    s"""SELECT q_id, vec_id, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+       |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ev_dedup_first" ->
@@ -355,14 +370,8 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "emb_cosine_topk" ->
-      s"""SELECT q_id, vec_id, rank, cos_sim FROM (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
-         |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
-         |WHERE rank <= 5""".stripMargin,
+    "emb_cosine_topk" -> bruteTopkSql,
+    "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -396,6 +405,31 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    // word-3-gram Jaccard over pairs sharing at least one gram. Tokenization
+    // mirrors the Spark kernel contract: lowercase, whitespace runs collapse;
+    // docs shorter than k words contribute ONE whole-doc shingle; empty docs
+    // contribute none.
+    "doc_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |ipairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM ipairs JOIN sizes sa ON ipairs.id_a = sa.doc_id
+        |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3""".stripMargin,
     "doc_sample" ->
       """SELECT source, doc_id, lang, n_chars, sample_rank FROM (
         |  SELECT source, doc_id, lang, n_chars,

@@ -62,15 +62,19 @@ object TextHash {
 }
 
 /** minhash_sig(text): array of `numHashes` per-family minima over the
-  * document's k-shingle hashes. */
+  * document's k-shingle hashes. NULL for zero-shingle (empty/whitespace)
+  * documents — a shared sentinel signature would make all contentless docs
+  * LSH-collide as "perfect" near-dups. */
 case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any = {
     val sh = TextHash.shingleHashes(
       TextHash.wordHashes(input.asInstanceOf[UTF8String]), shingleK)
+    if (sh.isEmpty) return null
     val sig = new Array[Long](numHashes)
     var f = 0
     while (f < numHashes) {
@@ -81,7 +85,7 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
         if (r < mn) mn = r
         i += 1
       }
-      sig(f) = if (sh.isEmpty) f.toLong else mn
+      sig(f) = mn
       f += 1
     }
     new GenericArrayData(sig)
@@ -104,14 +108,17 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
-/** simhash64(text): 64-bit sign-sum simhash over word hashes. */
+/** simhash64(text): 64-bit sign-sum simhash over word hashes. NULL for
+  * zero-token documents (see [[MinHashSigExpr]]). */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
     val wh = TextHash.wordHashes(input.asInstanceOf[UTF8String])
+    if (wh.isEmpty) return null
     val counts = new Array[Int](64)
     var i = 0
     while (i < wh.length) {

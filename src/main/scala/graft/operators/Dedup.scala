@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-
-
 
 /** Corpus deduplication (C1–C4).
   *
@@ -18,7 +16,11 @@ import graft.Tables
   * graft.functions.TextHashExpressions — one compiled pass per document,
   * map-only (no shuffle until the LSH band join), which is the 100 TB
   * shape: signature computation scales with input bytes, and the only
-  * exchange carries (doc_id, band, bucket) triples. */
+  * exchange carries (doc_id, band, bucket) triples.
+  *
+  * Degenerate docs: the signature kernels yield NULL for zero-token
+  * documents, and every LSH path filters them out before banding — empty
+  * docs never collide into a shared bucket claiming similarity 1.0. */
 object Dedup {
 
   /** C1: exact dedup — md5(text) groupBy, keep the smallest doc_id. */
@@ -31,7 +33,8 @@ object Dedup {
   /** MinHash signatures: doc_id → array of n per-family minima, computed by
     * the native [[graft.functions.MinHashSigExpr]] kernel in one compiled
     * pass per document — map-only, no shuffle (the earlier explode → n-way
-    * min-aggregate form paid a full shuffle of one row per shingle). */
+    * min-aggregate form paid a full shuffle of one row per shingle).
+    * Zero-shingle docs carry a NULL signature (callers filter them). */
   private[graft] def minhashSigs(docs: DataFrame, shingleK: Int, n: Int): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.TextHashExpressions.minhashSig(col("text"), shingleK, n).as("sig"))
@@ -42,7 +45,8 @@ object Dedup {
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSigs(Tables.documents(spark, dir), shingleK, numHashes).cache()
+    val sigs = minhashSigs(Tables.documents(spark, dir), shingleK, numHashes)
+      .filter(col("sig").isNotNull).cache()
     // (doc_id, band, bucket) — bucket = hash of the band's minhash slice
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -63,40 +67,98 @@ object Dedup {
 
   /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —
     * map-only (the earlier explode → 64 sign-sum aggregates paid a
-    * one-row-per-token shuffle). */
+    * one-row-per-token shuffle). NULL for zero-token docs. */
   private[graft] def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.TextHashExpressions.simhash64(col("text")).as("sh"))
 
-  /** C3: SimHash near-dup pairs within hamming distance `maxDist`.
-    * LSH via 4×16-bit chunk buckets (near-identical docs share a chunk). */
-  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val docs = simhashes(Tables.documents(spark, dir)).cache()
-    val chunked = docs.select(col("doc_id"), col("sh"),
+  /** C3: SimHash near-dup pairs within hamming distance `maxDist`. */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
+                   bucketCap: Int = 1000): DataFrame =
+    simhashPairsFromSigs(
+      simhashes(Tables.documents(spark, dir)).filter(col("sh").isNotNull),
+      maxDist, bucketCap)
+
+  /** SimHash LSH over precomputed (doc_id, sh) signatures.
+    *
+    * Primary blocking: 4×16-bit chunks — by pigeonhole any pair within
+    * hamming ≤3 shares at least one chunk, so candidate generation is a
+    * key-partitioned self-join, never all-pairs.
+    *
+    * Skew guard: a popular 16-bit chunk value (a common prefix/boilerplate
+    * pattern, or an adversarial corpus) would make that bucket's self-join
+    * quadratic. Buckets larger than `bucketCap` are re-blocked on a
+    * SECONDARY key: the remaining 48 bits split into 4×12-bit sub-chunks —
+    * again by pigeonhole (≤3 errors can't touch all 4 sub-chunks, since the
+    * primary chunk matched exactly), a qualifying pair shares ≥1 sub-chunk,
+    * so recall is preserved while the join key space within the hot bucket
+    * fans out 4×2¹² ways. Worst case remaining: truly identical signatures,
+    * where the pair OUTPUT itself is quadratic and no blocking can help.
+    * Candidate bound: ≤ 4 buckets/doc primary + 16 (chunk,sub) keys/doc in
+    * oversized buckets; exact hamming verification keeps output identical
+    * for any cap. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                                          bucketCap: Int = 1000): DataFrame = {
+    val chunked = sigs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL))))
       .toDF("doc_id", "sh", "chunk", "bucket")
-    val a = chunked.select(col("chunk"), col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("chunk", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+    val counts = chunked.groupBy("chunk", "bucket").agg(count(lit(1)).as("bn"))
+    val flagged = chunked.join(counts, Seq("chunk", "bucket"))
+
+    def pairsOn(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = df.select(keys.map(col) ++ Seq(col("doc_id").as("id_a"), col("sh").as("sh_a")): _*)
+      val b = df.select(keys.map(col) ++ Seq(col("doc_id").as("id_b"), col("sh").as("sh_b")): _*)
+      a.join(b, keys).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    }
+
+    val small = pairsOn(flagged.filter(col("bn") <= bucketCap), Seq("chunk", "bucket"))
+
+    // oversized buckets: drop the matched 16-bit chunk out of sh, then block
+    // on 4×12-bit sub-chunks of the remaining 48 bits. chunk==3 needs its own
+    // arm because a JVM shift of 64 is a shift of 0.
+    val low = col("sh").bitwiseAND(
+      call_function("shiftleft", lit(1L), col("chunk") * 16) - 1)
+    val high = call_function("shiftleft",
+      call_function("shiftrightunsigned", col("sh"), (col("chunk") + 1) * 16),
+      col("chunk") * 16)
+    val rem = when(col("chunk") === 3, col("sh").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+      .otherwise(high.bitwiseOR(low))
+    val large = pairsOn(
+      flagged.filter(col("bn") > bucketCap)
+        .withColumn("rem", rem)
+        .select(col("doc_id"), col("sh"), col("chunk"), col("bucket"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            j => call_function("shiftright", col("rem"), j * 12).bitwiseAND(0xFFFL))))
+        .toDF("doc_id", "sh", "chunk", "bucket", "sub", "subbucket"),
+      Seq("chunk", "bucket", "sub", "subbucket"))
+
+    small.union(large).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** C15: near-duplicate clusters — connected components over the LSH pair
-    * graph via iterative min-label propagation (the standard large-graph
-    * approach: each round is one shuffle join; label space only shrinks, so
-    * it converges in O(component diameter) rounds, checked per round). */
+    * graph via iterative min-label propagation. */
   def neardupClusters(spark: SparkSession, dir: String,
-                      maxIters: Int = 10, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(spark, dir, threshold = threshold).select("id_a", "id_b")
+                      maxIters: Int = 10, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(minhashLsh(spark, dir, threshold = threshold)
+      .select("id_a", "id_b"), maxIters)
+
+  /** Connected components over an undirected pair list (id_a, id_b) via
+    * min-label propagation — each round is one shuffle join; label space
+    * only shrinks, so it converges in O(component diameter) rounds, checked
+    * per round. Each iteration ends in `localCheckpoint`, truncating lineage
+    * so deep components don't grow the plan tree (the optimizer would
+    * otherwise pay per-round re-analysis of an ever-taller join stack). */
+  private[graft] def clustersFromPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
@@ -106,11 +168,10 @@ object Dedup {
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.withColumnRenamed("label", "new_label")
         .join(labels, Seq("id"))
         .filter(col("new_label") =!= col("label")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0
       iters += 1
@@ -129,9 +190,46 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("canonical_id"))
   }
 
-  /** C4: exact word-n-gram Jaccard over LSH candidates (re-verification). */
+  /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one
+    * n-gram, via an inverted index (gram → doc) self-join — deterministic,
+    * engine-agnostic semantics (SQL-oracle-gated). The intersection count is
+    * a partial-aggregatable groupBy on (id_a, id_b); grams are hashed (one
+    * 64-bit value per distinct shingle, never the strings) so the exchange
+    * carries fixed-width rows.
+    *
+    * Scale note: pairs are generated per shared gram, so a gram appearing in
+    * d docs contributes O(d²) candidate rows — fine while per-gram document
+    * frequency is bounded (distinct k-shingles are near-unique in natural
+    * text for k≥3). For corpora with massive boilerplate overlap, use
+    * [[ngramJaccardLsh]], which verifies only MinHash-LSH candidates. */
   def ngramJaccard(spark: SparkSession, dir: String, k: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inv = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+    val sizes = docs.select(col("doc_id"),
+      size(graft.functions.TextHashExpressions.shingleHashes(col("text"), k)).as("n"))
+      .filter(col("n") > 0)
+    val inter = inv.select(col("doc_id").as("id_a"), col("g"))
+      .join(inv.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification over MinHash-LSH candidates only —
+    * the 100 TB path when the corpus is too boilerplate-heavy for the
+    * inverted-index join: candidate count is O(n·bands), never per-gram
+    * quadratic. Semantics follow the candidate set (LSH recall), so this
+    * variant is spec-verified rather than SQL-oracle-gated. */
+  def ngramJaccardLsh(spark: SparkSession, dir: String, k: Int = 3,
+                      threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), graft.functions.TextHashExpressions.shingleHashes(col("text"), k).as("grams"))
     val cand = minhashLsh(spark, dir, k, 16, 4, 0.2).select("id_a", "id_b")

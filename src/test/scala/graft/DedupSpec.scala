@@ -64,10 +64,54 @@ class DedupSpec extends SparkSuite {
     assert(keep(3L)._2 && keep(4L)._2) // singletons keep themselves
   }
 
-  test("ngram jaccard: exact pair at 1.0, near pair high, verified against LSH candidates") {
+  test("ngram jaccard: exact pair at 1.0, near pair high, unrelated docs filtered") {
     val pairs = Dedup.ngramJaccard(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
     assert(pairs((0L, 1L)) == 1.0)
     assert(pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard LSH-verify variant agrees on the planted pairs") {
+    val pairs = Dedup.ngramJaccardLsh(spark, dir, threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+  }
+
+  test("simhash skew guard: oversized bucket re-blocking returns the identical pair set") {
+    // adversarial corpus: 200 signatures all sharing chunk0 == 0 (one hot
+    // 16-bit bucket); remaining bits = doc index, so the true pair set is
+    // every (i, j) with popcount(i xor j) <= 3
+    val sigs = (0L until 200L).map(i => (i, i << 16)).toDF("doc_id", "sh")
+    def run(cap: Int) = Dedup.simhashPairsFromSigs(sigs, maxDist = 3, bucketCap = cap)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = (for {
+      i <- 0L until 200L; j <- (i + 1) until 200L
+      if java.lang.Long.bitCount(i ^ j) <= 3
+    } yield (i, j)).toSet
+    val guarded = run(cap = 10)    // bucket of 200 >> cap: secondary blocking
+    val direct = run(cap = 100000) // all buckets under cap: primary path only
+    assert(guarded == expected, s"guarded path lost/gained pairs (${guarded.size} vs ${expected.size})")
+    assert(direct == expected)
+  }
+
+  test("deep 50-doc chain converges to one cluster (lineage checkpointed per round)") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clustersFromPairs(chain, maxIters = 60).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size == 51)
+    assert(labels.values.forall(_ == 0L), s"chain not fully merged: ${labels.toSeq.sorted.take(10)}")
+  }
+
+  test("empty and whitespace-only docs never pair up as near-duplicates") {
+    val d = Files.createTempDirectory("graft-degenerate").toString
+    Seq((0L, "", "en", "s", 0L), (1L, "", "en", "s", 0L),
+      (2L, "   ", "en", "s", 3L), (3L, "real text content here", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.minhashLsh(spark, d).count() == 0)
+    assert(Dedup.simhashPairs(spark, d).count() == 0)
+    assert(Dedup.ngramJaccard(spark, d).count() == 0)
   }
 }
