@@ -209,8 +209,11 @@ object SparkEntry {
         |      FROM events) t
         |GROUP BY 1""".stripMargin,
     "ev_bloom_join" ->
-      """SELECT c_mktsegment, count(*) AS n_events
-        |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1""".stripMargin,
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events x
+        |              WHERE x.user_id = e.user_id AND x.event_type = 'error')
+        |GROUP BY 1""".stripMargin,
     "ev_funnel" ->
       """SELECT user_id, first_signup_ms, n_purchases,
         |       last_purchase_ms IS NOT NULL AND last_purchase_ms > first_signup_ms AS converted

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+import org.apache.spark.util.sketch.CountMinSketch
 import graft.Tables
 
 /** Sketch/approximate operators — the cardinality and heavy-hitter toolkit
@@ -55,20 +55,22 @@ object Sketches {
         max(col("n")).as("n_events"))
   }
 
-  /** Bloom-pruned enrichment join: build a Bloom filter over the dimension
-    * keys (driver-side, broadcast with the closure), pre-filter the fact
-    * side before the join shuffle. Result must equal the plain join —
-    * the filter only removes rows that cannot match. */
-  def bloomPrunedJoin(spark: SparkSession, dir: String,
-                      fpp: Double = 0.01): DataFrame = {
-    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val nKeys = cust.count()
-    val bloom: BloomFilter = cust.stat.bloomFilter("c_custkey", nKeys, fpp)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
-    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
-      .filter(mightContain(col("user_id"))) // pre-shuffle pruning
-    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
-      .groupBy("c_mktsegment")
+  /** Bloom-pruned fact-to-fact semi join: all events of users who triggered
+    * an error event. The selective side (error events) is far smaller than
+    * the probe side but NOT broadcast-small at 100 TB, so the join shuffles —
+    * exactly the shape where Catalyst's InjectRuntimeFilter plants a native
+    * bloom filter on the probe side's scan (pre-shuffle pruning, codegen'd,
+    * cost-gated by the optimizer). No hand-rolled filter: Spark's own
+    * runtime-filter machinery does the pruning; PlanSpec asserts the
+    * injected `bloom_filter_might_contain` under production-shaped confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`; the local test data
+    * sits under the application-side size threshold that gates injection on
+    * a real cluster, so the spec lowers it to observe the plan). */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errUsers = ev.filter(col("event_type") === "error").select(col("user_id"))
+    ev.join(errUsers.hint("shuffle_hash"), Seq("user_id"), "left_semi")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
   }
 

@@ -52,6 +52,29 @@ class PlanSpec extends SparkSuite {
       assert(p.contains(f), s"missing pushed filter $f:\n${p.take(900)}"))
   }
 
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("bloom join: Catalyst injects a native runtime bloom filter on the probe side") {
+    // production-shaped confs: at cluster scale the probe side exceeds the
+    // application-side threshold and the selective side is too big to
+    // broadcast — emulate both so the injection is observable locally
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = Sketches.bloomPrunedJoin(spark, sf).queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        "no injected runtime bloom filter in:\n" + p.take(1500))
+    }
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))

@@ -34,11 +34,15 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
-  test("bloom-pruned join equals the plain enrichment join") {
+  test("bloom-pruned semi join equals the plain semi-join semantics") {
     val pruned = Sketches.bloomPrunedJoin(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
-    val plain = EventOps.enrichJoin(spark, sf).collect()
-      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_events")).toMap
+    val ev = Tables.events(spark, sf)
+    val plain = ev.join(
+        ev.filter(col("event_type") === "error").select("user_id").distinct(), Seq("user_id"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
     assert(pruned == plain)
   }
 
