@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +19,17 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * is the correct 100 TB shape (the LSH band join afterwards is the only
   * exchange).
   *
+  * Each expression implements doGenCode (a direct kernel call on the
+  * expression reference) rather than CodegenFallback, so the scan →
+  * signature projection stays inside whole-stage codegen — CodegenFallback
+  * would kick the entire stage out of WSCG.
+  *
   * Tokenization contract (matches TextFunctions.normalized + single-space
   * split): lowercase, runs of whitespace collapse to one separator,
   * leading/trailing whitespace ignored.
+  *
+  * Degenerate docs: zero-token documents get NULL signatures (a shared
+  * sentinel would LSH-collide all contentless docs as perfect near-dups).
   */
 object TextHash {
   /** Lowercased word hashes of the normalized text. */
@@ -61,19 +70,49 @@ object TextHash {
   }
 }
 
-/** minhash_sig(text): array of `numHashes` per-family minima over the
-  * document's k-shingle hashes. NULL for zero-shingle (empty/whitespace)
-  * documents — a shared sentinel signature would make all contentless docs
-  * LSH-collide as "perfect" near-dups. */
-case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType)
+/** Shared codegen: emit `ref.compute(input)` — one virtual call per row into
+  * the compiled kernel, keeping the surrounding stage in WSCG. `compute`
+  * returns null for degenerate inputs, so the generated code re-checks. */
+trait TextHashKernel { self: UnaryExpression =>
+  /** Boxed result (GenericArrayData, java.lang.Long, …) or null. */
+  def compute(input: UTF8String): AnyRef
+
   override def nullable: Boolean = true
+
+  protected def kernelGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[TextHashKernel].getName)
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    val boxed = ctx.freshName("kernelOut")
+    val unbox = dataType match {
+      case LongType => s"((java.lang.Long) $boxed).longValue()"
+      case _ => s"($jt) $boxed"
+    }
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        $jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        if (!${c.isNull}) {
+          Object $boxed = $ref.compute(${c.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $unbox;
+          }
+        }
+      """)
+  }
+}
+
+/** minhash_sig(text): array of `numHashes` per-family minima over the
+  * document's k-shingle hashes; NULL for zero-shingle documents. */
+case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with TextHashKernel {
+  override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val sh = TextHash.shingleHashes(
-      TextHash.wordHashes(input.asInstanceOf[UTF8String]), shingleK)
+  override def compute(input: UTF8String): AnyRef = {
+    val sh = TextHash.shingleHashes(TextHash.wordHashes(input), shingleK)
     if (sh.isEmpty) return null
     val sig = new Array[Long](numHashes)
     var f = 0
@@ -91,33 +130,40 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
     new GenericArrayData(sig)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
 
 /** shingle_hashes(text): the distinct k-shingle hash set itself (for exact
-  * Jaccard verification over candidates). */
+  * Jaccard verification; empty array — not null — for empty docs, since a
+  * set-valued result has a natural empty). */
 case class ShingleHashesExpr(child: Expression, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextHashKernel {
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "shingle_hashes"
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.shingleHashes(
-      TextHash.wordHashes(input.asInstanceOf[UTF8String]), shingleK))
+
+  override def compute(input: UTF8String): AnyRef =
+    new GenericArrayData(TextHash.shingleHashes(TextHash.wordHashes(input), shingleK))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 
-/** simhash64(text): 64-bit sign-sum simhash over word hashes. NULL for
-  * zero-token documents (see [[MinHashSigExpr]]). */
+/** simhash64(text): 64-bit sign-sum simhash over word hashes; NULL for
+  * zero-token documents. */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextHashKernel {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val wh = TextHash.wordHashes(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): AnyRef = {
+    val wh = TextHash.wordHashes(input)
     if (wh.isEmpty) return null
     val counts = new Array[Int](64)
     var i = 0
@@ -133,9 +179,12 @@ case class SimHashExpr(child: Expression)
     var out = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
+    java.lang.Long.valueOf(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }

@@ -99,10 +99,13 @@ object Dedup {
     * for any cap. */
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
                                           bucketCap: Int = 1000): DataFrame = {
+    // cached: consumed by the bucket census AND both join branches — without
+    // it each branch re-runs the scan + signature kernel. 4 fixed-width rows
+    // per doc, spillable at scale.
     val chunked = sigs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL))))
-      .toDF("doc_id", "sh", "chunk", "bucket")
+      .toDF("doc_id", "sh", "chunk", "bucket").cache()
     val counts = chunked.groupBy("chunk", "bucket").agg(count(lit(1)).as("bn"))
     val flagged = chunked.join(counts, Seq("chunk", "bucket"))
 

@@ -75,6 +75,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("text-hash kernels stay inside whole-stage codegen (no CodegenFallback eviction)") {
+    val sigs = Dedup.minhashSigs(Tables.documents(spark, sf), 3, 16)
+    val p = sigs.queryExecution.executedPlan.toString
+    val sigLine = p.linesIterator.find(_.contains("minhash_sig")).getOrElse("")
+    // the '*(n)' prefix marks operators compiled into a WSCG stage
+    assert(sigLine.trim.startsWith("*("), s"minhash_sig projection not codegen'd:\n$p")
+    val sh = Dedup.simhashes(Tables.documents(spark, sf))
+    val p2 = sh.queryExecution.executedPlan.toString
+    val shLine = p2.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(shLine.trim.startsWith("*("), s"simhash64 projection not codegen'd:\n$p2")
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
