@@ -36,6 +36,51 @@ object EventPipeline {
   def fileSource(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
+  /** Multi-topic file ingest: one unioned stream over several directories —
+    * the file-source analogue of the reference's multi-topic subscribe
+    * (consumer_to_redis.py:31-36 passes a topic LIST). Spark unions the
+    * per-source micro-batches; each directory keeps its own offsets in the
+    * checkpoint. */
+  def multiSource(spark: SparkSession, dirs: Seq[String],
+                  format: String = "parquet"): DataFrame =
+    dirs.map(d => fileSource(spark, d, format)).reduce(_ unionByName _)
+
+  /** Kafka ingest graph mirroring the reference consumer
+    * (auto_kafka_redis.py:296-304; multi-topic list per
+    * consumer_to_redis.py:31-36): subscribe to `cfg.topics`, decode the JSON
+    * `value` payload into the event schema. Requires the spark-sql-kafka
+    * connector on the classpath at start (not bundled in this sandbox — the
+    * graph builder and [[decodeKafkaValue]] are exercised without a broker;
+    * the decode transform is unit-tested on literal frames). */
+  def kafkaSource(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    decodeKafkaValue(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.brokers)
+      .option("subscribe", cfg.topics.mkString(","))
+      .option("startingOffsets", cfg.startingOffsets)
+      .load())
+
+  /** Kafka `value` (JSON bytes) → typed event columns. Malformed payloads
+    * yield null fields (from_json permissive mode), observable downstream
+    * rather than killing the query. */
+  def decodeKafkaValue(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+        col("e.event_type"), col("e.value"))
+
+  /** The whole reference consumer topology from one config: dedup within the
+    * configured TTL → anchored per-user rate limit → alert rows. Source-
+    * agnostic (pass [[kafkaSource]], [[fileSource]] or [[multiSource]]
+    * output) so environments without a broker run the same graph. */
+  def configuredPipeline(source: DataFrame, cfg: PipelineConfig): DataFrame = {
+    import source.sparkSession.implicits._
+    val limited = rateLimitedAnchored(
+      deduped(source, cfg.dedupTtl).as[Event],
+      limit = cfg.rateLimitCount, windowMs = cfg.rateLimitWindowMs,
+      watermark = None) // deduped already set the event-time watermark
+    alerts(limited.filter(_.admitted).toDF(), cfg.alertThreshold)
+  }
+
   /** Synthetic source mirroring the reference's simulated producer
     * (auto_kafka_redis.py:160-210): sequential ids, 5 users, event types. */
   def rateSource(spark: SparkSession, rowsPerSecond: Int = 20): DataFrame =
@@ -77,6 +122,74 @@ object EventPipeline {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Anchored rolling rate limit — the exact Redis INCR+EXPIRE semantics of
+    * the reference (auto_kafka_redis.py:354-357): the window is anchored at
+    * the FIRST event's time (the INCR that created the key) and expires
+    * `windowMs` later (the EXPIRE), unlike [[rateLimited]]'s epoch-aligned
+    * tumbling windows. Admission checks expiry lazily against event time —
+    * correctness never depends on timer order — while an event-time timer
+    * clears expired per-key state (the memory-bound at scale: state lives
+    * one window past the last active key, then is deleted).
+    *
+    * Requires the RocksDB state store provider (transformWithState uses
+    * state-store column families) — the production provider at scale.
+    * Pass `watermark = None` when the input already carries one. */
+  def rateLimitedAnchored(events: Dataset[Event], limit: Int = 5,
+                          windowMs: Long = 60L * 60 * 1000,
+                          watermark: Option[String] = Some("10 minutes")): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupByKey(_.user_id)
+      .transformWithState(new AnchoredRateLimitProcessor(limit, windowMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  /** StatefulProcessor for [[rateLimitedAnchored]]: ValueState holds
+    * (windowStartMs anchored at first event, admitted count); a timer at
+    * windowStart+windowMs deletes the key's state like Redis EXPIRE. */
+  class AnchoredRateLimitProcessor(limit: Int, windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Admitted] {
+    import org.apache.spark.sql.Encoders
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[RateState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RateState]("anchored", Encoders.product[RateState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Admitted] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = if (st.exists()) st.get() else RateState(Long.MinValue, 0)
+      val out = sorted.map { e =>
+        val t = e.ts.getTime
+        if (s.windowStartMs == Long.MinValue || t >= s.windowStartMs + windowMs) {
+          if (s.windowStartMs != Long.MinValue)
+            getHandle.deleteTimer(s.windowStartMs + windowMs)
+          s = RateState(t, 0) // first event anchors the window (INCR creates)
+          getHandle.registerTimer(t + windowMs) // the EXPIRE
+        }
+        val ok = s.count < limit
+        if (ok) s = s.copy(count = s.count + 1)
+        Admitted(e.event_id, e.ts, e.user_id, e.event_type, e.value, ok)
+      }
+      st.update(s)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+                                    timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Admitted] = {
+      // EXPIRE fired: the key's window has passed — drop its state (a fresh
+      // event will re-anchor). Guard on the CURRENT window in case the key
+      // re-anchored after this timer was set.
+      if (st.exists() && expiredTimerInfo.getExpiryTimeInMs >= st.get().windowStartMs + windowMs)
+        st.clear()
+      Iterator.empty
+    }
   }
 
   /** Windowed dashboard aggregation (event-time tumbling window). Pass
@@ -149,19 +262,23 @@ object EventPipeline {
         when(col("value") >= 180.0, "critical").otherwise("warning").as("level"))
 
   /** Latest-value-per-key upsert sink via foreachBatch — the Redis
-    * `SET event:{id}` store. `store` receives (key, latest event) upserts per
-    * micro-batch; batch-local dedup keeps the last write per key. */
-  def upsertQuery(events: DataFrame, store: java.util.concurrent.ConcurrentHashMap[Long, Double],
+    * `SET event:{id}` store. Each micro-batch reduces to one (key, latest
+    * value) row per distinct key, then EXECUTORS write partition-wise into
+    * the named store ([[StoreRegistry]]): no collect, no driver bottleneck —
+    * the write path scales with partitions, not key cardinality. */
+  def upsertQuery(events: DataFrame, storeName: String,
                   checkpoint: String): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch.groupBy(col("user_id"))
+        batch.groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
           .select(col("user_id"), col("last.value").as("value"))
-          .collect()
-        latest.foreach(r => store.put(r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val store = StoreRegistry.mapFor(storeName) // per-partition client
+            rows.foreach(r => store.put(r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+          }
       }
       .start()
 

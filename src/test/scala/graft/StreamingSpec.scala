@@ -246,8 +246,9 @@ class StreamingSpec extends SparkSuite {
 
     val in = EventPipeline.fileSource(spark, src)
     val qa = EventPipeline.toMemory(EventPipeline.alerts(in), "alerts_out")
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
-    val qu = EventPipeline.upsertQuery(in, store, chk2)
+    graft.streaming.StoreRegistry.clear("a16_store")
+    val store = graft.streaming.StoreRegistry.mapFor("a16_store")
+    val qu = EventPipeline.upsertQuery(in, "a16_store", chk2)
     qa.processAllAvailable(); qu.processAllAvailable()
 
     writeBatch(src, "b2", Seq(Event(5, ts(9), 1, "view", 42.0)))
@@ -260,5 +261,125 @@ class StreamingSpec extends SparkSuite {
     // upsert store holds the LATEST value per user
     assert(store.get(1L) == 42.0, s"store=$store")
     assert(store.get(2L) == 999.0, s"store=$store")
+  }
+
+  // transformWithState uses state-store column families, which the default
+  // HDFS-backed provider lacks — RocksDB is the production provider anyway
+  private def withRocksDB[T](f: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("anchored TTL rate limit: window starts at first event, unlike tumbling") { withRocksDB {
+    // window = 60 min. First event at 10:20 anchors [10:20, 11:20); the
+    // tumbling variant's window is the epoch-aligned hour [10:00, 11:00).
+    // The 11:05 event is INSIDE the anchored window (rejected: count full)
+    // but in a NEW tumbling window (admitted). The 11:25 event re-anchors.
+    val src = Files.createTempDirectory("graft-anch-src").toString
+    val chkA = Files.createTempDirectory("graft-anch-chkA").toString
+    val chkT = Files.createTempDirectory("graft-anch-chkT").toString
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    writeBatch(src, "b1",
+      (0 until 5).map(i => Event(i, t(10, 20 + i), 1, "click", 1.0)))
+    val limit = 5
+
+    val qa = EventPipeline.rateLimitedAnchored(
+      EventPipeline.fileSource(spark, src).as[Event], limit, watermark = Some("0 seconds")).toDF()
+      .writeStream.format("memory").queryName("anch_out")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chkA).start()
+    val qt = EventPipeline.rateLimited(
+      EventPipeline.fileSource(spark, src).as[Event], limit).toDF()
+      .writeStream.format("memory").queryName("tumb_out")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chkT).start()
+    qa.processAllAvailable(); qt.processAllAvailable()
+
+    writeBatch(src, "b2", Seq(Event(100, t(11, 5), 1, "click", 1.0),
+      Event(101, t(11, 25), 1, "click", 1.0)))
+    qa.processAllAvailable(); qt.processAllAvailable()
+    qa.stop(); qt.stop()
+
+    def admitted(table: String) = spark.table(table).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted")).toMap
+    val anch = admitted("anch_out")
+    val tumb = admitted("tumb_out")
+    assert((0 until 5).forall(i => anch(i.toLong) && tumb(i.toLong)))
+    assert(!anch(100L), s"anchored window [10:20,11:20) must reject 11:05: $anch")
+    assert(tumb(100L), s"tumbling window [11:00,12:00) must admit 11:05: $tumb")
+    assert(anch(101L), s"11:25 re-anchors a fresh window: $anch")
+  } }
+
+  test("config facade parses the reference's config.yaml surface") {
+    import graft.streaming.PipelineConfig
+    val cfg = PipelineConfig.fromYaml(
+      """# consumer config (mirrors reference config.yaml)
+        |brokers: broker1:9092
+        |topics: [events, clicks]   # multi-topic subscribe
+        |starting_offsets: earliest
+        |dedup_ttl: 20 minutes
+        |rate_limit_count: 7
+        |rate_limit_window_ms: 1800000
+        |alert_threshold: 120.5
+        |window_duration: 30 minutes
+        |producer_rate: 50          # unknown keys ignored
+        |""".stripMargin)
+    assert(cfg.brokers == "broker1:9092")
+    assert(cfg.topics == Seq("events", "clicks"))
+    assert(cfg.startingOffsets == "earliest")
+    assert(cfg.dedupTtl == "20 minutes")
+    assert(cfg.rateLimitCount == 7 && cfg.rateLimitWindowMs == 1800000L)
+    assert(cfg.alertThreshold == 120.5)
+    assert(cfg.windowDuration == "30 minutes")
+    assert(PipelineConfig.fromYaml("") == PipelineConfig()) // all defaults
+  }
+
+  test("kafka value decode: JSON payload bytes -> typed event columns") {
+    val json =
+      """{"event_id":7,"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
+    val raw = Seq(json.getBytes("UTF-8")).toDF("value")
+    val out = EventPipeline.decodeKafkaValue(raw).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("event_id") == 7L && r.getAs[Long]("user_id") == 3L)
+    assert(r.getAs[String]("event_type") == "click" && r.getAs[Double]("value") == 1.5)
+    // malformed payload -> null fields, not a crash
+    val bad = EventPipeline.decodeKafkaValue(Seq("not json".getBytes("UTF-8")).toDF("value")).collect()
+    assert(bad.length == 1 && bad.head.isNullAt(0))
+  }
+
+  test("configured pipeline: config-driven dedup -> anchored rate limit -> alerts") { withRocksDB {
+    import graft.streaming.PipelineConfig
+    val src = Files.createTempDirectory("graft-cfg-src").toString
+    val chk = Files.createTempDirectory("graft-cfg-chk").toString
+    val cfg = PipelineConfig.fromYaml(
+      "rate_limit_count: 2\nalert_threshold: 100.0\ndedup_ttl: 2 hours")
+    // 3 error events (one duplicated id) -> dedup leaves 3 distinct, rate
+    // limit 2 admits the first two, alerts keep values >= 100
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "error", 200.0), Event(1, ts(0), 1, "error", 200.0),
+      Event(2, ts(1), 1, "error", 150.0), Event(3, ts(2), 1, "error", 180.0)))
+    val q = EventPipeline.configuredPipeline(EventPipeline.fileSource(spark, src), cfg)
+      .writeStream.format("memory").queryName("cfg_alerts")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("cfg_alerts").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(ids == Set(1L, 2L), s"got $ids")
+  } }
+
+  test("multi-topic union ingest: one stream over several source directories") {
+    val srcA = Files.createTempDirectory("graft-multi-a").toString
+    val srcB = Files.createTempDirectory("graft-multi-b").toString
+    val chk = Files.createTempDirectory("graft-multi-chk").toString
+    writeBatch(srcA, "b1", Seq(Event(1, ts(0), 1, "click", 1.0)))
+    writeBatch(srcB, "b1", Seq(Event(2, ts(1), 2, "view", 2.0)))
+    val q = EventPipeline.multiSource(spark, Seq(srcA, srcB))
+      .writeStream.format("memory").queryName("multi_out")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(srcB, "b2", Seq(Event(3, ts(2), 3, "click", 3.0)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("multi_out").collect().map(_.getAs[Long]("event_id")).toSet
+      == Set(1L, 2L, 3L))
   }
 }
