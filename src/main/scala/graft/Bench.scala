@@ -16,8 +16,9 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_local", "q_window_running", "q_topk_parts",
     "q17_small_qty",
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join",
-    "ev_asof_join", "ev_counts_salted",
+    "ev_asof_join", "ev_counts_salted", "ev_quantiles_exact", "ev_bloom_join",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
+    "doc_ngram_jaccard",
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk",
   )

@@ -21,6 +21,7 @@ object SparkEntry {
     "ev_rate_limit"     -> ((s, d) => EventOps.rateLimit(s, d)),
     "ev_rate_filter"    -> ((s, d) => EventOps.rateFilter(s, d)),
     "ev_last_n"         -> ((s, d) => EventOps.lastN(s, d)),
+    "ev_last_n_lex"     -> ((s, d) => EventOps.lastNLex(s, d)),
     "ev_counts_by_type" -> ((s, d) => EventOps.countsByType(s, d)),
     "ev_throughput"     -> ((s, d) => EventOps.throughput(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
@@ -144,6 +145,12 @@ object SparkEntry {
     "ev_last_n" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events ORDER BY epoch_ms(ts) DESC, event_id DESC LIMIT 50""".stripMargin,
+    // byte-faithful replay ordering of websocket_server.py:55 (Redis keys
+    // sorted as strings): "9" > "100"
+    "ev_last_n_lex" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, epoch_ms(ts) AS ts_ms,
+        |  user_id, event_type, value
+        |FROM events ORDER BY id_str DESC LIMIT 50""".stripMargin,
     "ev_counts_by_type" ->
       s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS sum_value, ${dsum("value")} / count(*) AS avg_value,

@@ -189,6 +189,42 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** sig_agree(a, b): number of positions where two long-array signatures
+  * agree — the MinHash similarity estimate numerator. The declarative form
+  * (`size(filter(zip_with(...)))`) walks interpreted higher-order lambdas
+  * per element; this generates a tight primitive loop inside WSCG. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        ${ev.value} = 0;
+        int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashExpressions {
   def minhashSig(text: Column, shingleK: Int = 3, numHashes: Int = 16): Column =
     GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(text), shingleK, numHashes))
@@ -196,4 +232,6 @@ object TextHashExpressions {
     GraftShims.toColumn(ShingleHashesExpr(GraftShims.toExpression(text), shingleK))
   def simhash64(text: Column): Column =
     GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(text)))
+  def sigAgree(a: Column, b: Column): Column =
+    GraftShims.toColumn(SigAgreeExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
 }

@@ -74,12 +74,27 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("day"), col("seq_in_window"))
   }
 
-  /** A5: latest-50 replay (websocket connect path). TakeOrdered, no global sort. */
+  /** A5: latest-50 replay (websocket connect path). TakeOrdered, no global
+    * sort. DELIBERATE divergence from the reference: websocket_server.py:55
+    * sorts Redis keys LEXICOGRAPHICALLY on the "event:{id}" string, so e.g.
+    * "event:9" outranks "event:100" — replay order there is id-string order,
+    * not time order. Time-desc is what a user means by "latest"; the
+    * faithful byte-ordering is [[lastNLex]]. */
   def lastN(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy(col("ts_ms").desc, col("event_id").desc)
+      .limit(n)
+
+  /** A5b: byte-faithful replay ordering of the reference — descending
+    * LEXICOGRAPHIC order of the id string (websocket_server.py:55 sorts the
+    * "event:{id}" keys as strings). Same TakeOrdered shape. */
+  def lastNLex(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_id").cast("string").as("id_str"),
+        tsMs(col("ts")).as("ts_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("id_str").desc)
       .limit(n)
 
   /** A6: dashboard aggregate per event type. */

@@ -39,6 +39,26 @@ class TextHashSpec extends SparkSuite {
     assert(agree <= 2, s"disjoint docs agree on $agree/16 minhashes")
   }
 
+  test("sig_agree counts equal positions, matches the zip_with form") {
+    import org.apache.spark.sql.functions._
+    import SparkSuite.spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)), // 2 agree
+      (Seq(5L, 5L), Seq(5L, 5L)),                 // all agree
+      (Seq(1L), Seq(2L))                          // none
+    ).toDF("a", "b")
+    val out = df.select(
+      graft.functions.TextHashExpressions.sigAgree(col("a"), col("b")).as("fast"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p)).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null input -> null out
+    val n = Seq((Seq(1L), null.asInstanceOf[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.TextHashExpressions.sigAgree(col("a"), col("b")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("simhash: identical texts equal, near texts close, disjoint far") {
     def sh(s: String): Long = {
       import org.apache.spark.sql.functions.col
