@@ -144,18 +144,64 @@ object Dedup {
   }
 
   /** C15: near-duplicate clusters — connected components over the LSH pair
-    * graph via iterative min-label propagation. */
+    * graph via alternating large-star/small-star rounds (see
+    * [[clustersFromPairsStars]]): O(log²) rounds in the component size, vs
+    * O(diameter) for plain min-label propagation. */
   def neardupClusters(spark: SparkSession, dir: String,
-                      maxIters: Int = 10, threshold: Double = 0.5): DataFrame =
-    clustersFromPairs(minhashLsh(spark, dir, threshold = threshold)
+                      maxIters: Int = 20, threshold: Double = 0.5): DataFrame =
+    clustersFromPairsStars(minhashLsh(spark, dir, threshold = threshold)
       .select("id_a", "id_b"), maxIters)
 
-  /** Connected components over an undirected pair list (id_a, id_b) via
-    * min-label propagation — each round is one shuffle join; label space
-    * only shrinks, so it converges in O(component diameter) rounds, checked
-    * per round. Each iteration ends in `localCheckpoint`, truncating lineage
-    * so deep components don't grow the plan tree (the optimizer would
-    * otherwise pay per-round re-analysis of an ever-taller join stack). */
+  /** One star operation of the two-phase connected-components algorithm
+    * (the standard MapReduce CC construction): for every node u with
+    * m = min(Γ(u) ∪ {u}), large-star links u's LARGER neighbors to m
+    * (shrinks tall structures by pointer-doubling-like jumps), small-star
+    * links the smaller neighbors and u itself to m (flattens into stars).
+    * Each operation is one groupBy(min) + one join — both partial-agg /
+    * shuffle-on-key, no driver state. */
+  private def star(e: DataFrame, large: Boolean): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    val nb =
+      if (large) sym.filter(col("dst") > col("src"))
+      else sym.filter(col("dst") < col("src"))
+        .union(mins.select(col("src"), col("src").as("dst"))) // u links itself
+    nb.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Connected components via alternating large-star / small-star rounds —
+    * converges in O(log² n) rounds regardless of component diameter (a
+    * 1M-node chain needs ~20 rounds, not 1M), each round two shuffles.
+    * Rounds end in `localCheckpoint` to truncate lineage. At convergence
+    * the edge set is a star forest: every node points at its component
+    * minimum. */
+  private[graft] def clustersFromPairsStars(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    var e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var iters = 0
+    var done = e.isEmpty
+    while (!done && iters < maxIters) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iters += 1
+    }
+    e.select(col("src").as("id"), col("dst").as("label"))
+      .union(e.select(col("dst").as("id"), col("dst").as("label"))) // roots
+      .groupBy("id").agg(min(col("label")).as("cluster_id"))
+  }
+
+  /** Reference implementation: connected components via min-label
+    * propagation — one shuffle join per round, O(component diameter) rounds.
+    * Kept as the obviously-correct cross-check for
+    * [[clustersFromPairsStars]] (spec compares them on random graphs); the
+    * star algorithm is the shipped path. Each iteration ends in
+    * `localCheckpoint`, truncating lineage so deep components don't grow
+    * the plan tree. */
   private[graft] def clustersFromPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

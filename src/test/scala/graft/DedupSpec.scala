@@ -104,6 +104,31 @@ class DedupSpec extends SparkSuite {
     assert(labels.values.forall(_ == 0L), s"chain not fully merged: ${labels.toSeq.sorted.take(10)}")
   }
 
+  test("star CC: 300-node chain converges within the log-round budget") {
+    // label propagation would need 300 rounds; large/small-star needs O(log²)
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clustersFromPairsStars(chain, maxIters = 20).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size == 301)
+    assert(labels.values.forall(_ == 0L), s"chain not fully merged: ${labels.toSeq.sortBy(_._1).take(10)}")
+  }
+
+  test("star CC equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (0 until 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("id_a", "id_b")
+      val stars = Dedup.clustersFromPairsStars(df).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      val prop = Dedup.clustersFromPairs(df, maxIters = 100).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(stars == prop, s"trial $trial: algorithms disagree")
+    }
+  }
+
   test("empty and whitespace-only docs never pair up as near-duplicates") {
     val d = Files.createTempDirectory("graft-degenerate").toString
     Seq((0L, "", "en", "s", 0L), (1L, "", "en", "s", 0L),
