@@ -66,6 +66,7 @@ object SparkEntry {
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
+    "emb_lsh_pairs"     -> ((s, d) => Similarity.lshNeardupPairs(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
     // exhaustive probes (nprobe = nlist): the IVF machinery must reproduce
     // brute force EXACTLY — oracle-gated end-to-end check of assignment,

@@ -55,10 +55,76 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** rhp_sign(vec): random-hyperplane (sign) LSH signature for cosine
+  * similarity — bit p of the result is the sign of the projection of the
+  * vector onto the p-th deterministic Rademacher (±1) hyperplane. For unit
+  * vectors, P[bit agrees] = 1 − θ/π (θ the angle), so banding the bits
+  * gives the classic cosine-LSH candidate generator. Hyperplanes are
+  * derived from XXH64 parity, so every executor computes identical planes
+  * with zero coordination or broadcast. One compiled pass per vector
+  * (numPlanes·dim multiply-free adds). NULL for empty vectors. */
+case class RhpSignExpr(child: Expression, numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1, 64]")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rhp_sign"
+
+  def compute(a: ArrayData): AnyRef = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        // Rademacher entry s(p,d) = ±1 from one hash-bit — deterministic
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(p.toLong * 0x9E3779B97F4A7C15L + d, 7L)
+        if ((h & 1L) == 0L) acc += a.getDouble(d) else acc -= a.getDouble(d)
+        d += 1
+      }
+      if (acc > 0) bits |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("rhp", this, classOf[RhpSignExpr].getName)
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("rhpOut")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${c.isNull}) {
+          Object $boxed = $ref.compute(${c.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((java.lang.Long) $boxed).longValue();
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignExpr =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level API for the codegen'd dot product (inputs must already be
     * array<double> — see VectorFunctions.toDouble). */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.toColumn(
       DotProductExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** Sign-LSH signature (see [[RhpSignExpr]]). */
+  def rhpSign(v: Column, numPlanes: Int = 16): Column =
+    GraftShims.toColumn(RhpSignExpr(GraftShims.toExpression(v), numPlanes))
 }

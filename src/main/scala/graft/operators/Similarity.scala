@@ -49,6 +49,39 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** C6b: label-free embedding near-dup pairs via random-hyperplane
+    * (sign) LSH — the scale path when no blocking key exists: a corpus
+    * never ships with the generator's cluster labels. One compiled pass
+    * computes a sign signature per vector ([[graft.functions.RhpSignExpr]];
+    * deterministic hash-derived hyperplanes, zero coordination), banding
+    * turns candidate generation into a key-partitioned self-join (identical
+    * shape to MinHash-LSH dedup), and candidates are verified with the
+    * exact codegen'd cosine — output precision is exact, recall is the
+    * standard sign-LSH collision bound (1−θ/π per bit). Defaults (16
+    * planes, 4-bit bands) target high-similarity near-dup mining; lower
+    * thresholds want more bands of fewer bits. */
+  def lshNeardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                      numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val bits = numPlanes / bands
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("sig", graft.functions.VectorExpressions.rhpSign(col("v"), numPlanes))
+      .filter(col("sig").isNotNull).cache()
+    val banded = emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)))))
+      .toDF("vec_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`
     * corpus vectors as centroids, broadcast), corpus bucketed by nearest
     * centroid, queries probe `nprobe` nearest buckets only. */

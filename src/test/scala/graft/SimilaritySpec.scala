@@ -51,6 +51,31 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.toSet == Set((0L, 10L), (1L, 11L)))
   }
 
+  test("sign-LSH near-dup: exact precision, finds planted high-cos pairs without labels") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-lsh").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.map(a => a + eps * rnd.nextGaussian().toFloat)
+    val base1 = vec()
+    val base2 = vec()
+    val rows = Seq(
+      (0L, base1, 0), (1L, jitter(base1, 0.05f), 0),  // cos ≈ 0.999
+      (2L, base2, 1), (3L, jitter(base2, 0.10f), 1)   // cos ≈ 0.995
+    ) ++ (4L until 40L).map(i => (i, vec(), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.lshNeardupPairs(spark, d, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cos_sim")).toMap
+    // recall: both planted near-identical pairs collide in some band
+    assert(out.contains((0L, 1L)) && out.contains((2L, 3L)), s"planted pairs missing: ${out.keySet}")
+    // precision: every emitted pair is exact-cosine verified
+    assert(out.values.forall(_ >= 0.9))
+    // independent gaussians never reach cos 0.9
+    assert(out.keySet == Set((0L, 1L), (2L, 3L)), s"spurious pairs: ${out.keySet}")
+  }
+
   test("ivfTopK returns k ranked neighbours per query (recall vs brute force on real data)") {
     val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
     val bf = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
