@@ -45,13 +45,17 @@ object Bench {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     q.processAllAvailable()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val trigMs = q.recentProgress.toSeq.flatMap(p =>
+    val progress = q.recentProgress.toSeq
+    val trigMs = progress.flatMap(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    // state-store footprint across the dedup + rate-limit operators
+    val stateRows = progress.lastOption.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
     q.stop()
     val outRows = spark.table(name).count()
     val rps = if (wallSec > 0) nRows / wallSec else 0.0
     val maxTrig = if (trigMs.nonEmpty) trigMs.max else 0L
-    f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"max_batch_ms":$maxTrig}"""
+    f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"max_batch_ms":$maxTrig,"state_rows":$stateRows}"""
   }
 
   def main(args: Array[String]): Unit = {

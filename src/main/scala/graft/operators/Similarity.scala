@@ -82,6 +82,79 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** C7b: product-quantization ANN — the memory-bound scale path: the
+    * corpus is stored as m sub-codes (m bytes/vector at ksub≤256 instead of
+    * dim·4), queries score codes by table lookup (asymmetric distance),
+    * then the shortlist is re-ranked with the exact cosine.
+    *
+    * Spark shape: codebooks are learned per subspace with deterministic
+    * hash-seeding + one Lloyd step (small broadcast both ways); encoding is
+    * subvector-explode → broadcast-join → partial-agg argmin (map-side
+    * combinable, no sort windows); scoring joins the exploded codes to the
+    * broadcast query distance table and partial-aggregates the m lookups
+    * per (query, vector); double WindowGroupLimit bounds the shuffle to
+    * ≤shortlist rows per query per map task (same shape as [[cosineTopK]]).
+    * Exact re-rank touches only shortlist·queries vectors. */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 64): DataFrame = {
+    val dsub = 64 / m
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("nrm"),
+        transform(col("v"), x => x / col("nrm")).as("vn"), col("v"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    // (vec_id, sub, subv): the m subvectors of the normalized vector
+    def subrows(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("vn"), s * dsub + 1, lit(dsub)))))
+        .toDF("vec_id", "sub", "subv")
+    val corpusSub = subrows(corpus).cache()
+
+    // deterministic seeding: ksub hash-ranked subvectors per subspace...
+    val seedW = Window.partitionBy(col("sub"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val seeds = corpusSub
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .filter(col("cid") < ksub)
+      .select(col("sub"), col("cid"), col("subv").as("cent"))
+    // ...then one Lloyd refinement: assign to nearest seed, recentre
+    def assign(cents: DataFrame): DataFrame =
+      corpusSub.join(broadcast(cents), Seq("sub"))
+        .withColumn("sim", dot(col("subv"), col("cent")) -
+          dot(col("cent"), col("cent")) / 2) // argmax <x,c> - |c|²/2 == argmin L2
+        .groupBy("vec_id", "sub")
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"), col("sub"), (-col("best.ncid")).cast("int").as("code"))
+    val cents1 = assign(seeds)
+      .join(corpusSub, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("subv")))
+      .groupBy("sub", "code", "pos").agg((sum(col("col")) / count(lit(1))).as("c"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub"), col("code").as("cid"), transform(col("pc"), e => e("c")).as("cent"))
+    val codes = assign(cents1).cache() // the PQ-encoded corpus: m ints/vector
+
+    // ADC: per-query distance table over (sub, cid) — m·ksub inner products
+    val queries = emb.filter(col("vec_id") < nQueries)
+    val dtable = subrows(queries).withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(cents1), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        dot(col("subv"), col("cent")).as("d"))
+    val approxW = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("vec_id"))
+    val short = codes.join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d")).as("approx_sim"))
+      .withColumn("arank", row_number().over(approxW)).filter(col("arank") <= shortlist)
+
+    // exact re-rank of the shortlist
+    val exactW = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    short.select(col("q_id"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), col("vn")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("vn").as("qn"))), "q_id")
+      .select(col("q_id"), col("vec_id"), dot(col("vn"), col("qn")).as("cos_sim"))
+      .withColumn("rank", row_number().over(exactW).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
   /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`
     * corpus vectors as centroids, broadcast), corpus bucketed by nearest
     * centroid, queries probe `nprobe` nearest buckets only. */

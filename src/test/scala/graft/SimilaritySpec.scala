@@ -76,6 +76,32 @@ class SimilaritySpec extends SparkSuite {
     assert(out.keySet == Set((0L, 1L), (2L, 3L)), s"spurious pairs: ${out.keySet}")
   }
 
+  test("pqTopK: finds planted near-neighbours through quantized scoring + exact re-rank") {
+    // retrieval-shaped corpus: each query has 3 planted near-dups (cos≈0.99)
+    // among 200 unrelated vectors — the regime ANN indexes exist for. (The
+    // driver's synthetic embeddings have no neighbour structure: the cos gap
+    // between rank-3 and rank-50 is ~0.02, below PQ quantization noise.)
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-pq").toString
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val queries = (0L until 5L).map(q => q -> vec()).toMap
+    val planted = for {
+      q <- 0L until 5L; j <- 0 until 3
+    } yield (100L + q * 10 + j, queries(q).map(a => a + 0.15f * rnd.nextGaussian().toFloat), q.toInt)
+    val noise = (500L until 700L).map(i => (i, vec(), 9))
+    val rows = queries.toSeq.map { case (q, v) => (q, v, q.toInt) } ++ planted ++ noise
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val pq = Similarity.pqTopK(spark, d, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(pq.groupBy(_._1).forall(_._2.size == 3), "k results per query")
+    val expected = (for { q <- 0L until 5L; j <- 0 until 3 } yield (q, 100L + q * 10 + j)).toSet
+    val recall = (pq intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.8, s"PQ recall $recall (pq=$pq)")
+  }
+
   test("ivfTopK returns k ranked neighbours per query (recall vs brute force on real data)") {
     val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
     val bf = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
