@@ -20,7 +20,8 @@ object Bench {
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
     "doc_ngram_jaccard",
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
-    "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk",
+    "doc_entropy",
+    "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
   )
 
   /** Streaming throughput: the reference topology (dedup → stateful per-user

@@ -63,6 +63,7 @@ object SparkEntry {
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
+    "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventPipeline.windowedCountsViaStream(s, d)),
@@ -476,6 +478,16 @@ object SparkEntry {
         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
         |WHERE rank <= 3""".stripMargin,
+    // identical ln-decomposition H = ln n − (Σ c·ln c)/n on both engines;
+    // 6 dp absorbs the 1-ULP ln() difference
+    "doc_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM tc GROUP BY 1""".stripMargin,
     // dedup-by-event_id CTE pins the oracle to the streaming path's
     // dropDuplicates("event_id") semantics (first occurrence per id) — the
     // two would otherwise diverge if the table ever carried duplicate ids.

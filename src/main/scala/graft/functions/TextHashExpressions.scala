@@ -189,6 +189,61 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** winnow_fps(text): winnowing fingerprints — the standard local document
+  * fingerprinting scheme (as in MOSS-style plagiarism detection): hash every
+  * POSITIONAL k-shingle, slide a window of `w` consecutive shingle hashes,
+  * record each window's minimum (rightmost on ties, recorded once per run).
+  * Guarantee: any shared run of ≥ w+k-1 tokens between two documents yields
+  * at least one shared fingerprint. Distinct fingerprints, one compiled
+  * pass; NULL for zero-token docs. */
+case class WinnowExpr(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression with TextHashKernel {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "winnow_fps"
+
+  override def compute(input: UTF8String): AnyRef = {
+    val wh = TextHash.wordHashes(input)
+    if (wh.isEmpty) return null
+    // positional k-shingle hashes (duplicates preserved — winnowing is
+    // positional, unlike the distinct set in shingleHashes)
+    val nSh = math.max(wh.length - shingleK + 1, 1)
+    val ph = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 2862933555777941757L
+      var j = i
+      val end = math.min(i + shingleK, wh.length)
+      while (j < end) { h = XXH64.hashLong(wh(j), h); j += 1 }
+      ph(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Long]()
+    var lastPos = -1
+    val nWin = math.max(ph.length - window + 1, 1)
+    var start = 0
+    while (start < nWin) {
+      val end = math.min(start + window, ph.length)
+      // rightmost minimum of ph[start, end)
+      var mnPos = start
+      var p = start
+      while (p < end) { if (ph(p) <= ph(mnPos)) mnPos = p; p += 1 }
+      if (mnPos != lastPos) { out.add(ph(mnPos)); lastPos = mnPos }
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 /** sig_agree(a, b): number of positions where two long-array signatures
   * agree — the MinHash similarity estimate numerator. The declarative form
   * (`size(filter(zip_with(...)))`) walks interpreted higher-order lambdas
@@ -234,4 +289,6 @@ object TextHashExpressions {
     GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(text)))
   def sigAgree(a: Column, b: Column): Column =
     GraftShims.toColumn(SigAgreeExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+  def winnowFps(text: Column, shingleK: Int = 3, window: Int = 4): Column =
+    GraftShims.toColumn(WinnowExpr(GraftShims.toExpression(text), shingleK, window))
 }

@@ -272,6 +272,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** C20: winnowing fingerprint matches — MOSS-style local fingerprinting:
+    * each doc's winnowed fingerprint set (native [[graft.functions.WinnowExpr]]
+    * kernel, map-only) is inverted-indexed; pairs sharing ≥ `minShared`
+    * fingerprints are plagiarism/boilerplate-overlap candidates. Guarantee:
+    * any shared run of ≥ window+k−1 tokens produces ≥1 shared fingerprint,
+    * so long verbatim overlaps can't be missed — unlike MinHash, which
+    * estimates GLOBAL similarity and misses a long quote inside an
+    * otherwise-different document. Same fixed-width-exchange shape as
+    * [[ngramJaccard]] but ~1/window the index size. */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 3, window: Int = 4,
+                  minShared: Int = 2): DataFrame = {
+    val inv = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window))).as("fp"))
+    inv.select(col("doc_id").as("id_a"), col("fp"))
+      .join(inv.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard verification over MinHash-LSH candidates only —
     * the 100 TB path when the corpus is too boilerplate-heavy for the
     * inverted-index join: candidate count is O(n·bands), never per-gram

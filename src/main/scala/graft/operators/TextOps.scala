@@ -92,6 +92,22 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** Per-document token-distribution entropy — a repetition/quality signal
+    * (boilerplate and generated spam have low entropy for their length).
+    * Shannon entropy via the ln-decomposition H = ln n − (Σ c·ln c)/n so
+    * both engines evaluate the identical float expression; reported at 6 dp
+    * (ln is 1-ULP engine-dependent). One explode + two partial-agg
+    * groupBys, map-side combinable. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        countDistinct(col("term")).as("n_distinct"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+          .as("entropy"))
+
   /** TF-IDF top terms per document. Document frequencies are aggregated
     * once and broadcast back; ln() on identical double ratios keeps the
     * oracle bit-compatible. */

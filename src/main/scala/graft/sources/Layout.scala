@@ -39,4 +39,23 @@ object Layout {
                       fromDay: String, toDay: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("day") >= fromDay && col("day") <= toDay)
+
+  /** Compact a directory of small parquet files into ~`targetBytes` files —
+    * streaming sinks emit one shard per trigger per partition, and a 100 TB
+    * table of kilobyte files destroys scan throughput (per-file open cost,
+    * no row-group parallelism). Sizes come from the actual file listing, so
+    * the output file count tracks data volume, not partition count.
+    * Returns the number of output files. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(outPath)
+    nOut
+  }
 }

@@ -129,6 +129,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("winnowing: exact and near dups share fingerprints; a planted long quote is always caught") {
+    val pairs = Dedup.winnowPairs(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("n_shared"))).toMap
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)), s"near dup pair missing: $pairs")
+    assert(pairs((0L, 1L)) >= pairs((0L, 2L)))
+
+    // guarantee: a shared run of >= window+k-1 tokens yields >= 1 shared
+    // fingerprint even inside otherwise-unrelated documents
+    val d2 = Files.createTempDirectory("graft-winnow").toString
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val a = (1 to 30).map(i => s"left$i").mkString(" ") + " " + quote + " " + (1 to 30).map(i => s"tail$i").mkString(" ")
+    val b = (1 to 30).map(i => s"other$i").mkString(" ") + " " + quote + " " + (1 to 30).map(i => s"end$i").mkString(" ")
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val q = Dedup.winnowPairs(spark, d2, minShared = 1).collect()
+    assert(q.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L),
+      "planted quote not caught by winnowing")
+  }
+
   test("empty and whitespace-only docs never pair up as near-duplicates") {
     val d = Files.createTempDirectory("graft-degenerate").toString
     Seq((0L, "", "en", "s", 0L), (1L, "", "en", "s", 0L),

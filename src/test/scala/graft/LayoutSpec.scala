@@ -23,6 +23,21 @@ class LayoutSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters"), plan.take(500))
   }
 
+  test("compaction: many small shards become size-targeted files, data intact") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val in = s"$base/shards"
+    val out = s"$base/compacted"
+    val ev = Tables.events(spark, sf)
+    ev.repartition(20).write.parquet(in) // streaming-sink-style small shards
+    val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn == 20)
+    val nOut = Layout.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(nOut == 1, s"tiny input must compact to one file, got $nOut")
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
+
   test("bucketed join on the bucket key has no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {
