@@ -37,6 +37,8 @@ object SparkEntry {
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
     "ev_bloom_join"     -> ((s, d) => Sketches.bloomPrunedJoin(s, d)),
     "ev_retention"      -> ((s, d) => EventOps.retention(s, d)),
+    "ev_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
+    "ev_salted_join"    -> ((s, d) => EventOps.saltedEnrichJoin(s, d)),
     "ev_dwell"          -> ((s, d) => EventOps.dwell(s, d)),
     // B. analytics breadth
     "q1_pricing"       -> ((s, d) => Analytics.q1Pricing(s, d)),
@@ -245,6 +247,18 @@ object SparkEntry {
         |FROM daily a LEFT JOIN daily b
         |  ON a.user_id = b.user_id AND a.next_day = b.day
         |GROUP BY 1""".stripMargin,
+    "ev_retention_cohorts" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (SELECT user_id, min(day) AS day0 FROM daily GROUP BY 1)
+        |SELECT strftime(day0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - day0 AS BIGINT) AS offset_days,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM daily JOIN firsts USING (user_id)
+        |WHERE day - day0 <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1""".stripMargin,
     "ev_dwell" ->
       """SELECT user_id, count(*) AS n_gaps,
         |  CAST(sum(gap_ms) AS DOUBLE) / count(*) AS avg_gap_ms,
@@ -500,6 +514,12 @@ object SparkEntry {
          |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM ev GROUP BY 1, 2""".stripMargin,
+    // the feature rows' join keys are derivable in SQL even though the
+    // embedding payload is stub-generated — gates row coverage + key mapping
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
     "mm_meta_stats" ->
       """SELECT kind, count(*) AS n_media,
         |  CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,

@@ -241,6 +241,42 @@ object EventOps {
         countDistinct(when(col("day_b").isNotNull, a("user_id"))).as("n_retained"))
   }
 
+  /** A20b: cohort retention matrix — users grouped by their FIRST active
+    * day (the cohort), counted on each later day offset: the standard
+    * product-analytics view. Two aggregations over the compact per-day user
+    * set + one shuffle join on user_id; offsets bounded so the matrix stays
+    * small no matter the corpus. */
+  def retentionCohorts(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firsts = daily.groupBy("user_id").agg(min(col("day")).as("day0"))
+    daily.join(firsts, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("day0")).cast("long"))
+      .filter(col("offset_days") <= maxOffset)
+      .groupBy(date_format(col("day0"), "yyyy-MM-dd").as("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** A18b: skew-salted JOIN (not just aggregation): the dimension is
+    * replicated `salt` ways on (key, salt) and each fact row picks one
+    * deterministic replica — a hot join key's rows spread across `salt`
+    * reducers instead of hotspotting one. Shuffle-hash hinted so the
+    * technique is exercised even where the dim would broadcast; result is
+    * oracle-equal to the plain join. */
+  def saltedEnrichJoin(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(salt.toLong)).as("salt"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    ev.join(dim.hint("shuffle_hash"),
+        ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
   /** A21: dwell time — average gap between consecutive events per user. */
   def dwell(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
