@@ -59,6 +59,9 @@ object SparkEntry {
     "q6_forecast"      -> ((s, d) => Analytics.q6Forecast(s, d)),
     "q10_returns"      -> ((s, d) => Analytics.q10Returns(s, d)),
     "q_pivot_daily"    -> ((s, d) => Analytics.pivotDaily(s, d)),
+    "q13_custdist"     -> ((s, d) => Analytics.q13Custdist(s, d)),
+    "q22_wealthy_inactive" -> ((s, d) => Analytics.q22WealthyInactive(s, d)),
+    "q_window_dist"    -> ((s, d) => Analytics.windowDistFamily(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -326,6 +329,27 @@ object SparkEntry {
         |  WHERE l_returnflag = 'R'
         |  GROUP BY 1, 2, 3) t
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1""".stripMargin,
+    "q22_wealthy_inactive" ->
+      s"""SELECT c_nationkey, count(*) AS n_cust, ${dsum("c_acctbal")} AS total_bal
+         |FROM customer c
+         |WHERE c_acctbal > (
+         |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         |    FROM customer WHERE c_acctbal > 0.0)
+         |  AND (SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey) < 5
+         |GROUP BY 1""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, quartile FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -244,4 +244,52 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("day")).as("n_days"),
         count(lit(1)).as("n_events"))
+
+  /** B19 (TPC-H Q13 shape): customer order-count distribution — LEFT outer
+    * join so zero-order customers appear, then a group on the aggregate.
+    * Two partial-agg shuffles; the histogram is tiny whatever the scale. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** B20 (TPC-H Q22 shape): wealthy low-activity customers — a broadcast
+    * scalar aggregate (global positive-balance average) filters the probe
+    * side; a LEFT join + count keeps customers with fewer than `maxOrders`
+    * orders (the strict anti join returns zero rows on this dense data),
+    * grouped per nation. The scalar aggregate is exact-decimal so both
+    * engines compute the identical threshold. */
+  def q22WealthyInactive(spark: SparkSession, dir: String, maxOrders: Int = 5): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double") / count(lit(1))).as("avg_bal"))
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .filter(col("n_orders") < maxOrders)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** B21: window distribution family — percent_rank / cume_dist / nth_value
+    * in ONE partition pass (shared sort, single exchange). 6-dp rounding
+    * absorbs engine ULP drift in the rank ratios. */
+  def windowDistFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(w))
+  }
 }
