@@ -88,6 +88,7 @@ object SparkEntry {
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "doc_policy"        -> ((s, d) => TextOps.policyFilter(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventPipeline.windowedCountsViaStream(s, d)),
@@ -516,6 +517,20 @@ object SparkEntry {
         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
         |WHERE rank <= 3""".stripMargin,
+    "doc_policy" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+        |       ELSE 0.0 END AS digit_ratio,
+        |  CAST(list_max(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t))) AS BIGINT)
+        |    AS max_token_len,
+        |  (CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+        |        ELSE 0.0 END < 0.3
+        |   AND list_max(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t))) <= 25)
+        |    AS keep
+        |FROM documents""".stripMargin,
     // identical ln-decomposition H = ln n − (Σ c·ln c)/n on both engines;
     // 6 dp absorbs the 1-ULP ln() difference
     "doc_entropy" ->

@@ -92,6 +92,26 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** Policy/keep filter — the final gate of a training-data pipeline:
+    * cheap structural signals (digit density, pathological token length)
+    * decide keep/drop with the reasons kept observable. Pure map stage,
+    * character-class regexes only (identical semantics across engines). */
+  def policyFilter(spark: SparkSession, dir: String,
+                   maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_digits",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("digit_ratio",
+        when(col("n_chars") > 0, col("n_digits").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("max_token_len",
+        array_max(transform(split(col("text"), "\\s+"), t => length(t))).cast("long"))
+      .withColumn("keep",
+        col("digit_ratio") < maxDigitRatio && col("max_token_len") <= maxTokenLen)
+      .drop("text")
+
   /** Per-document token-distribution entropy — a repetition/quality signal
     * (boilerplate and generated spam have low entropy for their length).
     * Shannon entropy via the ln-decomposition H = ln n − (Σ c·ln c)/n so
