@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductExpr, NoInlineExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.{DotProductExpr, MinHashSigExpr, NoInlineExpr, RhpSignExpr,
+  ShingleHashesExpr, SigAgreeExpr, SimHashExpr, WinnowExpr}
 
 /** graft's native SQL functions, registrable two ways:
   *   - at session build time: `.withExtensions(new GraftExtensions)` or
@@ -17,7 +19,33 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProductExpr(children.head, children(1))),
     (new FunctionIdentifier("no_inline"),
       new ExpressionInfo(classOf[NoInlineExpr].getName, "no_inline"),
-      (children: Seq[Expression]) => NoInlineExpr(children.head)))
+      (children: Seq[Expression]) => NoInlineExpr(children.head)),
+    // int literal args (k, n, w) are bound at parse time
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (c: Seq[Expression]) => MinHashSigExpr(c.head, intArg(c, 1, 3), intArg(c, 2, 16))),
+    (new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (c: Seq[Expression]) => ShingleHashesExpr(c.head, intArg(c, 1, 3))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (c: Seq[Expression]) => SimHashExpr(c.head)),
+    (new FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeExpr].getName, "sig_agree"),
+      (c: Seq[Expression]) => SigAgreeExpr(c.head, c(1))),
+    (new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fps"),
+      (c: Seq[Expression]) => WinnowExpr(c.head, intArg(c, 1, 3), intArg(c, 2, 4))),
+    (new FunctionIdentifier("rhp_sign"),
+      new ExpressionInfo(classOf[RhpSignExpr].getName, "rhp_sign"),
+      (c: Seq[Expression]) => RhpSignExpr(c.head, intArg(c, 1, 16))))
+
+  private def intArg(c: Seq[Expression], i: Int, dflt: Int): Int =
+    if (c.length > i) c(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    } else dflt
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>
