@@ -55,4 +55,14 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.cosineTopK(spark, dir).count() == 0)
     assert(Similarity.neardupPairs(spark, dir).count() == 0)
   }
+
+  test("round-2 operators survive empty inputs") {
+    assert(Dedup.winnowPairs(spark, dir).count() == 0)
+    assert(Dedup.ngramJaccard(spark, dir).count() == 0)
+    assert(Similarity.lshNeardupPairs(spark, dir).count() == 0)
+    assert(EventOps.retentionCohorts(spark, dir).count() == 0)
+    assert(TextOps.tokenEntropy(spark, dir).count() == 0)
+    assert(TextOps.policyFilter(spark, dir).count() == 0)
+    assert(graft.operators.Sketches.exactQuantiles(spark, dir).count() == 0)
+  }
 }
