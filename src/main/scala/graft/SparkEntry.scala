@@ -60,6 +60,7 @@ object SparkEntry {
     "q10_returns"      -> ((s, d) => Analytics.q10Returns(s, d)),
     "q_pivot_daily"    -> ((s, d) => Analytics.pivotDaily(s, d)),
     "q13_custdist"     -> ((s, d) => Analytics.q13Custdist(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q22_wealthy_inactive" -> ((s, d) => Analytics.q22WealthyInactive(s, d)),
     "q_window_dist"    -> ((s, d) => Analytics.windowDistFamily(s, d)),
     // C. training-data pipeline
@@ -330,6 +331,17 @@ object SparkEntry {
         |  WHERE l_returnflag = 'R'
         |  GROUP BY 1, 2, 3) t
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, $rev AS revenue, count(*) AS n_lines
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

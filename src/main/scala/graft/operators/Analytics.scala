@@ -280,6 +280,34 @@ object Analytics {
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** B22 (TPC-H Q7 shape): cross-nation shipping volume per year — the
+    * double-dimension-alias pattern (nation joined twice under different
+    * roles) plus date-part extraction. Dims broadcast; the only big
+    * exchange is lineitem ⋈ orders on the order key. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
