@@ -35,6 +35,7 @@ object SparkEntry {
     "ev_funnel"         -> ((s, d) => EventOps.funnel(s, d)),
     "ev_approx_stats"   -> ((s, d) => Sketches.approxStats(s, d)),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
+    "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
     "ev_bloom_join"     -> ((s, d) => Sketches.bloomPrunedJoin(s, d)),
     "ev_retention"      -> ((s, d) => EventOps.retention(s, d)),
     "ev_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),

@@ -74,6 +74,28 @@ object Sketches {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Mergeable-sketch rollup — the canonical 100 TB distinct-count pattern:
+    * materialize one HLL sketch per (day, event_type) partial (what a daily
+    * batch job would persist), then answer the coarser per-type question by
+    * UNIONING sketches — no re-scan of the raw events, no exact-distinct
+    * shuffle, error stays bounded. Uses Spark's native hll_sketch_agg /
+    * hll_union_agg / hll_sketch_estimate (Datasketches HLL). The estimate
+    * sits next to the re-aggregated exact count so accuracy is observable
+    * (asserted ±5% in SketchesSpec). */
+  def hllRollup(spark: SparkSession, dir: String, lgK: Int = 14): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .cast("long").as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Count-Min heavy hitters: one-pass sketch of user activity, then
     * estimated counts for the exact top-k users (estimate >= true count). */
   def cmsTopUsers(spark: SparkSession, dir: String, k: Int = 10,

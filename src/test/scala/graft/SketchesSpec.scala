@@ -46,6 +46,20 @@ class SketchesSpec extends SparkSuite {
     assert(pruned == plain)
   }
 
+  test("HLL rollup: unioned daily sketches estimate per-type distincts within 5%") {
+    val roll = Sketches.hllRollup(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_days"))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (t, u) =>
+      val (est, nDays) = roll(t)
+      assert(nDays == 30, s"$t: expected 30 daily partials, got $nDays")
+      assert(math.abs(est - u).toDouble / u < 0.05, s"$t: est=$est exact=$u")
+    }
+  }
+
   test("count-min estimates upper-bound the exact counts, tightly at this scale") {
     val rows = Sketches.cmsTopUsers(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSuite {
     assert(pairs == Set((100L, 1L), (101L, 2L)), s"got $pairs")
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit nulls once the watermark closes them") {
+    val srcA = Files.createTempDirectory("graft-ssoa").toString
+    val srcB = Files.createTempDirectory("graft-ssob").toString
+    val chk = Files.createTempDirectory("graft-sso-chk").toString
+    writeBatch(srcA, "b1", Seq(
+      Event(1, ts(0), 1, "click", 1.0),   // gets a matching error
+      Event(2, ts(1), 2, "click", 1.0)))  // never matched -> null row after close
+    writeBatch(srcB, "b1", Seq(Event(100, ts(10), 1, "error", 160.0)))
+    val clicks = EventPipeline.fileSource(spark, srcA)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "5 minutes")
+    val errors = EventPipeline.fileSource(spark, srcB)
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"), col("event_id").as("error_id"))
+      .withWatermark("error_ts", "5 minutes")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("sso_join")
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // advance both watermarks far past click 2's join window so the state
+    // closes and the unmatched left row is emitted with nulls
+    writeBatch(srcA, "b2", Seq(Event(3, ts(50), 9, "click", 1.0)))
+    writeBatch(srcB, "b2", Seq(Event(101, ts(50), 9, "error", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sso_join").collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (if (r.isNullAt(r.fieldIndex("error_id"))) None else Some(r.getAs[Long]("error_id")))).toMap
+    assert(rows(1L) == Some(100L), s"matched pair wrong: $rows")
+    assert(rows.contains(2L) && rows(2L).isEmpty, s"unmatched click must emit a null row: $rows")
+  }
+
   test("late data beyond the watermark is dropped from windowed aggregation") {
     val src = Files.createTempDirectory("graft-late-src").toString
     val chk = Files.createTempDirectory("graft-late-chk").toString
