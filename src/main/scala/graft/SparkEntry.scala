@@ -64,6 +64,8 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q22_wealthy_inactive" -> ((s, d) => Analytics.q22WealthyInactive(s, d)),
     "q_window_dist"    -> ((s, d) => Analytics.windowDistFamily(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -357,6 +359,21 @@ object SparkEntry {
          |    FROM customer WHERE c_acctbal > 0.0)
          |  AND (SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey) < 5
          |GROUP BY 1""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+         |FROM orders JOIN (
+         |  SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING ${dsum("l_quantity")} > 150.0) t
+         |  ON o_orderkey = t.l_orderkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

@@ -308,6 +308,38 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B23 (TPC-H Q18 shape): large orders — an aggregate-as-filter (HAVING
+    * sum > threshold) whose qualifying keys semi-join back to the detail.
+    * Both aggregations partial-agg; the HAVING set is tiny and broadcasts
+    * into the semi join. */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ord.join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** B24 (TPC-H Q15 shape): top revenue supplier(s) — a derived aggregate
+    * (revenue per supplier) filtered by its own maximum via a broadcast
+    * scalar: the classic view + max-equality pattern, ties preserved. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)).as("r"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("r")).cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
