@@ -68,6 +68,31 @@ object EventPipeline {
       .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
         col("e.event_type"), col("e.value"))
 
+  /** Dead-letter split: decode raw payloads and route malformed ones (null
+    * parse, missing id/ts) to a reject stream carrying the ORIGINAL bytes +
+    * reason — the consumer must neither crash on bad input (poison-pill
+    * loop) nor drop it silently (data loss). Both branches share one
+    * decode; at scale this is a cheap map-side disjoint filter pair. */
+  def deadLetterSplit(raw: DataFrame): (DataFrame, DataFrame) = {
+    val decoded = raw
+      .withColumn("payload", col("value").cast("string"))
+      .withColumn("e", from_json(col("payload"), eventSchema))
+      // PERMISSIVE from_json yields an all-null struct (not a null struct)
+      // for unparseable input — "no usable field" is the unparseable signal
+      .withColumn("reason",
+        when(col("e").isNull ||
+          (col("e.event_id").isNull && col("e.ts").isNull && col("e.user_id").isNull &&
+            col("e.event_type").isNull && col("e.value").isNull), "unparseable")
+          .when(col("e.event_id").isNull, "missing_event_id")
+          .when(col("e.ts").isNull, "missing_ts"))
+    val valid = decoded.filter(col("reason").isNull)
+      .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+        col("e.event_type"), col("e.value"))
+    val rejects = decoded.filter(col("reason").isNotNull)
+      .select(col("payload"), col("reason"))
+    (valid, rejects)
+  }
+
   /** The whole reference consumer topology from one config: dedup within the
     * configured TTL → anchored per-user rate limit → alert rows. Source-
     * agnostic (pass [[kafkaSource]], [[fileSource]] or [[multiSource]]

@@ -401,6 +401,32 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Set(1L, 2L), s"got $ids")
   } }
 
+  test("dead-letter split: malformed payloads route to rejects with reasons, valid flow on") {
+    val good =
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
+    val noId =
+      """{"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
+    val raw = Seq("not json at all", good, noId)
+      .map(_.getBytes("UTF-8")).toDF("value")
+    val (valid, rejects) = EventPipeline.deadLetterSplit(raw)
+    val v = valid.collect()
+    assert(v.length == 1 && v.head.getAs[Long]("event_id") == 1L)
+    val rej = rejects.collect().map(r => r.getAs[String]("reason")).sorted
+    assert(rej.toSeq == Seq("missing_event_id", "unparseable"), rej.toSeq.toString)
+    // same split works as a streaming graph: rejects land in their own sink
+    val src = Files.createTempDirectory("graft-dlq-src").toString
+    val chk = Files.createTempDirectory("graft-dlq-chk").toString
+    raw.withColumn("id", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(src)
+    val streamRaw = spark.readStream
+      .schema("value binary, id long").parquet(src).select("value")
+    val (_, sRej) = EventPipeline.deadLetterSplit(streamRaw)
+    val q = sRej.writeStream.format("memory").queryName("dlq_out")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dlq_out").count() == 2)
+  }
+
   test("multi-topic union ingest: one stream over several source directories") {
     val srcA = Files.createTempDirectory("graft-multi-a").toString
     val srcB = Files.createTempDirectory("graft-multi-b").toString
