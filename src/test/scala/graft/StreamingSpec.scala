@@ -427,6 +427,38 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("dlq_out").count() == 2)
   }
 
+  test("SCD refresh: foreachBatch re-resolves the dimension, picking up updates per micro-batch") {
+    // a plan-time static join PINS the dim's file listing (an in-place
+    // overwrite breaks the running query — refreshByPath can't reach the
+    // stream's analyzed plan). The operational pattern for slowly changing
+    // dims over plain files: re-read the dim inside foreachBatch, where
+    // each micro-batch resolves a fresh listing.
+    val src = Files.createTempDirectory("graft-scd-src").toString
+    val dimDir = Files.createTempDirectory("graft-scd-dim").toString
+    val chk = Files.createTempDirectory("graft-scd-chk").toString
+    Seq((1L, "bronze")).toDF("d_user", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    writeBatch(src, "b1", Seq(Event(1, ts(0), 1, "click", 1.0)))
+    val tiers = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = EventPipeline.fileSource(spark, src).writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimDir) // fresh listing
+        batch.join(broadcast(dim), col("user_id") === col("d_user"))
+          .select(col("event_id"), col("tier"))
+          .collect() // tiny test sink (a real job writes from executors)
+          .foreach(r => tiers.put(r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((1L, "gold")).toDF("d_user", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    writeBatch(src, "b2", Seq(Event(2, ts(5), 1, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    assert(tiers.get(1L) == "bronze", s"got $tiers")
+    assert(tiers.get(2L) == "gold", s"dim update not visible to later batch: $tiers")
+  }
+
   test("multi-topic union ingest: one stream over several source directories") {
     val srcA = Files.createTempDirectory("graft-multi-a").toString
     val srcB = Files.createTempDirectory("graft-multi-b").toString
