@@ -66,6 +66,8 @@ object SparkEntry {
     "q_window_dist"    -> ((s, d) => Analytics.windowDistFamily(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q11_concentration"-> ((s, d) => Analytics.q11ValueConcentration(s, d)),
+    "q16_supplier_variety" -> ((s, d) => Analytics.q16SupplierVariety(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -374,6 +376,18 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q11_concentration" ->
+      s"""SELECT c_nationkey, nation_bal, n_cust, share FROM (
+         |  SELECT c_nationkey, ${dsum("c_acctbal")} AS nation_bal, count(*) AS n_cust,
+         |    ${dsum("c_acctbal")} /
+         |      (SELECT ${dsum("c_acctbal")} FROM customer) AS share
+         |  FROM customer GROUP BY 1) t
+         |WHERE share > 0.03""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type NOT LIKE 'STANDARD%'
+        |GROUP BY 1, 2""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

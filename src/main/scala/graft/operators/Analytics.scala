@@ -340,6 +340,36 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** B25 (TPC-H Q11 shape): value concentration — per-group aggregate as a
+    * SHARE of the broadcast global total, filtered by threshold. Both sums
+    * decimal-exact; the share division uses identical operands on both
+    * engines. */
+  def q11ValueConcentration(spark: SparkSession, dir: String,
+                            minShare: Double = 0.03): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val byNation = cust.groupBy("c_nationkey")
+      .agg(dsum(col("c_acctbal")).as("nation_bal"), count(lit(1)).as("n_cust"))
+    val total = cust.agg(dsum(col("c_acctbal")).as("total_bal"))
+    byNation.crossJoin(broadcast(total))
+      .withColumn("share", col("nation_bal") / col("total_bal"))
+      .filter(col("share") > minShare)
+      .select(col("c_nationkey"), col("nation_bal"), col("n_cust"), col("share"))
+  }
+
+  /** B26 (TPC-H Q16 shape): supplier variety — distinct-supplier counts per
+    * (brand, size) with a negative predicate carving out a product family.
+    * countDistinct expands then partial-aggregates; the filter reaches the
+    * part scan. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(!col("p_type").startsWith("STANDARD"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */

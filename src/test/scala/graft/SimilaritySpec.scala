@@ -102,6 +102,21 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"PQ recall $recall (pq=$pq)")
   }
 
+  test("ivfTopK multi-probe sweep: recall grows monotonically with nprobe, exhaustive = 1.0") {
+    val brute = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3, nprobe = np).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      np -> (ivf intersect brute).size.toDouble / brute.size
+    }
+    // monotone non-decreasing quality as probes widen; full probing is exact
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall fell from $r1 (nprobe=$np1) to $r2 (nprobe=$np2): $recalls")
+    }
+    assert(recalls.last._2 == 1.0, s"exhaustive probing must equal brute force: $recalls")
+  }
+
   test("ivfTopK returns k ranked neighbours per query (recall vs brute force on real data)") {
     val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
     val bf = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
