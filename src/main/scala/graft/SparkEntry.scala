@@ -67,6 +67,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
     "q11_concentration"-> ((s, d) => Analytics.q11ValueConcentration(s, d)),
+    "q2_min_cost"      -> ((s, d) => Analytics.q2MinCostSupplier(s, d)),
+    "ev_division"      -> ((s, d) => Analytics.evDivision(s, d)),
     "q16_supplier_variety" -> ((s, d) => Analytics.q16SupplierVariety(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
@@ -388,6 +390,22 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_type NOT LIKE 'STANDARD%'
         |GROUP BY 1, 2""".stripMargin,
+    "q2_min_cost" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |mins AS (SELECT p_partkey AS mk, min(unit_price) AS min_price FROM offers GROUP BY 1)
+        |SELECT p_partkey, p_name, min_price,
+        |  min(l_suppkey) AS best_suppkey, count(*) AS n_offers
+        |FROM offers JOIN mins ON p_partkey = mk AND unit_price = min_price
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "ev_division" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_user_types, count(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |HAVING count(DISTINCT event_type) = (SELECT count(DISTINCT event_type) FROM events)""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

@@ -370,6 +370,42 @@ object Analytics {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** B27 (TPC-H Q2 shape): per-group minimum with tie-preserving join-back —
+    * for each part of a brand, the supplier(s) offering its minimum unit
+    * price. The per-part minimum is a partial-agg broadcast; equality join
+    * back preserves ties (no arbitrary pick). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+                        brand: String = "Brand#1"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"), col("p_name"))
+    // plain IEEE double division: identical operands on both engines, no
+    // decimal-scale rules to reconcile
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val mins = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("unit_price")).as("min_price"))
+    offers.join(broadcast(mins),
+        col("p_partkey") === col("mk") && col("unit_price") === col("min_price"))
+      .groupBy("p_partkey", "p_name", "min_price")
+      .agg(min(col("l_suppkey")).as("best_suppkey"), count(lit(1)).as("n_offers"))
+  }
+
+  /** B28: relational division — users who performed EVERY event type
+    * (for-all as count-distinct equality against the broadcast universe
+    * size). No join per candidate: one aggregate pass + scalar compare. */
+  def evDivision(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nTypes = ev.agg(countDistinct(col("event_type")).as("n_types"))
+    ev.groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("n_user_types"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(nTypes))
+      .filter(col("n_user_types") === col("n_types"))
+      .select(col("user_id"), col("n_user_types"), col("n_events"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
