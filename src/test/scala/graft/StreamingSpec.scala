@@ -344,6 +344,34 @@ class StreamingSpec extends SparkSuite {
     assert(anch(101L), s"11:25 re-anchors a fresh window: $anch")
   } }
 
+  test("anchored rate limit state survives a query restart from checkpoint") { withRocksDB {
+    val src = Files.createTempDirectory("graft-anchr-src").toString
+    val chk = Files.createTempDirectory("graft-anchr-chk").toString
+    val out = Files.createTempDirectory("graft-anchr-out").toString + "/rows"
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // parquet sink: the memory sink cannot recover from a checkpoint
+    def startQuery() = EventPipeline.rateLimitedAnchored(
+      EventPipeline.fileSource(spark, src).as[Event], limit = 5,
+      watermark = Some("0 seconds")).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+
+    writeBatch(src, "b1", (0 until 5).map(i => Event(i, t(10, 20 + i), 1, "click", 1.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart; the 11:05 event is inside the RESTORED anchored window
+    // [10:20, 11:20) whose count is full — must be rejected. Lost state
+    // would re-anchor at 11:05 and admit it.
+    writeBatch(src, "b2", Seq(Event(100, t(11, 5), 1, "click", 1.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val admitted = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(!admitted(100L), s"state lost across restart: $admitted")
+    assert((0 until 5).forall(i => admitted(i.toLong)))
+  } }
+
   test("config facade parses the reference's config.yaml surface") {
     import graft.streaming.PipelineConfig
     val cfg = PipelineConfig.fromYaml(
