@@ -35,8 +35,11 @@ object Bench {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val nRows = ev.count()
-    ev.write.mode("overwrite").parquet(stage)
-    val in = EventPipeline.fileSource(spark, stage)
+    // 8 staged files × maxFilesPerTrigger=1 → 8 micro-batches, so the
+    // duration metrics reflect per-trigger latency, not one giant batch
+    ev.repartition(8).write.mode("overwrite").parquet(stage)
+    val in = spark.readStream.schema(EventPipeline.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
     val limited = EventPipeline
       .rateLimited(EventPipeline.deduped(in, "2 hours").as[EventPipeline.Event], limit = 1000)
       .filter(_.admitted)
@@ -49,14 +52,16 @@ object Bench {
     val progress = q.recentProgress.toSeq
     val trigMs = progress.flatMap(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .filter(_ > 0).sorted
     // state-store footprint across the dedup + rate-limit operators
     val stateRows = progress.lastOption.toSeq
       .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
     q.stop()
     val outRows = spark.table(name).count()
     val rps = if (wallSec > 0) nRows / wallSec else 0.0
+    val p50 = if (trigMs.nonEmpty) trigMs(trigMs.length / 2) else 0L
     val maxTrig = if (trigMs.nonEmpty) trigMs.max else 0L
-    f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"max_batch_ms":$maxTrig,"state_rows":$stateRows}"""
+    f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -69,6 +69,7 @@ object SparkEntry {
     "q11_concentration"-> ((s, d) => Analytics.q11ValueConcentration(s, d)),
     "q2_min_cost"      -> ((s, d) => Analytics.q2MinCostSupplier(s, d)),
     "ev_division"      -> ((s, d) => Analytics.evDivision(s, d)),
+    "q20_nested_semi"  -> ((s, d) => Analytics.q20NestedSemi(s, d)),
     "q16_supplier_variety" -> ((s, d) => Analytics.q16SupplierVariety(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
@@ -406,6 +407,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |HAVING count(DISTINCT event_type) = (SELECT count(DISTINCT event_type) FROM events)""".stripMargin,
+    "q20_nested_semi" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_quantity >= 49.0
+        |    AND EXISTS (SELECT 1 FROM part
+        |                WHERE p_partkey = l_partkey AND p_size > 48))""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

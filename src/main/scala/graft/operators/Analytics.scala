@@ -406,6 +406,22 @@ object Analytics {
       .select(col("user_id"), col("n_user_types"), col("n_events"))
   }
 
+  /** B29 (TPC-H Q20 shape): nested semi-joins — suppliers with at least one
+    * max-quantity shipment of a large part. Each EXISTS level is a
+    * left-semi join; the inner qualifying-part set is broadcast, so the
+    * chain never widens rows and each level only shrinks. */
+  def q20NestedSemi(spark: SparkSession, dir: String): DataFrame = {
+    val bigParts = Tables.part(spark, dir)
+      .filter(col("p_size") > 48).select(col("p_partkey"))
+    val qualifyingLines = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49.0)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    Tables.supplier(spark, dir)
+      .join(qualifyingLines, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
