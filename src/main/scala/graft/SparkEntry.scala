@@ -71,6 +71,10 @@ object SparkEntry {
     "ev_division"      -> ((s, d) => Analytics.evDivision(s, d)),
     "q20_nested_semi"  -> ((s, d) => Analytics.q20NestedSemi(s, d)),
     "q16_supplier_variety" -> ((s, d) => Analytics.q16SupplierVariety(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
+    "q8_market_share"  -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q9_profit_nation" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
+    "q_cube"           -> ((s, d) => Analytics.cubeFlags(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -414,6 +418,64 @@ object SparkEntry {
         |  WHERE l_suppkey = s_suppkey AND l_quantity >= 49.0
         |    AND EXISTS (SELECT 1 FROM part
         |                WHERE p_partkey = l_partkey AND p_size > 48))""".stripMargin,
+    // Q21 shape: correlated EXISTS + NOT EXISTS against the same fact,
+    // correlating on (orderkey =, suppkey <>) — the Spark side runs it as
+    // a left-semi then left-anti join over the shared late-line set.
+    "q21_waiting_suppliers" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |GROUP BY 1""".stripMargin,
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.2 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

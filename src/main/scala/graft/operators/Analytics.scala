@@ -422,6 +422,123 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
   }
 
+  /** B30 (TPC-H Q21 shape): suppliers who kept orders waiting — the stacked
+    * correlated EXISTS + NOT EXISTS against the SAME fact table, correlating
+    * on two columns (order equality + supplier inequality). Expressed as a
+    * left-semi then left-anti join over the shared late-line set: each level
+    * only shrinks rows, the equi key (orderkey) carries the shuffle and the
+    * supplier inequality rides along as a residual predicate — no cartesian
+    * anywhere. Adapted predicate (schema has no commit/receipt dates): a line
+    * is "late" when it shipped > `delayDays` after the order date. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String,
+                          delayDays: Int = 100, k: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // l1: late lines of finished orders — computed once, reused for the
+    // NOT EXISTS side (same set, different role)
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $delayDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // EXISTS another supplier's line on the same order
+    val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val multi = late.join(others,
+      col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+    // NOT EXISTS another LATE supplier on the same order
+    val lateOthers = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val waiting = multi.join(lateOthers,
+      col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+    waiting
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** B31 (TPC-H Q8 shape): market share — of all order volume for one part
+    * type sold to one region's customers, the fraction supplied from one
+    * nation, per year. The nation dim is aliased TWICE under different roles
+    * (customer's region membership vs supplier's nationality); the share is
+    * a CASE-guarded exact-decimal sum over the total, one IEEE division. */
+  def q8MarketShare(spark: SparkSession, dir: String, region: String = "ASIA",
+                    nation: String = "NATION_5", ptype: String = "ECONOMY"): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype).select(col("p_partkey"))
+    val natInRegion = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(natInRegion), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === nation, rev).otherwise(lit(0).cast(dec)))
+        .cast("double") /
+        sum(rev).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** B32 (TPC-H Q9 shape): profit by nation × year over a LIKE-filtered part
+    * family. Adapted profit (schema has no supplycost): line revenue minus a
+    * retail-price-proportional cost, the whole expression evaluated in one
+    * double pass then decimal-summed exactly. LIKE '%widget%' cannot be
+    * pushed as a range — it evaluates codegen'd on the broadcast dim. */
+  def q9ProfitByNation(spark: SparkSession, dir: String,
+                       namePattern: String = "%widget%"): DataFrame = {
+    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.2) * col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 6))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"), count(lit(1)).as("n_lines"))
+  }
+
+  /** B33: cube over returnflag × linestatus — all four grouping combinations
+    * in one pass with `grouping_id()` disambiguating subtotal levels (the
+    * other half of B8's rollup; grouping-set expansion is partial-agg
+    * friendly: Spark expands rows map-side then aggregates once). */
+  def cubeFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n_lines"))
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */

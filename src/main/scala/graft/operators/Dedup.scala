@@ -99,15 +99,13 @@ object Dedup {
     * for any cap. */
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
                                           bucketCap: Int = 1000): DataFrame = {
-    // cached: consumed by the bucket census AND both join branches — without
+    // cached: consumed by the bucket census AND the join branches — without
     // it each branch re-runs the scan + signature kernel. 4 fixed-width rows
     // per doc, spillable at scale.
     val chunked = sigs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL))))
       .toDF("doc_id", "sh", "chunk", "bucket").cache()
-    val counts = chunked.groupBy("chunk", "bucket").agg(count(lit(1)).as("bn"))
-    val flagged = chunked.join(counts, Seq("chunk", "bucket"))
 
     def pairsOn(df: DataFrame, keys: Seq[String]): DataFrame = {
       val a = df.select(keys.map(col) ++ Seq(col("doc_id").as("id_a"), col("sh").as("sh_a")): _*)
@@ -116,28 +114,42 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
     }
 
-    val small = pairsOn(flagged.filter(col("bn") <= bucketCap), Seq("chunk", "bucket"))
+    // Census of OVER-CAP buckets only: a partial-aggregatable groupBy whose
+    // output is bounded by the 4·2¹⁶ key space at ANY corpus size, so the
+    // driver check and the broadcast below are scale-safe. The common
+    // no-skew case short-circuits to the plain one-join plan — it no longer
+    // pays the guard's join (which had doubled the operator's cost).
+    val hot = chunked.groupBy("chunk", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
 
-    // oversized buckets: drop the matched 16-bit chunk out of sh, then block
-    // on 4×12-bit sub-chunks of the remaining 48 bits. chunk==3 needs its own
-    // arm because a JVM shift of 64 is a shift of 0.
-    val low = col("sh").bitwiseAND(
-      call_function("shiftleft", lit(1L), col("chunk") * 16) - 1)
-    val high = call_function("shiftleft",
-      call_function("shiftrightunsigned", col("sh"), (col("chunk") + 1) * 16),
-      col("chunk") * 16)
-    val rem = when(col("chunk") === 3, col("sh").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
-      .otherwise(high.bitwiseOR(low))
-    val large = pairsOn(
-      flagged.filter(col("bn") > bucketCap)
-        .withColumn("rem", rem)
-        .select(col("doc_id"), col("sh"), col("chunk"), col("bucket"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            j => call_function("shiftright", col("rem"), j * 12).bitwiseAND(0xFFFL))))
-        .toDF("doc_id", "sh", "chunk", "bucket", "sub", "subbucket"),
-      Seq("chunk", "bucket", "sub", "subbucket"))
+    val candidates = if (hot.isEmpty) pairsOn(chunked, Seq("chunk", "bucket"))
+    else {
+      // hot-bucket membership rides a broadcast left join (bn null = small)
+      val flagged = chunked.join(broadcast(hot), Seq("chunk", "bucket"), "left")
+      val small = pairsOn(flagged.filter(col("bn").isNull), Seq("chunk", "bucket"))
 
-    small.union(large).distinct()
+      // oversized buckets: drop the matched 16-bit chunk out of sh, then
+      // block on 4×12-bit sub-chunks of the remaining 48 bits. chunk==3
+      // needs its own arm because a JVM shift of 64 is a shift of 0.
+      val low = col("sh").bitwiseAND(
+        call_function("shiftleft", lit(1L), col("chunk") * 16) - 1)
+      val high = call_function("shiftleft",
+        call_function("shiftrightunsigned", col("sh"), (col("chunk") + 1) * 16),
+        col("chunk") * 16)
+      val rem = when(col("chunk") === 3, col("sh").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+        .otherwise(high.bitwiseOR(low))
+      val large = pairsOn(
+        flagged.filter(col("bn").isNotNull)
+          .withColumn("rem", rem)
+          .select(col("doc_id"), col("sh"), col("chunk"), col("bucket"),
+            posexplode(transform(sequence(lit(0), lit(3)),
+              j => call_function("shiftright", col("rem"), j * 12).bitwiseAND(0xFFFL))))
+          .toDF("doc_id", "sh", "chunk", "bucket", "sub", "subbucket"),
+        Seq("chunk", "bucket", "sub", "subbucket"))
+      small.union(large)
+    }
+
+    candidates.distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))

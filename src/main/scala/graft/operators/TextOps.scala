@@ -128,9 +128,11 @@ object TextOps {
         round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
           .as("entropy"))
 
-  /** TF-IDF top terms per document. Document frequencies are aggregated
-    * once and broadcast back; ln() on identical double ratios keeps the
-    * oracle bit-compatible. */
+  /** TF-IDF top terms per document. Document frequencies are aggregated once
+    * and joined back ON the shuffle key — no broadcast hint: the term→df
+    * table grows with corpus vocabulary, which is NOT broadcast-sized at
+    * 100 TB (AQE still picks a broadcast join when df is actually small).
+    * ln() on identical double ratios keeps the oracle bit-compatible. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -138,7 +140,7 @@ object TextOps {
     val df = tokens.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

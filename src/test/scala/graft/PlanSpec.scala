@@ -87,6 +87,14 @@ class PlanSpec extends SparkSuite {
     assert(shLine.trim.startsWith("*("), s"simhash64 projection not codegen'd:\n$p2")
   }
 
+  test("q21: stacked semi + anti joins, no cartesian product") {
+    val p = planOf(Analytics.q21WaitingSuppliers(spark, sf))
+    assert(p.contains("LeftSemi"), "missing semi join:\n" + p.take(1200))
+    assert(p.contains("LeftAnti"), "missing anti join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "Q21 must not plan a cartesian/nested-loop join:\n" + p.take(1200))
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
