@@ -82,6 +82,7 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
     "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),

@@ -305,6 +305,38 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** C22: benchmark-contamination check — the headline eval-hygiene pass of
+    * a training-data pipeline: flag corpus documents sharing ≥ `minShared`
+    * winnowing fingerprints with ANY benchmark document. The benchmark set
+    * is small by definition, so its fingerprint index broadcasts; the corpus
+    * side is one map-only fingerprint pass + a broadcast join + a partial
+    * agg — no corpus-side shuffle of text, ever, at any corpus size.
+    * Winnowing guarantee (same kernel as [[winnowPairs]]): any shared run of
+    * ≥ window+k−1 tokens yields ≥1 shared fingerprint, so verbatim benchmark
+    * quotes above that length cannot be missed. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         k: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    def fps(df: DataFrame, idCol: String) = df
+      .select(col(idCol), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window))).as("fp"))
+      .distinct() // count each shared fingerprint VALUE once per doc pair
+    fps(corpus, "doc_id").join(broadcast(fps(benchmark, "bench_id")), Seq("fp"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** C22 over the documents table: every 20th doc plays the benchmark set,
+    * the rest the corpus — deterministic, so the rows-only gate is stable. */
+  def docContamination(spark: SparkSession, dir: String,
+                       k: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationPairs(
+      docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), col("text")),
+      k, window, minShared)
+  }
+
   /** Exact n-gram Jaccard verification over MinHash-LSH candidates only —
     * the 100 TB path when the corpus is too boilerplate-heavy for the
     * inverted-index join: candidate count is O(n·bands), never per-gram

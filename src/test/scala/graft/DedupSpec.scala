@@ -150,6 +150,36 @@ class DedupSpec extends SparkSuite {
       "planted quote not caught by winnowing")
   }
 
+  test("contamination: every corpus doc quoting a benchmark doc is flagged, clean docs are not") {
+    import org.apache.spark.sql.functions.col
+    // two benchmark docs with disjoint vocabularies
+    val bq1 = (1 to 12).map(i => s"bench1tok$i").mkString(" ")
+    val bq2 = (1 to 12).map(i => s"bench2tok$i").mkString(" ")
+    val benchmark = Seq((100L, bq1), (200L, bq2)).toDF("bench_id", "text")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // corpus: docs 1/2 quote benchmark 100, doc 3 quotes 200, docs 4/5 clean.
+    // every quote is >= window+k-1 = 6 tokens -> the guarantee applies.
+    val corpus = Seq(
+      (1L, filler("a", 20) + " " + bq1 + " " + filler("b", 20)),
+      (2L, bq1.split(" ").take(8).mkString(" ") + " " + filler("c", 40)),
+      (3L, filler("d", 20) + " " + bq2),
+      (4L, filler("e", 60)),
+      (5L, filler("f", 60))).toDF("doc_id", "text")
+    val flagged = Dedup.contaminationPairs(corpus, benchmark, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"))).toSet
+    assert(flagged.contains((1L, 100L)) && flagged.contains((2L, 100L)) &&
+      flagged.contains((3L, 200L)), s"planted contamination missed: $flagged")
+    assert(!flagged.exists(p => p._1 == 4L || p._1 == 5L),
+      s"clean docs falsely flagged: $flagged")
+    assert(!flagged.contains((1L, 200L)) && !flagged.contains((3L, 100L)),
+      s"wrong benchmark attribution: $flagged")
+
+    // the documents-table entry point runs clean and benchmark/corpus split
+    // never overlaps (bench ids are multiples of 20, corpus ids are not)
+    val table = Dedup.docContamination(spark, dir)
+    assert(table.filter(col("doc_id") % 20 === 0).count() == 0)
+  }
+
   test("empty and whitespace-only docs never pair up as near-duplicates") {
     val d = Files.createTempDirectory("graft-degenerate").toString
     Seq((0L, "", "en", "s", 0L), (1L, "", "en", "s", 0L),
