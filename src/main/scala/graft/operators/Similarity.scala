@@ -97,19 +97,33 @@ object Similarity {
     * Exact re-rank touches only shortlist·queries vectors. */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
              m: Int = 8, ksub: Int = 16, shortlist: Int = 64): DataFrame = {
-    val dsub = 64 / m
-    val emb = withNorm(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("nrm"),
-        transform(col("v"), x => x / col("nrm")).as("vn"), col("v"))
+    val emb = pqNormalized(Tables.embeddings(spark, dir))
     val corpus = emb.filter(col("vec_id") >= nQueries)
-    // (vec_id, sub, subv): the m subvectors of the normalized vector
-    def subrows(df: DataFrame): DataFrame =
-      df.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("vn"), s * dsub + 1, lit(dsub)))))
-        .toDF("vec_id", "sub", "subv")
-    val corpusSub = subrows(corpus).cache()
+    val (codebooks, codes) = buildPqIndex(corpus, m, ksub)
+    pqQuery(emb.filter(col("vec_id") < nQueries), corpus, codebooks, codes.cache(),
+      m, k, shortlist)
+  }
 
+  private def pqNormalized(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("nrm"),
+      transform(col("v"), x => x / col("nrm")).as("vn"), col("v"))
+
+  /** (vec_id, sub, subv): the m subvectors of the normalized vector. */
+  private def pqSubrows(df: DataFrame, m: Int, dsub: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("vn"), s * dsub + 1, lit(dsub)))))
+      .toDF("vec_id", "sub", "subv")
+
+  /** Train the PQ index over a normalized corpus: returns
+    * (codebooks (sub, cid, cent), codes (vec_id, sub, code)). Pure
+    * DataFrames, so the index persists as two parquet tables
+    * ([[writePqIndex]]) — at 100 TB the corpus is encoded ONCE (the
+    * expensive pass) and every query session reads m ints/vector. */
+  private[graft] def buildPqIndex(corpus: DataFrame, m: Int = 8,
+                                  ksub: Int = 16): (DataFrame, DataFrame) = {
+    val dsub = 64 / m
+    val corpusSub = pqSubrows(corpus, m, dsub).cache()
     // deterministic seeding: ksub hash-ranked subvectors per subspace...
     val seedW = Window.partitionBy(col("sub"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
@@ -132,12 +146,16 @@ object Similarity {
       .groupBy("sub", "code")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("sub"), col("code").as("cid"), transform(col("pc"), e => e("c")).as("cent"))
-    val codes = assign(cents1).cache() // the PQ-encoded corpus: m ints/vector
+    (cents1, assign(cents1)) // the PQ-encoded corpus: m ints/vector
+  }
 
+  /** ADC scoring + exact re-rank against a (codebooks, codes) index. */
+  private def pqQuery(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+                      codes: DataFrame, m: Int, k: Int, shortlist: Int): DataFrame = {
+    val dsub = 64 / m
     // ADC: per-query distance table over (sub, cid) — m·ksub inner products
-    val queries = emb.filter(col("vec_id") < nQueries)
-    val dtable = subrows(queries).withColumnRenamed("vec_id", "q_id")
-      .join(broadcast(cents1), Seq("sub"))
+    val dtable = pqSubrows(queries, m, dsub).withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(codebooks), Seq("sub"))
       .select(col("q_id"), col("sub"), col("cid").as("code"),
         dot(col("subv"), col("cent")).as("d"))
     val approxW = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("vec_id"))
@@ -153,6 +171,34 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), dot(col("vn"), col("qn")).as("cos_sim"))
       .withColumn("rank", row_number().over(exactW).cast("long")).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Train the PQ index once and persist it: `indexDir/codebooks.parquet`
+    * (m·ksub rows — broadcast-sized by construction) and
+    * `indexDir/codes.parquet` (m ints per corpus vector — the memory-bound
+    * representation a 100 TB ANN deployment stores instead of raw floats). */
+  def writePqIndex(spark: SparkSession, dir: String, indexDir: String,
+                   nQueries: Int = 10, m: Int = 8, ksub: Int = 16): Unit = {
+    val corpus = pqNormalized(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= nQueries)
+    val (codebooks, codes) = buildPqIndex(corpus, m, ksub)
+    codebooks.write.mode("overwrite").parquet(s"$indexDir/codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Query a persisted PQ index (encode-once, query-many): identical results
+    * to [[pqTopK]] with the same parameters, but the corpus-wide training +
+    * encoding passes never re-run — only the code-lookup scan and the
+    * shortlist re-rank touch the cluster at query time. */
+  def pqTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
+                      nQueries: Int = 10, k: Int = 5, m: Int = 8,
+                      shortlist: Int = 64): DataFrame = {
+    val emb = pqNormalized(Tables.embeddings(spark, dir))
+    pqQuery(emb.filter(col("vec_id") < nQueries),
+      emb.filter(col("vec_id") >= nQueries),
+      spark.read.parquet(s"$indexDir/codebooks.parquet"),
+      spark.read.parquet(s"$indexDir/codes.parquet"),
+      m, k, shortlist)
   }
 
   /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`

@@ -102,6 +102,25 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"PQ recall $recall (pq=$pq)")
   }
 
+  test("persisted PQ index: pqTopKFromIndex returns exactly pqTopK's results") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft-pq-idx").toString
+    // the real table: train + persist once, then query from the index only
+    Similarity.writePqIndex(spark, sf, idx, nQueries = 10)
+    val live = Similarity.pqTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+      .toSet
+    val fromIndex = Similarity.pqTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+      .toSet
+    assert(fromIndex == live,
+      s"index query diverged: only-live=${live -- fromIndex} only-index=${fromIndex -- live}")
+    // the persisted representation is the memory-bound one: m ints per vector
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("vec_id", "sub", "code"))
+  }
+
   test("ivfTopK multi-probe sweep: recall grows monotonically with nprobe, exhaustive = 1.0") {
     val brute = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
