@@ -75,6 +75,7 @@ object SparkEntry {
     "q8_market_share"  -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q9_profit_nation" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_cube"           -> ((s, d) => Analytics.cubeFlags(s, d)),
+    "q_grouping_sets"  -> ((s, d) => Analytics.groupingSets(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -477,6 +478,14 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

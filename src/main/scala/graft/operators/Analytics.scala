@@ -539,6 +539,25 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("gid"), col("sum_qty"), col("n_lines"))
 
+  /** B34: explicit GROUPING SETS through the SQL surface (the DataFrame API
+    * exposes only rollup/cube) — per-flag subtotals plus per-(flag, status)
+    * cells, skipping the grand total and per-status-only sets. Same
+    * grouping-expand execution as [[cubeFlags]], fewer expanded rows. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  grouping_id() AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        |""".stripMargin)
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
