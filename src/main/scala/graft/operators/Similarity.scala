@@ -208,7 +208,14 @@ object Similarity {
               nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir))
     val corpus = emb.filter(col("vec_id") >= nQueries)
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed, centroids, k, nprobe)
+  }
 
+  /** Train the IVF coarse quantizer and bucket the corpus: returns
+    * (centroids (c_id, cv, cn), bucketed (bucket, vec_id, v, nrm)). */
+  private[graft] def buildIvfIndex(corpus: DataFrame, nlist: Int,
+                                   lloydIters: Int): (DataFrame, DataFrame) = {
     // assignment of every corpus vector against broadcast centroids: argmax
     // as a partial-aggregatable max(struct) — no per-key sort window, so it
     // stays map-side-combinable at any scale
@@ -240,11 +247,15 @@ object Similarity {
       centroids = means
       iter += 1
     }
+    (centroids, assign(centroids))
+  }
 
-    val bucketed = assign(centroids)
-
-    // each query probes its nprobe nearest buckets
-    val queries = emb.filter(col("vec_id") < nQueries)
+  /** Probe + exact-score stage shared by [[ivfTopK]] and the persisted-index
+    * path: each query scores only the vectors of its `nprobe` nearest
+    * buckets. */
+  private def ivfQuery(rawQueries: DataFrame, bucketed: DataFrame,
+                       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val queries = rawQueries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -258,5 +269,34 @@ object Similarity {
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Train the IVF index once and persist it: `indexDir/centroids.parquet`
+    * (nlist rows, broadcast-sized) and `indexDir/assignments.parquet`
+    * (2 longs per corpus vector — vectors stay in the embeddings table).
+    * Encode-once / query-many: at 100 TB the training + assignment passes
+    * run at ingest, not per query session. */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+                    nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit = {
+    val corpus = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= nQueries)
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    bucketed.select(col("bucket"), col("vec_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/assignments.parquet")
+  }
+
+  /** Query a persisted IVF index: identical results to [[ivfTopK]] with the
+    * same parameters. The assignment table joins back to the embeddings
+    * table on vec_id (the corpus partitioning key) for the exact scoring
+    * pass — only probed buckets are scored. */
+  def ivfTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
+                       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val bucketed = spark.read.parquet(s"$indexDir/assignments.parquet")
+      .join(emb.filter(col("vec_id") >= nQueries), Seq("vec_id"))
+      .select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
+    ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed,
+      spark.read.parquet(s"$indexDir/centroids.parquet"), k, nprobe)
   }
 }

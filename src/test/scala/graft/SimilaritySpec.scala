@@ -121,6 +121,19 @@ class SimilaritySpec extends SparkSuite {
     assert(codes.columns.toSet == Set("vec_id", "sub", "code"))
   }
 
+  test("persisted IVF index: ivfTopKFromIndex returns exactly ivfTopK's results") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(spark, sf, idx, nQueries = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+      .toSet
+    val live = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5))
+    val fromIndex = key(Similarity.ivfTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5))
+    assert(fromIndex == live,
+      s"index query diverged: only-live=${live -- fromIndex} only-index=${fromIndex -- live}")
+  }
+
   test("ivfTopK multi-probe sweep: recall grows monotonically with nprobe, exhaustive = 1.0") {
     val brute = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
