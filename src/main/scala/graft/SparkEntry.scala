@@ -100,6 +100,7 @@ object SparkEntry {
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
     "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
+    "doc_split"         -> ((s, d) => TextOps.deterministicSplit(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
@@ -632,6 +633,14 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents) t
         |WHERE sample_rank <= 5""".stripMargin,
+    "doc_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
     "ev_profile" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,

@@ -128,6 +128,22 @@ object TextOps {
         round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
           .as("entropy"))
 
+  /** Deterministic stratified train/val/test split — the reproducible-split
+    * primitive of a training-data pipeline: the split is a pure function of
+    * the doc id (first md5 byte as a 0–255 bucket; hex chars compare
+    * lexicographically, so thresholds are string compares portable across
+    * engines), never rand(). Map-only + one partial-agg count per
+    * (source, split); re-running on a grown corpus keeps every previously
+    * assigned document in its split. Thresholds 'cd'/'e6' ≈ 80/10/10. */
+  def deterministicSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("b"))
+      .withColumn("split",
+        when(col("b") < "cd", "train").when(col("b") < "e6", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at
