@@ -101,6 +101,7 @@ object SparkEntry {
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
     "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
     "doc_split"         -> ((s, d) => TextOps.deterministicSplit(s, d)),
+    "doc_rep_ngrams"    -> ((s, d) => TextOps.repetitionNgrams(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
@@ -641,6 +642,21 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents
         |GROUP BY 1, 2""".stripMargin,
+    // list lambdas mirror Spark's array expressions 1:1 (DuckDB lists are
+    // 1-based; generate_series(1, 0) is empty, covering short docs)
+    "doc_rep_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
+        |) t2""".stripMargin,
     "ev_profile" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,

@@ -144,6 +144,28 @@ object TextOps {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
 
+  /** Within-document n-gram repetition — the boilerplate/generated-spam
+    * signal quality pipelines filter on (a doc whose 3-grams mostly repeat
+    * is template output, whatever its entropy): duplicate fraction of
+    * word n-grams computed entirely inside one row via array expressions —
+    * map-only, no explode, no shuffle at any scale. */
+  def repetitionNgrams(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence(a, b) COUNTS DOWN when a > b — guard short docs explicitly
+      .withColumn("grams",
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .otherwise(array()))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at
