@@ -95,6 +95,25 @@ class PlanSpec extends SparkSuite {
       "Q21 must not plan a cartesian/nested-loop join:\n" + p.take(1200))
   }
 
+  test("q8/q9: nation dims broadcast, fact join carries the only exchanges") {
+    val p8 = planOf(Analytics.q8MarketShare(spark, sf))
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 3, p8.take(1000))
+    val p9 = planOf(Analytics.q9ProfitByNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 2, p9.take(1000))
+    // the LIKE family filter lands on the part scan side, not post-join
+    assert(p9.contains("StringContains(p_name,widget)") || p9.contains("%widget%"),
+      p9.take(1000))
+  }
+
+  test("cube/grouping sets: one Expand pass, partial aggregation present") {
+    val pc = planOf(Analytics.cubeFlags(spark, sf))
+    assert("Expand".r.findAllIn(pc).length == 1, pc.take(800))
+    assert("HashAggregate".r.findAllIn(pc).length >= 2, pc.take(800))
+    val pg = planOf(Analytics.groupingSets(spark, sf))
+    assert("Expand".r.findAllIn(pg).length == 1, pg.take(800))
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
