@@ -65,4 +65,39 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.policyFilter(spark, dir).count() == 0)
     assert(graft.operators.Sketches.exactQuantiles(spark, dir).count() == 0)
   }
+
+  test("round-3 operators survive empty inputs") {
+    import graft.operators.Analytics
+    val dEmpty = {
+      val d = Files.createTempDirectory("graft-empty-tpch").toString
+      Seq.empty[(Long, Long, Long, Double, Double, Double, String, String, Timestamp)]
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.parquet(s"$d/lineitem.parquet")
+      Seq.empty[(Long, Long, String, Double, Timestamp)]
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.parquet(s"$d/orders.parquet")
+      Seq.empty[(Long, String, Long)].toDF("s_suppkey", "s_name", "s_nationkey")
+        .write.parquet(s"$d/supplier.parquet")
+      Seq.empty[(Long, String, String, Int, Double)]
+        .toDF("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+        .write.parquet(s"$d/part.parquet")
+      Seq.empty[(Long, String, Long)].toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.parquet(s"$d/nation.parquet")
+      Seq.empty[(Long, String)].toDF("r_regionkey", "r_name")
+        .write.parquet(s"$d/region.parquet")
+      Seq.empty[(Long, Long)].toDF("c_custkey", "c_nationkey")
+        .write.parquet(s"$d/customer.parquet")
+      d
+    }
+    assert(Analytics.q21WaitingSuppliers(spark, dEmpty).count() == 0)
+    assert(Analytics.q8MarketShare(spark, dEmpty).count() == 0)
+    assert(Analytics.q9ProfitByNation(spark, dEmpty).count() == 0)
+    // grouped cube of an empty input yields no rows (nothing to expand) —
+    // matching DuckDB's GROUP BY CUBE on empty
+    assert(Analytics.cubeFlags(spark, dEmpty).count() == 0)
+    assert(Dedup.docContamination(spark, dir).count() == 0)
+    assert(TextOps.deterministicSplit(spark, dir).count() == 0)
+    assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
+  }
 }
