@@ -106,6 +106,18 @@ object EventPipeline {
     alerts(limited.filter(_.admitted).toDF(), cfg.alertThreshold)
   }
 
+  /** The COMPLETE consumer from raw message bytes — exactly what the
+    * reference's consumer loop does to each Kafka record
+    * (auto_kafka_redis.py:306-367): decode JSON, route malformed payloads to
+    * the dead-letter stream, dedup, rate-limit, alert. Returns (alerts,
+    * rejects); bind each to its sink. With a broker on the classpath the
+    * input is [[kafkaSource]]'s raw frame; in this sandbox the same graph is
+    * ignition-tested end-to-end over a staged byte stream (StreamingSpec). */
+  def configuredConsumer(raw: DataFrame, cfg: PipelineConfig): (DataFrame, DataFrame) = {
+    val (valid, rejects) = deadLetterSplit(raw)
+    (configuredPipeline(valid, cfg), rejects)
+  }
+
   /** Synthetic source mirroring the reference's simulated producer
     * (auto_kafka_redis.py:160-210): sequential ids, 5 users, event types. */
   def rateSource(spark: SparkSession, rowsPerSecond: Int = 20): DataFrame =

@@ -429,6 +429,52 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Set(1L, 2L), s"got $ids")
   } }
 
+  test("ignition: 100 raw JSON records through the complete consumer — admitted/dropped/dead-letter counts") { withRocksDB {
+    import graft.streaming.PipelineConfig
+    // the reference consumer loop end-to-end minus the broker socket (no
+    // kafka artifact exists in this sandbox — SURVEY A29): decode →
+    // dead-letter → SETNX dedup → INCR+EXPIRE rate limit → alerts
+    def pl(id: Long, user: Long, minute: Int, value: Double): String =
+      f"""{"event_id":$id,"ts":"2024-01-01T10:$minute%02d:00.000Z","user_id":$user,"event_type":"error","value":$value}"""
+    // 80 distinct events: users 1-4 × 20 events each, same hour, value ≥ 150
+    val valid = for { u <- 1L to 4L; i <- 0 until 20 }
+      yield pl(u * 100 + i, u, i.toInt, 150.0 + i)
+    // 10 replayed duplicates of user 1's first ids (SETNX must drop)
+    val dups = (0 until 10).map(i => pl(100 + i, 1L, i, 150.0 + i))
+    // 10 malformed: 5 unparseable, 5 missing the event id
+    val bad = (0 until 5).map(i => s"garbage payload $i") ++
+      (0 until 5).map(i => s"""{"ts":"2024-01-01T11:00:00.000Z","user_id":9,"event_type":"error","value":$i}""")
+    val records = (valid ++ dups ++ bad).map(_.getBytes("UTF-8"))
+    assert(records.length == 100)
+
+    val src = Files.createTempDirectory("graft-ign-src").toString
+    val chkA = Files.createTempDirectory("graft-ign-chka").toString
+    val chkR = Files.createTempDirectory("graft-ign-chkr").toString
+    records.toDF("value").coalesce(1).write.mode("overwrite").parquet(src)
+    val raw = spark.readStream.schema("value binary").parquet(src)
+
+    val cfg = PipelineConfig.fromYaml(
+      "rate_limit_count: 5\nrate_limit_window_ms: 3600000\nalert_threshold: 100.0\ndedup_ttl: 2 hours")
+    val (alerts, rejects) = EventPipeline.configuredConsumer(raw, cfg)
+    val qa = alerts.writeStream.format("memory").queryName("ign_alerts")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chkA).start()
+    val qr = rejects.writeStream.format("memory").queryName("ign_rejects")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chkR).start()
+    qa.processAllAvailable(); qr.processAllAvailable()
+    qa.stop(); qr.stop()
+
+    // dead-letter: exactly the 10 malformed, with their reasons
+    val rej = spark.table("ign_rejects").collect().map(_.getAs[String]("reason"))
+    assert(rej.length == 10, s"dead-letter count ${rej.length}")
+    assert(rej.count(_ == "unparseable") == 5 && rej.count(_ == "missing_event_id") == 5)
+
+    // admitted: duplicates dropped, then the FIRST 5 events per user by
+    // event time pass the anchored window — 4 users × 5 alerts
+    val ids = spark.table("ign_alerts").collect().map(_.getAs[Long]("event_id")).toSet
+    val expected = (for { u <- 1L to 4L; i <- 0 until 5 } yield u * 100 + i).toSet
+    assert(ids == expected, s"admitted set diverged: got $ids")
+  } }
+
   test("dead-letter split: malformed payloads route to rejects with reasons, valid flow on") {
     val good =
       """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
