@@ -442,7 +442,11 @@ object Analytics {
     val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $delayDays DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
-    // EXISTS another supplier's line on the same order
+    // EXISTS another supplier's line on the same order — applied first so
+    // the anti join's shuffled left input is the (small) late∧multi subset.
+    // (Anti-first looks like it would let ReuseExchange share the late
+    // subtree, but PushDownLeftSemiAntiJoin then rewrites the anti to run
+    // against the RAW fact scan — a full-fact shuffle at scale. Measured.)
     val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
     val multi = late.join(others,
       col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")

@@ -316,10 +316,12 @@ object Dedup {
     * quotes above that length cannot be missed. */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          k: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    // per-doc fingerprint dedup happens INSIDE the row (array_distinct
+    // before explode), so shared-fp counts are per-VALUE without any
+    // corpus-wide distinct shuffle — the corpus side stays map-only
     def fps(df: DataFrame, idCol: String) = df
-      .select(col(idCol), explode(graft.functions.Barrier.noInline(
-        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window))).as("fp"))
-      .distinct() // count each shared fingerprint VALUE once per doc pair
+      .select(col(idCol), explode(array_distinct(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window)))).as("fp"))
     fps(corpus, "doc_id").join(broadcast(fps(benchmark, "bench_id")), Seq("fp"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
