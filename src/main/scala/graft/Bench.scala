@@ -23,6 +23,7 @@ object Bench {
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "doc_entropy",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
+    "emb_ivf_query", "emb_pq_query",
   )
 
   /** Streaming throughput: the reference topology (dedup → stateful per-user
