@@ -29,6 +29,7 @@ object SparkEntry {
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
     "ev_enrich_join"    -> ((s, d) => EventOps.enrichJoin(s, d)),
     "ev_error_alert"    -> ((s, d) => EventOps.errorAlert(s, d)),
+    "ev_zscore_alert"   -> ((s, d) => EventOps.zscoreAlerts(s, d)),
     "ev_checkpoint"     -> ((s, d) => EventOps.checkpoint(s, d)),
     "ev_asof_join"      -> ((s, d) => EventOps.asofErrorClick(s, d)),
     "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
@@ -231,6 +232,23 @@ object SparkEntry {
         |  CASE WHEN value >= 180.0 THEN 'critical' ELSE 'warning' END AS level,
         |  'ALERT user=' || CAST(user_id AS VARCHAR) AS message
         |FROM events WHERE event_type = 'error' AND value >= 150.0""".stripMargin,
+    // mean/variance derived from exact-decimal Σx and Σx² on BOTH engines
+    // (never the engines' own stddev kernels, whose summation orders
+    // differ); epoch_us ordering matches Spark's µs-floored event time
+    "ev_zscore_alert" ->
+      """WITH scored AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+        |FROM scored
+        |WHERE n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0.0
+        |  AND abs(round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)) >= 2.5""".stripMargin,
     "ev_checkpoint" ->
       """SELECT event_id % 4 AS part_id, max(event_id) AS last_offset, count(*) AS n_processed
         |FROM events GROUP BY 1""".stripMargin,

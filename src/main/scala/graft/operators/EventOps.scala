@@ -169,6 +169,37 @@ object EventOps {
         when(col("value") >= 180.0, "critical").otherwise("warning").as("level"),
         concat(lit("ALERT user="), col("user_id").cast("string")).as("message"))
 
+  /** A30: statistical anomaly alerts — each event scored against its own
+    * user's trailing window (the adaptive form of A12's fixed threshold):
+    * z = (x − mean₂₀) / stddev₂₀ over the 20 preceding events. One per-user
+    * sort window (single shuffle, same exchange the other per-user ops
+    * ride). Cross-engine exactness: mean and variance are derived from
+    * exact-decimal Σx and Σx² (never each engine's own stddev kernel, whose
+    * summation orders differ), then one identical double expression; the
+    * 4-dp rounding absorbs the final-op ULP. */
+  def zscoreAlerts(spark: SparkSession, dir: String, lookback: Int = 20,
+                   zThreshold: Double = 2.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1) // the PRECEDING window — never self-scored
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("value").cast(dec)).over(w).cast("double"))
+      .withColumn("s2", sum((col("value") * col("value")).cast(dec)).over(w).cast("double"))
+      .filter(col("n") >= 2)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("variance") > 0.0)
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 4))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_id"), col("user_id"), tsMs(col("ts")).as("ts_ms"),
+        col("value"), col("z"))
+  }
+
   /** A17: as-of join — each error event matched to the most recent click of
     * the same user at or before it. Spark-first shape: one union + one
     * per-user sort window (single shuffle), not a per-row lookup; mirrors
