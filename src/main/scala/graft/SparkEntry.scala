@@ -14,6 +14,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
+  /** Fingerprint of the embeddings table's files (path + sizes + mtimes) —
+    * versions the on-disk ANN index so regenerated data invalidates it. */
+  private def embDataTag(dir: String): String = {
+    val files = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName)
+    val sig = dir + files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+    java.lang.Long.toHexString(
+      sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. event-stream operators (reference semantics)
     "ev_dedup_first"    -> ((s, d) => EventOps.dedupFirst(s, d)),
@@ -92,16 +102,18 @@ object SparkEntry {
     "emb_pq_topk"       -> ((s, d) => Similarity.pqTopK(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
     // encode-once/query-many: the index is built on first touch (per SF +
-    // params), later calls read it — so min-of-reps benches the QUERY path
-    // alone, the number a deployed ANN service actually serves. Identity to
-    // the live operators is spec-gated (SimilaritySpec persisted-index).
+    // params + DATA VERSION — the path fingerprints the source files, so a
+    // regenerated table can never be served from a stale index), later
+    // calls read it — so min-of-reps benches the QUERY path alone, the
+    // number a deployed ANN service actually serves. Identity to the live
+    // operators is spec-gated (SimilaritySpec persisted-index).
     "emb_pq_query"      -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-m8k16-${math.abs(d.hashCode)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-m8k16-${embDataTag(d)}"
       if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writePqIndex(s, d, idx)
       Similarity.pqTopKFromIndex(s, d, idx)
     }),
     "emb_ivf_query"     -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${math.abs(d.hashCode)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(d)}"
       if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
       Similarity.ivfTopKFromIndex(s, d, idx)
     }),
