@@ -229,6 +229,67 @@ object EventPipeline {
     }
   }
 
+  case class ZAlert(event_id: Long, user_id: Long, ts_ms: Long,
+                    value: Double, z: Double)
+  case class ZBuffer(values: List[Double])
+
+  /** Streaming form of the batch trailing z-score alert
+    * (graft.operators.EventOps.zscoreAlerts): a per-user ring buffer of the
+    * last `lookback` values in RocksDB state; each arriving event is scored
+    * against the buffer BEFORE joining it. Bit-parity with the batch
+    * operator: moments accumulate over the same DECIMAL(28,12)-rounded
+    * values (matching Spark's decimal cast), so a bounded replay emits the
+    * identical alert set (StreamingSpec). State per key is `lookback`
+    * doubles — bounded, whatever the stream length. */
+  def zscoreAlertStream(events: Dataset[Event], lookback: Int = 20,
+                        zThreshold: Double = 2.5): Dataset[ZAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ZScoreProcessor(lookback, zThreshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
+  class ZScoreProcessor(lookback: Int, zThreshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ZAlert] {
+    import org.apache.spark.sql.Encoders
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[ZBuffer] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[ZBuffer]("zbuf", Encoders.product[ZBuffer],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    // DECIMAL(28,12) HALF_UP — the exact value Spark's decimal cast feeds
+    // the batch operator's Σx/Σx², so stream and batch agree bit-for-bit
+    private def d12(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ZAlert] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var values = if (buf.exists()) buf.get().values else Nil
+      val out = scala.collection.mutable.ListBuffer[ZAlert]()
+      sorted.foreach { e =>
+        val n = values.length
+        if (n >= 2) {
+          val s1 = values.map(d12).reduce(_ add _).doubleValue
+          val s2 = values.map(v => d12(v * v)).reduce(_ add _).doubleValue
+          val variance = (s2 - s1 * s1 / n) / (n - 1)
+          if (variance > 0.0) {
+            val z = BigDecimal((e.value - s1 / n) / math.sqrt(variance))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(z) >= zThreshold)
+              out += ZAlert(e.event_id, e.user_id, e.ts.getTime, e.value, z)
+          }
+        }
+        values = (values :+ e.value).takeRight(lookback)
+      }
+      buf.update(ZBuffer(values))
+      out.iterator
+    }
+  }
+
   /** Windowed dashboard aggregation (event-time tumbling window). Pass
     * `watermark = None` when the input already carries one (e.g. after
     * [[deduped]]) — Spark disallows redefining it. */

@@ -429,6 +429,41 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Set(1L, 2L), s"got $ids")
   } }
 
+  test("streaming z-score alerts equal the batch operator on a bounded replay") { withRocksDB {
+    // constructed series: steady values with planted spikes per user
+    val rnd = new scala.util.Random(7)
+    val events = for { u <- 1L to 3L; i <- 0 until 80 } yield {
+      val spike = i % 29 == 17 // periodic outliers, user-offset
+      val v = 100.0 + u * 3 + rnd.nextGaussian() * 2 + (if (spike) 60.0 else 0.0)
+      Event(u * 1000 + i, ts(i % 60), u, "metric", v)
+    }
+    // batch side reads the same rows as an events table
+    val d = Files.createTempDirectory("graft-z-batch").toString
+    events.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batch = graft.operators.EventOps.zscoreAlerts(spark, d).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toMap
+
+    // stream side: two time-ordered micro-batches so state crosses batches
+    val src = Files.createTempDirectory("graft-z-src").toString
+    val chk = Files.createTempDirectory("graft-z-chk").toString
+    val (first, second) = events.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(events.size / 2)
+    writeBatch(src, "b1", first)
+    val q = EventPipeline.zscoreAlertStream(
+      EventPipeline.fileSource(spark, src).as[Event])
+      .toDF().writeStream.format("memory").queryName("z_alerts")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", second)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("z_alerts").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toMap
+
+    assert(streamed.keySet == batch.keySet,
+      s"alert sets diverge: only-batch=${batch.keySet -- streamed.keySet} only-stream=${streamed.keySet -- batch.keySet}")
+    streamed.foreach { case (id, z) => assert(z == batch(id), s"z mismatch for $id: $z vs ${batch(id)}") }
+    assert(batch.nonEmpty, "constructed series produced no alerts — test is vacuous")
+  } }
+
   test("ignition: 100 raw JSON records through the complete consumer — admitted/dropped/dead-letter counts") { withRocksDB {
     import graft.streaming.PipelineConfig
     // the reference consumer loop end-to-end minus the broker socket (no
