@@ -40,6 +40,7 @@ object SparkEntry {
     "ev_enrich_join"    -> ((s, d) => EventOps.enrichJoin(s, d)),
     "ev_error_alert"    -> ((s, d) => EventOps.errorAlert(s, d)),
     "ev_zscore_alert"   -> ((s, d) => EventOps.zscoreAlerts(s, d)),
+    "ev_sliding_counts" -> ((s, d) => EventOps.slidingCounts(s, d)),
     "ev_checkpoint"     -> ((s, d) => EventOps.checkpoint(s, d)),
     "ev_asof_join"      -> ((s, d) => EventOps.asofErrorClick(s, d)),
     "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
@@ -244,6 +245,18 @@ object SparkEntry {
         |  CASE WHEN value >= 180.0 THEN 'critical' ELSE 'warning' END AS level,
         |  'ALERT user=' || CAST(user_id AS VARCHAR) AS message
         |FROM events WHERE event_type = 'error' AND value >= 150.0""".stripMargin,
+    // sliding-window assignment replicated arithmetically: an event at t
+    // (epoch ms, floored like Spark's µs→window math) belongs to the 4
+    // slide-aligned starts in (t − 1h, t]
+    "ev_sliding_counts" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events),
+         |w AS (SELECT t, event_type, value,
+         |        (t // 900000) * 900000 - k.k * 900000 AS window_start_ms
+         |      FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k
+         |      WHERE (t // 900000) * 900000 - k.k * 900000 > t - 3600000)
+         |SELECT window_start_ms, event_type, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
     // mean/variance derived from exact-decimal Σx and Σx² on BOTH engines
     // (never the engines' own stddev kernels, whose summation orders
     // differ); epoch_us ordering matches Spark's µs-floored event time

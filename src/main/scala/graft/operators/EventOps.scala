@@ -200,6 +200,19 @@ object EventOps {
         col("value"), col("z"))
   }
 
+  /** A31: sliding-window dashboard counts — each event lands in
+    * windowDur/slide overlapping windows (Spark's `window(ts, dur, slide)`
+    * generates the assignments inline, no self-join). The grouping-expand
+    * then partial-agg shape is identical to a tumbling window ×4 rows;
+    * dashboards use it for smooth rolling tiles. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** A17: as-of join — each error event matched to the most recent click of
     * the same user at or before it. Spark-first shape: one union + one
     * per-user sort window (single shuffle), not a per-row lookup; mirrors
