@@ -114,6 +114,29 @@ class PlanSpec extends SparkSuite {
     assert("Expand".r.findAllIn(pg).length == 1, pg.take(800))
   }
 
+  test("AQE splits a skewed join partition at runtime (the unsalted fallback path)") {
+    import org.apache.spark.sql.functions._
+    // one hot key carrying 95% of the fact rows; thresholds scaled down so
+    // the local shuffle exhibits the same skew AQE would see at cluster SF
+    withSQLConf(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8") {
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("key"),
+          concat(lit("payload-"), col("id")).as("pad"))
+      val dim = spark.range(2000).select(col("id").as("k2"), col("id").as("attr"))
+      val joined = fact.join(dim, col("key") === col("k2"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        "AQE did not mark the skewed join:\n" + p.take(1500))
+    }
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
