@@ -88,6 +88,7 @@ object SparkEntry {
     "q9_profit_nation" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
     "q_cube"           -> ((s, d) => Analytics.cubeFlags(s, d)),
     "q_grouping_sets"  -> ((s, d) => Analytics.groupingSets(s, d)),
+    "qa_orphans"       -> ((s, d) => Analytics.qaOrphans(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -545,6 +546,15 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
+    "qa_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

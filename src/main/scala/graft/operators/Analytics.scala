@@ -562,6 +562,27 @@ object Analytics {
         |""".stripMargin)
   }
 
+  /** B35: referential-integrity audit — orphan counts per relation edge
+    * (lineitem→orders, lineitem→part, orders→customer), the data-quality
+    * gate an ingest pipeline runs before publishing a snapshot. Each edge is
+    * one left-anti join against the (broadcastable) key side; counts union
+    * into one small report. */
+  def qaOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(rel: String, fact: DataFrame, fk: String,
+                keys: DataFrame, pk: String): DataFrame =
+      fact.join(keys, fact(fk) === keys(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_orphans"))
+    val li = Tables.lineitem(spark, dir)
+    orphans("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+        Tables.orders(spark, dir).select("o_orderkey"), "o_orderkey")
+      .unionByName(orphans("lineitem->part", li.select("l_partkey"), "l_partkey",
+        Tables.part(spark, dir).select("p_partkey"), "p_partkey"))
+      .unionByName(orphans("orders->customer",
+        Tables.orders(spark, dir).select("o_custkey"), "o_custkey",
+        Tables.customer(spark, dir).select("c_custkey"), "c_custkey"))
+  }
+
   /** B21: window distribution family — percent_rank / cume_dist / nth_value
     * in ONE partition pass (shared sort, single exchange). 6-dp rounding
     * absorbs engine ULP drift in the rank ratios. */
