@@ -185,10 +185,13 @@ object EventOps {
       .rowsBetween(-lookback, -1) // the PRECEDING window — never self-scored
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("value").cast(dec)).over(w).cast("double"))
-      .withColumn("s2", sum((col("value") * col("value")).cast(dec)).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        // one select → one Window operator evaluating all three frames in a
+        // single pass over the per-user sort (withColumn chaining stacks
+        // three Window nodes)
+        count(lit(1)).over(w).as("n"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(dec)).over(w).cast("double").as("s2"))
       .filter(col("n") >= 2)
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance",
