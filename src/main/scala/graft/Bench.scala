@@ -16,6 +16,7 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_local", "q_window_running", "q_topk_parts",
     "q17_small_qty", "q7_volume_shipping", "q13_custdist",
     "q21_waiting_suppliers", "q8_market_share", "q9_profit_nation", "q_cube",
+    "ev_sliding_counts", "qa_orphans",
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join", "ev_zscore_alert",
     "ev_asof_join", "ev_counts_salted", "ev_quantiles_exact", "ev_bloom_join", "ev_hll_rollup",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
