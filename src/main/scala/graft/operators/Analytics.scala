@@ -8,8 +8,17 @@ import graft.Tables
 import graft.functions.Cols._
 
 /** Batch analytics over the stored event/order history (TPC-H-style breadth).
-  * Joins broadcast the dimension side; aggregates use decimal-exact sums;
-  * top-N uses TakeOrderedAndProject. */
+  * Aggregates use decimal-exact sums; top-N uses TakeOrderedAndProject.
+  *
+  * Broadcast policy (100 TB design rule): a `broadcast()` HINT is mandatory —
+  * Spark attempts it at any size and the job dies when the side outgrows
+  * memory. So hints appear ONLY on sides whose size is a CONSTANT of the
+  * schema, never of the data volume: `nation` (25 rows), `region` (5), and
+  * single-row scalar aggregates. Everything that scales with SF — `part`,
+  * `customer`, `supplier`, and every derived per-key aggregate — is left
+  * unhinted: AQE observes the runtime size and still picks broadcast when the
+  * side is actually small, but degrades to a shuffle join instead of OOM when
+  * it isn't. */
 object Analytics {
 
   /** B1: pricing summary (TPC-H Q1 shape) — single scan, partial agg. */
@@ -38,7 +47,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey")) // customer ∝ SF: AQE decides
       .groupBy(col("l_orderkey"), col("order_day"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(18, 6))).cast("double").as("revenue"))
@@ -61,7 +70,7 @@ object Analytics {
     val custInRegion = cust.join(broadcast(natInRegion), cust("c_nationkey") === natInRegion("n_nationkey"))
       .select("c_custkey", "n_name")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(custInRegion), ord("o_custkey") === custInRegion("c_custkey"))
+      .join(custInRegion, ord("o_custkey") === custInRegion("c_custkey")) // ∝ SF: AQE decides
       .groupBy("n_name")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(18, 6))).cast("double").as("revenue"))
@@ -95,11 +104,11 @@ object Analytics {
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
   }
 
-  /** B7: top-10 parts by revenue (broadcast dim join + agg + TakeOrdered). */
+  /** B7: top-10 parts by revenue (dim join + agg + TakeOrdered). */
   def topkParts(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_name")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey")) // part ∝ SF: AQE decides
       .groupBy("p_partkey", "p_name")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(18, 6))).cast("double").as("revenue"),
@@ -118,14 +127,17 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_lines"))
 
-  /** B10: small-quantity revenue (TPC-H Q17 shape) — per-part average as a
-    * broadcast aggregate join, not a correlated per-row subquery. */
+  /** B10: small-quantity revenue (TPC-H Q17 shape) — per-part average as an
+    * aggregate join, not a correlated per-row subquery. The aggregate has one
+    * row per distinct part (∝ SF — billions at 100 TB), so no broadcast hint:
+    * both sides already hash on `l_partkey` and co-partition; AQE still picks
+    * broadcast when the aggregate is genuinely small. */
   def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity", "l_extendedprice")
     val avgQty = li.groupBy("l_partkey")
       .agg((sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
         count(lit(1))).as("avg_qty"))
-    li.join(broadcast(avgQty), "l_partkey")
+    li.join(avgQty, "l_partkey")
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(dsum(col("l_extendedprice")).as("total_price"),
         count(lit(1)).as("n_lines"))
@@ -150,7 +162,7 @@ object Analytics {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey")) // customer ∝ SF: AQE decides
       .groupBy("c_custkey", "c_name", "c_mktsegment")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(18, 6))).cast("double").as("revenue"))
@@ -187,7 +199,7 @@ object Analytics {
     * conditional decimal sums, one exact division. */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"), // part ∝ SF: AQE decides
         col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type").startsWith("STANDARD"),
@@ -202,7 +214,7 @@ object Analytics {
   def q19OrPredicates(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey")) // part ∝ SF: AQE decides
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1.0, 20.0)) ||
@@ -282,8 +294,10 @@ object Analytics {
 
   /** B22 (TPC-H Q7 shape): cross-nation shipping volume per year — the
     * double-dimension-alias pattern (nation joined twice under different
-    * roles) plus date-part extraction. Dims broadcast; the only big
-    * exchange is lineitem ⋈ orders on the order key. */
+    * roles) plus date-part extraction. Only the constant-size nation aliases
+    * are hinted; customer/supplier scale with SF so AQE sizes their joins.
+    * The only guaranteed big exchange is lineitem ⋈ orders on the order
+    * key. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
@@ -296,8 +310,8 @@ object Analytics {
     val n2 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")) // supplier ∝ SF: AQE decides
+      .join(cust, col("o_custkey") === col("c_custkey")) // customer ∝ SF: AQE decides
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -309,9 +323,10 @@ object Analytics {
   }
 
   /** B23 (TPC-H Q18 shape): large orders — an aggregate-as-filter (HAVING
-    * sum > threshold) whose qualifying keys semi-join back to the detail.
-    * Both aggregations partial-agg; the HAVING set is tiny and broadcasts
-    * into the semi join. */
+    * sum > threshold) whose qualifying keys join back to the detail. Both
+    * aggregations partial-agg. The HAVING set is data-dependent (~19% of
+    * orders at this threshold, ∝ SF) so it carries NO broadcast hint: both
+    * sides hash on the order key; AQE broadcasts only if it measures small. */
   def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
     val big = li.groupBy("l_orderkey")
@@ -319,7 +334,7 @@ object Analytics {
       .filter(col("total_qty") > minQty)
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    ord.join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+    ord.join(big, col("o_orderkey") === big("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
   }
 
@@ -333,9 +348,9 @@ object Analytics {
       .groupBy("l_suppkey")
       .agg(sum(col("r")).cast("double").as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
-    rev.crossJoin(broadcast(mx))
+    rev.crossJoin(broadcast(mx)) // scalar: constant-size, hint safe
       .filter(col("total_revenue") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")), // ∝ SF
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
@@ -365,15 +380,17 @@ object Analytics {
       .filter(!col("p_type").startsWith("STANDARD"))
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey")) // part ∝ SF: AQE decides
       .groupBy("p_brand", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
   /** B27 (TPC-H Q2 shape): per-group minimum with tie-preserving join-back —
     * for each part of a brand, the supplier(s) offering its minimum unit
-    * price. The per-part minimum is a partial-agg broadcast; equality join
-    * back preserves ties (no arbitrary pick). */
+    * price; the equality join back preserves ties (no arbitrary pick). Both
+    * the brand-filtered part set and the per-part minima scale with |part|
+    * (a brand filter only divides by ~25), so neither is hinted — the minima
+    * join reuses the groupBy's own hash partitioning on `p_partkey`/`mk`. */
   def q2MinCostSupplier(spark: SparkSession, dir: String,
                         brand: String = "Brand#1"): DataFrame = {
     val parts = Tables.part(spark, dir)
@@ -383,10 +400,10 @@ object Analytics {
     val offers = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
     val mins = offers.groupBy(col("p_partkey").as("mk"))
       .agg(min(col("unit_price")).as("min_price"))
-    offers.join(broadcast(mins),
+    offers.join(mins,
         col("p_partkey") === col("mk") && col("unit_price") === col("min_price"))
       .groupBy("p_partkey", "p_name", "min_price")
       .agg(min(col("l_suppkey")).as("best_suppkey"), count(lit(1)).as("n_offers"))
@@ -408,15 +425,16 @@ object Analytics {
 
   /** B29 (TPC-H Q20 shape): nested semi-joins — suppliers with at least one
     * max-quantity shipment of a large part. Each EXISTS level is a
-    * left-semi join; the inner qualifying-part set is broadcast, so the
-    * chain never widens rows and each level only shrinks. */
+    * left-semi join, so the chain never widens rows and each level only
+    * shrinks; the qualifying-part set scales with |part| so AQE (not a hint)
+    * decides whether it broadcasts. */
   def q20NestedSemi(spark: SparkSession, dir: String): DataFrame = {
     val bigParts = Tables.part(spark, dir)
       .filter(col("p_size") > 48).select(col("p_partkey"))
     val qualifyingLines = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 49.0)
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(bigParts, col("l_partkey") === col("p_partkey"), "left_semi") // ∝ SF: AQE decides
     Tables.supplier(spark, dir)
       .join(qualifyingLines, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
@@ -455,7 +473,7 @@ object Analytics {
     val waiting = multi.join(lateOthers,
       col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
     waiting
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")), // ∝ SF
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -467,7 +485,10 @@ object Analytics {
     * type sold to one region's customers, the fraction supplied from one
     * nation, per year. The nation dim is aliased TWICE under different roles
     * (customer's region membership vs supplier's nationality); the share is
-    * a CASE-guarded exact-decimal sum over the total, one IEEE division. */
+    * a CASE-guarded exact-decimal sum over the total, one IEEE division.
+    * Only nation/region carry hints — the part/customer/supplier sides all
+    * scale with SF (a region's customer set is ~|customer|/5), so AQE picks
+    * their join strategies from runtime sizes. */
   def q8MarketShare(spark: SparkSession, dir: String, region: String = "ASIA",
                     nation: String = "NATION_5", ptype: String = "ECONOMY"): DataFrame = {
     val dec = DecimalType(18, 6)
@@ -489,11 +510,11 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg((sum(when(col("supp_nation") === nation, rev).otherwise(lit(0).cast(dec)))
         .cast("double") /
@@ -521,10 +542,10 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"), col("l_quantity"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(amount).cast("double").as("sum_profit"), count(lit(1)).as("n_lines"))
   }

@@ -150,11 +150,13 @@ object EventOps {
       .groupBy("k")
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
 
-  /** A11: broadcast enrichment join against the customer dim. */
+  /** A11: enrichment join against the customer dim. `customer` scales with
+    * SF so it carries no broadcast hint — AQE broadcasts it while it's small
+    * and falls back to a shuffle join when it isn't. */
   def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+    ev.join(cust, ev("user_id") === cust("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),

@@ -137,6 +137,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ex-weak queries: AQE picks broadcast with no mandatory hint in code") {
+    // r4 policy: broadcast() hints only on constant-size sides (nation,
+    // region, scalars). q17/q18/q2/q8 formerly forced broadcast() on
+    // data-dependent-size sides (per-part aggregates, a HAVING set, a
+    // region's customer set) — a 100 TB OOM. With the hints gone, AQE must
+    // still pick broadcast from runtime sizes at this SF, so the local plan
+    // is unchanged while the cluster plan degrades to a shuffle join
+    // instead of dying.
+    val hinted = java.nio.file.Files.readString(
+      java.nio.file.Path.of("src/main/scala/graft/operators/Analytics.scala"))
+      .linesIterator.filter(_.contains("broadcast(")).mkString("\n")
+    Seq("part", "cust", "supp", "avgQty", "big", "mins", "offers").foreach(s =>
+      assert(!hinted.contains(s"broadcast($s"), s"scaling side '$s' re-hinted:\n$hinted"))
+    val p17 = planOf(Analytics.q17SmallQty(spark, sf))
+    assert(p17.contains("BroadcastHashJoin"), "q17: " + p17.take(1000))
+    val p18 = planOf(Analytics.q18LargeOrders(spark, sf))
+    assert(p18.contains("BroadcastHashJoin"), "q18: " + p18.take(1000))
+    val p2 = planOf(Analytics.q2MinCostSupplier(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), "q2: " + p2.take(1000))
+    val p8 = planOf(Analytics.q8MarketShare(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 3, "q8: " + p8.take(1000))
+  }
+
   test("meta stats: payload column pruned from the scan") {
     val media = graft.multimodal.Multimodal.mediaTable(spark, sf)
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
