@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real image codec on JDK-only primitives — `javax.imageio` for PNG/JPEG
+  * decode/encode, `Graphics2D` for resampling. No external dependency, fully
+  * headless, and safe to call row-at-a-time inside `mapPartitions` (ImageIO's
+  * reader lookup is cached JVM-wide; each call allocates only the decoded
+  * raster). Decode/resize runs executor-side; only fixed-size rasters flow
+  * on, never driver-side payload bytes.
+  */
+object ImageCodec {
+
+  /** Deterministic synthetic RGB image encoded as a REAL PNG — the test
+    * corpus's stand-in for genuine user images. Same (w, h, seed) → the
+    * identical byte stream (ImageIO's PNG writer emits no timestamps). */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // splitmix-style pixel hash: structured enough to survive resize
+        var h = seed ^ (x.toLong * 0x9E3779B97F4A7C15L) ^ (y.toLong * 0xC2B2AE3D27D4EB4FL)
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        img.setRGB(x, y, ((h >>> 40) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(width * height / 2)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG/JPEG payload. Throws on undecodable bytes — callers that
+    * ingest untrusted corpora wrap this in their dead-letter split (the same
+    * contract as the streaming decoder's malformed-payload path). */
+  def decode(payload: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    img
+  }
+
+  /** Decode + bilinear resize to w×h, returning the grayscale raster:
+    * exactly w*h bytes, row-major — the fixed-size contract
+    * [[Multimodal.decodeResize]]'s schema promises. */
+  def decodeResizeGray(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = decode(payload)
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new Array[Byte](w * h)
+    dst.getRaster.getDataElements(0, 0, w, h, out)
+    out
+  }
+}

@@ -7,11 +7,13 @@ import graft.Tables
 /** C12: multimodal columns — images/audio/video as opaque binary columns
   * with typed metadata, processed in partition-batched form.
   *
-  * The actual codecs (JPEG decode, resampling, video demux) are STUBBED —
-  * this container has no media libraries — as clearly-marked deterministic
-  * fakes seeded by the payload hash. Everything around the stub is real and
-  * is what matters at 100 TB: the schema contract, the
-  * binary-payload-stays-off-the-driver rule, mapPartitions batch shape,
+  * The IMAGE codec is REAL: payloads are genuine PNGs, decoded with the
+  * JDK's `javax.imageio` and resized with `Graphics2D` ([[ImageCodec]]) —
+  * no external dependency, all executor-side. Audio/video codecs (resampling,
+  * demux) remain STUBBED as clearly-marked deterministic fakes: this
+  * container ships no media libraries for those. The surrounding plumbing is
+  * identical either way and is what matters at 100 TB: the schema contract,
+  * the binary-payload-stays-off-the-driver rule, mapPartitions batch shape,
   * partition sizing for ~MB-scale rows, and column pruning on the metadata
   * without touching payload bytes. */
 object Multimodal {
@@ -22,9 +24,11 @@ object Multimodal {
   case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
   case class Feature(media_id: Long, kind: String, embedding: Array[Float])
 
-  /** Deterministic synthetic media table derived from the documents corpus
-    * (payload = the text bytes; metadata derived from doc fields). Stands in
-    * for `spark.read.format("binaryFile")` over an object store. */
+  /** Deterministic synthetic media table derived from the documents corpus.
+    * Image rows carry a REAL PNG payload (encoded executor-side, dimensions
+    * matching the row's metadata); audio/video rows carry the text bytes as
+    * an opaque stand-in stream. Stands in for
+    * `spark.read.format("binaryFile")` over an object store. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -35,14 +39,20 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        Media(id, kind, s"mem://media/$id", width = 64 + (id % 8).toInt * 16,
-          height = 64, duration_ms = r.getAs[Long]("n_chars") * 10, payload = bytes)
+        val width = 64 + (id % 8).toInt * 16
+        val payload =
+          if (kind == "image") ImageCodec.synthPng(width, 64, id ^ bytes.length.toLong)
+          else bytes
+        Media(id, kind, s"mem://media/$id", width = width,
+          height = 64, duration_ms = r.getAs[Long]("n_chars") * 10, payload = payload)
       }
   }
 
-  /** STUB codec: "decode" a payload to fixed-size pixel bytes. Deterministic
-    * fake (hash-expanded); the real implementation would call the image lib
-    * here with identical signature and batch shape. */
+  /** STUB codec for AUDIO/VIDEO payloads only (no codec libs in this
+    * container): "decode" a payload to fixed-size bytes as a deterministic
+    * hash-expanded fake. Images use the real [[ImageCodec]] path; a real
+    * audio/video implementation would slot in here with identical signature
+    * and batch shape. */
   private def stubDecode(payload: Array[Byte], outLen: Int): Array[Byte] = {
     val out = new Array[Byte](outLen)
     var h = 1125899906842597L
@@ -55,12 +65,19 @@ object Multimodal {
   }
 
   /** Decode + resize: partition-batched map keeping payloads distributed.
-    * Output schema: (media_id, kind, pixels binary of exactly w*h bytes). */
+    * Images run the REAL codec (ImageIO decode + Graphics2D bilinear resize
+    * to w×h grayscale); audio/video fall back to the declared stub. Output
+    * schema: (media_id, kind, pixels binary of exactly w*h bytes). */
   def decodeResize(media: Dataset[Media], w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // batch shape: one decoded buffer per row, allocation reused per batch
-      it.map(m => (m.media_id, m.kind, stubDecode(m.payload, w * h)))
+      it.map { m =>
+        val px =
+          if (m.kind == "image") ImageCodec.decodeResizeGray(m.payload, w, h)
+          else stubDecode(m.payload, w * h)
+        (m.media_id, m.kind, px)
+      }
     }.toDF("media_id", "kind", "pixels")
   }
 
@@ -75,15 +92,18 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extractor: payload → deterministic pseudo-embedding.
-    * Signature/batching matches a real encoder (model broadcast per
-    * partition, vectors out, payload dropped). */
+  /** Feature extractor: payload → fixed-dim embedding. Images pool REAL
+    * decoded pixels (a dim×4 grayscale thumbnail); audio/video use the
+    * declared stub. Signature/batching matches a real encoder (model loaded
+    * once per partition, vectors out, payload dropped). */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // a real impl would load the model ONCE here per partition
       it.map { m =>
-        val px = stubDecode(m.payload, dim * 4)
+        val px =
+          if (m.kind == "image") ImageCodec.decodeResizeGray(m.payload, dim, 4)
+          else stubDecode(m.payload, dim * 4)
         val vec = Array.tabulate(dim)(i => (px(i * 4) / 128.0f))
         Feature(m.media_id, m.kind, vec)
       }

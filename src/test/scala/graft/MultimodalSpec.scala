@@ -6,10 +6,33 @@ class MultimodalSpec extends SparkSuite {
 
   private lazy val media = Multimodal.mediaTable(spark, sf)
 
-  test("media table: payload bytes round-trip and metadata is typed") {
+  test("media table: image payloads are genuine PNGs, metadata is typed") {
     val m = media.filter(_.media_id == 0L).head()
     assert(m.kind == "image" && m.payload.nonEmpty)
-    assert(new String(m.payload, "UTF-8").nonEmpty)
+    // PNG magic: \x89 P N G
+    assert((m.payload(0) & 0xFF) == 0x89 && m.payload(1) == 'P' &&
+      m.payload(2) == 'N' && m.payload(3) == 'G', "image payload is not a PNG")
+  }
+
+  test("real codec: ImageIO decode recovers the metadata dimensions; resize is exact and deterministic") {
+    val imgs = media.filter(_.kind == "image").limit(8).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      val decoded = graft.multimodal.ImageCodec.decode(m.payload)
+      assert(decoded.getWidth == m.width && decoded.getHeight == m.height,
+        s"media ${m.media_id}: decoded ${decoded.getWidth}x${decoded.getHeight}, " +
+          s"metadata says ${m.width}x${m.height}")
+      val px = graft.multimodal.ImageCodec.decodeResizeGray(m.payload, 16, 16)
+      assert(px.length == 256)
+      val again = graft.multimodal.ImageCodec.decodeResizeGray(m.payload, 16, 16)
+      assert(px.toSeq == again.toSeq, "resize not deterministic")
+      // a real image has pixel variance — the raster isn't a constant fill
+      assert(px.distinct.length > 1, "decoded raster is a constant fill")
+    }
+    // undecodable bytes surface as an error (dead-letter contract), not junk
+    intercept[IllegalArgumentException] {
+      graft.multimodal.ImageCodec.decode(Array[Byte](1, 2, 3, 4))
+    }
   }
 
   test("decodeResize emits fixed-size pixel buffers with a stable schema") {
