@@ -401,26 +401,34 @@ object EventPipeline {
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
-  /** Bounded end-to-end run of the streaming pipeline over the events table:
-    * stages the events as a file-source dir, streams dedup → hourly windowed
-    * counts into a memory sink, returns the final table. Lets the DRIVER's
-    * batch SQL oracle verify the STREAMING execution path. */
+  /** Bounded end-to-end run of the PRODUCTION streaming pipeline over the
+    * events table: stages the events as a file-source dir, streams
+    * [[deduped]] (watermark + dropDuplicatesWithinWatermark — the operator
+    * users run, not a Complete-mode stand-in) → hourly [[windowedCounts]]
+    * into an Append-mode memory sink, returns the final table. Lets the
+    * DRIVER's batch SQL oracle verify the STREAMING execution path.
+    *
+    * Append mode only emits a window once the watermark passes its end, so
+    * the replay adds ONE sentinel event 2 hours past the corpus max: the
+    * final no-data micro-batch then finalizes every real window, while the
+    * sentinel's own window stays open and never reaches the sink. */
   def windowedCountsViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage").toString
-    graft.Tables.events(spark, dir)
+    val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(stage)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = Seq((-1L, new Timestamp(maxTs.getTime + 2L * 3600 * 1000),
+      -1L, "watermark_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(stage)
     val in = spark.readStream.schema(eventSchema).parquet(stage)
-    val counts = in.dropDuplicates("event_id")
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .cast("double").as("sum_value"))
-      .select(unix_millis(col("window.start")).as("window_start_ms"),
+    val counts = windowedCounts(deduped(in, "10 minutes"), watermark = None)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
     val name = s"stream_counts_${System.nanoTime()}"
     val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+      .outputMode(OutputMode.Append).start()
     q.processAllAvailable()
     q.stop()
     // materialize before the memory sink goes away

@@ -568,6 +568,25 @@ class StreamingSpec extends SparkSuite {
     assert(tiers.get(2L) == "gold", s"dim update not visible to later batch: $tiers")
   }
 
+  test("bounded replay runs the PRODUCTION watermarked dedup and matches the batch aggregate") {
+    // the oracle-gated entry (stream_windowed_counts) must verify the
+    // operator users run — dropDuplicatesWithinWatermark + Append mode —
+    // not a Complete-mode dropDuplicates stand-in (r3 verdict #3)
+    val streamed = EventPipeline.windowedCountsViaStream(spark, sf)
+    assert(streamed.filter(col("event_type") === "watermark_sentinel").isEmpty,
+      "sentinel leaked into the emitted windows")
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    assert(streamed.count() == batch.count(), "window-row count mismatch")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed windows diverge from the batch aggregate")
+  }
+
   test("multi-topic union ingest: one stream over several source directories") {
     val srcA = Files.createTempDirectory("graft-multi-a").toString
     val srcB = Files.createTempDirectory("graft-multi-b").toString
