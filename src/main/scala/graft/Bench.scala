@@ -28,16 +28,21 @@ object Bench {
   )
 
   /** Streaming throughput: the reference topology (dedup → stateful per-user
-    * rate limit → admitted filter) over the staged events table as a bounded
-    * file-source stream; reports end-to-end rows/sec and per-batch latency
-    * from the progress metrics.
+    * rate limit → admitted filter → trailing z-score anomaly alerts) over
+    * the staged events table as a bounded file-source stream; reports
+    * end-to-end rows/sec, per-batch latency, and PER-OPERATOR state rows
+    * from the progress metrics — three chained stateful operators
+    * (dropDuplicatesWithinWatermark, flatMapGroupsWithState,
+    * transformWithState ring buffer), the full alerting pipeline a user
+    * deploys.
     *
     * State partitioning is sized to the topology's key cardinality (~150
     * users / bounded event-id horizon), NOT the batch default: at 32 shuffle
-    * partitions the two stateful operators commit 64 state stores per
-    * 12.5k-row trigger — pure per-trigger overhead. The conf is scoped to
-    * this query (set before start, restored after); a real deployment sizes
-    * it per stream the same way. */
+    * partitions the three stateful operators commit 96 state stores per
+    * 12.5k-row trigger — pure per-trigger overhead. RocksDB is the state
+    * store (transformWithState requires it; also the provider a cluster
+    * deployment runs). The conf is scoped to this query (set before start,
+    * restored after); a real deployment sizes it per stream the same way. */
   private[graft] def streamingBench(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     import graft.streaming.EventPipeline
@@ -67,6 +72,15 @@ object Bench {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val savedCkpt = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
     spark.conf.set("spark.sql.streaming.checkpointLocation", tmpDir("graft-stream-ckpt"))
+    val savedProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit ships the per-batch delta instead of
+    // re-snapshotting every store — the per-trigger latency knob for RocksDB
+    val savedChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "1")
       def run(dir: String, name: String) = {
@@ -75,7 +89,9 @@ object Bench {
         val limited = EventPipeline
           .rateLimited(EventPipeline.deduped(in, "2 hours").as[EventPipeline.Event], limit = 1000)
           .filter(_.admitted)
-        limited.toDF().writeStream.format("memory").queryName(name)
+        val scored = EventPipeline.zscoreAlertStream(limited.map(a =>
+          EventPipeline.Event(a.event_id, a.ts, a.user_id, a.event_type, a.value)))
+        scored.toDF().writeStream.format("memory").queryName(name)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
       }
       // untimed warm-up on the smallest SF (same treatment as the batch
@@ -101,22 +117,32 @@ object Bench {
         val trigMs = progress.flatMap(p =>
           Option(p.durationMs.get("triggerExecution")).map(_.toLong))
           .filter(_ > 0).sorted
-        // state-store footprint across the dedup + rate-limit operators
-        val stateRows = progress.lastOption.toSeq
-          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        // state-store footprint PER OPERATOR (dedup / rate-limit / zscore)
+        val opRows = progress.lastOption.toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .map(op => op.operatorName -> op.numRowsTotal)
         q.stop()
         val outRows = spark.table(name).count()
         spark.catalog.dropTempView(name)
-        (wallSec, trigMs, stateRows, outRows)
+        (wallSec, trigMs, opRows, outRows)
       }.minBy(_._1)
-      val (wallSec, trigMs, stateRows, outRows) = measured
+      val (wallSec, trigMs, opRows, outRows) = measured
+      val stateRows = opRows.map(_._2).sum
+      val stateJson = opRows.map { case (k, v) => "\"" + k + s"""\":$v""" }
+        .mkString("{", ",", "}")
       val rps = if (wallSec > 0) nRows / wallSec else 0.0
       val p50 = if (trigMs.nonEmpty) trigMs(trigMs.length / 2) else 0L
       val maxTrig = if (trigMs.nonEmpty) trigMs.max else 0L
-      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"reps":$streamReps}"""
+      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps}"""
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      savedProvider.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      savedChangelog.fold(spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"))(
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", _))
       val ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation")
       savedCkpt.fold(spark.conf.unset("spark.sql.streaming.checkpointLocation"))(
         spark.conf.set("spark.sql.streaming.checkpointLocation", _))
