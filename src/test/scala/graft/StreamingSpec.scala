@@ -587,6 +587,37 @@ class StreamingSpec extends SparkSuite {
       "streamed windows diverge from the batch aggregate")
   }
 
+  test("pub/sub fan-out: two subscribers over one alert stream each receive the full set") {
+    // the reference's dashboard broadcasts every alert to N connected
+    // websocket clients (websocket_server.py:30-50); in Spark each
+    // subscriber is an independent query over the same source — separate
+    // offsets + checkpoint, like a Kafka consumer group per client — so
+    // every subscriber sees the complete stream, late joiners included.
+    val src = Files.createTempDirectory("graft-fanout-src").toString
+    val chkA = Files.createTempDirectory("graft-fanout-chkA").toString
+    val chkB = Files.createTempDirectory("graft-fanout-chkB").toString
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "error", 190.0), Event(2, ts(1), 2, "click", 10.0),
+      Event(3, ts(2), 3, "error", 160.0)))
+    def subscriber(name: String, chk: String) =
+      EventPipeline.alerts(EventPipeline.fileSource(spark, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    val qA = subscriber("fanout_a", chkA)
+    qA.processAllAvailable()
+    // subscriber B connects late — it must still replay the full history
+    val qB = subscriber("fanout_b", chkB)
+    writeBatch(src, "b2", Seq(
+      Event(4, ts(3), 4, "error", 185.0), Event(5, ts(4), 5, "view", 50.0)))
+    qA.processAllAvailable(); qB.processAllAvailable()
+    qA.stop(); qB.stop()
+    def got(t: String) = spark.table(t).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("level"))).toSet
+    val expected = Set((1L, "critical"), (3L, "warning"), (4L, "critical"))
+    assert(got("fanout_a") == expected, s"subscriber A: ${got("fanout_a")}")
+    assert(got("fanout_b") == expected, s"subscriber B (late joiner): ${got("fanout_b")}")
+  }
+
   test("multi-topic union ingest: one stream over several source directories") {
     val srcA = Files.createTempDirectory("graft-multi-a").toString
     val srcB = Files.createTempDirectory("graft-multi-b").toString
