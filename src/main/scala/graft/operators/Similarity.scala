@@ -201,9 +201,34 @@ object Similarity {
       m, k, shortlist)
   }
 
+  /** Multi-probe cost model for IVF (measured; SimilaritySpec "multi-probe
+    * cost model", curve in SURVEY §5). Buckets are balanced in expectation,
+    * so query cost ∝ nprobe/nlist — the probed fraction IS the scanned
+    * fraction of the corpus. Recall is concave in that fraction; the
+    * envelope below is the MINIMUM top-5 recall measured across
+    * {sf0.001, sf0.01} × {nlist 8, 16} against brute force (marginal
+    * recall per probe drops past f≈0.5 — the knee). The synthetic corpus is
+    * nearly unclustered (worst case for IVF); real clustered corpora sit
+    * well above this envelope, so the derived nprobe is a conservative
+    * upper bound for the target. */
+  private[graft] val measuredRecallEnvelope: Seq[(Double, Double)] = Seq(
+    0.125 -> 0.20, 0.25 -> 0.48, 0.375 -> 0.62, 0.5 -> 0.72,
+    0.625 -> 0.84, 0.75 -> 0.88, 0.875 -> 0.94, 1.0 -> 1.0)
+
+  /** Smallest nprobe whose measured-envelope recall clears `targetRecall` —
+    * how a caller should size probes instead of guessing: cost scales
+    * linearly with the result, recall does not. */
+  def defaultNprobe(nlist: Int, targetRecall: Double = 0.85): Int = {
+    val f = measuredRecallEnvelope
+      .collectFirst { case (frac, r) if r >= targetRecall => frac }
+      .getOrElse(1.0)
+    math.min(nlist, math.max(1, math.ceil(f * nlist).toInt))
+  }
+
   /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`
     * corpus vectors as centroids, broadcast), corpus bucketed by nearest
-    * centroid, queries probe `nprobe` nearest buckets only. */
+    * centroid, queries probe `nprobe` nearest buckets only. Size `nprobe`
+    * with [[defaultNprobe]] from a recall target. */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir))

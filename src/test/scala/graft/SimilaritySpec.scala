@@ -149,6 +149,26 @@ class SimilaritySpec extends SparkSuite {
     assert(recalls.last._2 == 1.0, s"exhaustive probing must equal brute force: $recalls")
   }
 
+  test("multi-probe cost model: defaultNprobe sizes probes that meet the recall target") {
+    // defaultNprobe is monotone in the target and bounded by nlist
+    assert(Similarity.defaultNprobe(8, 0.2) <= Similarity.defaultNprobe(8, 0.7))
+    assert(Similarity.defaultNprobe(8, 0.7) <= Similarity.defaultNprobe(8, 0.95))
+    assert(Similarity.defaultNprobe(8, 0.999) == 8)
+    assert(Similarity.defaultNprobe(16, 0.0) == 2) // ceil(0.125 * 16)
+    // the envelope is conservative: on the measurement setup itself
+    // (nQueries=10, k=5, nlist=8) the delivered recall clears each target
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    Seq(0.45, 0.7, 0.85).foreach { target =>
+      val np = Similarity.defaultNprobe(8, target)
+      val ivf = Similarity.ivfTopK(spark, sf, nprobe = np).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      val recall = (ivf intersect brute).size.toDouble / brute.size
+      assert(recall >= target,
+        s"target $target -> nprobe $np delivered recall $recall")
+    }
+  }
+
   test("ivfTopK returns k ranked neighbours per query (recall vs brute force on real data)") {
     val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
     val bf = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
