@@ -194,12 +194,21 @@ object Dedup {
   private[graft] def clustersFromPairsStars(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     var e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var eCount = e.count()
     var iters = 0
-    var done = e.isEmpty
+    var done = eCount == 0
     while (!done && iters < maxIters) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nextCount = next.count()
+      // both sides are DISTINCT edge sets, so equal counts + one empty
+      // one-sided difference ⟺ set equality: the count over the just-
+      // materialized checkpoint is near-free and short-circuits the
+      // exceptAll on every round where the edge set still shrank — only
+      // candidate-converged rounds pay the set-difference job (the r3
+      // symmetric exceptAll pair ran two of them every round).
+      done = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       iters += 1
     }
     e.select(col("src").as("id"), col("dst").as("label"))
