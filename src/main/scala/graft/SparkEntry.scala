@@ -131,6 +131,9 @@ object SparkEntry {
     "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
     "doc_split"         -> ((s, d) => TextOps.deterministicSplit(s, d)),
     "doc_rep_ngrams"    -> ((s, d) => TextOps.repetitionNgrams(s, d)),
+    "doc_pii_scrub"     -> ((s, d) => TextOps.piiScrub(s, d)),
+    "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
@@ -724,6 +727,34 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
         |) t2""".stripMargin,
+    // same char-class-only regexes as TextOps.{EmailRe,PhoneRe}; 'g' flag
+    // mirrors Spark's replace-all default; md5 over the scrubbed text gates
+    // the redacted CONTENT, not just the match counts
+    "doc_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS scrubbed_fp
+        |FROM documents""".stripMargin,
+    "doc_strat_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' END""".stripMargin,
+    "doc_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n_occurrences
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "ev_profile" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,

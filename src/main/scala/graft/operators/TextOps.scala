@@ -166,6 +166,67 @@ object TextOps {
           lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)))
 
+  // character-class-only regexes: identical semantics in Java regex and
+  // DuckDB's RE2, so the oracle evaluates the same matches
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  private[graft] val PhoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** PII scrub — the privacy gate of a training-data pipeline: regex
+    * redaction of emails / phone numbers, counts kept observable and the
+    * SCRUBBED text fingerprinted (so the gate verifies the redacted content,
+    * not just match counts). Pure map stage — no shuffle at any scale. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir))
+
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_fp"))
+
+  /** Deterministic stratified sampling — per-stratum keep rates as a pure
+    * function of the doc id (md5-bucket compare, like [[deterministicSplit]]):
+    * the majority language is downsampled hard while minority languages keep
+    * most rows — the rebalancing primitive of multilingual corpus prep.
+    * Map-only filter, no shuffle; growing the corpus never resamples
+    * previously kept rows. Hex thresholds: '40' ≈ 25%, 'cd' ≈ 80%. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       majorityLang: String = "en",
+                       majorityThreshold: String = "40",
+                       minorityThreshold: String = "cd"): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("b"))
+      .filter(when(col("lang") === majorityLang, col("b") < majorityThreshold)
+        .otherwise(col("b") < minorityThreshold))
+      .select(col("doc_id"), col("lang"))
+
+  /** BPE training's inner statistic: corpus-wide frequencies of ADJACENT
+    * character pairs inside words — the count a byte-pair-encoding
+    * vocabulary learner greedily merges on. Words explode once, pairs are
+    * in-row array expressions (substring windows, no second explode until
+    * the pair column itself), the count is one partial-agg shuffle of
+    * ≤|alphabet|² keys, top-k via TakeOrdered. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bpePairsOf(Tables.documents(spark, dir), k)
+
+  private[graft] def bpePairsOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Planted-input tests for the round-4 corpus-prep operators (PII scrub,
+  * stratified sampling, BPE pair counts). The sf-level end-to-end results
+  * are oracle-gated in SparkEntry; these specs pin the semantics on inputs
+  * the synthetic corpus doesn't contain (real PII, tie-broken pair counts).
+  */
+class TextOpsSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  test("piiScrub: planted email+phone are counted and redacted") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 555-867-5309 now"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.co and c.d@e-f.org twice, 111-222-3333 and 444-555-6666")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiScrubOf(docs).orderBy("doc_id").collect()
+
+    assert(r(0).getAs[Long]("n_emails") == 1L)
+    assert(r(0).getAs[Long]("n_phones") == 1L)
+    assert(r(1).getAs[Long]("n_emails") == 0L)
+    assert(r(1).getAs[Long]("n_phones") == 0L)
+    assert(r(2).getAs[Long]("n_emails") == 2L)
+    assert(r(2).getAs[Long]("n_phones") == 2L)
+
+    // the fingerprint must verify the REDACTED text, not the original
+    val expected = Seq(
+      "contact <EMAIL> or <PHONE> now",
+      "no pii here at all",
+      "<EMAIL> and <EMAIL> twice, <PHONE> and <PHONE>")
+    val expFp = expected.toDF("s")
+      .select(md5(col("s").cast("binary"))).collect().map(_.getString(0))
+    assert(r.map(_.getAs[String]("scrubbed_fp")).toSeq == expFp.toSeq)
+  }
+
+  test("piiScrub: clean doc fingerprint equals the original text's md5") {
+    val docs = Seq((7L, "plain words only")).toDF("doc_id", "text")
+    val fp = TextOps.piiScrubOf(docs).head().getAs[String]("scrubbed_fp")
+    val orig = Seq("plain words only").toDF("s")
+      .select(md5(col("s").cast("binary"))).head().getString(0)
+    assert(fp == orig)
+  }
+
+  test("stratifiedSample: majority downsampled below minority keep rate; deterministic") {
+    val kept = TextOps.stratifiedSample(spark, sf)
+    val keptRates = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val enRate = keptRates.getOrElse("en", 0L).toDouble / total("en")
+    // md5 buckets: '40'/256 ≈ 25% for en, 'cd'/256 ≈ 80% for the rest
+    assert(enRate > 0.05 && enRate < 0.50, s"en keep rate $enRate")
+    val minorityLangs = total.keys.filter(_ != "en")
+    val minRate = minorityLangs.map(l =>
+      keptRates.getOrElse(l, 0L).toDouble).sum /
+      minorityLangs.map(total(_).toDouble).sum
+    assert(minRate > enRate, s"minority rate $minRate !> en rate $enRate")
+
+    // pure function of doc_id: a second run returns the identical id set
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextOps.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("bpePairs: adjacent-pair counts with deterministic tie-break") {
+    val docs = Seq((1L, "abab ab x"), (2L, "ba")).toDF("doc_id", "text")
+    // words >=2 chars: abab -> ab,ba,ab ; ab -> ab ; ba -> ba
+    val r = TextOps.bpePairsOf(docs, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("ab", 3L), ("ba", 2L)))
+  }
+
+  test("bpePairs: top-k cut is stable under count ties (pair asc)") {
+    val docs = Seq((1L, "xy yz zx")).toDF("doc_id", "text")
+    val r = TextOps.bpePairsOf(docs, 2).collect().map(_.getString(0)).toSeq
+    assert(r == Seq("xy", "yz"))
+  }
+}
