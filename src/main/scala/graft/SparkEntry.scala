@@ -131,6 +131,8 @@ object SparkEntry {
     "doc_sample"        -> ((s, d) => TextOps.samplePerSource(s, d)),
     "doc_split"         -> ((s, d) => TextOps.deterministicSplit(s, d)),
     "doc_rep_ngrams"    -> ((s, d) => TextOps.repetitionNgrams(s, d)),
+    "ev_range_join"     -> ((s, d) => EventOps.rangeJoinPriorHour(s, d)),
+    "ev_histogram"      -> ((s, d) => EventOps.valueHistogram(s, d)),
     "doc_pii_scrub"     -> ((s, d) => TextOps.piiScrub(s, d)),
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
@@ -727,6 +729,23 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
         |) t2""".stripMargin,
+    // the bucketed band join must reproduce the naive inequality join
+    "ev_range_join" ->
+      s"""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+         |  count(p.event_id) AS n_prior,
+         |  CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_prior
+         |FROM events e LEFT JOIN events p
+         |  ON p.user_id = e.user_id
+         |  AND epoch_ms(p.ts) >= epoch_ms(e.ts) - 3600000
+         |  AND epoch_ms(p.ts) < epoch_ms(e.ts)
+         |WHERE e.event_type = 'error'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "ev_histogram" ->
+      s"""SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         |  CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value,
+         |  ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
     // same char-class-only regexes as TextOps.{EmailRe,PhoneRe}; 'g' flag
     // mirrors Spark's replace-all default; md5 over the scrubbed text gates
     // the redacted CONTENT, not just the match counts

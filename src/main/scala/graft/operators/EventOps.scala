@@ -345,4 +345,53 @@ object EventOps {
       .select(pmod(col("event_id"), lit(partitions.toLong)).as("part_id"), col("event_id"))
       .groupBy("part_id")
       .agg(max(col("event_id")).as("last_offset"), count(lit(1)).as("n_processed"))
+
+  /** A32: time-range self-join — for each error event, the count and value
+    * sum of the SAME user's events in the preceding hour. Spark-first shape:
+    * a naive t2.ts BETWEEN t1.ts-1h AND t1.ts predicate is a near-cartesian
+    * residual on the user_id sort-merge; instead the build side is
+    * replicated into its time bucket and the next one (bucket width = range
+    * width), so the equi-join key becomes (user_id, bucket) and every
+    * qualifying pair meets in exactly one bucket — per-group input is
+    * bounded by per-user-per-hour density, not per-user history. The range
+    * check remains as a cheap residual. */
+  def rangeJoinPriorHour(spark: SparkSession, dir: String): DataFrame = {
+    val rangeMs = 3600L * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsMs(col("ts")).as("ts_ms"), col("value"))
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        (col("ts_ms") - pmod(col("ts_ms"), lit(rangeMs))).as("bucket"))
+    val build = ev.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_ms").as("p_ts"), col("value").as("p_value"))
+      .withColumn("bucket", explode(array(
+        col("p_ts") - pmod(col("p_ts"), lit(rangeMs)),
+        col("p_ts") - pmod(col("p_ts"), lit(rangeMs)) + rangeMs)))
+    probe.join(build,
+        probe("user_id") === build("p_user") && probe("bucket") === build("bucket") &&
+          build("p_ts") >= probe("ts_ms") - rangeMs && build("p_ts") < probe("ts_ms"),
+        "left")
+      .groupBy(probe("event_id"), probe("user_id"), probe("ts_ms"))
+      .agg(count(col("p_id")).as("n_prior"),
+        coalesce(sum(col("p_value").cast(org.apache.spark.sql.types.DecimalType(18, 4))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_prior"))
+  }
+
+  /** A33: fixed-width value histogram — the dashboard distribution chart.
+    * Bin id is one shared IEEE division (bit-identical on any engine);
+    * single partial-agg shuffle of ≤(max/width) keys regardless of row
+    * count. */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 50.0): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / width).cast("long").as("bin"), col("value"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        dsum(col("value")).as("sum_value"))
+      .withColumn("bin_lo", col("bin").cast("double") * width)
+      .select(col("bin"), col("bin_lo"), col("n_events"),
+        col("min_value"), col("max_value"), col("sum_value"))
 }

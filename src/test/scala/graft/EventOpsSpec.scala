@@ -67,4 +67,35 @@ class EventOpsSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_processed")).sum == Tables.events(spark, sf).count())
     assert(out.map(_.getAs[Long]("part_id")).toSet == Set(0L, 1L, 2L, 3L))
   }
+
+  test("rangeJoinPriorHour: bucketed band join equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_millis(col("ts").cast("timestamp_ltz")).as("ts_ms"))
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), col("ts_ms").as("t"))
+    val build = ev.select(col("event_id").as("pid"), col("user_id").as("pu"),
+      col("ts_ms").as("pt"))
+    val naive = probe.join(build,
+        col("u") === col("pu") && col("pt") >= col("t") - 3600000L && col("pt") < col("t"),
+        "left")
+      .groupBy("event_id").agg(count(col("pid")).as("n_naive"))
+    val out = EventOps.rangeJoinPriorHour(spark, sf).select(col("event_id"), col("n_prior"))
+    assert(out.count() == naive.count())
+    val joined = out.join(naive, "event_id").cache()
+    assert(joined.count() == out.count())
+    assert(joined.filter(col("n_prior") =!= col("n_naive")).count() == 0)
+    // the window is non-trivially populated at this SF (24 pairs)
+    assert(joined.agg(sum(col("n_prior"))).head().getLong(0) > 0)
+  }
+
+  test("valueHistogram: counts conserve and values respect bin bounds") {
+    val out = EventOps.valueHistogram(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    out.foreach { r =>
+      val lo = r.getAs[Double]("bin_lo")
+      assert(r.getAs[Double]("min_value") >= lo)
+      assert(r.getAs[Double]("max_value") < lo + 50.0)
+    }
+  }
 }
