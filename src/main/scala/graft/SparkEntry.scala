@@ -136,6 +136,9 @@ object SparkEntry {
     "doc_pii_scrub"     -> ((s, d) => TextOps.piiScrub(s, d)),
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
+    "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
+    "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
@@ -729,6 +732,28 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
         |) t2""".stripMargin,
+    // the two-level prefix sum must reproduce the naive global window cumsum
+    "doc_shard_assign" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) t1) t2""".stripMargin,
+    // same normalized fingerprint as doc_fingerprint; LEFT JOIN...IS NULL
+    // anti-join mirrors Spark's null-safe left_anti semantics
+    "doc_dedup_incr" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |cut AS (SELECT max(doc_id) * 8 // 10 AS cut FROM fps),
+        |existing AS (SELECT DISTINCT fp FROM fps, cut WHERE doc_id < cut),
+        |batch AS (SELECT doc_id, fp FROM fps, cut WHERE doc_id >= cut)
+        |SELECT min(b.doc_id) AS doc_id, b.fp
+        |FROM batch b LEFT JOIN existing e ON b.fp = e.fp
+        |WHERE e.fp IS NULL GROUP BY b.fp""".stripMargin,
     // the bucketed band join must reproduce the naive inequality join
     "ev_range_join" ->
       s"""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,

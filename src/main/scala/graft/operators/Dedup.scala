@@ -260,6 +260,33 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("canonical_id"))
   }
 
+  /** Incremental dedup — the corpus-growth path: a NEW batch of documents
+    * (doc_id ≥ cut, the top 20% of the id range here) is admitted only where
+    * its normalized fingerprint is absent from the EXISTING corpus, with
+    * batch-internal first-writer-wins on top. The existing side ships only
+    * distinct digests (≈16 bytes/doc) into a left-anti join on the digest
+    * shuffle key — the growth step never re-reads existing text, which is
+    * what makes nightly ingestion against a 100 TB corpus viable. The cut
+    * is integer arithmetic (max·8 div 10) so both engines derive the exact
+    * same split. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupIncrementalOf(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    // single-row scalar: constant-size broadcast, policy-compliant
+    val cut = fps.agg(expr("max(doc_id) * 8 div 10").as("cut"))
+    val tagged = fps.crossJoin(broadcast(cut))
+    val existing = tagged.filter(col("doc_id") < col("cut"))
+      .select(col("fp").as("e_fp")).distinct()
+    tagged.filter(col("doc_id") >= col("cut"))
+      .select(col("doc_id"), col("fp"))
+      .join(existing, col("fp") === col("e_fp"), "left_anti")
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one
     * n-gram, via an inverted index (gram → doc) self-join — deterministic,
     * engine-agnostic semantics (SQL-oracle-gated). The intersection count is

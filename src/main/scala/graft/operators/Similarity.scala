@@ -240,7 +240,8 @@ object Similarity {
   /** Train the IVF coarse quantizer and bucket the corpus: returns
     * (centroids (c_id, cv, cn), bucketed (bucket, vec_id, v, nrm)). */
   private[graft] def buildIvfIndex(corpus: DataFrame, nlist: Int,
-                                   lloydIters: Int): (DataFrame, DataFrame) = {
+                                   lloydIters: Int,
+                                   seedsOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // assignment of every corpus vector against broadcast centroids: argmax
     // as a partial-aggregatable max(struct) — no per-key sort window, so it
     // stays map-side-combinable at any scale
@@ -256,9 +257,9 @@ object Similarity {
     // deterministic seeding (hash-spread sample), then Lloyd refinement:
     // new centroid = element-wise mean of the bucket's vectors (posexplode →
     // (bucket, dim) partial sums — one small shuffle per iteration)
-    var centroids = corpus
+    var centroids = seedsOpt.getOrElse(corpus
       .orderBy(md5(col("vec_id").cast("string").cast("binary"))).limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
     var iter = 0
     while (iter < lloydIters) {
       val means = assign(centroids)
@@ -273,6 +274,58 @@ object Similarity {
       iter += 1
     }
     (centroids, assign(centroids))
+  }
+
+  /** C28: corpus clustering for curation — the IVF coarse quantizer
+    * ([[buildIvfIndex]], Lloyd's k-means under cosine) exposed as a
+    * first-class operator: every vector labeled with its cluster. The
+    * heavy step per iteration is one broadcast-centroid pass + one
+    * (bucket, dim) partial-agg shuffle of ≤ k·dims keys — no pairwise
+    * work at any corpus size. Rows-only (Lloyd's is not SQL-expressible);
+    * the spec checks recovery of the planted `label` structure. */
+  def embClusters(spark: SparkSession, dir: String, k: Int = 10,
+                  lloydIters: Int = 4): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(spark, dir))
+    buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))._2
+      .select(col("vec_id"), col("bucket").as("cluster"))
+  }
+
+  /** Deterministic farthest-point seeding (the greedy k-center sweep):
+    * start from the smallest vec_id, then repeatedly take the vector whose
+    * best cosine to any chosen seed is LOWEST. For well-separated groups
+    * this provably lands one seed per group, where a hash-spread sample can
+    * collide two seeds in one group and merge clusters. k bounded driver
+    * loop; each step is one broadcast pass over the corpus + a 1-row
+    * TakeOrdered — k·O(n) total, no pairwise work. */
+  private[graft] def farthestSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cn",
+        org.apache.spark.sql.types.DoubleType)))
+    def seedDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    val first = corpus.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), col("nrm")).head()
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      org.apache.spark.sql.Row(first.getLong(0), first.getSeq[Double](1), first.getDouble(2)))
+    while (chosen.length < k) {
+      val next = corpus.crossJoin(broadcast(seedDf(chosen.toSeq)))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(col("sim")).as("closest"),
+          any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+        .orderBy(col("closest").asc, col("vec_id")).limit(1).head()
+      chosen += org.apache.spark.sql.Row(
+        next.getLong(0), next.getSeq[Double](2), next.getDouble(3))
+    }
+    seedDf(chosen.toSeq)
   }
 
   /** Probe + exact-score stage shared by [[ivfTopK]] and the persisted-index

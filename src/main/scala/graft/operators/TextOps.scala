@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -226,6 +227,40 @@ object TextOps {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
+
+  /** Token-budget shard packing — chunk the corpus (in deterministic doc_id
+    * order) into training shards of ~`budget` tokens each: shard(d) =
+    * floor(prefix_tokens_before_d / budget). The global prefix sum is
+    * computed WITHOUT a single-partition window over the corpus: docs are
+    * range-bucketed on doc_id, per-bucket totals (corpus/bucketSize rows)
+    * get a cumulative offset on the small summary table, and offsets join
+    * back on the bucket key so the full-width window only ever sorts one
+    * bucket. At 1000× the data only the summary table grows; raise
+    * `bucketSize` (or add a third level) to keep it bounded. */
+  def shardAssign(spark: SparkSession, dir: String, budget: Long = 5000,
+                  bucketSize: Long = 64): DataFrame =
+    shardAssignOf(Tables.documents(spark, dir), budget, bucketSize)
+
+  private[graft] def shardAssignOf(docs: DataFrame, budget: Long,
+                                   bucketSize: Long): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    // bucket summary: one row per bucketSize docs — the only unpartitioned
+    // window, over a table 1/bucketSize the corpus size
+    val offsets = toks.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsets, "bucket") // co-partitioned on bucket; AQE broadcasts the small side
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(inBucket))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("shard"))
+  }
 
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df

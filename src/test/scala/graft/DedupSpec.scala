@@ -190,4 +190,22 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.simhashPairs(spark, d).count() == 0)
     assert(Dedup.ngramJaccard(spark, d).count() == 0)
   }
+
+  test("incremental dedup: batch docs duplicating the existing corpus are dropped") {
+    import SparkSuite.spark.implicits._
+    // ids 0..7 existing (cut = 9*8 div 10 = 7 → batch is 7..9); doc 7
+    // duplicates existing doc 1 (modulo case/whitespace), doc 8 duplicates
+    // doc 9 inside the batch, doc 9 wins by smaller... no: first-writer =
+    // min(doc_id) → 8 kept, 9 collapsed into it.
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "the shared   Text"), (2L, "gamma delta"),
+      (3L, "unique three"), (4L, "unique four"), (5L, "unique five"),
+      (6L, "unique six"),
+      (7L, "The  shared text"),  // dup of existing 1 after normalization
+      (8L, "brand new content"), // novel; 9 is its in-batch dup
+      (9L, "Brand   NEW content")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrementalOf(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(8L))
+  }
 }

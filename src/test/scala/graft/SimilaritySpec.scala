@@ -181,4 +181,41 @@ class SimilaritySpec extends SparkSuite {
     val agree = ivfTop.count { case (q, v) => bfTop.get(q).contains(v) }
     assert(agree >= 3, s"IVF rank-1 recall too low: $agree/5")
   }
+
+  test("embClusters recovers planted well-separated clusters; deterministic") {
+    // the corpus `label` column is NOT geometric (same-label avg cos ≈ 0),
+    // so purity is asserted on self-planted clusters: 4 orthogonal-ish
+    // Gaussian centers, 10 jittered members each
+    val d = Files.createTempDirectory("graft-km").toString
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for {
+      c <- centers.indices
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong,
+      centers(c).map(a => a + 0.05f * rnd.nextGaussian().toFloat), c)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val out = Similarity.embClusters(spark, d, k = 4, lloydIters = 4).cache()
+    assert(out.count() == 40)
+    val assign = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // majority-vote purity over planted groups
+    val purity = (0 until 4).map { c =>
+      val members = (0 until 10).map(m => assign((c * 10 + m).toLong))
+      members.groupBy(identity).values.map(_.size).max
+    }.sum / 40.0
+    assert(purity >= 0.9, s"cluster purity $purity < 0.9")
+    // pure function of the data: a re-run assigns identically
+    val again = Similarity.embClusters(spark, d, k = 4, lloydIters = 4)
+    assert(out.join(again.withColumnRenamed("cluster", "c2"), "vec_id")
+      .filter(col("cluster") =!= col("c2")).count() == 0)
+  }
+
+  test("embClusters covers the corpus with at most k clusters on real data") {
+    val out = Similarity.embClusters(spark, sf).cache()
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+    assert(out.select("cluster").distinct().count() <= 10)
+  }
 }

@@ -81,4 +81,40 @@ class TextOpsSpec extends SparkSuite {
     val r = TextOps.bpePairsOf(docs, 2).collect().map(_.getString(0)).toSeq
     assert(r == Seq("xy", "yz"))
   }
+
+  test("shardAssign: two-level prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf)
+    val out = TextOps.shardAssignOf(docs, budget = 500, bucketSize = 8)
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), expr("(cum - n_tokens) div 500").as("naive_shard"))
+    val joined = out.join(naive, "doc_id").cache()
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("shard") =!= col("naive_shard")).count() == 0)
+    // packing is non-trivial: more than one shard, shards are contiguous
+    val shards = out.select("shard").distinct().as[Long].collect().sorted
+    assert(shards.length > 1)
+    assert(shards.toSeq == (shards.min to shards.max).toSeq)
+  }
+
+  test("shardAssign: every full shard lands within one max-doc of the budget") {
+    val budget = 500L
+    val out = TextOps.shardAssignOf(graft.Tables.documents(spark, sf), budget, 8)
+      .groupBy("shard").agg(sum(col("n_tokens")).as("shard_tokens"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("shard_tokens")).toMap
+    val maxDoc = TextOps.shardAssignOf(graft.Tables.documents(spark, sf), budget, 8)
+      .agg(max(col("n_tokens"))).head().getLong(0)
+    val lastShard = out.keys.max
+    out.foreach { case (s, tokens) =>
+      if (s != lastShard) {
+        // shard boundaries are offsets in [s·b, s·b + maxDoc), so a closed
+        // shard's width is within one max-document of the budget either way
+        assert(tokens > budget - maxDoc && tokens < budget + maxDoc,
+          s"shard $s has $tokens tokens (budget $budget, maxDoc $maxDoc)")
+      }
+    }
+  }
 }
