@@ -165,4 +165,19 @@ class PlanSpec extends SparkSuite {
     val p = planOf(graft.multimodal.Multimodal.metaStats(media))
     assert(!p.contains("payload"), "payload bytes must not reach the plan:\n" + p.take(800))
   }
+
+  test("range join: equi-join on (user, bucket) — never a cartesian/BNLJ — and the error filter is pushed") {
+    val p = planOf(EventOps.rangeJoinPriorHour(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    assert(p.contains("EqualTo(event_type,error)"), "probe filter must reach the scan:\n" + p.take(1000))
+  }
+
+  test("shard assign: the only unpartitioned window sorts the bucket summary, not the corpus") {
+    val p = planOf(TextOps.shardAssign(spark, sf))
+    // one single-partition exchange (the ≤|corpus|/bucketSize summary
+    // cumsum); the corpus-wide window runs partitioned by bucket
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
+  }
 }
