@@ -137,6 +137,7 @@ object SparkEntry {
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
+    "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
@@ -732,6 +733,15 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
         |) t2""".stripMargin,
+    // the grouped ranking must reproduce the naive global row_number
+    "doc_vocab" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS n_occurrences
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY term)
+        |SELECT term, n_occurrences,
+        |  row_number() OVER (ORDER BY n_occurrences DESC, term) AS vocab_id
+        |FROM tc WHERE n_occurrences >= 5""".stripMargin,
     // the two-level prefix sum must reproduce the naive global window cumsum
     "doc_shard_assign" ->
       """SELECT doc_id, n_tokens,

@@ -262,6 +262,34 @@ object TextOps {
         expr(s"(cum - n_tokens) div $budget").as("shard"))
   }
 
+  /** Vocabulary build — terms at or above `minCount` with DENSE ids in
+    * global (count desc, term) order, the id assignment a tokenizer ships
+    * with. Global ranking without a corpus-wide single-partition window:
+    * the total order is refined into (count, term-prefix) groups — ordering
+    * by group IS the global order — so the full vocabulary only ever sorts
+    * within a group, and the group offsets come from one cumsum over the
+    * group-size summary (≈ distinct-counts × alphabet rows). Lengthen the
+    * prefix to subdivide further at larger vocabularies. */
+  def vocab(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
+    vocabOf(Tables.documents(spark, dir), minCount)
+
+  private[graft] def vocabOf(docs: DataFrame, minCount: Long): DataFrame = {
+    val tc = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .withColumn("pfx", substring(col("term"), 1, 1))
+    val offsets = tc.groupBy("n_occurrences", "pfx")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.orderBy(col("n_occurrences").desc, col("pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_occurrences").as("o_n"), col("pfx").as("o_p"), col("offset"))
+    val inGroup = Window.partitionBy("n_occurrences", "pfx").orderBy("term")
+    tc.join(offsets, tc("n_occurrences") === col("o_n") && tc("pfx") === col("o_p"))
+      .select(col("term"), col("n_occurrences"),
+        (col("offset") + row_number().over(inGroup)).as("vocab_id"))
+  }
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at

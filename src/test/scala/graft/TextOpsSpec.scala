@@ -82,6 +82,31 @@ class TextOpsSpec extends SparkSuite {
     assert(r == Seq("xy", "yz"))
   }
 
+  test("vocab: grouped ranking equals the naive global row_number; minCount filters") {
+    import org.apache.spark.sql.expressions.Window
+    // counts: apple=3 ant=3 bee=3 cat=2 dog=1 → minCount 2 drops dog;
+    // ties on count 3 rank lexicographically (ant < apple < bee)
+    val docs = Seq(
+      (1L, "apple ant bee cat"), (2L, "apple ant bee cat"),
+      (3L, "apple ant bee dog")).toDF("doc_id", "text")
+    val got = TextOps.vocabOf(docs, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("vocab_id"))).toMap
+    assert(got == Map("ant" -> 1L, "apple" -> 2L, "bee" -> 3L, "cat" -> 4L))
+
+    // corpus-level: identical to a single global window at this SF
+    val corpus = graft.Tables.documents(spark, sf)
+    val naive = corpus.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .withColumn("naive_id", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+      .select(col("term"), col("naive_id"))
+    val out = TextOps.vocab(spark, sf)
+    val joined = out.join(naive, "term").cache()
+    assert(joined.count() == out.count() && out.count() > 0)
+    assert(joined.filter(col("vocab_id") =!= col("naive_id")).count() == 0)
+  }
+
   test("shardAssign: two-level prefix sum equals the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, sf)
