@@ -84,9 +84,9 @@ object Bench {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "1")
-      def run(dir: String, name: String) = {
+      def run(dir: String, name: String, fpt: String = filesPerTrigger) = {
         val in = spark.readStream.schema(EventPipeline.eventSchema)
-          .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
+          .option("maxFilesPerTrigger", fpt).parquet(dir)
         val limited = EventPipeline
           .rateLimited(EventPipeline.deduped(in, "2 hours").as[EventPipeline.Event], limit = 1000)
           .filter(_.admitted)
@@ -134,7 +134,27 @@ object Bench {
       val rps = if (wallSec > 0) nRows / wallSec else 0.0
       val p50 = if (trigMs.nonEmpty) trigMs(trigMs.length / 2) else 0L
       val maxTrig = if (trigMs.nonEmpty) trigMs.max else 0L
-      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps}"""
+      // optional batch-size sweep (latency vs throughput trade): one rep per
+      // files-per-trigger setting, off by default so the headline run stays
+      // cheap. The staged 8 files make fpt ∈ {1,2,4,8} = 8..1 micro-batches.
+      val matrixJson = if (sys.env.get("SPARK_GRAFT_STREAM_MATRIX").contains("1")) {
+        val entries = Seq("1", "2", "4", "8").map { fpt =>
+          val name = s"bench_stream_m${fpt}_${System.nanoTime()}"
+          val t0 = System.nanoTime()
+          val q = run(stage, name, fpt)
+          q.processAllAvailable()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val tm = q.recentProgress.toSeq.flatMap(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+            .filter(_ > 0).sorted
+          q.stop(); spark.catalog.dropTempView(name)
+          val mp50 = if (tm.nonEmpty) tm(tm.length / 2) else 0L
+          val mrps = if (wall > 0) nRows / wall else 0.0
+          f"""{"files_per_trigger":$fpt,"n_batches":${tm.length},"p50_batch_ms":$mp50,"rows_per_sec":$mrps%.0f}"""
+        }
+        entries.mkString(""","batch_size_matrix":[""", ",", "]")
+      } else ""
+      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson}"""
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
