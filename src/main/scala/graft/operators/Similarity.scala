@@ -311,10 +311,14 @@ object Similarity {
     def seedDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
       spark.createDataFrame(rows.asJava, schema)
     val first = corpus.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("v"), col("nrm")).head()
+      .select(col("vec_id"), col("v"), col("nrm")).take(1)
+    if (first.isEmpty) return seedDf(Seq.empty) // empty corpus -> no seeds
     val chosen = scala.collection.mutable.ArrayBuffer(
-      org.apache.spark.sql.Row(first.getLong(0), first.getSeq[Double](1), first.getDouble(2)))
-    while (chosen.length < k) {
+      org.apache.spark.sql.Row(first(0).getLong(0), first(0).getSeq[Double](1),
+        first(0).getDouble(2)))
+    val chosenIds = scala.collection.mutable.Set(first(0).getLong(0))
+    var exhausted = false
+    while (chosen.length < k && !exhausted) {
       val next = corpus.crossJoin(broadcast(seedDf(chosen.toSeq)))
         .select(col("vec_id"), col("v"), col("nrm"),
           (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
@@ -322,7 +326,9 @@ object Similarity {
         .agg(max(col("sim")).as("closest"),
           any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
         .orderBy(col("closest").asc, col("vec_id")).limit(1).head()
-      chosen += org.apache.spark.sql.Row(
+      // corpus smaller than k: the argmin revisits a chosen vector — stop
+      if (!chosenIds.add(next.getLong(0))) exhausted = true
+      else chosen += org.apache.spark.sql.Row(
         next.getLong(0), next.getSeq[Double](2), next.getDouble(3))
     }
     seedDf(chosen.toSeq)

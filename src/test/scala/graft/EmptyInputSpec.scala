@@ -100,4 +100,16 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.deterministicSplit(spark, dir).count() == 0)
     assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
   }
+
+  test("round-4 operators survive empty inputs") {
+    assert(EventOps.rangeJoinPriorHour(spark, dir).count() == 0)
+    assert(EventOps.valueHistogram(spark, dir).count() == 0)
+    assert(TextOps.piiScrub(spark, dir).count() == 0)
+    assert(TextOps.stratifiedSample(spark, dir).count() == 0)
+    assert(TextOps.bpePairs(spark, dir).count() == 0)
+    assert(TextOps.shardAssign(spark, dir).count() == 0)
+    assert(TextOps.vocab(spark, dir).count() == 0)
+    assert(Dedup.dedupIncremental(spark, dir).count() == 0)
+    assert(Similarity.embClusters(spark, dir).count() == 0)
+  }
 }
