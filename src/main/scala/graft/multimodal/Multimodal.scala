@@ -8,14 +8,16 @@ import graft.Tables
   * with typed metadata, processed in partition-batched form.
   *
   * The IMAGE codec is REAL: payloads are genuine PNGs, decoded with the
-  * JDK's `javax.imageio` and resized with `Graphics2D` ([[ImageCodec]]) —
-  * no external dependency, all executor-side. Audio/video codecs (resampling,
-  * demux) remain STUBBED as clearly-marked deterministic fakes: this
-  * container ships no media libraries for those. The surrounding plumbing is
-  * identical either way and is what matters at 100 TB: the schema contract,
-  * the binary-payload-stays-off-the-driver rule, mapPartitions batch shape,
-  * partition sizing for ~MB-scale rows, and column pruning on the metadata
-  * without touching payload bytes. */
+  * JDK's `javax.imageio` and resized with `Graphics2D` ([[ImageCodec]]).
+  * The AUDIO codec is REAL: payloads are genuine RIFF/PCM WAVs, decoded
+  * with `javax.sound.sampled` and pooled to fixed-size amplitude envelopes
+  * ([[AudioCodec]]). Both JDK-only, all executor-side. VIDEO demux remains
+  * STUBBED as a clearly-marked deterministic fake: the JDK ships no
+  * container demuxer and this environment no media libraries. The
+  * surrounding plumbing is identical either way and is what matters at
+  * 100 TB: the schema contract, the binary-payload-stays-off-the-driver
+  * rule, mapPartitions batch shape, partition sizing for ~MB-scale rows,
+  * and column pruning on the metadata without touching payload bytes. */
 object Multimodal {
 
   case class Media(media_id: Long, kind: String, uri: String,
@@ -26,8 +28,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table derived from the documents corpus.
     * Image rows carry a REAL PNG payload (encoded executor-side, dimensions
-    * matching the row's metadata); audio/video rows carry the text bytes as
-    * an opaque stand-in stream. Stands in for
+    * matching the row's metadata); audio rows a REAL 8 kHz PCM WAV whose
+    * length matches the row's `duration_ms`; video rows carry the text
+    * bytes as an opaque stand-in stream. Stands in for
     * `spark.read.format("binaryFile")` over an object store. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
@@ -40,19 +43,23 @@ object Multimodal {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
         val width = 64 + (id % 8).toInt * 16
-        val payload =
-          if (kind == "image") ImageCodec.synthPng(width, 64, id ^ bytes.length.toLong)
-          else bytes
+        val durationMs = r.getAs[Long]("n_chars") * 10
+        val payload = kind match {
+          case "image" => ImageCodec.synthPng(width, 64, id ^ bytes.length.toLong)
+          case "audio" => AudioCodec.synthWav((durationMs * 8).toInt, 8000f,
+            id ^ bytes.length.toLong) // 8 samples/ms: WAV length == duration_ms
+          case _ => bytes
+        }
         Media(id, kind, s"mem://media/$id", width = width,
-          height = 64, duration_ms = r.getAs[Long]("n_chars") * 10, payload = payload)
+          height = 64, duration_ms = durationMs, payload = payload)
       }
   }
 
-  /** STUB codec for AUDIO/VIDEO payloads only (no codec libs in this
-    * container): "decode" a payload to fixed-size bytes as a deterministic
-    * hash-expanded fake. Images use the real [[ImageCodec]] path; a real
-    * audio/video implementation would slot in here with identical signature
-    * and batch shape. */
+  /** STUB codec for VIDEO payloads only (the JDK ships no demuxer):
+    * "decode" a payload to fixed-size bytes as a deterministic
+    * hash-expanded fake. Images and audio use the real [[ImageCodec]] /
+    * [[AudioCodec]] paths; a real video implementation would slot in here
+    * with identical signature and batch shape. */
   private def stubDecode(payload: Array[Byte], outLen: Int): Array[Byte] = {
     val out = new Array[Byte](outLen)
     var h = 1125899906842597L
@@ -65,17 +72,20 @@ object Multimodal {
   }
 
   /** Decode + resize: partition-batched map keeping payloads distributed.
-    * Images run the REAL codec (ImageIO decode + Graphics2D bilinear resize
-    * to w×h grayscale); audio/video fall back to the declared stub. Output
+    * Images run the REAL image codec (ImageIO decode + bilinear resize to
+    * w×h grayscale), audio the REAL WAV codec (PCM decode + amplitude
+    * envelope of w*h bins); video falls back to the declared stub. Output
     * schema: (media_id, kind, pixels binary of exactly w*h bytes). */
   def decodeResize(media: Dataset[Media], w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // batch shape: one decoded buffer per row, allocation reused per batch
       it.map { m =>
-        val px =
-          if (m.kind == "image") ImageCodec.decodeResizeGray(m.payload, w, h)
-          else stubDecode(m.payload, w * h)
+        val px = m.kind match {
+          case "image" => ImageCodec.decodeResizeGray(m.payload, w, h)
+          case "audio" => AudioCodec.decodeEnvelope(m.payload, w * h)
+          case _       => stubDecode(m.payload, w * h)
+        }
         (m.media_id, m.kind, px)
       }
     }.toDF("media_id", "kind", "pixels")
@@ -93,17 +103,20 @@ object Multimodal {
   }
 
   /** Feature extractor: payload → fixed-dim embedding. Images pool REAL
-    * decoded pixels (a dim×4 grayscale thumbnail); audio/video use the
-    * declared stub. Signature/batching matches a real encoder (model loaded
-    * once per partition, vectors out, payload dropped). */
+    * decoded pixels (a dim×4 grayscale thumbnail), audio a REAL dim×4-bin
+    * amplitude envelope; video uses the declared stub. Signature/batching
+    * matches a real encoder (model loaded once per partition, vectors out,
+    * payload dropped). */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // a real impl would load the model ONCE here per partition
       it.map { m =>
-        val px =
-          if (m.kind == "image") ImageCodec.decodeResizeGray(m.payload, dim, 4)
-          else stubDecode(m.payload, dim * 4)
+        val px = m.kind match {
+          case "image" => ImageCodec.decodeResizeGray(m.payload, dim, 4)
+          case "audio" => AudioCodec.decodeEnvelope(m.payload, dim * 4)
+          case _       => stubDecode(m.payload, dim * 4)
+        }
         val vec = Array.tabulate(dim)(i => (px(i * 4) / 128.0f))
         Feature(m.media_id, m.kind, vec)
       }

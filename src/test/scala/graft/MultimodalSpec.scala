@@ -35,6 +35,36 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real audio codec: WAV payloads round-trip PCM; envelope is fixed-size and deterministic") {
+    val auds = media.filter(_.kind == "audio").limit(8).collect()
+    assert(auds.nonEmpty)
+    auds.foreach { m =>
+      // RIFF magic
+      assert(m.payload(0) == 'R' && m.payload(1) == 'I' &&
+        m.payload(2) == 'F' && m.payload(3) == 'F', "audio payload is not a WAV")
+      val (rate, pcm) = graft.multimodal.AudioCodec.decodePcm(m.payload)
+      assert(rate == 8000f)
+      // 8 samples/ms: decoded length must reproduce the metadata duration
+      assert(pcm.length == m.duration_ms * 8,
+        s"media ${m.media_id}: ${pcm.length} samples, metadata says ${m.duration_ms} ms")
+      val env = graft.multimodal.AudioCodec.decodeEnvelope(m.payload, 64)
+      assert(env.length == 64)
+      assert(env.toSeq == graft.multimodal.AudioCodec.decodeEnvelope(m.payload, 64).toSeq)
+      // a real signal has amplitude variance — not a constant fill
+      assert(env.distinct.length > 1, "envelope is a constant fill")
+    }
+    // PCM16 WAV round-trip is lossless: synth → decode returns the samples
+    val wav = graft.multimodal.AudioCodec.synthWav(1000, 8000f, seed = 7L)
+    val (_, pcm) = graft.multimodal.AudioCodec.decodePcm(wav)
+    assert(pcm.length == 1000)
+    val wav2 = graft.multimodal.AudioCodec.synthWav(1000, 8000f, seed = 7L)
+    assert(wav.toSeq == wav2.toSeq, "synthWav not deterministic")
+    // undecodable bytes surface as an error (dead-letter contract), not junk
+    intercept[IllegalArgumentException] {
+      graft.multimodal.AudioCodec.decodePcm(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("decodeResize emits fixed-size pixel buffers with a stable schema") {
     val out = Multimodal.decodeResize(media.limit(20), 8, 8).collect()
     assert(out.nonEmpty)
