@@ -139,6 +139,7 @@ object SparkEntry {
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),

@@ -65,6 +65,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Incremental NEAR-dup — the nightly-ingest shape of [[minhashLsh]]: a
+    * new batch (doc_id ≥ cut, same convention as [[dedupIncremental]]) is
+    * checked against the existing corpus without ever re-pairing
+    * existing×existing. Band buckets join existing←→batch only, plus the
+    * batch's internal self-join — so the per-ingest cost is O(batch) band
+    * rows probing the existing bucket table, not O(corpus²). The existing
+    * side's (doc_id, band, bucket, sig) table is exactly the artifact a
+    * deployment persists between ingests (the signature store), mirroring
+    * the IVF/PQ encode-once pattern. Output: batch doc pairs with their
+    * matched (existing or batch) counterpart at est_jaccard ≥ threshold. */
+  def minhashLshIncremental(spark: SparkSession, dir: String,
+                            shingleK: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashLshIncrementalOf(Tables.documents(spark, dir),
+      shingleK, numHashes, bands, threshold)
+
+  private[graft] def minhashLshIncrementalOf(docs: DataFrame, shingleK: Int = 3,
+                                             numHashes: Int = 16, bands: Int = 4,
+                                             threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("cut"))
+    val sigs = minhashSigs(docs, shingleK, numHashes)
+      .filter(col("sig").isNotNull)
+      .crossJoin(broadcast(cut)).cache()
+    val banded = sigs.select(col("doc_id"), col("cut"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "cut", "band", "bucket")
+    val existingB = banded.filter(col("doc_id") < col("cut"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val batchB = banded.filter(col("doc_id") >= col("cut"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    // batch probes existing buckets; batch-internal pairs via self-join of
+    // the (small) batch band table — existing×existing never forms
+    val crossCand = existingB.as("a").join(batchB.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val innerCand = batchB.as("a").join(batchB.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = crossCand.unionByName(innerCand).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.TextHashExpressions.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —
     * map-only (the earlier explode → 64 sign-sum aggregates paid a
     * one-row-per-token shuffle). NULL for zero-token docs. */

@@ -208,4 +208,41 @@ class DedupSpec extends SparkSuite {
     val kept = Dedup.dedupIncrementalOf(docs).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(8L))
   }
+
+  test("incremental near-dup: batch pairs vs existing + in-batch, never existing x existing") {
+    import SparkSuite.spark.implicits._
+    def sent(tag: String) =
+      s"alpha bravo charlie delta echo foxtrot golf hotel india $tag juliet kilo lima"
+    // ids 0..7 existing (cut = 7), 7..9 batch. Near-dups: (1, 8) across the
+    // cut, (8, 9) in-batch, and (1, 2) WITHIN existing — which a full-corpus
+    // run reports but the incremental run must not re-derive.
+    val docs = Seq(
+      (0L, "completely different text about mountains rivers and weather patterns"),
+      (1L, sent("one")), (2L, sent("two")),
+      (3L, "unrelated corpus document number three with its own words entirely"),
+      (4L, "another unrelated document full of independent vocabulary choices"),
+      (5L, "fifth document standing alone with separate content and phrasing"),
+      (6L, "sixth unrelated entry in the existing corpus side of the split"),
+      (7L, "the new batch begins here with this unrelated fresh arrival"),
+      (8L, sent("eight")), (9L, sent("nine"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncrementalOf(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 8L)) || pairs.contains((1L, 9L)),
+      s"cross-cut near-dup not found: $pairs")
+    assert(pairs.contains((8L, 9L)), s"in-batch near-dup not found: $pairs")
+    // every reported pair touches the batch; (1,2) never re-derived
+    assert(pairs.forall { case (_, b) => b >= 7L }, s"existing-only pair leaked: $pairs")
+
+    // agreement with the full-corpus run restricted to batch-touching pairs
+    val d = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val full: Set[(Long, Long)] = Dedup.minhashLsh(spark, d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fullBatch = full.filter(p => p._1 >= 7L || p._2 >= 7L)
+    assert(pairs == fullBatch, s"incremental $pairs != batch-touching full $fullBatch")
+  }
 }
