@@ -618,6 +618,34 @@ class StreamingSpec extends SparkSuite {
     assert(got("fanout_b") == expected, s"subscriber B (late joiner): ${got("fanout_b")}")
   }
 
+  test("StateTuning: scoped confs apply inside the block, restore after; stream runs under them") {
+    import graft.streaming.StateTuning
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val tuning = StateTuning(statePartitions = 2, rocksDb = true,
+      changelogCheckpointing = true)
+    val src = Files.createTempDirectory("graft-tune-src").toString
+    val chk = Files.createTempDirectory("graft-tune-chk").toString
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "click", 10.0), Event(1, ts(0), 1, "click", 10.0),
+      Event(2, ts(1), 2, "view", 20.0)))
+    val ids = tuning.withTuning(spark) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      // a stateful operator (dedup) under the tuned session
+      val q = EventPipeline.deduped(EventPipeline.fileSource(spark, src))
+        .writeStream.format("memory").queryName("tuned_out")
+        .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("tuned_out").collect().map(_.getAs[Long]("event_id")).toSet
+    }
+    assert(ids == Set(1L, 2L)) // dedup worked under RocksDB + 2 partitions
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == priorParts)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      == priorProvider)
+  }
+
   test("multi-topic union ingest: one stream over several source directories") {
     val srcA = Files.createTempDirectory("graft-multi-a").toString
     val srcB = Files.createTempDirectory("graft-multi-b").toString
