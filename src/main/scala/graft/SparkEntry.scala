@@ -141,6 +141,7 @@ object SparkEntry {
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
+    "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
@@ -734,6 +735,16 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
         |) t2""".stripMargin,
+    // same bit-exact cosine as the brute-force oracle, label filter residual
+    "emb_hard_negatives" ->
+      s"""SELECT q_id, vec_id, label, rank, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label AS label,
+         |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+         |  FROM embeddings c, embeddings q
+         |  WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label) t
+         |WHERE rank <= 3""".stripMargin,
     // the grouped ranking must reproduce the naive global row_number
     "doc_vocab" ->
       """WITH tc AS (

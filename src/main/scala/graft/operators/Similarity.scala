@@ -34,6 +34,31 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** C29: hard-negative mining for contrastive training — for each query
+    * vector, the top-k nearest CORPUS vectors carrying a DIFFERENT label
+    * (the highest-similarity wrong answers, the negatives that actually
+    * teach). Same broadcast-queries + WindowGroupLimit shape as
+    * [[cosineTopK]]; the label inequality is a residual on the scored pass,
+    * so cost is identical to plain top-k. At 100 TB the IVF bucketed path
+    * substitutes exactly as it does for top-k. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 10,
+                    k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("label"), col("rank"), col("cos_sim"))
+  }
+
   /** C6: near-duplicate embedding pairs above a cosine threshold, blocked by
     * label (the generator's cluster id) to stay sub-quadratic; exact within
     * blocks. */

@@ -45,6 +45,17 @@ class SimilaritySpec extends SparkSuite {
     assert(q1.head.getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vectors, same-label near-copy excluded") {
+    // planted dir: query 0 (label 0, = e0) has corpus near-copy 10 with the
+    // SAME label (cos ~0.995) — top-k would return it first; hard-negative
+    // mining must skip it and return only other-label vectors
+    val out = Similarity.hardNegatives(spark, dir, nQueries = 3, k = 2).collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Long]("rank"))
+    assert(q0.nonEmpty)
+    assert(!q0.exists(_.getAs[Long]("vec_id") == 10L), "same-label near-copy leaked")
+    assert(q0.forall(_.getAs[Int]("label") != 0))
+  }
+
   test("neardupPairs finds only the same-label near pair above threshold") {
     val pairs = Similarity.neardupPairs(spark, dir, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
