@@ -34,7 +34,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
-  /** C29: hard-negative mining for contrastive training — for each query
+  /** C33: hard-negative mining for contrastive training — for each query
     * vector, the top-k nearest CORPUS vectors carrying a DIFFERENT label
     * (the highest-similarity wrong answers, the negatives that actually
     * teach). Same broadcast-queries + WindowGroupLimit shape as
@@ -295,13 +295,15 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("bucket").as("c_id"), transform(col("pm"), e => e("m")).as("cv"))
         .withColumn("cn", norm(col("cv")))
-      centroids = means
+      // k-row table: truncate the per-iteration lineage (same pattern as
+      // star-CC rounds) so iteration i never re-executes iterations 0..i-1
+      centroids = means.localCheckpoint(true)
       iter += 1
     }
     (centroids, assign(centroids))
   }
 
-  /** C28: corpus clustering for curation — the IVF coarse quantizer
+  /** C32: corpus clustering for curation — the IVF coarse quantizer
     * ([[buildIvfIndex]], Lloyd's k-means under cosine) exposed as a
     * first-class operator: every vector labeled with its cluster. The
     * heavy step per iteration is one broadcast-centroid pass + one
@@ -310,19 +312,23 @@ object Similarity {
     * the spec checks recovery of the planted `label` structure. */
   def embClusters(spark: SparkSession, dir: String, k: Int = 10,
                   lloydIters: Int = 4): DataFrame = {
-    val corpus = withNorm(Tables.embeddings(spark, dir))
+    // cached: the seeding sample + every Lloyd pass re-reads the corpus
+    val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
     buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))._2
       .select(col("vec_id"), col("bucket").as("cluster"))
   }
 
-  /** Deterministic farthest-point seeding (the greedy k-center sweep):
-    * start from the smallest vec_id, then repeatedly take the vector whose
-    * best cosine to any chosen seed is LOWEST. For well-separated groups
-    * this provably lands one seed per group, where a hash-spread sample can
-    * collide two seeds in one group and merge clusters. k bounded driver
-    * loop; each step is one broadcast pass over the corpus + a 1-row
-    * TakeOrdered — k·O(n) total, no pairwise work. */
-  private[graft] def farthestSeeds(corpus: DataFrame, k: Int): DataFrame = {
+  /** Deterministic farthest-point seeding, k-means‖-style: ONE cluster pass
+    * draws a hash-spread candidate sample (k·`oversample` vectors — bounded,
+    * driver-safe), then the greedy k-center sweep runs driver-side on the
+    * candidates: start from the hash-smallest, repeatedly take the candidate
+    * whose best cosine to any chosen seed is LOWEST. For well-separated
+    * groups whose members reach the sample this provably lands one seed per
+    * group, where a bare hash-spread head can collide two seeds in one group
+    * and merge clusters. Cost: one TakeOrdered job + O(k²·oversample)
+    * driver flops — not k sequential cluster-wide passes. */
+  private[graft] def farthestSeeds(corpus: DataFrame, k: Int,
+                                   oversample: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -335,28 +341,28 @@ object Similarity {
         org.apache.spark.sql.types.DoubleType)))
     def seedDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
       spark.createDataFrame(rows.asJava, schema)
-    val first = corpus.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("v"), col("nrm")).take(1)
-    if (first.isEmpty) return seedDf(Seq.empty) // empty corpus -> no seeds
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      org.apache.spark.sql.Row(first(0).getLong(0), first(0).getSeq[Double](1),
-        first(0).getDouble(2)))
-    val chosenIds = scala.collection.mutable.Set(first(0).getLong(0))
-    var exhausted = false
-    while (chosen.length < k && !exhausted) {
-      val next = corpus.crossJoin(broadcast(seedDf(chosen.toSeq)))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
-        .groupBy("vec_id")
-        .agg(max(col("sim")).as("closest"),
-          any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
-        .orderBy(col("closest").asc, col("vec_id")).limit(1).head()
-      // corpus smaller than k: the argmin revisits a chosen vector — stop
-      if (!chosenIds.add(next.getLong(0))) exhausted = true
-      else chosen += org.apache.spark.sql.Row(
-        next.getLong(0), next.getSeq[Double](2), next.getDouble(3))
+    val cand = corpus
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")))
+      .limit(k * oversample)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    if (cand.isEmpty) return seedDf(Seq.empty) // empty corpus -> no seeds
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      s / (a._3 * b._3)
     }
-    seedDf(chosen.toSeq)
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    val best = scala.collection.mutable.Map( // candidate -> closest-seed cos
+      cand.iterator.map(c => c._1 -> cos(c, cand.head)).toSeq: _*)
+    while (chosen.length < math.min(k, cand.length)) {
+      val next = cand.filterNot(c => chosen.exists(_._1 == c._1))
+        .minBy(c => (best(c._1), c._1))
+      chosen += next
+      cand.foreach(c => best(c._1) = math.max(best(c._1), cos(c, next)))
+    }
+    seedDf(chosen.toSeq.map(c =>
+      org.apache.spark.sql.Row(c._1, c._2.toSeq, c._3)))
   }
 
   /** Probe + exact-score stage shared by [[ivfTopK]] and the persisted-index
