@@ -140,6 +140,7 @@ object SparkEntry {
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
+    "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),

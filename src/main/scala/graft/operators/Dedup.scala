@@ -310,6 +310,26 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("canonical_id"))
   }
 
+  /** C16b: canonical selection by QUALITY — [[keepList]] keeps the
+    * min-doc_id representative; a curation pipeline keeps the BEST copy of
+    * each near-dup cluster instead. The winner is argmax(quality, then min
+    * doc_id) per cluster via one partial-aggregatable max(struct) — no
+    * per-cluster sort. Singleton docs are their own canonical. Output one
+    * row per doc: (doc_id, canonical_id, keep). */
+  def keepListByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val clusters = neardupClusters(spark, dir).withColumnRenamed("id", "doc_id")
+    val member = q.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+    val winners = member.groupBy("cluster")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("canonical_id"))
+    member.join(winners, "cluster")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Incremental dedup — the corpus-growth path: a NEW batch of documents
     * (doc_id ≥ cut, the top 20% of the id range here) is admitted only where
     * its normalized fingerprint is absent from the EXISTING corpus, with

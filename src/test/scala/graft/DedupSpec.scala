@@ -209,6 +209,28 @@ class DedupSpec extends SparkSuite {
     assert(kept.toSeq == Seq(8L))
   }
 
+  test("keepListByQuality: the higher-quality copy wins its cluster, not the min id") {
+    import SparkSuite.spark.implicits._
+    val s = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    // doc 2 = doc 1 repeated twice: near-identical shingle set (same
+    // cluster) but twice the words -> higher quality despite the LARGER id.
+    // min-id keepList would crown 1; quality-canonical must crown 2.
+    val d = java.nio.file.Files.createTempDirectory("graft-keepq").toString
+    Seq((1L, s), (2L, s + " " + s), (3L, "standalone text about nothing else"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.keepListByQuality(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (2L, false), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (2L, true), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (3L, true), s"singleton: ${out(3L)}")
+  }
+
   test("incremental near-dup: batch pairs vs existing + in-batch, never existing x existing") {
     import SparkSuite.spark.implicits._
     def sent(tag: String) =
