@@ -64,9 +64,12 @@ object Bench {
     // 8 staged files × maxFilesPerTrigger=1 → 8 micro-batches, so the
     // duration metrics reflect per-trigger latency, not one giant batch
     ev.repartition(8).write.mode("overwrite").parquet(stage)
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    // state-store knobs via the shipped facade (partitions sized to the
+    // topology's key cardinality, RocksDB provider, changelog
+    // checkpointing) — the bench tunes exactly what a deployment would
+    val tuning = graft.streaming.StateTuning(
+      statePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt)
+    val savedTuning = tuning(spark)
     // the bounded run emits everything from data batches (Append from
     // flatMapGroups, no window finalization) — the trailing watermark-only
     // batch is pure overhead here
@@ -74,15 +77,6 @@ object Bench {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val savedCkpt = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
     spark.conf.set("spark.sql.streaming.checkpointLocation", tmpDir("graft-stream-ckpt"))
-    val savedProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // changelog checkpointing: commit ships the per-batch delta instead of
-    // re-snapshotting every store — the per-trigger latency knob for RocksDB
-    val savedChangelog = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "1")
       def run(dir: String, name: String, fpt: String = filesPerTrigger) = {
@@ -157,15 +151,9 @@ object Bench {
       } else ""
       f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson}"""
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
-      savedProvider.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
-      savedChangelog.fold(spark.conf.unset(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"))(
-        spark.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", _))
       val ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation")
+      tuning.restore(spark, savedTuning)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
       savedCkpt.fold(spark.conf.unset("spark.sql.streaming.checkpointLocation"))(
         spark.conf.set("spark.sql.streaming.checkpointLocation", _))
       // tmpfs is RAM — drop the staged files + checkpoints when done

@@ -873,9 +873,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
         |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
         |FROM tc GROUP BY 1""".stripMargin,
-    // dedup-by-event_id CTE pins the oracle to the streaming path's
-    // dropDuplicates("event_id") semantics (first occurrence per id) — the
-    // two would otherwise diverge if the table ever carried duplicate ids.
+    // dedup-by-event_id CTE mirrors the production path's
+    // dropDuplicatesWithinWatermark: the bounded replay is a SINGLE
+    // micro-batch (no maxFilesPerTrigger on the staged read), where
+    // within-watermark dedup equals global first-occurrence-per-id dedup —
+    // the equivalence this oracle is pinned to. A multi-batch replay with
+    // duplicate ids farther apart than the 10-minute horizon would keep
+    // both copies and belongs to StreamingSpec, not this gate.
     "stream_windowed_counts" ->
       s"""WITH ev AS (
          |  SELECT ts, event_type, value FROM (

@@ -46,8 +46,12 @@ object Multimodal {
         val durationMs = r.getAs[Long]("n_chars") * 10
         val payload = kind match {
           case "image" => ImageCodec.synthPng(width, 64, id ^ bytes.length.toLong)
-          case "audio" => AudioCodec.synthWav((durationMs * 8).toInt, 8000f,
-            id ^ bytes.length.toLong) // 8 samples/ms: WAV length == duration_ms
+          // 8 samples/ms: WAV length == duration_ms. Capped at 2000 s of
+          // audio so a pathologically long text row can't overflow the Int
+          // sample count (the synthetic corpus is far below the cap).
+          case "audio" => AudioCodec.synthWav(
+            math.min(durationMs * 8, 16_000_000L).toInt, 8000f,
+            id ^ bytes.length.toLong)
           case _ => bytes
         }
         Media(id, kind, s"mem://media/$id", width = width,

@@ -312,10 +312,14 @@ object Similarity {
     * the spec checks recovery of the planted `label` structure. */
   def embClusters(spark: SparkSession, dir: String, k: Int = 10,
                   lloydIters: Int = 4): DataFrame = {
-    // cached: the seeding sample + every Lloyd pass re-reads the corpus
+    // cached: the seeding sample + every Lloyd pass re-reads the corpus.
+    // Unpersisted after the (materializing) build so the cache doesn't
+    // outlive the loop — the returned assignment re-scans parquet once.
     val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
-    buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))._2
-      .select(col("vec_id"), col("bucket").as("cluster"))
+    try {
+      buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))._2
+        .select(col("vec_id"), col("bucket").as("cluster"))
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** Deterministic farthest-point seeding, k-means‖-style: ONE cluster pass

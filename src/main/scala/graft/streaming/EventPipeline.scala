@@ -418,6 +418,9 @@ object EventPipeline {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    if (maxTs == null) // empty table: no windows, no sentinel — empty result
+      return Seq.empty[(Long, String, Long, Double)]
+        .toDF("window_start_ms", "event_type", "n_events", "sum_value")
     val sentinel = Seq((-1L, new Timestamp(maxTs.getTime + 2L * 3600 * 1000),
       -1L, "watermark_sentinel", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")

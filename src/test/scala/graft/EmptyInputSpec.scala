@@ -110,6 +110,9 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.shardAssign(spark, dir).count() == 0)
     assert(TextOps.vocab(spark, dir).count() == 0)
     assert(Dedup.dedupIncremental(spark, dir).count() == 0)
+    assert(Dedup.minhashLshIncremental(spark, dir).count() == 0)
+    assert(Dedup.keepListByQuality(spark, dir).count() == 0)
     assert(Similarity.embClusters(spark, dir).count() == 0)
+    assert(Similarity.hardNegatives(spark, dir).count() == 0)
   }
 }
