@@ -138,6 +138,7 @@ object SparkEntry {
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
+    "doc_len_deciles"   -> ((s, d) => TextOps.lenDeciles(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -746,6 +747,15 @@ object SparkEntry {
          |  FROM embeddings c, embeddings q
          |  WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label) t
          |WHERE rank <= 3""".stripMargin,
+    "doc_len_deciles" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT doc_id, n_chars, rank,
+        |  (10 * (rank - 1)) // n_total AS decile
+        |FROM r, n""".stripMargin,
     // the grouped ranking must reproduce the naive global row_number
     "doc_vocab" ->
       """WITH tc AS (

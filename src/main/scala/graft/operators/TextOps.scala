@@ -290,6 +290,32 @@ object TextOps {
         (col("offset") + row_number().over(inGroup)).as("vocab_id"))
   }
 
+  /** Exact length-decile assignment — the "drop the bottom decile" curation
+    * gate: every doc's exact rank by (n_chars, doc_id) and its decile
+    * 0..9. Third application of the two-level global-order pattern
+    * ([[shardAssign]], [[vocab]]): groups = (n_chars, doc_id range) refine
+    * the total order, offsets come from the group-size summary cumsum, the
+    * corpus sorts only within groups; the total count is a single-row
+    * broadcast scalar. All-integer decile arithmetic, portable to the
+    * oracle. */
+  def lenDeciles(spark: SparkSession, dir: String, idBucket: Long = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val keyed = docs.withColumn("g_id", expr(s"doc_id div $idBucket"))
+    val offsets = keyed.groupBy("n_chars", "g_id")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.orderBy(col("n_chars"), col("g_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_chars"), col("g_id"), col("offset"))
+    val inGroup = Window.partitionBy("n_chars", "g_id").orderBy("doc_id")
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    keyed.join(offsets, Seq("n_chars", "g_id"))
+      .crossJoin(broadcast(total)) // single row: constant-size broadcast
+      .withColumn("rank", col("offset") + row_number().over(inGroup))
+      .select(col("doc_id"), col("n_chars"), col("rank"),
+        expr("(10 * (rank - 1)) div n_total").as("decile"))
+  }
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at

@@ -107,6 +107,25 @@ class TextOpsSpec extends SparkSuite {
     assert(joined.filter(col("vocab_id") =!= col("naive_id")).count() == 0)
   }
 
+  test("lenDeciles: grouped ranking equals the naive global row_number; deciles balanced") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf)
+    val naive = docs
+      .withColumn("naive_rank", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("naive_rank"))
+    val out = TextOps.lenDeciles(spark, sf)
+    val joined = out.join(naive, "doc_id").cache()
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("rank") =!= col("naive_rank")).count() == 0)
+    // deciles partition the corpus into near-equal tenths
+    val sizes = out.groupBy("decile").count().collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == (0L to 9L).toSet)
+    val n = docs.count()
+    sizes.values.foreach(c => assert(math.abs(c - n / 10) <= 1, s"sizes $sizes"))
+  }
+
   test("shardAssign: two-level prefix sum equals the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, sf)
