@@ -64,4 +64,40 @@ class LayoutSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("z-ordered layout clusters BOTH dimensions; plain sort only its leading column") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val src = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
+    val n = src.count()
+
+    Layout.writeZOrdered(src, s"$base/z", "l_partkey", "l_suppkey", nFiles = 8)
+    // baseline: same file count, sorted on the leading column only
+    src.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.parquet(s"$base/plain")
+
+    // mean per-file span of a column as a fraction of its global range —
+    // the proxy for parquet min/max pruning effectiveness
+    def meanSpan(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col(c), input_file_name().as("f"))
+      val global = df.agg(max(col(c)) - min(col(c))).head().getLong(0).toDouble
+      val spans = df.groupBy("f").agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length / global
+    }
+    // data intact
+    assert(spark.read.parquet(s"$base/z").count() == n)
+    val zPart = meanSpan(s"$base/z", "l_partkey")
+    val zSupp = meanSpan(s"$base/z", "l_suppkey")
+    val plainPart = meanSpan(s"$base/plain", "l_partkey")
+    val plainSupp = meanSpan(s"$base/plain", "l_suppkey")
+    // plain sort: leading column tightly clustered, second column spans
+    // ~everything; z-order: BOTH columns clustered well below full range
+    assert(plainPart < 0.5, s"plain leading-col span $plainPart")
+    assert(plainSupp > 0.8, s"plain second-col span $plainSupp")
+    assert(zPart < 0.75, s"z-order partkey span $zPart")
+    assert(zSupp < 0.75, s"z-order suppkey span $zSupp")
+    assert(zSupp < plainSupp * 0.8,
+      s"z-order must beat plain sort on the second dim: $zSupp vs $plainSupp")
+  }
 }
