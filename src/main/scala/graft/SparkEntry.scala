@@ -139,6 +139,7 @@ object SparkEntry {
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_len_deciles"   -> ((s, d) => TextOps.lenDeciles(s, d)),
+    "doc_curate"        -> ((s, d) => TextOps.curate(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -747,6 +748,37 @@ object SparkEntry {
          |  FROM embeddings c, embeddings q
          |  WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label) t
          |WHERE rank <= 3""".stripMargin,
+    // composition of the doc_fingerprint/doc_policy/doc_quality/doc_split
+    // oracles: first failing gate wins; split only for survivors
+    "doc_curate" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents WHERE text IS NOT NULL),
+         |canon AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+         |feats AS (
+         |  SELECT f.doc_id, f.doc_id <> c.keep_id AS dup,
+         |    CASE WHEN length(f.text) > 0
+         |      THEN CAST(length(regexp_replace(f.text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(f.text) ELSE 0.0 END AS digit_ratio,
+         |    list_max(list_transform(regexp_split_to_array(f.text, '\\s+'),
+         |      t -> length(t))) AS max_token_len,
+         |    least(CAST(len(regexp_split_to_array(f.text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE)
+         |             / len(regexp_split_to_array(f.text, '\\s+'))) AS quality
+         |  FROM fp f JOIN canon c ON f.fp = c.fp),
+         |gated AS (
+         |  SELECT doc_id,
+         |    CASE WHEN dup THEN 'duplicate'
+         |         WHEN NOT (digit_ratio < 0.3 AND max_token_len <= 25) THEN 'policy'
+         |         WHEN quality < 0.2 THEN 'quality' END AS drop_reason
+         |  FROM feats)
+         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason,
+         |  CASE WHEN drop_reason IS NULL THEN
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END END AS split
+         |FROM gated""".stripMargin,
     "doc_len_deciles" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

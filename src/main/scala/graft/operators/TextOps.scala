@@ -113,6 +113,43 @@ object TextOps {
         col("digit_ratio") < maxDigitRatio && col("max_token_len") <= maxTokenLen)
       .drop("text")
 
+  /** The end-to-end curation gate — what an LLM-data user actually runs to
+    * turn a raw corpus into a training set: exact dedup (first writer wins
+    * on the normalized fingerprint) → policy screen (digit ratio, token
+    * length) → quality threshold → deterministic split for the survivors,
+    * with the FIRST failing gate recorded per doc so drop reasons are
+    * observable. One shuffle (the fingerprint groupBy-join); every other
+    * gate is a map-side expression. All gates reuse the independently
+    * oracle-gated building blocks, and the composition itself is
+    * oracle-gated end-to-end. */
+  def curate(spark: SparkSession, dir: String, minQuality: Double = 0.2,
+             maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val fp = docs.withColumn("fp", fingerprint(col("text")))
+    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    fp.join(canon, "fp")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("digit_ratio",
+        when(col("n_chars") > 0,
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("max_token_len",
+        array_max(transform(split(col("text"), "\\s+"), t => length(t))).cast("long"))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("drop_reason",
+        when(col("doc_id") =!= col("keep_id"), "duplicate")
+          .when(!(col("digit_ratio") < maxDigitRatio &&
+            col("max_token_len") <= maxTokenLen), "policy")
+          .when(col("quality") < minQuality, "quality"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .withColumn("split", when(col("keep"),
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "cd", "train")
+          .when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6", "val")
+          .otherwise("test")))
+      .select(col("doc_id"), col("keep"), col("drop_reason"), col("split"))
+  }
+
   /** Per-document token-distribution entropy — a repetition/quality signal
     * (boilerplate and generated spam have low entropy for their length).
     * Shannon entropy via the ln-decomposition H = ln n − (Σ c·ln c)/n so

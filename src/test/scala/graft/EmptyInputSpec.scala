@@ -110,6 +110,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.shardAssign(spark, dir).count() == 0)
     assert(TextOps.vocab(spark, dir).count() == 0)
     assert(TextOps.lenDeciles(spark, dir).count() == 0)
+    assert(TextOps.curate(spark, dir).count() == 0)
     assert(Dedup.dedupIncremental(spark, dir).count() == 0)
     assert(Dedup.minhashLshIncremental(spark, dir).count() == 0)
     assert(Dedup.keepListByQuality(spark, dir).count() == 0)

@@ -107,6 +107,31 @@ class TextOpsSpec extends SparkSuite {
     assert(joined.filter(col("vocab_id") =!= col("naive_id")).count() == 0)
   }
 
+  test("curate: each gate fires with first-failing precedence; survivors get splits") {
+    val d = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, good),                                  // keeps
+      (2L, good.toUpperCase),                      // duplicate of 1 (normalized)
+      (3L, "4512 9983 1177 5550 8822 3311 99 12"), // policy: digit ratio
+      (4L, "the a an of to in is it for and the a an of to in is it"), // quality: all stopwords
+      (5L, good + " uniform")                      // keeps
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.curate(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"),
+          r.getAs[String]("split"))).toMap
+    assert(out(1L)._1 && out(1L)._2 == null && out(1L)._3 != null)
+    assert(out(2L) == (false, "duplicate", null))
+    assert(out(3L) == (false, "policy", null))
+    assert(out(4L) == (false, "quality", null))
+    assert(out(5L)._1 && Set("train", "val", "test").contains(out(5L)._3))
+  }
+
   test("lenDeciles: grouped ranking equals the naive global row_number; deciles balanced") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, sf)
