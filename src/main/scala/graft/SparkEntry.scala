@@ -143,6 +143,16 @@ object SparkEntry {
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
+    // persisted-signature ingest path; fresh store per call keeps the gate
+    // idempotent (spec proves store-path == incremental == full-restricted)
+    "doc_neardup_store" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cut = docs.agg(expr("max(doc_id) * 8 div 10")).head().getLong(0)
+      val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") < cut), store)
+      Dedup.minhashLshIngest(docs.filter(col("doc_id") >= cut), store)
+    }),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),

@@ -47,11 +47,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSigs(Tables.documents(spark, dir), shingleK, numHashes)
       .filter(col("sig").isNotNull).cache()
-    // (doc_id, band, bucket) — bucket = hash of the band's minhash slice
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .toDF("doc_id", "band", "bucket")
+    val banded = bandedOf(sigs, bands, rows)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
@@ -113,6 +109,65 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Banded LSH keys for a signature table: one (doc_id, band, bucket) row
+    * per band, bucket = hash of the band's minhash slice. */
+  private def bandedOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "band", "bucket")
+
+  /** Persist the near-dup signature store: `storeDir/sigs.parquet`
+    * (doc_id, sig) + `storeDir/bands.parquet` (doc_id, band, bucket) — the
+    * between-ingest artifact [[minhashLshIncremental]] models. Signatures
+    * are computed ONCE per document for the life of the corpus (the
+    * encode-once pattern the ANN indexes use). */
+  def writeSignatureStore(docs: DataFrame, storeDir: String,
+                          shingleK: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4): Unit = {
+    val sigs = minhashSigs(docs, shingleK, numHashes)
+      .filter(col("sig").isNotNull).cache()
+    sigs.write.mode("overwrite").parquet(s"$storeDir/sigs.parquet")
+    bandedOf(sigs, bands, numHashes / bands)
+      .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
+  }
+
+  /** One ingest cycle against the persisted store: signature + band the NEW
+    * batch only, pair it against the store's band table (plus the batch's
+    * own self-join), verify candidates on signature agreement, and APPEND
+    * the batch's signatures/bands so the next ingest sees this batch as
+    * existing. Per-cycle cost is O(batch) signature work + band probes —
+    * the store is never re-encoded. Returns the verified pairs. */
+  def minhashLshIngest(newDocs: DataFrame, storeDir: String,
+                       shingleK: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rows = numHashes / bands
+    val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
+      .filter(col("sig").isNotNull).cache()
+    val batchBands = bandedOf(batchSigs, bands, rows).cache()
+    val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
+    val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
+    val crossCand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val innerCand = batchBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val allSigs = storeSigs.unionByName(batchSigs)
+    val verified = crossCand.unionByName(innerCand).distinct()
+      .join(allSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(allSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.TextHashExpressions.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .localCheckpoint(true) // materialize BEFORE the store grows below
+    batchSigs.write.mode("append").parquet(s"$storeDir/sigs.parquet")
+    batchBands.write.mode("append").parquet(s"$storeDir/bands.parquet")
+    verified
   }
 
   /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —

@@ -231,6 +231,42 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) == (3L, true), s"singleton: ${out(3L)}")
   }
 
+  test("signature store: ingest cycles see prior batches; first cycle equals the incremental run") {
+    import SparkSuite.spark.implicits._
+    def sent(tag: String) =
+      s"alpha bravo charlie delta echo foxtrot golf hotel india $tag juliet kilo lima"
+    val existing = Seq(
+      (0L, "completely different text about mountains rivers and weather patterns"),
+      (1L, sent("one")), (2L, sent("two")),
+      (3L, "unrelated corpus document number three with its own words entirely"),
+      (4L, "another unrelated document full of independent vocabulary choices"),
+      (5L, "fifth document standing alone with separate content and phrasing"),
+      (6L, "sixth unrelated entry in the existing corpus side of the split"))
+    val batch1 = Seq(
+      (7L, "the new batch begins here with this unrelated fresh arrival"),
+      (8L, sent("eight")), (9L, sent("nine")))
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.writeSignatureStore(existing.toDF("doc_id", "text"), store)
+
+    val p1 = Dedup.minhashLshIngest(batch1.toDF("doc_id", "text"), store)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val incr = Dedup.minhashLshIncrementalOf((existing ++ batch1).toDF("doc_id", "text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 == incr, s"store ingest $p1 != incremental $incr")
+
+    // second cycle: doc 10 is an EXACT copy of cycle-1's doc 8 (identical
+    // signature → every band collides deterministically; a merely-near dup
+    // can miss all bands, LSH recall is per-pair probabilistic) and doc 11
+    // an exact copy of initial-store doc 1 — proves both store generations
+    // are visible and the store grew
+    val p2 = Dedup.minhashLshIngest(
+        Seq((10L, sent("eight")), (11L, sent("one"))).toDF("doc_id", "text"), store)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2.contains((8L, 10L)), s"cycle-1 batch not visible to cycle 2: $p2")
+    assert(p2.contains((1L, 11L)), s"initial store not visible: $p2")
+    assert(p2.forall(p => p._2 >= 10L), s"non-batch pair leaked: $p2")
+  }
+
   test("incremental near-dup: batch pairs vs existing + in-batch, never existing x existing") {
     import SparkSuite.spark.implicits._
     def sent(tag: String) =
