@@ -73,6 +73,45 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Streaming sink with an in-loop maintenance pass — the answer to the
+    * streaming small-file problem: every trigger appends one shard per
+    * partition dir, so a 100 TB stream lands millions of kilobyte files
+    * unless something compacts them. `foreachBatch` runs driver-side
+    * BETWEEN micro-batches, so running compaction every `compactEvery`
+    * batches is naturally serialized with the writes — no concurrent-writer
+    * races, no external scheduler. (A table format makes the swap
+    * transactional; this shows the mechanics on raw parquet dirs.) */
+  def partitionedSinkWithCompaction(events: DataFrame, path: String,
+                                    compactEvery: Int = 4,
+                                    targetBytes: Long = 128L * 1024 * 1024)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.withColumn("day", dayStr(col("ts")))
+        .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+      if ((id + 1) % compactEvery == 0) {
+        compactPartitions(batch.sparkSession, path, targetBytes); ()
+      }
+    }.start()
+
+  /** Compact every `day=` partition dir in place to ~`targetBytes` files
+    * (rewrite to a temp dir, swap). Returns dirs compacted. */
+  def compactPartitions(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = new java.io.File(path)
+    val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+    dayDirs.foreach { d =>
+      val tmp = new java.io.File(root, s".compact-${d.getName}")
+      compact(spark, d.toString, tmp.toString, targetBytes)
+      d.listFiles().foreach(f => f.delete()); d.delete()
+      tmp.renameTo(d)
+      // drop the _SUCCESS marker etc. left by the rewrite
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.endsWith(".parquet")).foreach(_.delete())
+    }
+    dayDirs.length
+  }
+
   /** Compact a directory of small parquet files into ~`targetBytes` files —
     * streaming sinks emit one shard per trigger per partition, and a 100 TB
     * table of kilobyte files destroys scan throughput (per-file open cost,

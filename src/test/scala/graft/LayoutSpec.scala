@@ -65,6 +65,46 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("streaming sink compaction: small per-trigger shards collapse, data intact") {
+    import SparkSuite.spark.implicits._
+    import graft.streaming.EventPipeline
+    import graft.streaming.EventPipeline.Event
+    def t(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d 10:$m%02d:00")
+    val src = Files.createTempDirectory("graft-csink-src").toString
+    val out = Files.createTempDirectory("graft-csink-out").toString + "/events"
+    val chk = Files.createTempDirectory("graft-csink-chk").toString
+    // 3 staged files, each with rows for BOTH days → pre-compaction each
+    // day dir holds one shard per trigger
+    (0 until 3).foreach { b =>
+      Seq(Event(b * 2L, t(1, b), 1, "click", 1.0),
+          Event(b * 2L + 1, t(2, b), 2, "view", 2.0))
+        .toDF().coalesce(1).write.parquet(s"$src/b$b")
+    }
+    val in = spark.readStream.schema(EventPipeline.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/b*")
+    val priorCkpt = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", chk)
+    try {
+      val q = Layout.partitionedSinkWithCompaction(in, out, compactEvery = 3)
+      q.processAllAvailable(); q.stop()
+    } finally priorCkpt.fold(
+      spark.conf.unset("spark.sql.streaming.checkpointLocation"))(
+      spark.conf.set("spark.sql.streaming.checkpointLocation", _))
+
+    val dayDirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+    assert(dayDirs.map(_.getName).toSet == Set("day=2024-01-01", "day=2024-01-02"))
+    dayDirs.foreach { d =>
+      val shards = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(shards.length == 1,
+        s"${d.getName}: ${shards.length} shards survived compaction")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6)
+    assert(back.select("event_id").as[Long].collect().toSet == (0L to 5L).toSet)
+  }
+
   test("z-ordered layout clusters BOTH dimensions; plain sort only its leading column") {
     val base = Files.createTempDirectory("graft-zorder").toString
     val src = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
