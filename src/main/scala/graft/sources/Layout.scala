@@ -49,24 +49,33 @@ object Layout {
     * write is one range partition + in-partition sort — exactly the
     * Delta/Iceberg OPTIMIZE ZORDER shape, dependency-free. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-                    nFiles: Int, bits: Int = 16): Unit = {
-    val bounds = df.agg(
-      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
-      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+                    nFiles: Int, bits: Int = 16): Unit =
+    writeZOrdered(df, path, Seq(c1, c2), nFiles, bits)
+
+  /** N-column form: bits interleave round-robin across all columns (column
+    * j contributes bit i at z-position i·n+j). `bits · cols.length` must
+    * fit a long, so e.g. 3 columns × 16 bits or 4 × 12. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    nFiles: Int, bits: Int): Unit = {
+    require(bits * cols.length <= 62, s"z-value overflows a long: $bits×${cols.length}")
+    val n = cols.length
+    val boundExprs = cols.zipWithIndex.flatMap { case (c, j) => Seq(
+      min(col(c)).cast("double").as(s"min$j"),
+      max(col(c)).cast("double").as(s"max$j")) }
+    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*)
     val maxCode = (1L << bits) - 1
-    def scaled(c: String, lo: String, hi: String) =
-      when(col(hi) === col(lo), lit(0L)).otherwise(
-        ((col(c).cast("double") - col(lo)) / (col(hi) - col(lo)) * maxCode)
-          .cast("long"))
-    val z = (0 until bits).map { i =>
-      (shiftright(col("s1"), i).bitwiseAND(lit(1L)) * (1L << (2 * i))) +
-        (shiftright(col("s2"), i).bitwiseAND(lit(1L)) * (1L << (2 * i + 1)))
-    }.reduce(_ + _)
-    df.crossJoin(broadcast(bounds))
-      .withColumn("s1", scaled(c1, "min1", "max1"))
-      .withColumn("s2", scaled(c2, "min2", "max2"))
-      .withColumn("zvalue", z)
-      .drop("min1", "max1", "min2", "max2", "s1", "s2")
+    def scaled(c: String, j: Int) =
+      when(col(s"max$j") === col(s"min$j"), lit(0L)).otherwise(
+        ((col(c).cast("double") - col(s"min$j")) /
+          (col(s"max$j") - col(s"min$j")) * maxCode).cast("long"))
+    val z = (for { i <- 0 until bits; j <- 0 until n } yield
+      shiftright(col(s"s$j"), i).bitwiseAND(lit(1L)) * (1L << (i * n + j)))
+      .reduce(_ + _)
+    val withScaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (d, (c, j)) => d.withColumn(s"s$j", scaled(c, j))
+    }
+    withScaled.withColumn("zvalue", z)
+      .drop((0 until n).flatMap(j => Seq(s"min$j", s"max$j", s"s$j")): _*)
       .repartitionByRange(nFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")

@@ -139,5 +139,14 @@ class LayoutSpec extends SparkSuite {
     assert(zSupp < 0.75, s"z-order suppkey span $zSupp")
     assert(zSupp < plainSupp * 0.8,
       s"z-order must beat plain sort on the second dim: $zSupp vs $plainSupp")
+
+    // 3-column form: all three dimensions cluster below full range
+    Layout.writeZOrdered(src, s"$base/z3",
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), nFiles = 8, bits = 16)
+    assert(spark.read.parquet(s"$base/z3").count() == n)
+    Seq("l_partkey", "l_suppkey", "l_orderkey").foreach { c =>
+      val s3 = meanSpan(s"$base/z3", c)
+      assert(s3 < 0.85, s"3-col z-order: $c span $s3")
+    }
   }
 }
