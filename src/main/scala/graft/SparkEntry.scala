@@ -144,14 +144,28 @@ object SparkEntry {
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
     // persisted-signature ingest path; fresh store per call keeps the gate
-    // idempotent (spec proves store-path == incremental == full-restricted)
+    // idempotent (spec proves store-path == incremental == full-restricted);
+    // the store is deleted after the (materialized) ingest returns
     "doc_neardup_store" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
       val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val cut = docs.agg(expr("max(doc_id) * 8 div 10")).head().getLong(0)
-      val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
-      Dedup.writeSignatureStore(docs.filter(col("doc_id") < cut), store)
-      Dedup.minhashLshIngest(docs.filter(col("doc_id") >= cut), store)
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no batch, no pairs
+        Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_jaccard")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-sigstore")
+        try {
+          Dedup.writeSignatureStore(docs.filter(col("doc_id") < cut), store.toString)
+          // localCheckpoint'ed inside ingest — safe to delete the store after
+          Dedup.minhashLshIngest(docs.filter(col("doc_id") >= cut), store.toString)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(store).iterator.asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
     }),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),

@@ -127,11 +127,19 @@ object Dedup {
   def writeSignatureStore(docs: DataFrame, storeDir: String,
                           shingleK: Int = 3, numHashes: Int = 16,
                           bands: Int = 4): Unit = {
+    val spark = docs.sparkSession
     val sigs = minhashSigs(docs, shingleK, numHashes)
       .filter(col("sig").isNotNull).cache()
-    sigs.write.mode("overwrite").parquet(s"$storeDir/sigs.parquet")
-    bandedOf(sigs, bands, numHashes / bands)
-      .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
+    try {
+      sigs.write.mode("overwrite").parquet(s"$storeDir/sigs.parquet")
+      bandedOf(sigs, bands, numHashes / bands)
+        .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
+      // LSH params ARE the store's identity: a mismatched ingest would hash
+      // different slices and silently lose recall — persist + enforce
+      import spark.implicits._
+      Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+        .write.mode("overwrite").parquet(s"$storeDir/params.parquet")
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** One ingest cycle against the persisted store: signature + band the NEW
@@ -139,17 +147,32 @@ object Dedup {
     * own self-join), verify candidates on signature agreement, and APPEND
     * the batch's signatures/bands so the next ingest sees this batch as
     * existing. Per-cycle cost is O(batch) signature work + band probes —
-    * the store is never re-encoded. Returns the verified pairs. */
+    * the store is never re-encoded. LSH parameters come from the store's
+    * own `params.parquet` (a caller can't mis-band against it). Doc ids
+    * already present in the store are skipped, so a retried batch neither
+    * duplicates store rows nor emits self-pairs — its pairs were emitted by
+    * the earlier attempt (at-most-once emission; callers needing exactly-
+    * once land `verified` transactionally before re-running). Returns the
+    * verified pairs. */
   def minhashLshIngest(newDocs: DataFrame, storeDir: String,
-                       shingleK: Int = 3, numHashes: Int = 16,
-                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
+    val p = spark.read.parquet(s"$storeDir/params.parquet").head()
+    val (shingleK, numHashes, bands) =
+      (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
     val rows = numHashes / bands
-    val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
-      .filter(col("sig").isNotNull).cache()
-    val batchBands = bandedOf(batchSigs, bands, rows).cache()
     val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
     val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
+    // localCheckpoint, NOT cache: the appends below write into the very
+    // path the anti-join reads, and Spark's recache-by-path would recompute
+    // a cached batch as EMPTY mid-function (the first append makes the
+    // batch ids "already present"); checkpointing truncates the lineage so
+    // the batch is pinned before the store mutates
+    val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
+      .filter(col("sig").isNotNull)
+      .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val batchBands = bandedOf(batchSigs, bands, rows).localCheckpoint(true)
     val crossCand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val innerCand = batchBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
@@ -157,6 +180,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val allSigs = storeSigs.unionByName(batchSigs)
     val verified = crossCand.unionByName(innerCand).distinct()
+      .filter(col("id_a") =!= col("id_b"))
       .join(allSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(allSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",

@@ -93,6 +93,23 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  // Shared gate expressions — policyFilter, deterministicSplit and the
+  // composed curate gate must stay expression-identical (their oracles
+  // assume it), so each lives in exactly one place.
+  private[graft] def digitRatioOf(text: org.apache.spark.sql.Column,
+                                  nChars: org.apache.spark.sql.Column) =
+    when(nChars > 0,
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / nChars)
+      .otherwise(lit(0.0))
+  private[graft] def maxTokenLenOf(text: org.apache.spark.sql.Column) =
+    array_max(transform(split(text, "\\s+"), t => length(t))).cast("long")
+  private[graft] def md5Bucket(id: org.apache.spark.sql.Column) =
+    substring(md5(id.cast("string").cast("binary")), 1, 2)
+  private[graft] def splitOf(id: org.apache.spark.sql.Column) =
+    when(md5Bucket(id) < "cd", "train")
+      .when(md5Bucket(id) < "e6", "val")
+      .otherwise("test")
+
   /** Policy/keep filter — the final gate of a training-data pipeline:
     * cheap structural signals (digit density, pathological token length)
     * decide keep/drop with the reasons kept observable. Pure map stage,
@@ -107,8 +124,7 @@ object TextOps {
       .withColumn("digit_ratio",
         when(col("n_chars") > 0, col("n_digits").cast("double") / col("n_chars"))
           .otherwise(lit(0.0)))
-      .withColumn("max_token_len",
-        array_max(transform(split(col("text"), "\\s+"), t => length(t))).cast("long"))
+      .withColumn("max_token_len", maxTokenLenOf(col("text")))
       .withColumn("keep",
         col("digit_ratio") < maxDigitRatio && col("max_token_len") <= maxTokenLen)
       .drop("text")
@@ -130,12 +146,8 @@ object TextOps {
     val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
     fp.join(canon, "fp")
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("digit_ratio",
-        when(col("n_chars") > 0,
-          length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / col("n_chars"))
-          .otherwise(lit(0.0)))
-      .withColumn("max_token_len",
-        array_max(transform(split(col("text"), "\\s+"), t => length(t))).cast("long"))
+      .withColumn("digit_ratio", digitRatioOf(col("text"), col("n_chars")))
+      .withColumn("max_token_len", maxTokenLenOf(col("text")))
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("keep_id"), "duplicate")
@@ -143,10 +155,7 @@ object TextOps {
             col("max_token_len") <= maxTokenLen), "policy")
           .when(col("quality") < minQuality, "quality"))
       .withColumn("keep", col("drop_reason").isNull)
-      .withColumn("split", when(col("keep"),
-        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "cd", "train")
-          .when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6", "val")
-          .otherwise("test")))
+      .withColumn("split", when(col("keep"), splitOf(col("doc_id"))))
       .select(col("doc_id"), col("keep"), col("drop_reason"), col("split"))
   }
 
@@ -175,10 +184,8 @@ object TextOps {
     * assigned document in its split. Thresholds 'cd'/'e6' ≈ 80/10/10. */
   def deterministicSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("b"))
-      .withColumn("split",
-        when(col("b") < "cd", "train").when(col("b") < "e6", "val").otherwise("test"))
+      .select(col("source"), col("doc_id"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
 

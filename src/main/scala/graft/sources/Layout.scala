@@ -60,25 +60,25 @@ object Layout {
     require(bits * cols.length <= 62, s"z-value overflows a long: $bits×${cols.length}")
     val n = cols.length
     val boundExprs = cols.zipWithIndex.flatMap { case (c, j) => Seq(
-      min(col(c)).cast("double").as(s"min$j"),
-      max(col(c)).cast("double").as(s"max$j")) }
+      min(col(c)).cast("double").as(s"__z_min$j"),
+      max(col(c)).cast("double").as(s"__z_max$j")) }
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*)
     val maxCode = (1L << bits) - 1
     def scaled(c: String, j: Int) =
-      when(col(s"max$j") === col(s"min$j"), lit(0L)).otherwise(
-        ((col(c).cast("double") - col(s"min$j")) /
-          (col(s"max$j") - col(s"min$j")) * maxCode).cast("long"))
+      when(col(s"__z_max$j") === col(s"__z_min$j"), lit(0L)).otherwise(
+        ((col(c).cast("double") - col(s"__z_min$j")) /
+          (col(s"__z_max$j") - col(s"__z_min$j")) * maxCode).cast("long"))
     val z = (for { i <- 0 until bits; j <- 0 until n } yield
-      shiftright(col(s"s$j"), i).bitwiseAND(lit(1L)) * (1L << (i * n + j)))
+      shiftright(col(s"__z_s$j"), i).bitwiseAND(lit(1L)) * (1L << (i * n + j)))
       .reduce(_ + _)
     val withScaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
-      case (d, (c, j)) => d.withColumn(s"s$j", scaled(c, j))
+      case (d, (c, j)) => d.withColumn(s"__z_s$j", scaled(c, j))
     }
-    withScaled.withColumn("zvalue", z)
-      .drop((0 until n).flatMap(j => Seq(s"min$j", s"max$j", s"s$j")): _*)
-      .repartitionByRange(nFiles, col("zvalue"))
-      .sortWithinPartitions("zvalue")
-      .drop("zvalue")
+    withScaled.withColumn("__z_value", z)
+      .drop((0 until n).flatMap(j => Seq(s"__z_min$j", s"__z_max$j", s"__z_s$j")): _*)
+      .repartitionByRange(nFiles, col("__z_value"))
+      .sortWithinPartitions("__z_value")
+      .drop("__z_value")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
@@ -112,8 +112,12 @@ object Layout {
     dayDirs.foreach { d =>
       val tmp = new java.io.File(root, s".compact-${d.getName}")
       compact(spark, d.toString, tmp.toString, targetBytes)
-      d.listFiles().foreach(f => f.delete()); d.delete()
-      tmp.renameTo(d)
+      // fail LOUDLY if the swap can't complete — a silently half-swapped
+      // partition reads as an empty day, which is data loss to every query
+      d.listFiles().foreach(f =>
+        require(f.delete(), s"compaction: cannot delete ${f.getPath}"))
+      require(d.delete(), s"compaction: cannot remove ${d.getPath}")
+      require(tmp.renameTo(d), s"compaction: cannot swap ${tmp.getPath} -> ${d.getPath}")
       // drop the _SUCCESS marker etc. left by the rewrite
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => !f.getName.endsWith(".parquet")).foreach(_.delete())

@@ -87,7 +87,7 @@ class LayoutSpec extends SparkSuite {
     spark.conf.set("spark.sql.streaming.checkpointLocation", chk)
     try {
       val q = Layout.partitionedSinkWithCompaction(in, out, compactEvery = 3)
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally priorCkpt.fold(
       spark.conf.unset("spark.sql.streaming.checkpointLocation"))(
       spark.conf.set("spark.sql.streaming.checkpointLocation", _))
