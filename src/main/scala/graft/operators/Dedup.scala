@@ -456,6 +456,11 @@ object Dedup {
     val sizes = docs.select(col("doc_id"),
       size(graft.functions.TextHashExpressions.shingleHashes(col("text"), k)).as("n"))
       .filter(col("n") > 0)
+    // NOTE (r4, measured): a df≥2 gram prefilter (a gram held by one doc
+    // can't pair) was tried and REVERTED — this corpus's small vocabulary
+    // shares almost every gram, so the extra aggregation cost 15% instead
+    // of saving; on natural text with near-unique shingles it would prune
+    // most of the index. Same verdict as the r3 PPJoin prototype.
     val inter = inv.select(col("doc_id").as("id_a"), col("g"))
       .join(inv.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
