@@ -70,4 +70,52 @@ class PropertySpec extends SparkSuite {
       assert(s0.toSeq == s1.toSeq)
     }
   }
+
+  // random word-bag corpora for the two-level global-order operators
+  private def randomDocs(seed: Int, n: Int = 40) = {
+    val docGen = for {
+      nw <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(nw, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
+    } yield ws.mkString(" ")
+    Gen.listOfN(n, docGen).apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong * 7 % 1000, t) } // gappy ids
+      .toDF("doc_id", "text")
+  }
+
+  test("shardAssign equals the naive global cumsum over random corpora and budgets") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 5).foreach { seed =>
+      val docs = randomDocs(seed)
+      val budget = 20L + seed * 13
+      val out = graft.operators.TextOps.shardAssignOf(docs, budget, bucketSize = 8)
+      val naive = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), expr(s"(cum - n_tokens) div $budget").as("naive_shard"))
+      val joined = out.join(naive, "doc_id")
+      assert(joined.count() == docs.count())
+      assert(joined.filter(col("shard") =!= col("naive_shard")).count() == 0,
+        s"seed $seed budget $budget diverged")
+    }
+  }
+
+  test("vocab equals the naive global row_number over random corpora and min counts") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 5).foreach { seed =>
+      val docs = randomDocs(seed)
+      val minCount = 1L + seed % 3
+      val out = graft.operators.TextOps.vocabOf(docs, minCount)
+      val naive = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .withColumn("naive_id", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))).cast("long"))
+        .select(col("term"), col("naive_id"))
+      val joined = out.join(naive, "term")
+      assert(joined.count() == naive.count())
+      assert(joined.filter(col("vocab_id") =!= col("naive_id")).count() == 0,
+        s"seed $seed minCount $minCount diverged")
+    }
+  }
 }
