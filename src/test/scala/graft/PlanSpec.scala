@@ -173,6 +173,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("EqualTo(event_type,error)"), "probe filter must reach the scan:\n" + p.take(1000))
   }
 
+  test("curate: one fingerprint shuffle carries the whole gate chain") {
+    val p = planOf(TextOps.curate(spark, sf))
+    // the canon aggregate is the only exchange (partial agg before it);
+    // every gate expression rides the join output as a map-side projection
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1000))
+  }
+
   test("shard assign: the only unpartitioned window sorts the bucket summary, not the corpus") {
     val p = planOf(TextOps.shardAssign(spark, sf))
     // one single-partition exchange (the ≤|corpus|/bucketSize summary
