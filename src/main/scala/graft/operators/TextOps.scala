@@ -159,6 +159,23 @@ object TextOps {
       .select(col("doc_id"), col("keep"), col("drop_reason"), col("split"))
   }
 
+  /** [[curate]] with zero-cost pipeline observability: per-gate counters
+    * ride the SAME pass via Spark's `observe` API (accumulator-backed — no
+    * second scan of a 100 TB corpus to know how much each gate dropped).
+    * After any action on the returned frame, `observation.get` yields
+    * n_docs / n_kept / n_duplicate / n_policy / n_quality. */
+  def curateObserved(spark: SparkSession, dir: String)
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curate_gate")
+    def reasonCount(r: String) =
+      sum(when(col("drop_reason") === r, 1L).otherwise(0L)).as(s"n_$r")
+    val out = curate(spark, dir).observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      reasonCount("duplicate"), reasonCount("policy"), reasonCount("quality"))
+    (out, obs)
+  }
+
   /** Per-document token-distribution entropy — a repetition/quality signal
     * (boilerplate and generated spam have low entropy for their length).
     * Shannon entropy via the ln-decomposition H = ln n − (Σ c·ln c)/n so

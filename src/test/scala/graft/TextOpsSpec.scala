@@ -132,6 +132,21 @@ class TextOpsSpec extends SparkSuite {
     assert(out(5L)._1 && Set("train", "val", "test").contains(out(5L)._3))
   }
 
+  test("curateObserved: gate counters from the single pass equal a direct aggregation") {
+    val (out, obs) = TextOps.curateObserved(spark, sf)
+    val rows = out.collect()
+    val m = obs.get
+    assert(m("n_docs") == rows.length.toLong)
+    assert(m("n_kept") == rows.count(_.getAs[Boolean]("keep")).toLong)
+    def reasons(r: String) = rows.count(_.getAs[String]("drop_reason") == r).toLong
+    assert(m("n_duplicate") == reasons("duplicate"))
+    assert(m("n_policy") == reasons("policy"))
+    assert(m("n_quality") == reasons("quality"))
+    assert(m("n_kept").asInstanceOf[Long] + m("n_duplicate").asInstanceOf[Long] +
+      m("n_policy").asInstanceOf[Long] + m("n_quality").asInstanceOf[Long] ==
+      m("n_docs").asInstanceOf[Long])
+  }
+
   test("lenDeciles: grouped ranking equals the naive global row_number; deciles balanced") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, sf)
