@@ -169,6 +169,7 @@ object SparkEntry {
     }),
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),
+    "emb_keep_list"     -> ((s, d) => Similarity.embKeepList(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),

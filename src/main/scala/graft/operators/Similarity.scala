@@ -74,6 +74,22 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** C36: embedding keep-list — near-duplicate vectors collapsed to one
+    * canonical per connected component of the cosine-threshold pair graph
+    * (the embedding-side mirror of the document keep-list): reuses the
+    * star-CC rounds, min-id canonical, singletons keep themselves. The
+    * dedup decision a curation pipeline applies to redundant embeddings. */
+  def embKeepList(spark: SparkSession, dir: String,
+                  threshold: Double = 0.9): DataFrame = {
+    val pairs = neardupPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))
+    val clusters = Dedup.clustersFromPairsStars(pairs)
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(clusters.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", col("vec_id") === col("canonical_id"))
+  }
+
   /** C6b: label-free embedding near-dup pairs via random-hyperplane
     * (sign) LSH — the scale path when no blocking key exists: a corpus
     * never ships with the generator's cluster labels. One compiled pass

@@ -116,5 +116,6 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.keepListByQuality(spark, dir).count() == 0)
     assert(Similarity.embClusters(spark, dir).count() == 0)
     assert(Similarity.hardNegatives(spark, dir).count() == 0)
+    assert(Similarity.embKeepList(spark, dir).count() == 0)
   }
 }

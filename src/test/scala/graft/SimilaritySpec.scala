@@ -56,6 +56,18 @@ class SimilaritySpec extends SparkSuite {
     assert(q0.forall(_.getAs[Int]("label") != 0))
   }
 
+  test("embKeepList: near-dup vectors collapse to min-id canonicals; singletons keep themselves") {
+    val out = Similarity.embKeepList(spark, dir, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    // planted near pairs: (0,10) and (1,11) -> canonicals 0 and 1
+    assert(out(0L) == (0L, true) && out(10L) == (0L, false))
+    assert(out(1L) == (1L, true) && out(11L) == (1L, false))
+    // unpaired vectors are their own canonical
+    assert(out(2L) == (2L, true) && out(12L) == (12L, true))
+    assert(out.size == 6)
+  }
+
   test("neardupPairs finds only the same-label near pair above threshold") {
     val pairs = Similarity.neardupPairs(spark, dir, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
