@@ -140,6 +140,9 @@ object SparkEntry {
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_len_deciles"   -> ((s, d) => TextOps.lenDeciles(s, d)),
     "doc_curate"        -> ((s, d) => TextOps.curate(s, d)),
+    "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
+    "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
+    "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -832,6 +835,56 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents) t1) t2""".stripMargin,
+    // segment census counts by paragraph TEXT (Spark counts by xxhash64 of
+    // it — collision-free at oracle scale); reassembly order must match
+    "doc_para_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS pos FROM w),
+        |segs AS (
+        |  SELECT doc_id, pos // 4 AS seg, string_agg(word, ' ' ORDER BY pos) AS para
+        |  FROM words GROUP BY doc_id, pos // 4),
+        |counts AS (SELECT para, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY para),
+        |kept AS (SELECT s.doc_id, s.seg, s.para FROM segs s JOIN counts c USING (para)
+        |         WHERE c.n_docs <= 1)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.para, ' ' ORDER BY k.seg), '') AS kept_text,
+        |  count(k.seg) AS n_kept
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+    // the two-level (quality, id-bucket) ranking must reproduce the naive
+    // global quality-ordered running sum; quality formula = doc_quality's
+    "doc_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE)
+         |             / len(regexp_split_to_array(text, '\\s+'))) AS quality
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, cum_tokens, cum_tokens <= 20000 AS kept
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM scored) t""".stripMargin,
+    // island detection with session_window's boundary rule (spec-pinned):
+    // exact-gap spacing still merges; only > gap splits; end = last + gap
+    "ev_session_window" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts_ms, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM base)
+         |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     // same normalized fingerprint as doc_fingerprint; LEFT JOIN...IS NULL
     // anti-join mirrors Spark's null-safe left_anti semantics
     "doc_dedup_incr" ->

@@ -548,4 +548,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** C25: paragraph-level exact dedup (the CCNet/Pile preprocessing step):
+    * segment every document into consecutive `segWords`-word spans (real
+    * corpora split on newline; this corpus has none, so spans stand in for
+    * paragraphs), drop each span whose exact content occurs in more than
+    * `maxDocs` distinct documents, and stitch the survivors back together
+    * in their original order. Documents whose every span is boilerplate
+    * come back with empty text — downstream gates drop them.
+    *
+    * Scale: segmentation is a pure map over the split array (transform +
+    * slice — no explode-then-window); the duplicate census aggregates
+    * (span-hash → distinct-doc count) with map-side partials, shipping a
+    * 64-bit digest per span, never the span text twice; only the
+    * over-threshold hash set flows into the left-anti verdict join (tiny
+    * for a mostly-unique corpus, and AQE broadcasts it when it is);
+    * reassembly is one groupBy on doc_id with an in-row array_sort. No
+    * corpus-wide window anywhere. At extreme corpus sizes widen the census
+    * key to md5 if 64-bit birthday collisions become a concern. */
+  def paraDedup(spark: SparkSession, dir: String,
+                segWords: Int = 4, maxDocs: Long = 1): DataFrame =
+    paraDedupOf(Tables.documents(spark, dir), segWords, maxDocs)
+
+  private[graft] def paraDedupOf(docs: DataFrame, segWords: Int,
+                                 maxDocs: Long): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), expr(
+        s"""transform(
+           |  sequence(0L, (size(split(text, ' ')) - 1) div $segWords),
+           |  i -> concat_ws(' ', slice(split(text, ' '),
+           |                            cast(i * $segWords + 1 as int), $segWords)))
+           |""".stripMargin).as("paras"))
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("seg", "para")))
+      .withColumn("ph", xxhash64(col("para")))
+    val dupHashes = segs
+      .groupBy("ph").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("ph")
+    val rebuilt = segs.join(dupHashes, Seq("ph"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg"), col("para")))),
+          x => x.getField("para"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

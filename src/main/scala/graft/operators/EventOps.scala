@@ -394,4 +394,24 @@ object EventOps {
       .withColumn("bin_lo", col("bin").cast("double") * width)
       .select(col("bin"), col("bin_lo"), col("n_events"),
         col("min_value"), col("max_value"), col("sum_value"))
+
+  /** A8b: session windows via Spark's NATIVE session_window operator — the
+    * exact assignment the streaming twin
+    * ([[graft.streaming.EventPipeline.sessionized]]) runs, verified
+    * in batch against a lag-based island SQL oracle. Boundary semantics
+    * match [[sessionize]]: an event landing EXACTLY on the session's close
+    * (spacing == gap) still merges and extends it; only a strictly larger
+    * gap starts a new session (spec-pinned to the millisecond). end_ms =
+    * last event + gap (the window's close, not the last event). One shuffle
+    * on user_id; session assignment is a within-partition sort, no
+    * corpus-wide window. */
+  def sessionWindowCounts(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start").cast("timestamp_ltz")).as("start_ms"),
+        unix_millis(col("sw.end").cast("timestamp_ltz")).as("end_ms"),
+        col("n_events"), col("sum_value"))
 }

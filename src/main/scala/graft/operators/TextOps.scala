@@ -377,6 +377,41 @@ object TextOps {
         expr("(10 * (rank - 1)) div n_total").as("decile"))
   }
 
+  /** Global token-budget selection — "keep the best documents until the
+    * training budget is spent": rank the corpus by (quality desc, doc_id),
+    * accumulate token counts in that order, and keep every document whose
+    * running total still fits `budget`. Fourth application of the
+    * two-level global-order pattern ([[shardAssign]], [[vocab]],
+    * [[lenDeciles]]): groups = (quality, doc_id range) refine the total
+    * order, group offsets come from one cumsum over the group-size summary,
+    * and the corpus only ever sorts within a group — no corpus-wide
+    * single-partition window. The quality score is the same deterministic
+    * expression doc_quality gates on, so the oracle reproduces it bit-
+    * for-bit. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 20000,
+                  idBucket: Long = 64): DataFrame =
+    tokenBudgetOf(Tables.documents(spark, dir), budget, idBucket)
+
+  private[graft] def tokenBudgetOf(docs: DataFrame, budget: Long,
+                                   idBucket: Long): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+        wsTokens(col("text")).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("g_id", expr(s"doc_id div $idBucket"))
+    val offsets = scored.groupBy("quality", "g_id")
+      .agg(sum(col("n_tokens")).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.orderBy(col("quality").desc, col("g_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("quality"), col("g_id"), col("offset"))
+    val inGroup = Window.partitionBy("quality", "g_id").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(offsets, Seq("quality", "g_id"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(inGroup))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+  }
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at

@@ -50,13 +50,17 @@ object Layout {
     * Delta/Iceberg OPTIMIZE ZORDER shape, dependency-free. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
                     nFiles: Int, bits: Int = 16): Unit =
-    writeZOrdered(df, path, Seq(c1, c2), nFiles, bits)
+    writeZOrdered(df, path, Seq(c1, c2), nFiles, bits, rowGroupBytes = None)
 
   /** N-column form: bits interleave round-robin across all columns (column
     * j contributes bit i at z-position i·n+j). `bits · cols.length` must
-    * fit a long, so e.g. 3 columns × 16 bits or 4 × 12. */
+    * fit a long, so e.g. 3 columns × 16 bits or 4 × 12.
+    * `rowGroupBytes` caps the parquet row-group size so min/max pruning
+    * operates at sub-file granularity (a scan skips row GROUPS, not just
+    * files — smaller groups = finer pruning, more footer overhead). */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    nFiles: Int, bits: Int): Unit = {
+                    nFiles: Int, bits: Int,
+                    rowGroupBytes: Option[Long]): Unit = {
     require(bits * cols.length <= 62, s"z-value overflows a long: $bits×${cols.length}")
     val n = cols.length
     val boundExprs = cols.zipWithIndex.flatMap { case (c, j) => Seq(
@@ -74,13 +78,51 @@ object Layout {
     val withScaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
       case (d, (c, j)) => d.withColumn(s"__z_s$j", scaled(c, j))
     }
-    withScaled.withColumn("__z_value", z)
+    val writer = withScaled.withColumn("__z_value", z)
       .drop((0 until n).flatMap(j => Seq(s"__z_min$j", s"__z_max$j", s"__z_s$j")): _*)
       .repartitionByRange(nFiles, col("__z_value"))
       .sortWithinPartitions("__z_value")
       .drop("__z_value")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite)
+    rowGroupBytes.fold(writer)(b => writer.option("parquet.block.size", b))
+      .parquet(path)
   }
+
+  /** Per-row-group column statistics read straight from the parquet footers
+    * — the min/max metadata a scan's row-group pruning actually consults
+    * (LayoutSpec measures REAL pruning with this, not a file-span proxy).
+    * Driver-side by design: footers are KB-sized and this is a layout
+    * diagnostic, not a data path. Returns one row per (file, row-group,
+    * requested column) for integer-typed columns. */
+  def rowGroupStats(spark: SparkSession, path: String, cols: Seq[String])
+      : Seq[RowGroupStat] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.sortBy(_.getName).toSeq.flatMap { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
+          b.getColumns.asScala
+            .filter(cc => cols.contains(cc.getPath.toDotString))
+            .map { cc =>
+              val st = cc.getStatistics
+              RowGroupStat(f.getName, i, cc.getPath.toDotString,
+                st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue(),
+                b.getRowCount)
+            }
+        }
+      } finally rd.close()
+    }
+  }
+
+  case class RowGroupStat(file: String, rowGroup: Int, column: String,
+                          min: Long, max: Long, rows: Long)
 
   /** Streaming sink with an in-loop maintenance pass — the answer to the
     * streaming small-file problem: every trigger appends one shard per

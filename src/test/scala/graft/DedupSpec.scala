@@ -303,4 +303,33 @@ class DedupSpec extends SparkSuite {
     val fullBatch = full.filter(p => p._1 >= 7L || p._2 >= 7L)
     assert(pairs == fullBatch, s"incremental $pairs != batch-touching full $fullBatch")
   }
+
+  test("paraDedup drops shared spans, keeps unique spans in order") {
+    val shared = "b1 b2 b3 b4 b5 b6 b7 b8" // two aligned 4-word segments
+    val docs = Seq(
+      (0L, s"$shared u1 u2 u3 u4"),   // boilerplate prefix + unique tail
+      (1L, s"v1 v2 v3 v4 $shared"),   // unique head + boilerplate suffix
+      (2L, shared),                    // pure boilerplate → empty
+      (3L, "x1 x2 x3 x4 x5")          // unique, with a partial tail segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraDedupOf(docs, segWords = 4, maxDocs = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("kept_text"), r.getAs[Long]("n_kept")))).toMap
+    assert(out(0L) == (("u1 u2 u3 u4", 1L)))
+    assert(out(1L) == (("v1 v2 v3 v4", 1L)))
+    assert(out(2L) == (("", 0L)))
+    // wholly-unique doc passes through verbatim, partial tail included
+    assert(out(3L) == (("x1 x2 x3 x4 x5", 2L)))
+  }
+
+  test("paraDedup maxDocs threshold: spans below the census cut survive") {
+    val docs = Seq(
+      (0L, "s1 s2 s3 s4"), (1L, "s1 s2 s3 s4"),          // span in 2 docs
+      (2L, "t1 t2 t3 t4"), (3L, "t1 t2 t3 t4"), (4L, "t1 t2 t3 t4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraDedupOf(docs, segWords = 4, maxDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(out(0L) == 1L && out(1L) == 1L)   // 2 docs ≤ maxDocs: kept
+    assert(out(2L) == 0L && out(3L) == 0L && out(4L) == 0L) // 3 docs > cut
+  }
 }

@@ -117,5 +117,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.embClusters(spark, dir).count() == 0)
     assert(Similarity.hardNegatives(spark, dir).count() == 0)
     assert(Similarity.embKeepList(spark, dir).count() == 0)
+    assert(Dedup.paraDedup(spark, dir).count() == 0)
+    assert(TextOps.tokenBudget(spark, dir).count() == 0)
+    assert(EventOps.sessionWindowCounts(spark, dir).count() == 0)
   }
 }

@@ -98,4 +98,52 @@ class EventOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("max_value") < lo + 50.0)
     }
   }
+
+  test("sessionWindowCounts: native session_window boundary = exact gap splits") {
+    import SparkSuite.spark.implicits._
+    import graft.streaming.EventPipeline.Event
+    val t0 = 1700000000000L
+    val min = 60000L
+    val d = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    Seq(
+      // user 1: EXACTLY 30 min apart merges (event lands on the session's
+      // close and extends it); 30 min + 1 ms starts a new session
+      Event(1, new java.sql.Timestamp(t0), 1L, "click", 1.0),
+      Event(2, new java.sql.Timestamp(t0 + 30 * min), 1L, "click", 1.0),
+      Event(3, new java.sql.Timestamp(t0 + 60 * min + 1), 1L, "click", 1.0),
+      // user 2: single event
+      Event(4, new java.sql.Timestamp(t0), 2L, "view", 2.0)
+    ).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventOps.sessionWindowCounts(spark, d).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"))).toSet
+    assert(out == Set(
+      (1L, t0, t0 + 60 * min, 2L),                         // exact gap merged
+      (1L, t0 + 60 * min + 1, t0 + 90 * min + 1, 1L),      // gap+1ms split
+      (2L, t0, t0 + 30 * min, 1L)))
+  }
+
+  test("sessionWindowCounts equals lag-based islands on the real table") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gapMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp_ltz")).as("ts_ms"),
+        col("event_id"), col("value"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val naive = ev.withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev").isNull ||
+        col("ts_ms") - col("prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts_ms")).as("start_ms"),
+        (max(col("ts_ms")) + gapMs).as("end_ms"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val native = EventOps.sessionWindowCounts(spark, sf)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native == naive)
+  }
 }

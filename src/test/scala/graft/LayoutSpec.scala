@@ -142,11 +142,49 @@ class LayoutSpec extends SparkSuite {
 
     // 3-column form: all three dimensions cluster below full range
     Layout.writeZOrdered(src, s"$base/z3",
-      Seq("l_partkey", "l_suppkey", "l_orderkey"), nFiles = 8, bits = 16)
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), nFiles = 8, bits = 16,
+      rowGroupBytes = None)
     assert(spark.read.parquet(s"$base/z3").count() == n)
     Seq("l_partkey", "l_suppkey", "l_orderkey").foreach { c =>
       val s3 = meanSpan(s"$base/z3", c)
       assert(s3 < 0.85, s"3-col z-order: $c span $s3")
     }
+  }
+
+  test("row-group pruning measured from parquet FOOTERS, not a span proxy") {
+    val base = Files.createTempDirectory("graft-zrg").toString
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val n = src.count()
+    // small row groups so each file carries many prunable units (the z-curve
+    // needs enough granularity for quadrant locality to reach the footers)
+    Layout.writeZOrdered(src, s"$base/z", Seq("l_partkey", "l_suppkey"),
+      nFiles = 2, bits = 16, rowGroupBytes = Some(64 * 1024))
+    src.repartitionByRange(2, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$base/plain")
+
+    val zStats = Layout.rowGroupStats(spark, s"$base/z", Seq("l_suppkey"))
+    val pStats = Layout.rowGroupStats(spark, s"$base/plain", Seq("l_suppkey"))
+    // footer row counts conserve the data; several groups per layout
+    assert(zStats.map(_.rows).sum == n, s"footer rows ${zStats.map(_.rows).sum} != $n")
+    assert(zStats.length >= 8, s"want ≥8 z row groups, got ${zStats.length}")
+    assert(pStats.length >= 8, s"want ≥8 plain row groups, got ${pStats.length}")
+
+    // a row-group survives a range predicate iff [min,max] intersects it:
+    // middle 10% of the SECOND z dimension (the one plain sort can't serve)
+    val gMin = zStats.map(_.min).min
+    val gMax = zStats.map(_.max).max
+    val width = (gMax - gMin) / 10
+    val lo = gMin + (gMax - gMin) / 2 - width / 2
+    val hi = lo + width
+    def readFrac(stats: Seq[Layout.RowGroupStat]): Double =
+      stats.count(s => s.max >= lo && s.min <= hi).toDouble / stats.length
+    val zFrac = readFrac(zStats)
+    val pFrac = readFrac(pStats)
+    // x-sorted layout: suppkey min/max ≈ full range in every group → no
+    // pruning; z-order: most groups fall outside the band and are skipped
+    assert(pFrac > 0.9, s"plain layout should read ~all groups, read $pFrac")
+    assert(zFrac < 0.6, s"z-order should skip most groups, read $zFrac")
+    assert(zFrac < pFrac * 0.65, s"z $zFrac vs plain $pFrac: no real pruning win")
   }
 }

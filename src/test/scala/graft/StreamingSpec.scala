@@ -128,6 +128,47 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("A8b: streaming sessionized bit-equals batch sessionWindowCounts") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft-sesseq-src").toString
+    val chk = Files.createTempDirectory("graft-sesseq-chk").toString
+    // stage the REAL sf0.001 events as the stream's first file, then push
+    // the watermark with a far-future sentinel so every real session closes
+    val staging = Files.createTempDirectory("graft-sesseq-stage").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$src/b1.parquet"))
+
+    val in = EventPipeline.fileSource(spark, src)
+    val q = EventPipeline.sessionized(in, gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sesseq_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", Seq(
+      Event(999999999L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("sesseq_out")
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"),
+        unix_millis(col("session_start").cast("timestamp_ltz")).as("start_ms"),
+        unix_millis(col("session_end").cast("timestamp_ltz")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+      .collect().map(key).toSet
+    val batch = operators.EventOps.sessionWindowCounts(spark, sf)
+      .select("user_id", "start_ms", "end_ms", "n_events", "sum_value")
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream/batch session divergence: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("stream-static join: streaming events enriched against the customer dim") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val chk = Files.createTempDirectory("graft-ss-chk").toString

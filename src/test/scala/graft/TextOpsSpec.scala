@@ -201,4 +201,27 @@ class TextOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("tokenBudget two-level cumsum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{qualityScore, wsTokens}
+    val docs = graft.Tables.documents(spark, sf)
+    val budget = 20000L
+    val naive = docs.select(col("doc_id"),
+        wsTokens(col("text")).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept")))).toMap
+    val fast = TextOps.tokenBudgetOf(docs, budget, idBucket = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept")))).toMap
+    assert(fast == naive)
+    // budget actually bites: something kept, something cut
+    assert(fast.values.exists(_._2) && fast.values.exists(!_._2))
+  }
 }
