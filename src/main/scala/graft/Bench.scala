@@ -19,13 +19,14 @@ object Bench {
     "ev_sliding_counts", "qa_orphans",
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join", "ev_zscore_alert",
     "ev_asof_join", "ev_counts_salted", "ev_quantiles_exact", "ev_bloom_join", "ev_hll_rollup",
-    "ev_range_join", "ev_histogram",
+    "ev_range_join", "ev_histogram", "ev_session_window",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
     "doc_ngram_jaccard",
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "doc_entropy", "doc_pii_scrub", "doc_strat_sample", "doc_bpe_pairs",
     "doc_shard_assign", "doc_vocab", "doc_dedup_incr", "doc_neardup_incr",
-    "doc_len_deciles", "doc_curate",
+    "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
+    "doc_unigram_ll", "emb_project",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
     "emb_ivf_query", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )

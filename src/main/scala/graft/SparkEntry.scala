@@ -143,6 +143,8 @@ object SparkEntry {
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
+    "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
+    "emb_project"       -> ((s, d) => Similarity.randomProject(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -885,6 +887,20 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    // per-token −ln(p) quantized to DECIMAL(18,9) before the sum, so the
+    // aggregate is exact (order-independent) and any 1-ULP libm divergence
+    // dies in the quantization; final mean reported at 6 dp
+    "doc_unigram_ll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+        |               CAST(count(*) AS DOUBLE) AS n_vocab FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(-ln((tf.n + 1) / (tot.n_total + tot.n_vocab))
+        |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM toks JOIN tf USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
     // same normalized fingerprint as doc_fingerprint; LEFT JOIN...IS NULL
     // anti-join mirrors Spark's null-safe left_anti semantics
     "doc_dedup_incr" ->

@@ -434,4 +434,28 @@ object Similarity {
     ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed,
       spark.read.parquet(s"$indexDir/centroids.parquet"), k, nprobe)
   }
+
+  /** C39: random-projection dimensionality reduction (Achlioptas/JL):
+    * project each embedding onto `outDim` pseudo-random Rademacher (±1)
+    * directions, scaled 1/√outDim so squared distances are preserved in
+    * expectation. The projection "matrix" is never materialized — entry
+    * sign(i,j) derives from xxhash64(i·outDim+j), so every executor
+    * computes the same matrix with zero coordination, the map stage is
+    * embarrassingly parallel, and re-ingesting tomorrow's corpus projects
+    * identically. The cheap front half of an ANN pipeline at 100 TB:
+    * 64-d → 16-d cuts every downstream distance 4×. */
+  def randomProject(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
+    randomProjectOf(Tables.embeddings(spark, dir), outDim)
+
+  private[graft] def randomProjectOf(emb: DataFrame, outDim: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = toDouble(col("embedding"))
+    val projected = array((0 until outDim).map { j =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * when(pmod(xxhash64(i * outDim + j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, t) => acc + t) * scale
+    }: _*)
+    emb.select(col("vec_id"), projected.as("projected"), col("label"))
+  }
 }

@@ -412,6 +412,36 @@ object TextOps {
         (col("cum_tokens") <= budget).as("kept"))
   }
 
+  /** Unigram-LM document scoring — the CCNet-style "perplexity" quality
+    * signal without an external LM: train add-one-smoothed unigram
+    * probabilities on the corpus itself, then score each document by its
+    * mean per-token negative log-likelihood (low = typical of the corpus,
+    * high = outlier/garbage — the tail a curation gate drops).
+    *
+    * Scale: term counts are one partial-agg shuffle on the term digest; the
+    * score join re-uses that term partitioning (no broadcast hint — the
+    * vocabulary grows with the corpus); the (n_total, n_vocab) normalizer
+    * is a single broadcast row. Per-token −ln(p) is summed as
+    * DECIMAL(18,9), so the aggregate is exact and order-independent —
+    * bit-stable across partitionings AND engines (a 1-ULP libm divergence
+    * dies in the 9-dp quantization). */
+  def unigramLl(spark: SparkSession, dir: String): DataFrame =
+    unigramLlOf(Tables.documents(spark, dir))
+
+  private[graft] def unigramLlOf(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy("term").agg(count(lit(1)).as("n"))
+    val totals = tf.agg(sum(col("n")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("n_vocab"))
+    tokens.join(tf, "term")
+      .crossJoin(broadcast(totals)) // single row: constant-size broadcast
+      .withColumn("tok_nll", (-log((col("n") + 1) / (col("n_total") + col("n_vocab"))))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll"))
+  }
+
   /** TF-IDF top terms per document. Document frequencies are aggregated once
     * and joined back ON the shuffle key — no broadcast hint: the term→df
     * table grows with corpus vocabulary, which is NOT broadcast-sized at

@@ -120,5 +120,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.paraDedup(spark, dir).count() == 0)
     assert(TextOps.tokenBudget(spark, dir).count() == 0)
     assert(EventOps.sessionWindowCounts(spark, dir).count() == 0)
+    assert(TextOps.unigramLl(spark, dir).count() == 0)
+    assert(Similarity.randomProject(spark, dir).count() == 0)
   }
 }

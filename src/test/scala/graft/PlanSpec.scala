@@ -189,4 +189,21 @@ class PlanSpec extends SparkSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p.take(1500))
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
   }
+
+  test("token budget: the global quality cut never single-partitions the corpus") {
+    val p = planOf(TextOps.tokenBudget(spark, sf))
+    // same two-level contract as shard assign: one summary-sized
+    // single-partition cumsum; the corpus window is (quality, g_id)-grouped
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
+  }
+
+  test("para dedup: census and verdict shuffle digests, not a cartesian of spans") {
+    val p = planOf(graft.operators.Dedup.paraDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1000))
+    // no single-partition stage anywhere: census, verdict, and reassembly
+    // are all hash-partitioned
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
 }

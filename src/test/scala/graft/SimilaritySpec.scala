@@ -241,4 +241,33 @@ class SimilaritySpec extends SparkSuite {
     assert(out.count() == Tables.embeddings(spark, sf).count())
     assert(out.select("cluster").distinct().count() <= 10)
   }
+
+  test("randomProject: JL distance preservation and determinism") {
+    val src = Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
+    val orig = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = Similarity.randomProjectOf(src, outDim = 32)
+      .select("vec_id", "projected").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.values.forall(_.length == 32))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val errs = for { a <- ids; b <- ids if a < b } yield {
+      val o = d2(orig(a), orig(b)); val p = d2(proj(a), proj(b))
+      (p - o) / o
+    }
+    // per-pair distortion ~N(0, sqrt(2/32)≈0.25); the estimator must be
+    // nearly unbiased and individually bounded
+    val mean = errs.sum / errs.length
+    assert(math.abs(mean) < 0.15, s"biased projection: mean rel err $mean")
+    assert(errs.map(math.abs).sum / errs.length < 0.3,
+      s"mean |rel err| ${errs.map(math.abs).sum / errs.length}")
+    assert(errs.forall(e => math.abs(e) < 1.35), s"worst ${errs.map(math.abs).max}")
+    // same hash-derived matrix on every run: bit-identical re-projection
+    val again = Similarity.randomProjectOf(src, outDim = 32)
+      .select("vec_id", "projected").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(ids.forall(id => again(id).sameElements(proj(id))))
+  }
 }
