@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.TextOps
+import graft.functions.TextFunctions.{fingerprint, qualityScore}
+
+/** The document-ingest half of the streaming story: crawl drops land as
+  * files, and every micro-batch is curated ON ARRIVAL — the streaming twin
+  * of [[graft.operators.TextOps.curate]], so a corpus owner gets the same
+  * gates whether they sweep nightly in batch or admit continuously.
+  *
+  * Scale: every gate except dedup is a map-side expression (no shuffle);
+  * exact dedup is keyed state on the content fingerprint — state size is
+  * bounded by the watermark horizon, not corpus history, which is the only
+  * sustainable shape at 100 TB/day ingest. */
+object DocPipeline {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-based document source (a drop directory standing in for the crawl
+    * bus; new files = new crawl shards). */
+  def docSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Streaming curation gate — admit a document iff it clears the SAME
+    * gates as batch `curate`: exact dedup, then policy screen (digit ratio,
+    * token length), then quality threshold; survivors get the deterministic
+    * split label. Emits ADMITTED documents only (what an ingest pipeline
+    * appends to the training store); per-gate drop counts ride the stream's
+    * progress metrics rather than the row stream.
+    *
+    * Dedup is first-ARRIVAL-wins keyed state on the normalized fingerprint
+    * (the streaming analogue of batch min(doc_id) — identical decisions
+    * when ingest order follows doc_id). State is evicted by the ingest-time
+    * watermark: duplicates arriving within `dedupHorizon` of the original
+    * die here; older re-crawls are caught by the periodic batch sweep
+    * ([[graft.operators.Dedup.dedupIncremental]]) — the standard split for
+    * an otherwise unbounded dedup-state problem. */
+  def curatedStream(docs: DataFrame, minQuality: Double = 0.2,
+                    maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25,
+                    dedupHorizon: String = "1 hour"): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("digit_ratio",
+        TextOps.digitRatioOf(col("text"), length(col("text")).cast("long")))
+      .withColumn("max_token_len", TextOps.maxTokenLenOf(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("digit_ratio") < maxDigitRatio &&
+        col("max_token_len") <= maxTokenLen && col("quality") >= minQuality)
+      .withColumn("split", TextOps.splitOf(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("split"), col("quality"))
+}

@@ -169,6 +169,39 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch session divergence: ${(streamed diff batch) ++ (batch diff streamed)}")
   }
 
+  test("streaming curation gate: cross-batch dedup state + policy/quality gates") {
+    import graft.streaming.DocPipeline
+    val src = Files.createTempDirectory("graft-doccur-src").toString
+    val chk = Files.createTempDirectory("graft-doccur-chk").toString
+    def writeDocs(file: String, docs: Seq[(Long, String)]): Unit = {
+      val staging = Files.createTempDirectory("graft-doccur-stage").toString
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$file.parquet"))
+    }
+    val good = (0 until 25).map(i => s"word$i").mkString(" ")
+    val good2 = (0 until 25).map(i => s"item$i").mkString(" ")
+    // b1: one admissible doc + one policy reject (digit-dense)
+    writeDocs("b1", Seq((10L, good), (11L, Seq.fill(20)("1234567890").mkString(" "))))
+    val q = DocPipeline.curatedStream(DocPipeline.docSource(spark, src))
+      .writeStream.format("memory").queryName("doccur_out")
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // b2: an exact duplicate of doc 10 (different id) + a fresh admissible doc
+    writeDocs("b2", Seq((20L, good), (21L, good2)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("doccur_out").collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(10L, 21L),
+      s"gate admitted $ids (dup 20 and policy-reject 11 must be dropped)")
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.2))
+  }
+
   test("stream-static join: streaming events enriched against the customer dim") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val chk = Files.createTempDirectory("graft-ss-chk").toString
