@@ -26,7 +26,7 @@ object Bench {
     "doc_entropy", "doc_pii_scrub", "doc_strat_sample", "doc_bpe_pairs",
     "doc_shard_assign", "doc_vocab", "doc_dedup_incr", "doc_neardup_incr",
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
-    "doc_unigram_ll", "emb_project",
+    "doc_unigram_ll", "emb_project", "doc_source_stats",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
     "emb_ivf_query", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )
@@ -151,7 +151,35 @@ object Bench {
         }
         entries.mkString(""","batch_size_matrix":[""", ",", "]")
       } else ""
-      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson}"""
+      // optional document-ingest gate throughput (DocPipeline.curatedStream:
+      // fingerprint dedup state + map-side policy/quality/split), off by
+      // default so the headline streaming number stays the event topology
+      val docJson = if (sys.env.get("SPARK_GRAFT_DOC_STREAM").contains("1")) {
+        val dstage = tmpDir("graft-docstream")
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        val dn = docs.count()
+        docs.repartition(8).write.mode("overwrite").parquet(dstage)
+        val name = s"bench_docgate_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = graft.streaming.DocPipeline.curatedStream(
+          spark.readStream.schema(graft.streaming.DocPipeline.docSchema)
+            .option("maxFilesPerTrigger", filesPerTrigger).parquet(dstage))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val tm = q.recentProgress.toSeq.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .filter(_ > 0).sorted
+        q.stop()
+        val admitted = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        val dp50 = if (tm.nonEmpty) tm(tm.length / 2) else 0L
+        val drps = if (wall > 0) dn / wall else 0.0
+        f""","doc_gate":{"input_docs":$dn,"admitted":$admitted,"wall_sec":$wall%.3f,"docs_per_sec":$drps%.0f,"n_batches":${tm.length},"p50_batch_ms":$dp50}"""
+      } else ""
+      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson$docJson}"""
     } finally {
       val ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation")
       tuning.restore(spark, savedTuning)

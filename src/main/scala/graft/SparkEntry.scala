@@ -145,6 +145,7 @@ object SparkEntry {
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
     "emb_project"       -> ((s, d) => Similarity.randomProject(s, d)),
+    "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -887,6 +888,20 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    // mean quality decimal-summed (order-independent); dup volume = docs
+    // minus distinct normalized fingerprints, same formula as doc_fingerprint
+    "doc_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(CAST(
+         |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE)
+         |             / len(regexp_split_to_array(text, '\\s+')))
+         |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+         |    AS BIGINT) AS n_dup_docs
+         |FROM documents GROUP BY source""".stripMargin,
     // per-token −ln(p) quantized to DECIMAL(18,9) before the sum, so the
     // aggregate is exact (order-independent) and any 1-ULP libm divergence
     // dies in the quantization; final mean reported at 6 dp

@@ -412,6 +412,24 @@ object TextOps {
         (col("cum_tokens") <= budget).as("kept"))
   }
 
+  /** Per-source corpus report — the dataset-card numbers a corpus owner
+    * publishes per provenance bucket: doc/token volume, mean quality
+    * (decimal-summed → order-independent), language spread, and exact-dup
+    * volume (docs minus distinct fingerprints). One partial-agg shuffle on
+    * source (≤ |sources| keys at any corpus size); the two distinct-counts
+    * ride the same shuffle as partial sketches. */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("total_tokens"),
+        round(sum(qualityScore(col("text"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dup_docs"))
+
   /** Unigram-LM document scoring — the CCNet-style "perplexity" quality
     * signal without an external LM: train add-one-smoothed unigram
     * probabilities on the corpus itself, then score each document by its

@@ -122,5 +122,6 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.sessionWindowCounts(spark, dir).count() == 0)
     assert(TextOps.unigramLl(spark, dir).count() == 0)
     assert(Similarity.randomProject(spark, dir).count() == 0)
+    assert(TextOps.sourceStats(spark, dir).count() == 0)
   }
 }
