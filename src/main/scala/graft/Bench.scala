@@ -31,6 +31,21 @@ object Bench {
     "emb_ivf_query", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )
 
+  /** Drain a started streaming query and collapse its progress into
+    * (wall sec, sorted trigger durations ms, p50 ms). Shared by the
+    * headline reps, the batch-size matrix, and the doc-gate block so the
+    * percentile definition can never diverge between them. */
+  private def drainAndMeasure(q: org.apache.spark.sql.streaming.StreamingQuery,
+                              t0: Long): (Double, Seq[Long], Long) = {
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val tm = q.recentProgress.toSeq.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .filter(_ > 0).sorted
+    val p50 = if (tm.nonEmpty) tm(tm.length / 2) else 0L
+    (wall, tm, p50)
+  }
+
   /** Streaming throughput: the reference topology (dedup → stateful per-user
     * rate limit → admitted filter → trailing z-score anomaly alerts) over
     * the staged events table as a bounded file-source stream; reports
@@ -109,14 +124,9 @@ object Bench {
         val name = s"bench_stream_${System.nanoTime()}"
         val t0 = System.nanoTime()
         val q = run(stage, name)
-        q.processAllAvailable()
-        val wallSec = (System.nanoTime() - t0) / 1e9
-        val progress = q.recentProgress.toSeq
-        val trigMs = progress.flatMap(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .filter(_ > 0).sorted
+        val (wallSec, trigMs, _) = drainAndMeasure(q, t0)
         // state-store footprint PER OPERATOR (dedup / rate-limit / zscore)
-        val opRows = progress.lastOption.toSeq
+        val opRows = q.recentProgress.toSeq.lastOption.toSeq
           .flatMap(_.stateOperators.toSeq)
           .map(op => op.operatorName -> op.numRowsTotal)
         q.stop()
@@ -139,13 +149,8 @@ object Bench {
           val name = s"bench_stream_m${fpt}_${System.nanoTime()}"
           val t0 = System.nanoTime()
           val q = run(stage, name, fpt)
-          q.processAllAvailable()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val tm = q.recentProgress.toSeq.flatMap(p =>
-            Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-            .filter(_ > 0).sorted
+          val (wall, tm, mp50) = drainAndMeasure(q, t0)
           q.stop(); spark.catalog.dropTempView(name)
-          val mp50 = if (tm.nonEmpty) tm(tm.length / 2) else 0L
           val mrps = if (wall > 0) nRows / wall else 0.0
           f"""{"files_per_trigger":$fpt,"n_batches":${tm.length},"p50_batch_ms":$mp50,"rows_per_sec":$mrps%.0f}"""
         }
@@ -167,15 +172,10 @@ object Bench {
             .option("maxFilesPerTrigger", filesPerTrigger).parquet(dstage))
           .writeStream.format("memory").queryName(name)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-        q.processAllAvailable()
-        val wall = (System.nanoTime() - t0) / 1e9
-        val tm = q.recentProgress.toSeq.flatMap(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-          .filter(_ > 0).sorted
+        val (wall, tm, dp50) = drainAndMeasure(q, t0)
         q.stop()
         val admitted = spark.table(name).count()
         spark.catalog.dropTempView(name)
-        val dp50 = if (tm.nonEmpty) tm(tm.length / 2) else 0L
         val drps = if (wall > 0) dn / wall else 0.0
         f""","doc_gate":{"input_docs":$dn,"admitted":$admitted,"wall_sec":$wall%.3f,"docs_per_sec":$drps%.0f,"n_batches":${tm.length},"p50_batch_ms":$dp50}"""
       } else ""

@@ -864,7 +864,7 @@ object SparkEntry {
          |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
          |      (1.0 - CAST(${hits(stop)} AS DOUBLE)
          |             / len(regexp_split_to_array(text, '\\s+'))) AS quality
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT doc_id, n_tokens, cum_tokens, cum_tokens <= 20000 AS kept
          |FROM (
          |  SELECT doc_id, n_tokens,

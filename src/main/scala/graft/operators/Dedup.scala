@@ -572,12 +572,15 @@ object Dedup {
 
   private[graft] def paraDedupOf(docs: DataFrame, segWords: Int,
                                  maxDocs: Long): DataFrame = {
+    // split once in its own projection: `ws` is referenced multiple times
+    // (bound + lambda body), so CollapseProject won't inline the split back
+    // into the lambda, where it would re-run per segment (O(len²)/doc)
     val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
         s"""transform(
-           |  sequence(0L, (size(split(text, ' ')) - 1) div $segWords),
-           |  i -> concat_ws(' ', slice(split(text, ' '),
-           |                            cast(i * $segWords + 1 as int), $segWords)))
+           |  sequence(0L, (size(ws) - 1) div $segWords),
+           |  i -> concat_ws(' ', slice(ws, cast(i * $segWords + 1 as int), $segWords)))
            |""".stripMargin).as("paras"))
       .select(col("doc_id"), posexplode(col("paras")).as(Seq("seg", "para")))
       .withColumn("ph", xxhash64(col("para")))

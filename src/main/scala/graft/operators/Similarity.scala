@@ -456,6 +456,10 @@ object Similarity {
           x * when(pmod(xxhash64(i * outDim + j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
         lit(0.0), (acc, t) => acc + t) * scale
     }: _*)
-    emb.select(col("vec_id"), projected.as("projected"), col("label"))
+    // a zero-length embedding projects to the zero vector — the unguarded
+    // path yields all-nulls (sequence(0,-1) = [0,-1] pads zip_with with null)
+    val zero = array(Seq.fill(outDim)(lit(0.0)): _*)
+    emb.select(col("vec_id"),
+      when(size(v) > 0, projected).otherwise(zero).as("projected"), col("label"))
   }
 }

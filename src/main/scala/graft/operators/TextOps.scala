@@ -394,7 +394,10 @@ object TextOps {
 
   private[graft] def tokenBudgetOf(docs: DataFrame, budget: Long,
                                    idBucket: Long): DataFrame = {
-    val scored = docs.select(col("doc_id"),
+    // null text is excluded up front (same contract as curate): a null
+    // quality key would silently fall out of the offsets equi-join below
+    val scored = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
         wsTokens(col("text")).cast("long").as("n_tokens"),
         qualityScore(col("text")).as("quality"))
       .withColumn("g_id", expr(s"doc_id div $idBucket"))
@@ -415,9 +418,13 @@ object TextOps {
   /** Per-source corpus report — the dataset-card numbers a corpus owner
     * publishes per provenance bucket: doc/token volume, mean quality
     * (decimal-summed → order-independent), language spread, and exact-dup
-    * volume (docs minus distinct fingerprints). One partial-agg shuffle on
-    * source (≤ |sources| keys at any corpus size); the two distinct-counts
-    * ride the same shuffle as partial sketches. */
+    * volume (docs minus distinct fingerprints). The count/sum aggregates
+    * partial-agg down to ≤|sources| keys; the two EXACT distinct-counts
+    * cost what exact distinct costs — an Expand (~2× map rows) whose
+    * shuffle ships one row per distinct (source, lang) and (source,
+    * fingerprint) pair, i.e. ~a 16-byte digest per unique doc, the same
+    * freight as doc_dedup_exact. Swap in approx_count_distinct if a
+    * dashboard refresh ever outweighs exactness. */
   def sourceStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))

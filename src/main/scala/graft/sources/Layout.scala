@@ -100,21 +100,33 @@ object Layout {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-    files.sortBy(_.getName).toSeq.flatMap { f =>
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf) // any Hadoop FS incl. partitioned dirs
+    val it = fs.listFiles(root, true)
+    val listed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) listed += it.next().getPath
+    val files = listed
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .toSeq
+    files.sortBy(_.toString).flatMap { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
           b.getColumns.asScala
             .filter(cc => cols.contains(cc.getPath.toDotString))
-            .map { cc =>
-              val st = cc.getStatistics
-              RowGroupStat(f.getName, i, cc.getPath.toDotString,
-                st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue(),
-                b.getRowCount)
+            .flatMap { cc =>
+              // all-null groups carry no min/max; non-numeric stats are
+              // skipped rather than thrown on (integer-typed contract)
+              Option(cc.getStatistics)
+                .filter(st => st.hasNonNullValue)
+                .collect { case st if
+                    st.genericGetMin.isInstanceOf[Number] &&
+                    st.genericGetMax.isInstanceOf[Number] =>
+                  RowGroupStat(p.getName, i, cc.getPath.toDotString,
+                    st.genericGetMin.asInstanceOf[Number].longValue(),
+                    st.genericGetMax.asInstanceOf[Number].longValue(),
+                    b.getRowCount)
+                }
             }
         }
       } finally rd.close()

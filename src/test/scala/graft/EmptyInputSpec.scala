@@ -44,6 +44,13 @@ class EmptyInputSpec extends SparkSuite {
     val toks = TextOps.tokenCount(spark, d).collect()
     assert(toks.length == 2)
     assert(toks.exists(_.isNullAt(1))) // null text -> null counts, not a crash
+    // tokenBudget excludes the null-text doc (curate contract), never
+    // silently loses it to a null join key mid-plan
+    assert(TextOps.tokenBudget(spark, d).count() == 1)
+    // paraDedup keeps the doc with empty reassembled text (oracle-aligned)
+    val para = Dedup.paraDedup(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(para == Map(0L -> 1L, 1L -> 0L), s"para handling of null text: $para")
   }
 
   test("dedup and similarity yield empty results on empty corpora") {

@@ -269,5 +269,10 @@ class SimilaritySpec extends SparkSuite {
       .select("vec_id", "projected").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     assert(ids.forall(id => again(id).sameElements(proj(id))))
+    // a zero-length embedding projects to the zero vector, never nulls
+    val z = Similarity.randomProjectOf(
+      Seq((0L, Array.empty[Float], 0)).toDF("vec_id", "embedding", "label"), 8)
+      .select("projected").head().getSeq[Double](0)
+    assert(z.length == 8 && z.forall(_ == 0.0), s"degenerate projection $z")
   }
 }
