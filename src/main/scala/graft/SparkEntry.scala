@@ -146,6 +146,7 @@ object SparkEntry {
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
     "emb_project"       -> ((s, d) => Similarity.randomProject(s, d)),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
+    "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -888,6 +889,31 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    // transitions use sessionize's islands (> gap splits); deterministic
+    // top-k tie-break on (count desc, from, to) in both engines
+    "ev_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_ms, event_id) AS to_type
+        |  FROM i)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_transitions DESC, from_type, to_type
+        |LIMIT 20""".stripMargin,
     // mean quality decimal-summed (order-independent); dup volume = docs
     // minus distinct normalized fingerprints, same formula as doc_fingerprint
     "doc_source_stats" ->

@@ -395,6 +395,35 @@ object EventOps {
       .select(col("bin"), col("bin_lo"), col("n_events"),
         col("min_value"), col("max_value"), col("sum_value"))
 
+  /** A36: session path analysis — the "what do users do next" product
+    * query: count consecutive event-type transitions INSIDE sessions (same
+    * 30-min-gap islands as [[sessionize]]; a transition never spans a
+    * session break), report the top-k paths. One shuffle on user_id (the
+    * lag/lead windows and the session cumsum all ride it), then a
+    * ≤|types|²-key partial-agg and a TakeOrderedAndProject — no global
+    * sort, no second corpus pass at any scale. */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(k)
+  }
+
   /** A8b: session windows via Spark's NATIVE session_window operator — the
     * exact assignment the streaming twin
     * ([[graft.streaming.EventPipeline.sessionized]]) runs, verified

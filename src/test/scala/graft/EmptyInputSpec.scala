@@ -130,5 +130,6 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.unigramLl(spark, dir).count() == 0)
     assert(Similarity.randomProject(spark, dir).count() == 0)
     assert(TextOps.sourceStats(spark, dir).count() == 0)
+    assert(EventOps.topPaths(spark, dir).count() == 0)
   }
 }

@@ -123,6 +123,20 @@ class EventOpsSpec extends SparkSuite {
       (2L, t0, t0 + 30 * min, 1L)))
   }
 
+  test("topPaths: transitions conserve against the session inventory") {
+    import org.apache.spark.sql.functions._
+    // every session of n events contributes exactly n−1 transitions, so
+    // total transitions (unlimited) = total events − total sessions
+    val full = EventOps.topPaths(spark, sf, k = Int.MaxValue).cache()
+    val transitions = full.agg(sum(col("n_transitions"))).head().getLong(0)
+    val events = Tables.events(spark, sf).count()
+    val sessions = EventOps.sessionize(spark, sf).count()
+    assert(transitions == events - sessions,
+      s"$transitions transitions vs $events events - $sessions sessions")
+    // k bounds the report deterministically
+    assert(EventOps.topPaths(spark, sf, k = 5).count() == 5)
+  }
+
   test("sessionWindowCounts equals lag-based islands on the real table") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
