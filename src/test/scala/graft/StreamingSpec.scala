@@ -169,19 +169,22 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch session divergence: ${(streamed diff batch) ++ (batch diff streamed)}")
   }
 
+  private def writeDocs(src: String, file: String, docs: Seq[(Long, String)]): Unit = {
+    val staging = Files.createTempDirectory("graft-doccur-stage").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$file.parquet"))
+  }
+
   test("streaming curation gate: cross-batch dedup state + policy/quality gates") {
     import graft.streaming.DocPipeline
     val src = Files.createTempDirectory("graft-doccur-src").toString
     val chk = Files.createTempDirectory("graft-doccur-chk").toString
-    def writeDocs(file: String, docs: Seq[(Long, String)]): Unit = {
-      val staging = Files.createTempDirectory("graft-doccur-stage").toString
-      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$file.parquet"))
-    }
+    def writeDocs(file: String, docs: Seq[(Long, String)]): Unit =
+      this.writeDocs(src, file, docs)
     val good = (0 until 25).map(i => s"word$i").mkString(" ")
     val good2 = (0 until 25).map(i => s"item$i").mkString(" ")
     // b1: one admissible doc + one policy reject (digit-dense)
@@ -200,6 +203,28 @@ class StreamingSpec extends SparkSuite {
       s"gate admitted $ids (dup 20 and policy-reject 11 must be dropped)")
     assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
     assert(rows.forall(_.getAs[Double]("quality") >= 0.2))
+  }
+
+  test("streaming curation gate: dedup state survives restart from checkpoint") {
+    import graft.streaming.DocPipeline
+    val src = Files.createTempDirectory("graft-docrst-src").toString
+    val chk = Files.createTempDirectory("graft-docrst-chk").toString
+    // parquet sink: the memory sink cannot recover from a checkpoint
+    val out = Files.createTempDirectory("graft-docrst-out").toString + "/rows"
+    def startQuery() = DocPipeline.curatedStream(DocPipeline.docSource(spark, src))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk).start()
+    val good = (0 until 25).map(i => s"base$i").mkString(" ")
+    val fresh = (0 until 25).map(i => s"next$i").mkString(" ")
+    writeDocs(src, "b1", Seq((10L, good)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+    // the duplicate arrives only AFTER the restart: admitting it would mean
+    // the fingerprint state died with the first query
+    writeDocs(src, "b2", Seq((20L, good), (21L, fresh)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(10L, 21L), s"state not restored across restart: $ids")
   }
 
   test("stream-static join: streaming events enriched against the customer dim") {
