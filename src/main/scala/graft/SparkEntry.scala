@@ -147,6 +147,7 @@ object SparkEntry {
     "emb_project"       -> ((s, d) => Similarity.randomProject(s, d)),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
+    "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -889,6 +890,16 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev_inactive_users" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events)
+        |SELECT user_id, first_ms, last_ms, n_events,
+        |  (end_ms - last_ms) // 86400000 AS days_inactive,
+        |  (end_ms - last_ms) // 86400000 >= 7 AS churned
+        |FROM u, e""".stripMargin,
     // transitions use sessionize's islands (> gap splits); deterministic
     // top-k tie-break on (count desc, from, to) in both engines
     "ev_top_paths" ->

@@ -395,6 +395,24 @@ object EventOps {
       .select(col("bin"), col("bin_lo"), col("n_events"),
         col("min_value"), col("max_value"), col("sum_value"))
 
+  /** A37: churn / inactivity report — per user: first/last activity,
+    * volume, whole days inactive relative to the observation end (the
+    * corpus max timestamp — a single-row broadcast scalar), and the churn
+    * flag at `churnDays`. One user_id partial-agg shuffle; the end-of-
+    * window scalar joins in at zero shuffle cost. */
+  def inactiveUsers(spark: SparkSession, dir: String, churnDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"))
+    val end = ev.agg(max(col("ts_ms")).as("end_ms"))
+    ev.groupBy("user_id")
+      .agg(min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(end)) // single row: constant-size broadcast
+      .withColumn("days_inactive", expr("(end_ms - last_ms) div 86400000"))
+      .select(col("user_id"), col("first_ms"), col("last_ms"), col("n_events"),
+        col("days_inactive"), (col("days_inactive") >= churnDays).as("churned"))
+  }
+
   /** A36: session path analysis — the "what do users do next" product
     * query: count consecutive event-type transitions INSIDE sessions (same
     * 30-min-gap islands as [[sessionize]]; a transition never spans a

@@ -131,5 +131,6 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.randomProject(spark, dir).count() == 0)
     assert(TextOps.sourceStats(spark, dir).count() == 0)
     assert(EventOps.topPaths(spark, dir).count() == 0)
+    assert(EventOps.inactiveUsers(spark, dir).count() == 0)
   }
 }

@@ -123,6 +123,19 @@ class EventOpsSpec extends SparkSuite {
       (2L, t0, t0 + 30 * min, 1L)))
   }
 
+  test("inactiveUsers: one row per user, churn flag matches the horizon") {
+    import org.apache.spark.sql.functions._
+    val out = EventOps.inactiveUsers(spark, sf).cache()
+    assert(out.count() == Tables.events(spark, sf).select("user_id").distinct().count())
+    val endMs = Tables.events(spark, sf)
+      .agg(max(unix_millis(col("ts").cast("timestamp_ltz")))).head().getLong(0)
+    out.collect().foreach { r =>
+      val expect = (endMs - r.getAs[Long]("last_ms")) / 86400000 >= 7
+      assert(r.getAs[Boolean]("churned") == expect)
+      assert(r.getAs[Long]("first_ms") <= r.getAs[Long]("last_ms"))
+    }
+  }
+
   test("topPaths: transitions conserve against the session inventory") {
     import org.apache.spark.sql.functions._
     // every session of n events contributes exactly n−1 transitions, so
