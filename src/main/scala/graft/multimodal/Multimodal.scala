@@ -35,7 +35,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
       .map { r =>
         val id = r.getAs[Long]("doc_id")
         val bytes = r.getAs[String]("text").getBytes("UTF-8")

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   *     → sinks: memory / parquet / foreachBatch upsert    (Redis SET + pub/sub)
   *
   * Scale: state is keyed by user (rate limit) or event id within the
-  * watermark horizon (dedup) — bounded per key and evicted by watermark, the
-  * same shape that runs on a 1000-executor cluster with RocksDB state. */
+  * watermark horizon (dedup). Dedup, session, and anchored-rate-limit state
+  * is evicted by watermark/event-time timers; the plain rate limit and the
+  * z-score ring buffer keep ONE bounded record per key with no cross-key
+  * eviction (their scaladocs state the unbounded-churn mitigation). Same
+  * shape that runs on a 1000-executor cluster with RocksDB state. */
 object EventPipeline {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -42,8 +45,10 @@ object EventPipeline {
     * per-source micro-batches; each directory keeps its own offsets in the
     * checkpoint. */
   def multiSource(spark: SparkSession, dirs: Seq[String],
-                  format: String = "parquet"): DataFrame =
+                  format: String = "parquet"): DataFrame = {
+    require(dirs.nonEmpty, "multiSource needs at least one directory (topic)")
     dirs.map(d => fileSource(spark, d, format)).reduce(_ unionByName _)
+  }
 
   /** Kafka ingest graph mirroring the reference consumer
     * (auto_kafka_redis.py:296-304; multi-topic list per
@@ -68,11 +73,19 @@ object EventPipeline {
       .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
         col("e.event_type"), col("e.value"))
 
-  /** Dead-letter split: decode raw payloads and route malformed ones (null
-    * parse, missing id/ts) to a reject stream carrying the ORIGINAL bytes +
-    * reason — the consumer must neither crash on bad input (poison-pill
-    * loop) nor drop it silently (data loss). Both branches share one
-    * decode; at scale this is a cheap map-side disjoint filter pair. */
+  /** Dead-letter split: decode raw payloads and route malformed ones to a
+    * reject stream carrying the ORIGINAL bytes + reason — the consumer must
+    * neither crash on bad input (poison-pill loop) nor drop it silently
+    * (data loss). EVERY field the typed pipeline dereferences non-nullably
+    * (event_id, ts, user_id, value) is checked: a payload missing any of
+    * them would otherwise pass the split and kill the query at `.as[Event]`
+    * deserialization — the exact loop the split exists to prevent.
+    *
+    * The two returned frames are one logical decode, but binding them to
+    * TWO sinks starts two queries that each re-read and re-decode the
+    * source with independent offsets — fine in tests, wrong against a
+    * broker at scale. Production binds ONE query via [[deadLetterSink]],
+    * which splits each micro-batch physically once. */
   def deadLetterSplit(raw: DataFrame): (DataFrame, DataFrame) = {
     val decoded = raw
       .withColumn("payload", col("value").cast("string"))
@@ -84,7 +97,9 @@ object EventPipeline {
           (col("e.event_id").isNull && col("e.ts").isNull && col("e.user_id").isNull &&
             col("e.event_type").isNull && col("e.value").isNull), "unparseable")
           .when(col("e.event_id").isNull, "missing_event_id")
-          .when(col("e.ts").isNull, "missing_ts"))
+          .when(col("e.ts").isNull, "missing_ts")
+          .when(col("e.user_id").isNull, "missing_user_id")
+          .when(col("e.value").isNull, "missing_value"))
     val valid = decoded.filter(col("reason").isNull)
       .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
         col("e.event_type"), col("e.value"))
@@ -92,6 +107,23 @@ object EventPipeline {
       .select(col("payload"), col("reason"))
     (valid, rejects)
   }
+
+  /** Physically-once dead-letter routing: ONE streaming query; each
+    * micro-batch is decoded once (persisted), then appended to the valid
+    * and reject parquet dirs. This is the production binding of
+    * [[deadLetterSplit]] — the two-frames-two-queries form double-reads the
+    * broker and lets the two consumers' offsets diverge (malformed records
+    * published between the two start points would be lost). */
+  def deadLetterSink(raw: DataFrame, validPath: String,
+                     rejectPath: String): StreamingQuery =
+    raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try {
+        val (valid, rejects) = deadLetterSplit(batch)
+        valid.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(validPath)
+        rejects.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(rejectPath)
+      } finally { batch.unpersist(); () }
+    }.start()
 
   /** The whole reference consumer topology from one config: dedup within the
     * configured TTL → anchored per-user rate limit → alert rows. Source-
@@ -139,7 +171,19 @@ object EventPipeline {
   /** Stateful per-user rate limiting: at most `limit` admitted events per
     * user per tumbling window (reference RATE_LIMIT_COUNT / WINDOW). Emits
     * every event with an `admitted` flag (dropped events are observable,
-    * like the reference's log line). */
+    * like the reference's log line).
+    *
+    * Only the CURRENT window's count is kept per user, so an event arriving
+    * for an already-passed window is conservatively rejected (its window's
+    * count is gone; admitting blind could breach the cap) — and, crucially,
+    * it does NOT reset the live window's count.
+    *
+    * State is one (window, count) record per user with NO cross-key
+    * eviction — acceptable for bounded key spaces; a deployment with
+    * unbounded user churn runs [[rateLimitedAnchored]], whose event-time
+    * timers delete expired keys. (A processing-time timeout here would
+    * spin continuous no-data micro-batches under the default trigger —
+    * measured, not guessed.) */
   def rateLimited(events: Dataset[Event], limit: Int = 5,
                   windowMs: Long = 60L * 60 * 1000): Dataset[Admitted] = {
     import events.sparkSession.implicits._
@@ -151,8 +195,8 @@ object EventPipeline {
           var st = state.getOption.getOrElse(RateState(-1L, 0))
           val out = sorted.map { e =>
             val w = e.ts.getTime / windowMs * windowMs
-            if (w != st.windowStartMs) st = RateState(w, 0)
-            val ok = st.count < limit
+            if (w > st.windowStartMs) st = RateState(w, 0)
+            val ok = w >= st.windowStartMs && st.count < limit
             if (ok) st = st.copy(count = st.count + 1)
             Admitted(e.event_id, e.ts, e.user_id, e.event_type, e.value, ok)
           }
@@ -240,7 +284,10 @@ object EventPipeline {
     * operator: moments accumulate over the same DECIMAL(28,12)-rounded
     * values (matching Spark's decimal cast), so a bounded replay emits the
     * identical alert set (StreamingSpec). State per key is `lookback`
-    * doubles — bounded, whatever the stream length. */
+    * doubles — bounded per key; there is no cross-key TTL here (a
+    * processing-time TTL forces continuous no-data micro-batches under the
+    * default trigger), so unbounded-churn deployments bound total state by
+    * keying on a cohort/shard id or restarting from a trimmed snapshot. */
   def zscoreAlertStream(events: Dataset[Event], lookback: Int = 20,
                         zThreshold: Double = 2.5): Dataset[ZAlert] = {
     import events.sparkSession.implicits._
@@ -392,8 +439,13 @@ object EventPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val top = batch.orderBy(col("n_events").desc, col("user_id")).limit(k).collect()
-        store.clear()
-        top.foreach(r => store.put(r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        // put-then-retain (never clear-then-put): a concurrent dashboard
+        // read sees old or new entries mid-refresh, never an empty board
+        val fresh = new java.util.HashMap[Long, Long]()
+        top.foreach(r => fresh.put(r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        store.putAll(fresh)
+        store.keySet.retainAll(fresh.keySet)
+        ()
       }
       .start()
 
@@ -434,9 +486,15 @@ object EventPipeline {
       .outputMode(OutputMode.Append).start()
     q.processAllAvailable()
     q.stop()
-    // materialize before the memory sink goes away
-    val out = spark.table(name).cache()
-    out.count()
-    out
+    // materialize into a plain local frame, then release everything the
+    // bounded run allocated (repeated verification calls must not
+    // accumulate staging dirs, temp views, or cached blocks)
+    val rows = spark.table(name).collect().toSeq // bounded: windows × types
+    val schema = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator.asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

@@ -614,13 +614,21 @@ class StreamingSpec extends SparkSuite {
       """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
     val noId =
       """{"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
-    val raw = Seq("not json at all", good, noId)
+    // parses fine but would NPE the typed pipeline at groupByKey(_.user_id)
+    // / non-nullable value — must dead-letter, not poison the query
+    val noUser =
+      """{"event_id":2,"ts":"2024-01-01T10:00:00.000Z","event_type":"click","value":1.5}"""
+    val noValue =
+      """{"event_id":3,"ts":"2024-01-01T10:00:00.000Z","user_id":4,"event_type":"click"}"""
+    val raw = Seq("not json at all", good, noId, noUser, noValue)
       .map(_.getBytes("UTF-8")).toDF("value")
     val (valid, rejects) = EventPipeline.deadLetterSplit(raw)
     val v = valid.collect()
     assert(v.length == 1 && v.head.getAs[Long]("event_id") == 1L)
     val rej = rejects.collect().map(r => r.getAs[String]("reason")).sorted
-    assert(rej.toSeq == Seq("missing_event_id", "unparseable"), rej.toSeq.toString)
+    assert(rej.toSeq ==
+      Seq("missing_event_id", "missing_user_id", "missing_value", "unparseable"),
+      rej.toSeq.toString)
     // same split works as a streaming graph: rejects land in their own sink
     val src = Files.createTempDirectory("graft-dlq-src").toString
     val chk = Files.createTempDirectory("graft-dlq-chk").toString
@@ -632,7 +640,55 @@ class StreamingSpec extends SparkSuite {
     val q = sRej.writeStream.format("memory").queryName("dlq_out")
       .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
     q.processAllAvailable(); q.stop()
-    assert(spark.table("dlq_out").count() == 2)
+    assert(spark.table("dlq_out").count() == 4)
+  }
+
+  test("deadLetterSink: one query routes valid and rejects to both dirs") {
+    val src = Files.createTempDirectory("graft-dls-src").toString
+    val chk = Files.createTempDirectory("graft-dls-chk").toString
+    val okDir = Files.createTempDirectory("graft-dls-ok").toString + "/rows"
+    val dlqDir = Files.createTempDirectory("graft-dls-dlq").toString + "/rows"
+    val good =
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":3,"event_type":"click","value":1.5}"""
+    Seq(good, "garbage").map(_.getBytes("UTF-8")).toDF("value")
+      .write.mode("overwrite").parquet(src)
+    val raw = spark.readStream.schema("value binary").parquet(src)
+    val q = EventPipeline.deadLetterSink(raw, okDir, dlqDir)
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.read.parquet(okDir).collect()
+      .map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
+    assert(spark.read.parquet(dlqDir).collect()
+      .map(_.getAs[String]("reason")).toSeq == Seq("unparseable"))
+    // the streaming source was consumed by exactly ONE query
+    assert(q.recentProgress.nonEmpty)
+  }
+
+  test("rate limit: a late event from a closed window neither resets nor breaches the cap") {
+    val src = Files.createTempDirectory("graft-late-src").toString
+    val chk = Files.createTempDirectory("graft-late-chk").toString
+    // batch 1: user 1 fills window W2 (11:00-12:00) to the cap
+    writeBatch(src, "b1", (1 to 5).map(i =>
+      Event(i, Timestamp.valueOf(f"2024-01-01 11:${i}%02d:00"), 1, "click", 1.0)))
+    val in = EventPipeline.fileSource(spark, src).as[Event]
+    val q = EventPipeline.rateLimited(in, limit = 5)
+      .toDF().writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // batch 2: one LATE W1 event (must not reset W2's count), then two
+    // more W2 events (cap already reached → both rejected)
+    writeBatch(src, "b2", Seq(
+      Event(10, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 1.0),
+      Event(11, Timestamp.valueOf("2024-01-01 11:40:00"), 1, "click", 1.0),
+      Event(12, Timestamp.valueOf("2024-01-01 11:41:00"), 1, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("late_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert((1 to 5).forall(i => admitted(i.toLong)), "window fill must admit")
+    assert(!admitted(10L), "late closed-window event must be rejected")
+    assert(!admitted(11L) && !admitted(12L),
+      s"cap breached after late arrival: $admitted")
   }
 
   test("SCD refresh: foreachBatch re-resolves the dimension, picking up updates per micro-batch") {
