@@ -148,6 +148,7 @@ object SparkEntry {
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
+    "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -890,6 +891,18 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    // RANGE frame anchored on the numeric day; frame sum decimal-quantized
+    // so the ≤N-value average is order- and engine-independent
+    "ev_moving_avg" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_ms(ts) // 86400000 AS day_num, count(*) AS n_events,
+         |         ${dsum("value")} AS sum_value
+         |  FROM events GROUP BY 1)
+         |SELECT day_num, n_events, sum_value,
+         |  round(CAST(sum(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |        / count(*) OVER w, 6) AS avg_trailing
+         |FROM daily
+         |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ev_inactive_users" ->
       """WITH u AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,

@@ -395,6 +395,25 @@ object EventOps {
       .select(col("bin"), col("bin_lo"), col("n_events"),
         col("min_value"), col("max_value"), col("sum_value"))
 
+  /** A38: trailing N-day moving average of daily value volume — the
+    * dashboard smoothing query, and the RANGE-frame member of the window
+    * family (rangeBetween over the numeric day key, not ROWS — calendar
+    * gaps shrink the frame instead of silently widening it). The corpus
+    * partial-aggs to one row per day first, so the ordered window runs
+    * over a table bounded by the time horizon, not the event count; the
+    * frame average is decimal-summed (order-independent, engine-portable). */
+  def movingAvg(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select((tsMs(col("ts")) / lit(86400000L)).cast("long").as("day_num"),
+        col("value"))
+      .groupBy("day_num")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-(days - 1L), 0L)
+    daily.select(col("day_num"), col("n_events"), col("sum_value"),
+      round(sum(col("sum_value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .over(w).cast("double") / count(lit(1)).over(w), 6).as("avg_trailing"))
+  }
+
   /** A37: churn / inactivity report — per user: first/last activity,
     * volume, whole days inactive relative to the observation end (the
     * corpus max timestamp — a single-row broadcast scalar), and the churn

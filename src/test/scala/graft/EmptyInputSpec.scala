@@ -132,5 +132,6 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.sourceStats(spark, dir).count() == 0)
     assert(EventOps.topPaths(spark, dir).count() == 0)
     assert(EventOps.inactiveUsers(spark, dir).count() == 0)
+    assert(EventOps.movingAvg(spark, dir).count() == 0)
   }
 }
