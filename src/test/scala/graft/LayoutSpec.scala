@@ -186,5 +186,23 @@ class LayoutSpec extends SparkSuite {
     assert(pFrac > 0.9, s"plain layout should read ~all groups, read $pFrac")
     assert(zFrac < 0.6, s"z-order should skip most groups, read $zFrac")
     assert(zFrac < pFrac * 0.65, s"z $zFrac vs plain $pFrac: no real pruning win")
+
+    // and the ENGINE agrees with the footer prediction: the scan node's
+    // output rows ≈ rows in surviving row groups (parquet's record-level
+    // filter is off by default, so pruning is the only row reducer at the
+    // scan) — the z-ordered scan must read far fewer rows for the same query
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("l_suppkey") >= lo && col("l_suppkey") <= hi)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val zRead = scanRows(s"$base/z")
+    val pRead = scanRows(s"$base/plain")
+    assert(pRead > (n * 0.9).toLong, s"plain scan should read ~everything: $pRead of $n")
+    assert(zRead < (n * 0.6).toLong, s"z scan should skip most rows: $zRead of $n")
+    assert(zRead.toDouble / pRead < 0.65,
+      s"engine-measured pruning win missing: z=$zRead plain=$pRead")
   }
 }
