@@ -20,7 +20,7 @@ object Bench {
     "ev_dedup_first", "ev_rate_limit", "ev_sessionize", "ev_enrich_join", "ev_zscore_alert",
     "ev_asof_join", "ev_counts_salted", "ev_quantiles_exact", "ev_bloom_join", "ev_hll_rollup",
     "ev_range_join", "ev_histogram", "ev_session_window", "ev_top_paths",
-    "ev_inactive_users", "ev_moving_avg",
+    "ev_inactive_users", "ev_moving_avg", "ev_type_cooccur", "doc_top_bigrams",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
     "doc_ngram_jaccard",
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",

@@ -149,6 +149,8 @@ object SparkEntry {
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
+    "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
+    "doc_top_bigrams"   -> ((s, d) => TextOps.topBigrams(s, d)),
     "doc_dedup_incr"    -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "doc_neardup_incr"  -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "doc_keep_quality"  -> ((s, d) => Dedup.keepListByQuality(s, d)),
@@ -891,6 +893,22 @@ object SparkEntry {
          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev_type_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+    // DuckDB lists are 1-based (range(1,n) = 1..n-1); Spark's ws[i] is
+    // 0-based (sequence(0, n-2)) — same bigrams either way
+    "doc_top_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS n_occurrences FROM b GROUP BY 1
+        |ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin,
     // RANGE frame anchored on the numeric day; frame sum decimal-quantized
     // so the ≤N-value average is order- and engine-independent
     "ev_moving_avg" ->

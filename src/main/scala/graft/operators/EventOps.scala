@@ -395,6 +395,21 @@ object EventOps {
       .select(col("bin"), col("bin_lo"), col("n_events"),
         col("min_value"), col("max_value"), col("sum_value"))
 
+  /** A39: event-type co-occurrence (the market-basket shape): for every
+    * unordered pair of event types, how many users did both. Distinct
+    * (user, type) first — the self-join fans out over a per-user set
+    * bounded by |types|, so the pair space is user·|types|², never
+    * user-count² — then a ≤|types|²-key partial agg. The `<` guard keeps
+    * one row per unordered pair and drops self-pairs. */
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    ut.as("a").join(ut.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** A38: trailing N-day moving average of daily value volume — the
     * dashboard smoothing query, and the RANGE-frame member of the window
     * family (rangeBetween over the numeric day key, not ROWS — calendar

@@ -415,6 +415,24 @@ object TextOps {
         (col("cum_tokens") <= budget).as("kept"))
   }
 
+  /** Corpus-wide top word bigrams — collocation mining (the n>1 companion
+    * of [[vocab]]'s unigram counts and [[bpePairs]]' character pairs).
+    * Bigram extraction is a pure map over the split array (transform +
+    * indexed slice — no explode-then-window, no self-join on position);
+    * the census is one partial-agg shuffle on the bigram, top-k via
+    * TakeOrderedAndProject. */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(k)
+
   /** Per-source corpus report — the dataset-card numbers a corpus owner
     * publishes per provenance bucket: doc/token volume, mean quality
     * (decimal-summed → order-independent), language spread, and exact-dup

@@ -133,5 +133,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.topPaths(spark, dir).count() == 0)
     assert(EventOps.inactiveUsers(spark, dir).count() == 0)
     assert(EventOps.movingAvg(spark, dir).count() == 0)
+    assert(EventOps.typeCooccurrence(spark, dir).count() == 0)
+    assert(TextOps.topBigrams(spark, dir).count() == 0)
   }
 }
