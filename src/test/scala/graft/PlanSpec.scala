@@ -198,6 +198,20 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
   }
 
+  test("top bigrams: map-only extraction, one census exchange, bounded top-k") {
+    val p = planOf(TextOps.topBigrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    // bigram extraction never joins positions: the only exchange is the
+    // count census (plus AQE's shuffle read), never a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("type co-occurrence: pair space via per-user join, no cartesian") {
+    val p = planOf(graft.operators.EventOps.typeCooccurrence(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1000))
+  }
+
   test("para dedup: census and verdict shuffle digests, not a cartesian of spans") {
     val p = planOf(graft.operators.Dedup.paraDedup(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
