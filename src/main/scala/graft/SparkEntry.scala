@@ -683,7 +683,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_neardup_pairs" ->
@@ -989,7 +989,7 @@ object SparkEntry {
     "doc_dedup_incr" ->
       """WITH fps AS (
         |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |cut AS (SELECT max(doc_id) * 8 // 10 AS cut FROM fps),
         |existing AS (SELECT DISTINCT fp FROM fps, cut WHERE doc_id < cut),
         |batch AS (SELECT doc_id, fp FROM fps, cut WHERE doc_id >= cut)

@@ -23,9 +23,13 @@ import graft.Tables
   * docs never collide into a shared bucket claiming similarity 1.0. */
 object Dedup {
 
-  /** C1: exact dedup — md5(text) groupBy, keep the smallest doc_id. */
+  /** C1: exact dedup — md5(text) groupBy, keep the smallest doc_id.
+    * Null-text docs are excluded (same contract as curate): md5(NULL) is
+    * NULL and groupBy treats NULLs as equal, which would declare every
+    * unknown-content doc a copy of every other. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -44,6 +48,8 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing hashes would be silently un-banded)")
     val rows = numHashes / bands
     val sigs = minhashSigs(Tables.documents(spark, dir), shingleK, numHashes)
       .filter(col("sig").isNotNull).cache()
@@ -80,6 +86,8 @@ object Dedup {
   private[graft] def minhashLshIncrementalOf(docs: DataFrame, shingleK: Int = 3,
                                              numHashes: Int = 16, bands: Int = 4,
                                              threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing hashes would be silently un-banded)")
     val rows = numHashes / bands
     val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("cut"))
     val sigs = minhashSigs(docs, shingleK, numHashes)
@@ -160,6 +168,8 @@ object Dedup {
     val p = spark.read.parquet(s"$storeDir/params.parquet").head()
     val (shingleK, numHashes, bands) =
       (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing hashes would be silently un-banded)")
     val rows = numHashes / bands
     val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
     val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
@@ -170,6 +180,7 @@ object Dedup {
     // the batch is pinned before the store mutates
     val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
       .filter(col("sig").isNotNull)
+      .dropDuplicates("doc_id") // a doubly-staged batch row must not land twice
       .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val batchBands = bandedOf(batchSigs, bands, rows).localCheckpoint(true)
@@ -189,8 +200,13 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .localCheckpoint(true) // materialize BEFORE the store grows below
-    batchSigs.write.mode("append").parquet(s"$storeDir/sigs.parquet")
+    // bands BEFORE sigs: the retry admission check is the sigs anti-join,
+    // so a crash between the two appends must leave the doc ABSENT from
+    // sigs (retry re-ingests it; the candidate .distinct() absorbs the
+    // duplicated band rows). The reverse order would leave docs present in
+    // sigs but bandless — permanently invisible to candidate generation.
     batchBands.write.mode("append").parquet(s"$storeDir/bands.parquet")
+    batchSigs.write.mode("append").parquet(s"$storeDir/sigs.parquet")
     verified
   }
 
@@ -228,6 +244,11 @@ object Dedup {
     * for any cap. */
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
                                           bucketCap: Int = 1000): DataFrame = {
+    // the 4×16 blocking below guarantees recall only to hamming 3
+    // (pigeonhole: 4 chunks tolerate 3 errors) — wider radii re-block on
+    // maxDist+1-chunk granularity instead of silently losing pairs
+    require(maxDist <= 15, s"radius $maxDist > 15: 16×4-bit blocking ceiling")
+    if (maxDist > 3) return simhashPairsWide(sigs, maxDist)
     // cached: consumed by the bucket census AND the join branches — without
     // it each branch re-runs the scan + signature kernel. 4 fixed-width rows
     // per doc, spillable at scale.
@@ -279,6 +300,32 @@ object Dedup {
     }
 
     candidates.distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Radii 4–15: pigeonhole needs maxDist+1 blocks, so block on 8×8-bit
+    * (≤7) or 16×4-bit (≤15) chunks. The per-chunk key space shrinks to
+    * 2⁸/2⁴ values — buckets approach corpus/256 (or /16) and the join
+    * tends toward all-pairs, so this is the small-corpus/diagnostic path;
+    * production near-dup radii are ≤3 (the skew-guarded 4×16 path above).
+    * Exact hamming verification keeps the OUTPUT correct for any radius;
+    * what the wider blocking buys is candidate COMPLETENESS. */
+  private def simhashPairsWide(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = if (maxDist <= 7) 8 else 16
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val chunked = sigs.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("sh"), c * width).bitwiseAND(lit(mask)))))
+      .toDF("doc_id", "sh", "chunk", "bucket")
+    val a = chunked.select(col("chunk"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -422,7 +469,9 @@ object Dedup {
     dedupIncrementalOf(Tables.documents(spark, dir))
 
   private[graft] def dedupIncrementalOf(docs: DataFrame): DataFrame = {
-    val fps = docs.select(col("doc_id"),
+    // null text excluded: a NULL fingerprint would glue all unknown-content
+    // docs into one "duplicate" group at the final fp groupBy
+    val fps = docs.filter(col("text").isNotNull).select(col("doc_id"),
       graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
     // single-row scalar: constant-size broadcast, policy-compliant
     val cut = fps.agg(expr("max(doc_id) * 8 div 10").as("cut"))
@@ -450,6 +499,11 @@ object Dedup {
     * [[ngramJaccardLsh]], which verifies only MinHash-LSH candidates. */
   def ngramJaccard(spark: SparkSession, dir: String, k: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
+    // NOTE (r4, measured): carrying the set size through the inverted index
+    // (kernel once, no size re-joins) was tried and REVERTED — on this
+    // corpus the per-gram pair exchange dominates, and widening every
+    // exchanged row by the size column cost ~8% at sf0.1; the second
+    // (map-only) kernel pass on the small sizes branch is the cheaper side.
     val docs = Tables.documents(spark, dir)
     val inv = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
@@ -506,12 +560,13 @@ object Dedup {
     * quotes above that length cannot be missed. */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          k: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
-    // per-doc fingerprint dedup happens INSIDE the row (array_distinct
-    // before explode), so shared-fp counts are per-VALUE without any
-    // corpus-wide distinct shuffle — the corpus side stays map-only
+    // WinnowExpr already emits per-doc DISTINCT fingerprints (LinkedHashSet
+    // in the kernel), so shared-fp counts are per-VALUE with no extra
+    // in-row distinct pass and no corpus-wide distinct shuffle — the
+    // corpus side stays map-only
     def fps(df: DataFrame, idCol: String) = df
-      .select(col(idCol), explode(array_distinct(graft.functions.Barrier.noInline(
-        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window)))).as("fp"))
+      .select(col(idCol), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.winnowFps(col("text"), k, window))).as("fp"))
     fps(corpus, "doc_id").join(broadcast(fps(benchmark, "bench_id")), Seq("fp"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -15,9 +15,14 @@ import graft.functions.VectorFunctions._
   * centroids and probes only the nearest buckets — the 100 TB path. */
 object Similarity {
 
+  /** Cosine is undefined for the zero vector — unguarded, 0/0 = NaN, which
+    * Spark sorts ABOVE every real similarity (a zero vector would rank #1
+    * for every query and pass every ≥ threshold filter). Zero-norm rows are
+    * excluded from all cosine paths here. */
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
 
   /** C5: brute-force cosine top-k — queries are vec_id < nQueries, corpus is
     * everything else. Broadcast the queries; one pass over the corpus. */
@@ -46,6 +51,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0) // zero vector: cosine undefined (see withNorm)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -66,6 +72,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0) // zero vector: cosine undefined (see withNorm)
     val a = emb.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = emb.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
@@ -103,6 +110,8 @@ object Similarity {
     * thresholds want more bands of fewer bits. */
   def lshNeardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                       numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"bands=$bands must divide numPlanes=$numPlanes (trailing sign bits would be silently un-banded)")
     val bits = numPlanes / bands
     val emb = withNorm(Tables.embeddings(spark, dir))
       .withColumn("sig", graft.functions.VectorExpressions.rhpSign(col("v"), numPlanes))
@@ -149,6 +158,18 @@ object Similarity {
     withNorm(emb).select(col("vec_id"), col("nrm"),
       transform(col("v"), x => x / col("nrm")).as("vn"), col("v"))
 
+  /** Subvector width from the DATA (dim / m): the dimension is a property
+    * of the embedding table, not a constant of the engine — a hardcoded
+    * width would silently slice past the array end for other dims and
+    * zero out half the subspaces. One LIMIT-1 job; empty frames fall back
+    * to a degenerate width (their results are empty anyway). */
+  private def dsubOf(df: DataFrame, m: Int): Int =
+    df.select(size(col("vn")).as("d")).head(1).headOption.map { r =>
+      val dim = r.getInt(0)
+      require(dim % m == 0, s"m=$m must divide the embedding dim=$dim")
+      dim / m
+    }.getOrElse(1)
+
   /** (vec_id, sub, subv): the m subvectors of the normalized vector. */
   private def pqSubrows(df: DataFrame, m: Int, dsub: Int): DataFrame =
     df.select(col("vec_id"),
@@ -163,7 +184,7 @@ object Similarity {
     * expensive pass) and every query session reads m ints/vector. */
   private[graft] def buildPqIndex(corpus: DataFrame, m: Int = 8,
                                   ksub: Int = 16): (DataFrame, DataFrame) = {
-    val dsub = 64 / m
+    val dsub = dsubOf(corpus, m)
     val corpusSub = pqSubrows(corpus, m, dsub).cache()
     // deterministic seeding: ksub hash-ranked subvectors per subspace...
     val seedW = Window.partitionBy(col("sub"))
@@ -193,7 +214,7 @@ object Similarity {
   /** ADC scoring + exact re-rank against a (codebooks, codes) index. */
   private def pqQuery(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
                       codes: DataFrame, m: Int, k: Int, shortlist: Int): DataFrame = {
-    val dsub = 64 / m
+    val dsub = dsubOf(queries, m)
     // ADC: per-query distance table over (sub, cid) — m·ksub inner products
     val dtable = pqSubrows(queries, m, dsub).withColumnRenamed("vec_id", "q_id")
       .join(broadcast(codebooks), Seq("sub"))

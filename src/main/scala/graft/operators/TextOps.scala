@@ -96,11 +96,14 @@ object TextOps {
   // Shared gate expressions — policyFilter, deterministicSplit and the
   // composed curate gate must stay expression-identical (their oracles
   // assume it), so each lives in exactly one place.
+  private[graft] def digitCountOf(text: org.apache.spark.sql.Column) =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+  private[graft] def digitRatioFrom(nDigits: org.apache.spark.sql.Column,
+                                    nChars: org.apache.spark.sql.Column) =
+    when(nChars > 0, nDigits.cast("double") / nChars).otherwise(lit(0.0))
   private[graft] def digitRatioOf(text: org.apache.spark.sql.Column,
                                   nChars: org.apache.spark.sql.Column) =
-    when(nChars > 0,
-      length(regexp_replace(text, "[^0-9]", "")).cast("double") / nChars)
-      .otherwise(lit(0.0))
+    digitRatioFrom(digitCountOf(text), nChars)
   private[graft] def maxTokenLenOf(text: org.apache.spark.sql.Column) =
     array_max(transform(split(text, "\\s+"), t => length(t))).cast("long")
   private[graft] def md5Bucket(id: org.apache.spark.sql.Column) =
@@ -119,11 +122,8 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_digits",
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
-      .withColumn("digit_ratio",
-        when(col("n_chars") > 0, col("n_digits").cast("double") / col("n_chars"))
-          .otherwise(lit(0.0)))
+      .withColumn("n_digits", digitCountOf(col("text")))
+      .withColumn("digit_ratio", digitRatioFrom(col("n_digits"), col("n_chars")))
       .withColumn("max_token_len", maxTokenLenOf(col("text")))
       .withColumn("keep",
         col("digit_ratio") < maxDigitRatio && col("max_token_len") <= maxTokenLen)
@@ -263,8 +263,7 @@ object TextOps {
                        majorityThreshold: String = "40",
                        minorityThreshold: String = "cd"): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("b"))
+      .select(col("doc_id"), col("lang"), md5Bucket(col("doc_id")).as("b"))
       .filter(when(col("lang") === majorityLang, col("b") < majorityThreshold)
         .otherwise(col("b") < minorityThreshold))
       .select(col("doc_id"), col("lang"))

@@ -304,6 +304,25 @@ class DedupSpec extends SparkSuite {
     assert(pairs == fullBatch, s"incremental $pairs != batch-touching full $fullBatch")
   }
 
+  test("simhash wide radius: a hamming-4 pair is found (4×16 blocking alone misses it)") {
+    // one flipped bit per 16-bit chunk: no shared 16-bit chunk, hamming 4 —
+    // the radius>3 path must re-block on finer chunks to keep the guarantee
+    val sigs = Seq((1L, 0x0L), (2L, 0x0001000100010001L)).toDF("doc_id", "sh")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 10).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("hamming") == 4L,
+      pairs.toSeq.toString)
+    // and the guarantee has an enforced ceiling
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFromSigs(sigs, maxDist = 16)
+    }
+  }
+
+  test("LSH parameter misconfiguration fails fast instead of losing recall") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(spark, dir, numHashes = 16, bands = 5)
+    }
+  }
+
   test("paraDedup drops shared spans, keeps unique spans in order") {
     val shared = "b1 b2 b3 b4 b5 b6 b7 b8" // two aligned 4-word segments
     val docs = Seq(

@@ -47,6 +47,8 @@ class EmptyInputSpec extends SparkSuite {
     // tokenBudget excludes the null-text doc (curate contract), never
     // silently loses it to a null join key mid-plan
     assert(TextOps.tokenBudget(spark, d).count() == 1)
+    // exact dedup must NOT glue unknown-content docs into one NULL cluster
+    assert(Dedup.exact(spark, d).count() == 1)
     // paraDedup keeps the doc with empty reassembled text (oracle-aligned)
     val para = Dedup.paraDedup(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap

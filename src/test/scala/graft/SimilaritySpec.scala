@@ -242,6 +242,23 @@ class SimilaritySpec extends SparkSuite {
     assert(out.select("cluster").distinct().count() <= 10)
   }
 
+  test("zero-norm vectors are excluded from cosine paths, never rank NaN-first") {
+    val d = Files.createTempDirectory("graft-zero").toString
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f), 0),           // query
+      (1L, Array.fill(8)(0.9f), 0), (2L, Array.fill(8)(-1.0f), 1),
+      (3L, Array.fill(8)(0.5f), 1),
+      (4L, Array.fill(8)(0.0f), 1))           // the poison row
+      .toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val top = Similarity.cosineTopK(spark, d, nQueries = 1, k = 3).collect()
+    assert(!top.exists(_.getAs[Long]("vec_id") == 4L), "zero vector must not rank")
+    assert(top.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+    assert(top.head.getAs[Long]("vec_id") == 1L) // the true nearest, not NaN
+    val pairs = Similarity.neardupPairs(spark, d, threshold = 0.0).collect()
+    assert(!pairs.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
+  }
+
   test("randomProject: JL distance preservation and determinism") {
     val src = Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
     val orig = src.select("vec_id", "embedding").collect()
