@@ -30,4 +30,15 @@ object Cols {
   /** Exact-sum average: one double division of exact operands. */
   def davg(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+
+  /** The TPC-H discounted-revenue term l_extendedprice·(1−l_discount),
+    * decimal-quantized at (18,6) — ONE definition of the value every
+    * revenue aggregate sums, so the dozen queries using it (and their
+    * oracles) can never drift in precision or scale. */
+  def revenueTerm: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 6))
+
+  /** Exact revenue SUM: decimal accumulation of [[revenueTerm]], double out. */
+  def drevenue: Column = sum(revenueTerm).cast("double")
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
@@ -32,16 +32,25 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * sentinel would LSH-collide all contentless docs as perfect near-dups).
   */
 object TextHash {
-  /** Lowercased word hashes of the normalized text. */
+  /** ASCII \s — the documented contract is `regexp_replace(text, "\\s+")`
+    * parity (TextFunctions.normalized), and Java's \s is ASCII-only;
+    * Character.isWhitespace would also split on U+3000/U+2028/… and
+    * silently diverge from the declarative tokenization. */
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Lowercased word hashes of the normalized text. Locale.ROOT: a
+    * tr-TR-default executor would lowercase I→ı and hash differently than
+    * Spark's own lower(), making signatures executor-locale-dependent. */
   private[graft] def wordHashes(s: UTF8String): Array[Long] = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
     val n = str.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && isSpace(str.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && !isSpace(str.charAt(i))) i += 1
       if (i > start) {
         val bytes = str.substring(start, i).getBytes("UTF-8")
         out += XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
@@ -107,7 +116,10 @@ trait TextHashKernel { self: UnaryExpression =>
 /** minhash_sig(text): array of `numHashes` per-family minima over the
   * document's k-shingle hashes; NULL for zero-shingle documents. */
 case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with TextHashKernel {
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
+  require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "minhash_sig"
 
@@ -141,7 +153,9 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
   * Jaccard verification; empty array — not null — for empty docs, since a
   * set-valued result has a natural empty). */
 case class ShingleHashesExpr(child: Expression, shingleK: Int)
-    extends UnaryExpression with TextHashKernel {
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "shingle_hashes"
 
@@ -158,7 +172,8 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
 /** simhash64(text): 64-bit sign-sum simhash over word hashes; NULL for
   * zero-token documents. */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with TextHashKernel {
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -197,7 +212,10 @@ case class SimHashExpr(child: Expression)
   * at least one shared fingerprint. Distinct fingerprints, one compiled
   * pass; NULL for zero-token docs. */
 case class WinnowExpr(child: Expression, shingleK: Int, window: Int)
-    extends UnaryExpression with TextHashKernel {
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
+  require(window >= 1, s"window=$window must be >= 1")
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "winnow_fps"
 
@@ -249,7 +267,10 @@ case class WinnowExpr(child: Expression, shingleK: Int, window: Int)
   * (`size(filter(zip_with(...)))`) walks interpreted higher-order lambdas
   * per element; this generates a tight primitive loop inside WSCG. */
 case class SigAgreeExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "sig_agree"
 

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -17,15 +17,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * list_dot_product, so oracle results stay bit-identical.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // Mismatched lengths yield NULL — the HOF form's semantics (zip_with
+  // pads with null, null propagates). Silently truncating to the shorter
+  // array would rank a corrupt mixed-dimension row as a plausible
+  // similarity instead of surfacing it.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -41,12 +49,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -64,25 +76,50 @@ case class DotProductExpr(left: Expression, right: Expression)
   * with zero coordination or broadcast. One compiled pass per vector
   * (numPlanes·dim multiply-free adds). NULL for empty vectors. */
 case class RhpSignExpr(child: Expression, numPlanes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
   require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1, 64]")
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
   override def prettyName: String = "rhp_sign"
 
+  // The Rademacher matrix depends only on (plane, dim) — re-deriving
+  // numPlanes·dim XXH64 hashes per ROW would dominate the advertised
+  // "multiply-free adds". Built once per (executor, dim), same hash
+  // derivation, so signatures are unchanged.
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+  private def signsFor(dim: Int): Array[Byte] =
+    signCache.computeIfAbsent(dim, _ => {
+      val t = new Array[Byte](numPlanes * dim)
+      var p = 0
+      while (p < numPlanes) {
+        var d = 0
+        while (d < dim) {
+          // Rademacher entry s(p,d) = ±1 from one hash-bit — deterministic
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(p.toLong * 0x9E3779B97F4A7C15L + d, 7L)
+          t(p * dim + d) = if ((h & 1L) == 0L) 1 else -1
+          d += 1
+        }
+        p += 1
+      }
+      t
+    })
+
   def compute(a: ArrayData): AnyRef = {
     val n = a.numElements()
     if (n == 0) return null
+    val signs = signsFor(n)
     var bits = 0L
     var p = 0
     while (p < numPlanes) {
+      val base = p * n
       var acc = 0.0
       var d = 0
       while (d < n) {
-        // Rademacher entry s(p,d) = ±1 from one hash-bit — deterministic
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(p.toLong * 0x9E3779B97F4A7C15L + d, 7L)
-        if ((h & 1L) == 0L) acc += a.getDouble(d) else acc -= a.getDouble(d)
+        if (signs(base + d) == 1) acc += a.getDouble(d) else acc -= a.getDouble(d)
         d += 1
       }
       if (acc > 0) bits |= (1L << p)

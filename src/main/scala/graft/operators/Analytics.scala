@@ -29,8 +29,7 @@ object Analytics {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        drevenue.as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -49,8 +48,7 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey")) // customer ∝ SF: AQE decides
       .groupBy(col("l_orderkey"), col("order_day"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .agg(drevenue.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -72,8 +70,7 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(custInRegion, ord("o_custkey") === custInRegion("c_custkey")) // ∝ SF: AQE decides
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .agg(drevenue.as("revenue"))
   }
 
   /** B4: running revenue per customer (window function, exact decimal cumsum). */
@@ -110,8 +107,7 @@ object Analytics {
     val part = Tables.part(spark, dir).select("p_partkey", "p_name")
     li.join(part, li("l_partkey") === part("p_partkey")) // part ∝ SF: AQE decides
       .groupBy("p_partkey", "p_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+      .agg(drevenue.as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("p_partkey"))
       .limit(k)
@@ -164,8 +160,7 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey")) // customer ∝ SF: AQE decides
       .groupBy("c_custkey", "c_name", "c_mktsegment")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .agg(drevenue.as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -203,10 +198,9 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type").startsWith("STANDARD"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+          revenueTerm)
           .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") * 100.0 /
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 6))).cast("double")).as("promo_share_pct"),
+          drevenue).as("promo_share_pct"),
         count(lit(1)).as("n_lines"))
 
   /** B14: OR-of-ANDs predicate (TPC-H Q19 shape) — the whole disjunction
@@ -222,8 +216,7 @@ object Analytics {
           col("l_quantity").between(10.0, 35.0)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
           col("l_quantity").between(20.0, 50.0)))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+      .agg(drevenue.as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -317,8 +310,7 @@ object Analytics {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+      .agg(drevenue.as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -344,7 +336,7 @@ object Analytics {
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)).as("r"))
+        revenueTerm.as("r"))
       .groupBy("l_suppkey")
       .agg(sum(col("r")).cast("double").as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
@@ -569,18 +561,23 @@ object Analytics {
     * cells, skipping the grand total and per-status-only sets. Same
     * grouping-expand execution as [[cubeFlags]], fewer expanded rows. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    // unique + dropped view: a fixed name would race concurrent callers on
+    // the shared session and leak into the catalog. sql() resolves the view
+    // eagerly at analysis, so dropping it before the caller executes is safe.
+    val view = s"lineitem_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     Tables.lineitem(spark, dir)
       .select("l_returnflag", "l_linestatus", "l_quantity")
-      .createOrReplaceTempView("lineitem_gs")
-    spark.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  grouping_id() AS gid,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  count(*) AS n_lines
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
-        |""".stripMargin)
+      .createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  grouping_id() AS gid,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  count(*) AS n_lines
+         |FROM $view
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+         |""".stripMargin)
+    finally { spark.catalog.dropTempView(view); () }
   }
 
   /** B35: referential-integrity audit — orphan counts per relation edge

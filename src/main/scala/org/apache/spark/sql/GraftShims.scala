@@ -10,6 +10,11 @@ object GraftShims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Public alias for the private[sql] AbstractDataType, so graft's
+    * expressions can declare `inputTypes` (analysis-time type errors
+    * instead of executor ClassCastExceptions). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a native function on a LIVE session (getOrCreate ignores
     * extensions when a session already exists — tests and REPLs need this). */
   def registerFunction(spark: SparkSession,
