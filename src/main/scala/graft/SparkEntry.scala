@@ -144,7 +144,15 @@ object SparkEntry {
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
-    "emb_project"       -> ((s, d) => Similarity.randomProject(s, d)),
+    // the harness sorts result columns via pandas, which cannot hash a raw
+    // array<double> — dump the projection exploded to scalar rows (the
+    // array-returning randomProject stays the user-facing API)
+    "emb_project"       -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Similarity.randomProject(s, d)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx"), round(col("value"), 6).as("value"))
+    }),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),

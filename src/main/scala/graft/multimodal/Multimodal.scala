@@ -38,7 +38,9 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .map { r =>
         val id = r.getAs[Long]("doc_id")
-        val bytes = r.getAs[String]("text").getBytes("UTF-8")
+        // unknown-content docs (null text) still yield a media row — empty
+        // payload bytes, same contract as curate's null-text gate
+        val bytes = Option(r.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }

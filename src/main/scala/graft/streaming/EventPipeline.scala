@@ -109,19 +109,29 @@ object EventPipeline {
   }
 
   /** Physically-once dead-letter routing: ONE streaming query; each
-    * micro-batch is decoded once (persisted), then appended to the valid
+    * micro-batch is decoded once (persisted), then written to the valid
     * and reject parquet dirs. This is the production binding of
     * [[deadLetterSplit]] — the two-frames-two-queries form double-reads the
     * broker and lets the two consumers' offsets diverge (malformed records
-    * published between the two start points would be lost). */
+    * published between the two start points would be lost).
+    *
+    * Writes are IDEMPOTENT under micro-batch retry: each output is
+    * partitioned by `batch_id` and dynamically overwritten, so a failure
+    * between the valid and reject writes (or any replay of a committed
+    * batch) replaces that batch's partition instead of duplicating rows —
+    * effectively-once output on top of foreachBatch's at-least-once calls. */
   def deadLetterSink(raw: DataFrame, validPath: String,
                      rejectPath: String): StreamingQuery =
-    raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    raw.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.persist()
       try {
         val (valid, rejects) = deadLetterSplit(batch)
-        valid.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(validPath)
-        rejects.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(rejectPath)
+        Seq((valid, validPath), (rejects, rejectPath)).foreach { case (df, path) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(path)
+        }
       } finally { batch.unpersist(); () }
     }.start()
 

@@ -661,6 +661,13 @@ class StreamingSpec extends SparkSuite {
       .map(_.getAs[String]("reason")).toSeq == Seq("unparseable"))
     // the streaming source was consumed by exactly ONE query
     assert(q.recentProgress.nonEmpty)
+    // retry idempotence: replaying the same data as the same batch_id (a
+    // fresh checkpoint re-reads everything as batch 0 — the retry shape)
+    // overwrites that batch's partition instead of appending duplicates
+    val q2 = EventPipeline.deadLetterSink(raw, okDir, dlqDir)
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    assert(spark.read.parquet(okDir).count() == 1, "retried batch must not duplicate valid rows")
+    assert(spark.read.parquet(dlqDir).count() == 1, "retried batch must not duplicate reject rows")
   }
 
   test("rate limit: a late event from a closed window neither resets nor breaches the cap") {
