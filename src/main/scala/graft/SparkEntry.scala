@@ -1131,11 +1131,11 @@ object SparkEntry {
         |        n_chars * 10 AS duration_ms
         |      FROM documents) t
         |GROUP BY kind""".stripMargin,
-    // octet_length over the BLOB cast: the Spark side chunks the UTF-8 BYTES
-    // of the payload, so the oracle must count bytes, not characters.
+    // video rows carry 1 + n_chars/256 container frames (capped 12); the
+    // stride-4 sampler keeps ceil(frames/4) of them — both derivable in SQL
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |  CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 32.0) AS BIGINT) + 3) // 4 AS BIGINT) AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) > 0""".stripMargin,
+        |  CAST((least(1 + n_chars // 256, 12) + 3) // 4 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
   )
 }

@@ -14,10 +14,9 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
-  /** Deterministic synthetic RGB image encoded as a REAL PNG — the test
-    * corpus's stand-in for genuine user images. Same (w, h, seed) → the
-    * identical byte stream (ImageIO's PNG writer emits no timestamps). */
-  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  /** Deterministic synthetic RGB image — the test corpus's stand-in for
+    * genuine user pixels. Same (w, h, seed) → the identical raster. */
+  private def synthImage(width: Int, height: Int, seed: Long): BufferedImage = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
@@ -32,8 +31,23 @@ object ImageCodec {
       }
       y += 1
     }
+    img
+  }
+
+  /** Synthetic image encoded as a REAL PNG (ImageIO's PNG writer emits no
+    * timestamps, so same inputs → the identical byte stream). */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val bos = new ByteArrayOutputStream(width * height / 2)
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(synthImage(width, height, seed), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic image encoded as a REAL baseline JPEG — the frame payload of
+    * [[VideoCodec]]'s MJPEG-style container. Deterministic for fixed inputs
+    * (the JDK JPEG writer emits no timestamps or random markers). */
+  def synthJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(width * height / 2)
+    ImageIO.write(synthImage(width, height, seed), "jpg", bos)
     bos.toByteArray
   }
 

@@ -11,13 +11,13 @@ import graft.Tables
   * JDK's `javax.imageio` and resized with `Graphics2D` ([[ImageCodec]]).
   * The AUDIO codec is REAL: payloads are genuine RIFF/PCM WAVs, decoded
   * with `javax.sound.sampled` and pooled to fixed-size amplitude envelopes
-  * ([[AudioCodec]]). Both JDK-only, all executor-side. VIDEO demux remains
-  * STUBBED as a clearly-marked deterministic fake: the JDK ships no
-  * container demuxer and this environment no media libraries. The
-  * surrounding plumbing is identical either way and is what matters at
-  * 100 TB: the schema contract, the binary-payload-stays-off-the-driver
-  * rule, mapPartitions batch shape, partition sizing for ~MB-scale rows,
-  * and column pruning on the metadata without touching payload bytes. */
+  * ([[AudioCodec]]). VIDEO is REAL over a declared container: payloads are
+  * MJPEG-style GMJ1 streams (length-prefixed JPEG frames, [[VideoCodec]])
+  * demuxed by length-prefix walk and decoded per-frame with the image
+  * codec. All three JDK-only, all executor-side. The plumbing is what
+  * matters at 100 TB: the schema contract, the binary-payload-stays-off-
+  * the-driver rule, mapPartitions batch shape, partition sizing for
+  * ~MB-scale rows, and column pruning on metadata without payload bytes. */
 object Multimodal {
 
   case class Media(media_id: Long, kind: String, uri: String,
@@ -29,8 +29,10 @@ object Multimodal {
   /** Deterministic synthetic media table derived from the documents corpus.
     * Image rows carry a REAL PNG payload (encoded executor-side, dimensions
     * matching the row's metadata); audio rows a REAL 8 kHz PCM WAV whose
-    * length matches the row's `duration_ms`; video rows carry the text
-    * bytes as an opaque stand-in stream. Stands in for
+    * length matches the row's `duration_ms`; video rows a REAL GMJ1
+    * container of `1 + n_chars/256` JPEG frames (capped at 12 so one
+    * pathological document can't blow a row past the MB-scale envelope the
+    * partition sizing assumes). Stands in for
     * `spark.read.format("binaryFile")` over an object store. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
@@ -54,34 +56,21 @@ object Multimodal {
           case "audio" => AudioCodec.synthWav(
             math.min(durationMs * 8, 16_000_000L).toInt, 8000f,
             id ^ bytes.length.toLong)
-          case _ => bytes
+          case _ => VideoCodec.synthMjpeg(width, 64,
+            math.min(1 + r.getAs[Long]("n_chars") / 256, 12L).toInt,
+            id ^ bytes.length.toLong)
         }
         Media(id, kind, s"mem://media/$id", width = width,
           height = 64, duration_ms = durationMs, payload = payload)
       }
   }
 
-  /** STUB codec for VIDEO payloads only (the JDK ships no demuxer):
-    * "decode" a payload to fixed-size bytes as a deterministic
-    * hash-expanded fake. Images and audio use the real [[ImageCodec]] /
-    * [[AudioCodec]] paths; a real video implementation would slot in here
-    * with identical signature and batch shape. */
-  private def stubDecode(payload: Array[Byte], outLen: Int): Array[Byte] = {
-    val out = new Array[Byte](outLen)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    i = 0
-    while (i < outLen) { h = h * 6364136223846793005L + 1442695040888963407L
-      out(i) = (h >>> 56).toByte; i += 1 }
-    out
-  }
-
   /** Decode + resize: partition-batched map keeping payloads distributed.
     * Images run the REAL image codec (ImageIO decode + bilinear resize to
     * w×h grayscale), audio the REAL WAV codec (PCM decode + amplitude
-    * envelope of w*h bins); video falls back to the declared stub. Output
-    * schema: (media_id, kind, pixels binary of exactly w*h bytes). */
+    * envelope of w*h bins), video the REAL demux (first frame decoded with
+    * the image codec — the keyframe-thumbnail convention). Output schema:
+    * (media_id, kind, pixels binary of exactly w*h bytes). */
   def decodeResize(media: Dataset[Media], w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -90,29 +79,32 @@ object Multimodal {
         val px = m.kind match {
           case "image" => ImageCodec.decodeResizeGray(m.payload, w, h)
           case "audio" => AudioCodec.decodeEnvelope(m.payload, w * h)
-          case _       => stubDecode(m.payload, w * h)
+          case _       => ImageCodec.decodeResizeGray(VideoCodec.demux(m.payload).next(), w, h)
         }
         (m.media_id, m.kind, px)
       }
     }.toDF("media_id", "kind", "pixels")
   }
 
-  /** Frame sampling for video payloads: every `stride`-th chunk of the
-    * payload becomes a frame row (explode stays executor-side). */
-  def frameSample(media: Dataset[Media], chunk: Int = 32, stride: Int = 4): Dataset[Frame] = {
+  /** Frame sampling for video payloads: demux the GMJ1 container and keep
+    * every `stride`-th frame as a row carrying the whole JPEG. The
+    * length-prefix walk never decodes pixels and never copies skipped
+    * frames, and the explode stays executor-side — at 100 TB the sampler's
+    * output is `1/stride` of the corpus, not a decoded blow-up of it. */
+  def frameSample(media: Dataset[Media], stride: Int = 4): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.payload.grouped(chunk).zipWithIndex
+      VideoCodec.frameOffsets(m.payload).zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
-        .map { case (bytes, i) => Frame(m.media_id, i, bytes) }
+        .map { case (at, i) => Frame(m.media_id, i, VideoCodec.frameAt(m.payload, at)) }
     }
   }
 
   /** Feature extractor: payload → fixed-dim embedding. Images pool REAL
     * decoded pixels (a dim×4 grayscale thumbnail), audio a REAL dim×4-bin
-    * amplitude envelope; video uses the declared stub. Signature/batching
-    * matches a real encoder (model loaded once per partition, vectors out,
-    * payload dropped). */
+    * amplitude envelope, video the REAL demuxed first frame's thumbnail.
+    * Signature/batching matches a real encoder (model loaded once per
+    * partition, vectors out, payload dropped). */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -121,7 +113,7 @@ object Multimodal {
         val px = m.kind match {
           case "image" => ImageCodec.decodeResizeGray(m.payload, dim, 4)
           case "audio" => AudioCodec.decodeEnvelope(m.payload, dim * 4)
-          case _       => stubDecode(m.payload, dim * 4)
+          case _       => ImageCodec.decodeResizeGray(VideoCodec.demux(m.payload).next(), dim, 4)
         }
         val vec = Array.tabulate(dim)(i => (px(i * 4) / 128.0f))
         Feature(m.media_id, m.kind, vec)

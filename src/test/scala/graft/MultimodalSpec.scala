@@ -76,12 +76,43 @@ class MultimodalSpec extends SparkSuite {
       again.map(_.getAs[Array[Byte]]("pixels").toSeq).toSet)
   }
 
-  test("frameSample emits every stride-th chunk for videos only") {
-    val frames = Multimodal.frameSample(media, chunk = 16, stride = 2).collect()
+  test("video payloads are real GMJ1 containers; demuxed frames are decodable JPEGs at metadata dims") {
+    val vids = media.filter(_.kind == "video").limit(6).collect()
+    assert(vids.nonEmpty)
+    vids.foreach { m =>
+      val frames = graft.multimodal.VideoCodec.demux(m.payload).toSeq
+      assert(frames.nonEmpty && frames.length <= 12)
+      assert(frames.length == graft.multimodal.VideoCodec.frameCount(m.payload))
+      frames.foreach { f =>
+        // JPEG SOI marker, then a REAL ImageIO decode at the clip's dims
+        assert((f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8, "frame is not a JPEG")
+        val img = graft.multimodal.ImageCodec.decode(f)
+        assert(img.getWidth == m.width && img.getHeight == m.height,
+          s"media ${m.media_id}: frame ${img.getWidth}x${img.getHeight}, " +
+            s"metadata says ${m.width}x${m.height}")
+      }
+      // frames differ (pixels vary per frame_no) — a clip, not a repeat
+      if (frames.length > 1)
+        assert(frames.map(_.toSeq).distinct.length == frames.length, "identical frames")
+    }
+    // malformed containers surface as errors (dead-letter contract), not junk
+    intercept[IllegalArgumentException] {
+      graft.multimodal.VideoCodec.demux(Array[Byte](1, 2, 3, 4)).toSeq
+    }
+    intercept[IllegalArgumentException] { // truncated body: header promises more
+      val good = graft.multimodal.VideoCodec.synthMjpeg(16, 16, 1, 3L)
+      graft.multimodal.VideoCodec.demux(good.dropRight(5)).toSeq
+    }
+  }
+
+  test("frameSample demuxes every stride-th frame for videos only") {
+    val frames = Multimodal.frameSample(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_no % 2 == 0))
     val vids = media.filter(_.kind == "video").count()
     assert(frames.map(_.media_id).distinct.length == vids)
+    // each sampled frame is a whole decodable JPEG
+    frames.take(5).foreach(f => graft.multimodal.ImageCodec.decode(f.payload))
   }
 
   test("extractFeatures yields fixed-dim vectors per media row") {
