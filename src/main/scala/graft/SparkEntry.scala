@@ -140,6 +140,8 @@ object SparkEntry {
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_len_deciles"   -> ((s, d) => TextOps.lenDeciles(s, d)),
     "doc_curate"        -> ((s, d) => TextOps.curate(s, d)),
+    // near-dup gate variant: minhash isn't SQL-expressible → rows-only
+    "doc_curate_neardup" -> ((s, d) => TextOps.curateNearDup(s, d)),
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),

@@ -442,9 +442,11 @@ object Dedup {
     * doc_id) per cluster via one partial-aggregatable max(struct) — no
     * per-cluster sort. Singleton docs are their own canonical. Output one
     * row per doc: (doc_id, canonical_id, keep). */
-  def keepListByQuality(spark: SparkSession, dir: String): DataFrame = {
+  def keepListByQuality(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
     val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
-    val clusters = neardupClusters(spark, dir).withColumnRenamed("id", "doc_id")
+    val clusters = neardupClusters(spark, dir, threshold = threshold)
+      .withColumnRenamed("id", "doc_id")
     val member = q.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster"))

@@ -139,18 +139,49 @@ object TextOps {
     * oracle-gated building blocks, and the composition itself is
     * oracle-gated end-to-end. */
   def curate(spark: SparkSession, dir: String, minQuality: Double = 0.2,
-             maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25): DataFrame = {
+             maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25): DataFrame =
+    curateImpl(spark, dir, ndKeep = None, minQuality, maxDigitRatio, maxTokenLen)
+
+  /** [[curate]] with a NEAR-dup gate between the exact-dedup and policy
+    * stages — the fuzzy analog a corpus owner chains after exact dedup: the
+    * minhash-LSH keep-list by QUALITY ([[Dedup.keepListByQuality]]) drops
+    * every near-dup cluster member except its best-quality copy, with its
+    * own observable `neardup` drop reason. Among exact copies the quality
+    * argmax tie-breaks to min doc_id, so the near-dup winner is always
+    * consistent with the exact gate's canonical. Costs the LSH band
+    * exchange + CC rounds on top of curate's one fingerprint shuffle —
+    * which is why it's the opt-in variant, not the default (and the exact
+    * path keeps its SQL oracle: minhash isn't DuckDB-expressible). */
+  def curateNearDup(spark: SparkSession, dir: String, minQuality: Double = 0.2,
+                    maxDigitRatio: Double = 0.3, maxTokenLen: Int = 25,
+                    threshold: Double = 0.5): DataFrame = {
+    val nd = graft.operators.Dedup.keepListByQuality(spark, dir, threshold)
+      .select(col("doc_id"), col("keep").as("nd_keep"))
+    curateImpl(spark, dir, ndKeep = Some(nd), minQuality, maxDigitRatio, maxTokenLen)
+  }
+
+  private def curateImpl(spark: SparkSession, dir: String,
+                         ndKeep: Option[DataFrame], minQuality: Double,
+                         maxDigitRatio: Double, maxTokenLen: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
     val fp = docs.withColumn("fp", fingerprint(col("text")))
     val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
-    fp.join(canon, "fp")
+    val base = fp.join(canon, "fp")
+    // docs the near-dup list doesn't cover (zero-shingle, or gate disabled)
+    // default to keep=true — absence of evidence is not a drop reason
+    val gated = ndKeep.fold(base.withColumn("nd_keep", lit(true))) { nd =>
+      base.join(nd, Seq("doc_id"), "left")
+        .withColumn("nd_keep", coalesce(col("nd_keep"), lit(true)))
+    }
+    gated
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("digit_ratio", digitRatioOf(col("text"), col("n_chars")))
       .withColumn("max_token_len", maxTokenLenOf(col("text")))
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("keep_id"), "duplicate")
+          .when(!col("nd_keep"), "neardup")
           .when(!(col("digit_ratio") < maxDigitRatio &&
             col("max_token_len") <= maxTokenLen), "policy")
           .when(col("quality") < minQuality, "quality"))

@@ -100,6 +100,68 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("curate over random corpora: one verdict per doc, first-failing-gate precedence") {
+    (1 to 3).foreach { seed =>
+      val docGen = for {
+        kind <- Gen.choose(0, 9)
+        nw <- Gen.choose(5, 120)
+        ws <- Gen.listOfN(nw,
+          Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox", "the", "of", "to", "42"))
+      } yield kind match {
+        case 0 => ws.mkString(" ") + " " + "x" * 30          // long-token policy trip
+        case 1 => "111222333444555666777888 " + ws.take(4).mkString(" ") // digit-heavy
+        case _ => ws.mkString(" ")
+      }
+      val texts = Gen.listOfN(60, docGen)
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val all = texts ++ texts.take(10) // planted exact duplicates
+      val d = java.nio.file.Files.createTempDirectory(s"graft-curate-prop$seed").toString
+      all.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val out = graft.operators.TextOps.curate(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"),
+            r.getAs[String]("split"))).toMap
+      assert(out.size == all.length, s"seed $seed: one verdict per doc")
+      // naive single-doc recompute of the gate chain, first failure wins
+      val stop = Set("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+      val keepId = all.zipWithIndex
+        .groupBy(_._1.trim.toLowerCase.replaceAll("\\s+", " "))
+        .map { case (k, vs) => k -> vs.map(_._2.toLong).min }
+      all.zipWithIndex.foreach { case (t, i) =>
+        val expected =
+          if (keepId(t.trim.toLowerCase.replaceAll("\\s+", " ")) != i.toLong) "duplicate"
+          else {
+            val dr = if (t.nonEmpty) t.count(_.isDigit).toDouble / t.length else 0.0
+            val toks = t.split("\\s+")
+            if (!(dr < 0.3 && toks.map(_.length).max <= 25)) "policy"
+            else {
+              val q = math.min(toks.length / 100.0, 1.0) *
+                (1.0 - t.split(" ").count(stop).toDouble / toks.length)
+              if (q < 0.2) "quality" else null
+            }
+          }
+        assert(out(i.toLong)._2 == expected,
+          s"seed $seed doc $i: got ${out(i.toLong)._2}, want $expected")
+        assert(out(i.toLong)._1 == (expected == null))
+        assert((out(i.toLong)._3 != null) == (expected == null), "split iff kept")
+      }
+    }
+  }
+
+  test("curate split fractions on the sf corpus stay near the declared 80/10/10") {
+    val rows = graft.operators.TextOps.curate(spark, sf).collect()
+    val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[String]("split"))
+    assert(kept.length > 50, "enough survivors for a fraction check")
+    val train = kept.count(_ == "train").toDouble / kept.length
+    val valF = kept.count(_ == "val").toDouble / kept.length
+    val test = kept.count(_ == "test").toDouble / kept.length
+    assert(train > 0.70 && train < 0.90, s"train fraction $train")
+    assert(valF > 0.03 && valF < 0.17, s"val fraction $valF")
+    assert(test > 0.03 && test < 0.17, s"test fraction $test")
+  }
+
   test("vocab equals the naive global row_number over random corpora and min counts") {
     import org.apache.spark.sql.expressions.Window
     (1 to 5).foreach { seed =>

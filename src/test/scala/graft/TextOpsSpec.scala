@@ -132,6 +132,32 @@ class TextOpsSpec extends SparkSuite {
     assert(out(5L)._1 && Set("train", "val", "test").contains(out(5L)._3))
   }
 
+  test("curateNearDup: near-dup copy dropped with reason neardup; best-quality copy survives; counts conserved") {
+    val d = java.nio.file.Files.createTempDirectory("graft-curate-nd").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base),                // near-dup loser: fewer tokens → lower quality
+      (2L, base + " uniform victor"), // near-dup winner (more non-stopword tokens)
+      (3L, base.toUpperCase),    // exact duplicate of 1 (normalized fp) — exact gate wins precedence
+      (4L, "zulu yankee xray whiskey victor unicorn tangerine sombrero " +
+        "quince plum orange nectarine mango lemon kiwi jackfruit " +
+        "grape fig elderberry date cherry banana apple")  // unrelated: keeps
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.curateNearDup(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"))).toMap
+    assert(out(2L) == (true, null), "best-quality near-dup copy must survive")
+    assert(out(1L) == (false, "neardup"), "lower-quality near-dup copy must drop as neardup")
+    assert(out(3L) == (false, "duplicate"), "exact gate takes precedence over neardup")
+    assert(out(4L)._1, "unrelated doc must keep")
+    // gate counts conserve: every doc gets exactly one verdict
+    assert(out.size == 4 && out.values.count(_._1) == 2)
+  }
+
   test("curateObserved: gate counters from the single pass equal a direct aggregation") {
     val (out, obs) = TextOps.curateObserved(spark, sf)
     val rows = out.collect()
