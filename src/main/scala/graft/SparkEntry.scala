@@ -142,6 +142,29 @@ object SparkEntry {
     "doc_curate"        -> ((s, d) => TextOps.curate(s, d)),
     // near-dup gate variant: minhash isn't SQL-expressible → rows-only
     "doc_curate_neardup" -> ((s, d) => TextOps.curateNearDup(s, d)),
+    // corpus-growth curate: existing = first 80% of the id range (store
+    // built fresh per call, deleted after the materialized verdicts return)
+    "doc_curate_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no batch, no verdicts
+        Seq.empty[(Long, Boolean, String, String)].toDF("doc_id", "keep", "drop_reason", "split")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-curstore")
+        try {
+          TextOps.writeCurateStore(docs.filter(col("doc_id") < cut), store.toString)
+          // localCheckpoint'ed inside — safe to delete the store after
+          TextOps.curateIncremental(docs.filter(col("doc_id") >= cut), store.toString)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(store).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }),
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),

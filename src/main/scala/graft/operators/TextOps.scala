@@ -160,6 +160,113 @@ object TextOps {
     curateImpl(spark, dir, ndKeep = Some(nd), minQuality, maxDigitRatio, maxTokenLen)
   }
 
+  /** Write the CURATION store: the near-dup signature store
+    * ([[Dedup.writeSignatureStore]]: sigs + bands + LSH params) plus the
+    * exact-digest table `fps.parquet` (doc_id, fp) — together, everything
+    * [[curateIncremental]] needs to admit a new batch against a corpus
+    * without ever re-reading the corpus text. Digests are ~16 bytes/doc and
+    * signatures numHashes longs/doc, so the store is O(corpus docs), not
+    * O(corpus bytes) — the artifact a 100 TB owner keeps hot between
+    * nightly ingests. */
+  def writeCurateStore(docs: DataFrame, storeDir: String, shingleK: Int = 3,
+                       numHashes: Int = 16, bands: Int = 4): Unit = {
+    graft.operators.Dedup.writeSignatureStore(docs, storeDir, shingleK, numHashes, bands)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$storeDir/fps.parquet")
+  }
+
+  /** Incremental curate — the operation a corpus owner runs DAILY: gate a
+    * NEW batch against the existing corpus represented only by its curation
+    * store, emitting the same per-doc verdict schema as [[curate]]
+    * (doc_id, keep, drop_reason, split) and appending the batch to the
+    * store so the next ingest sees it. Gate chain, first failure recorded:
+    *
+    *  - `duplicate`: the doc's digest already exists in the store
+    *    (dup-of-existing, a digest-only left-join — the batch never reads
+    *    existing text), or a smaller batch doc id carries the same digest
+    *    (batch-internal first-writer-wins, same rule as [[curate]]).
+    *  - `neardup`: LSH-paired with an existing doc (the corpus copy always
+    *    wins — it has already been trained on), or a batch-internal
+    *    near-dup cluster loser (best quality wins, ties to min doc_id,
+    *    matching [[curateNearDup]]). Pairs come from ONE
+    *    [[Dedup.minhashLshIngest]] cycle, so per-ingest cost is O(batch)
+    *    signatures + band probes against the store — never O(corpus²).
+    *  - `policy` / `quality` / split: the same map-side expressions as
+    *    [[curate]].
+    *
+    * Batch doc ids already present in the store's digest table are treated
+    * as retries and skipped (no verdict row — their verdicts were emitted
+    * by the earlier attempt). ALL admitted batch docs are appended —
+    * dropped ones too — so a future copy of even a rejected doc is still
+    * recognized. The digest append lands LAST: it is the admission marker,
+    * so a crash mid-ingest leaves the batch re-runnable (the signature
+    * store's own append ordering makes its retry safe). */
+  def curateIncremental(batch: DataFrame, storeDir: String,
+                        minQuality: Double = 0.2, maxDigitRatio: Double = 0.3,
+                        maxTokenLen: Int = 25, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val storeFps = spark.read.parquet(s"$storeDir/fps.parquet")
+    // pin the admitted batch BEFORE the store mutates below (same
+    // recache-by-path hazard minhashLshIngest documents)
+    val docs = batch.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .dropDuplicates("doc_id")
+      .withColumn("fp", fingerprint(col("text")))
+      .join(storeFps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // near-dup pairs: one ingest cycle (appends the batch's sigs + bands)
+    val pairs = graft.operators.Dedup
+      .minhashLshIngest(docs.select(col("doc_id"), col("text")), storeDir, threshold)
+    val batchIds = docs.select(col("doc_id"))
+    // pairs whose a-side is NOT a batch doc pair the batch doc against the
+    // existing corpus: the b-side (always a batch doc) loses outright
+    val extLosers = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("ext_nd", lit(true))
+    // batch-internal pairs cluster; each cluster keeps its best-quality copy
+    val internal = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val clusters = graft.operators.Dedup.clustersFromPairsStars(internal)
+      .withColumnRenamed("id", "doc_id")
+    val member = docs.select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+    val winners = member.groupBy("cluster")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("nd_canonical"))
+    val ndCanon = member.join(winners, "cluster")
+      .select(col("doc_id"), col("nd_canonical"))
+    val existingFp = storeFps.select(col("fp").as("e_fp")).distinct()
+    val batchCanon = docs.groupBy("fp").agg(min(col("doc_id")).as("batch_keep_id"))
+    val verdicts = docs
+      .join(existingFp, col("fp") === col("e_fp"), "left")
+      .join(batchCanon, "fp")
+      .join(extLosers, Seq("doc_id"), "left")
+      .join(ndCanon, Seq("doc_id"), "left")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("digit_ratio", digitRatioOf(col("text"), col("n_chars")))
+      .withColumn("max_token_len", maxTokenLenOf(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("drop_reason",
+        when(col("e_fp").isNotNull || col("doc_id") =!= col("batch_keep_id"), "duplicate")
+          .when(coalesce(col("ext_nd"), lit(false)) ||
+            col("doc_id") =!= coalesce(col("nd_canonical"), col("doc_id")), "neardup")
+          .when(!(col("digit_ratio") < maxDigitRatio &&
+            col("max_token_len") <= maxTokenLen), "policy")
+          .when(col("quality") < minQuality, "quality"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .withColumn("split", when(col("keep"), splitOf(col("doc_id"))))
+      .select(col("doc_id"), col("keep"), col("drop_reason"), col("split"))
+      .localCheckpoint(true) // materialize BEFORE the admission marker lands
+    // digest append LAST: the admission marker commits this batch as done
+    docs.select(col("doc_id"), col("fp"))
+      .write.mode("append").parquet(s"$storeDir/fps.parquet")
+    verdicts
+  }
+
   private def curateImpl(spark: SparkSession, dir: String,
                          ndKeep: Option[DataFrame], minQuality: Double,
                          maxDigitRatio: Double, maxTokenLen: Int): DataFrame = {

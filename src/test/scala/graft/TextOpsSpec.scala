@@ -158,6 +158,47 @@ class TextOpsSpec extends SparkSuite {
     assert(out.size == 4 && out.values.count(_._1) == 2)
   }
 
+  test("curateIncremental: batch gated against the store with curate's verdict schema; store grows across cycles") {
+    val goodA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val goodB = "apple banana cherry date elderberry fig grape honeydew iceberg " +
+      "jackfruit kiwi lemon mango nectarine orange papaya quince raspberry strawberry tomato"
+    val freshC = "zinc yttrium xenon tungsten titanium sodium silver radium potassium " +
+      "platinum osmium nickel mercury lithium iron iodine helium gold copper cobalt"
+    val freshD = "violet indigo maroon crimson scarlet amber teal turquoise lavender " +
+      "magenta cyan olive beige coral salmon ivory ebony slate pewter bronze"
+    val store = java.nio.file.Files.createTempDirectory("graft-curstore").toString
+    TextOps.writeCurateStore(Seq((1L, goodA), (2L, goodB)).toDF("doc_id", "text"), store)
+    val batch1 = Seq(
+      (10L, goodA.toUpperCase),            // exact dup of EXISTING (normalized fp)
+      (11L, freshC),                       // keeps
+      (12L, freshC),                       // batch-internal exact dup of 11
+      (13L, goodB + " uniform victor"),    // near-dup of EXISTING → corpus copy wins
+      (14L, freshD),                       // batch-internal near-dup loser (lower quality)
+      (15L, freshD + " whiskey xylophone"), // its higher-quality winner
+      (16L, "111222333444555666777888 999000 111 222") // digit junk → policy
+    ).toDF("doc_id", "text")
+    val out1 = TextOps.curateIncremental(batch1, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"),
+          r.getAs[String]("split"))).toMap
+    assert(out1.size == 7, "one verdict per batch doc")
+    assert(out1(10L)._2 == "duplicate", "dup-of-existing must drop as duplicate")
+    assert(out1(11L) == (true, null, out1(11L)._3) && out1(11L)._3 != null, "fresh doc keeps with a split")
+    assert(out1(12L)._2 == "duplicate", "batch-internal dup must drop")
+    assert(out1(13L)._2 == "neardup", "near-dup of existing must lose to the corpus copy")
+    assert(out1(14L)._2 == "neardup", "batch-internal near-dup loser must drop")
+    assert(out1(15L)._1 && out1(15L)._3 != null, "best-quality batch copy survives")
+    assert(out1(16L)._2 == "policy")
+    // cycle 2: the store saw batch 1, so a near-copy of 11's text now loses
+    // to it; a re-submitted doc id is a retry and emits no verdict
+    val out2 = TextOps.curateIncremental(
+      Seq((20L, freshC + " argon neon"), (11L, freshC)).toDF("doc_id", "text"), store)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(out2.size == 1, s"retried doc 11 must be skipped: $out2")
+    assert(out2(20L) == "neardup", s"near-copy of a cycle-1 doc must drop: $out2")
+  }
+
   test("curateObserved: gate counters from the single pass equal a direct aggregation") {
     val (out, obs) = TextOps.curateObserved(spark, sf)
     val rows = out.collect()
