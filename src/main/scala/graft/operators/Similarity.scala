@@ -445,15 +445,25 @@ object Similarity {
   /** Query a persisted IVF index: identical results to [[ivfTopK]] with the
     * same parameters. The assignment table joins back to the embeddings
     * table on vec_id (the corpus partitioning key) for the exact scoring
-    * pass — only probed buckets are scored. */
+    * pass — only probed buckets are scored.
+    *
+    * `nprobe` defaults to the cost model's answer: pass ≤0 (the default)
+    * and the probe count is [[defaultNprobe]] for the index's OWN nlist
+    * (read from the broadcast-sized centroid table, so a caller can't
+    * mis-size probes against an index built with a different nlist) at
+    * `targetRecall`. Pass an explicit positive nprobe to override. */
   def ivfTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
-                       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+                       nQueries: Int = 10, k: Int = 5, nprobe: Int = 0,
+                       targetRecall: Double = 0.85): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val probes =
+      if (nprobe > 0) nprobe
+      else defaultNprobe(centroids.count().toInt, targetRecall)
     val emb = withNorm(Tables.embeddings(spark, dir))
     val bucketed = spark.read.parquet(s"$indexDir/assignments.parquet")
       .join(emb.filter(col("vec_id") >= nQueries), Seq("vec_id"))
       .select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
-    ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed,
-      spark.read.parquet(s"$indexDir/centroids.parquet"), k, nprobe)
+    ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed, centroids, k, probes)
   }
 
   /** C39: random-projection dimensionality reduction (Achlioptas/JL):

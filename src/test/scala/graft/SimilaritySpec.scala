@@ -151,10 +151,17 @@ class SimilaritySpec extends SparkSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
       .toSet
-    val live = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5))
+    // the unspecified-nprobe default derives from the cost model for the
+    // index's own nlist (8) — identical to the live run at that nprobe
+    val derived = Similarity.defaultNprobe(8)
+    val live = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
     val fromIndex = key(Similarity.ivfTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5))
     assert(fromIndex == live,
       s"index query diverged: only-live=${live -- fromIndex} only-index=${fromIndex -- live}")
+    // explicit override still wins over the derived default
+    val explicit = key(Similarity.ivfTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5, nprobe = 8))
+    val liveAll = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5, nprobe = 8))
+    assert(explicit == liveAll, "explicit nprobe override diverged")
   }
 
   test("ivfTopK multi-probe sweep: recall grows monotonically with nprobe, exhaustive = 1.0") {
