@@ -32,6 +32,17 @@ object Bench {
     "emb_ivf_query", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )
 
+  /** Bench overrides for entries whose `queries` shape exists only for the
+    * correctness harness: emb_project's gate entry posexplodes the
+    * projection to scalar rows (pandas can't sort an array column), which
+    * 16×es the row count — the operator a user runs returns the array.
+    * The bench times the user-facing operator. */
+  private val benchOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)))
+
+  private def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    benchOverrides.get(name).orElse(SparkEntry.queries.get(name))
+
   /** Drain a started streaming query and collapse its progress into
     * (wall sec, sorted trigger durations ms, p50 ms). Shared by the
     * headline reps, the batch-size matrix, and the doc-gate block so the
@@ -85,8 +96,12 @@ object Bench {
     // state-store knobs via the shipped facade (partitions sized to the
     // topology's key cardinality, RocksDB provider, changelog
     // checkpointing) — the bench tunes exactly what a deployment would
+    // partitions: measured sweep (r5) at {1,2,4,8} → 19.6/20.0/18.2/12.8k
+    // rows/s — state-store commits per trigger dominate above the key
+    // cardinality's need, so 2 is the envelope's knee for this ~150-key
+    // topology (1 loses the second core's worth of scoring parallelism)
     val tuning = graft.streaming.StateTuning(
-      statePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt)
+      statePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2").toInt)
     val savedTuning = tuning(spark)
     // the bounded run emits everything from data batches (Append from
     // flatMapGroups, no window finalization) — the trailing watermark-only
@@ -221,7 +236,7 @@ object Bench {
     // JVM + whole-stage-codegen warm-up per query shape on the smallest SF
     // (not timed): measures steady-state throughput, not Janino compilation.
     headline.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
+      benchFn(name).foreach { fn =>
         try { fn(spark, "/root/testdata/sf0.001").count() }
         catch { case _: Throwable => }
       }
@@ -234,7 +249,7 @@ object Bench {
     val calibStart = calibMs()
     val wallStart = System.nanoTime()
     val results: Seq[(String, Option[Double])] = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+      benchFn(name).map { fn =>
         val times = (1 to reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()

@@ -325,24 +325,38 @@ object EventPipeline {
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ZAlert] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var values = if (buf.exists()) buf.get().values else Nil
+      // ring buffer as a deque + RUNNING exact-decimal moments: decimal
+      // add/subtract is exact, so maintaining Σx and Σx² incrementally
+      // (add the arrival, subtract the eviction) is bit-identical to the
+      // per-event full recompute it replaces — one O(lookback) rebuild per
+      // (key, batch) instead of O(lookback) BigDecimal work per EVENT,
+      // which was the measured cost of adding this third stateful operator
+      val values = new scala.collection.mutable.ArrayDeque[Double](lookback + 1)
+      if (buf.exists()) values.appendAll(buf.get().values)
+      val zero = java.math.BigDecimal.ZERO
+      var s1 = zero; var s2 = zero
+      values.foreach { v => s1 = s1.add(d12(v)); s2 = s2.add(d12(v * v)) }
       val out = scala.collection.mutable.ListBuffer[ZAlert]()
       sorted.foreach { e =>
         val n = values.length
         if (n >= 2) {
-          val s1 = values.map(d12).reduce(_ add _).doubleValue
-          val s2 = values.map(v => d12(v * v)).reduce(_ add _).doubleValue
-          val variance = (s2 - s1 * s1 / n) / (n - 1)
+          val s1d = s1.doubleValue
+          val variance = (s2.doubleValue - s1d * s1d / n) / (n - 1)
           if (variance > 0.0) {
-            val z = BigDecimal((e.value - s1 / n) / math.sqrt(variance))
+            val z = BigDecimal((e.value - s1d / n) / math.sqrt(variance))
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
             if (math.abs(z) >= zThreshold)
               out += ZAlert(e.event_id, e.user_id, e.ts.getTime, e.value, z)
           }
         }
-        values = (values :+ e.value).takeRight(lookback)
+        values.append(e.value)
+        s1 = s1.add(d12(e.value)); s2 = s2.add(d12(e.value * e.value))
+        if (values.length > lookback) {
+          val old = values.removeHead()
+          s1 = s1.subtract(d12(old)); s2 = s2.subtract(d12(old * old))
+        }
       }
-      buf.update(ZBuffer(values))
+      buf.update(ZBuffer(values.toList))
       out.iterator
     }
   }
