@@ -182,6 +182,13 @@ class PlanSpec extends SparkSuite {
       p.take(1000))
   }
 
+  test("curateNearDup: no cartesian anywhere; corpus never single-partitions") {
+    val p = planOf(TextOps.curateNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
+
   test("shard assign: the only unpartitioned window sorts the bucket summary, not the corpus") {
     val p = planOf(TextOps.shardAssign(spark, sf))
     // one single-partition exchange (the ≤|corpus|/bucketSize summary

@@ -199,6 +199,22 @@ class TextOpsSpec extends SparkSuite {
     assert(out2(20L) == "neardup", s"near-copy of a cycle-1 doc must drop: $out2")
   }
 
+  test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft-ci-sf").toString
+    TextOps.writeCurateStore(docs.filter(col("doc_id") < 400), store)
+    val batch = docs.filter(col("doc_id") >= 400 && col("text").isNotNull)
+    val out = TextOps.curateIncremental(batch, store).collect()
+    assert(out.length == batch.dropDuplicates("doc_id").count(),
+      "conservation: exactly one verdict per admitted batch doc")
+    out.foreach { r =>
+      val kept = r.getAs[Boolean]("keep")
+      assert(kept == (r.getAs[String]("drop_reason") == null))
+      assert(kept == (r.getAs[String]("split") != null), "split iff kept")
+    }
+  }
+
   test("curateObserved: gate counters from the single pass equal a direct aggregation") {
     val (out, obs) = TextOps.curateObserved(spark, sf)
     val rows = out.collect()
