@@ -137,6 +137,8 @@ object SparkEntry {
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
+    "doc_pack"          -> ((s, d) => TextOps.pack(s, d)),
+    "emb_quantize"      -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "doc_vocab"         -> ((s, d) => TextOps.vocab(s, d)),
     "doc_len_deciles"   -> ((s, d) => TextOps.lenDeciles(s, d)),
     "doc_curate"        -> ((s, d) => TextOps.curate(s, d)),
@@ -876,6 +878,35 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents) t1) t2""".stripMargin,
+    // span arithmetic is all-integer; both engines walk the same global
+    // token prefix sum in doc_id order
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum FROM t),
+        |s AS (SELECT doc_id, cum - n AS strt, cum - 1 AS lst FROM c),
+        |u AS (SELECT doc_id, strt, lst,
+        |        unnest(generate_series(strt // 512, lst // 512)) AS seq_id FROM s)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
+        |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM u""".stripMargin,
+    // float→double casts are exact, then both engines run the identical
+    // double expression; round() is half-away-from-zero on the
+    // always-positive scaled value in both
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_idx
+        |           FROM embeddings),
+        |s AS (SELECT dim_idx, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim_idx)
+        |SELECT e.vec_id, e.dim_idx,
+        |  CAST(CASE WHEN s.hi = s.lo THEN 0
+        |       ELSE round((e.v - s.lo) / (s.hi - s.lo) * 255) - 128 END AS BIGINT) AS code
+        |FROM e JOIN s USING (dim_idx)""".stripMargin,
     // segment census counts by paragraph TEXT (Spark counts by xxhash64 of
     // it — collision-free at oracle scale); reassembly order must match
     "doc_para_dedup" ->

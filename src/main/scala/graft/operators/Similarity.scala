@@ -493,4 +493,30 @@ object Similarity {
     emb.select(col("vec_id"),
       when(size(v) > 0, projected).otherwise(zero).as("projected"), col("label"))
   }
+
+  /** C44: int8 linear quantization of the embedding corpus — the
+    * storage/serving compression step before ANN (4× smaller vectors,
+    * reconstruction `lo + (code+128)/255·(hi−lo)`). Per-dimension min/max
+    * comes from one posexplode + partial agg on ≤dim keys (a bounded
+    * shuffle regardless of corpus size — the same shape as emb_clusters'
+    * centroid update); the encode itself is a map-side expression after an
+    * AQE-broadcast join of the dim-stats table. Codes are exact integer
+    * outputs of double arithmetic shared with the SQL oracle (round is
+    * half-up on the always-positive scaled value in both engines).
+    * Zero-width dims (constant value corpus-wide) encode 0. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Of(Tables.embeddings(spark, dir))
+
+  private[graft] def quantizeInt8Of(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"),
+        posexplode(toDouble(col("embedding"))).as(Seq("dim_idx", "v")))
+    val stats = e.groupBy("dim_idx").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    e.join(stats, "dim_idx")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise((round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+            - 128).cast("long")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("code"))
+  }
 }

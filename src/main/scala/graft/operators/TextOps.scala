@@ -460,6 +460,48 @@ object TextOps {
         expr(s"(cum - n_tokens) div $budget").as("shard"))
   }
 
+  /** C45: sequence PACKING — the pretraining data-prep step after curation:
+    * every document's tokens land contiguously in fixed-length training
+    * sequences (GPT-style packing, no padding waste), docs straddling a
+    * boundary SPLIT across adjacent sequences. Output one row per
+    * (doc, sequence) span: `seq_id`, `seq_offset` (where in the sequence
+    * this doc's chunk starts), `n_tokens` (chunk length) — exactly the
+    * manifest a sharded tokenizer job consumes. The global token prefix
+    * sum is the two-level pattern (bucket totals + within-bucket windows —
+    * FIFTH instance; never a corpus-wide single-partition window) and the
+    * span fan-out is an in-row `sequence()` explode: a doc spans
+    * ceil(tokens/seqLen)+1 rows at most, so output is O(corpus tokens /
+    * seqLen + docs). All-integer span arithmetic — engine-portable. */
+  def pack(spark: SparkSession, dir: String, seqLen: Long = 512,
+           bucketSize: Long = 64): DataFrame =
+    packOf(Tables.documents(spark, dir), seqLen, bucketSize)
+
+  private[graft] def packOf(docs: DataFrame, seqLen: Long,
+                            bucketSize: Long): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val offsets = toks.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsets, "bucket")
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(inBucket))
+      .withColumn("strt", col("cum") - col("n_tokens"))
+      // single-space split yields ≥1 token for any non-null text, so
+      // strt ≤ cum−1 always — the sequence() bounds can never invert
+      .withColumn("seq_id",
+        explode(sequence(expr(s"strt div $seqLen"), expr(s"(cum - 1) div $seqLen"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("strt") - col("seq_id") * seqLen, lit(0L)).as("seq_offset"),
+        (least(col("cum") - 1, (col("seq_id") + 1) * seqLen - 1)
+          - greatest(col("strt"), col("seq_id") * seqLen) + 1).as("n_tokens"))
+  }
+
   /** Vocabulary build — terms at or above `minCount` with DENSE ids in
     * global (count desc, term) order, the id assignment a tokenizer ships
     * with. Global ranking without a corpus-wide single-partition window:

@@ -197,6 +197,14 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
   }
 
+  test("pack: the only unpartitioned window sorts the bucket summary, not the corpus") {
+    val p = planOf(TextOps.pack(spark, sf))
+    // same two-level contract as shard assign: one summary-sized
+    // single-partition cumsum; the corpus window + explode run partitioned
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
+  }
+
   test("token budget: the global quality cut never single-partitions the corpus") {
     val p = planOf(TextOps.tokenBudget(spark, sf))
     // same two-level contract as shard assign: one summary-sized

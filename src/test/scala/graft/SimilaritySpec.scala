@@ -299,4 +299,33 @@ class SimilaritySpec extends SparkSuite {
       .select("projected").head().getSeq[Double](0)
     assert(z.length == 8 && z.forall(_ == 0.0), s"degenerate projection $z")
   }
+
+  test("quantizeInt8: codes in int8 range; reconstruction within half a step per dim") {
+    val codes = Similarity.quantizeInt8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim_idx")) -> r.getAs[Long]("code"))
+      .toMap
+    assert(codes.nonEmpty)
+    assert(codes.values.forall(c => c >= -128 && c <= 127), "codes must fit int8")
+    // reconstruct and bound the error by half a quantization step
+    val orig = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .flatMap(r => r.getSeq[Float](1).zipWithIndex.map { case (v, i) =>
+        (r.getLong(0), i.toLong) -> v.toDouble })
+      .toMap
+    val byDim = orig.groupBy(_._1._2).view.mapValues(m =>
+      (m.values.min, m.values.max)).toMap
+    orig.foreach { case (k, v) =>
+      val (lo, hi) = byDim(k._2)
+      val rec = if (hi == lo) lo else lo + (codes(k) + 128.0) / 255.0 * (hi - lo)
+      val step = if (hi == lo) 0.0 else (hi - lo) / 255.0
+      assert(math.abs(rec - v) <= step / 2 + 1e-9,
+        s"vec ${k._1} dim ${k._2}: |$rec - $v| > ${step / 2}")
+    }
+    // a constant dimension encodes 0 for every vector
+    import SparkSuite.spark.implicits._
+    val const = Similarity.quantizeInt8Of(
+      Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 5.0f)))
+        .toDF("vec_id", "embedding"))
+    assert(const.filter(col("dim_idx") === 0).collect()
+      .forall(_.getAs[Long]("code") == 0L), "constant dim must encode 0")
+  }
 }

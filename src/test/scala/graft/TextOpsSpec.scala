@@ -199,6 +199,39 @@ class TextOpsSpec extends SparkSuite {
     assert(out2(20L) == "neardup", s"near-copy of a cycle-1 doc must drop: $out2")
   }
 
+  test("pack: token conservation, full interior sequences, boundary docs split") {
+    val seqLen = 512L
+    val out = TextOps.pack(spark, sf, seqLen = seqLen).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    // conservation: every token lands in exactly one span
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == docs.values.sum)
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(perDoc == docs, "per-doc span tokens must equal the doc's token count")
+    // every sequence except the last is exactly full
+    val perSeq = out.groupBy(_.getAs[Long]("seq_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, n) =>
+      if (s != lastSeq) assert(n == seqLen, s"sequence $s holds $n tokens, not $seqLen")
+      else assert(n <= seqLen)
+    }
+    // offsets: chunks within a sequence tile it without gaps or overlaps
+    out.groupBy(_.getAs[Long]("seq_id")).foreach { case (_, rows) =>
+      val spans = rows.map(r => (r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens")))
+        .sortBy(_._1)
+      spans.foldLeft(0L) { case (pos, (off, n)) =>
+        assert(off == pos, s"gap/overlap at offset $off, expected $pos"); off + n
+      }
+    }
+    // boundary docs exist at this corpus size and split across sequences
+    assert(out.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1),
+      "expected at least one straddling doc")
+  }
+
   test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
