@@ -123,6 +123,18 @@ object SparkEntry {
     // brute force EXACTLY — oracle-gated end-to-end check of assignment,
     // probing and ranking
     "emb_ivf_exhaustive"-> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
+    // quantized serving path (IVF + int8 codes + float re-rank): rows-only
+    // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
+    "emb_ivf_q"         -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfq-n8-${embDataTag(d)}"
+      if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writeIvfQIndex(s, d, idx)
+      Similarity.ivfQTopKFromIndex(s, d, idx)
+    }),
+    // exhaustive probes + shortlist ≥ corpus: the float re-rank must erase
+    // the quantization entirely — oracle-gated against the same brute-force
+    // SQL as emb_ivf_exhaustive
+    "emb_ivf_q_exhaustive" -> ((s, d) =>
+      Similarity.ivfQTopK(s, d, nprobe = 8, rerank = 1 << 20)),
     "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
@@ -721,6 +733,7 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
+    "emb_ivf_q_exhaustive" -> bruteTopkSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -519,4 +519,146 @@ object Similarity {
             - 128).cast("long")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("code"))
   }
+
+  // ---- C46: quantized IVF serving path (IVF + int8 codes, float re-rank) --
+
+  /** Per-dim (lo, hi) of the corpus folded into one broadcastable row of two
+    * arrays: posexplode + partial agg on ≤dim keys (the [[quantizeInt8Of]]
+    * stats shuffle — bounded at any corpus size), then a dim-row fold. */
+  private def dimStatsArrays(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .groupBy("dim_idx").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim_idx"), col("lo"), col("hi")))).as("s"))
+      .select(transform(col("s"), e => e("lo")).as("lo"),
+        transform(col("s"), e => e("hi")).as("hi"))
+
+  /** Encode the IVF-bucketed corpus to int8 codes (same arithmetic as
+    * [[quantizeInt8Of]], so the two operators agree code-for-code) plus the
+    * reconstructed-vector norm the approximate cosine divides by. Map-only
+    * after the 1-row dim-stats broadcast; float vectors do NOT survive into
+    * the output — the serving table is (bucket, vec_id, codes, rnrm),
+    * ~4× smaller than the float corpus. */
+  private def encodeSq8(bucketed: DataFrame, statsArr: DataFrame): DataFrame = {
+    val lh = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("lo"), h.as("hi")))
+    bucketed.crossJoin(broadcast(statsArr))
+      .withColumn("lh", lh)
+      .withColumn("codes", zip_with(col("v"), col("lh"), (x, s) =>
+        when(s("hi") === s("lo"), lit(0L))
+          .otherwise(round((x - s("lo")) / (s("hi") - s("lo")) * 255, 0) - 128)
+          .cast("tinyint")))
+      .withColumn("rnrm", sqrt(aggregate(
+        zip_with(col("codes"), col("lh"), (c, s) =>
+          s("lo") + (c + lit(128.0)) / 255.0 * (s("hi") - s("lo"))),
+        lit(0.0), (acc, r) => acc + r * r)))
+      .select(col("bucket"), col("vec_id"), col("codes"), col("rnrm"))
+  }
+
+  /** Probe + quantized-score + float-re-rank stage shared by [[ivfQTopK]] and
+    * the persisted-index path. The corpus-scale pass scores int8 CODES, never
+    * float vectors: dot(q, reconstruct(codes)) folds to
+    * `cq + Σ codes[d]·w[d]` with per-query constants
+    * `w[d] = q[d]·(hi[d]−lo[d])/255` and
+    * `cq = Σ q[d]·lo[d] + 128·Σ w[d]` attached to the broadcast probe side —
+    * constant dims (hi = lo) contribute exactly through `cq`, no special
+    * case. The top `k·rerank` shortlist per query (a few hundred rows) is
+    * then re-scored EXACTLY against the float corpus via a broadcast join on
+    * vec_id, so returned cos_sim values are exact and quantization error can
+    * only affect which near-ties enter the shortlist. */
+  private def ivfQQuery(rawQueries: DataFrame, codes: DataFrame,
+                        centroids: DataFrame, statsArr: DataFrame,
+                        corpusFloats: DataFrame, k: Int, nprobe: Int,
+                        rerank: Int): DataFrame = {
+    val queries = rawQueries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(statsArr))
+      .withColumn("w", zip_with(col("qv"),
+        zip_with(col("lo"), col("hi"), (l, h) => h - l), (q, d) => q * d / 255.0))
+      .withColumn("cq",
+        aggregate(zip_with(col("qv"), col("lo"), (q, l) => q * l),
+          lit(0.0), (acc, x) => acc + x)
+          + aggregate(col("w"), lit(0.0), (acc, x) => acc + x) * 128.0)
+      .drop("lo", "hi")
+
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("w"), col("cq"),
+        col("c_id").as("bucket"))
+
+    // the one corpus-scale pass: codes ⋈ broadcast probes. A reconstructed
+    // norm of 0 would make approx NaN (NaN sorts above every real value in a
+    // DESC window) — pin it to the bottom instead; re-rank never sees it.
+    val aw = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(probes), "bucket")
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"),
+        when(col("rnrm") > 0.0,
+          (col("cq") + aggregate(
+            zip_with(col("codes"), col("w"), (c, wd) => c * wd),
+            lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("rnrm")))
+          .otherwise(lit(-2.0)).as("approx_sim"))
+      .withColumn("rnk", row_number().over(aw)).filter(col("rnk") <= k.toLong * rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpusFloats.join(broadcast(shortlist), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** C46: quantized ANN serving — the standard large-corpus layout (an
+    * IVF coarse quantizer over int8-compressed vectors with a float
+    * re-rank — the IVF+SQ8 shape of the public FAISS literature).
+    * At 100 TB the probe stage streams the 4×-smaller codes table and the
+    * float corpus is touched only for the per-query shortlist (broadcast
+    * semi-join on vec_id → dynamic pruning can skip row groups), so serving
+    * I/O is dominated by codes, not vectors. */
+  def ivfQTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+               nlist: Int = 8, nprobe: Int = 3, rerank: Int = 4,
+               lloydIters: Int = 1): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    val statsArr = dimStatsArrays(corpus)
+    ivfQQuery(emb.filter(col("vec_id") < nQueries),
+      encodeSq8(bucketed, statsArr), centroids, statsArr, corpus, k, nprobe, rerank)
+  }
+
+  /** Train + encode the quantized IVF index once and persist it:
+    * `centroids.parquet` (nlist rows), `dimstats.parquet` (1 row of lo/hi
+    * arrays), `codes.parquet` (bucket, vec_id, codes int8[], rnrm — the
+    * compact serving table). Encode-once/query-many, like [[writeIvfIndex]],
+    * but the query path no longer joins the full float corpus. */
+  def writeIvfQIndex(spark: SparkSession, dir: String, indexDir: String,
+                     nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit = {
+    val corpus = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= nQueries)
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    val statsArr = dimStatsArrays(corpus)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    statsArr.write.mode("overwrite").parquet(s"$indexDir/dimstats.parquet")
+    encodeSq8(bucketed, statsArr)
+      .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Query a persisted quantized IVF index. Float vectors are read ONLY for
+    * the queries and the re-rank shortlist; the corpus-scale scan is
+    * `codes.parquet`. `nprobe` ≤ 0 → [[defaultNprobe]] against the index's
+    * own centroid count at `targetRecall`, as in [[ivfTopKFromIndex]]. */
+  def ivfQTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
+                        nQueries: Int = 10, k: Int = 5, nprobe: Int = 0,
+                        rerank: Int = 4, targetRecall: Double = 0.85): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val probes =
+      if (nprobe > 0) nprobe
+      else defaultNprobe(centroids.count().toInt, targetRecall)
+    val statsArr = spark.read.parquet(s"$indexDir/dimstats.parquet")
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    ivfQQuery(emb.filter(col("vec_id") < nQueries), codes, centroids, statsArr,
+      emb.filter(col("vec_id") >= nQueries), k, probes, rerank)
+  }
 }

@@ -212,6 +212,62 @@ class SimilaritySpec extends SparkSuite {
     assert(agree >= 3, s"IVF rank-1 recall too low: $agree/5")
   }
 
+  test("quantized IVF: exhaustive probes + corpus-wide shortlist equals brute force bit-for-bit") {
+    // with every bucket probed and the shortlist cap above the corpus size,
+    // the float re-rank must erase quantization entirely — values included
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("cos_sim"))).toSet
+    val q = key(Similarity.ivfQTopK(spark, sf, nprobe = 8, rerank = 1 << 20).collect())
+    val bf = key(Similarity.cosineTopK(spark, sf).collect())
+    assert(q == bf, s"only-quantized=${q -- bf} only-brute=${bf -- q}")
+  }
+
+  test("quantized IVF at default probes/shortlist: rank-1 recall vs brute force") {
+    val q = Similarity.ivfQTopK(spark, sf, nQueries = 5, k = 3).collect()
+    assert(q.length == 15)
+    val qTop = q.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    val bfTop = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    // int8 scoring only gates the shortlist; re-rank is exact — the same
+    // 3/8-probe bar as the float IVF path must hold
+    val agree = qTop.count { case (qid, v) => bfTop.get(qid).contains(v) }
+    assert(agree >= 3, s"quantized rank-1 recall too low: $agree/5")
+    // returned similarities are float-exact: every (q, vec) pair the float
+    // IVF path also returns must carry an identical cos_sim
+    val fSim = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    q.foreach { r =>
+      fSim.get((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).foreach { s =>
+        assert(r.getAs[Double]("cos_sim") == s, "re-ranked cos_sim not float-exact")
+      }
+    }
+  }
+
+  test("persisted quantized IVF index: query path matches live run; codes table is int8") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft-ivfq-idx").toString
+    Similarity.writeIvfQIndex(spark, sf, idx, nQueries = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+      .toSet
+    val derived = Similarity.defaultNprobe(8)
+    val live = key(Similarity.ivfQTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
+    val fromIndex = key(Similarity.ivfQTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5))
+    assert(fromIndex == live,
+      s"index query diverged: only-live=${live -- fromIndex} only-index=${fromIndex -- live}")
+    // the serving table really is the compact one: int8 codes + one norm,
+    // no float vectors
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("bucket", "vec_id", "codes", "rnrm"))
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType),
+      s"codes must persist as int8, got ${codes.schema("codes").dataType}")
+  }
+
   test("embClusters recovers planted well-separated clusters; deterministic") {
     // the corpus `label` column is NOT geometric (same-label avg cos ≈ 0),
     // so purity is asserted on self-planted clusters: 4 orthogonal-ish
