@@ -179,6 +179,30 @@ object SparkEntry {
         }
       }
     }),
+    // corpus-growth pack: existing = first 80% of the id range; batch ids
+    // all follow, so incremental must equal re-packing the whole corpus
+    // restricted to batch docs — which is what the SQL oracle computes
+    "doc_pack_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no batch, no spans
+        Seq.empty[(Long, Long, Long, Long)].toDF("doc_id", "seq_id", "seq_offset", "n_tokens")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-packstore")
+        try {
+          TextOps.writePackStore(docs.filter(col("doc_id") < cut), store.toString)
+          // localCheckpoint'ed inside — safe to delete the store after
+          TextOps.packIncremental(docs.filter(col("doc_id") >= cut), store.toString)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(store).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }),
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
@@ -907,6 +931,23 @@ object SparkEntry {
         |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
         |    AS BIGINT) AS n_tokens
         |FROM u""".stripMargin,
+    // append-only growth: incremental spans = the full-corpus pack
+    // restricted to batch docs (ids at or above the 80% cut)
+    "doc_pack_incr" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum FROM t),
+        |s AS (SELECT doc_id, cum - n AS strt, cum - 1 AS lst FROM c),
+        |u AS (SELECT doc_id, strt, lst,
+        |        unnest(generate_series(strt // 512, lst // 512)) AS seq_id FROM s)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
+        |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM u
+        |WHERE doc_id >= (SELECT max(doc_id) * 8 // 10 FROM documents)""".stripMargin,
     // float→double casts are exact, then both engines run the identical
     // double expression; round() is half-away-from-zero on the
     // always-positive scaled value in both

@@ -477,7 +477,15 @@ object TextOps {
     packOf(Tables.documents(spark, dir), seqLen, bucketSize)
 
   private[graft] def packOf(docs: DataFrame, seqLen: Long,
-                            bucketSize: Long): DataFrame = {
+                            bucketSize: Long): DataFrame =
+    packOfFrom(docs, seqLen, bucketSize, base = 0L)
+
+  /** [[packOf]] with the token stream starting at `base` instead of 0 —
+    * the batch's first token lands exactly where the existing stream ends,
+    * continuing a partially-filled trailing sequence. Identical plan shape;
+    * `base` is a literal folded into the cumsum. */
+  private[graft] def packOfFrom(docs: DataFrame, seqLen: Long,
+                                bucketSize: Long, base: Long): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
@@ -490,7 +498,7 @@ object TextOps {
     val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.join(offsets, "bucket")
-      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(inBucket))
+      .withColumn("cum", lit(base) + col("offset") + sum(col("n_tokens")).over(inBucket))
       .withColumn("strt", col("cum") - col("n_tokens"))
       // single-space split yields ≥1 token for any non-null text, so
       // strt ≤ cum−1 always — the sequence() bounds can never invert
@@ -500,6 +508,41 @@ object TextOps {
         greatest(col("strt") - col("seq_id") * seqLen, lit(0L)).as("seq_offset"),
         (least(col("cum") - 1, (col("seq_id") + 1) * seqLen - 1)
           - greatest(col("strt"), col("seq_id") * seqLen) + 1).as("n_tokens"))
+  }
+
+  /** Persist a pack manifest as a store for incremental growth: just the
+    * spans parquet. The next batch's base offset is derived from the
+    * manifest itself (max span end — see [[packIncremental]]), so there is
+    * no separate totals row that a crash between two writes could leave
+    * stale: one table, one append, always self-consistent. */
+  def writePackStore(docs: DataFrame, storeDir: String, seqLen: Long = 512,
+                     bucketSize: Long = 64): Unit =
+    packOf(docs, seqLen, bucketSize)
+      .write.mode("overwrite").parquet(s"$storeDir/manifest.parquet")
+
+  /** C47: INCREMENTAL packing — the corpus-growth form of [[pack]]: append
+    * a new batch of documents to an existing sequence manifest. The batch's
+    * tokens continue the packed stream exactly where it ends (the trailing
+    * partially-filled sequence fills up first), so for append-only id
+    * growth the result is bit-identical to re-packing the whole corpus —
+    * without touching existing docs' text. Per-ingest cost: one 3-int-column
+    * scan of the manifest for the base offset (max span end, a partial-agg
+    * scalar), a doc_id anti-join that skips already-packed docs (re-submit
+    * is a no-op — at-least-once callers are safe), and [[packOfFrom]] over
+    * the batch alone. The returned spans are localCheckpoint'ed before the
+    * manifest append, so callers read them without re-racing the store. */
+  def packIncremental(batch: DataFrame, storeDir: String, seqLen: Long = 512,
+                      bucketSize: Long = 64): DataFrame = {
+    val manifest = batch.sparkSession.read.parquet(s"$storeDir/manifest.parquet")
+    val base = manifest
+      .agg(coalesce(max(col("seq_id") * seqLen + col("seq_offset") + col("n_tokens")),
+        lit(0L)))
+      .head().getLong(0)
+    val fresh = batch
+      .join(manifest.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val spans = packOfFrom(fresh, seqLen, bucketSize, base).localCheckpoint(true)
+    spans.write.mode("append").parquet(s"$storeDir/manifest.parquet")
+    spans
   }
 
   /** Vocabulary build — terms at or above `minCount` with DENSE ids in

@@ -138,4 +138,18 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.typeCooccurrence(spark, dir).count() == 0)
     assert(TextOps.topBigrams(spark, dir).count() == 0)
   }
+
+  test("round-5 operators survive empty inputs") {
+    assert(TextOps.pack(spark, dir).count() == 0)
+    assert(Similarity.quantizeInt8(spark, dir).count() == 0)
+    assert(Similarity.ivfQTopK(spark, dir).count() == 0)
+    // incremental pack over an empty store and an empty batch
+    val store = java.nio.file.Files.createTempDirectory("graft-pack-empty").toString
+    TextOps.writePackStore(graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")), store)
+    assert(TextOps.packIncremental(graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")), store).count() == 0)
+  }
 }

@@ -232,6 +232,27 @@ class TextOpsSpec extends SparkSuite {
       "expected at least one straddling doc")
   }
 
+  test("packIncremental: append-only growth equals re-packing the whole corpus; retries skipped") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft-pack-sf").toString
+    TextOps.writePackStore(docs.filter(col("doc_id") < 300), store)
+    val batch = docs.filter(col("doc_id") >= 300)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens"))).toSet
+    val incr = key(TextOps.packIncremental(batch, store).collect())
+    // bit-identical to the full run restricted to batch docs — the batch's
+    // first tokens must continue the store's trailing partial sequence
+    val full = key(TextOps.pack(spark, sf).collect())
+    assert(incr == full.filter(_._1 >= 300L),
+      s"only-incr=${incr -- full} only-full=${full.filter(_._1 >= 300L) -- incr}")
+    // the store now holds exactly the full manifest
+    assert(key(spark.read.parquet(s"$store/manifest.parquet").collect()) == full)
+    // re-submitting the same batch is a no-op: no spans, store unchanged
+    assert(TextOps.packIncremental(batch, store).count() == 0L)
+    assert(key(spark.read.parquet(s"$store/manifest.parquet").collect()) == full)
+  }
+
   test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
