@@ -204,6 +204,7 @@ object SparkEntry {
       }
     }),
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
+    "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
@@ -978,6 +979,30 @@ object SparkEntry {
         |  count(k.seg) AS n_kept
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |GROUP BY d.doc_id""".stripMargin,
+    // mixture weights: identical left-to-right double expression in both
+    // engines; the extra-copy cut is an md5-rank integer compare
+    "doc_mixture" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens,
+        |        count(*) AS src_docs FROM t GROUP BY source),
+        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |        count(*) AS n_sources FROM s),
+        |p AS (SELECT source,
+        |        CAST(total_tokens AS DOUBLE) * (1.0 / n_sources) / src_tokens AS weight,
+        |        src_docs FROM s, g),
+        |p2 AS (SELECT source, CAST(floor(weight) AS BIGINT) AS base_copies,
+        |         CAST(round((weight - floor(weight)) * src_docs) AS BIGINT) AS n_extra
+        |       FROM p),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+        |      FROM t)
+        |SELECT r.source, r.doc_id,
+        |  CAST(base_copies + CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_copies
+        |FROM r JOIN p2 USING (source)""".stripMargin,
     // the two-level (quality, id-bucket) ranking must reproduce the naive
     // global quality-ordered running sum; quality formula = doc_quality's
     "doc_token_budget" ->

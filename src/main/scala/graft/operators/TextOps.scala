@@ -344,6 +344,63 @@ object TextOps {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
 
+  /** C48: data MIXTURE reweighting — the domain-balancing step of
+    * pretraining prep: given a target share per source (uniform by
+    * default), emit how many times each document appears in the mixed
+    * corpus. `weight_s = (total_tokens · share) / source_tokens`; every doc
+    * gets `floor(weight_s)` copies and the hash-ranked FIRST
+    * `round(frac(weight_s) · n_docs_s)` docs of the source get one more —
+    * deterministic (md5 rank, no rand()), hits the target doc-count
+    * fraction exactly (±1 doc per source), and `weight < 1` degrades to
+    * deterministic downsampling (keep the first `weight` fraction).
+    *
+    * Scale shape: token census = one bounded groupBy(source); the
+    * source-wide hash rank is the two-level pattern (SIXTH instance) —
+    * ranks refine through (source, first-md5-byte) buckets whose offsets
+    * come from a cumsum over the ≤ sources·256-row summary, so no source
+    * ever sorts in one partition; the per-source plan rides back on a
+    * broadcast-sized join. */
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    mixtureOf(Tables.documents(spark, dir))
+
+  private[graft] def mixtureOf(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    // per-source census + corpus totals: bounded by the source count
+    val bySource = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"), count(lit(1)).as("src_docs"))
+    val totals = bySource.groupBy()
+      .agg(sum(col("src_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+    // the per-source plan: copies-per-doc floor + how many docs get one more.
+    // Both engines evaluate the identical double expression left-to-right.
+    val plan = bySource.crossJoin(broadcast(totals))
+      .withColumn("weight",
+        col("total_tokens").cast("double") * (lit(1.0) / col("n_sources"))
+          / col("src_tokens"))
+      .withColumn("base_copies", floor(col("weight")))
+      .withColumn("n_extra",
+        round((col("weight") - floor(col("weight"))) * col("src_docs"), 0).cast("long"))
+      .select(col("source"), col("base_copies"), col("n_extra"))
+    // two-level rank by (h, doc_id): bucket = first md5 byte (hex compares
+    // lexicographically, so bucket order refines the rank order)
+    val bucketed = toks.withColumn("g", substring(col("h"), 1, 2))
+    val offsets = bucketed.groupBy("source", "g").agg(count(lit(1)).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.partitionBy("source").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("g"), col("offset"))
+    val inBucket = Window.partitionBy("source", "g").orderBy("h", "doc_id")
+    bucketed.join(offsets, Seq("source", "g"))
+      .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      .join(plan, "source") // AQE broadcasts the ≤|sources|-row plan
+      .select(col("source"), col("doc_id"),
+        (col("base_copies") + when(col("rnk") <= col("n_extra"), lit(1L))
+          .otherwise(lit(0L))).cast("long").as("n_copies"))
+  }
+
   /** Within-document n-gram repetition — the boilerplate/generated-spam
     * signal quality pipelines filter on (a doc whose 3-grams mostly repeat
     * is template output, whatever its entropy): duplicate fraction of

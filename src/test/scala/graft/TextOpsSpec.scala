@@ -253,6 +253,30 @@ class TextOpsSpec extends SparkSuite {
     assert(key(spark.read.parquet(s"$store/manifest.parquet").collect()) == full)
   }
 
+  test("mixture: uniform target hits exact per-source copy counts, deterministically") {
+    // source a: 10 docs x 10 tokens = 100; source b: 30 docs x 10 = 300.
+    // total 400, uniform target 200 each -> weight_a = 2.0 (everyone 2
+    // copies, 0 extra), weight_b = 2/3 (base 0, exactly round(2/3*30)=20
+    // docs get the single copy)
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
+      (100L until 130L).map(i => ("b", i, ten))).toDF("source", "doc_id", "text")
+    val out = TextOps.mixtureOf(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_copies")))
+    assert(out.length == 40, "one row per doc")
+    val a = out.filter(_._1 == "a")
+    assert(a.forall(_._3 == 2L), s"integer weight 2.0 -> every source-a doc twice: ${a.toSeq}")
+    val b = out.filter(_._1 == "b")
+    assert(b.count(_._3 == 1L) == 20 && b.count(_._3 == 0L) == 10,
+      s"frac 2/3 of 30 docs -> exactly 20 singles: ${b.toSeq}")
+    // both sources land exactly on the 200-token target
+    assert(a.map(_._3).sum * 10 == 200 && b.map(_._3).sum * 10 == 200)
+    // pure function of the corpus: re-run bit-equal
+    assert(TextOps.mixtureOf(docs).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2))).toSet == out.toSet)
+  }
+
   test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
