@@ -100,6 +100,61 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("packIncremental equals the full pack over random corpora and split points") {
+    (1 to 4).foreach { seed =>
+      val docs = randomDocs(seed, n = 40)
+      val cut = 30L + seed * 31 // random-ish id cut inside the gappy range
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft-packprop$seed").toString
+      graft.operators.TextOps.writePackStore(
+        docs.filter(col("doc_id") < cut), store, seqLen = 16, bucketSize = 4)
+      val incr = graft.operators.TextOps.packIncremental(
+        docs.filter(col("doc_id") >= cut), store, seqLen = 16, bucketSize = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val full = graft.operators.TextOps.packOf(docs, seqLen = 16, bucketSize = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(incr == full.filter(s => docs.filter(col("doc_id") >= cut)
+          .collect().map(_.getLong(0)).toSet.contains(s._1)),
+        s"seed $seed cut $cut: incremental diverged from the full pack")
+      // and the store as a whole equals the full manifest
+      val manifest = spark.read.parquet(s"$store/manifest.parquet")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(manifest == full, s"seed $seed cut $cut: store != full manifest")
+    }
+  }
+
+  test("mixture over random multi-source corpora: copy counts are floor(w)/floor(w)+1 with the exact extra census") {
+    (1 to 4).foreach { seed =>
+      val docGen = for {
+        src <- Gen.oneOf("s1", "s2", "s3")
+        nw <- Gen.choose(1, 25)
+        ws <- Gen.listOfN(nw, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
+      } yield (src, ws.mkString(" "))
+      val rows = Gen.listOfN(50, docGen)
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) }
+      val docs = rows.toDF("source", "doc_id", "text")
+      val out = graft.operators.TextOps.mixtureOf(docs).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_copies")))
+      assert(out.length == rows.length, s"seed $seed: one row per doc")
+      // naive per-source recompute
+      val bySrc = rows.groupBy(_._1)
+      val total = rows.map(_._3.split(" ").length.toLong).sum
+      bySrc.foreach { case (src, rs) =>
+        val srcToks = rs.map(_._3.split(" ").length.toLong).sum
+        val w = total.toDouble * (1.0 / bySrc.size) / srcToks
+        val base = math.floor(w).toLong
+        val nExtra = math.round((w - math.floor(w)) * rs.length)
+        val copies = out.filter(_._1 == src).map(_._3)
+        assert(copies.forall(c => c == base || c == base + 1),
+          s"seed $seed $src: copies outside {floor(w), floor(w)+1}: ${copies.toSeq}")
+        assert(copies.count(_ == base + 1) == nExtra,
+          s"seed $seed $src: extra census ${copies.count(_ == base + 1)} != $nExtra")
+      }
+    }
+  }
+
   test("curate over random corpora: one verdict per doc, first-failing-gate precedence") {
     (1 to 3).foreach { seed =>
       val docGen = for {
