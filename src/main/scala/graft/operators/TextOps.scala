@@ -542,10 +542,16 @@ object TextOps {
     * continuing a partially-filled trailing sequence. Identical plan shape;
     * `base` is a literal folded into the cumsum. */
   private[graft] def packOfFrom(docs: DataFrame, seqLen: Long,
-                                bucketSize: Long, base: Long): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
+                                bucketSize: Long, base: Long): DataFrame =
+    packSpans(docs.filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize")), seqLen, base)
+
+  /** The packing core over (doc_id, n_tokens, bucket) — text never enters:
+    * callers that repeat or re-key documents ([[epochOf]]) pack pure token
+    * counts. `bucket` must refine doc_id order (equal buckets ⇒ contiguous
+    * id ranges) and stay summary-sized in count with bounded rows each. */
+  private def packSpans(toks: DataFrame, seqLen: Long, base: Long): DataFrame = {
     val offsets = toks.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
@@ -600,6 +606,44 @@ object TextOps {
     val spans = packOfFrom(fresh, seqLen, bucketSize, base).localCheckpoint(true)
     spans.write.mode("append").parquet(s"$storeDir/manifest.parquet")
     spans
+  }
+
+  /** C49: epoch BUILD — the mixture plan composed with sequence packing
+    * into the end-to-end pretraining manifest: every document appears
+    * [[mixture]]-many times (`rep` = 1..n_copies) and the repeated stream
+    * packs into fixed-length sequences exactly as [[pack]] would pack the
+    * repeated corpus. The repeat NEVER ships text: mixture emits copy
+    * counts, the repeat explodes an in-row `sequence(1, n_copies)`, and
+    * the packing core runs on (key, n_tokens) alone — so an upsampled
+    * source costs rows of two longs, not duplicated document bytes.
+    * Keys: `pk = doc_id·K + (rep−1)` with `K = max(n_copies)+1` (a scalar),
+    * so epoch order is (doc_id, rep); the prefix-sum buckets stay the
+    * ORIGINAL doc-id buckets (bucket = doc_id div bucketSize — bucket count
+    * is docs/bucketSize regardless of upsampling, each bounded by
+    * bucketSize·K rows), keeping the two-level summary summary-sized. */
+  def epoch(spark: SparkSession, dir: String, seqLen: Long = 512,
+            bucketSize: Long = 64): DataFrame =
+    epochOf(Tables.documents(spark, dir), seqLen, bucketSize)
+
+  private[graft] def epochOf(docs: DataFrame, seqLen: Long,
+                             bucketSize: Long): DataFrame = {
+    val mix = mixtureOf(docs).filter(col("n_copies") >= 1L)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // scalar: the re-key stride (bounded driver action, one long)
+    val k = mix.agg((coalesce(max(col("n_copies")), lit(0L)) + 1L).as("k"))
+      .head().getLong(0)
+    val repeated = mix.join(toks, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"))).as("rep"))
+      .select((col("doc_id") * k + col("rep") - 1L).as("doc_id"),
+        col("n_tokens"),
+        // references the INPUT doc_id: buckets follow the original ids
+        expr(s"doc_id div $bucketSize").as("bucket"))
+    packSpans(repeated, seqLen, base = 0L)
+      .select(expr(s"doc_id div $k").as("doc_id"),
+        (col("doc_id") % k + 1L).as("rep"),
+        col("seq_id"), col("seq_offset"), col("n_tokens"))
   }
 
   /** Vocabulary build — terms at or above `minCount` with DENSE ids in

@@ -205,6 +205,15 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
   }
 
+  test("epoch: mixture + repeat + pack keeps both summary cumsums single-partition-only") {
+    val p = planOf(TextOps.epoch(spark, sf))
+    // two summary-sized single-partition windows are allowed (the mixture
+    // rank offsets are per-source — not global — so only pack's bucket
+    // cumsum plus at most AQE artifacts); the corpus never sorts globally
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
+  }
+
   test("token budget: the global quality cut never single-partitions the corpus") {
     val p = planOf(TextOps.tokenBudget(spark, sf))
     // same two-level contract as shard assign: one summary-sized

@@ -277,6 +277,35 @@ class TextOpsSpec extends SparkSuite {
       r.getLong(1), r.getLong(2))).toSet == out.toSet)
   }
 
+  test("epoch: equals packing the manually repeated corpus; reps match the mixture plan") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
+      (100L until 130L).map(i => ("b", i, ten))).toDF("source", "doc_id", "text")
+    val copies = TextOps.mixtureOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    val k = copies.values.max + 1
+    val out = TextOps.epochOf(docs, seqLen = 16L, bucketSize = 4L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens")))
+    // reps per doc = the mixture plan (docs with 0 copies absent entirely)
+    val repsPerDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    copies.foreach { case (id, n) =>
+      assert(repsPerDoc.getOrElse(id, Set.empty) == (1L to n).toSet,
+        s"doc $id: reps ${repsPerDoc.get(id)} != 1..$n")
+    }
+    // the composition is literally pack() of the repeated corpus under
+    // pk = doc_id*k + rep-1
+    val repeatedRows = copies.toSeq.flatMap { case (id, n) =>
+      (1L to n).map(rep => (id * k + rep - 1, ten))
+    }
+    val expected = TextOps.packOf(repeatedRows.toDF("doc_id", "text"),
+        seqLen = 16L, bucketSize = 4L * k).collect()
+      .map(r => (r.getLong(0) / k, r.getLong(0) % k + 1,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.toSet == expected,
+      s"only-epoch=${out.toSet -- expected} only-expected=${expected -- out.toSet}")
+  }
+
   test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
