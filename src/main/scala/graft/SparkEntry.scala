@@ -206,6 +206,7 @@ object SparkEntry {
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
+    "doc_epoch_shuffled" -> ((s, d) => TextOps.epochShuffled(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
@@ -1044,6 +1045,49 @@ object SparkEntry {
         |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
         |    AS BIGINT) AS n_tokens
         |FROM u CROSS JOIN kk""".stripMargin,
+    // shuffled epoch: same composition with the prefix sum ordered by the
+    // deterministic shuffle hash md5(doc_id:rep)
+    "doc_epoch_shuffled" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens,
+        |        count(*) AS src_docs FROM t GROUP BY source),
+        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |        count(*) AS n_sources FROM s),
+        |p AS (SELECT source,
+        |        CAST(total_tokens AS DOUBLE) * (1.0 / n_sources) / src_tokens AS weight,
+        |        src_docs FROM s, g),
+        |p2 AS (SELECT source, CAST(floor(weight) AS BIGINT) AS base_copies,
+        |         CAST(round((weight - floor(weight)) * src_docs) AS BIGINT) AS n_extra
+        |       FROM p),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+        |      FROM t),
+        |m AS (SELECT r.doc_id,
+        |        CAST(base_copies + CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END
+        |          AS BIGINT) AS n_copies
+        |      FROM r JOIN p2 USING (source)),
+        |rep AS (SELECT m.doc_id,
+        |          unnest(generate_series(1, n_copies)) AS rep, t.n
+        |        FROM m JOIN t USING (doc_id)
+        |        WHERE n_copies >= 1),
+        |rh AS (SELECT doc_id, rep, n,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)) AS h2
+        |       FROM rep),
+        |c AS (SELECT doc_id, rep, n,
+        |        CAST(sum(n) OVER (ORDER BY h2, doc_id, rep ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum
+        |      FROM rh),
+        |sp AS (SELECT doc_id, rep, cum - n AS strt, cum - 1 AS lst FROM c),
+        |u AS (SELECT doc_id, rep, strt, lst,
+        |        unnest(generate_series(strt // 512, lst // 512)) AS seq_id FROM sp)
+        |SELECT doc_id, rep, seq_id,
+        |  CAST(greatest(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
+        |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM u""".stripMargin,
     // the two-level (quality, id-bucket) ranking must reproduce the naive
     // global quality-ordered running sum; quality formula = doc_quality's
     "doc_token_budget" ->

@@ -646,6 +646,51 @@ object TextOps {
         col("seq_id"), col("seq_offset"), col("n_tokens"))
   }
 
+  /** C50: SHUFFLED epoch — [[epoch]] with the (doc, rep) units packed in
+    * hash-shuffled order instead of doc-id order. Packing by doc_id keeps
+    * each source's documents contiguous, so consecutive training sequences
+    * come from one domain — correlated batches. Here the pack order is
+    * `md5(doc_id:rep)`, which both scatters sources across the stream and
+    * separates the copies of an upsampled document (each rep hashes
+    * independently). Same two-level prefix sum, bucketed by the first
+    * `prefixLen` hex chars of the shuffle hash (16^prefixLen summary rows —
+    * lengthen the prefix as the corpus grows, as with [[vocab]]); the
+    * shuffle is deterministic, so the epoch is reproducible with no
+    * rand(). */
+  def epochShuffled(spark: SparkSession, dir: String, seqLen: Long = 512,
+                    prefixLen: Int = 2): DataFrame =
+    epochShuffledOf(Tables.documents(spark, dir), seqLen, prefixLen)
+
+  private[graft] def epochShuffledOf(docs: DataFrame, seqLen: Long,
+                                     prefixLen: Int): DataFrame = {
+    val mix = mixtureOf(docs).filter(col("n_copies") >= 1L)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val units = mix.join(toks, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"))).as("rep"))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("rep").cast("string")).cast("binary")))
+      .withColumn("bucket", substring(col("h"), 1, prefixLen))
+    val offsets = units.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy("bucket").orderBy("h", "doc_id", "rep")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    units.join(offsets, "bucket")
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(inBucket))
+      .withColumn("strt", col("cum") - col("n_tokens"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"strt div $seqLen"), expr(s"(cum - 1) div $seqLen"))))
+      .select(col("doc_id"), col("rep"), col("seq_id"),
+        greatest(col("strt") - col("seq_id") * seqLen, lit(0L)).as("seq_offset"),
+        (least(col("cum") - 1, (col("seq_id") + 1) * seqLen - 1)
+          - greatest(col("strt"), col("seq_id") * seqLen) + 1).as("n_tokens"))
+  }
+
   /** Vocabulary build — terms at or above `minCount` with DENSE ids in
     * global (count desc, term) order, the id assignment a tokenizer ships
     * with. Global ranking without a corpus-wide single-partition window:

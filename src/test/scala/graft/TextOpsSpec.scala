@@ -306,6 +306,38 @@ class TextOpsSpec extends SparkSuite {
       s"only-epoch=${out.toSet -- expected} only-expected=${expected -- out.toSet}")
   }
 
+  test("epochShuffled: same units and spans budget as epoch, genuinely de-ordered, deterministic") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
+      (100L until 130L).map(i => ("b", i, ten))).toDF("source", "doc_id", "text")
+    val shuf = TextOps.epochShuffledOf(docs, seqLen = 16L, prefixLen = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens")))
+    val plain = TextOps.epochOf(docs, seqLen = 16L, bucketSize = 4L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens")))
+    // identical (doc, rep) units with identical per-unit token budgets
+    def units(rows: Array[(Long, Long, Long, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._5).sum).toMap
+    assert(units(shuf) == units(plain), "shuffling must not change what gets packed")
+    // interior sequences still exactly full
+    val perSeq = shuf.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, n) =>
+      if (s != lastSeq) assert(n == 16L, s"sequence $s holds $n tokens") else assert(n <= 16L)
+    }
+    // genuinely de-ordered: unit stream positions are not monotone in
+    // (doc_id, rep) — doc-id order would keep source a entirely first
+    val posOf = shuf.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => r._3 * 16L + r._4).min).toMap
+    val byPos = posOf.toSeq.sortBy(_._2).map(_._1)
+    assert(byPos != byPos.sorted, "hash order must not degenerate to id order")
+    // deterministic: re-run bit-equal
+    assert(TextOps.epochShuffledOf(docs, 16L, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet == shuf.toSet)
+  }
+
   test("curateIncremental on the sf corpus: one verdict per admitted batch doc; survivors split-labeled") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
