@@ -363,7 +363,12 @@ object TextOps {
   def mixture(spark: SparkSession, dir: String): DataFrame =
     mixtureOf(Tables.documents(spark, dir))
 
-  private[graft] def mixtureOf(docs: DataFrame): DataFrame = {
+  /** `targetShares` overrides the uniform target: a map of source → share
+    * of the mixed corpus's tokens (shares are taken as given, not
+    * re-normalized; sources absent from a non-empty map get share 0 and
+    * drop out entirely). Empty map = uniform across observed sources. */
+  private[graft] def mixtureOf(docs: DataFrame,
+                               targetShares: Map[String, Double] = Map.empty): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -377,9 +382,11 @@ object TextOps {
     // the per-source plan: copies-per-doc floor + how many docs get one more.
     // Both engines evaluate the identical double expression left-to-right.
     val plan = bySource.crossJoin(broadcast(totals))
+      .withColumn("share",
+        if (targetShares.isEmpty) lit(1.0) / col("n_sources")
+        else coalesce(element_at(typedLit(targetShares), col("source")), lit(0.0)))
       .withColumn("weight",
-        col("total_tokens").cast("double") * (lit(1.0) / col("n_sources"))
-          / col("src_tokens"))
+        col("total_tokens").cast("double") * col("share") / col("src_tokens"))
       .withColumn("base_copies", floor(col("weight")))
       .withColumn("n_extra",
         round((col("weight") - floor(col("weight"))) * col("src_docs"), 0).cast("long"))

@@ -212,6 +212,11 @@ class PlanSpec extends SparkSuite {
     // cumsum plus at most AQE artifacts); the corpus never sorts globally
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p.take(1500))
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1, p.take(1500))
+    // same contract for the hash-shuffled order: the only single-partition
+    // window is the 16^prefixLen-row bucket cumsum
+    val ps = planOf(TextOps.epochShuffled(spark, sf))
+    assert("Exchange SinglePartition".r.findAllIn(ps).length <= 2, ps.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length >= 1, ps.take(1500))
   }
 
   test("token budget: the global quality cut never single-partitions the corpus") {

@@ -277,6 +277,23 @@ class TextOpsSpec extends SparkSuite {
       r.getLong(1), r.getLong(2))).toSet == out.toSet)
   }
 
+  test("mixture with explicit shares: targets honored; unlisted sources drop") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // a: 100 tokens, b: 300, c: 100 -> total 500
+    val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
+      (100L until 130L).map(i => ("b", i, ten)) ++
+      (200L until 210L).map(i => ("c", i, ten))).toDF("source", "doc_id", "text")
+    val out = TextOps.mixtureOf(docs, Map("a" -> 0.8, "b" -> 0.2)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_copies")))
+    // a: w = 500*0.8/100 = 4.0 -> every doc 4 copies
+    assert(out.filter(_._1 == "a").forall(_._2 == 4L))
+    // b: w = 500*0.2/300 = 1/3 -> exactly round(10) = 10 docs get 1 copy
+    assert(out.filter(_._1 == "b").count(_._2 == 1L) == 10 &&
+      out.filter(_._1 == "b").count(_._2 == 0L) == 20)
+    // c unlisted -> share 0, all copies 0
+    assert(out.filter(_._1 == "c").forall(_._2 == 0L))
+  }
+
   test("epoch: equals packing the manually repeated corpus; reps match the mixture plan") {
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
     val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
