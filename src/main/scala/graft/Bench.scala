@@ -26,7 +26,7 @@ object Bench {
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "doc_entropy", "doc_pii_scrub", "doc_strat_sample", "doc_bpe_pairs",
     "doc_shard_assign", "doc_vocab", "doc_dedup_incr", "doc_neardup_incr",
-    "doc_pack", "emb_quantize", "doc_mixture", "doc_epoch",
+    "doc_pack", "emb_quantize", "doc_mixture", "doc_epoch", "doc_chunk",
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
     "doc_unigram_ll", "emb_project", "doc_source_stats",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",

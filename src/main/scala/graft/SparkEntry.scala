@@ -207,6 +207,7 @@ object SparkEntry {
     "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
     "doc_epoch_shuffled" -> ((s, d) => TextOps.epochShuffled(s, d)),
+    "doc_chunk"         -> ((s, d) => TextOps.chunk(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowCounts(s, d)),
     "doc_unigram_ll"    -> ((s, d) => TextOps.unigramLl(s, d)),
@@ -1087,6 +1088,19 @@ object SparkEntry {
         |  CAST(greatest(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
         |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
         |    AS BIGINT) AS n_tokens
+        |FROM u""".stripMargin,
+    // overlapping windows: Spark slice(start, length) == DuckDB
+    // list_slice(begin, end) with end = start + size - 1 (both clamp)
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, (n - 1) // 32)) AS chunk_id FROM t)
+        |SELECT doc_id, chunk_id, chunk_id * 32 AS tok_start,
+        |  CAST(least(64, n - chunk_id * 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ')
+        |    AS chunk_text
         |FROM u""".stripMargin,
     // the two-level (quality, id-bucket) ranking must reproduce the naive
     // global quality-ordered running sum; quality formula = doc_quality's

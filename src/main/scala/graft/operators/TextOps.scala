@@ -653,6 +653,32 @@ object TextOps {
         col("seq_id"), col("seq_offset"), col("n_tokens"))
   }
 
+  /** C51: overlapping token-window CHUNKING — the pre-embedding step of a
+    * retrieval/embedding pipeline: each document yields windows of `size`
+    * tokens starting every `stride` tokens (stride < size ⇒ overlap, the
+    * standard recipe so no semantic boundary is lost to a hard cut), with
+    * the chunk text materialized for the embedder. Entirely map-only: the
+    * window starts are an in-row `sequence(0, (n−1) div stride)·stride`
+    * explode and the text is an in-row array `slice` + join — no shuffle
+    * at any corpus size, output O(tokens/stride). */
+  def chunk(spark: SparkSession, dir: String, chunkSize: Int = 64,
+            stride: Int = 32): DataFrame =
+    chunkOf(Tables.documents(spark, dir), chunkSize, stride)
+
+  private[graft] def chunkOf(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // one start per stride while it still lands inside the doc
+      .withColumn("chunk_id", explode(sequence(lit(0L), expr(s"(n - 1) div $stride"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))).as("chunk_text"))
+  }
+
   /** C50: SHUFFLED epoch — [[epoch]] with the (doc, rep) units packed in
     * hash-shuffled order instead of doc-id order. Packing by doc_id keeps
     * each source's documents contiguous, so consecutive training sequences

@@ -144,6 +144,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.mixture(spark, dir).count() == 0)
     assert(TextOps.epoch(spark, dir).count() == 0)
     assert(TextOps.epochShuffled(spark, dir).count() == 0)
+    assert(TextOps.chunk(spark, dir).count() == 0)
     assert(Similarity.quantizeInt8(spark, dir).count() == 0)
     assert(Similarity.ivfQTopK(spark, dir).count() == 0)
     // incremental pack over an empty store and an empty batch

@@ -219,6 +219,11 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(ps).length >= 1, ps.take(1500))
   }
 
+  test("chunk: overlapping windows are map-only — no exchange anywhere") {
+    val p = planOf(TextOps.chunk(spark, sf))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("token budget: the global quality cut never single-partitions the corpus") {
     val p = planOf(TextOps.tokenBudget(spark, sf))
     // same two-level contract as shard assign: one summary-sized

@@ -294,6 +294,31 @@ class TextOpsSpec extends SparkSuite {
     assert(out.filter(_._1 == "c").forall(_._2 == 0L))
   }
 
+  test("chunk: overlapping windows cover every token, tail clamps, text slices exact") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),                                   // 1 token
+      (3L, null.asInstanceOf[String])                 // excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkOf(docs, chunkSize = 4, stride = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("chunk_text")))
+    // doc 1: starts 0,2,4,6,8 -> 5 chunks; doc 2: 1 chunk; doc 3: none
+    assert(out.count(_._1 == 1L) == 5 && out.count(_._1 == 2L) == 1 &&
+      !out.exists(_._1 == 3L))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 4L), (8L, 2L)))
+    assert(d1.head._5 == "t1 t2 t3 t4" && d1(1)._5 == "t3 t4 t5 t6" &&
+      d1.last._5 == "t9 t10", "slice contents must match the declared windows")
+    // every token appears in ceil(chunkSize/stride)-ish windows; in
+    // particular the union of [tok_start, tok_start+n_tokens) covers 0..9
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    assert(out.find(_._1 == 2L).get._5 == "solo")
+  }
+
   test("epoch: equals packing the manually repeated corpus; reps match the mixture plan") {
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
     val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
