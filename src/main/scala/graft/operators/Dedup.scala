@@ -165,25 +165,9 @@ object Dedup {
   def minhashLshIngest(newDocs: DataFrame, storeDir: String,
                        threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val p = spark.read.parquet(s"$storeDir/params.parquet").head()
-    val (shingleK, numHashes, bands) =
-      (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
-    require(numHashes % bands == 0,
-      s"bands=$bands must divide numHashes=$numHashes (trailing hashes would be silently un-banded)")
-    val rows = numHashes / bands
+    val (numHashes, batchSigs, batchBands) = sigBandBatch(newDocs, storeDir)
     val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
     val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
-    // localCheckpoint, NOT cache: the appends below write into the very
-    // path the anti-join reads, and Spark's recache-by-path would recompute
-    // a cached batch as EMPTY mid-function (the first append makes the
-    // batch ids "already present"); checkpointing truncates the lineage so
-    // the batch is pinned before the store mutates
-    val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
-      .filter(col("sig").isNotNull)
-      .dropDuplicates("doc_id") // a doubly-staged batch row must not land twice
-      .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val batchBands = bandedOf(batchSigs, bands, rows).localCheckpoint(true)
     val crossCand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val innerCand = batchBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
@@ -200,14 +184,99 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .localCheckpoint(true) // materialize BEFORE the store grows below
-    // bands BEFORE sigs: the retry admission check is the sigs anti-join,
-    // so a crash between the two appends must leave the doc ABSENT from
-    // sigs (retry re-ingests it; the candidate .distinct() absorbs the
-    // duplicated band rows). The reverse order would leave docs present in
-    // sigs but bandless — permanently invisible to candidate generation.
+    appendSigBands(storeDir, batchSigs, batchBands)
+    verified
+  }
+
+  /** Signature + band a batch against the store's own LSH params, skipping
+    * doc ids already present, both tables checkpointed so the store appends
+    * can't race the lineage. Shared by [[minhashLshIngest]] and
+    * [[ingestSignatures]]. Returns (numHashes, batchSigs, batchBands).
+    *
+    * localCheckpoint, NOT cache: the appends write into the very path the
+    * anti-join reads, and Spark's recache-by-path would recompute a cached
+    * batch as EMPTY mid-function (the first append makes the batch ids
+    * "already present"); checkpointing truncates the lineage so the batch
+    * is pinned before the store mutates. */
+  private def sigBandBatch(newDocs: DataFrame,
+                           storeDir: String): (Int, DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    val p = spark.read.parquet(s"$storeDir/params.parquet").head()
+    val (shingleK, numHashes, bands) =
+      (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing hashes would be silently un-banded)")
+    val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
+    val batchSigs = minhashSigs(newDocs, shingleK, numHashes)
+      .filter(col("sig").isNotNull)
+      .dropDuplicates("doc_id") // a doubly-staged batch row must not land twice
+      .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val batchBands = bandedOf(batchSigs, bands, numHashes / bands).localCheckpoint(true)
+    (numHashes, batchSigs, batchBands)
+  }
+
+  /** bands BEFORE sigs: the retry admission check is the sigs anti-join,
+    * so a crash between the two appends must leave the doc ABSENT from
+    * sigs (retry re-ingests it; the candidate .distinct() absorbs the
+    * duplicated band rows). The reverse order would leave docs present in
+    * sigs but bandless — permanently invisible to candidate generation. */
+  private def appendSigBands(storeDir: String, batchSigs: DataFrame,
+                             batchBands: DataFrame): Unit = {
     batchBands.write.mode("append").parquet(s"$storeDir/bands.parquet")
     batchSigs.write.mode("append").parquet(s"$storeDir/sigs.parquet")
-    verified
+  }
+
+  /** The MUTATION half of [[minhashLshIngest]] alone: append a batch's
+    * signatures + band rows to the persisted store, emitting no pairs.
+    * Idempotent per doc id (already-present ids are skipped), same
+    * bands-before-sigs crash ordering. Callers that must survive a crash
+    * BETWEEN this append and their own downstream commit marker pair via
+    * [[pairsFromStore]], which reads the persisted store and therefore
+    * returns the same pairs on a retry — whereas a combined
+    * ingest-and-pair call returns ZERO pairs for a batch the crashed
+    * attempt already appended (every doc skips the anti-join), silently
+    * disabling near-dup detection on exactly the re-run path. */
+  def ingestSignatures(newDocs: DataFrame, storeDir: String): Unit = {
+    val (_, batchSigs, batchBands) = sigBandBatch(newDocs, storeDir)
+    appendSigBands(storeDir, batchSigs, batchBands)
+  }
+
+  /** Verified near-dup pairs for `batchIds`, derived from the PERSISTED
+    * signature store — the batch must already be ingested (via
+    * [[ingestSignatures]] or [[minhashLshIngest]], this run or a crashed
+    * earlier one; both are idempotent, so calling ingest again first is
+    * always safe). Output orientation matches [[minhashLshIngest]]:
+    * external pairs (id_a = existing, id_b = batch), batch-internal pairs
+    * id_a < id_b. Cost: the batch's band rows (a semi-join on the store's
+    * band table) probe the full band table once — O(batch · bands) probe
+    * rows against bucketed candidates, never existing × existing. */
+  def pairsFromStore(batchIds: DataFrame, storeDir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val spark = batchIds.sparkSession
+    val numHashes =
+      spark.read.parquet(s"$storeDir/params.parquet").head().getAs[Int]("num_hashes")
+    val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
+    val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
+    val ids = batchIds.select(col("doc_id")).distinct()
+    val batchBands = storeBands.join(ids, Seq("doc_id"), "left_semi")
+    val cand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // batch-internal matches surface in both orientations — canonicalize to
+    // id_a < id_b; external pairs keep (existing, batch)
+    val inBatch = ids.withColumnRenamed("doc_id", "id_a")
+    val internal = cand.join(inBatch, Seq("id_a"), "left_semi")
+      .filter(col("id_a") < col("id_b"))
+    val external = cand.join(inBatch, Seq("id_a"), "left_anti")
+    internal.unionByName(external).distinct()
+      .join(storeSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(storeSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.TextHashExpressions.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —

@@ -189,9 +189,14 @@ object TextOps {
     *  - `neardup`: LSH-paired with an existing doc (the corpus copy always
     *    wins — it has already been trained on), or a batch-internal
     *    near-dup cluster loser (best quality wins, ties to min doc_id,
-    *    matching [[curateNearDup]]). Pairs come from ONE
-    *    [[Dedup.minhashLshIngest]] cycle, so per-ingest cost is O(batch)
-    *    signatures + band probes against the store — never O(corpus²).
+    *    matching [[curateNearDup]]). The batch's signatures land via ONE
+    *    [[Dedup.ingestSignatures]] cycle and pairs are then derived from
+    *    the PERSISTED store ([[Dedup.pairsFromStore]]), so per-ingest cost
+    *    is O(batch) signatures + band probes — never O(corpus²) — and the
+    *    pairs are crash-stable: a retry after a crash between the
+    *    signature append and the digest marker below re-derives the SAME
+    *    pairs from the store (in-flight ingest pairs would come back empty
+    *    for the already-appended batch, waving every near-dup through).
     *  - `policy` / `quality` / split: the same map-side expressions as
     *    [[curate]].
     *
@@ -215,9 +220,14 @@ object TextOps {
       .withColumn("fp", fingerprint(col("text")))
       .join(storeFps.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // near-dup pairs: one ingest cycle (appends the batch's sigs + bands)
+    // signature append first (idempotent per doc id), then pairs from the
+    // PERSISTED store — identical on a clean run, and the only source that
+    // still sees the batch's near-dups when a crashed earlier attempt
+    // already appended its signatures
+    graft.operators.Dedup
+      .ingestSignatures(docs.select(col("doc_id"), col("text")), storeDir)
     val pairs = graft.operators.Dedup
-      .minhashLshIngest(docs.select(col("doc_id"), col("text")), storeDir, threshold)
+      .pairsFromStore(docs.select(col("doc_id")), storeDir, threshold)
     val batchIds = docs.select(col("doc_id"))
     // pairs whose a-side is NOT a batch doc pair the batch doc against the
     // existing corpus: the b-side (always a batch doc) loses outright

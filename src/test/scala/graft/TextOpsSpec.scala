@@ -199,6 +199,42 @@ class TextOpsSpec extends SparkSuite {
     assert(out2(20L) == "neardup", s"near-copy of a cycle-1 doc must drop: $out2")
   }
 
+  test("curateIncremental crash-retry: near-dup gate survives a crash between the signature append and the digest marker") {
+    val goodA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val freshD = "violet indigo maroon crimson scarlet amber teal turquoise lavender " +
+      "magenta cyan olive beige coral salmon ivory ebony slate pewter bronze"
+    val store = java.nio.file.Files.createTempDirectory("graft-curcrash").toString
+    TextOps.writeCurateStore(Seq((1L, goodA)).toDF("doc_id", "text"), store)
+    val batch = Seq(
+      (10L, goodA + " uniform victor"),      // near-dup of EXISTING doc 1
+      (11L, freshD),                         // batch-internal near-dup loser
+      (12L, freshD + " whiskey xylophone"),  // its higher-quality winner
+      (13L, "granite basalt marble quartz slate limestone sandstone shale " +
+        "obsidian pumice gypsum flint chalk gneiss schist dolomite feldspar mica talc jade")
+    ).toDF("doc_id", "text")
+    // simulate the crashed first attempt: signatures + bands appended, but
+    // the run died BEFORE the fps.parquet admission marker landed
+    graft.operators.Dedup.ingestSignatures(batch, store)
+    val sigRows = spark.read.parquet(s"$store/sigs.parquet")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(sigRows == 0, "crashed append must not duplicate signature rows")
+    // the RETRY must still see every near-dup — this is exactly the path
+    // where in-flight ingest pairs come back empty
+    val out = TextOps.curateIncremental(batch, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"))).toMap
+    assert(out.size == 4, "retry re-admits the whole batch (no fps marker landed)")
+    assert(out(10L)._2 == "neardup", s"external near-dup must still drop on retry: $out")
+    assert(out(11L)._2 == "neardup", s"batch-internal near-dup loser must still drop on retry: $out")
+    assert(out(12L)._1, s"batch-internal winner must keep: $out")
+    assert(out(13L)._1, s"unrelated doc must keep: $out")
+    // the retry's own ingest is a no-op: still no duplicated signature rows
+    val sigRows2 = spark.read.parquet(s"$store/sigs.parquet")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(sigRows2 == 0, "retry ingest must be idempotent on the signature store")
+  }
+
   test("pack: token conservation, full interior sequences, boundary docs split") {
     val seqLen = 512L
     val out = TextOps.pack(spark, sf, seqLen = seqLen).collect()
