@@ -79,7 +79,7 @@ object Multimodal {
         val px = m.kind match {
           case "image" => ImageCodec.decodeResizeGray(m.payload, w, h)
           case "audio" => AudioCodec.decodeEnvelope(m.payload, w * h)
-          case _       => ImageCodec.decodeResizeGray(VideoCodec.demux(m.payload).next(), w, h)
+          case _       => ImageCodec.decodeResizeGray(VideoCodec.firstFrame(m.payload), w, h)
         }
         (m.media_id, m.kind, px)
       }
@@ -113,7 +113,7 @@ object Multimodal {
         val px = m.kind match {
           case "image" => ImageCodec.decodeResizeGray(m.payload, dim, 4)
           case "audio" => AudioCodec.decodeEnvelope(m.payload, dim * 4)
-          case _       => ImageCodec.decodeResizeGray(VideoCodec.demux(m.payload).next(), dim, 4)
+          case _       => ImageCodec.decodeResizeGray(VideoCodec.firstFrame(m.payload), dim, 4)
         }
         val vec = Array.tabulate(dim)(i => (px(i * 4) / 128.0f))
         Feature(m.media_id, m.kind, vec)

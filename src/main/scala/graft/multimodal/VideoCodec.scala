@@ -68,6 +68,18 @@ object VideoCodec {
   def demux(payload: Array[Byte]): Iterator[Array[Byte]] =
     frameOffsets(payload).map(frameAt(payload, _))
 
+  /** The container's first frame — the keyframe-thumbnail convention the
+    * decode/feature paths use. A frameless-but-VALID container (4-byte
+    * header only) passes the magic check, so a blind `demux(..).next()`
+    * would die with a misleading "truncated frame header" — consumers that
+    * need pixels get an explicit empty-container error instead (same
+    * dead-letter contract: throw, never yield junk). */
+  def firstFrame(payload: Array[Byte]): Array[Byte] = {
+    val it = demux(payload)
+    require(it.hasNext, "empty GMJ1 container (zero frames)")
+    it.next()
+  }
+
   /** Frame count by length-prefix walk — no decode, no frame copies. */
   def frameCount(payload: Array[Byte]): Int = frameOffsets(payload).size
 }

@@ -590,15 +590,23 @@ object TextOps {
           - greatest(col("strt"), col("seq_id") * seqLen) + 1).as("n_tokens"))
   }
 
-  /** Persist a pack manifest as a store for incremental growth: just the
-    * spans parquet. The next batch's base offset is derived from the
-    * manifest itself (max span end — see [[packIncremental]]), so there is
-    * no separate totals row that a crash between two writes could leave
-    * stale: one table, one append, always self-consistent. */
+  /** Persist a pack manifest as a store for incremental growth: the spans
+    * parquet plus `params.parquet` (seq_len, bucket_size). The next batch's
+    * base offset is derived from the manifest itself (max span end — see
+    * [[packIncremental]]), so there is no separate totals row that a crash
+    * between two writes could leave stale. The packing params ARE the
+    * store's identity — a batch packed with a different seqLen would derive
+    * a wrong base offset from spans built with the store's — so, like the
+    * LSH signature store, they persist with the store and are enforced on
+    * every ingest. */
   def writePackStore(docs: DataFrame, storeDir: String, seqLen: Long = 512,
-                     bucketSize: Long = 64): Unit =
+                     bucketSize: Long = 64): Unit = {
+    import docs.sparkSession.implicits._
     packOf(docs, seqLen, bucketSize)
       .write.mode("overwrite").parquet(s"$storeDir/manifest.parquet")
+    Seq((seqLen, bucketSize)).toDF("seq_len", "bucket_size")
+      .write.mode("overwrite").parquet(s"$storeDir/params.parquet")
+  }
 
   /** C47: INCREMENTAL packing — the corpus-growth form of [[pack]]: append
     * a new batch of documents to an existing sequence manifest. The batch's
@@ -610,9 +618,14 @@ object TextOps {
     * scalar), a doc_id anti-join that skips already-packed docs (re-submit
     * is a no-op — at-least-once callers are safe), and [[packOfFrom]] over
     * the batch alone. The returned spans are localCheckpoint'ed before the
-    * manifest append, so callers read them without re-racing the store. */
-  def packIncremental(batch: DataFrame, storeDir: String, seqLen: Long = 512,
-                      bucketSize: Long = 64): DataFrame = {
+    * manifest append, so callers read them without re-racing the store.
+    * seqLen/bucketSize come from the store's own `params.parquet` — a
+    * caller cannot mis-pack against it (a differing seqLen would compute
+    * the base offset with the wrong stride and emit inconsistent spans). */
+  def packIncremental(batch: DataFrame, storeDir: String): DataFrame = {
+    val p = batch.sparkSession.read.parquet(s"$storeDir/params.parquet").head()
+    val (seqLen, bucketSize) =
+      (p.getAs[Long]("seq_len"), p.getAs[Long]("bucket_size"))
     val manifest = batch.sparkSession.read.parquet(s"$storeDir/manifest.parquet")
     val base = manifest
       .agg(coalesce(max(col("seq_id") * seqLen + col("seq_offset") + col("n_tokens")),

@@ -103,6 +103,14 @@ class MultimodalSpec extends SparkSuite {
       val good = graft.multimodal.VideoCodec.synthMjpeg(16, 16, 1, 3L)
       graft.multimodal.VideoCodec.demux(good.dropRight(5)).toSeq
     }
+    // frameless-but-valid container: magic passes, but pixel consumers must
+    // see an explicit empty-container error, not a truncated-header one
+    val frameless = graft.multimodal.VideoCodec.synthMjpeg(16, 16, 0, 3L)
+    assert(graft.multimodal.VideoCodec.frameCount(frameless) == 0)
+    val e = intercept[IllegalArgumentException] {
+      graft.multimodal.VideoCodec.firstFrame(frameless)
+    }
+    assert(e.getMessage.contains("empty GMJ1 container"), e.getMessage)
   }
 
   test("frameSample demuxes every stride-th frame for videos only") {

@@ -108,8 +108,10 @@ class PropertySpec extends SparkSuite {
         .createTempDirectory(s"graft-packprop$seed").toString
       graft.operators.TextOps.writePackStore(
         docs.filter(col("doc_id") < cut), store, seqLen = 16, bucketSize = 4)
+      // no seqLen/bucketSize args: packIncremental reads them from the
+      // store's params.parquet (16/4 as written above)
       val incr = graft.operators.TextOps.packIncremental(
-        docs.filter(col("doc_id") >= cut), store, seqLen = 16, bucketSize = 4)
+        docs.filter(col("doc_id") >= cut), store)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       val full = graft.operators.TextOps.packOf(docs, seqLen = 16, bucketSize = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

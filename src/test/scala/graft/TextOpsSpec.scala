@@ -287,6 +287,10 @@ class TextOpsSpec extends SparkSuite {
     // re-submitting the same batch is a no-op: no spans, store unchanged
     assert(TextOps.packIncremental(batch, store).count() == 0L)
     assert(key(spark.read.parquet(s"$store/manifest.parquet").collect()) == full)
+    // the packing params persist with the store (its identity, like the LSH
+    // signature store) — an ingest can only ever use the writer's values
+    val p = spark.read.parquet(s"$store/params.parquet").head()
+    assert(p.getAs[Long]("seq_len") == 512L && p.getAs[Long]("bucket_size") == 64L)
   }
 
   test("mixture: uniform target hits exact per-source copy counts, deterministically") {
