@@ -30,7 +30,7 @@ object Bench {
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
     "doc_unigram_ll", "emb_project", "doc_source_stats",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
-    "emb_ivf_query", "emb_ivf_q", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
+    "emb_ivf_query", "emb_ivf_q", "emb_ivfpq", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

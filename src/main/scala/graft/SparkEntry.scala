@@ -135,6 +135,20 @@ object SparkEntry {
     // SQL as emb_ivf_exhaustive
     "emb_ivf_q_exhaustive" -> ((s, d) =>
       Similarity.ivfQTopK(s, d, nprobe = 8, rerank = 1 << 20)),
+    // IVF-PQ serving (coarse quantizer + PQ-coded RESIDUALS + per-query ADC
+    // tables + float re-rank — the memory-bound FAISS layout at m bytes per
+    // corpus vector): rows-only (ADC scoring isn't SQL-expressible);
+    // recall/identity spec-gated
+    "emb_ivfpq"         -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-n8m8k16-${embDataTag(d)}"
+      if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writeIvfPqIndex(s, d, idx)
+      Similarity.ivfPqTopKFromIndex(s, d, idx)
+    }),
+    // exhaustive probes + shortlist ≥ corpus: the float re-rank must erase
+    // coarse AND product quantization entirely — oracle-gated against the
+    // same brute-force SQL as emb_ivf_exhaustive
+    "emb_ivfpq_exhaustive" -> ((s, d) =>
+      Similarity.ivfPqTopK(s, d, nprobe = 8, rerank = 1 << 20)),
     "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
@@ -762,6 +776,7 @@ object SparkEntry {
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_ivf_q_exhaustive" -> bruteTopkSql,
+    "emb_ivfpq_exhaustive" -> bruteTopkSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -287,6 +287,58 @@ object Similarity {
     math.min(nlist, math.max(1, math.ceil(f * nlist).toInt))
   }
 
+  /** Measure THIS index's recall@nprobe curve on the deterministic query
+    * sample (the same vec_id < nQueries workload split every operator
+    * uses) — the per-index replacement for the generic
+    * [[measuredRecallEnvelope]], which was measured at nlist=8 and only
+    * extrapolates. One corpus-scale pass, not nlist retrieval runs:
+    * brute-force the sample's true top-k once, look up each true
+    * neighbor's bucket, rank that bucket in its query's
+    * centroid-similarity probe order; recall@p is the fraction of true
+    * neighbors whose bucket sits within the first p probes. Exact for the
+    * sample: a true top-k member inside a probed bucket always survives
+    * the exact scoring pass (fewer than k candidates can outrank it). */
+  private[graft] def measureRecallCurve(rawQueries: DataFrame, bucketed: DataFrame,
+                                        centroids: DataFrame, k: Int = 5): DataFrame = {
+    val spark = rawQueries.sparkSession
+    val queries = rawQueries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val tw = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val trueTop = bucketed.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(tw)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("bucket"))
+    val bw = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val bucketRank = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("c_id").as("bucket"),
+        row_number().over(bw).as("brank"))
+    val ranked = trueTop.join(bucketRank, Seq("q_id", "bucket")).select(col("brank"))
+      .localCheckpoint(true) // k·|sample| rows; the count below re-uses it
+    val total = math.max(1L, ranked.count())
+    val nlist = centroids.count().toInt
+    spark.range(1, nlist + 1).select(col("id").cast("int").as("nprobe"))
+      .join(ranked, col("brank") <= col("nprobe"), "left")
+      .groupBy("nprobe")
+      .agg((count(col("brank")).cast("double") / total).as("recall"))
+  }
+
+  /** nprobe for a PERSISTED index at `targetRecall`: the smallest value
+    * whose measured curve (`indexDir/recall.parquet`, written at build
+    * time) clears the target; indexes persisted before measurement existed
+    * fall back to the generic [[defaultNprobe]] envelope. */
+  private def indexNprobe(spark: SparkSession, indexDir: String, nlist: Int,
+                          targetRecall: Double): Int = {
+    if (!new java.io.File(s"$indexDir/recall.parquet").exists)
+      return defaultNprobe(nlist, targetRecall)
+    spark.read.parquet(s"$indexDir/recall.parquet")
+      .orderBy("nprobe").collect() // ≤ nlist rows — bounded
+      .find(_.getAs[Double]("recall") >= targetRecall)
+      .map(_.getAs[Int]("nprobe"))
+      .getOrElse(nlist)
+  }
+
   /** C7: IVF-style ANN — deterministic coarse quantizer (first `nlist`
     * corpus vectors as centroids, broadcast), corpus bucketed by nearest
     * centroid, queries probe `nprobe` nearest buckets only. Size `nprobe`
@@ -434,12 +486,17 @@ object Similarity {
     * run at ingest, not per query session. */
   def writeIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit = {
-    val corpus = withNorm(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") >= nQueries)
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
     val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     bucketed.select(col("bucket"), col("vec_id"))
       .write.mode("overwrite").parquet(s"$indexDir/assignments.parquet")
+    // the index's own recall curve, measured at build time — a few cheap
+    // sample queries against the freshly-bucketed corpus, persisted so
+    // query sessions size nprobe from THIS index, not an extrapolation
+    measureRecallCurve(emb.filter(col("vec_id") < nQueries), bucketed, centroids)
+      .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
   }
 
   /** Query a persisted IVF index: identical results to [[ivfTopK]] with the
@@ -447,23 +504,166 @@ object Similarity {
     * table on vec_id (the corpus partitioning key) for the exact scoring
     * pass — only probed buckets are scored.
     *
-    * `nprobe` defaults to the cost model's answer: pass ≤0 (the default)
-    * and the probe count is [[defaultNprobe]] for the index's OWN nlist
-    * (read from the broadcast-sized centroid table, so a caller can't
-    * mis-size probes against an index built with a different nlist) at
-    * `targetRecall`. Pass an explicit positive nprobe to override. */
+    * `nprobe` defaults to the index's OWN measured recall curve: pass ≤0
+    * (the default) and the probe count is the smallest clearing
+    * `targetRecall` on the `recall.parquet` written at build time
+    * ([[measureRecallCurve]]) — nlist read from the index itself, so a
+    * caller can't mis-size probes against an index built with a different
+    * nlist. Pass an explicit positive nprobe to override. */
   def ivfTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
                        nQueries: Int = 10, k: Int = 5, nprobe: Int = 0,
                        targetRecall: Double = 0.85): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val probes =
       if (nprobe > 0) nprobe
-      else defaultNprobe(centroids.count().toInt, targetRecall)
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
     val emb = withNorm(Tables.embeddings(spark, dir))
     val bucketed = spark.read.parquet(s"$indexDir/assignments.parquet")
       .join(emb.filter(col("vec_id") >= nQueries), Seq("vec_id"))
       .select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
     ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed, centroids, k, probes)
+  }
+
+  // ---- IVF-PQ: coarse quantizer + product-quantized RESIDUALS, float
+  // re-rank — the memory-bound probe stage of the public FAISS IVF-PQ
+  // layout: the corpus-scale scan reads m sub-codes per vector, scored
+  // per query by an asymmetric-distance table, and floats are touched
+  // only for the shortlist.
+
+  /** Residuals of the bucketed corpus against its own normalized bucket
+    * centroid (vn − cb) — what the PQ codebooks encode. Encoding residuals
+    * instead of raw vectors is the standard IVF-PQ refinement: residual
+    * magnitudes are smaller than vector magnitudes, so the same codebook
+    * budget quantizes them with less error. */
+  private def ivfResiduals(bucketed: DataFrame, centroids: DataFrame): DataFrame =
+    bucketed.join(broadcast(centroids), col("bucket") === col("c_id"))
+      .select(col("bucket"), col("vec_id"),
+        zip_with(transform(col("v"), x => x / col("nrm")),
+          transform(col("cv"), c => c / col("cn")), (a, b) => a - b).as("vn"))
+
+  /** Train the IVF-PQ index: IVF-bucket the corpus ([[buildIvfIndex]]),
+    * PQ-train/encode the residuals ([[buildPqIndex]] — codebooks shared
+    * across buckets, as FAISS shares one PQ across all inverted lists).
+    * Returns (centroids, codebooks, codes) with codes
+    * (bucket, vec_id, codes tinyint[m]) — m BYTES per corpus vector, the
+    * densest serving representation here. */
+  private[graft] def buildIvfPqIndex(corpus: DataFrame, nlist: Int, m: Int,
+                                     ksub: Int, lloydIters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(ksub <= 128, s"ksub=$ksub must fit a signed byte code (≤128)")
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    val resid = ivfResiduals(bucketed, centroids).localCheckpoint(true)
+    val (codebooks, codeRows) = buildPqIndex(resid, m, ksub)
+    val codes = codeRows
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e("code").cast("tinyint")).as("codes"))
+      .join(resid.select(col("bucket"), col("vec_id")), "vec_id")
+      .select(col("bucket"), col("vec_id"), col("codes"))
+    (centroids, codebooks, codes)
+  }
+
+  /** Probe + ADC-score + float-re-rank stage shared by [[ivfPqTopK]] and the
+    * persisted-index path. Per query: the ADC distance table (m·ksub inner
+    * products against the broadcast codebooks) rides the broadcast probe
+    * side; the one corpus-scale pass explodes the PROBED buckets' code
+    * arrays and partial-aggregates the m table lookups per (query, vector):
+    * approx cos ≈ dot(qn̂, cb) + Σ_sub dtable[sub][code] (both vectors
+    * normalized, so the dot IS the cosine). The top k·rerank shortlist is
+    * re-scored exactly against the float corpus — returned cos_sim values
+    * are exact; PQ error only affects which near-ties make the shortlist. */
+  private def ivfPqQuery(rawQueries: DataFrame, codes: DataFrame,
+                         codebooks: DataFrame, centroids: DataFrame,
+                         corpusFloats: DataFrame, m: Int, k: Int, nprobe: Int,
+                         rerank: Int): DataFrame = {
+    val queries = rawQueries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        transform(col("v"), x => x / col("nrm")).as("vn"))
+    // ADC table: per (q_id, sub, code), dot of the query's normalized
+    // subvector with the residual centroid — broadcast-sized by construction
+    val dsub = dsubOf(queries, m)
+    val dtable = pqSubrows(queries.withColumnRenamed("q_id", "vec_id"), m, dsub)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        dot(col("subv"), col("cent")).as("d"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_sim").as("c_dot"),
+        col("c_id").as("bucket"))
+    // corpus-scale pass: probed code arrays explode to m lookup rows each;
+    // the (q_id, vec_id) partial agg is map-side combinable
+    val aw = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(probes), "bucket")
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"), col("c_dot"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtable), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg((any_value(col("c_dot")) + sum(col("d"))).as("approx_sim"),
+        any_value(col("qv")).as("qv"), any_value(col("qn")).as("qn"))
+      .withColumn("rnk", row_number().over(aw)).filter(col("rnk") <= k.toLong * rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpusFloats.join(broadcast(shortlist), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** IVF-PQ ANN end-to-end (train + encode + query in one call — the
+    * benchable batch form; deployments persist via [[writeIvfPqIndex]]).
+    * With nprobe = nlist and a shortlist covering the corpus the re-rank
+    * IS brute force (the `emb_ivfpq_exhaustive` oracle twin). */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                nlist: Int = 8, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+                rerank: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val (centroids, codebooks, codes) = buildIvfPqIndex(corpus, nlist, m, ksub, lloydIters)
+    ivfPqQuery(emb.filter(col("vec_id") < nQueries), codes, codebooks, centroids,
+      corpus, m, k, nprobe, rerank)
+  }
+
+  /** Train + encode the IVF-PQ index once and persist it:
+    * `centroids.parquet` (nlist rows), `codebooks.parquet` (m·ksub rows),
+    * `codes.parquet` (bucket, vec_id, codes tinyint[m] — m bytes/vector,
+    * the memory-bound serving table). Encode-once/query-many. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+                      nQueries: Int = 10, nlist: Int = 8, m: Int = 8,
+                      ksub: Int = 16, lloydIters: Int = 1): Unit = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val (centroids, codebooks, codes) = buildIvfPqIndex(corpus, nlist, m, ksub, lloydIters)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    codebooks.write.mode("overwrite").parquet(s"$indexDir/codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+    measureRecallCurve(emb.filter(col("vec_id") < nQueries),
+      codes.select(col("bucket"), col("vec_id")).join(corpus, "vec_id"),
+      centroids)
+      .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
+  }
+
+  /** Query a persisted IVF-PQ index: float vectors are read only for the
+    * queries and the re-rank shortlist; the corpus-scale scan is the m-byte
+    * code table. `nprobe` ≤ 0 → the measured per-index curve / cost model,
+    * as in [[ivfTopKFromIndex]]. `m` is read from the codebooks table (the
+    * index's own geometry, not a caller guess). */
+  def ivfPqTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
+                         nQueries: Int = 10, k: Int = 5, nprobe: Int = 0,
+                         rerank: Int = 4, targetRecall: Double = 0.85): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val probes =
+      if (nprobe > 0) nprobe
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    ivfPqQuery(emb.filter(col("vec_id") < nQueries), codes, codebooks, centroids,
+      emb.filter(col("vec_id") >= nQueries), m, k, probes, rerank)
   }
 
   /** C39: random-projection dimensionality reduction (Achlioptas/JL):
@@ -634,27 +834,29 @@ object Similarity {
     * but the query path no longer joins the full float corpus. */
   def writeIvfQIndex(spark: SparkSession, dir: String, indexDir: String,
                      nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit = {
-    val corpus = withNorm(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") >= nQueries)
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
     val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
     val statsArr = dimStatsArrays(corpus)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     statsArr.write.mode("overwrite").parquet(s"$indexDir/dimstats.parquet")
     encodeSq8(bucketed, statsArr)
       .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+    measureRecallCurve(emb.filter(col("vec_id") < nQueries), bucketed, centroids)
+      .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
   }
 
   /** Query a persisted quantized IVF index. Float vectors are read ONLY for
     * the queries and the re-rank shortlist; the corpus-scale scan is
-    * `codes.parquet`. `nprobe` ≤ 0 → [[defaultNprobe]] against the index's
-    * own centroid count at `targetRecall`, as in [[ivfTopKFromIndex]]. */
+    * `codes.parquet`. `nprobe` ≤ 0 → the index's measured recall curve at
+    * `targetRecall`, as in [[ivfTopKFromIndex]]. */
   def ivfQTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
                         nQueries: Int = 10, k: Int = 5, nprobe: Int = 0,
                         rerank: Int = 4, targetRecall: Double = 0.85): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val probes =
       if (nprobe > 0) nprobe
-      else defaultNprobe(centroids.count().toInt, targetRecall)
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
     val statsArr = spark.read.parquet(s"$indexDir/dimstats.parquet")
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
     val emb = withNorm(Tables.embeddings(spark, dir))

@@ -151,9 +151,12 @@ class SimilaritySpec extends SparkSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
       .toSet
-    // the unspecified-nprobe default derives from the cost model for the
-    // index's own nlist (8) — identical to the live run at that nprobe
-    val derived = Similarity.defaultNprobe(8)
+    // the unspecified-nprobe default derives from the index's OWN measured
+    // recall curve (recall.parquet, written at build) — identical to the
+    // live run at that nprobe
+    val derived = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
+      .collect().find(_.getAs[Double]("recall") >= 0.85)
+      .map(_.getAs[Int]("nprobe")).getOrElse(8)
     val live = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
     val fromIndex = key(Similarity.ivfTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5))
     assert(fromIndex == live,
@@ -210,6 +213,85 @@ class SimilaritySpec extends SparkSuite {
     // probing 3/8 buckets should still recover most rank-1 neighbours
     val agree = ivfTop.count { case (q, v) => bfTop.get(q).contains(v) }
     assert(agree >= 3, s"IVF rank-1 recall too low: $agree/5")
+  }
+
+  test("per-index recall curve: measured + persisted at build, monotone, exhaustive = 1.0, delivered recall clears the target") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft-ivf-recall").toString
+    Similarity.writeIvfIndex(spark, sf, idx, nQueries = 10)
+    val curve = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
+      .collect().map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == (1 to 8), s"one row per nprobe 1..nlist: ${curve.toSeq}")
+    curve.sliding(2).foreach { case Array((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 1e-12, s"measured recall not monotone: ${curve.toSeq}")
+    }
+    assert(curve.last._2 == 1.0,
+      s"probing every bucket must capture every true neighbour: ${curve.toSeq}")
+    // the default query path probes the smallest nprobe clearing the target
+    // on THIS curve — so its delivered recall on the measurement workload
+    // (same sample, same k) must clear the target, by construction
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val served = Similarity.ivfTopKFromIndex(spark, sf, idx).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (served intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.85, s"derived-nprobe recall $recall below the 0.85 target")
+  }
+
+  test("IVF-PQ: finds planted near-neighbours through residual ADC + exact re-rank") {
+    // same retrieval-shaped corpus as the PQ test: 3 planted near-dups per
+    // query among 200 unrelated vectors
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-ivfpq").toString
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val queries = (0L until 5L).map(q => q -> vec()).toMap
+    val planted = for {
+      q <- 0L until 5L; j <- 0 until 3
+    } yield (100L + q * 10 + j, queries(q).map(a => a + 0.15f * rnd.nextGaussian().toFloat), q.toInt)
+    val noise = (500L until 700L).map(i => (i, vec(), 9))
+    val rows = queries.toSeq.map { case (q, v) => (q, v, q.toInt) } ++ planted ++ noise
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.ivfPqTopK(spark, d, nQueries = 5, k = 3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(got.groupBy(_._1).forall(_._2.size == 3), "k results per query")
+    val expected = (for { q <- 0L until 5L; j <- 0 until 3 } yield (q, 100L + q * 10 + j)).toSet
+    val recall = (got intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall (got=$got)")
+  }
+
+  test("IVF-PQ exhaustive: full probes + corpus-wide shortlist equals brute force bit-for-bit") {
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("cos_sim"))).toSet
+    val pq = key(Similarity.ivfPqTopK(spark, sf, nprobe = 8, rerank = 1 << 20).collect())
+    val bf = key(Similarity.cosineTopK(spark, sf).collect())
+    assert(pq == bf, s"only-ivfpq=${pq -- bf} only-brute=${bf -- pq}")
+  }
+
+  test("persisted IVF-PQ index: query path matches live run; codes are m bytes per vector") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(spark, sf, idx, nQueries = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+      .toSet
+    val derived = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
+      .collect().find(_.getAs[Double]("recall") >= 0.85)
+      .map(_.getAs[Int]("nprobe")).getOrElse(8)
+    val live = key(Similarity.ivfPqTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
+    val fromIndex = key(Similarity.ivfPqTopKFromIndex(spark, sf, idx, nQueries = 10, k = 5))
+    assert(fromIndex == live,
+      s"index query diverged: only-live=${live -- fromIndex} only-index=${fromIndex -- live}")
+    // serving table: one row per corpus vector, codes tinyint[m] — m BYTES
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("bucket", "vec_id", "codes"))
+    val el = codes.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(el == org.apache.spark.sql.types.ByteType, s"codes element type $el, want tinyint")
+    assert(codes.filter(org.apache.spark.sql.functions.size(col("codes")) =!= 8).count() == 0,
+      "every code array must be exactly m=8 bytes")
   }
 
   test("quantized IVF: exhaustive probes + corpus-wide shortlist equals brute force bit-for-bit") {
