@@ -220,6 +220,7 @@ object SparkEntry {
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
+    "doc_epoch_budget"  -> ((s, d) => TextOps.epochBudget(s, d)),
     "doc_epoch_shuffled" -> ((s, d) => TextOps.epochShuffled(s, d)),
     "doc_chunk"         -> ((s, d) => TextOps.chunk(s, d)),
     "doc_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
@@ -1054,6 +1055,48 @@ object SparkEntry {
         |        CAST(sum(n) OVER (ORDER BY pk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |      FROM rep),
         |sp AS (SELECT pk, cum - n AS strt, cum - 1 AS lst FROM c),
+        |u AS (SELECT pk, strt, lst,
+        |        unnest(generate_series(strt // 512, lst // 512)) AS seq_id FROM sp)
+        |SELECT pk // k AS doc_id, pk % k + 1 AS rep, seq_id,
+        |  CAST(greatest(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
+        |  CAST(least(lst, seq_id * 512 + 511) - greatest(strt, seq_id * 512) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM u CROSS JOIN kk""".stripMargin,
+    // budgeted epoch: the doc_epoch composition with the packed stream cut
+    // to the leading whole instances whose running total fits the budget —
+    // one extra WHERE on the same prefix sum
+    "doc_epoch_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens,
+        |        count(*) AS src_docs FROM t GROUP BY source),
+        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |        count(*) AS n_sources FROM s),
+        |p AS (SELECT source,
+        |        CAST(total_tokens AS DOUBLE) * (1.0 / n_sources) / src_tokens AS weight,
+        |        src_docs FROM s, g),
+        |p2 AS (SELECT source, CAST(floor(weight) AS BIGINT) AS base_copies,
+        |         CAST(round((weight - floor(weight)) * src_docs) AS BIGINT) AS n_extra
+        |       FROM p),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+        |      FROM t),
+        |m AS (SELECT r.doc_id,
+        |        CAST(base_copies + CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END
+        |          AS BIGINT) AS n_copies
+        |      FROM r JOIN p2 USING (source)),
+        |kk AS (SELECT CAST(coalesce(max(n_copies), 0) + 1 AS BIGINT) AS k FROM m),
+        |rep AS (SELECT m.doc_id * k + unnest(generate_series(1, n_copies)) - 1 AS pk,
+        |          t.n
+        |        FROM m JOIN t USING (doc_id) CROSS JOIN kk
+        |        WHERE n_copies >= 1),
+        |c AS (SELECT pk, n,
+        |        CAST(sum(n) OVER (ORDER BY pk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM rep),
+        |sp AS (SELECT pk, cum - n AS strt, cum - 1 AS lst FROM c
+        |       WHERE cum <= 20000),
         |u AS (SELECT pk, strt, lst,
         |        unnest(generate_series(strt // 512, lst // 512)) AS seq_id FROM sp)
         |SELECT pk // k AS doc_id, pk % k + 1 AS rep, seq_id,

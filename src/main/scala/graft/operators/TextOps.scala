@@ -567,8 +567,14 @@ object TextOps {
   /** The packing core over (doc_id, n_tokens, bucket) — text never enters:
     * callers that repeat or re-key documents ([[epochOf]]) pack pure token
     * counts. `bucket` must refine doc_id order (equal buckets ⇒ contiguous
-    * id ranges) and stay summary-sized in count with bounded rows each. */
-  private def packSpans(toks: DataFrame, seqLen: Long, base: Long): DataFrame = {
+    * id ranges) and stay summary-sized in count with bounded rows each.
+    * `budget` cuts the PACKED STREAM to its leading ≤budget tokens by whole
+    * rows (keep every row whose running total fits): the kept set is a
+    * prefix of the stream, so the cut is one filter on the prefix sum the
+    * pack computes anyway, and kept rows' spans are bit-identical to the
+    * uncut pack's. */
+  private def packSpans(toks: DataFrame, seqLen: Long, base: Long,
+                        budget: Option[Long] = None): DataFrame = {
     val offsets = toks.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
@@ -577,8 +583,9 @@ object TextOps {
       .select(col("bucket"), col("offset"))
     val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(offsets, "bucket")
+    val cum = toks.join(offsets, "bucket")
       .withColumn("cum", lit(base) + col("offset") + sum(col("n_tokens")).over(inBucket))
+    budget.map(b => cum.filter(col("cum") <= b)).getOrElse(cum)
       .withColumn("strt", col("cum") - col("n_tokens"))
       // single-space split yields ≥1 token for any non-null text, so
       // strt ≤ cum−1 always — the sequence() bounds can never invert
@@ -655,9 +662,28 @@ object TextOps {
             bucketSize: Long = 64): DataFrame =
     epochOf(Tables.documents(spark, dir), seqLen, bucketSize)
 
+  /** C52: epoch BUILD UNDER A TOKEN BUDGET — the call a pretraining run
+    * actually makes: "exactly these domain shares, at most `budget`
+    * tokens". [[mixtureOf]] sets per-doc copy counts (optionally toward
+    * `targetShares`), the repeated stream is cut to the leading instances
+    * whose running total fits the budget (whole (doc, rep) instances — a
+    * budget never splits a document mid-stream), and the kept prefix packs
+    * into sequences. Because the kept set is a PREFIX of the epoch stream,
+    * the cut is one filter on the prefix sum the pack already computes
+    * (zero extra passes), and every kept span is bit-identical to the
+    * uncut [[epoch]]'s span for that instance — the equality the spec
+    * pins. Same plan shape and scale properties as [[epoch]]. */
+  def epochBudget(spark: SparkSession, dir: String, budget: Long = 20000,
+                  seqLen: Long = 512, bucketSize: Long = 64,
+                  targetShares: Map[String, Double] = Map.empty): DataFrame =
+    epochOf(Tables.documents(spark, dir), seqLen, bucketSize,
+      budget = Some(budget), targetShares = targetShares)
+
   private[graft] def epochOf(docs: DataFrame, seqLen: Long,
-                             bucketSize: Long): DataFrame = {
-    val mix = mixtureOf(docs).filter(col("n_copies") >= 1L)
+                             bucketSize: Long,
+                             budget: Option[Long] = None,
+                             targetShares: Map[String, Double] = Map.empty): DataFrame = {
+    val mix = mixtureOf(docs, targetShares).filter(col("n_copies") >= 1L)
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     // scalar: the re-key stride (bounded driver action, one long)
@@ -670,7 +696,7 @@ object TextOps {
         col("n_tokens"),
         // references the INPUT doc_id: buckets follow the original ids
         expr(s"doc_id div $bucketSize").as("bucket"))
-    packSpans(repeated, seqLen, base = 0L)
+    packSpans(repeated, seqLen, base = 0L, budget = budget)
       .select(expr(s"doc_id div $k").as("doc_id"),
         (col("doc_id") % k + 1L).as("rep"),
         col("seq_id"), col("seq_offset"), col("n_tokens"))

@@ -388,6 +388,39 @@ class TextOpsSpec extends SparkSuite {
       s"only-epoch=${out.toSet -- expected} only-expected=${expected -- out.toSet}")
   }
 
+  test("epochBudget: the full epoch cut to the leading whole instances that fit; spans bit-identical") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
+      (100L until 130L).map(i => ("b", i, ten))).toDF("source", "doc_id", "text")
+    val budget = 123L // deliberately not a multiple of any doc/seq length
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"), r.getAs[Long]("n_tokens")))
+    val full = key(TextOps.epochOf(docs, seqLen = 16L, bucketSize = 4L).collect())
+    val got = key(TextOps.epochOf(docs, seqLen = 16L, bucketSize = 4L,
+      budget = Some(budget)).collect())
+    // manual chain: each instance's stream END is the max span end across
+    // its spans; the budget keeps exactly the instances ending <= budget
+    val endOf = full.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(r => r._3 * 16L + r._4 + r._5).max).toMap
+    val expected = full.filter(r => endOf((r._1, r._2)) <= budget).toSet
+    assert(got.toSet == expected,
+      s"only-got=${got.toSet -- expected} only-expected=${expected -- got.toSet}")
+    // whole-instance semantics: total kept tokens <= budget, and adding the
+    // FIRST dropped instance would overflow it
+    val kept = got.map(_._5).sum
+    assert(kept <= budget, s"kept $kept tokens > budget $budget")
+    val dropped = endOf.filter(_._2 > budget)
+    if (dropped.nonEmpty) {
+      val firstDropped = dropped.keys.minBy(i => endOf(i))
+      val instTokens = full.filter(r => (r._1, r._2) == firstDropped).map(_._5).sum
+      assert(kept + instTokens > budget,
+        s"budget cut dropped an instance ($firstDropped, $instTokens tokens) that still fits")
+    }
+    // spans of kept instances are bit-identical to the uncut epoch's
+    assert(got.toSet.subsetOf(full.toSet))
+  }
+
   test("epochShuffled: same units and spans budget as epoch, genuinely de-ordered, deterministic") {
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
     val docs = ((0L until 10L).map(i => ("a", i, ten)) ++
