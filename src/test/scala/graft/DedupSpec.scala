@@ -351,4 +351,106 @@ class DedupSpec extends SparkSuite {
     assert(out(0L) == 1L && out(1L) == 1L)   // 2 docs ≤ maxDocs: kept
     assert(out(2L) == 0L && out(3L) == 0L && out(4L) == 0L) // 3 docs > cut
   }
+
+  /** End-to-end ground-truth equivalence for the near-dup keep-list family
+    * (clusters / keep-list / keep-by-quality): an exhaustive all-pairs
+    * exact-Jaccard + union-find reference, on a corpus where LSH recall is
+    * 1.0 BY CONSTRUCTION — texts with period-k word patterns share their
+    * whole k-shingle SET across different repeat counts, so cluster
+    * members have IDENTICAL minhash signatures (est_jaccard 1.0, every
+    * band collides) while their texts and lengths differ. The banded
+    * pipeline must then reproduce the ground-truth clustering exactly —
+    * checking signature → band → pair → CC → keep end-to-end, not just
+    * each stage in isolation. */
+  private lazy val gtDir: String = {
+    val d = Files.createTempDirectory("graft-dedup-gt").toString
+    def rep(phrase: String, n: Int): String =
+      Array.fill(n)(phrase).flatMap(_.split(" ")).mkString(" ")
+    val docs = Seq(
+      // cluster {1,2,3}: period-3 pattern, repeats 2/3/5
+      (1L, rep("alpha bravo charlie", 2)),
+      (2L, rep("alpha bravo charlie", 3)),
+      (3L, rep("alpha bravo charlie", 5)),
+      // cluster {10,11}: disjoint vocabulary, repeats 2/4
+      (10L, rep("delta echo foxtrot", 2)),
+      (11L, rep("delta echo foxtrot", 4)),
+      // singletons: unique vocabulary, no shared shingles with anything
+      (20L, "golf hotel india juliet kilo lima mike november"),
+      (21L, "oscar papa quebec romeo sierra tango uniform victor")
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Driver-side exhaustive reference: true k-shingle Jaccard over ALL
+    * pairs, union-find over pairs ≥ threshold. */
+  private def groundTruthClusters(k: Int = 3, threshold: Double = 0.5): Map[Long, Set[Long]] = {
+    val texts = spark.read.parquet(s"$gtDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingles = texts.view.mapValues(t =>
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+    val parent = scala.collection.mutable.Map(texts.keys.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      a <- texts.keys; b <- texts.keys if a < b
+      inter = (shingles(a) intersect shingles(b)).size.toDouble
+      union = (shingles(a) union shingles(b)).size.toDouble
+      if union > 0 && inter / union >= threshold
+    } parent(find(a)) = find(b)
+    texts.keys.groupBy(find).map { case (_, ms) => ms.min -> ms.toSet }
+  }
+
+  test("ground truth: neardupClusters equals the exhaustive all-pairs clustering") {
+    val gt = groundTruthClusters() // {1:{1,2,3}, 10:{10,11}, 20:{20}, 21:{21}}
+    assert(gt == Map(1L -> Set(1L, 2L, 3L), 10L -> Set(10L, 11L),
+      20L -> Set(20L), 21L -> Set(21L)), s"corpus construction drifted: $gt")
+    val got = Dedup.neardupClusters(spark, gtDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    // operator output covers exactly the non-singleton ground-truth
+    // clusters, labeled by their minimum id
+    assert(got == gt.filter(_._2.size > 1),
+      s"got=$got expected=${gt.filter(_._2.size > 1)}")
+  }
+
+  test("ground truth: keepList keep-set equals the exhaustive clustering's min-id canonicals") {
+    val gt = groundTruthClusters()
+    val expected = spark.read.parquet(s"$gtDir/documents.parquet").select("doc_id")
+      .collect().map(_.getLong(0)).map { id =>
+        id -> gt.find(_._2.contains(id)).get._1 // canonical = cluster min
+      }.toMap
+    val got = Dedup.keepList(spark, gtDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.view.mapValues(_._1).toMap == expected, s"canonicals: $got")
+    got.foreach { case (id, (canon, keep)) =>
+      assert(keep == (id == canon), s"keep flag inconsistent for $id")
+    }
+  }
+
+  test("ground truth: keepListByQuality keeps each exhaustive cluster's best-quality member") {
+    val gt = groundTruthClusters()
+    // the reference argmax uses the operator-independent quality table —
+    // argmax(quality, then min doc_id) per ground-truth cluster
+    val q = graft.operators.TextOps.quality(spark, gtDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val expectedCanon = gt.values.flatMap { ms =>
+      val best = ms.toSeq.map(id => (q(id), -id)).max
+      ms.map(_ -> -best._2)
+    }.toMap
+    val got = Dedup.keepListByQuality(spark, gtDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.view.mapValues(_._1).toMap == expectedCanon,
+      s"quality canonicals diverged: got=$got expected=$expectedCanon (q=$q)")
+    // quality selection must differ from min-id somewhere, or this test
+    // degenerates into the keepList one (repeat counts change quality)
+    val minIdCanon = got.keys.map(id => id -> gt.find(_._2.contains(id)).get._1).toMap
+    assert(got.view.mapValues(_._1).toMap != minIdCanon ||
+      gt.values.forall(_.size == 1) ||
+      gt.values.filter(_.size > 1).forall(ms => ms.toSeq.map(q).distinct.size == 1),
+      "corpus failed to exercise quality-based selection (all winners are min-id)")
+  }
 }

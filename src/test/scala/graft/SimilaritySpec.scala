@@ -215,6 +215,45 @@ class SimilaritySpec extends SparkSuite {
     assert(agree >= 3, s"IVF rank-1 recall too low: $agree/5")
   }
 
+  test("ground truth: embKeepList equals the exhaustive all-pairs cosine clustering") {
+    // recall 1.0 by construction: cluster members are positive SCALINGS of
+    // one one-hot base vector (cos exactly 1.0 within a cluster, exactly
+    // 0.0 across — distinct dims), sharing the generator label the
+    // operator blocks on. The blocked pipeline must then reproduce the
+    // exhaustive all-pairs union-find clustering exactly.
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-embgt").toString
+    def oneHot(dim: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) scale else 0f)
+    val rows = Seq(
+      (1L, oneHot(0, 1f), 0), (2L, oneHot(0, 2f), 0), (3L, oneHot(0, 5f), 0),
+      (10L, oneHot(1, 1f), 1), (11L, oneHot(1, 3f), 1),
+      (20L, oneHot(2, 1f), 2), (21L, oneHot(3, 1f), 3) // singletons
+    )
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // driver-side exhaustive reference: all-pairs cosine >= 0.9, union-find
+    val vecs = rows.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    val parent = scala.collection.mutable.Map(vecs.keys.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      dot = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+      na = math.sqrt(vecs(a).map(x => x * x).sum)
+      nb = math.sqrt(vecs(b).map(x => x * x).sum)
+      if dot / (na * nb) >= 0.9
+    } parent(find(a)) = find(b)
+    val expected = vecs.keys.map(id => id -> vecs.keys.filter(o => find(o) == find(id)).min).toMap
+    val got = Similarity.embKeepList(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.view.mapValues(_._1).toMap == expected,
+      s"got=$got expected=$expected")
+    got.foreach { case (id, (canon, keep)) => assert(keep == (id == canon)) }
+    // sanity: the reference actually has multi-member clusters
+    assert(expected.values.toSet.size == 4, s"construction drifted: $expected")
+  }
+
   test("per-index recall curve: measured + persisted at build, monotone, exhaustive = 1.0, delivered recall clears the target") {
     import java.nio.file.Files
     val idx = Files.createTempDirectory("graft-ivf-recall").toString
