@@ -396,6 +396,47 @@ class StreamingSpec extends SparkSuite {
     assert(store.get(2L) == 999.0, s"store=$store")
   }
 
+  test("A16b: upsert store converges under kill-and-restart replay (crash before checkpoint commit)") {
+    val src = Files.createTempDirectory("graft-upsr-src").toString
+    val chk = Files.createTempDirectory("graft-upsr-chk").toString
+    graft.streaming.StoreRegistry.clear("a16b_store")
+    val store = graft.streaming.StoreRegistry.mapFor("a16b_store")
+    def start(c: String) = EventPipeline.upsertQuery(
+      EventPipeline.fileSource(spark, src), "a16b_store", c)
+
+    writeBatch(src, "b1", Seq(Event(1, ts(0), 1, "click", 10.0),
+      Event(2, ts(1), 2, "view", 20.0)))
+    val q1 = start(chk); q1.processAllAvailable(); q1.stop()
+    // snapshot the checkpoint as of b1 — the state a crash DURING b2 leaves
+    // behind (store puts possibly applied, no offset/commit progress)
+    val snap = Files.createTempDirectory("graft-upsr-snap").toString
+    val srcPath = java.nio.file.Paths.get(chk)
+    java.nio.file.Files.walk(srcPath).forEach { p =>
+      val t = java.nio.file.Paths.get(snap).resolve(srcPath.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeBatch(src, "b2", Seq(Event(3, ts(5), 1, "click", 30.0)))
+    val q2 = start(chk); q2.processAllAvailable(); q2.stop()
+    assert(store.get(1L) == 30.0 && store.get(2L) == 20.0, s"store=$store")
+
+    // the crash: b2's store puts PARTIALLY applied (roll key 1 back to its
+    // pre-batch value), checkpoint progress lost (restart from the b1
+    // snapshot) — the at-least-once replay must re-run b2 through the same
+    // foreachBatch and CONVERGE the store, not corrupt it
+    store.put(1L, 10.0)
+    val q3 = start(snap); q3.processAllAvailable(); q3.stop()
+    assert(store.get(1L) == 30.0 && store.get(2L) == 20.0,
+      s"store did not converge after replay: $store")
+    assert(store.size == 2, s"replay invented keys: $store")
+
+    // a further restart with nothing to replay is a clean no-op
+    val q4 = start(snap); q4.processAllAvailable(); q4.stop()
+    assert(store.get(1L) == 30.0 && store.get(2L) == 20.0 && store.size == 2,
+      s"idle restart disturbed the store: $store")
+  }
+
   // transformWithState uses state-store column families, which the default
   // HDFS-backed provider lacks — RocksDB is the production provider anyway
   private def withRocksDB[T](f: => T): T = {
