@@ -599,6 +599,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The gram document-frequency CEILING of a corpus — the one number that
+    * decides between [[ngramJaccard]]'s exact inverted-index join (candidate
+    * pairs per gram grow O(df²)) and the [[ngramJaccardLsh]] escape. One
+    * explode + two partial-agg passes over 64-bit gram hashes (map-side
+    * combinable, bounded by the distinct-gram count) — cheap next to either
+    * join it gates. */
+  private[graft] def maxGramDf(docs: DataFrame, k: Int = 3): Long =
+    docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(coalesce(max(col("df")), lit(0L)))
+      .head().getLong(0)
+
+  /** Pure branch rule for [[ngramJaccardAuto]], exposed for the spec. */
+  private[graft] def ngramPathFor(maxDf: Long, dfLimit: Long): String =
+    if (maxDf > dfLimit) "lsh" else "exact"
+
+  /** C4-auto: [[ngramJaccard]] with the boilerplate ESCAPE HATCH armed —
+    * measure the corpus's gram-df ceiling first, then run the exact
+    * inverted-index join only while its worst per-gram pair blow-up is
+    * bounded, else fall back to [[ngramJaccardLsh]] (candidates O(n·bands),
+    * recall the LSH collision bound instead of exact).
+    *
+    * `dfLimit` default from r6 measurements on this host (local[32],
+    * 10k docs of 30-token unique filler, one hot gram planted in d docs —
+    * the exact path's hot-gram term is exactly d(d−1)/2 pair rows):
+    * d=1024 → 523,776 pair rows, 3.4 s (LSH 1.8 s); d=4096 → 8.39M,
+    * 3.3 s (LSH 0.7 s — parallelism still hides the blow-up); d=8192 →
+    * 33.6M, 12.0 s (LSH 0.7 s — past the knee, superlinear wall time).
+    * The default caps the per-gram term at ≈0.5M rows (d=1000), well
+    * inside the flat region; deployments with latency headroom can raise
+    * it. At 1000 executors the knee moves out ~30× but the d² law — and
+    * this guard — is unchanged. */
+  def ngramJaccardAuto(spark: SparkSession, dir: String, k: Int = 3,
+                       threshold: Double = 0.3, dfLimit: Long = 1000): DataFrame = {
+    val maxDf = maxGramDf(Tables.documents(spark, dir), k)
+    ngramPathFor(maxDf, dfLimit) match {
+      case "lsh" => ngramJaccardLsh(spark, dir, k, threshold)
+      case _     => ngramJaccard(spark, dir, k, threshold)
+    }
+  }
+
   /** C20: winnowing fingerprint matches — MOSS-style local fingerprinting:
     * each doc's winnowed fingerprint set (native [[graft.functions.WinnowExpr]]
     * kernel, map-only) is inverted-indexed; pairs sharing ≥ `minShared`

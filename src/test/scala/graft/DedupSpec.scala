@@ -352,6 +352,46 @@ class DedupSpec extends SparkSuite {
     assert(out(2L) == 0L && out(3L) == 0L && out(4L) == 0L) // 3 docs > cut
   }
 
+  test("hot-gram skew: exact ngramJaccard candidate pairs grow d(d-1)/2; auto escape flips to LSH at the measured df gate") {
+    // plant ONE gram shared by d docs among unique filler — the documented
+    // boilerplate blow-up (Dedup.scala scale note): the inverted-index join
+    // emits exactly d(d-1)/2 pair rows for the hot gram
+    def corpus(d: Int, n: Int = 40): String = {
+      val dir = Files.createTempDirectory(s"graft-hotgram$d").toString
+      (0 until n).map { i =>
+        val filler = (0 until 12).map(j => s"u${i}x$j").mkString(" ")
+        val t = if (i < d) s"$filler hot1 hot2 hot3" else filler
+        (i.toLong, t, "en", "s", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // threshold 0: every candidate pair survives, so the output counts the
+    // candidate set itself. Unique filler → only the hot gram pairs.
+    val counts = Seq(8, 16, 32).map { d =>
+      d -> Dedup.ngramJaccard(spark, corpus(d), threshold = 0.0).count()
+    }
+    counts.foreach { case (d, c) =>
+      assert(c == d.toLong * (d - 1) / 2,
+        s"hot gram in $d docs must emit d(d-1)/2 pairs, got $c")
+    }
+    // the df ceiling measurement sees the planted frequency exactly
+    val d32 = corpus(32)
+    assert(Dedup.maxGramDf(graft.Tables.documents(spark, d32)) == 32L)
+    // the branch rule: exact while bounded, LSH escape above the gate
+    assert(Dedup.ngramPathFor(maxDf = 32, dfLimit = 1000) == "exact")
+    assert(Dedup.ngramPathFor(maxDf = 1001, dfLimit = 1000) == "lsh")
+    // and the auto operator follows it end-to-end: below the gate it IS the
+    // exact join; above, the LSH variant (which prunes the 1-of-many-grams
+    // boilerplate pairs its est-jaccard prefilter rejects)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(key(Dedup.ngramJaccardAuto(spark, d32, threshold = 0.0)) ==
+      key(Dedup.ngramJaccard(spark, d32, threshold = 0.0)))
+    assert(key(Dedup.ngramJaccardAuto(spark, d32, threshold = 0.0, dfLimit = 10)) ==
+      key(Dedup.ngramJaccardLsh(spark, d32, threshold = 0.0)))
+  }
+
   /** End-to-end ground-truth equivalence for the near-dup keep-list family
     * (clusters / keep-list / keep-by-quality): an exhaustive all-pairs
     * exact-Jaccard + union-find reference, on a corpus where LSH recall is
