@@ -666,6 +666,54 @@ object Similarity {
       emb.filter(col("vec_id") >= nQueries), m, k, probes, rerank)
   }
 
+  // ---- serving layout: the float corpus laid out so the shortlist re-rank
+  // join becomes row-group SKIPS at the scan
+
+  /** Write the re-rank float corpus in SERVING layout: sorted by vec_id in
+    * bounded row groups. The quantized/PQ probe stages hand the re-rank a
+    * k·rerank-bounded shortlist of vec_ids; over a layout like this the
+    * shortlist lookup's pushed id predicate lets parquet footer min/max
+    * skip every row group holding no shortlist id — the PLANS.md claim
+    * that the broadcast re-rank join "can turn into row-group skips",
+    * measured for real in LayoutSpec. `rowGroupBytes` trades pruning
+    * granularity against footer overhead, exactly as in
+    * [[graft.sources.Layout.writeZOrdered]]; `maxRecordsPerFile` (> 0)
+    * additionally caps rows per FILE — parquet's writer only re-checks the
+    * block budget every few hundred rows, so at TEST-scale corpora the
+    * file cap is what actually yields pruning-grade granularity (at real
+    * scale 128 MB groups hold ~400k vectors and the budget alone is
+    * fine: a 50-id shortlist then survives in ≤50 of corpus/400k groups). */
+  def writeFloatServingLayout(spark: SparkSession, dir: String, path: String,
+                              nFiles: Int = 2,
+                              rowGroupBytes: Long = 16 * 1024,
+                              maxRecordsPerFile: Long = 0L): Unit = {
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    if (maxRecordsPerFile > 0)
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecordsPerFile)
+    try
+      Tables.embeddings(spark, dir)
+        .repartitionByRange(nFiles, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", rowGroupBytes)
+        .parquet(path)
+    finally if (maxRecordsPerFile > 0) prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
+  /** Shortlist float lookup against the serving layout: the bounded id set
+    * goes down as a scan predicate. Raise
+    * `spark.sql.parquet.pushdown.inFilterThreshold` to the shortlist bound
+    * (k·rerank, a few hundred) so the In predicate reaches the footers as
+    * or-of-equals — above the threshold Spark pushes only the washed-out
+    * [min,max] envelope, which an ANN shortlist (ids scattered across the
+    * corpus) never prunes with. */
+  def shortlistFloats(spark: SparkSession, path: String,
+                      ids: Seq[Long]): DataFrame =
+    spark.read.parquet(path).filter(col("vec_id").isin(ids: _*))
+
   /** C39: random-projection dimensionality reduction (Achlioptas/JL):
     * project each embedding onto `outDim` pseudo-random Rademacher (±1)
     * directions, scaled 1/√outDim so squared distances are preserved in

@@ -205,4 +205,49 @@ class LayoutSpec extends SparkSuite {
     assert(zRead.toDouble / pRead < 0.65,
       s"engine-measured pruning win missing: z=$zRead plain=$pRead")
   }
+
+  test("ANN serving layout: the shortlist re-rank lookup skips row groups (footers + engine agree)") {
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft-serving").toString
+    val dir = "/root/testdata/sf0.01"
+    // file cap 20 → pruning-grade granularity at this 500-vector corpus
+    // (the writer's docstring explains why the byte budget alone is too
+    // coarse at test scale; at real scale the shortlist:corpus ratio is
+    // ~50 : 25B and whole-group survival is the rare case)
+    Similarity.writeFloatServingLayout(spark, dir, s"$base/floats",
+      maxRecordsPerFile = 20L)
+    val n = Tables.embeddings(spark, dir).count()
+    val stats = Layout.rowGroupStats(spark, s"$base/floats", Seq("vec_id"))
+    assert(stats.map(_.rows).sum == n, "footer rows must conserve the corpus")
+    assert(stats.length >= 16, s"want many prunable groups, got ${stats.length}")
+
+    // a REAL serving shortlist: the quantized path's own top-k ids
+    val ids = Similarity.ivfQTopK(spark, dir, nQueries = 3, k = 3).collect()
+      .map(_.getAs[Long]("vec_id")).distinct.toSeq
+    assert(ids.nonEmpty && ids.length <= 9, s"shortlist bound blown: ${ids.length}")
+
+    // footer prediction: a group survives iff it can hold a shortlist id
+    val surviving = stats.filter(s => ids.exists(id => id >= s.min && id <= s.max))
+    val skipped = stats.length - surviving.length
+    assert(skipped > 0,
+      s"no skippable groups (${surviving.length}/${stats.length} survive) — layout too coarse")
+    assert(surviving.length.toDouble / stats.length < 0.6,
+      s"serving layout should skip most groups: ${surviving.length}/${stats.length} survive")
+
+    // the ENGINE agrees: with the In predicate pushed (threshold raised to
+    // the shortlist bound), the scan reads only surviving groups' rows
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+    try {
+      val q = Similarity.shortlistFloats(spark, s"$base/floats", ids)
+      assert(q.collect().map(_.getAs[Long]("vec_id")).toSet == ids.toSet,
+        "lookup must return exactly the shortlist rows")
+      val scanRead = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      val bound = surviving.map(_.rows).sum
+      assert(scanRead <= bound,
+        s"scan read $scanRead rows > footer-predicted bound $bound")
+      assert(scanRead < n * 6 / 10,
+        s"scan read $scanRead of $n rows — row-group skipping not happening")
+    } finally spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+  }
 }
