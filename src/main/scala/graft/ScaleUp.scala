@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up replication generator for SCALE REHEARSALS: writes an
+  * N×-replicated copy of a testdata SF dir (default 10× ≈ sf1.0 from
+  * sf0.1) so the bench can be driven at a data size the driver doesn't
+  * ship. Keys shift per KEY DOMAIN, not per table: every column that
+  * participates in a join (primary key and all its foreign-key references
+  * — `o_custkey`/`user_id` with `c_custkey`, `l_orderkey` with
+  * `o_orderkey`, …) shifts by the SAME domain stride (pow10 above the
+  * domain's global max), so copy k of every fact joins copy k of its
+  * dims and join integrity is exact across tables. Key cardinality
+  * scales with the data (10× users, docs, vectors — not 10× rows on the
+  * same keys, which would rehearse skew, not scale).
+  *
+  * Dims `region`/`nation` stay single-copy (they are constant-size in
+  * TPC-H at any SF; nationkey/regionkey foreign keys are left unshifted
+  * everywhere so they keep resolving). Timestamps are left as-is: a 10×
+  * event table on the same horizon = 10× busier stream, the realistic
+  * scale-up. Usage:
+  *
+  *   runMain graft.ScaleUp <srcDir> <dstDir> [copies]
+  */
+object ScaleUp {
+
+  /** (column, key domain) per table — all columns of one domain share a
+    * stride so cross-table joins stay within a copy. nation/region keys
+    * intentionally absent. */
+  private val keyDomains: Map[String, Seq[(String, String)]] = Map(
+    "customer"   -> Seq("c_custkey" -> "cust"),
+    "supplier"   -> Seq("s_suppkey" -> "supp"),
+    "part"       -> Seq("p_partkey" -> "part"),
+    "orders"     -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "lineitem"   -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+                        "l_suppkey" -> "supp"),
+    "events"     -> Seq("event_id" -> "event", "user_id" -> "cust"),
+    "documents"  -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"),
+    "region"     -> Seq.empty,
+    "nation"     -> Seq.empty
+  )
+
+  private[graft] def strideFor(maxId: Long): Long =
+    math.pow(10, math.ceil(math.log10(maxId + 2.0))).toLong
+
+  private[graft] def replicate(df: DataFrame, cols: Seq[(String, Long)],
+                               copies: Int): DataFrame = {
+    if (cols.isEmpty) return df
+    val copied = df.withColumn("__copy",
+      explode(sequence(lit(0L), lit(copies - 1L))))
+    cols.foldLeft(copied) { case (d, (c, stride)) =>
+      d.withColumn(c, col(c) + col("__copy") * stride)
+    }.drop("__copy")
+  }
+
+  private def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    // events is TIMESTAMP(NANOS) parquet — the typed loader converts to a
+    // µs timestamp, which Tables.events passes through on read-back
+    if (table == "events") Tables.events(spark, dir)
+    else Tables.table(spark, dir, table)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [copies]")
+    val (src, dst) = (args(0), args(1))
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // pass 1: global max per key domain (driver holds one long per domain)
+    val domainMax = keyDomains.toSeq
+      .flatMap { case (table, cols) =>
+        if (cols.isEmpty) Seq.empty
+        else {
+          val df = load(spark, src, table)
+          val maxes = df.agg(max(col(cols.head._1).cast("long")),
+            cols.tail.map { case (c, _) => max(col(c).cast("long")) }: _*).head()
+          cols.zipWithIndex.map { case ((_, dom), i) => dom -> maxes.getLong(i) }
+        }
+      }
+      .groupBy(_._1).map { case (dom, ms) => dom -> strideFor(ms.map(_._2).max) }
+    println(s"[scaleup] domain strides: $domainMax")
+    // pass 2: shift + write
+    keyDomains.foreach { case (table, cols) =>
+      val in = load(spark, src, table)
+      replicate(in, cols.map { case (c, dom) => c -> domainMax(dom) }, copies)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${in.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
