@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * event table on the same horizon = 10× busier stream, the realistic
   * scale-up. Usage:
   *
-  *   runMain graft.ScaleUp <srcDir> <dstDir> [copies]
+  *   runMain graft.ScaleUp <srcDir> <dstDir> [copies] [replicate|distinct]
   */
 object ScaleUp {
 
@@ -45,14 +45,43 @@ object ScaleUp {
   private[graft] def strideFor(maxId: Long): Long =
     math.pow(10, math.ceil(math.log10(maxId + 2.0))).toLong
 
+  /** `distinct` mode makes each copy's CONTENT distinct, not just its keys
+    * — the realistic 10× corpus (mostly new content), vs `replicate`'s
+    * adversarial one (every doc duplicated ×copies, the worst case for
+    * pair-forming operators whose cost follows pair volume ~ dup²):
+    * - documents: copy k ≥ 1 suffixes every token with "q&lt;k&gt;", so copies
+    *   are textually disjoint while intra-copy gram/frequency structure is
+    *   exactly preserved (token counts, doc lengths ±3 chars/token);
+    * - embeddings: copy k ≥ 1 sign-flips a deterministic per-copy subset
+    *   of dims — an ORTHOGONAL transform, so intra-copy geometry (norms,
+    *   distances, neighbor sets) is exactly preserved while cross-copy
+    *   vectors scatter into other orthants.
+    * Copy 0 always stays pristine. */
+  private def perturb(table: String, mode: String)(df: DataFrame): DataFrame =
+    if (mode != "distinct") df
+    else table match {
+      case "documents" => df.withColumn("text",
+        when(col("__copy") === 0 || col("text").isNull, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("q"), col("__copy"))), " ")))
+      case "embeddings" => df.withColumn("embedding",
+        when(col("__copy") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (v, i) =>
+            when(pmod(xxhash64(col("__copy") * 1024 + i.cast("long")),
+              lit(2L)) === 0, v).otherwise(-v))))
+      case _ => df
+    }
+
   private[graft] def replicate(df: DataFrame, cols: Seq[(String, Long)],
-                               copies: Int): DataFrame = {
+                               copies: Int, table: String = "",
+                               mode: String = "replicate"): DataFrame = {
     if (cols.isEmpty) return df
     val copied = df.withColumn("__copy",
       explode(sequence(lit(0L), lit(copies - 1L))))
-    cols.foldLeft(copied) { case (d, (c, stride)) =>
+    val shifted = cols.foldLeft(copied) { case (d, (c, stride)) =>
       d.withColumn(c, col(c) + col("__copy") * stride)
-    }.drop("__copy")
+    }
+    perturb(table, mode)(shifted).drop("__copy")
   }
 
   private def load(spark: SparkSession, dir: String, table: String): DataFrame =
@@ -62,9 +91,11 @@ object ScaleUp {
     else Tables.table(spark, dir, table)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [copies]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <dstDir> [copies] [replicate|distinct]")
     val (src, dst) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "replicate"
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // pass 1: global max per key domain (driver holds one long per domain)
@@ -83,7 +114,8 @@ object ScaleUp {
     // pass 2: shift + write
     keyDomains.foreach { case (table, cols) =>
       val in = load(spark, src, table)
-      replicate(in, cols.map { case (c, dom) => c -> domainMax(dom) }, copies)
+      replicate(in, cols.map { case (c, dom) => c -> domainMax(dom) },
+          copies, table, mode)
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${in.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()} rows")
     }

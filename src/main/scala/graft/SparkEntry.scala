@@ -162,6 +162,10 @@ object SparkEntry {
     "doc_pii_scrub"     -> ((s, d) => TextOps.piiScrub(s, d)),
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
+    "doc_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
+    "doc_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "doc_dup_spans"     -> ((s, d) => Dedup.dupSpans(s, d)),
+    "doc_quality_model" -> ((s, d) => QualityModel.qualityModel(s, d)),
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
     "doc_pack"          -> ((s, d) => TextOps.pack(s, d)),
     "emb_quantize"      -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1331,6 +1335,33 @@ object SparkEntry {
         |WHERE CASE WHEN lang = 'en'
         |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' END""".stripMargin,
+    "doc_dup_spans" ->
+      """WITH toked AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    array_to_string(ws[CAST(p+1 AS INT):CAST(p+20 AS INT)], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 19)) AS p
+        |        FROM toked WHERE len(ws) >= 20)),
+        |hot AS (SELECT gram FROM wins GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(max(pos+20) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 1 ELSE 0 END AS ni FROM hits),
+        |isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+        |  ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos)+20 AS e
+        |          FROM isl2 GROUP BY doc_id, island),
+        |ag AS (SELECT doc_id, count(*) AS n_spans, sum(e-s) AS cut_tokens
+        |       FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.cut_tokens, 0) AS BIGINT) AS cut_tokens
+        |FROM documents d LEFT JOIN ag a USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin,
     "doc_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

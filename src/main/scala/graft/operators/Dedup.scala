@@ -662,6 +662,110 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** C54: duplicated-SPAN detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), which removes repeated PASSAGES (licenses, headers,
+    * templates) that document-level near-dup can't see: a boilerplate
+    * paragraph inside thousands of otherwise-distinct pages. Every token
+    * position starts a k-token gram (stride 1 in token space, the paper's
+    * shape), fingerprinted with md5; a gram appearing in ≥ `minDf`
+    * distinct docs is a duplicated hit, and per doc, hits merge into
+    * maximal [start, end) token spans (overlap or adjacency) — the text
+    * to cut. GUARANTEE (why token stride 1, not char windows at a char
+    * stride): any shared run of ≥ k tokens produces matching grams in
+    * every doc containing it regardless of its position, so the merged
+    * span is exactly the duplicated run — a char-stride variant only
+    * matches copies aligned mod stride and silently misses the rest.
+    * Returns every non-null doc with (n_tokens, n_spans, cut_tokens);
+    * [[dupSpansCleanOf]] applies the cut.
+    *
+    * Scale: gram fingerprints are map-side expressions; the df count is
+    * one partial-agg shuffle of fixed-width (fp, doc_id) rows — ~24 B per
+    * token, never text (the paper's suffix array is replaced by the
+    * hash-gram inverted index, the standard distributed re-expression).
+    * The hot-gram set is boilerplate-sized, so the hit join broadcasts it
+    * while small and degrades to a key-partitioned semi-join when it
+    * isn't. Span merging windows over ONE doc's hits — per-doc
+    * partitions, no corpus-scale sort. */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 20,
+               minDf: Int = 3): DataFrame =
+    dupSpansOf(Tables.documents(spark, dir), k, minDf)
+
+  private[graft] def dupSpansOf(docs0: DataFrame, k: Int,
+                                minDf: Int): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val agg = spansOf(docs, k, minDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("cut_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+  }
+
+  /** Merged duplicated token spans per doc: (doc_id, s, e), e exclusive. */
+  private[graft] def spansOf(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - k), i => i))
+          .as("pos"),
+        col("ws"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k)))
+          .cast("binary")).as("fp"))
+    val hot = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("fp")
+    val hits = wins.join(hot, "fp").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("ni", when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L)
+        .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** C54b: apply the cut — each doc's non-duplicated token segments
+    * stitched back together (an in-row fold over the doc's own sorted
+    * spans; no corpus-scale work beyond [[spansOf]]). Docs with no spans
+    * pass through verbatim; whitespace is canonicalized to single spaces
+    * (the tokenizer's inverse). */
+  private[graft] def dupSpansCleanOf(docs0: DataFrame, k: Int,
+                                     minDf: Int): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val sp = spansOf(docs, k, minDf)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.withColumn("ws", split(col("text"), " "))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(
+          aggregate(col("spans"),
+            struct(lit(0L).as("cur"), array().cast("array<string>").as("acc")),
+            (st, s) => struct(
+              s.getField("e").as("cur"),
+              concat(st.getField("acc"),
+                slice(col("ws"), (st.getField("cur") + 1).cast("int"),
+                  (s.getField("s") - st.getField("cur")).cast("int")))
+                .as("acc")),
+            st => concat_ws(" ", concat(st.getField("acc"),
+              slice(col("ws"), (st.getField("cur") + 1).cast("int"),
+                (size(col("ws")) - st.getField("cur")).cast("int")))))))
+      .select(col("doc_id"), col("clean_text"))
+  }
+
   /** C22: benchmark-contamination check — the headline eval-hygiene pass of
     * a training-data pipeline: flag corpus documents sharing ≥ `minShared`
     * winnowing fingerprints with ANY benchmark document. The benchmark set

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -959,5 +959,122 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
+  // ---- BPE vocabulary training (C53) ------------------------------------
+
+  /** Lineage/codegen guard for the merge loop: nested fold expressions are
+    * re-planned from a materialized vocab table every this-many merges. */
+  private val BpeCheckpointEvery = 8
+
+  /** Split a word into single-character symbols (the BPE base alphabet). */
+  private def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** One BPE merge applied to a symbol array as a left fold: leftmost
+    * non-overlapping occurrences of adjacent pair (a, b) become the merged
+    * symbol a+b — exactly the reference algorithm's replacement scan. The
+    * `get` probe returns NULL on the empty accumulator (never throws under
+    * ANSI mode), which falls through to the append branch. */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** C53: BPE vocabulary TRAINING (the public byte-pair-encoding algorithm
+    * of Sennrich et al. 2016): greedily merge the most frequent adjacent
+    * symbol pair `nMerges` times, counting every adjacent occurrence
+    * (overlaps included, as the reference `get_stats` does) weighted by
+    * word frequency. Returns the learned merge table
+    * (rank, left, right, pair_freq), deterministic via the
+    * (freq desc, left, right) tie-break.
+    *
+    * Scale: the corpus is touched ONCE — a word-frequency groupBy whose
+    * result is vocabulary-sized (the shuffle ships one row per distinct
+    * word, the classical word-dict BPE trainer input). Every merge
+    * iteration then runs on that cached vocab table: pair stats are an
+    * in-row zip_with explode + one partial-agg shuffle of ≤|pairs| keys,
+    * the arg-max is a 1-row TakeOrdered (the only driver traffic,
+    * 1 row/iteration), and the merge itself is an in-row fold — no
+    * corpus-scale work in the loop. The vocab table re-materializes every
+    * [[BpeCheckpointEvery]] merges to bound lineage depth and fold
+    * nesting. At 100 TB the vocab table is ~10⁸ rows × avg word length —
+    * each iteration is one small-table pass; production trainers that
+    * need fewer passes subsample words first (compose with doc_sample). */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 20,
+               minFreq: Long = 2): DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir), nMerges, minFreq)
+
+  private[graft] def bpeTrainOf(docs: DataFrame, nMerges: Int,
+                                minFreq: Long): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(charSyms(col("w")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minFreq) done = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getAs[Long]("n"))
+        rank += 1
+        merges += ((rank, a, b, n))
+        words = words.withColumn("syms", mergeOnce(col("syms"), a, b))
+        if (rank % BpeCheckpointEvery == 0) words = words.localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** C53b: BPE ENCODING with a trained merge table — token counts per doc.
+    * Applying the merges in learned rank order to each word reproduces the
+    * greedy training segmentation (the reference encoder's definition).
+    *
+    * Scale: merges apply to the DISTINCT-word table (vocabulary-sized),
+    * never to corpus tokens — encode the vocab once, then the corpus-scale
+    * work is one explode + a join on the word key (vocab co-shuffles with
+    * tokens; AQE broadcasts it while small) + a partial-agg count per doc.
+    * Docs with no words (null/empty text) are absent from the output. */
+  def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 20,
+                minFreq: Long = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ms = bpeTrainOf(docs, nMerges, minFreq).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWith(docs, ms)
+  }
+
+  private[graft] def bpeEncodeWith(docs: DataFrame,
+                                   merges: Seq[(String, String)]): DataFrame = {
+    var vocab = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), charSyms(col("w")).as("syms"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+      if ((i + 1) % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint(true)
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.TextOps
+
+/** BPE training/encoding (C53) against an exact in-memory reference of the
+  * public algorithm (Sennrich et al. 2016): greedy most-frequent adjacent
+  * pair, every occurrence counted (overlaps included), leftmost
+  * non-overlapping replacement, (freq desc, left, right) tie-break —
+  * the same rules the Spark fold implements, checked merge-for-merge. */
+class BpeSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  /** Exact single-node BPE trainer over a word-frequency table. */
+  private def refTrain(words: Map[String, Long], nMerges: Int,
+                       minFreq: Long): Seq[(Int, String, String, Long)] = {
+    var syms = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val stats = collection.mutable.Map.empty[(String, String), Long]
+      for ((ss, f) <- syms; i <- 0 until ss.size - 1)
+        stats((ss(i), ss(i + 1))) = stats.getOrElse((ss(i), ss(i + 1)), 0L) + f
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), n) = stats.minBy { case ((a, b), n) => (-n, a, b) }
+        if (n < minFreq) done = true
+        else {
+          rank += 1
+          out += ((rank, a, b, n))
+          syms = syms.map { case (ss, f) => (refMerge(ss, a, b), f) }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Leftmost non-overlapping replacement of adjacent (a, b) with a+b. */
+  private def refMerge(ss: Vector[String], a: String, b: String): Vector[String] = {
+    val buf = collection.mutable.ArrayBuffer.empty[String]
+    for (x <- ss) {
+      if (buf.nonEmpty && buf.last == a && x == b) buf(buf.size - 1) = a + b
+      else buf += x
+    }
+    buf.toVector
+  }
+
+  private def refEncodeLen(w: String, merges: Seq[(String, String)]): Int =
+    merges.foldLeft(w.map(_.toString).toVector) {
+      case (ss, (a, b)) => refMerge(ss, a, b)
+    }.size
+
+  private def wordFreq(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def docsOf(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def trained(docs: DataFrame, nMerges: Int, minFreq: Long) =
+    TextOps.bpeTrainOf(docs, nMerges, minFreq).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("bpeTrain matches the exact reference on the classic corpus") {
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val got = trained(docsOf(texts), 10, 1L)
+    val want = refTrain(wordFreq(texts), 10, 1L)
+    assert(got == want)
+    // hand-checked head: "es" and "st" tie at 9 (newest 6 + widest 3);
+    // the (left, right) tie-break picks ("e","s") first, then ("es","t")
+    assert(got.take(2) == Seq((1, "e", "s", 9L), (2, "es", "t", 9L)))
+  }
+
+  test("bpeTrain handles overlapping pairs like the reference (aaa -> aa+a)") {
+    // "aaaa" has 3 adjacent (a,a) occurrences but only 2 non-overlapping
+    // merge sites; the NEXT iteration must see [aa, aa] -> (aa, aa)
+    val texts = Seq.fill(4)("aaaa") ++ Seq.fill(2)("aaa ab")
+    val got = trained(docsOf(texts), 6, 1L)
+    val want = refTrain(wordFreq(texts), 6, 1L)
+    assert(got == want)
+    assert(got.head._2 == "a" && got.head._3 == "a")
+  }
+
+  test("bpeTrain == reference on a seeded random ab-alphabet corpus") {
+    val rnd = new scala.util.Random(42)
+    val texts = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(6))(if (rnd.nextBoolean()) "a" else "b")
+          .mkString).mkString(" "))
+    val got = trained(docsOf(texts), 12, 1L)
+    val want = refTrain(wordFreq(texts), 12, 1L)
+    assert(got == want)
+  }
+
+  test("bpeTrain stops at minFreq and at pair exhaustion") {
+    val texts = Seq("ab", "ab", "cd")
+    // (a,b) freq 2 admitted at minFreq=2; (c,d) freq 1 is not
+    assert(trained(docsOf(texts), 10, 2L) == Seq((1, "a", "b", 2L)))
+    // single-char words produce no pairs at all
+    assert(trained(docsOf(Seq("a b", "c")), 10, 1L).isEmpty)
+  }
+
+  test("bpeEncode token counts match the reference encoder per doc") {
+    val texts = Seq("low lower", "newest newest widest", "low widest newest")
+    val docs = docsOf(texts)
+    val merges = trained(docs, 8, 1L).map(m => (m._2, m._3))
+    val got = TextOps.bpeEncodeWith(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    val want = texts.map { t =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (ws.length.toLong, ws.map(refEncodeLen(_, merges).toLong).sum)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("bpeEncode with zero merges counts characters; merges only shrink it") {
+    val texts = Seq("abab abab", "bb a")
+    val docs = docsOf(texts)
+    val zero = TextOps.bpeEncodeWith(docs, Seq.empty).orderBy("doc_id")
+      .collect().map(_.getAs[Long]("n_bpe_tokens")).toSeq
+    assert(zero == Seq(8L, 3L)) // whitespace is not a symbol
+    val merges = trained(docs, 4, 1L).map(m => (m._2, m._3))
+    val enc = TextOps.bpeEncodeWith(docs, merges).orderBy("doc_id")
+      .collect().map(_.getAs[Long]("n_bpe_tokens")).toSeq
+    assert(enc.zip(zero).forall { case (e, z) => e <= z })
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+/** Duplicated-span detection/removal (C54) on planted corpora: a
+  * boilerplate token run shared by ≥ minDf docs is recovered EXACTLY —
+  * span edges to the token — regardless of where it sits in each doc
+  * (start, middle, end, different offset per doc), and the cleaned text
+  * is the doc with precisely that run excised. */
+class DupSpansSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  private val K = 20
+
+  /** Unique filler: n tokens no two docs share. */
+  private def filler(doc: Int, tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"u${doc}${tag}$i")
+
+  private val block: Seq[String] = (0 until 30).map(i => s"boiler$i")
+
+  private def df(rows: Seq[(Long, Seq[String])]): DataFrame =
+    rows.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+
+  private def spans(docs: DataFrame, minDf: Int = 3) =
+    Dedup.dupSpansOf(docs, K, minDf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("a shared 30-token block is cut exactly, at any per-doc offset") {
+    // offsets 0 (start), 7 (middle), 25 (end) — mutually misaligned
+    val docs = df(Seq(
+      1L -> (block ++ filler(1, "a", 40)),
+      2L -> (filler(2, "a", 7) ++ block ++ filler(2, "b", 33)),
+      3L -> (filler(3, "a", 25) ++ block)))
+    assert(spans(docs).toSeq == Seq(
+      (1L, 70L, 1L, 30L), (2L, 70L, 1L, 30L), (3L, 55L, 1L, 30L)))
+    val clean = Dedup.dupSpansCleanOf(docs, K, 3).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(clean(0) == filler(1, "a", 40).mkString(" "))
+    assert(clean(1) == (filler(2, "a", 7) ++ filler(2, "b", 33)).mkString(" "))
+    assert(clean(2) == filler(3, "a", 25).mkString(" "))
+  }
+
+  test("below minDf nothing is cut; docs pass through verbatim") {
+    val docs = df(Seq(
+      1L -> (block ++ filler(1, "a", 10)),
+      2L -> (filler(2, "a", 10) ++ block),
+      3L -> filler(3, "a", 40)))
+    assert(spans(docs, minDf = 3).forall(_._3 == 0L))
+    val clean = Dedup.dupSpansCleanOf(docs, K, 3).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(clean(0) == (block ++ filler(1, "a", 10)).mkString(" "))
+    // with minDf=2 the same corpus cuts the block from both carriers
+    assert(spans(docs, minDf = 2).toSeq == Seq(
+      (1L, 40L, 1L, 30L), (2L, 40L, 1L, 30L), (3L, 40L, 0L, 0L)))
+  }
+
+  test("two adjacent duplicated runs merge into one span") {
+    val b2: Seq[String] = (0 until 25).map(i => s"plate$i")
+    // doc 1 carries block+b2 back-to-back; 2 and 3 carry them separately —
+    // in doc 1 the joined region is one 55-token cut (islands merge),
+    // PLUS the straddling grams are themselves shared nowhere, so the
+    // merged span still ends exactly at the b2 boundary
+    val docs = df(Seq(
+      1L -> (filler(1, "a", 5) ++ block ++ b2 ++ filler(1, "b", 5)),
+      2L -> (filler(2, "a", 11) ++ block ++ filler(2, "b", 13)),
+      3L -> (filler(3, "a", 3) ++ block ++ filler(3, "b", 21)),
+      4L -> (filler(4, "a", 17) ++ b2 ++ filler(4, "b", 9)),
+      5L -> (filler(5, "a", 23) ++ b2 ++ filler(5, "b", 2))))
+    val got = spans(docs, minDf = 3).toMap2
+    assert(got(1L) == (65L, 1L, 55L)) // one merged span covering both runs
+    assert(got(2L) == (54L, 1L, 30L))
+    assert(got(4L) == (51L, 1L, 25L))
+  }
+
+  test("whole-doc duplication cleans to the empty string") {
+    val docs = df(Seq(1L -> block, 2L -> block, 3L -> block))
+    assert(spans(docs).toSeq == Seq(
+      (1L, 30L, 1L, 30L), (2L, 30L, 1L, 30L), (3L, 30L, 1L, 30L)))
+    val clean = Dedup.dupSpansCleanOf(docs, K, 3).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(clean.forall(_ == ""))
+  }
+
+  test("docs shorter than k tokens never produce windows or spans") {
+    val short = (0 until K - 1).map(i => s"s$i")
+    val docs = df(Seq(1L -> short, 2L -> short, 3L -> short, 4L -> short))
+    assert(spans(docs).forall(r => r._3 == 0L && r._4 == 0L))
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.QualityModel
+
+/** Model-based quality scoring (C55): on a corpus with a clean/garbage
+  * split the weak-label bootstrap must train a classifier that separates
+  * the two populations by probability — including docs the weak labels
+  * never covered (the middle band the heuristic was unsure about). */
+class QualityModelSpec extends SparkSuite {
+  import SparkSuite.spark.implicits._
+
+  // Populations follow the HEURISTIC's notion of quality (the contract is
+  // "distill the heuristic, then generalize"): good = long, content-dense
+  // (length prior high, stopword ratio ~0); bad = short, stopword-heavy.
+  // Both clusters share population-level vocabulary (so hashed bag-of-words
+  // can generalize) and vary in length (so the percentile thresholds land
+  // INSIDE the clusters, leaving a middle band unlabeled).
+  private val pool = Seq("spark", "query", "table", "window", "batch",
+    "stream", "column", "filter", "join", "merge", "shard", "token",
+    "vector", "index", "bucket", "hash", "scan", "sort", "group", "range",
+    "count", "score", "model", "train", "learn", "build", "write", "read",
+    "cache", "plan")
+  private val stops = Seq("the", "of", "and", "a", "to", "in", "is", "it")
+  private def goodDoc(i: Int): String =
+    (0 until 60 + i).map(j => pool((i * 7 + j) % pool.size)).mkString(" ")
+  private def badDoc(i: Int): String =
+    (0 until 20 + i).map(j =>
+      if (j % 7 == 6) s"x${i}y$j" else stops((i + j) % stops.size))
+      .mkString(" ")
+
+  test("bootstrap classifier separates clean from garbage docs") {
+    val docs = ((0 until 30).map(i => (i.toLong, goodDoc(i))) ++
+      (0 until 30).map(i => (100L + i, badDoc(i)))).toDF("doc_id", "text")
+    val scored = QualityModel.qualityModelOf(docs, dim = 4096,
+      headTail = 0.3, maxIter = 25).collect()
+    val byId = scored.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId.size == 60)
+    val good = (0 until 30).map(i => byId(i.toLong))
+    val bad = (0 until 30).map(i => byId(100L + i))
+    assert(good.min > bad.max, s"overlap: min good ${good.min} <= max bad ${bad.max}")
+    assert(good.sum / 30 > 0.8 && bad.sum / 30 < 0.2)
+    // weak labels covered only the confident head/tail, yet every doc is scored
+    val labeled = scored.filter(!_.isNullAt(1))
+    assert(labeled.length < 60 && labeled.length >= 30)
+    // and the labels the model DID train on are respected
+    labeled.foreach { r =>
+      val (l, p) = (r.getDouble(1), r.getDouble(2))
+      assert(if (l == 1.0) p > 0.5 else p < 0.5)
+    }
+  }
+
+  test("all-OOV unlabeled docs score exactly sigmoid(intercept) — equal") {
+    // mid-band docs (30/25 content tokens → q between the thresholds) stay
+    // out of the training split, so their tokens are out-of-vocabulary;
+    // the codegen fold must give them zero contribution, i.e. both score
+    // precisely sigmoid(intercept)
+    val mid1 = (0 until 30).map(j => s"aa$j").mkString(" ")
+    val mid2 = (0 until 25).map(j => s"bb$j").mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, goodDoc(i))) ++
+      (0 until 20).map(i => (100L + i, badDoc(i))) ++
+      Seq((998L, mid1), (999L, mid2))).toDF("doc_id", "text")
+    val scored = QualityModel.qualityModelOf(docs, 4096, 0.3, 25)
+      .collect().map(r => (r.getLong(0), (r.isNullAt(1), r.getDouble(2)))).toMap
+    assert(scored(998L)._1 && scored(999L)._1, "mid docs must be unlabeled")
+    assert(scored(998L)._2 == scored(999L)._2,
+      s"OOV docs diverged: ${scored(998L)._2} vs ${scored(999L)._2}")
+  }
+
+  test("scoring is deterministic for a fixed corpus and partitioning") {
+    val docs = ((0 until 20).map(i => (i.toLong, goodDoc(i))) ++
+      (0 until 20).map(i => (100L + i, badDoc(i)))).toDF("doc_id", "text")
+      .repartition(4, $"doc_id")
+    def run() = QualityModel.qualityModelOf(docs, 1024, 0.3, 15)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run() == run())
+  }
+}
