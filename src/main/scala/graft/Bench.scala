@@ -29,7 +29,9 @@ object Bench {
     "doc_pack", "emb_quantize", "doc_mixture", "doc_epoch", "doc_chunk",
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
     "doc_unigram_ll", "emb_project", "doc_source_stats",
+    "doc_bpe_train", "doc_dup_spans", "doc_quality_model",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
+    "emb_lsh_auto",
     "emb_ivf_query", "emb_ivf_q", "emb_ivfpq", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
   )
 
@@ -236,7 +238,12 @@ object Bench {
 
     // JVM + whole-stage-codegen warm-up per query shape on the smallest SF
     // (not timed): measures steady-state throughput, not Janino compilation.
-    headline.foreach { name =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (targeted re-measurement);
+    // the full headline stays the default so round benches are comparable
+    val picked = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(headline)(s => headline.filter(s))
+    picked.foreach { name =>
       benchFn(name).foreach { fn =>
         try { fn(spark, "/root/testdata/sf0.001").count() }
         catch { case _: Throwable => }
@@ -249,7 +256,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val calibStart = calibMs()
     val wallStart = System.nanoTime()
-    val results: Seq[(String, Option[Double])] = headline.flatMap { name =>
+    val results: Seq[(String, Option[Double])] = picked.flatMap { name =>
       benchFn(name).map { fn =>
         val times = (1 to reps).map { _ =>
           spark.catalog.clearCache()
@@ -266,7 +273,8 @@ object Bench {
     }
     val wallTimed = (System.nanoTime() - wallStart) / 1e9
     val streaming =
-      try streamingBench(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "null" // targeted run
+      else try streamingBench(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         "null"
@@ -288,8 +296,9 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"streaming":$streaming,"host":$host,"sf":"$sfDir"}"""
     println(line)
-    try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    if (!sys.env.contains("SPARK_GRAFT_ONLY")) // don't clobber full-run record
+      try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

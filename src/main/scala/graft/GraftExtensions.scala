@@ -38,7 +38,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => WinnowExpr(c.head, intArg(c, 1, 3), intArg(c, 2, 4))),
     (new FunctionIdentifier("rhp_sign"),
       new ExpressionInfo(classOf[RhpSignExpr].getName, "rhp_sign"),
-      (c: Seq[Expression]) => RhpSignExpr(c.head, intArg(c, 1, 16))))
+      (c: Seq[Expression]) => RhpSignExpr(c.head, intArg(c, 1, 16),
+        intArg(c, 2, 0))))
 
   private def intArg(c: Seq[Expression], i: Int, dflt: Int): Int =
     if (c.length > i) c(i) match {

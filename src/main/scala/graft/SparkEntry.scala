@@ -101,6 +101,7 @@ object SparkEntry {
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
     "emb_lsh_pairs"     -> ((s, d) => Similarity.lshNeardupPairs(s, d)),
+    "emb_lsh_auto"      -> ((s, d) => Similarity.lshNeardupPairsAuto(s, d)),
     "emb_pq_topk"       -> ((s, d) => Similarity.pqTopK(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
     // encode-once/query-many: the index is built on first touch (per SF +

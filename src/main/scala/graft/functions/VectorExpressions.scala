@@ -75,10 +75,12 @@ case class DotProductExpr(left: Expression, right: Expression)
   * derived from XXH64 parity, so every executor computes identical planes
   * with zero coordination or broadcast. One compiled pass per vector
   * (numPlanes·dim multiply-free adds). NULL for empty vectors. */
-case class RhpSignExpr(child: Expression, numPlanes: Int)
+case class RhpSignExpr(child: Expression, numPlanes: Int,
+                       planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1, 64]")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
   override def inputTypes: Seq[GraftShims.AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
@@ -99,7 +101,7 @@ case class RhpSignExpr(child: Expression, numPlanes: Int)
         while (d < dim) {
           // Rademacher entry s(p,d) = ±1 from one hash-bit — deterministic
           val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashLong(p.toLong * 0x9E3779B97F4A7C15L + d, 7L)
+            .hashLong((planeOffset + p).toLong * 0x9E3779B97F4A7C15L + d, 7L)
           t(p * dim + d) = if ((h & 1L) == 0L) 1 else -1
           d += 1
         }
@@ -161,7 +163,12 @@ object VectorExpressions {
     GraftShims.toColumn(
       DotProductExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
 
-  /** Sign-LSH signature (see [[RhpSignExpr]]). */
-  def rhpSign(v: Column, numPlanes: Int = 16): Column =
-    GraftShims.toColumn(RhpSignExpr(GraftShims.toExpression(v), numPlanes))
+  /** Sign-LSH signature (see [[RhpSignExpr]]). `planeOffset` starts the
+    * deterministic plane sequence at a global index — band b of `bits`
+    * planes as rhpSign(v, bits, b·bits) equals bits [b·bits, (b+1)·bits)
+    * of one long signature, but the band count is no longer capped by the
+    * 64-bit signature width. */
+  def rhpSign(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column =
+    GraftShims.toColumn(RhpSignExpr(GraftShims.toExpression(v), numPlanes,
+      planeOffset))
 }

@@ -112,14 +112,22 @@ object Similarity {
                       numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     require(numPlanes % bands == 0,
       s"bands=$bands must divide numPlanes=$numPlanes (trailing sign bits would be silently un-banded)")
-    val bits = numPlanes / bands
-    val emb = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("sig", graft.functions.VectorExpressions.rhpSign(col("v"), numPlanes))
-      .filter(col("sig").isNotNull).cache()
-    val banded = emb.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * bits)
-          .bitwiseAND(lit((1L << bits) - 1)))))
+    lshPairsOf(withNorm(Tables.embeddings(spark, dir)), threshold,
+      bits = numPlanes / bands, bands = bands)
+  }
+
+  /** Shared sign-LSH candidate+verify core. Band b's bucket is its OWN
+    * `bits`-plane signature at plane offset b·bits — bit-identical to
+    * slicing one long signature while the offsets stay under 64, but the
+    * band count is unbounded (the planes are a global deterministic
+    * sequence, not a 64-bit word). */
+  private[graft] def lshPairsOf(embN: DataFrame, threshold: Double,
+                                bits: Int, bands: Int): DataFrame = {
+    val emb = embN
+      .withColumn("bsigs", array((0 until bands).map(b =>
+        graft.functions.VectorExpressions.rhpSign(col("v"), bits, b * bits)): _*))
+      .filter(col("bsigs")(0).isNotNull).cache()
+    val banded = emb.select(col("vec_id"), posexplode(col("bsigs")))
       .toDF("vec_id", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -130,6 +138,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** C6c: SCALE-ADAPTIVE sign-LSH near-dup pairs — the r6 scale rehearsal's
+    * lesson made a default: [[lshNeardupPairs]]' fixed 4-bit bands give 16
+    * buckets FOREVER, so bucket occupancy grows with the corpus and
+    * candidate pairs grow quadratically (measured 93× wall at 10× distinct
+    * vectors). Here band width grows with the corpus — bits =
+    * log2(n/`targetOccupancy`) — pinning expected bucket occupancy, so
+    * candidates stay ~n·bands·occupancy (LINEAR in n); the band count then
+    * comes from the standard collision bound to hold `targetRecall` at
+    * `threshold`: bands = ln(1−recall)/ln(1−p^bits), p = 1−acos(θ)/π,
+    * capped at `maxBands` (the cap is the honest LSH trade — at fixed
+    * recall the band count must grow with bits; past the cap, recall
+    * degrades by exactly the reported bound rather than cost exploding).
+    * One count() scalar sizes the scheme; per-band signatures use the
+    * plane-offset kernel, so total planes = bits·bands is NOT capped at
+    * 64. */
+  def lshNeardupPairsAuto(spark: SparkSession, dir: String,
+                          threshold: Double = 0.85,
+                          targetRecall: Double = 0.9,
+                          targetOccupancy: Int = 64,
+                          maxBands: Int = 32): DataFrame = {
+    val embN = withNorm(Tables.embeddings(spark, dir))
+    val n = math.max(1L, embN.count())
+    val (bits, bands) = lshAutoParams(n, threshold, targetRecall,
+      targetOccupancy, maxBands)
+    lshPairsOf(embN, threshold, bits, bands)
+  }
+
+  /** (bits, bands) for [[lshNeardupPairsAuto]] — pure sizing math, spec-
+    * pinned: occupancy-pinning band width, collision-bound band count. */
+  private[graft] def lshAutoParams(n: Long, threshold: Double,
+                                   targetRecall: Double, targetOccupancy: Int,
+                                   maxBands: Int): (Int, Int) = {
+    val bits = math.min(60, math.max(4, math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands = math.min(maxBands, math.max(4,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+    (bits, bands)
   }
 
   /** C7b: product-quantization ANN — the memory-bound scale path: the
@@ -418,8 +467,11 @@ object Similarity {
     * whose best cosine to any chosen seed is LOWEST. For well-separated
     * groups whose members reach the sample this provably lands one seed per
     * group, where a bare hash-spread head can collide two seeds in one group
-    * and merge clusters. Cost: one TakeOrdered job + O(k²·oversample)
-    * driver flops — not k sequential cluster-wide passes. */
+    * and merge clusters. Cost: one TakeOrdered job + O(k²·oversample·dim)
+    * driver flops for the best-cos refresh (the inherent k-center work;
+    * selection bookkeeping is HashSet-backed, so no quadratic id scans on
+    * top) — not k sequential cluster-wide passes. Past k ≈ 10⁴, move to
+    * k-means‖ oversampling rounds instead. */
   private[graft] def farthestSeeds(corpus: DataFrame, k: Int,
                                    oversample: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
@@ -446,12 +498,17 @@ object Similarity {
       s / (a._3 * b._3)
     }
     val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    val chosenIds = scala.collection.mutable.HashSet(cand.head._1)
     val best = scala.collection.mutable.Map( // candidate -> closest-seed cos
       cand.iterator.map(c => c._1 -> cos(c, cand.head)).toSeq: _*)
     while (chosen.length < math.min(k, cand.length)) {
-      val next = cand.filterNot(c => chosen.exists(_._1 == c._1))
+      // O(1) membership probe — the selection sweep stays O(|cand|) per
+      // round; the cos refresh below (O(|cand|·dim)) is the inherent
+      // k-center cost and the true bound at k ≈ 10⁴
+      val next = cand.iterator.filterNot(c => chosenIds(c._1))
         .minBy(c => (best(c._1), c._1))
       chosen += next
+      chosenIds += next._1
       cand.foreach(c => best(c._1) = math.max(best(c._1), cos(c, next)))
     }
     seedDf(chosen.toSeq.map(c =>

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{VectorExpressions, VectorFunctions}
 import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSuite {
@@ -97,6 +97,66 @@ class SimilaritySpec extends SparkSuite {
     assert(out.values.forall(_ >= 0.9))
     // independent gaussians never reach cos 0.9
     assert(out.keySet == Set((0L, 1L), (2L, 3L)), s"spurious pairs: ${out.keySet}")
+  }
+
+  test("plane-offset signatures equal slices of one long signature") {
+    // the unbounded-band core relies on this: rhpSign(v, 4, 4b) must be
+    // bits [4b, 4b+4) of rhpSign(v, 16) — bit-compatible with the old
+    // single-word banding wherever offsets stay under 64
+    val df = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.toDouble(col("embedding")).as("v")).limit(100)
+    val checked = df.select(
+      (VectorExpressions.rhpSign(col("v"), 16).as("whole") +:
+        (0 until 4).map(b =>
+          VectorExpressions.rhpSign(col("v"), 4, b * 4).as(s"b$b"))): _*)
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val whole = r.getAs[Long]("whole")
+      (0 until 4).foreach { b =>
+        assert(r.getAs[Long](s"b$b") == ((whole >> (b * 4)) & 15L),
+          s"band $b mismatch for sig $whole")
+      }
+    }
+  }
+
+  test("adaptive LSH sizing pins occupancy and holds the recall bound") {
+    import Similarity.lshAutoParams
+    // band width tracks corpus size: 10x vectors -> +log2(10) ~ 3-4 bits
+    val (bits2k, _) = lshAutoParams(2000, 0.85, 0.9, 64, 32)
+    val (bits20k, _) = lshAutoParams(20000, 0.85, 0.9, 64, 32)
+    val (bits1e9, bands1e9) = lshAutoParams(1000000000L, 0.85, 0.9, 64, 32)
+    assert(bits2k == 5 && bits20k == 9, s"got $bits2k / $bits20k")
+    assert(bits1e9 == 24 && bands1e9 == 32) // capped: recall degrades, cost doesn't
+    // the uncapped band count satisfies the collision bound at the target
+    val (bits, bands) = lshAutoParams(20000, 0.85, 0.9, 64, 64)
+    val p = 1.0 - math.acos(0.85) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+    assert(recall >= 0.9, s"bound violated: $recall at ($bits, $bands)")
+  }
+
+  test("adaptive LSH finds planted near-dup pairs with exact precision") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-lsh-auto").toString
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.map(a => a + eps * rnd.nextGaussian().toFloat)
+    val planted = (0 until 6).map(_ => vec())
+    val rows = planted.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v, i), (i * 2L + 1L, jitter(v, 0.05f), i))
+    } ++ (100L until 1000L).map(i => (i, vec(), 99))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.lshNeardupPairsAuto(spark, d).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cos_sim")).toMap
+    val want = (0 until 6).map(i => (i * 2L, i * 2L + 1L)).toSet
+    // recall target is 0.9 per pair; 6 planted pairs at cos≈0.999 (where
+    // the per-band collision rate is far above the sizing threshold 0.85)
+    // — all must be found
+    assert(want.subsetOf(out.keySet), s"missing: ${want -- out.keySet}")
+    // precision exact by construction; independent gaussians never hit 0.85
+    assert(out.keySet == want, s"spurious: ${out.keySet -- want}")
   }
 
   test("pqTopK: finds planted near-neighbours through quantized scoring + exact re-rank") {
