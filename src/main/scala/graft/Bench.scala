@@ -22,7 +22,7 @@ object Bench {
     "ev_range_join", "ev_histogram", "ev_session_window", "ev_top_paths",
     "ev_inactive_users", "ev_moving_avg", "ev_type_cooccur", "doc_top_bigrams",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_dedup_simhash",
-    "doc_ngram_jaccard",
+    "doc_ngram_jaccard", "doc_ngram_auto",
     "doc_token_count", "doc_quality", "doc_tfidf_top", "doc_sample",
     "doc_entropy", "doc_pii_scrub", "doc_strat_sample", "doc_bpe_pairs",
     "doc_shard_assign", "doc_vocab", "doc_dedup_incr", "doc_neardup_incr",

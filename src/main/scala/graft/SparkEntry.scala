@@ -94,6 +94,7 @@ object SparkEntry {
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "doc_ngram_auto"    -> ((s, d) => Dedup.ngramJaccardAuto(s, d)),
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
     "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
@@ -820,6 +821,29 @@ object SparkEntry {
     // mirrors the Spark kernel contract: lowercase, whitespace runs collapse;
     // docs shorter than k words contribute ONE whole-doc shingle; empty docs
     // contribute none.
+    // the gate MUST route a healthy corpus to the exact path, whose output
+    // the exact oracle then verifies — the routing choice is itself gated
+    "doc_ngram_auto" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |ipairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM ipairs JOIN sizes sa ON ipairs.id_a = sa.doc_id
+        |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3""".stripMargin,
     "doc_ngram_jaccard" ->
       """WITH words AS (
         |  SELECT doc_id,

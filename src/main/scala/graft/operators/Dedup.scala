@@ -606,15 +606,31 @@ object Dedup {
     * combinable, bounded by the distinct-gram count) — cheap next to either
     * join it gates. */
   private[graft] def maxGramDf(docs: DataFrame, k: Int = 3): Long =
-    docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+    gramStats(docs, k)._1
+
+  /** Gate statistics in ONE pass: (max gram df, Σ df·(df−1)/2 — the EXACT
+    * pair-row count the inverted-index join would materialize). The r6
+    * scale rehearsal showed why both matter: a 10×-duplicated corpus keeps
+    * every per-gram df modest (max 250 ≪ the 1000 hot-gram limit) while
+    * the TOTAL pair volume goes ×100 (138.7M rows, 201 s wall) — a
+    * one-hot-gram ceiling can't see spread-out duplication. */
+  private[graft] def gramStats(docs: DataFrame, k: Int = 3): (Long, Long) = {
+    val r = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
-      .agg(coalesce(max(col("df")), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(max(col("df")), lit(0L)).as("m"),
+        coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).as("p"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
-  /** Pure branch rule for [[ngramJaccardAuto]], exposed for the spec. */
-  private[graft] def ngramPathFor(maxDf: Long, dfLimit: Long): String =
-    if (maxDf > dfLimit) "lsh" else "exact"
+  /** Pure branch rule for [[ngramJaccardAuto]], exposed for the spec:
+    * exact only while BOTH the worst single gram and the total pair
+    * volume are inside budget. */
+  private[graft] def ngramPathFor(maxDf: Long, dfLimit: Long,
+                                  totalPairs: Long = 0L,
+                                  pairBudget: Long = Long.MaxValue): String =
+    if (maxDf > dfLimit || totalPairs > pairBudget) "lsh" else "exact"
 
   /** C4-auto: [[ngramJaccard]] with the boilerplate ESCAPE HATCH armed —
     * measure the corpus's gram-df ceiling first, then run the exact
@@ -631,11 +647,20 @@ object Dedup {
     * The default caps the per-gram term at ≈0.5M rows (d=1000), well
     * inside the flat region; deployments with latency headroom can raise
     * it. At 1000 executors the knee moves out ~30× but the d² law — and
-    * this guard — is unchanged. */
+    * this guard — is unchanged.
+    *
+    * `pairBudget` guards the SECOND blow-up mode (r6 scale rehearsal): a
+    * duplicated corpus keeps every df modest but multiplies TOTAL pair
+    * volume by dup² — measured Σ df·(df−1)/2 of 138.7M rows (201 s) at
+    * 10×-replicated sf0.1, vs 12.7M (16 s, honestly linear) at
+    * 10×-distinct. The 20M default admits the linear-growth corpus and
+    * routes the duplicated one to LSH (whose candidate count is
+    * O(dup·groups), not O(dup²)); raise it with cluster headroom. */
   def ngramJaccardAuto(spark: SparkSession, dir: String, k: Int = 3,
-                       threshold: Double = 0.3, dfLimit: Long = 1000): DataFrame = {
-    val maxDf = maxGramDf(Tables.documents(spark, dir), k)
-    ngramPathFor(maxDf, dfLimit) match {
+                       threshold: Double = 0.3, dfLimit: Long = 1000,
+                       pairBudget: Long = 20000000L): DataFrame = {
+    val (maxDf, totalPairs) = gramStats(Tables.documents(spark, dir), k)
+    ngramPathFor(maxDf, dfLimit, totalPairs, pairBudget) match {
       case "lsh" => ngramJaccardLsh(spark, dir, k, threshold)
       case _     => ngramJaccard(spark, dir, k, threshold)
     }

@@ -375,20 +375,35 @@ class DedupSpec extends SparkSuite {
       assert(c == d.toLong * (d - 1) / 2,
         s"hot gram in $d docs must emit d(d-1)/2 pairs, got $c")
     }
-    // the df ceiling measurement sees the planted frequency exactly
+    // the stats pass sees the planted frequency exactly, and the pair-sum
+    // counts what the inverted-index join would materialize: exactly ONE
+    // gram is corpus-shared ("hot1 hot2 hot3" — the boundary grams carry
+    // doc-unique filler), so the sum is precisely the d(d−1)/2 law
     val d32 = corpus(32)
     assert(Dedup.maxGramDf(graft.Tables.documents(spark, d32)) == 32L)
-    // the branch rule: exact while bounded, LSH escape above the gate
+    val (m32, p32) = Dedup.gramStats(graft.Tables.documents(spark, d32))
+    assert(m32 == 32L)
+    assert(p32 == 32L * 31 / 2, s"pair sum $p32")
+    // branch rule: exact while BOTH stats are bounded; either overflow → LSH
     assert(Dedup.ngramPathFor(maxDf = 32, dfLimit = 1000) == "exact")
     assert(Dedup.ngramPathFor(maxDf = 1001, dfLimit = 1000) == "lsh")
+    assert(Dedup.ngramPathFor(maxDf = 32, dfLimit = 1000,
+      totalPairs = p32, pairBudget = 20000000L) == "exact")
+    // the r6 rehearsal case: every df modest, total pairs over budget
+    assert(Dedup.ngramPathFor(maxDf = 250, dfLimit = 1000,
+      totalPairs = 138653480L, pairBudget = 20000000L) == "lsh")
     // and the auto operator follows it end-to-end: below the gate it IS the
-    // exact join; above, the LSH variant (which prunes the 1-of-many-grams
-    // boilerplate pairs its est-jaccard prefilter rejects)
+    // exact join; above (via either stat), the LSH variant (which prunes
+    // the 1-of-many-grams boilerplate pairs its est-jaccard prefilter
+    // rejects)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(key(Dedup.ngramJaccardAuto(spark, d32, threshold = 0.0)) ==
       key(Dedup.ngramJaccard(spark, d32, threshold = 0.0)))
     assert(key(Dedup.ngramJaccardAuto(spark, d32, threshold = 0.0, dfLimit = 10)) ==
+      key(Dedup.ngramJaccardLsh(spark, d32, threshold = 0.0)))
+    assert(key(Dedup.ngramJaccardAuto(spark, d32, threshold = 0.0,
+      pairBudget = 100)) ==
       key(Dedup.ngramJaccardLsh(spark, d32, threshold = 0.0)))
   }
 
