@@ -49,11 +49,22 @@ object QualityModel {
       percentile_approx(col("q"), lit(headTail), lit(10000)).as("lo"),
       percentile_approx(col("q"), lit(1.0 - headTail), lit(10000)).as("hi"))
       .head()
+    // degenerate corpora (empty, or too uniform for two weak classes):
+    // pass the heuristic verdict through instead of training — documented
+    // contract, not a crash (empty partitions are the norm at scale)
+    def heuristicPassthrough(labeled: DataFrame): DataFrame =
+      labeled.select(col("doc_id"), col("label").as("weak_label"),
+        coalesce(col("label"), lit(0.5)).as("p_good"))
+    if (thr.isNullAt(0) || thr.isNullAt(1))
+      return heuristicPassthrough(docs.withColumn("label",
+        lit(null).cast("double")))
     val (lo, hi) = (thr.getDouble(0), thr.getDouble(1))
     val labeled = docs
       .withColumn("label",
         when(col("q") >= hi, 1.0).when(col("q") <= lo, 0.0))
     val trainDocs = labeled.filter(col("label").isNotNull)
+    if (trainDocs.select("label").distinct().count() < 2)
+      return heuristicPassthrough(labeled)
     // bounded vocabulary from the TRAINING split, re-built sorted so the
     // term→index map (and therefore every coefficient) is deterministic
     val fitted = new CountVectorizer()

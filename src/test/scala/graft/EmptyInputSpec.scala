@@ -156,4 +156,28 @@ class EmptyInputSpec extends SparkSuite {
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text")), store).count() == 0)
   }
+
+  test("round-6 operators survive empty inputs") {
+    assert(TextOps.bpeTrain(spark, dir).count() == 0)
+    assert(TextOps.bpeEncode(spark, dir).count() == 0)
+    assert(Dedup.dupSpans(spark, dir).count() == 0)
+    assert(Similarity.lshNeardupPairsAuto(spark, dir).count() == 0)
+    // empty corpus: no thresholds, no training set — heuristic passthrough
+    // yields an EMPTY frame, not a percentile NPE or an LR fit crash
+    assert(graft.operators.QualityModel.qualityModel(spark, dir).count() == 0)
+    assert(Dedup.ngramJaccardAuto(spark, dir).count() == 0)
+  }
+
+  test("single-class weak labels degrade to heuristic passthrough") {
+    // every doc identical -> lo == hi == q, all labeled 1.0, one class:
+    // training is impossible; the documented contract is label passthrough
+    val d = Files.createTempDirectory("graft-oneclass").toString
+    (0L until 5L).map(i => (i, "same text every time", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = graft.operators.QualityModel.qualityModel(spark, d)
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(r.size == 5 && r.values.forall(v => v == 1.0 || v == 0.0),
+      s"passthrough scores: $r")
+  }
 }
