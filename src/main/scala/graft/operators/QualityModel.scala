@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -34,15 +34,27 @@ import graft.functions.TextFunctions._
 object QualityModel {
 
   def qualityModel(spark: SparkSession, dir: String, dim: Int = 4096,
-                   headTail: Double = 0.3, maxIter: Int = 25): DataFrame =
-    qualityModelOf(Tables.documents(spark, dir), dim, headTail, maxIter)
+                   headTail: Double = 0.3, maxIter: Int = 25,
+                   bigrams: Boolean = false): DataFrame =
+    qualityModelOf(Tables.documents(spark, dir), dim, headTail, maxIter,
+      bigrams)
 
   private[graft] def qualityModelOf(docs0: DataFrame, dim: Int,
-                                    headTail: Double,
-                                    maxIter: Int): DataFrame = {
+                                    headTail: Double, maxIter: Int,
+                                    bigrams: Boolean = false): DataFrame = {
+    // feature tokens: unigrams, optionally + adjacent bigrams ("a_b") in
+    // the SAME vocabulary scheme — a bag of unigrams is blind to word
+    // order (two docs with equal token multisets score identically, by
+    // construction of the fold); bigrams restore local order signal at
+    // the cost of vocabulary pressure (the top-dim cap absorbs it)
+    def featToks(ws: Column): Column =
+      if (!bigrams) ws
+      else concat(ws, zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws("_", a, b)))
     val docs = docs0.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
-        split(col("text"), " ").as("toks"),
+        featToks(split(col("text"), " ")).as("toks"),
         qualityScore(col("text")).as("q"))
     // weak labels: confident head/tail of the heuristic score distribution
     val thr = docs.agg(

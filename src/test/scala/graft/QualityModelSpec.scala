@@ -66,6 +66,43 @@ class QualityModelSpec extends SparkSuite {
       s"OOV docs diverged: ${scored(998L)._2} vs ${scored(999L)._2}")
   }
 
+  test("bigram features separate order; the unigram model is provably blind") {
+    // one 12-word phrase; class signal carried ONLY by word order:
+    //  - labeled good docs: phrase in A-order, long, no stopwords (q high)
+    //  - labeled bad docs: phrase REVERSED + stopwords, short (q low)
+    //  - unlabeled mid docs: the same 12 content unigrams, NO stopwords —
+    //    identical token MULTISETS in A-order vs reversed, so a unigram
+    //    bag gives them bit-equal scores, while bigrams assign each to
+    //    the class whose order it shares
+    val phrase = Seq("spark", "query", "table", "window", "batch", "stream",
+      "column", "filter", "join", "merge", "shard", "token")
+    val fwd = phrase.mkString(" ")
+    val rev = phrase.reverse.mkString(" ")
+    // classes differ by LENGTH alone (q = len/100, no stopwords anywhere),
+    // so every content unigram appears in BOTH classes and only the
+    // phrase's ORDER is categorically class-bound
+    val goodTrain = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(6)(fwd).mkString(" ")))
+    val badTrain = (0 until 20).map(i =>
+      (100L + i, Seq.fill(2)(rev).mkString(" ")))
+    val mids = Seq((500L, Seq.fill(3)(fwd).mkString(" ")),
+      (501L, Seq.fill(3)(rev).mkString(" ")))
+    val docs = (goodTrain ++ badTrain ++ mids).toDF("doc_id", "text")
+    def run(bi: Boolean) = QualityModel
+      .qualityModelOf(docs, 4096, 0.3, 25, bigrams = bi)
+      .collect().map(r => (r.getLong(0), (r.isNullAt(1), r.getDouble(2)))).toMap
+    val uni = run(false)
+    val big = run(true)
+    // mid docs must be unlabeled in both runs (the heuristic can't see order)
+    assert(uni(500L)._1 && uni(501L)._1 && big(500L)._1 && big(501L)._1)
+    // unigram bag: equal multisets -> EXACTLY equal scores
+    assert(uni(500L)._2 == uni(501L)._2,
+      s"unigram model saw order: ${uni(500L)._2} vs ${uni(501L)._2}")
+    // bigrams: A-order mid scores with the good class, reversed with bad
+    assert(big(500L)._2 > big(501L)._2 + 0.3,
+      s"bigram model failed to separate order: ${big(500L)._2} vs ${big(501L)._2}")
+  }
+
   test("scoring is deterministic for a fixed corpus and partitioning") {
     val docs = ((0 until 20).map(i => (i.toLong, goodDoc(i))) ++
       (0 until 20).map(i => (100L + i, badDoc(i)))).toDF("doc_id", "text")
