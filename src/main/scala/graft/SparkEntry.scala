@@ -168,6 +168,28 @@ object SparkEntry {
     "doc_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
     "doc_dup_spans"     -> ((s, d) => Dedup.dupSpans(s, d)),
     "doc_quality_model" -> ((s, d) => QualityModel.qualityModel(s, d)),
+    "doc_dup_spans_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no batch, no spans
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("doc_id", "n_tokens", "n_spans", "cut_tokens")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-gramstore")
+        try {
+          Dedup.writeGramStore(docs.filter(col("doc_id") < cut), store.toString)
+          // localCheckpoint'ed inside the ingest — safe to delete after
+          Dedup.dupSpansIncremental(docs.filter(col("doc_id") >= cut),
+            store.toString, batchId = 1L)
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(store.toFile).deleteRecursively()
+        }
+      }
+    }),
     "doc_shard_assign"  -> ((s, d) => TextOps.shardAssign(s, d)),
     "doc_pack"          -> ((s, d) => TextOps.pack(s, d)),
     "emb_quantize"      -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1387,6 +1409,36 @@ object SparkEntry {
         |  CAST(coalesce(a.cut_tokens, 0) AS BIGINT) AS cut_tokens
         |FROM documents d LEFT JOIN ag a USING (doc_id)
         |WHERE d.text IS NOT NULL""".stripMargin,
+    // the incremental contract IS the full run restricted to the batch:
+    // same census SQL, batch = the top-2-deciles doc_id cut
+    "doc_dup_spans_incr" ->
+      """WITH toked AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL),
+        |wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    array_to_string(ws[CAST(p+1 AS INT):CAST(p+20 AS INT)], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 19)) AS p
+        |        FROM toked WHERE len(ws) >= 20)),
+        |hot AS (SELECT gram FROM wins GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(max(pos+20) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 1 ELSE 0 END AS ni FROM hits),
+        |isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+        |  ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos)+20 AS e
+        |          FROM isl2 GROUP BY doc_id, island),
+        |ag AS (SELECT doc_id, count(*) AS n_spans, sum(e-s) AS cut_tokens
+        |       FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.cut_tokens, 0) AS BIGINT) AS cut_tokens
+        |FROM documents d LEFT JOIN ag a USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |  AND d.doc_id >= (SELECT max(doc_id) * 8 // 10 FROM documents)""".stripMargin,
     "doc_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

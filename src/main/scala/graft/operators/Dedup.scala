@@ -731,10 +731,10 @@ object Dedup {
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
   }
 
-  /** Merged duplicated token spans per doc: (doc_id, s, e), e exclusive. */
-  private[graft] def spansOf(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = docs
+  /** Token k-gram windows: (doc_id, pos, fp) — one row per token position
+    * with at least k tokens remaining; fp = md5 of the space-joined gram. */
+  private[graft] def gramWins(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
@@ -744,10 +744,10 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k)))
           .cast("binary")).as("fp"))
-    val hot = wins.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf).select("fp")
-    val hits = wins.join(hot, "fp").select(col("doc_id"), col("pos"))
+
+  /** Hit positions → merged [s, e) spans (gaps-and-islands per doc). */
+  private[graft] def mergeHits(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -759,6 +759,81 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
       .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Merged duplicated token spans per doc: (doc_id, s, e), e exclusive. */
+  private[graft] def spansOf(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
+    val wins = gramWins(docs, k)
+    val hot = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("fp")
+    mergeHits(wins.join(hot, "fp").select(col("doc_id"), col("pos")), k)
+  }
+
+  /** C54c: persist the duplicated-span GRAM STORE — per-batch gram
+    * document-frequency partitions (`storeDir/dfs.parquet/batch_id=…`) +
+    * `params.parquet` (k is the store's identity: grams of different k
+    * never match, so a caller can't mis-probe). The initial corpus lands
+    * as batch 0. Readers sum partitions (partial agg on the fp key);
+    * partitions stay append-only — compaction, when partition count ever
+    * matters, is the Layout.compaction story, not a correctness need. */
+  def writeGramStore(docs: DataFrame, storeDir: String, k: Int = 20): Unit = {
+    val spark = docs.sparkSession
+    gramWins(docs.filter(col("text").isNotNull), k)
+      .groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$storeDir/dfs.parquet")
+    import spark.implicits._
+    Seq(k).toDF("k").write.mode("overwrite")
+      .parquet(s"$storeDir/params.parquet")
+  }
+
+  /** C54c: one duplicated-span ingest cycle — the nightly-batch shape of
+    * [[dupSpans]]: gram the NEW batch only, count combined df = store +
+    * batch per gram (the store is read and partial-aggregated, never
+    * re-grammed), emit the batch docs' spans against that combined
+    * census, then land the batch's own (fp, df) rows as partition
+    * `batch_id=<batchId>`. EQUALITY contract (spec-pinned): the result
+    * is exactly full [[dupSpansOf]] over store∪batch restricted to batch
+    * docs, because df(g) over the union IS storeDf(g) + batchDf(g).
+    * Crash-retry: the spans output is materialized BEFORE the store
+    * append, the read side excludes this `batchId`'s partition (a
+    * half-landed earlier attempt can't double-count), and the append is
+    * a dynamic overwrite of exactly that partition — a retried ingest
+    * reproduces identical spans and leaves the store as if run once. */
+  def dupSpansIncremental(batch: DataFrame, storeDir: String, batchId: Long,
+                          minDf: Int = 3): DataFrame = {
+    require(batchId > 0L, "batchId 0 is the initial writeGramStore corpus")
+    val spark = batch.sparkSession
+    val k = spark.read.parquet(s"$storeDir/params.parquet")
+      .head().getAs[Int]("k")
+    val storeDf = spark.read.parquet(s"$storeDir/dfs.parquet")
+      .filter(col("batch_id") =!= batchId) // retry: ignore own partial land
+      .groupBy("fp").agg(sum(col("df")).as("df_store"))
+    val docs = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val wins = gramWins(docs, k)
+    val batchDf = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val hot = batchDf.join(storeDf, Seq("fp"), "left")
+      .filter(col("df") + coalesce(col("df_store"), lit(0L)) >= minDf)
+      .select("fp")
+    val spans = mergeHits(wins.join(hot, "fp").select(col("doc_id"), col("pos")), k)
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("cut_tokens"))
+    val out = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+      .localCheckpoint(true) // materialize BEFORE the store mutates
+    batchDf.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/dfs.parquet")
+    out
   }
 
   /** C54b: apply the cut — each doc's non-duplicated token segments

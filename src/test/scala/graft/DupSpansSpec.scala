@@ -92,4 +92,47 @@ class DupSpansSpec extends SparkSuite {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  private def collect4(d: DataFrame) = d.orderBy("doc_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("incremental ingest equals the full run restricted to the batch") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft-gramstore").toString
+    // the block is hot ONLY across store+batch: 1 store carrier + 2 batch
+    // carriers = minDf 3 — neither side alone reaches it
+    val corpusA = df(Seq(1L -> (filler(1, "a", 11) ++ block ++ filler(1, "b", 4))))
+    val batchB = df(Seq(
+      10L -> (block ++ filler(10, "a", 25)),
+      11L -> (filler(11, "a", 7) ++ block),
+      12L -> filler(12, "a", 30)))
+    Dedup.writeGramStore(corpusA, store, K)
+    val inc = collect4(Dedup.dupSpansIncremental(batchB, store, batchId = 1L))
+    val full = collect4(Dedup.dupSpansOf(
+      corpusA.unionByName(batchB), K, 3).filter($"doc_id" >= 10L))
+    assert(inc == full, s"inc $inc != full $full")
+    assert(inc.map(r => (r._1, r._4)) == Seq((10L, 30L), (11L, 30L), (12L, 0L)))
+  }
+
+  test("retried ingest is idempotent; df accumulates across batches") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft-gramstore2").toString
+    val corpusA = df(Seq(1L -> (filler(1, "a", 11) ++ block)))
+    val batchB = df(Seq(
+      10L -> (block ++ filler(10, "a", 9)),
+      11L -> (filler(11, "a", 3) ++ block)))
+    Dedup.writeGramStore(corpusA, store, K)
+    val first = collect4(Dedup.dupSpansIncremental(batchB, store, 1L))
+    // a crashed-and-retried ingest must reproduce the same verdicts and
+    // leave the store as if run once (its own partition is excluded on
+    // read and dynamically overwritten on land)
+    val retry = collect4(Dedup.dupSpansIncremental(batchB, store, 1L))
+    assert(first == retry, s"$first != $retry")
+    // cross-batch accumulation: a LATER single-carrier batch sees the
+    // block's df already at 3 (1 store + 2 batch-1), so its lone carrier
+    // crosses minDf even though nothing in batch 2 repeats
+    val batchC = df(Seq(20L -> (filler(20, "a", 5) ++ block ++ filler(20, "b", 2))))
+    val third = collect4(Dedup.dupSpansIncremental(batchC, store, 2L))
+    assert(third == Seq((20L, 37L, 1L, 30L)), s"got $third")
+  }
 }
