@@ -168,6 +168,28 @@ object SparkEntry {
     "doc_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
     "doc_dup_spans"     -> ((s, d) => Dedup.dupSpans(s, d)),
     "doc_quality_model" -> ((s, d) => QualityModel.qualityModel(s, d)),
+    "doc_quality_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no model, no scores
+        Seq.empty[(Long, Double)].toDF("doc_id", "p_good")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-qstore")
+        try {
+          QualityModel.writeQualityModel(docs.filter(col("doc_id") < cut),
+            store.toString)
+          QualityModel.qualityScoreIncremental(
+            docs.filter(col("doc_id") >= cut), store.toString)
+            .localCheckpoint(true) // materialize before the store dies
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(store.toFile).deleteRecursively()
+        }
+      }
+    }),
     "doc_dup_spans_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
       import s.implicits._

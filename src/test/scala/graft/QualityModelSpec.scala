@@ -103,6 +103,47 @@ class QualityModelSpec extends SparkSuite {
       s"bigram model failed to separate order: ${big(500L)._2} vs ${big(501L)._2}")
   }
 
+  test("persisted model: store round-trip scores equal the in-train run") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft-qmodel").toString
+    val docs = ((0 until 25).map(i => (i.toLong, goodDoc(i))) ++
+      (0 until 25).map(i => (100L + i, badDoc(i)))).toDF("doc_id", "text")
+    QualityModel.writeQualityModel(docs, store, dim = 2048, maxIter = 20)
+    // scoring the SAME corpus through the store must reproduce the
+    // in-train p_good bit-for-bit (identical vocab/coefs/fold)
+    val inTrain = QualityModel.qualityModelOf(docs, 2048, 0.3, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaStore = QualityModel.qualityScoreIncremental(docs, store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaStore == inTrain)
+    // a NEW batch (unseen docs, population-shaped) scores on the right
+    // side of 0.5 without any retraining
+    val batch = Seq((900L, goodDoc(77)), (901L, badDoc(88)))
+      .toDF("doc_id", "text")
+    val scored = QualityModel.qualityScoreIncremental(batch, store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(900L) > 0.5 && scored(901L) < 0.5, s"batch: $scored")
+    // the store carries the feature scheme: a bigram store scores with
+    // bigram features (flag read from meta, not from the caller)
+    val store2 = Files.createTempDirectory("graft-qmodel-bi").toString
+    QualityModel.writeQualityModel(docs, store2, dim = 2048, maxIter = 20,
+      bigrams = true)
+    val bi = QualityModel.qualityScoreIncremental(batch, store2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(900L) > 0.5 && bi(901L) < 0.5, s"bigram store: $bi")
+  }
+
+  test("persisting a degenerate corpus is refused, not silently wrong") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft-qmodel-deg").toString
+    val uniform = (0L until 4L).map(i => (i, "same text every time"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.writeQualityModel(uniform, store.toString)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("scoring is deterministic for a fixed corpus and partitioning") {
     val docs = ((0 until 20).map(i => (i.toLong, goodDoc(i))) ++
       (0 until 20).map(i => (100L + i, badDoc(i)))).toDF("doc_id", "text")
