@@ -30,6 +30,7 @@ object Bench {
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
     "doc_unigram_ll", "emb_project", "doc_source_stats",
     "doc_bpe_train", "doc_dup_spans", "doc_quality_model",
+    "doc_dup_spans_incr", "doc_quality_incr",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
     "emb_lsh_auto",
     "emb_ivf_query", "emb_ivf_q", "emb_ivfpq", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
