@@ -106,7 +106,11 @@ object ScaleUp {
           val df = load(spark, src, table)
           val maxes = df.agg(max(col(cols.head._1).cast("long")),
             cols.tail.map { case (c, _) => max(col(c).cast("long")) }: _*).head()
-          cols.zipWithIndex.map { case ((_, dom), i) => dom -> maxes.getLong(i) }
+          cols.zipWithIndex.map { case ((_, dom), i) =>
+            require(!maxes.isNullAt(i),
+              s"source table '$table' is empty in $src — nothing to scale")
+            dom -> maxes.getLong(i)
+          }
         }
       }
       .groupBy(_._1).map { case (dom, ms) => dom -> strideFor(ms.map(_._2).max) }

@@ -779,11 +779,18 @@ object Dedup {
     * matters, is the Layout.compaction story, not a correctness need. */
   def writeGramStore(docs: DataFrame, storeDir: String, k: Int = 20): Unit = {
     val spark = docs.sparkSession
-    gramWins(docs.filter(col("text").isNotNull), k)
+    val live = docs.filter(col("text").isNotNull)
+    gramWins(live, k)
       .groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("batch_id", lit(0L))
       .write.partitionBy("batch_id").mode("overwrite")
       .parquet(s"$storeDir/dfs.parquet")
+    // admitted doc ids, per batch: the store's df rows carry no doc ids, so
+    // this is the ONLY record of which docs each df count came from — the
+    // re-submission anti-join below depends on it
+    live.select(col("doc_id")).distinct().withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$storeDir/docs.parquet")
     import spark.implicits._
     Seq(k).toDF("k").write.mode("overwrite")
       .parquet(s"$storeDir/params.parquet")
@@ -796,12 +803,20 @@ object Dedup {
     * census, then land the batch's own (fp, df) rows as partition
     * `batch_id=<batchId>`. EQUALITY contract (spec-pinned): the result
     * is exactly full [[dupSpansOf]] over store∪batch restricted to batch
-    * docs, because df(g) over the union IS storeDf(g) + batchDf(g).
+    * docs, because df(g) over the union IS storeDf(g) + batchDf(g) —
+    * which requires the union's doc sets to be DISJOINT, so doc ids
+    * already admitted under an earlier batch are anti-joined out of the
+    * batch first (their spans were emitted at their own ingest; counting
+    * their grams again would inflate df and over-cut, since the store's
+    * df rows carry no doc ids to dedup against). Re-submitted docs are
+    * skipped, the [[minhashLshIngest]] semantic.
     * Crash-retry: the spans output is materialized BEFORE the store
-    * append, the read side excludes this `batchId`'s partition (a
-    * half-landed earlier attempt can't double-count), and the append is
-    * a dynamic overwrite of exactly that partition — a retried ingest
-    * reproduces identical spans and leaves the store as if run once. */
+    * append, the read side excludes this `batchId`'s partitions (a
+    * half-landed earlier attempt can't double-count or self-exclude),
+    * the appends are dynamic overwrites of exactly those partitions, and
+    * the doc-id partition — the admission marker — lands LAST, after the
+    * df payload: a retried ingest (same batchId) reproduces identical
+    * spans and leaves the store as if run once. */
   def dupSpansIncremental(batch: DataFrame, storeDir: String, batchId: Long,
                           minDf: Int = 3): DataFrame = {
     require(batchId > 0L, "batchId 0 is the initial writeGramStore corpus")
@@ -811,8 +826,16 @@ object Dedup {
     val storeDf = spark.read.parquet(s"$storeDir/dfs.parquet")
       .filter(col("batch_id") =!= batchId) // retry: ignore own partial land
       .groupBy("fp").agg(sum(col("df")).as("df_store"))
+    val seen = spark.read.parquet(s"$storeDir/docs.parquet")
+      .filter(col("batch_id") =!= batchId)
+      .select("doc_id")
+    // localCheckpoint, not cache: the docs.parquet append below writes into
+    // the very path this anti-join reads (see sigBandBatch for the recache
+    // failure mode) — pin the admitted batch before the store mutates
     val docs = batch.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
+      .join(seen, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val wins = gramWins(docs, k)
     val batchDf = wins.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -833,6 +856,10 @@ object Dedup {
       .write.partitionBy("batch_id").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$storeDir/dfs.parquet")
+    docs.select(col("doc_id")).distinct().withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/docs.parquet")
     out
   }
 

@@ -92,7 +92,10 @@ object QualityModel {
   def qualityScoreIncremental(batch: DataFrame, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$storeDir/meta.parquet").head()
-    val (intercept, bigrams) = (meta.getDouble(0), meta.getBoolean(1))
+    // by name, not ordinal: parquet column order is not part of the store's
+    // contract, and a silent intercept/flag swap would mis-score every doc
+    val (intercept, bigrams) =
+      (meta.getAs[Double]("intercept"), meta.getAs[Boolean]("bigrams"))
     val vocab = spark.read.parquet(s"$storeDir/vocab.parquet")
       .orderBy("idx").collect().map(_.getString(0))
     val coefs = spark.read.parquet(s"$storeDir/coefs.parquet")

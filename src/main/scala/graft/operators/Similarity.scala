@@ -371,17 +371,30 @@ object Similarity {
       .join(ranked, col("brank") <= col("nprobe"), "left")
       .groupBy("nprobe")
       .agg((count(col("brank")).cast("double") / total).as("recall"))
+      // recall@nprobe is a function of k (it generally drops as k grows),
+      // so the curve records the k it was measured at — indexNprobe only
+      // trusts it for that k
+      .withColumn("k", lit(k))
   }
 
   /** nprobe for a PERSISTED index at `targetRecall`: the smallest value
     * whose measured curve (`indexDir/recall.parquet`, written at build
-    * time) clears the target; indexes persisted before measurement existed
-    * fall back to the generic [[defaultNprobe]] envelope. */
+    * time) clears the target. Falls back to the generic [[defaultNprobe]]
+    * envelope when no curve exists (indexes persisted before measurement
+    * existed) or when the curve was measured at a different k than the
+    * query's — recall@nprobe drops as k grows, so a k=5 curve must not
+    * size probes for a k=50 query. Existence goes through Hadoop's
+    * FileSystem, not java.io — the index dir may be hdfs:// or s3a://. */
   private def indexNprobe(spark: SparkSession, indexDir: String, nlist: Int,
-                          targetRecall: Double): Int = {
-    if (!new java.io.File(s"$indexDir/recall.parquet").exists)
+                          targetRecall: Double, k: Int): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/recall.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return defaultNprobe(nlist, targetRecall)
+    val curve = spark.read.parquet(s"$indexDir/recall.parquet")
+    if (!curve.columns.contains("k") ||
+        curve.select(col("k")).head().getInt(0) != k)
       return defaultNprobe(nlist, targetRecall)
-    spark.read.parquet(s"$indexDir/recall.parquet")
+    curve
       .orderBy("nprobe").collect() // ≤ nlist rows — bounded
       .find(_.getAs[Double]("recall") >= targetRecall)
       .map(_.getAs[Int]("nprobe"))
@@ -573,7 +586,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val probes =
       if (nprobe > 0) nprobe
-      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall, k)
     val emb = withNorm(Tables.embeddings(spark, dir))
     val bucketed = spark.read.parquet(s"$indexDir/assignments.parquet")
       .join(emb.filter(col("vec_id") >= nQueries), Seq("vec_id"))
@@ -716,7 +729,7 @@ object Similarity {
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
     val probes =
       if (nprobe > 0) nprobe
-      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall, k)
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
     val emb = withNorm(Tables.embeddings(spark, dir))
     ivfPqQuery(emb.filter(col("vec_id") < nQueries), codes, codebooks, centroids,
@@ -961,7 +974,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val probes =
       if (nprobe > 0) nprobe
-      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall)
+      else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall, k)
     val statsArr = spark.read.parquet(s"$indexDir/dimstats.parquet")
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
     val emb = withNorm(Tables.embeddings(spark, dir))

@@ -135,4 +135,32 @@ class DupSpansSpec extends SparkSuite {
     val third = collect4(Dedup.dupSpansIncremental(batchC, store, 2L))
     assert(third == Seq((20L, 37L, 1L, 30L)), s"got $third")
   }
+
+  test("a doc re-submitted under a NEW batch_id neither inflates df nor re-emits") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft-gramstore3").toString
+    val spark = SparkSuite.spark
+    // block carriers: doc 1 (store) + doc 10 (batch 1) → df 2 < minDf 3
+    val corpusA = df(Seq(1L -> (filler(1, "a", 11) ++ block)))
+    val doc10 = 10L -> (block ++ filler(10, "a", 9))
+    Dedup.writeGramStore(corpusA, store, K)
+    collect4(Dedup.dupSpansIncremental(df(Seq(doc10)), store, 1L))
+    // batch 2 RE-SUBMITS doc 10 alongside a fresh non-carrier: counting
+    // doc 10's grams again would push the block to a phantom df of 3 and
+    // over-cut it — the admitted-doc anti-join must skip doc 10 entirely
+    val second = collect4(Dedup.dupSpansIncremental(
+      df(Seq(doc10, 20L -> filler(20, "a", 30))), store, 2L))
+    assert(second == Seq((20L, 30L, 0L, 0L)), s"got $second")
+    // the store still counts doc 10 exactly once: a later third genuine
+    // carrier is what crosses minDf, not the re-submission
+    val blockDf = spark.read.parquet(s"$store/dfs.parquet")
+      .filter($"fp" === org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit(block.take(K).mkString(" "))
+          .cast("binary")))
+      .agg(org.apache.spark.sql.functions.sum($"df")).head().getLong(0)
+    assert(blockDf == 2L, s"store df for the block's first gram = $blockDf, want 2")
+    val third = collect4(Dedup.dupSpansIncremental(
+      df(Seq(30L -> (filler(30, "a", 4) ++ block))), store, 3L))
+    assert(third == Seq((30L, 34L, 1L, 30L)), s"got $third")
+  }
 }
