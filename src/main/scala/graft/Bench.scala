@@ -230,6 +230,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** One timed pass: batch min-of-reps + streaming, bracketed by calib
+    * spins. `quiet` means neither bracket saw CPU steal — only a quiet
+    * attempt is recorded as non-degraded. */
+  private case class Attempt(results: Seq[(String, Option[Double])],
+                             wallTimed: Double, streaming: String,
+                             calibStart: Double, calibEnd: Double) {
+    def quiet(gateMs: Double): Boolean = calibStart <= gateMs && calibEnd <= gateMs
+    def total: Double = results.flatMap(_._2).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -252,52 +262,134 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val recording = !sys.env.contains("SPARK_GRAFT_ONLY")
+
+    // CALIB GATE: a recorded bench must not be a steal-window artifact.
+    // Fixed-work spins bracket the timed section; if either exceeds the
+    // gate, the attempt is re-run after waiting for a quiet window, up to
+    // an attempt cap and a total wait budget. A run that never gets a
+    // quiet window is still recorded (driver contract: one JSON line) but
+    // carries "degraded":true — three rounds of adjudicating host noise
+    // by hand is what this field replaces.
+    val gateMs = sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE_MS", "43").toDouble
+    val attemptCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val waitDeadline = System.nanoTime() +
+      (sys.env.getOrElse("SPARK_GRAFT_CALIB_WAIT_SEC", "480").toDouble * 1e9).toLong
+
+    def awaitQuiet(): Double = {
+      var c = calibMs()
+      while (recording && c > gateMs && System.nanoTime() < waitDeadline) {
+        System.err.println(f"[bench] calib $c%.0f ms > gate $gateMs%.0f ms — waiting for a quiet window")
+        Thread.sleep(15000)
+        c = calibMs()
+      }
+      c
+    }
+
     // timed reps per query, min taken: steady-state throughput robust to
     // host-noise spikes (cache cleared between reps — no result reuse).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val calibStart = calibMs()
-    val wallStart = System.nanoTime()
-    val results: Seq[(String, Option[Double])] = picked.flatMap { name =>
-      benchFn(name).map { fn =>
-        val times = (1 to reps).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
+    def runAttempt(): Attempt = {
+      val calibStart = awaitQuiet()
+      val wallStart = System.nanoTime()
+      val results: Seq[(String, Option[Double])] = picked.flatMap { name =>
+        benchFn(name).map { fn =>
+          val times = (1 to reps).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+            }
+          }
+          // a query only counts as timed if every rep succeeded
+          name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
+        }
+      }
+      val wallTimed = (System.nanoTime() - wallStart) / 1e9
+      val streaming =
+        if (!recording) "null" // targeted run
+        else try streamingBench(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+          "null"
+        }
+      Attempt(results, wallTimed, streaming, calibStart, calibMs())
+    }
+
+    var attempts = List(runAttempt())
+    while (recording && !attempts.head.quiet(gateMs) &&
+           attempts.length < attemptCap && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] attempt ${attempts.length} calib ${attempts.head.calibStart}%.0f/${attempts.head.calibEnd}%.0f ms — steal during run, re-running")
+      attempts ::= runAttempt()
+    }
+    // prefer the quiet attempt; among equals the fastest (min-of-mins
+    // would splice incomparable windows — keep one coherent pass)
+    val best = attempts.minBy(a => (!a.quiet(gateMs), a.total))
+    val degraded = !best.quiet(gateMs)
+
+    // standing 10×-distinct scale section (VERDICT r6 #2): regenerate the
+    // 10× corpus (distinct mode — the realistic scale-up; ~30 s) and run
+    // every headline query once against it, recording t(10×)/t(1×) so the
+    // scaling exponents are a per-round regression surface, not a one-off
+    // rehearsal. Single rep: the ratio's denominator is this run's own
+    // min-of-reps, and a steal window shows up in the bracket calibs.
+    val scale10 =
+      if (!recording || sys.env.get("SPARK_GRAFT_SCALE10").contains("0")) "null"
+      else try {
+        val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE10_COPIES", "10").toInt
+        val dst = s"/tmp/graft_bench_scale${copies}_distinct"
+        val genT0 = System.nanoTime()
+        ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
+        val genSec = (System.nanoTime() - genT0) / 1e9
+        val cal0 = calibMs()
+        val base = best.results.collect { case (k, Some(v)) => k -> v }.toMap
+        val timed = picked.flatMap { name =>
+          benchFn(name).map { fn =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            try { fn(spark, dst).count(); name -> Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
+              name -> None
+            }
           }
         }
-        // a query only counts as timed if every rep succeeded
-        name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
-      }
-    }
-    val wallTimed = (System.nanoTime() - wallStart) / 1e9
-    val streaming =
-      if (sys.env.contains("SPARK_GRAFT_ONLY")) "null" // targeted run
-      else try streamingBench(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        val cal1 = calibMs()
+        val ratios = timed.collect {
+          case (k, Some(v)) if base.contains(k) => k -> v / base(k) }
+        val medR = if (ratios.isEmpty) Double.NaN
+          else ratios.map(_._2).sorted.apply(ratios.length / 2)
+        val rJson = ratios.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+          .mkString("{", ",", "}")
+        val errs = timed.collect { case (k, None) => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
+        val sum10 = timed.flatMap(_._2).sum
+        f"""{"copies":$copies,"mode":"distinct","gen_sec":$genSec%.1f,"sum_sec":$sum10%.3f,"median_ratio":$medR%.2f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"ratios":$rJson,"errors":$errs}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
         "null"
       }
-    val calibEnd = calibMs()
-    val qs = results.map {
+
+    val qs = best.results.map {
       case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
       case (k, None)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+    val errors = best.results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = best.total
     // host block: reps, total wall of the timed section vs sum of min times
-    // (min-of-reps means wall >> reps·total under steal), plus a fixed-work
-    // calibration spin at start/end — drift between the two marks a noisy
-    // host window so a reader can separate noise from regression.
+    // (min-of-reps means wall >> reps·total under steal), the fixed-work
+    // calibration spins bracketing the recorded attempt, and the gate
+    // verdict — "degraded":false is the claim that no steal window touched
+    // this attempt, so round-over-round comparisons may trust it.
     val host =
-      f"""{"reps":$reps,"wall_timed_sec":$wallTimed%.1f,"sum_min_sec":$total%.3f,"calib_start_ms":$calibStart%.0f,"calib_end_ms":$calibEnd%.0f}"""
+      f"""{"reps":$reps,"wall_timed_sec":${best.wallTimed}%.1f,"sum_min_sec":$total%.3f,"calib_start_ms":${best.calibStart}%.0f,"calib_end_ms":${best.calibEnd}%.0f,"calib_gate_ms":$gateMs%.0f,"attempts":${attempts.length},"degraded":$degraded}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"streaming":$streaming,"host":$host,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"streaming":${best.streaming},"host":$host,"scale10":$scale10,"sf":"$sfDir"}"""
     println(line)
-    if (!sys.env.contains("SPARK_GRAFT_ONLY")) // don't clobber full-run record
+    if (recording) // don't clobber full-run record
       try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()

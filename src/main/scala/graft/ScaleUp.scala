@@ -98,6 +98,14 @@ object ScaleUp {
     val mode = if (args.length > 3) args(3) else "replicate"
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    generate(spark, src, dst, copies, mode)
+    spark.stop()
+  }
+
+  /** Callable form of the generator (Bench's standing scale section uses it
+    * in-session so the 10× rehearsal shares the bench's warm JVM). */
+  def generate(spark: SparkSession, src: String, dst: String,
+               copies: Int, mode: String): Unit = {
     // pass 1: global max per key domain (driver holds one long per domain)
     val domainMax = keyDomains.toSeq
       .flatMap { case (table, cols) =>
@@ -123,6 +131,5 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${in.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()} rows")
     }
-    spark.stop()
   }
 }
