@@ -29,7 +29,7 @@ object Bench {
     "doc_pack", "emb_quantize", "doc_mixture", "doc_epoch", "doc_chunk",
     "doc_len_deciles", "doc_curate", "doc_para_dedup", "doc_token_budget",
     "doc_unigram_ll", "emb_project", "doc_source_stats",
-    "doc_bpe_train", "doc_dup_spans", "doc_quality_model",
+    "doc_bpe_train", "doc_bpe_train_fast", "doc_dup_spans", "doc_quality_model",
     "doc_dup_spans_incr", "doc_quality_incr",
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
     "emb_lsh_auto",

@@ -165,6 +165,7 @@ object SparkEntry {
     "doc_strat_sample"  -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "doc_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "doc_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
+    "doc_bpe_train_fast" -> ((s, d) => TextOps.bpeTrainFast(s, d)),
     "doc_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
     "doc_dup_spans"     -> ((s, d) => Dedup.dupSpans(s, d)),
     "doc_quality_model" -> ((s, d) => QualityModel.qualityModel(s, d)),

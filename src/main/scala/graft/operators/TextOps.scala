@@ -982,6 +982,51 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** A SYMBOL-DISJOINT batch of merges applied in ONE left scan: no two
+    * pairs in the batch share a left/right/produced string (the
+    * [[disjointChunks]] / batch-selection invariant), so no merge can
+    * create or destroy an occurrence of another — collapsing (a,b) never
+    * changes adjacency of symbols it doesn't contain — and a single
+    * leftmost fold over a (pair -> merged) literal map equals applying the
+    * batch sequentially in any order. The map key joins last+next with a
+    * space (symbols come from space-split words, so no symbol contains one);
+    * try_element_at (not element_at) because a missing key must fall to
+    * the append branch, not throw under ANSI. On the empty accumulator the
+    * key is NULL and try_element_at yields NULL — append branch again. */
+  private def mergeBatch(syms: Column, pairs: Seq[(String, String)]): Column = {
+    val pairKey = map(pairs.flatMap { case (a, b) =>
+      Seq(lit(a + " " + b), lit(a + b)) }: _*)
+    aggregate(syms, array().cast("array<string>"), (acc, x) => {
+      val merged = try_element_at(pairKey,
+        concat(get(acc, size(acc) - 1), lit(" "), x))
+      when(merged.isNotNull,
+        concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+        .otherwise(concat(acc, array(x)))
+    })
+  }
+
+  /** Greedy prefix chunking of a rank-ordered merge list into
+    * symbol-disjoint batches: a merge joins the open chunk only while its
+    * left, right, AND produced strings are all unseen in the chunk (as a
+    * side or a production) — an interacting merge closes the chunk and
+    * starts the next, so applying chunks in order, each via one
+    * [[mergeBatch]] scan, reproduces sequential rank-order application
+    * exactly. */
+  private def disjointChunks(
+      merges: Seq[(String, String)]): Seq[Seq[(String, String)]] = {
+    val chunks = Seq.newBuilder[Seq[(String, String)]]
+    var cur = Vector.empty[(String, String)]
+    var used = Set.empty[String]
+    for ((a, b) <- merges) {
+      if (Seq(a, b, a + b).exists(used)) {
+        chunks += cur; cur = Vector.empty; used = Set.empty
+      }
+      cur :+= ((a, b)); used ++= Seq(a, b, a + b)
+    }
+    if (cur.nonEmpty) chunks += cur
+    chunks.result()
+  }
+
   /** C53: BPE vocabulary TRAINING (the public byte-pair-encoding algorithm
     * of Sennrich et al. 2016): greedily merge the most frequent adjacent
     * symbol pair `nMerges` times, counting every adjacent occurrence
@@ -1042,6 +1087,75 @@ object TextOps {
     merges.result().toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** C53 at production merge counts: BATCHED BPE training. Each iteration
+    * takes the top `batchCap` pairs by the sequential order (freq desc,
+    * left, right), keeps the maximal SYMBOL-DISJOINT PREFIX (selection
+    * stops at the first candidate sharing a left/right/produced string
+    * with an already-selected one — a suffix applied around a conflict
+    * would reorder the greedy sequence), applies the whole batch in one
+    * [[mergeBatch]] scan, and re-counts. Driver round-trips drop from
+    * one-per-merge to one-per-batch: nMerges=30-50k becomes ~1-2k small
+    * jobs instead of tens of thousands — the standard batched-BPE trick.
+    *
+    * Deviation contract vs [[bpeTrain]]: batch members after the first are
+    * chosen from iteration-start counts, so a pair CREATED by an earlier
+    * batch member (one containing its merged string) can in principle
+    * outrank a later member that sequential greedy would have deferred —
+    * batchCap=1 is bit-identical to sequential (spec-pinned), larger caps
+    * are the documented approximation every production trainer makes.
+    * `pair_freq` records the count at selection time. */
+  def bpeTrainFast(spark: SparkSession, dir: String, nMerges: Int = 256,
+                   minFreq: Long = 2, batchCap: Int = 32): DataFrame =
+    bpeTrainBatchedOf(Tables.documents(spark, dir), nMerges, minFreq, batchCap)
+
+  private[graft] def bpeTrainBatchedOf(docs: DataFrame, nMerges: Int,
+                                       minFreq: Long, batchCap: Int): DataFrame = {
+    require(batchCap >= 1, "batchCap must be >= 1")
+    val spark = docs.sparkSession
+    var words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(charSyms(col("w")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val want = math.min(batchCap, nMerges - rank)
+      val cands = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .filter(col("n") >= minFreq)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(want).collect() // ≤ batchCap rows — bounded driver traffic
+      if (cands.isEmpty) done = true
+      else {
+        val batch = Vector.newBuilder[(String, String)]
+        var used = Set.empty[String]
+        var open = true
+        for (r <- cands if open) {
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (Seq(a, b, a + b).exists(used)) open = false // prefix cut
+          else {
+            rank += 1
+            merges += ((rank, a, b, r.getAs[Long]("n")))
+            batch += ((a, b)); used ++= Seq(a, b, a + b)
+          }
+        }
+        words = words
+          .withColumn("syms", mergeBatch(col("syms"), batch.result()))
+          .localCheckpoint(true) // one materialization per batch
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_freq")
+  }
+
   /** C53b: BPE ENCODING with a trained merge table — token counts per doc.
     * Applying the merges in learned rank order to each word reproduces the
     * greedy training segmentation (the reference encoder's definition).
@@ -1065,8 +1179,11 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()
       .select(col("w"), charSyms(col("w")).as("syms"))
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+    // rank order preserved across chunks; within a chunk the merges are
+    // symbol-disjoint, so one mergeBatch scan per chunk IS the sequential
+    // application — a 256-merge table applies in ~dozens of scans, not 256
+    disjointChunks(merges).zipWithIndex.foreach { case (chunk, i) =>
+      vocab = vocab.withColumn("syms", mergeBatch(col("syms"), chunk))
       if ((i + 1) % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint(true)
     }
     docs.filter(col("text").isNotNull)

@@ -116,6 +116,98 @@ class BpeSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  /** Exact in-memory mirror of the BATCHED trainer's selection rule:
+    * top-batchCap candidates in (freq desc, left, right) order, maximal
+    * symbol-disjoint prefix (cut at the first candidate whose left, right,
+    * or produced string was already used), batch applied sequentially
+    * (order irrelevant under disjointness), then re-count. */
+  private def refTrainBatched(words: Map[String, Long], nMerges: Int,
+                              minFreq: Long, batchCap: Int): Seq[(Int, String, String, Long)] = {
+    var syms = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val stats = collection.mutable.Map.empty[(String, String), Long]
+      for ((ss, f) <- syms; i <- 0 until ss.size - 1)
+        stats((ss(i), ss(i + 1))) = stats.getOrElse((ss(i), ss(i + 1)), 0L) + f
+      val cands = stats.toSeq.filter(_._2 >= minFreq)
+        .sortBy { case ((a, b), n) => (-n, a, b) }
+        .take(math.min(batchCap, nMerges - rank))
+      if (cands.isEmpty) done = true
+      else {
+        var used = Set.empty[String]
+        var open = true
+        for (((a, b), n) <- cands if open) {
+          if (Seq(a, b, a + b).exists(used)) open = false
+          else {
+            rank += 1
+            out += ((rank, a, b, n))
+            used ++= Seq(a, b, a + b)
+            syms = syms.map { case (ss, f) => (refMerge(ss, a, b), f) }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def trainedBatched(docs: DataFrame, nMerges: Int, minFreq: Long,
+                             batchCap: Int) =
+    TextOps.bpeTrainBatchedOf(docs, nMerges, minFreq, batchCap)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("batched trainer with batchCap=1 is bit-identical to the sequential trainer") {
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    assert(trainedBatched(docsOf(texts), 10, 1L, 1) == trained(docsOf(texts), 10, 1L))
+  }
+
+  test("batched trainer == its exact in-memory mirror at caps 4 and 32") {
+    val classic = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(6))("abcd" (rnd.nextInt(4)).toString)
+          .mkString).mkString(" "))
+    for (texts <- Seq(classic, random); cap <- Seq(4, 32)) {
+      val got = trainedBatched(docsOf(texts), 16, 1L, cap)
+      val want = refTrainBatched(wordFreq(texts), 16, 1L, cap)
+      assert(got == want, s"cap=$cap texts=${texts.take(2)}…")
+    }
+  }
+
+  test("batch selection cuts at the first conflicting candidate (prefix rule)") {
+    // iteration-1 candidates: (a,b) 6, (b,c) 5, (x,y) 4. (b,c) shares b
+    // with (a,b) → the batch CUTS there, deferring (x,y) too — which is
+    // exactly sequential-greedy order: after (a,b) applies, (ab,c) at 5
+    // outranks (x,y) at 4. A skip-and-continue rule would have promoted
+    // (x,y) to rank 2; this pins that it doesn't.
+    val texts = Seq.fill(5)("abc") ++ Seq("ab") ++ Seq.fill(4)("xy")
+    val got = trainedBatched(docsOf(texts), 3, 1L, 8)
+    assert(got == Seq((1, "a", "b", 6L), (2, "ab", "c", 5L), (3, "x", "y", 4L)),
+      s"got $got")
+    // and the whole run equals the sequential trainer on this corpus
+    assert(got == trained(docsOf(texts), 3, 1L))
+  }
+
+  test("chunked encode equals the per-merge reference across chunk cuts") {
+    // trained on aaaa-style corpus: rank 2 consumes rank 1's output, so
+    // the chunker must cut between them; counts must still match the
+    // strictly sequential reference encoder
+    val texts = Seq.fill(4)("aaaa aab") ++ Seq.fill(2)("aaa ab ba")
+    val docs = docsOf(texts)
+    val merges = trained(docs, 6, 1L).map(m => (m._2, m._3))
+    val got = TextOps.bpeEncodeWith(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).toSeq
+    val want = texts.map(_.split(" ").filter(_.nonEmpty)
+      .map(refEncodeLen(_, merges).toLong).sum)
+    assert(got == want)
+  }
+
   test("bpeEncode with zero merges counts characters; merges only shrink it") {
     val texts = Seq("abab abab", "bb a")
     val docs = docsOf(texts)
