@@ -102,7 +102,9 @@ object SparkEntry {
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
     "emb_lsh_pairs"     -> ((s, d) => Similarity.lshNeardupPairs(s, d)),
-    "emb_lsh_auto"      -> ((s, d) => Similarity.lshNeardupPairsAuto(s, d)),
+    // threshold 0.4 (the fixed-param entry's), not the 0.85 production
+    // default: at sf0.01 the 0.85 dump is 0 rows — a vacuous gate row
+    "emb_lsh_auto"      -> ((s, d) => Similarity.lshNeardupPairsAuto(s, d, threshold = 0.4)),
     "emb_pq_topk"       -> ((s, d) => Similarity.pqTopK(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
     // encode-once/query-many: the index is built on first touch (per SF +

@@ -67,7 +67,13 @@ object Similarity {
 
   /** C6: near-duplicate embedding pairs above a cosine threshold, blocked by
     * label (the generator's cluster id) to stay sub-quadratic; exact within
-    * blocks. */
+    * blocks — which makes it the ORACLE-CHECKABLE BASELINE, not the scale
+    * path: with a fixed label set, within-block pair volume grows with
+    * (n/|labels|)², and the r6 10×-distinct rehearsal measured ~18× wall at
+    * 10× data. Production near-dup mining at scale is [[lshNeardupPairsAuto]]
+    * (occupancy-pinned — measured linear, 11× at 10×); keep this one for
+    * exactness checks and label-blocked corpora whose label count grows
+    * with n. */
   def neardupPairs(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))

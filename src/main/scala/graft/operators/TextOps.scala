@@ -1045,8 +1045,12 @@ object TextOps {
     * corpus-scale work in the loop. The vocab table re-materializes every
     * [[BpeCheckpointEvery]] merges to bound lineage depth and fold
     * nesting. At 100 TB the vocab table is ~10⁸ rows × avg word length —
-    * each iteration is one small-table pass; production trainers that
-    * need fewer passes subsample words first (compose with doc_sample). */
+    * each iteration is one small-table pass, but the loop is DRIVER-
+    * SEQUENTIAL IN nMerges (one job per merge): this exact-greedy form is
+    * for reference-equality and small merge counts. Production merge
+    * counts (30-50k) go through [[bpeTrainFast]], which batches
+    * symbol-disjoint merges per pass (measured 12.8× the merges for 2.3×
+    * the time at sf0.1). */
   def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 20,
                minFreq: Long = 2): DataFrame =
     bpeTrainOf(Tables.documents(spark, dir), nMerges, minFreq)
