@@ -55,6 +55,8 @@ object Bench {
                               t0: Long): (Double, Seq[Long], Long) = {
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(s"[stream-debug] ${p.json}"))
     val tm = q.recentProgress.toSeq.flatMap(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toLong))
       .filter(_ > 0).sorted
@@ -239,6 +241,11 @@ object Bench {
     def quiet(gateMs: Double): Boolean = calibStart <= gateMs && calibEnd <= gateMs
     def total: Double = results.flatMap(_._2).sum
   }
+
+  // NOT tmpfs for spark.local.dir: measured A/B (r7, interleaved ×2) put
+  // /dev/shm scratch ~15% SLOWER for the streaming topology — the commit
+  // critical path is the changelog on the tmpfs CHECKPOINT dir already,
+  // and local-dir writes ride ext4's page cache without fsync.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
