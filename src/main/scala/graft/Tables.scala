@@ -19,17 +19,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * nanosecond LONG (legacy conf). Convert to a µs TIMESTAMP by integer
-    * division (floor) — exactly how DuckDB truncates ns on read, so oracle
-    * comparisons agree. */
+  /** `events.ts` has drifted across driver testdata regenerations:
+    * TIMESTAMP(NANOS) (readable only as a nanosecond LONG under the legacy
+    * conf) through r6, then plain `timestamp[us]` WITHOUT timezone (Spark:
+    * TIMESTAMP_NTZ) from r7's regeneration. Normalize every variant to a
+    * session-typed TIMESTAMP here, once, so downstream consumers
+    * (`window()`, `unix_millis`, the typed `Event` encoder) never see the
+    * drift. The session TZ is pinned to UTC (GraftSession), so the
+    * NTZ→TIMESTAMP cast is value-preserving and agrees with DuckDB, which
+    * reads the same file as a naive timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) parquet
         df.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-      case _ => df // already a timestamp table
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already a session-typed timestamp table
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
