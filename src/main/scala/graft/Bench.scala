@@ -393,12 +393,62 @@ object Bench {
     // this attempt, so round-over-round comparisons may trust it.
     val host =
       f"""{"reps":$reps,"wall_timed_sec":${best.wallTimed}%.1f,"sum_min_sec":$total%.3f,"calib_start_ms":${best.calibStart}%.0f,"calib_end_ms":${best.calibEnd}%.0f,"calib_gate_ms":$gateMs%.0f,"attempts":${attempts.length},"degraded":$degraded}"""
-    val line =
+    val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"streaming":${best.streaming},"host":$host,"scale10":$scale10,"sf":"$sfDir"}"""
-    println(line)
     if (recording) // don't clobber full-run record
-      try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      try {
+        Files.writeString(Paths.get("BENCH_LAST.json"), fullLine + "\n")
+        Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n") // git-tracked twin
+      } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+
+    // STDOUT LINE: the driver records only the last 2000 chars of stdout
+    // (BENCH_r01..r07 all have tail_len=2000, parsed:null — the full line
+    // plus sbt's trailing "[success] …" overflowed the buffer every round
+    // and was truncated mid-JSON). Print a COMPACT line, last and alone,
+    // that always fits: core query subset + summaries + a pointer to the
+    // tracked full record. Budget ≤1700 chars, enforced by dropping query
+    // entries if ever exceeded.
+    val resMap = best.results.toMap
+    val coreNames = Seq(
+      "q1_pricing", "q3_shipping", "q5_local", "q17_small_qty",
+      "q7_volume_shipping", "q21_waiting_suppliers", "q8_market_share",
+      "q9_profit_nation", "q_cube", "ev_dedup_first", "ev_sessionize",
+      "ev_zscore_alert", "ev_asof_join", "ev_sliding_counts", "ev_bloom_join",
+      "doc_dedup_exact", "doc_dedup_minhash", "doc_ngram_auto", "doc_tfidf_top",
+      "doc_bpe_pairs", "doc_token_budget", "doc_neardup_incr", "doc_dup_spans",
+      "doc_pack", "doc_curate", "emb_cosine_topk", "emb_ivf_topk",
+      "emb_ivf_query", "emb_lsh_auto", "emb_ivfpq")
+    def compactLine(nCore: Int): String = {
+      val coreQs = coreNames.take(nCore).flatMap(k => resMap.get(k).map(k -> _)).map {
+        case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+        case (k, None)    => "\"" + k + "\":null"
+      }.mkString("{", ",", "}")
+      val streamCompact = best.streaming match {
+        case "null" => "null"
+        case s => // pull the two headline numbers back out of the full block
+          def field(n: String): String =
+            ("\"" + n + "\":(-?[0-9.]+)").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("null")
+          s"""{"rows_per_sec":${field("rows_per_sec")},"p50_batch_ms":${field("p50_batch_ms")}}"""
+      }
+      val scaleCompact = scale10 match {
+        case "null" => "null"
+        case s =>
+          def field(n: String): String =
+            ("\"" + n + "\":(-?[0-9.]+)").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("null")
+          // worst offenders so the regression surface survives in the tail
+          val ratios = ("\"([A-Za-z0-9_]+)\":([0-9.]+)").r.findAllMatchIn(
+            s.drop(s.indexOf("\"ratios\""))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          val worst = ratios.sortBy(-_._2).take(5)
+            .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
+          s"""{"median_ratio":${field("median_ratio")},"worst":$worst}"""
+      }
+      val hostCompact =
+        f"""{"calib_start_ms":${best.calibStart}%.0f,"calib_end_ms":${best.calibEnd}%.0f,"degraded":$degraded}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${best.results.length},"queries":$coreQs,"errors":$errors,"streaming":$streamCompact,"host":$hostCompact,"scale10":$scaleCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    }
+    val line = (coreNames.length to 5 by -5).map(compactLine)
+      .find(_.length <= 1700).getOrElse(compactLine(5))
+    println(line)
     spark.stop()
   }
 }
