@@ -338,14 +338,17 @@ object Bench {
 
     // standing 10×-distinct scale section (VERDICT r6 #2): regenerate the
     // 10× corpus (distinct mode — the realistic scale-up; ~30 s) and run
-    // every headline query once against it, recording t(10×)/t(1×) so the
+    // every headline query against it, recording t(10×)/t(1×) so the
     // scaling exponents are a per-round regression surface, not a one-off
-    // rehearsal. Single rep: the ratio's denominator is this run's own
-    // min-of-reps, and a steal window shows up in the bracket calibs.
+    // rehearsal. Min-of-reps (default 2): r7's single-shot protocol put
+    // steal-window artifacts of 21-134× on eight queries that a min-of-2
+    // re-measurement (r8) showed are 2.6-8.7× — one noisy sample per query
+    // is not a usable regression surface.
     val scale10 =
       if (!recording || sys.env.get("SPARK_GRAFT_SCALE10").contains("0")) "null"
       else try {
         val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE10_COPIES", "10").toInt
+        val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "2").toInt
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
@@ -354,13 +357,16 @@ object Bench {
         val base = best.results.collect { case (k, Some(v)) => k -> v }.toMap
         val timed = picked.flatMap { name =>
           benchFn(name).map { fn =>
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            try { fn(spark, dst).count(); name -> Some((System.nanoTime() - t0) / 1e9) }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
-              name -> None
+            val times = (1 to scaleReps).map { _ =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try { fn(spark, dst).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
+                None
+              }
             }
+            name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
           }
         }
         val cal1 = calibMs()

@@ -97,9 +97,9 @@ object QualityModel {
     val (intercept, bigrams) =
       (meta.getAs[Double]("intercept"), meta.getAs[Boolean]("bigrams"))
     val vocab = spark.read.parquet(s"$storeDir/vocab.parquet")
-      .orderBy("idx").collect().map(_.getString(0))
+      .orderBy("idx").select("term").collect().map(_.getString(0))
     val coefs = spark.read.parquet(s"$storeDir/coefs.parquet")
-      .orderBy("idx").collect().map(_.getDouble(1))
+      .orderBy("idx").select("coef").collect().map(_.getDouble(0))
     require(vocab.length == coefs.length,
       s"corrupt store: ${vocab.length} terms vs ${coefs.length} coefficients")
     batch.filter(col("text").isNotNull)
