@@ -347,40 +347,57 @@ object Similarity {
     * uses) — the per-index replacement for the generic
     * [[measuredRecallEnvelope]], which was measured at nlist=8 and only
     * extrapolates. One corpus-scale pass, not nlist retrieval runs:
-    * brute-force the sample's true top-k once, look up each true
+    * brute-force the sample's true top-kMax once, look up each true
     * neighbor's bucket, rank that bucket in its query's
-    * centroid-similarity probe order; recall@p is the fraction of true
-    * neighbors whose bucket sits within the first p probes. Exact for the
-    * sample: a true top-k member inside a probed bucket always survives
-    * the exact scoring pass (fewer than k candidates can outrank it). */
+    * centroid-similarity probe order; recall@(p, k) is the fraction of
+    * true top-k neighbors whose bucket sits within the first p probes.
+    * Exact for the sample: a true top-k member inside a probed bucket
+    * always survives the exact scoring pass (fewer than k candidates can
+    * outrank it).
+    *
+    * Measured at every k in `ks` from the SAME corpus pass (the brute
+    * force ranks to kMax once; per-k curves are prefix slices of that
+    * ranking) — recall@nprobe generally drops as k grows, so serving
+    * queries at several k need per-k rows, not a k=5 extrapolation. The
+    * curve carries one row per (nprobe, k); [[indexNprobe]] reads only
+    * the queried k's rows. */
   private[graft] def measureRecallCurve(rawQueries: DataFrame, bucketed: DataFrame,
-                                        centroids: DataFrame, k: Int = 5): DataFrame = {
+                                        centroids: DataFrame,
+                                        ks: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
     val spark = rawQueries.sparkSession
+    import spark.implicits._
+    val kMax = ks.max
     val queries = rawQueries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val tw = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val trueTop = bucketed.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"), col("bucket"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
-      .withColumn("rnk", row_number().over(tw)).filter(col("rnk") <= k)
-      .select(col("q_id"), col("bucket"))
+      .withColumn("rnk", row_number().over(tw)).filter(col("rnk") <= kMax)
+      .select(col("q_id"), col("bucket"), col("rnk"))
     val bw = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
     val bucketRank = queries.crossJoin(broadcast(centroids))
       .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("q_id"), col("c_id").as("bucket"),
         row_number().over(bw).as("brank"))
-    val ranked = trueTop.join(bucketRank, Seq("q_id", "bucket")).select(col("brank"))
-      .localCheckpoint(true) // k·|sample| rows; the count below re-uses it
-    val total = math.max(1L, ranked.count())
+    val ranked = trueTop.join(bucketRank, Seq("q_id", "bucket"))
+      .select(col("brank"), col("rnk"))
+      .localCheckpoint(true) // kMax·|sample| rows; re-used per k below
+    // a true neighbor at brute-force rank r contributes to every k >= r
+    val perK = ranked.crossJoin(broadcast(ks.toDF("k")))
+      .filter(col("rnk") <= col("k"))
+    val totals = perK.groupBy("k").agg(count(lit(1)).as("total"))
     val nlist = centroids.count().toInt
     spark.range(1, nlist + 1).select(col("id").cast("int").as("nprobe"))
-      .join(ranked, col("brank") <= col("nprobe"), "left")
-      .groupBy("nprobe")
-      .agg((count(col("brank")).cast("double") / total).as("recall"))
-      // recall@nprobe is a function of k (it generally drops as k grows),
-      // so the curve records the k it was measured at — indexNprobe only
-      // trusts it for that k
-      .withColumn("k", lit(k))
+      .crossJoin(broadcast(ks.toDF("kk")))
+      .join(perK, perK("k") === col("kk") && col("brank") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"), col("kk"))
+      .agg(count(col("brank")).as("hits"))
+      .join(totals, col("kk") === totals("k"))
+      .select(col("nprobe"),
+        (col("hits").cast("double") / col("total")).as("recall"),
+        col("kk").as("k"))
   }
 
   /** Per-JVM cache of the curve-derived probe decision, keyed by
@@ -396,12 +413,13 @@ object Similarity {
 
   /** nprobe for a PERSISTED index at `targetRecall`: the smallest value
     * whose measured curve (`indexDir/recall.parquet`, written at build
-    * time) clears the target. Falls back to the generic [[defaultNprobe]]
-    * envelope when no curve exists (indexes persisted before measurement
-    * existed) or when the curve was measured at a different k than the
-    * query's — recall@nprobe drops as k grows, so a k=5 curve must not
-    * size probes for a k=50 query. Existence goes through Hadoop's
-    * FileSystem, not java.io — the index dir may be hdfs:// or s3a://. */
+    * time) clears the target AT THE QUERY'S k — the curve carries per-k
+    * rows ([[measureRecallCurve]]); recall@nprobe drops as k grows, so a
+    * k=5 row must not size probes for a k=50 query. Falls back to the
+    * generic [[defaultNprobe]] envelope when no curve exists (indexes
+    * persisted before measurement existed) or when no row was measured at
+    * the query's k. Existence goes through Hadoop's FileSystem, not
+    * java.io — the index dir may be hdfs:// or s3a://. */
   private def indexNprobe(spark: SparkSession, indexDir: String, nlist: => Int,
                           targetRecall: Double, k: Int): Int =
     nprobeCache.computeIfAbsent((indexDir, targetRecall, k), _ =>
@@ -413,11 +431,11 @@ object Similarity {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return defaultNprobe(nlist, targetRecall)
     val curve = spark.read.parquet(s"$indexDir/recall.parquet")
-    if (!curve.columns.contains("k") ||
-        curve.select(col("k")).head().getInt(0) != k)
-      return defaultNprobe(nlist, targetRecall)
-    curve
+    if (!curve.columns.contains("k")) return defaultNprobe(nlist, targetRecall)
+    val atK = curve.filter(col("k") === k)
       .orderBy("nprobe").collect() // ≤ nlist rows — bounded
+    if (atK.isEmpty) return defaultNprobe(nlist, targetRecall)
+    atK
       .find(_.getAs[Double]("recall") >= targetRecall)
       .map(_.getAs[Int]("nprobe"))
       .getOrElse(nlist)

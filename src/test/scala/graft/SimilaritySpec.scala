@@ -212,9 +212,10 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
       .toSet
     // the unspecified-nprobe default derives from the index's OWN measured
-    // recall curve (recall.parquet, written at build) — identical to the
-    // live run at that nprobe
-    val derived = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
+    // recall curve (recall.parquet, written at build; per-k rows — read
+    // the query's k) — identical to the live run at that nprobe
+    val derived = spark.read.parquet(s"$idx/recall.parquet")
+      .filter(org.apache.spark.sql.functions.col("k") === 5).orderBy("nprobe")
       .collect().find(_.getAs[Double]("recall") >= 0.85)
       .map(_.getAs[Int]("nprobe")).getOrElse(8)
     val live = key(Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
@@ -318,14 +319,20 @@ class SimilaritySpec extends SparkSuite {
     import java.nio.file.Files
     val idx = Files.createTempDirectory("graft-ivf-recall").toString
     Similarity.writeIvfIndex(spark, sf, idx, nQueries = 10)
-    val curve = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
-      .collect().map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall")))
-    assert(curve.map(_._1).toSeq == (1 to 8), s"one row per nprobe 1..nlist: ${curve.toSeq}")
-    curve.sliding(2).foreach { case Array((_, r1), (_, r2)) =>
-      assert(r2 >= r1 - 1e-12, s"measured recall not monotone: ${curve.toSeq}")
+    val rows = spark.read.parquet(s"$idx/recall.parquet")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Int]("nprobe"), r.getAs[Double]("recall")))
+    // per-k curves from one corpus pass: every measured k gets a full
+    // 1..nlist row set, each monotone in nprobe and exhaustive at nlist
+    val byK = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byK.keySet == Set(1, 5, 10, 20), s"measured ks drifted: ${byK.keySet}")
+    byK.foreach { case (k, curve) =>
+      assert(curve.map(_._2).toSeq == (1 to 8), s"k=$k: one row per nprobe 1..nlist: ${curve.toSeq}")
+      curve.sliding(2).foreach { case Array((_, _, r1), (_, _, r2)) =>
+        assert(r2 >= r1 - 1e-12, s"k=$k: measured recall not monotone: ${curve.toSeq}")
+      }
+      assert(curve.last._3 == 1.0,
+        s"k=$k: probing every bucket must capture every true neighbour: ${curve.toSeq}")
     }
-    assert(curve.last._2 == 1.0,
-      s"probing every bucket must capture every true neighbour: ${curve.toSeq}")
     // the default query path probes the smallest nprobe clearing the target
     // on THIS curve — so its delivered recall on the measurement workload
     // (same sample, same k) must clear the target, by construction
@@ -335,6 +342,14 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (served intersect brute).size.toDouble / brute.size
     assert(recall >= 0.85, s"derived-nprobe recall $recall below the 0.85 target")
+    // a k=20 query sizes probes from the k=20 rows of the same curve —
+    // delivered recall clears the target at that k too, by construction
+    val brute20 = Similarity.cosineTopK(spark, sf, k = 20).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val served20 = Similarity.ivfTopKFromIndex(spark, sf, idx, k = 20).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall20 = (served20 intersect brute20).size.toDouble / brute20.size
+    assert(recall20 >= 0.85, s"k=20 derived-nprobe recall $recall20 below the 0.85 target")
   }
 
   test("IVF-PQ: finds planted near-neighbours through residual ADC + exact re-rank") {
@@ -376,7 +391,8 @@ class SimilaritySpec extends SparkSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
       .toSet
-    val derived = spark.read.parquet(s"$idx/recall.parquet").orderBy("nprobe")
+    val derived = spark.read.parquet(s"$idx/recall.parquet")
+      .filter(org.apache.spark.sql.functions.col("k") === 5).orderBy("nprobe")
       .collect().find(_.getAs[Double]("recall") >= 0.85)
       .map(_.getAs[Int]("nprobe")).getOrElse(8)
     val live = key(Similarity.ivfPqTopK(spark, sf, nQueries = 10, k = 5, nprobe = derived))
