@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Each query is fully materialized
-  * via count() after a shared session warm-up. The same line is also written
-  * to BENCH_LAST.json so the result survives log truncation.
+  * via the noop sink ([[Bench.materialize]]) after a shared session
+  * warm-up. The same line is also written to BENCH_LAST.json so the
+  * result survives log truncation.
   *
   * Failed queries are reported as null (never as their short elapsed time)
   * and excluded from the total, with an "errors" list naming them. */
@@ -44,8 +45,18 @@ object Bench {
   private val benchOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)))
 
-  private def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
+  private[graft] def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
     benchOverrides.get(name).orElse(SparkEntry.queries.get(name))
+
+  /** Materialize a bench query via the noop sink, NOT `count()`: count()
+    * lets Catalyst prune every un-referenced projection, so a map-only
+    * query (doc_token_count, emb_quantize, …) collapses to a parquet
+    * row-count and the "measurement" is footer reads. Caught by the r8
+    * 100× rehearsal (doc_token_count ratio 1.0 at 100× data); the noop
+    * write evaluates every output column and discards rows executor-side
+    * — no driver collect, no disk. */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 
   /** Drain a started streaming query and collapse its progress into
     * (wall sec, sorted trigger durations ms, p50 ms). Shared by the
@@ -229,7 +240,7 @@ object Bench {
     * the same time on a quiet host, so a drift between the start and end
     * markers flags a CPU-steal window DURING the bench — lets a reader
     * separate host noise from real regressions without re-running. */
-  private def calibMs(): Double = {
+  private[graft] def calibMs(): Double = {
     var acc = 0L
     val t0 = System.nanoTime()
     var i = 0L
@@ -269,7 +280,7 @@ object Bench {
       .fold(headline)(s => headline.filter(s))
     picked.foreach { name =>
       benchFn(name).foreach { fn =>
-        try { fn(spark, "/root/testdata/sf0.001").count() }
+        try { materialize(fn(spark, "/root/testdata/sf0.001")) }
         catch { case _: Throwable => }
       }
       spark.catalog.clearCache()
@@ -310,7 +321,7 @@ object Bench {
           val times = (1 to reps).map { _ =>
             spark.catalog.clearCache()
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               None
@@ -366,7 +377,7 @@ object Bench {
             val times = (1 to scaleReps).map { _ =>
               spark.catalog.clearCache()
               val t0 = System.nanoTime()
-              try { fn(spark, dst).count(); Some((System.nanoTime() - t0) / 1e9) }
+              try { materialize(fn(spark, dst)); Some((System.nanoTime() - t0) / 1e9) }
               catch { case e: Throwable =>
                 System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
                 None
@@ -473,6 +484,77 @@ object BenchStream {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
     println(Bench.streamingBench(spark, sfDir))
+    spark.stop()
+  }
+}
+
+/** N×-scale rehearsal (default 100×, ≈ sf10 from sf0.1) over a picked
+  * scale-path query subset — the standing scale10 section answers "does
+  * the exponent hold at 10×?"; this runner asks the same question one
+  * decade further out, where quadratic candidate generation, driver-side
+  * state, or a mis-partitioned shuffle that 10× forgives would surface.
+  * One family representative each for scan-agg, shuffle join, windowed
+  * analytics, skew-salted agg, as-of join, exact + MinHash dedup, the
+  * measured LSH auto-gate, prefix-sum packing, global vocab ordering,
+  * and IVF index build+serve.
+  *
+  * Protocol matches the scale10 section: distinct-mode corpus (content
+  * scales, not duplication), min-of-reps per query, calib spins recorded
+  * so a stolen host window is visible in the artifact. Emits one JSON
+  * line: per-query base/scaled seconds and the ratio vs `copies`. */
+object BenchScale {
+  private val defaultQueries = Seq(
+    "q1_pricing", "q3_shipping", "q18_large_orders", "q_window_rank",
+    "ev_sessionize", "ev_counts_salted", "ev_sliding_counts", "ev_asof_join",
+    "doc_token_count", "doc_dedup_exact", "doc_dedup_minhash", "doc_ngram_auto",
+    "doc_pack", "doc_vocab", "emb_lsh_auto", "emb_ivf_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultQueries)
+    val spark = GraftSession.local(cpus, Map("spark.driver.maxResultSize" -> "4g"))
+    val dst = s"/tmp/graft_bench_scale${copies}_distinct"
+    val genT0 = System.nanoTime()
+    if (!sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") ||
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst)))
+      ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
+    val genSec = (System.nanoTime() - genT0) / 1e9
+    def timed(dir: String, name: String): Option[Double] = {
+      val fn = Bench.benchFn(name).getOrElse(
+        sys.error(s"unknown bench query: $name"))
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { Bench.materialize(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-scale] $name@$dir failed: ${e.getMessage}")
+          None
+        }
+      }
+      if (times.forall(_.isDefined)) Some(times.flatten.min) else None
+    }
+    // warm once per shape (codegen + catalog), then base and scaled passes
+    names.foreach { n =>
+      Bench.benchFn(n).foreach(fn =>
+        try Bench.materialize(fn(spark, "/root/testdata/sf0.001"))
+        catch { case _: Throwable => () })
+    }
+    val cal0 = Bench.calibMs()
+    val rows = names.map { n => (n, timed(sfDir, n), timed(dst, n)) }
+    val cal1 = Bench.calibMs()
+    val parts = rows.map {
+      case (n, Some(b), Some(s)) =>
+        f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / b}%.1f}"""
+      case (n, b, s) =>
+        s""""$n":{"base_s":${b.fold("null")(v => f"$v%.3f")},"scaled_s":${s.fold("null")(v => f"$v%.3f")},"ratio":null}"""
+    }
+    val ratios = rows.collect { case (_, Some(b), Some(s)) => s / b }.sorted
+    val medR = if (ratios.isEmpty) Double.NaN else ratios(ratios.length / 2)
+    println(f"""{"metric":"scale$copies","copies":$copies,"reps":$reps,"gen_sec":$genSec%.1f,"median_ratio":$medR%.1f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"queries":${parts.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
