@@ -126,18 +126,35 @@ object Similarity {
     * `bits`-plane signature at plane offset b·bits — bit-identical to
     * slicing one long signature while the offsets stay under 64, but the
     * band count is unbounded (the planes are a global deterministic
-    * sequence, not a 64-bit word). */
+    * sequence, not a 64-bit word).
+    *
+    * Candidate dedup is FIRST-COLLISION, not `distinct()`: a pair
+    * colliding in several bands is emitted only by its lowest colliding
+    * band — a map-side filter over the two rows' band-signature arrays
+    * (no earlier band may also collide). A global distinct is a sort of
+    * the full candidate stream, and candidates are ~n·bands·occupancy
+    * rows: measured at the 100× rehearsal (r8), the occupancy-pinned
+    * auto scheme emits ~1e9 candidates whose distinct-sort spilled the
+    * host's disk dry; the first-collision filter streams the same rows
+    * through verify with no sort and no shuffle materialization beyond
+    * the band join itself, at the cost of shipping bands ints of
+    * signature per banded row. */
   private[graft] def lshPairsOf(embN: DataFrame, threshold: Double,
                                 bits: Int, bands: Int): DataFrame = {
     val emb = embN
       .withColumn("bsigs", array((0 until bands).map(b =>
         graft.functions.VectorExpressions.rhpSign(col("v"), bits, b * bits)): _*))
       .filter(col("bsigs")(0).isNotNull).cache()
-    val banded = emb.select(col("vec_id"), posexplode(col("bsigs")))
-      .toDF("vec_id", "band", "bucket")
+    val banded = emb.select(col("vec_id"), col("bsigs"), posexplode(col("bsigs")))
+      .toDF("vec_id", "bsigs", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+      .filter(!exists(
+        zip_with(slice(col("a.bsigs"), lit(1), col("band")),
+                 slice(col("b.bsigs"), lit(1), col("band")),
+                 (x, y) => x === y),
+        c => c))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
