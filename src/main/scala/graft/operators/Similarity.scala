@@ -128,38 +128,41 @@ object Similarity {
     * band count is unbounded (the planes are a global deterministic
     * sequence, not a 64-bit word).
     *
-    * Candidate dedup is FIRST-COLLISION, not `distinct()`: a pair
-    * colliding in several bands is emitted only by its lowest colliding
-    * band — a map-side filter over the two rows' band-signature arrays
-    * (no earlier band may also collide). A global distinct is a sort of
-    * the full candidate stream, and candidates are ~n·bands·occupancy
-    * rows: measured at the 100× rehearsal (r8), the occupancy-pinned
-    * auto scheme emits ~1e9 candidates whose distinct-sort spilled the
-    * host's disk dry; the first-collision filter streams the same rows
-    * through verify with no sort and no shuffle materialization beyond
-    * the band join itself, at the cost of shipping bands ints of
-    * signature per banded row. */
+    * The candidate stream never hits a sort or a second shuffle — both
+    * matter at ~n·bands·occupancy candidates (~1e9 at the r8 100×
+    * rehearsal, where each in turn ran the host's disk dry):
+    *  - dedup is FIRST-COLLISION, not `distinct()`: a pair colliding in
+    *    several bands is emitted only by its lowest colliding band — a
+    *    map-side filter comparing the two rows' band-signature prefixes
+    *    (a global distinct is a full sort of the candidate stream);
+    *  - verification is IN-ROW, not a join back to the vector table:
+    *    banded rows carry (v, nrm) through the band join, so the exact
+    *    cosine is a codegen'd expression on the joined row (joining
+    *    candidates back to the corpus would shuffle+sort the candidate
+    *    stream twice more).
+    * Total shuffle volume is O(n·bands·(dim+bands)) — the banded sides
+    * of one join — regardless of how many candidates the buckets
+    * generate. */
   private[graft] def lshPairsOf(embN: DataFrame, threshold: Double,
                                 bits: Int, bands: Int): DataFrame = {
     val emb = embN
       .withColumn("bsigs", array((0 until bands).map(b =>
         graft.functions.VectorExpressions.rhpSign(col("v"), bits, b * bits)): _*))
-      .filter(col("bsigs")(0).isNotNull).cache()
-    val banded = emb.select(col("vec_id"), col("bsigs"), posexplode(col("bsigs")))
-      .toDF("vec_id", "bsigs", "band", "bucket")
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("bsigs")(0).isNotNull)
+      .cache() // signatures computed once, read by both self-join sides
+    val banded = emb
+      .select(col("vec_id"), col("v"), col("nrm"), col("bsigs"), posexplode(col("bsigs")))
+      .toDF("vec_id", "v", "nrm", "bsigs", "band", "bucket")
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
+      // cheap int-prefix filter before the 64-float dot product
       .filter(!exists(
         zip_with(slice(col("a.bsigs"), lit(1), col("band")),
                  slice(col("b.bsigs"), lit(1), col("band")),
                  (x, y) => x === y),
         c => c))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    cand
-      .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
