@@ -127,6 +127,12 @@ object SparkEntry {
     // brute force EXACTLY — oracle-gated end-to-end check of assignment,
     // probing and ranking
     "emb_ivf_exhaustive"-> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
+    // C56: MIPS — exact brute force (gated), the norm-augmented IVF probe
+    // path (rows-only), and its exhaustive twin (every bucket probed, exact
+    // re-score ⇒ must reproduce the brute force bit-for-bit — gated)
+    "emb_mips_topk"     -> ((s, d) => Similarity.mipsTopK(s, d)),
+    "emb_mips_ivf"      -> ((s, d) => Similarity.mipsIvfTopK(s, d)),
+    "emb_mips_ivf_exhaustive" -> ((s, d) => Similarity.mipsIvfTopK(s, d, nprobe = 8)),
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {
@@ -272,6 +278,8 @@ object SparkEntry {
     }),
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
+    "doc_mixture_temp"  -> ((s, d) => TextOps.mixtureTemp(s, d)),
+    "doc_ppl_buckets"   -> ((s, d) => TextOps.pplBuckets(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
     "doc_epoch_budget"  -> ((s, d) => TextOps.epochBudget(s, d)),
     "doc_epoch_shuffled" -> ((s, d) => TextOps.epochShuffled(s, d)),
@@ -364,6 +372,17 @@ object SparkEntry {
        |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+       |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |WHERE rank <= 5""".stripMargin
+
+  // brute-force inner-product top-k — no norm division, no zero-vector
+  // filter (ip = 0 is well-ordered); also the oracle for the exhaustive
+  // norm-augmented MIPS-IVF twin
+  private val bruteMipsSql =
+    s"""SELECT q_id, vec_id, rank, ip FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $dotCQ AS ip,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $dotCQ DESC, c.vec_id) AS rank
        |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
        |WHERE rank <= 5""".stripMargin
 
@@ -831,6 +850,8 @@ object SparkEntry {
     "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_ivf_q_exhaustive" -> bruteTopkSql,
     "emb_ivfpq_exhaustive" -> bruteTopkSql,
+    "emb_mips_topk" -> bruteMipsSql,
+    "emb_mips_ivf_exhaustive" -> bruteMipsSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1074,6 +1095,34 @@ object SparkEntry {
         |  count(k.seg) AS n_kept
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |GROUP BY d.doc_id""".stripMargin,
+    // α=0.5 temperature mixture: sqrt is IEEE-correctly-rounded in both
+    // engines; per-source sqrt weights quantized to DECIMAL(18,9) before
+    // the cross-source sum so the share denominator is order-independent
+    "doc_mixture_temp" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens,
+        |        count(*) AS src_docs FROM t GROUP BY source),
+        |w AS (SELECT source, src_docs, src_tokens,
+        |        CAST(sqrt(CAST(src_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS sqw FROM s),
+        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |        sum(sqw) AS sum_sqw FROM w),
+        |p AS (SELECT source,
+        |        CAST(total_tokens AS DOUBLE) *
+        |          (CAST(sqw AS DOUBLE) / CAST(sum_sqw AS DOUBLE)) / src_tokens AS weight,
+        |        src_docs FROM w, g),
+        |p2 AS (SELECT source, CAST(floor(weight) AS BIGINT) AS base_copies,
+        |         CAST(round((weight - floor(weight)) * src_docs) AS BIGINT) AS n_extra
+        |       FROM p),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+        |      FROM t)
+        |SELECT r.source, r.doc_id,
+        |  CAST(base_copies + CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_copies
+        |FROM r JOIN p2 USING (source)""".stripMargin,
     // mixture weights: identical left-to-right double expression in both
     // engines; the extra-copy cut is an md5-rank integer compare
     "doc_mixture" ->
@@ -1360,6 +1409,25 @@ object SparkEntry {
         |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS nll
         |FROM toks JOIN tf USING (term), tot
         |GROUP BY doc_id""".stripMargin,
+    // per-lang terciles over the unigram-LL score: plain ntile here; the
+    // Spark side derives the identical SQL-standard bucket closed-form from
+    // a two-level rank (no single-reducer-per-lang window)
+    "doc_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+        |               CAST(count(*) AS DOUBLE) AS n_vocab FROM tf),
+        |ll AS (SELECT doc_id, count(*) AS n_tokens,
+        |         round(CAST(sum(CAST(-ln((tf.n + 1) / (tot.n_total + tot.n_vocab))
+        |           AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS nll
+        |       FROM toks JOIN tf USING (term), tot GROUP BY doc_id)
+        |SELECT doc_id, lang, n_tokens, nll, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier
+        |FROM (SELECT ll.doc_id AS doc_id, d.lang AS lang, n_tokens, nll,
+        |        ntile(3) OVER (PARTITION BY d.lang ORDER BY nll, ll.doc_id) AS bucket
+        |      FROM ll JOIN documents d ON ll.doc_id = d.doc_id) t""".stripMargin,
     // same normalized fingerprint as doc_fingerprint; LEFT JOIN...IS NULL
     // anti-join mirrors Spark's null-safe left_anti semantics
     "doc_dedup_incr" ->

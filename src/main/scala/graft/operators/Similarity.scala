@@ -1047,4 +1047,76 @@ object Similarity {
     ivfQQuery(emb.filter(col("vec_id") < nQueries), codes, centroids, statsArr,
       emb.filter(col("vec_id") >= nQueries), k, probes, rerank)
   }
+
+  /** C56: brute-force maximum-inner-product top-k (MIPS) — the retrieval
+    * primitive for un-normalized embedding families (recommendation scores,
+    * reward-model logits) where magnitude carries signal and cosine's norm
+    * division would erase it. Same broadcast-queries + WindowGroupLimit
+    * shape as [[cosineTopK]]; zero vectors stay in the corpus (ip = 0 is a
+    * valid, well-ordered score — no NaN hazard, unlike cosine).
+    *
+    * Scale path: MIPS reduces to cosine search by norm augmentation
+    * (Bachrach et al., RecSys 2014): append sqrt(M² − |v|²) to each corpus
+    * vector (M = max corpus norm) and 0 to each query — inner-product order
+    * then equals cosine order in d+1 dims, so the IVF/PQ bucketed indexes
+    * here serve MIPS unchanged on the augmented vectors. */
+  def mipsTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("ip"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+  }
+
+  /** C56b: MIPS through the bucketed IVF machinery via the norm-augmentation
+    * reduction described on [[mipsTopK]] — the 100 TB path: corpus vectors
+    * are augmented once (one extra dimension), k-means + probing run
+    * unchanged on the augmented space, and the exact inner product on the
+    * original vectors re-ranks the probed buckets. With nprobe = nlist the
+    * result provably equals [[mipsTopK]] (every bucket probed, exact
+    * re-score) — that twin is the oracle gate for this path. */
+  def mipsIvfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                  nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v0"))
+      .withColumn("n0", norm(col("v0")))
+    val rawCorpus = emb.filter(col("vec_id") >= nQueries)
+    val maxNrm = rawCorpus.agg(max(col("n0")).as("mx"))
+    // augmented corpus: |v̂| = M for every row, so cosine order in d+1 dims
+    // IS inner-product order in d dims; greatest(…, 0) guards the max-norm
+    // row's FP-negative radicand
+    val corpus = rawCorpus.crossJoin(broadcast(maxNrm))
+      .withColumn("v", concat(col("v0"),
+        array(sqrt(greatest(col("mx") * col("mx") - col("n0") * col("n0"), lit(0.0))))))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    // queries augment with 0: their cosine affinity to augmented centroids
+    // ranks buckets by expected inner product
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v0").as("q_raw"),
+        concat(col("v0"), array(lit(0.0))).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0.0)
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("q_raw"), col("c_id").as("bucket"))
+    // exact re-score on the ORIGINAL coordinates (slice undoes the concat
+    // bit-exactly), same operand order as mipsTopK — the exhaustive twin
+    // (nprobe = nlist) reproduces it bit-for-bit
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    bucketed.join(broadcast(probes), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        dot(slice(col("v"), lit(1), size(col("q_raw"))), col("q_raw")).as("ip"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
+  }
 }

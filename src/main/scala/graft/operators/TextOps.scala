@@ -379,10 +379,7 @@ object TextOps {
     * drop out entirely). Empty map = uniform across observed sources. */
   private[graft] def mixtureOf(docs: DataFrame,
                                targetShares: Map[String, Double] = Map.empty): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    val toks = mixtureToks(docs)
     // per-source census + corpus totals: bounded by the source count
     val bySource = toks.groupBy("source")
       .agg(sum(col("n_tokens")).as("src_tokens"), count(lit(1)).as("src_docs"))
@@ -401,8 +398,19 @@ object TextOps {
       .withColumn("n_extra",
         round((col("weight") - floor(col("weight"))) * col("src_docs"), 0).cast("long"))
       .select(col("source"), col("base_copies"), col("n_extra"))
-    // two-level rank by (h, doc_id): bucket = first md5 byte (hex compares
-    // lexicographically, so bucket order refines the rank order)
+    applyMixturePlan(toks, plan)
+  }
+
+  private def mixtureToks(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+
+  /** Apply a per-source (base_copies, n_extra) plan: two-level rank by
+    * (h, doc_id) — bucket = first md5 byte (hex compares lexicographically,
+    * so bucket order refines the rank order) — then the extra-copy cut. */
+  private def applyMixturePlan(toks: DataFrame, plan: DataFrame): DataFrame = {
     val bucketed = toks.withColumn("g", substring(col("h"), 1, 2))
     val offsets = bucketed.groupBy("source", "g").agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
@@ -416,6 +424,38 @@ object TextOps {
       .select(col("source"), col("doc_id"),
         (col("base_copies") + when(col("rnk") <= col("n_extra"), lit(1L))
           .otherwise(lit(0L))).cast("long").as("n_copies"))
+  }
+
+  def mixtureTemp(spark: SparkSession, dir: String): DataFrame =
+    mixtureTempOf(Tables.documents(spark, dir))
+
+  /** Temperature-sampled mixture (α = 0.5): target share per source
+    * ∝ src_tokens^α — the multilingual-pretraining compromise between
+    * natural proportions (α = 1, big sources drown small ones) and uniform
+    * (α = 0, small sources over-repeated to mush). α is fixed at 0.5
+    * because sqrt is IEEE-correctly-rounded in every engine — the share is
+    * bit-reproducible where a general pow(x, α) is libm-dependent; the
+    * per-source sqrt weights are quantized to 9 dp before the cross-source
+    * sum so the denominator is summation-order-independent too.
+    * Same plan/rank machinery as [[mixtureOf]] — one census pass, a
+    * source-count-sized plan, no per-doc state. */
+  private[graft] def mixtureTempOf(docs: DataFrame): DataFrame = {
+    val toks = mixtureToks(docs)
+    val bySource = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"), count(lit(1)).as("src_docs"))
+      .withColumn("sqw", sqrt(col("src_tokens").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+    val totals = bySource.groupBy()
+      .agg(sum(col("src_tokens")).as("total_tokens"), sum(col("sqw")).as("sum_sqw"))
+    val plan = bySource.crossJoin(broadcast(totals))
+      .withColumn("share", col("sqw").cast("double") / col("sum_sqw").cast("double"))
+      .withColumn("weight",
+        col("total_tokens").cast("double") * col("share") / col("src_tokens"))
+      .withColumn("base_copies", floor(col("weight")))
+      .withColumn("n_extra",
+        round((col("weight") - floor(col("weight"))) * col("src_docs"), 0).cast("long"))
+      .select(col("source"), col("base_copies"), col("n_extra"))
+    applyMixturePlan(toks, plan)
   }
 
   /** Within-document n-gram repetition — the boilerplate/generated-spam
@@ -933,6 +973,55 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll"))
+  }
+
+  /** CCNet-style perplexity bucketing: per LANGUAGE, rank documents by the
+    * corpus-unigram-LM score ([[unigramLl]]) and cut head/middle/tail
+    * terciles — the published curation scheme that keeps "head" (most
+    * LM-typical) text and drops or down-samples the tail, applied per-lang
+    * so high-resource languages don't set the bar for low-resource ones.
+    *
+    * Scale: a naive `ntile(n) OVER (PARTITION BY lang)` puts each language
+    * in ONE reducer — languages are few and huge, the worst window shape at
+    * 100 TB. Instead the exact per-lang rank comes from the same two-level
+    * scheme as the mixture rank (level-1 buckets = a coarse
+    * order-compatible quantization of nll; per-bucket offsets are a
+    * summary-sized window; in-bucket row_number), and the ntile bucket is
+    * then CLOSED-FORM from (rank, lang count) — first n%k buckets hold
+    * ⌈n/k⌉ rows, exactly the SQL-standard ntile the oracle runs. */
+  def pplBuckets(spark: SparkSession, dir: String, nBuckets: Int = 3): DataFrame =
+    pplBucketsOf(Tables.documents(spark, dir), nBuckets)
+
+  private[graft] def pplBucketsOf(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    val k = lit(nBuckets.toLong)
+    val ll = unigramLlOf(docs).join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("g", floor(col("nll") * 8).cast("long"))
+    val counts = ll.groupBy("lang", "g").agg(count(lit(1)).as("sz"))
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.partitionBy("lang").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("g"), col("offset"))
+    val nRows = counts.groupBy("lang").agg(sum(col("sz")).as("n_rows"))
+    val inBucket = Window.partitionBy("lang", "g").orderBy("nll", "doc_id")
+    ll.join(offsets, Seq("lang", "g"))
+      .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      .join(nRows, "lang") // AQE broadcasts the ≤|langs|-row count table
+      // SQL-standard ntile from (rnk, n_rows): q = n/k, r = n%k; the first
+      // r buckets hold q+1 rows. When q = 0 every row takes the first
+      // branch, so the /q in the dead branch never misassigns. Double
+      // division + floor is integer-exact below 2^52 rows per language.
+      .withColumn("q", floor(col("n_rows").cast("double") / k).cast("long"))
+      .withColumn("r", col("n_rows") - col("q") * k)
+      .withColumn("cut", (col("q") + 1) * col("r"))
+      .withColumn("bucket", when(col("rnk") <= col("cut"),
+          floor((col("rnk") - 1).cast("double") / (col("q") + 1)).cast("long") + 1)
+        .otherwise(col("r") +
+          floor((col("rnk") - col("cut") - 1).cast("double") / col("q")).cast("long") + 1))
+      .withColumn("tier", when(col("bucket") === 1, lit("head"))
+        .when(col("bucket") === k, lit("tail")).otherwise(lit("middle")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        col("bucket"), col("tier"))
   }
 
   /** TF-IDF top terms per document. Document frequencies are aggregated once

@@ -581,4 +581,48 @@ class SimilaritySpec extends SparkSuite {
     assert(const.filter(col("dim_idx") === 0).collect()
       .forall(_.getAs[Long]("code") == 0L), "constant dim must encode 0")
   }
+
+  private lazy val mipsDir: String = {
+    val d = Files.createTempDirectory("graft-mips").toString
+    // query 0 = e0. Corpus: vec 10 is a LONG vector along e0 (ip 3.0,
+    // cos 1.0), vec 11 is a short near-copy (ip 0.5, cos ~0.98),
+    // vec 12 is orthogonal (ip 0), vec 13 is the ZERO vector (ip 0,
+    // must stay a valid candidate — cosine would NaN it out)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(3f, 0f, 0f, 0f), 0),
+      (11L, Array(0.49f, 0.1f, 0f, 0f), 0),
+      (12L, Array(0f, 1f, 0f, 0f), 1),
+      (13L, Array(0f, 0f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("mipsTopK ranks by raw inner product (magnitude matters, zero vec kept)") {
+    val out = Similarity.mipsTopK(spark, mipsDir, nQueries = 1, k = 4).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(out.head.getAs[Double]("ip") == 3.0)
+    // zero vector ranks last with ip 0 (ties broken by vec_id: 12 < 13)
+    assert(out(3).getAs[Double]("ip") == 0.0)
+  }
+
+  test("mipsIvfTopK with every bucket probed reproduces mipsTopK bit-for-bit") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val bf = key(Similarity.mipsTopK(spark, sf, nQueries = 5, k = 3).collect())
+    val ivf = key(Similarity.mipsIvfTopK(spark, sf, nQueries = 5, k = 3,
+      nlist = 8, nprobe = 8).collect())
+    assert(bf == ivf)
+  }
+
+  test("mipsIvfTopK probed path keeps the augmented-space bucket order honest") {
+    // on the planted corpus the big-ip vector must survive probing even at
+    // nprobe = 1: the query's augmented affinity ranks its bucket first
+    val out = Similarity.mipsIvfTopK(spark, mipsDir, nQueries = 1, k = 1,
+      nlist = 2, nprobe = 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("vec_id") == 10L)
+  }
 }

@@ -561,4 +561,60 @@ class TextOpsSpec extends SparkSuite {
     // budget actually bites: something kept, something cut
     assert(fast.values.exists(_._2) && fast.values.exists(!_._2))
   }
+
+  test("pplBuckets: closed-form bucket equals a plain ntile window exactly") {
+    // the scalable two-level rank + closed-form ntile must reproduce
+    // Spark's own ntile() on the real sf corpus, doc for doc
+    val docs = Tables.documents(spark, sf)
+    val got = TextOps.pplBucketsOf(docs, nBuckets = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("tier"), r.getAs[Long]("bucket")))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("nll", "doc_id")
+    val naive = graft.operators.TextOps.unigramLlOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(got.size == naive.size && got.nonEmpty)
+    naive.foreach { case (id, b) => assert(got(id)._2 == b, s"doc $id") }
+    // tier naming is positional
+    got.values.foreach { case (tier, b) =>
+      assert(if (b == 1L) tier == "head"
+             else if (b == 3L) tier == "tail" else tier == "middle")
+    }
+  }
+
+  test("pplBuckets: uneven and sub-k language sizes follow SQL ntile sizing") {
+    // 7 docs in one lang -> buckets of 3,2,2; 2 docs in another -> 1,1 (no
+    // third bucket); distinct word-multisets give strict nll ordering by
+    // doc_id construction
+    val docs = (1L to 7L).map(i =>
+      (i, ("rare" + i + " ") * i.toInt + "common", "en", "s"))
+      .++(Seq((8L, "uno", "es", "s"), (9L, "uno dos", "es", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.pplBucketsOf(docs, nBuckets = 3).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    val enSizes = byLang("en").groupBy(_.getAs[Long]("bucket"))
+      .view.mapValues(_.length).toMap
+    assert(enSizes == Map(1L -> 3, 2L -> 2, 3L -> 2))
+    val esBuckets = byLang("es").map(_.getAs[Long]("bucket")).toSet
+    assert(esBuckets == Set(1L, 2L))
+  }
+
+  test("mixtureTemp: alpha=0.5 shares follow sqrt(src_tokens) weighting") {
+    // src A: 4 docs x 25 tokens = 100; src B: 4 docs x 100 tokens = 400.
+    // sqrt weights 10 vs 20 -> shares 1/3, 2/3 of the 500-token total.
+    // weight_A = 500*(1/3)/100 = 5/3 -> base 1, extras round(2/3*4) = 3
+    // weight_B = 500*(2/3)/400 = 5/6 -> base 0, extras round(5/6*4) = 3
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = (1L to 4L).map(i => (i, words(25, s"a${i}_"), "en", "A"))
+      .++((5L to 8L).map(i => (i, words(100, s"b${i}_"), "en", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.mixtureTempOf(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_copies")))
+    val aCopies = out.filter(_._1 == "A").map(_._2).sorted.toSeq
+    val bCopies = out.filter(_._1 == "B").map(_._2).sorted.toSeq
+    assert(aCopies == Seq(1L, 2L, 2L, 2L), s"A got $aCopies")
+    assert(bCopies == Seq(0L, 1L, 1L, 1L), s"B got $bCopies")
+  }
 }
