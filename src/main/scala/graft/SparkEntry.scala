@@ -279,6 +279,9 @@ object SparkEntry {
     "doc_para_dedup"    -> ((s, d) => Dedup.paraDedup(s, d)),
     "doc_mixture"       -> ((s, d) => TextOps.mixture(s, d)),
     "doc_mixture_temp"  -> ((s, d) => TextOps.mixtureTemp(s, d)),
+    // C57 DSIR: rows-only (hashed featurization not oracle-expressible);
+    // DsirSpec pins planted-dialect recovery + fold-vs-join equivalence
+    "doc_dsir"          -> ((s, d) => Dsir.dsirSelect(s, d)),
     "doc_ppl_buckets"   -> ((s, d) => TextOps.pplBuckets(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
     "doc_epoch_budget"  -> ((s, d) => TextOps.epochBudget(s, d)),
@@ -332,6 +335,8 @@ object SparkEntry {
     "emb_clusters"      -> ((s, d) => Similarity.embClusters(s, d)),
     "emb_hard_negatives"-> ((s, d) => Similarity.hardNegatives(s, d)),
     "emb_keep_list"     -> ((s, d) => Similarity.embKeepList(s, d)),
+    // C58 SemDeDup: learned-cluster near-dup collapse (rows-only: Lloyd's)
+    "emb_semdedup"      -> ((s, d) => Similarity.semDedup(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),

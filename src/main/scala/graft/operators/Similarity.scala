@@ -1048,6 +1048,40 @@ object Similarity {
       emb.filter(col("vec_id") >= nQueries), k, probes, rerank)
   }
 
+  /** C58: SemDeDup (Abbas et al. 2023, public) — semantic deduplication:
+    * k-means-cluster the embedding corpus, find within-cluster cosine
+    * near-duplicates, and collapse each duplicate group to one canonical
+    * vector. [[embKeepList]] with LEARNED blocking instead of the
+    * generator's labels — the real-corpus path, where no label column
+    * exists and LSH's random planes would be the alternative.
+    *
+    * Scale: clustering cost is [[embClusters]]'s (broadcast-centroid passes,
+    * no pairwise work); within-cluster pair volume is Σ (cluster size)² —
+    * the paper's regime sizes k ∝ √n so expected cluster size stays
+    * O(√n); duplicate groups collapse via the same star-CC rounds as the
+    * document keep-list. Rows-only (Lloyd's is not SQL-expressible); the
+    * spec plants duplicate groups across well-separated clusters and checks
+    * collapse + canonical choice. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 10,
+               threshold: Double = 0.9, lloydIters: Int = 4): DataFrame = {
+    val assign = embClusters(spark, dir, k, lloydIters)
+    val emb = withNorm(Tables.embeddings(spark, dir)).join(assign, "vec_id")
+    val a = emb.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = emb.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val cc = Dedup.clustersFromPairsStars(pairs.select(col("id_a"), col("id_b")))
+    assign
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("cluster_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", col("vec_id") === col("canonical_id"))
+  }
+
   /** C56: brute-force maximum-inner-product top-k (MIPS) — the retrieval
     * primitive for un-normalized embedding families (recommendation scores,
     * reward-model logits) where magnitude carries signal and cosine's norm

@@ -599,6 +599,28 @@ class SimilaritySpec extends SparkSuite {
     d
   }
 
+  test("semDedup: planted near-dup groups collapse to min-id canonicals across learned clusters") {
+    val d = Files.createTempDirectory("graft-semdedup").toString
+    // three well-separated direction groups; group 0 carries a duplicated
+    // pair (20, 21) and a distinct member 22; groups 1/2 are all distinct
+    def v(i: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(j => if (i == j) 1f else if (j == (i + 1) % 8) jitter else 0f)
+    val vecs = Seq(
+      (20L, v(0), 0), (21L, v(0, 0.01f), 0), (22L, v(0, 0.9f), 0),
+      (30L, v(3), 1), (31L, v(3, 0.8f), 1),
+      (40L, v(6), 2))
+      .toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.semDedup(spark, d, k = 3, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(out.size == 6)
+    // the duplicated pair collapses to the min id; everything else survives
+    assert(out(20L) == ((20L, true)))
+    assert(out(21L) == ((20L, false)))
+    Seq(22L, 30L, 31L, 40L).foreach(id => assert(out(id) == ((id, true)), s"vec $id"))
+  }
+
   test("mipsTopK ranks by raw inner product (magnitude matters, zero vec kept)") {
     val out = Similarity.mipsTopK(spark, mipsDir, nQueries = 1, k = 4).collect()
       .sortBy(_.getAs[Long]("rank"))
