@@ -35,6 +35,9 @@ object Bench {
     "emb_cosine_topk", "emb_neardup_pairs", "emb_ivf_topk", "emb_lsh_pairs",
     "emb_lsh_auto",
     "emb_ivf_query", "emb_ivf_q", "emb_ivfpq", "emb_pq_query", "emb_hard_negatives", "emb_clusters",
+    // round-8 additions
+    "emb_mips_topk", "emb_mips_ivf", "emb_semdedup",
+    "doc_dsir", "doc_ppl_buckets", "doc_mixture_temp",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

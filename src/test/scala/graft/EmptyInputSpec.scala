@@ -168,6 +168,15 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.ngramJaccardAuto(spark, dir).count() == 0)
   }
 
+  test("round-8 operators survive empty inputs") {
+    assert(Similarity.mipsTopK(spark, dir).count() == 0)
+    assert(Similarity.mipsIvfTopK(spark, dir).count() == 0)
+    assert(Similarity.semDedup(spark, dir).count() == 0)
+    assert(TextOps.mixtureTemp(spark, dir).count() == 0)
+    assert(TextOps.pplBuckets(spark, dir).count() == 0)
+    assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
+  }
+
   test("single-class weak labels degrade to heuristic passthrough") {
     // every doc identical -> lo == hi == q, all labeled 1.0, one class:
     // training is impossible; the documented contract is label passthrough
