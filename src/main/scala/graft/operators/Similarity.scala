@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -143,11 +143,26 @@ object Similarity {
     * Total shuffle volume is O(n·bands·(dim+bands)) — the banded sides
     * of one join — regardless of how many candidates the buckets
     * generate. */
+  /** Band b's signature at `bits` planes. Up to 60 bits it is one long from
+    * the plane-offset kernel; past 60 it becomes an ARRAY of ≤60-bit words
+    * over consecutive plane offsets — a multi-word band key, joinable and
+    * comparable exactly like the long (two vectors share the wide bucket
+    * iff they agree on ALL bits·1 planes, i.e. on every word). Removes the
+    * last hard cap in the LSH family: band width now grows with log2(n)
+    * indefinitely instead of stopping at 2^60·occupancy vectors. */
+  private[graft] def bandSig(bits: Int, b: Int): Column =
+    if (bits <= 60) graft.functions.VectorExpressions.rhpSign(col("v"), bits, b * bits)
+    else {
+      val parts = (bits + 59) / 60
+      array((0 until parts).map(j =>
+        graft.functions.VectorExpressions.rhpSign(
+          col("v"), math.min(60, bits - j * 60), b * bits + j * 60)): _*)
+    }
+
   private[graft] def lshPairsOf(embN: DataFrame, threshold: Double,
                                 bits: Int, bands: Int): DataFrame = {
     val emb = embN
-      .withColumn("bsigs", array((0 until bands).map(b =>
-        graft.functions.VectorExpressions.rhpSign(col("v"), bits, b * bits)): _*))
+      .withColumn("bsigs", array((0 until bands).map(b => bandSig(bits, b)): _*))
       .filter(col("bsigs")(0).isNotNull)
       .cache() // signatures computed once, read by both self-join sides
     val banded = emb
@@ -198,7 +213,9 @@ object Similarity {
   private[graft] def lshAutoParams(n: Long, threshold: Double,
                                    targetRecall: Double, targetOccupancy: Int,
                                    maxBands: Int): (Int, Int) = {
-    val bits = math.min(60, math.max(4, math.ceil(
+    // 240-bit ceiling = 4 signature words ([[bandSig]] splits past 60) —
+    // occupancy stays pinned to ~2^244 vectors, i.e. effectively unbounded
+    val bits = math.min(240, math.max(4, math.ceil(
       math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, bits)

@@ -599,6 +599,32 @@ class SimilaritySpec extends SparkSuite {
     d
   }
 
+  test("multi-word LSH bands (>60 bits) collide duplicates once, with exact precision") {
+    // identical pair (0,1) must collide in every band at ANY width; the
+    // orthogonal fillers can only pair if they agree on all 120 planes of
+    // some band (impossible-by-construction to pass the 0.99 verify anyway)
+    val vecs = Seq(0L -> Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0),
+      1L -> Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)) ++
+      (2L to 7L).map(i => i -> Array.tabulate(8)(j => if (j == i) 1.0 else 0.0))
+    val embN = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val out = Similarity.lshPairsOf(embN, threshold = 0.99, bits = 120, bands = 2)
+      .collect()
+    // first-collision dedup holds for multi-word buckets: ONE row, not one
+    // per colliding band
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 0L && out.head.getAs[Long]("id_b") == 1L)
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("auto LSH sizing escapes the old 60-bit cap at extreme corpus sizes") {
+    // occupancy 1 at n = 2^63-1 wants ceil(log2 n) = 63 bits — past the old
+    // cap; the multi-word band key makes that legal
+    val (bits, bands) = Similarity.lshAutoParams(Long.MaxValue, 0.85, 0.9, 1, 32)
+    assert(bits == 63, s"bits=$bits")
+    assert(bands >= 4 && bands <= 32)
+  }
+
   test("semDedup: planted near-dup groups collapse to min-id canonicals across learned clusters") {
     val d = Files.createTempDirectory("graft-semdedup").toString
     // three well-separated direction groups; group 0 carries a duplicated
