@@ -282,6 +282,28 @@ object SparkEntry {
     // C57 DSIR: rows-only (hashed featurization not oracle-expressible);
     // DsirSpec pins planted-dialect recovery + fold-vs-join equivalence
     "doc_dsir"          -> ((s, d) => Dsir.dsirSelect(s, d)),
+    // C57b: persisted-count store round trip — train on the full corpus,
+    // score the trailing 20% as the ingest batch (rows-only; DsirSpec has
+    // the bit-equality proof against the in-train run)
+    "doc_dsir_incr"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+      val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) Seq.empty[(Long, Double)].toDF("doc_id", "logw")
+      else {
+        val cut = cutRow.getLong(0)
+        val store = java.nio.file.Files.createTempDirectory("graft-dsirstore")
+        try {
+          Dsir.writeDsirStore(docs, col("source") === "src0", store.toString)
+          Dsir.dsirScoreIncremental(docs.filter(col("doc_id") >= cut), store.toString)
+            .localCheckpoint(true) // materialize before the store dies
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(store.toFile).deleteRecursively()
+        }
+      }
+    }),
     "doc_ppl_buckets"   -> ((s, d) => TextOps.pplBuckets(s, d)),
     "doc_epoch"         -> ((s, d) => TextOps.epoch(s, d)),
     "doc_epoch_budget"  -> ((s, d) => TextOps.epochBudget(s, d)),

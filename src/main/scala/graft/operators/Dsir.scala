@@ -50,25 +50,65 @@ object Dsir {
     transform(concat(toks, bigrams), f => pmod(hash(f), lit(nBuckets)))
   }
 
-  /** λ as (bucket → ln p̂ − ln q̂) with add-one smoothing, one census pass.
-    * Returns exactly `nBuckets` doubles (unseen buckets get the smoothed
-    * default) — driver-side size is B, independent of corpus size. */
-  private[graft] def lambdaTable(featured: DataFrame, nBuckets: Int): Array[Double] = {
-    val counts = featured
-      .select(col("is_target"), explode(col("fb")).as("b"))
+  /** One census pass: per-bucket target (cp) and raw (cq) occurrence
+    * counts — ≤ B result rows from a single partial-agg shuffle. */
+  private def census(featured: DataFrame): DataFrame =
+    featured.select(col("is_target"), explode(col("fb")).as("b"))
       .groupBy("b")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("cq"))
-      .collect() // ≤ B rows — bounded
+
+  private def lambdaFromCounts(rows: Array[org.apache.spark.sql.Row],
+                               nBuckets: Int): Array[Double] = {
     val cp = new Array[Long](nBuckets)
     val cq = new Array[Long](nBuckets)
-    counts.foreach { r =>
+    rows.foreach { r =>
       val b = r.getAs[Int]("b")
       cp(b) = r.getAs[Long]("cp"); cq(b) = r.getAs[Long]("cq")
     }
     val np = cp.sum.toDouble + nBuckets
     val nq = cq.sum.toDouble + nBuckets
     Array.tabulate(nBuckets)(b => math.log((cp(b) + 1) / np) - math.log((cq(b) + 1) / nq))
+  }
+
+  /** λ as (bucket → ln p̂ − ln q̂) with add-one smoothing. Returns exactly
+    * `nBuckets` doubles (unseen buckets get the smoothed default) —
+    * driver-side size is B, independent of corpus size. */
+  private[graft] def lambdaTable(featured: DataFrame, nBuckets: Int): Array[Double] =
+    lambdaFromCounts(census(featured).collect(), nBuckets)
+
+  /** C57b: persist the DSIR bucket models — census once, score every
+    * ingest map-side. The store holds pure INTEGER counts (b, cp, cq),
+    * not λ: counts are mergeable (a later corpus refresh can sum its own
+    * census in), and λ is an O(B) recomputation at load. */
+  def writeDsirStore(docs: DataFrame, targetPred: Column, storeDir: String,
+                     nBuckets: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    census(featured(docs, targetPred, nBuckets))
+      .write.mode("overwrite").parquet(s"$storeDir/counts.parquet")
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$storeDir/meta.parquet")
+  }
+
+  /** Score a NEW batch against the persisted models — map-only, no census:
+    * λ is rebuilt from the stored counts (≤ B driver rows) and inlined as
+    * a plan literal; the batch is read once. Same in-row fold as the full
+    * run, so a batch doc's logw is bit-equal to what [[dsirSelectOf]]
+    * computes over the same models. */
+  def dsirScoreIncremental(batch: DataFrame, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    // by name, not ordinal (store contract = column names, not order)
+    val nBuckets = spark.read.parquet(s"$storeDir/meta.parquet")
+      .head().getAs[Int]("n_buckets")
+    val lam = lambdaFromCounts(
+      spark.read.parquet(s"$storeDir/counts.parquet").collect(), nBuckets)
+    val lamCol = typedLit(lam.toSeq)
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), featureBuckets(nBuckets).as("fb"))
+      .withColumn("logw", aggregate(col("fb"), lit(0.0),
+        (acc, b) => acc + element_at(lamCol, b + 1)))
+      .select(col("doc_id"), col("logw"))
   }
 
   private def featured(docs: DataFrame, targetPred: Column, nBuckets: Int): DataFrame =

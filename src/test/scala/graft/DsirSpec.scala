@@ -64,6 +64,41 @@ class DsirSpec extends SparkSuite {
     assert(a.count(_.getAs[Boolean]("kept")) == math.min(20, a.length))
   }
 
+  test("dsir store round trip: incremental scoring is bit-equal to the in-train run") {
+    val store = java.nio.file.Files.createTempDirectory("graft-dsir-store").toString
+    Dsir.writeDsirStore(plantedDocs, col("source") === "tgt", store, nBuckets = 512)
+    val incr = Dsir.dsirScoreIncremental(
+      plantedDocs.filter(col("source") === "raw"), store)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    val full = Dsir.dsirSelectOf(plantedDocs, col("source") === "tgt",
+      nBuckets = 512, nSelect = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(incr.size == 16 && incr == full,
+      "stored-count λ + same fold must reproduce the in-train logw bitwise")
+  }
+
+  test("dsir store: counts are mergeable integers (two half-censuses sum to the full)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val s1 = java.nio.file.Files.createTempDirectory("graft-dsir-m1").toString
+    val s2 = java.nio.file.Files.createTempDirectory("graft-dsir-m2").toString
+    val half1 = plantedDocs.filter(col("doc_id") <= 104L)
+    val half2 = plantedDocs.filter(col("doc_id") > 104L)
+    Dsir.writeDsirStore(half1, col("source") === "tgt", s1, nBuckets = 256)
+    Dsir.writeDsirStore(half2, col("source") === "tgt", s2, nBuckets = 256)
+    val merged = spark.read.parquet(s"$s1/counts.parquet")
+      .unionByName(spark.read.parquet(s"$s2/counts.parquet"))
+      .groupBy("b").agg(sum("cp").as("cp"), sum("cq").as("cq"))
+      .collect().map(r => r.getAs[Int]("b") ->
+        ((r.getAs[Long]("cp"), r.getAs[Long]("cq")))).toMap
+    val fullStore = java.nio.file.Files.createTempDirectory("graft-dsir-mf").toString
+    Dsir.writeDsirStore(plantedDocs, col("source") === "tgt", fullStore, nBuckets = 256)
+    val full = spark.read.parquet(s"$fullStore/counts.parquet")
+      .collect().map(r => r.getAs[Int]("b") ->
+        ((r.getAs[Long]("cp"), r.getAs[Long]("cq")))).toMap
+    assert(merged == full)
+  }
+
   test("dsir: single-token and empty-target edges don't crash or misrank") {
     val docs = Seq(
       (1L, "solo", "en", "tgt"),
