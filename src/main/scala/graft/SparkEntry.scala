@@ -133,6 +133,9 @@ object SparkEntry {
     "emb_mips_topk"     -> ((s, d) => Similarity.mipsTopK(s, d)),
     "emb_mips_ivf"      -> ((s, d) => Similarity.mipsIvfTopK(s, d)),
     "emb_mips_ivf_exhaustive" -> ((s, d) => Similarity.mipsIvfTopK(s, d, nprobe = 8)),
+    "emb_knn_graph"     -> ((s, d) => Similarity.knnGraph(s, d)),
+    "emb_knn_graph_ivf" -> ((s, d) => Similarity.knnGraphIvf(s, d)),
+    "emb_knn_graph_exhaustive" -> ((s, d) => Similarity.knnGraphIvfExhaustive(s, d)),
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {
@@ -411,6 +414,19 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY $dotCQ DESC, c.vec_id) AS rank
        |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |WHERE rank <= 5""".stripMargin
+
+  // brute-force corpus k-NN graph (self-join, self-edges excluded, zero
+  // vectors dropped from both sides as cosine is undefined for them) — also
+  // the oracle for the exhaustive-probe IVF graph twin
+  private val bruteKnnSql =
+    s"""SELECT q_id, vec_id, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+       |  FROM embeddings c, embeddings q
+       |  WHERE c.vec_id <> q.vec_id AND ${nrm("c")} > 0 AND ${nrm("q")} > 0) t
        |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -879,6 +895,8 @@ object SparkEntry {
     "emb_ivfpq_exhaustive" -> bruteTopkSql,
     "emb_mips_topk" -> bruteMipsSql,
     "emb_mips_ivf_exhaustive" -> bruteMipsSql,
+    "emb_knn_graph" -> bruteKnnSql,
+    "emb_knn_graph_exhaustive" -> bruteKnnSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

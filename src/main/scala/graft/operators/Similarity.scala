@@ -1170,4 +1170,72 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("ip"))
   }
+
+  /** C61: corpus k-NN graph — every vector's k nearest neighbors by cosine
+    * (no query/corpus split: the corpus queries itself, self-edges
+    * excluded). The primitive under graph-based curation — SemDeDup-style
+    * pruning, SSL-prototype coverage scoring, label propagation — where the
+    * per-vector neighborhood, not a handful of query answers, is the
+    * product.
+    *
+    * This brute-force form is the ORACLE BASELINE, not the scale path: it
+    * broadcasts the corpus against itself (n² scored pairs). Production is
+    * [[knnGraphIvf]] — same output contract, bucketed candidate generation.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnGraphOf(withNorm(Tables.embeddings(spark, dir)), k)
+
+  private[graft] def knnGraphOf(emb: DataFrame, k: Int): DataFrame = {
+    val queries = emb
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** C61b: the k-NN graph at scale — IVF-blocked candidate generation.
+    * Unlike the query-serving paths ([[ivfTopK]] and kin), the probe side
+    * here is the WHOLE corpus (n·nprobe rows), so it is NOT broadcast: the
+    * probes↔buckets join is a plain key-partitioned shuffle join on the
+    * bucket id — both sides scale out, no driver-sized collection anywhere.
+    * Per-vector cost is nprobe bucket scans instead of the full corpus;
+    * recall follows the same coarse-quantizer geometry the measured recall
+    * curves characterize for the serving paths.
+    *
+    * With nprobe = nlist every vector probes every bucket and the exact
+    * cosine re-score makes the output provably equal [[knnGraph]] — that
+    * exhaustive twin ([[knnGraphIvfExhaustive]]) is this path's oracle
+    * gate. */
+  def knnGraphIvf(spark: SparkSession, dir: String, k: Int = 5,
+                  nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val (centroids, bucketed) = buildIvfIndex(emb, nlist, lloydIters)
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = emb
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("bucket"))
+    // corpus-sized probe side: shuffle join on bucket (deliberately NOT
+    // broadcast — contrast ivfQuery, whose probe side is a few queries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    bucketed.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Exhaustive-probe twin of [[knnGraphIvf]] — bit-equal to [[knnGraph]]
+    * (every bucket probed, identical scoring operand order), giving the
+    * bucketed graph path a hash-green oracle. */
+  def knnGraphIvfExhaustive(spark: SparkSession, dir: String, k: Int = 5,
+                            nlist: Int = 8, lloydIters: Int = 1): DataFrame =
+    knnGraphIvf(spark, dir, k, nlist, nprobe = nlist, lloydIters)
 }

@@ -175,6 +175,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.mixtureTemp(spark, dir).count() == 0)
     assert(TextOps.pplBuckets(spark, dir).count() == 0)
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
+    assert(Similarity.knnGraph(spark, dir).count() == 0)
+    assert(Similarity.knnGraphIvf(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

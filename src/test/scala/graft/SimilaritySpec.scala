@@ -666,6 +666,46 @@ class SimilaritySpec extends SparkSuite {
     assert(bf == ivf)
   }
 
+  test("knnGraph: planted geometry — near-copies are mutual top-1, no self edges") {
+    val out = Similarity.knnGraph(spark, dir, k = 2).collect()
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")),
+      "self edge leaked")
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.length <= 2))
+    // 0 = e0 and 10 = near-e0: each other's top-1; 1 and 11 are identical
+    def top1(q: Long) = byQ(q).minBy(_.getAs[Long]("rank")).getAs[Long]("vec_id")
+    assert(top1(0L) == 10L && top1(10L) == 0L)
+    assert(top1(1L) == 11L && top1(11L) == 1L)
+    assert(byQ(1L).minBy(_.getAs[Long]("rank")).getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("knnGraphIvf with every bucket probed reproduces knnGraph bit-for-bit") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val bf = key(Similarity.knnGraph(spark, sf, k = 3).collect())
+    val ivf = key(Similarity.knnGraphIvfExhaustive(spark, sf, k = 3, nlist = 8).collect())
+    assert(bf == ivf)
+  }
+
+  test("knnGraphIvf probed path: every vector still gets neighbors, subset-of-brute scores") {
+    val probed = Similarity.knnGraphIvf(spark, dir, k = 2, nlist = 2, nprobe = 1).collect()
+    // probing can shrink a neighborhood but never invents a pair or a score:
+    // every probed edge must appear in the brute n² score set
+    val brute = Similarity.knnGraphOf(
+      graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+        .filter(col("nrm") > 0.0), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(probed.nonEmpty)
+    probed.foreach { r =>
+      val e = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(e) && brute(e) == r.getDouble(3))
+    }
+  }
+
   test("mipsIvfTopK probed path keeps the augmented-space bucket order honest") {
     // on the planted corpus the big-ip vector must survive probing even at
     // nprobe = 1: the query's augmented affinity ranks its bucket first
