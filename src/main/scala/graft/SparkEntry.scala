@@ -136,6 +136,9 @@ object SparkEntry {
     "emb_knn_graph"     -> ((s, d) => Similarity.knnGraph(s, d)),
     "emb_knn_graph_ivf" -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "emb_knn_graph_exhaustive" -> ((s, d) => Similarity.knnGraphIvfExhaustive(s, d)),
+    // density pruning (Lloyd's): rows-only, planted-geometry spec-gated
+    "emb_prototypes"    -> ((s, d) => Similarity.embPrototypes(s, d)),
+    "emb_d4"            -> ((s, d) => Similarity.embD4(s, d)),
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {
@@ -326,6 +329,7 @@ object SparkEntry {
     }),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
+    "ev_pattern"        -> ((s, d) => EventOps.patternMatch(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -1401,6 +1405,20 @@ object SparkEntry {
         |  (end_ms - last_ms) // 86400000 AS days_inactive,
         |  (end_ms - last_ms) // 86400000 >= 7 AS churned
         |FROM u, e""".stripMargin,
+    // most-recent-A-per-B with same-ms ties resolved A-first / largest id,
+    // matching the batch window's (ts, is_b, event_id) running order
+    "ev_pattern" ->
+      """SELECT user_id, a_event_id, b_event_id, a_ts_ms, b_ts_ms,
+        |  b_ts_ms - a_ts_ms AS lag_ms FROM (
+        |  SELECT b.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |    epoch_ms(a.ts) AS a_ts_ms, epoch_ms(b.ts) AS b_ts_ms,
+        |    row_number() OVER (PARTITION BY b.event_id
+        |      ORDER BY epoch_ms(a.ts) DESC, a.event_id DESC) AS rn
+        |  FROM events b JOIN events a ON a.user_id = b.user_id
+        |  WHERE b.event_type = 'purchase' AND a.event_type = 'click'
+        |    AND epoch_ms(a.ts) <= epoch_ms(b.ts)
+        |    AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 3600000) t
+        |WHERE rn = 1""".stripMargin,
     // transitions use sessionize's islands (> gap splits); deterministic
     // top-k tie-break on (count desc, from, to) in both engines
     "ev_top_paths" ->

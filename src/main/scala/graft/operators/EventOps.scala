@@ -495,4 +495,40 @@ object EventOps {
         unix_millis(col("sw.start").cast("timestamp_ltz")).as("start_ms"),
         unix_millis(col("sw.end").cast("timestamp_ltz")).as("end_ms"),
         col("n_events"), col("sum_value"))
+
+  /** A40: CEP pattern match — per user, each `second`-type event paired
+    * with the MOST RECENT `first`-type event at-or-before it within
+    * `withinMs` (the "A followed by B within T" primitive under funnels,
+    * attribution, and alert escalation; streaming twin
+    * [[graft.streaming.EventPipeline.patternMatchStream]]).
+    *
+    * NOT an inequality self-join (that is O(A·B) per user and unindexable
+    * in Spark): one shuffle on user_id, then a per-user event-time sort
+    * where every B row picks up the running `last` A via
+    * last(..., ignoreNulls) over an unbounded-preceding window — linear in
+    * the partition. Ties at the same millisecond order A before B (an A at
+    * B's exact ts can match, lag 0); among same-ms As the largest event_id
+    * wins (it sorts last in the running window). */
+  def patternMatch(spark: SparkSession, dir: String, first: String = "click",
+                   second: String = "purchase",
+                   withinMs: Long = 3600L * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(first, second))
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"),
+        when(col("event_type") === second, 1).otherwise(0).as("is_b"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_b"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("a_ts_ms",
+        last(when(col("is_b") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .withColumn("a_event_id",
+        last(when(col("is_b") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_b") === 1 && col("a_ts_ms").isNotNull &&
+        col("ts_ms") - col("a_ts_ms") <= withinMs)
+      .select(col("user_id"), col("a_event_id"),
+        col("event_id").as("b_event_id"), col("a_ts_ms"),
+        col("ts_ms").as("b_ts_ms"),
+        (col("ts_ms") - col("a_ts_ms")).as("lag_ms"))
+  }
 }

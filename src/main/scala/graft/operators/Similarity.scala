@@ -1238,4 +1238,65 @@ object Similarity {
   def knnGraphIvfExhaustive(spark: SparkSession, dir: String, k: Int = 5,
                             nlist: Int = 8, lloydIters: Int = 1): DataFrame =
     knnGraphIvf(spark, dir, k, nlist, nprobe = nlist, lloydIters)
+
+  /** C62: SSL-prototype density pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws", public): cluster the corpus (Lloyd under cosine,
+    * [[farthestSeeds]] seeding), score every vector by cosine to its OWN
+    * centroid (prototypicality — how "easy"/redundant the example is), and
+    * in the abundant-data regime PRUNE the most prototypical `pruneFrac` of
+    * each cluster, keeping the hard tail that actually moves the loss.
+    *
+    * Scale shape: the heavy work is the cluster build (broadcast-centroid
+    * passes, no pairwise term); scoring is one broadcast join against the k
+    * centroids; the per-cluster rank is a window partitioned by cluster —
+    * with the k ∝ √n sizing regime partitions stay ~√n rows, never a
+    * single-reducer global sort. The prune count is floor(n_c · pruneFrac)
+    * per cluster, so pruneFrac = 0 is the identity and singleton clusters
+    * always survive. */
+  def embPrototypes(spark: SparkSession, dir: String, k: Int = 10,
+                    pruneFrac: Double = 0.3, lloydIters: Int = 4): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
+    try {
+      val (centroids, bucketed) =
+        buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))
+      prototypesOf(bucketed, centroids, pruneFrac)
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  private[graft] def prototypesOf(bucketed: DataFrame, centroids: DataFrame,
+                                  pruneFrac: Double): DataFrame = {
+    val scored = bucketed.join(broadcast(centroids), col("bucket") === col("c_id"))
+      .select(col("vec_id"), col("bucket").as("cluster"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("proto_sim"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto_sim").desc, col("vec_id"))
+    // k-row count side: the per-cluster prune cutoff as a broadcast join,
+    // not a second window aggregate over the corpus
+    val counts = scored.groupBy("cluster").agg(count(lit(1)).as("c_n"))
+    scored.withColumn("proto_rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "cluster")
+      .withColumn("keep", col("proto_rank") > floor(col("c_n") * pruneFrac))
+      .select(col("vec_id"), col("cluster"), col("proto_rank"),
+        col("proto_sim"), col("keep"))
+  }
+
+  /** C62b: the D4 pipeline (Tirumala et al. 2023, public) — SemDeDup then
+    * SSL-prototypes, composed: collapse semantic duplicate groups to their
+    * canonical first ([[semDedup]]), then RE-cluster the deduplicated
+    * survivors and density-prune them ([[prototypesOf]]). Re-clustering
+    * after dedup matters: duplicate mass no longer drags centroids, so the
+    * prototypicality scores rank genuine redundancy, not copy count. */
+  def embD4(spark: SparkSession, dir: String, k: Int = 10,
+            dedupThreshold: Double = 0.9, pruneFrac: Double = 0.3,
+            lloydIters: Int = 4): DataFrame = {
+    val survivors = semDedup(spark, dir, k, dedupThreshold, lloydIters)
+      .filter(col("keep")).select(col("vec_id"))
+    val corpus = withNorm(Tables.embeddings(spark, dir))
+      .join(survivors, "vec_id").cache()
+    try {
+      val (centroids, bucketed) =
+        buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))
+      prototypesOf(bucketed, centroids, pruneFrac)
+    } finally corpus.unpersist(blocking = false)
+  }
 }

@@ -28,6 +28,9 @@ object EventPipeline {
   case class Admitted(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double, admitted: Boolean)
   case class RateState(windowStartMs: Long, count: Int)
+  case class PatternState(aTsMs: Long, aEventId: Long)
+  case class PatternMatch(user_id: Long, a_event_id: Long, b_event_id: Long,
+                          a_ts_ms: Long, b_ts_ms: Long, lag_ms: Long)
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -236,6 +239,59 @@ object EventPipeline {
       .transformWithState(new AnchoredRateLimitProcessor(limit, windowMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append)
+  }
+
+  /** A40-streaming: CEP pattern match, the streaming twin of
+    * [[graft.operators.EventOps.patternMatch]] — per user, each
+    * `second`-type event pairs with the most recent `first`-type event
+    * at-or-before it within `withinMs` (no consumption: one A can anchor
+    * many Bs, exactly the batch semantics).
+    *
+    * State is ONE (ts, event_id) record per user — the latest A seen — and
+    * is evicted by an event-time timeout once the watermark passes
+    * a_ts + withinMs (no future in-watermark B can match it), so state
+    * size tracks ACTIVE users, not lifetime users. In-order replay equals
+    * the batch operator bit-for-bit (spec-gated); a cross-batch late A is
+    * dropped by the same watermark that bounds the state. */
+  def patternMatchStream(events: Dataset[Event], first: String = "click",
+                         second: String = "purchase",
+                         withinMs: Long = 3600L * 1000,
+                         watermark: Option[String] = Some("10 minutes")): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .filter(e => e.event_type == first || e.event_type == second)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, batch, state: GroupState[PatternState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // same in-batch order as the batch window: (ts, A-before-B, id)
+            val sorted = batch.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == second) 1 else 0, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[PatternMatch]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (e.event_type == first) {
+                if (st == null || t > st.aTsMs ||
+                    (t == st.aTsMs && e.event_id > st.aEventId))
+                  st = PatternState(t, e.event_id)
+              } else if (st != null && t >= st.aTsMs && t - st.aTsMs <= withinMs)
+                out += PatternMatch(user, st.aEventId, e.event_id,
+                  st.aTsMs, t, t - st.aTsMs)
+            }
+            if (st != null) {
+              state.update(st)
+              // strictly-greater-than-watermark guard: Spark rejects a
+              // timeout at or before the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.aTsMs + withinMs + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
   }
 
   /** StatefulProcessor for [[rateLimitedAnchored]]: ValueState holds

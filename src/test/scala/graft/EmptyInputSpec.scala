@@ -31,6 +31,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.lastN(spark, dir).count() == 0)
     assert(EventOps.asofErrorClick(spark, dir).count() == 0)
     assert(EventOps.funnel(spark, dir).count() == 0)
+    assert(EventOps.patternMatch(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {
@@ -177,6 +178,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
     assert(Similarity.knnGraph(spark, dir).count() == 0)
     assert(Similarity.knnGraphIvf(spark, dir).count() == 0)
+    assert(Similarity.embPrototypes(spark, dir).count() == 0)
+    assert(Similarity.embD4(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

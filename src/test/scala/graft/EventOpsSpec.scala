@@ -99,6 +99,39 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("patternMatch: most-recent-A within T, boundary inclusive, same-ms ties") {
+    import SparkSuite.spark.implicits._
+    import graft.streaming.EventPipeline.Event
+    val t0 = 1700000000000L
+    val min = 60000L
+    def e(id: Long, tMs: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(tMs), u, typ, 1.0)
+    val d = java.nio.file.Files.createTempDirectory("graft-pat").toString
+    Seq(
+      // user 1: B@20min matches the LATER A (10min); B 2h after that A is
+      // out of window; a same-ms A/B pair matches at lag 0
+      e(1, t0, 1, "click"), e(2, t0 + 10 * min, 1, "click"),
+      e(3, t0 + 20 * min, 1, "purchase"), e(4, t0 + 130 * min, 1, "purchase"),
+      e(5, t0 + 240 * min, 1, "click"), e(6, t0 + 240 * min, 1, "purchase"),
+      // user 2: B with no prior A; then lag EXACTLY withinMs still matches
+      e(7, t0, 2, "purchase"), e(8, t0 + 60 * min, 2, "click"),
+      e(9, t0 + 120 * min, 2, "purchase"),
+      // user 3: two As at the same ms — the larger event_id anchors
+      e(10, t0, 3, "click"), e(11, t0, 3, "click"),
+      e(12, t0 + 5 * min, 3, "purchase"),
+      // noise type is ignored entirely
+      e(13, t0 + 1, 1, "view")
+    ).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventOps.patternMatch(spark, d).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+        r.getAs[Long]("b_event_id"), r.getAs[Long]("lag_ms"))).toSet
+    assert(out == Set(
+      (1L, 2L, 3L, 10 * min),
+      (1L, 5L, 6L, 0L),
+      (2L, 8L, 9L, 60 * min),
+      (3L, 11L, 12L, 5 * min)))
+  }
+
   test("sessionWindowCounts: native session_window boundary = exact gap splits") {
     import SparkSuite.spark.implicits._
     import graft.streaming.EventPipeline.Event

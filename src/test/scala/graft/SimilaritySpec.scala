@@ -706,6 +706,69 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  // two well-separated direction groups, each a tight core + one outlier
+  // pulled 0.8 off-axis — the planted geometry for density pruning
+  private lazy val protoDir: String = {
+    val d = Files.createTempDirectory("graft-proto").toString
+    def v(i: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(j => if (i == j) 1f else if (j == (i + 1) % 8) jitter else 0f)
+    Seq(
+      (50L, v(0), 0), (51L, v(0, 0.2f), 0), (52L, v(0, -0.2f), 0), (53L, v(0, 0.8f), 0),
+      (60L, v(4), 1), (61L, v(4, 0.2f), 1), (62L, v(4, -0.2f), 1), (63L, v(4, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("embPrototypes prunes the cluster core, keeps the hard off-axis tail") {
+    val out = Similarity.embPrototypes(spark, protoDir, k = 2, pruneFrac = 0.3)
+      .collect()
+    assert(out.length == 8)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // planted groups land in one cluster each
+    assert(Seq(50L, 51L, 52L, 53L).map(byId(_).getAs[Long]("cluster")).distinct.size == 1)
+    assert(Seq(60L, 61L, 62L, 63L).map(byId(_).getAs[Long]("cluster")).distinct.size == 1)
+    assert(byId(50L).getAs[Long]("cluster") != byId(60L).getAs[Long]("cluster"))
+    // floor(4 · 0.3) = 1 pruned per cluster — and it is never the outlier:
+    // the 0.8-off-axis member has the lowest centroid cosine in its cluster
+    val pruned = out.filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(pruned.size == 2, s"pruned=$pruned")
+    assert(!pruned.contains(53L) && !pruned.contains(63L), "outlier pruned")
+    assert(out.filter(_.getAs[Boolean]("keep")).length == 6)
+    // outliers rank LAST (least prototypical) in their clusters
+    assert(byId(53L).getAs[Long]("proto_rank") == 4L)
+    assert(byId(63L).getAs[Long]("proto_rank") == 4L)
+  }
+
+  test("embPrototypes pruneFrac=0 is the identity keep-list") {
+    val out = Similarity.embPrototypes(spark, protoDir, k = 2, pruneFrac = 0.0)
+      .collect()
+    assert(out.length == 8 && out.forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("embD4: semantic dup removed before clustering, survivors density-pruned") {
+    val d = Files.createTempDirectory("graft-d4").toString
+    def v(i: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(j => if (i == j) 1f else if (j == (i + 1) % 8) jitter else 0f)
+    // cluster A: exact dup pair (50,51) + core 52 + outlier 53; cluster B:
+    // four distinct members — core cosines (jitter 0.2 → 0.98) sit BELOW
+    // the 0.99 dedup threshold, so only the exact pair collapses
+    Seq(
+      (50L, v(0), 0), (51L, v(0), 0), (52L, v(0, 0.2f), 0), (53L, v(0, 0.8f), 0),
+      (60L, v(4), 1), (61L, v(4, 0.2f), 1), (62L, v(4, -0.2f), 1), (63L, v(4, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.embD4(spark, d, k = 2, dedupThreshold = 0.99,
+      pruneFrac = 0.3).collect()
+    // 51 (the non-canonical duplicate) never reaches the prototype stage
+    assert(out.length == 7)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 51L))
+    // cluster A has 3 survivors → floor(0.9) = 0 pruned; B has 4 → 1 pruned,
+    // and the pruned member is a core vector, not the outlier
+    val pruned = out.filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(pruned.size == 1 && Set(60L, 61L, 62L).contains(pruned.head), s"pruned=$pruned")
+  }
+
   test("mipsIvfTopK probed path keeps the augmented-space bucket order honest") {
     // on the planted corpus the big-ip vector must survive probing even at
     // nprobe = 1: the query's augmented affinity ranks its bucket first

@@ -604,6 +604,45 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty, "constructed series produced no alerts — test is vacuous")
   } }
 
+  test("streaming pattern match equals the batch operator on a time-ordered replay") {
+    // planted clicks/purchases per user, with matches that must CROSS the
+    // micro-batch split (A arrives in batch 1, its B in batch 2)
+    val rnd = new scala.util.Random(11)
+    val events = for { u <- 1L to 4L; i <- 0 until 40 } yield {
+      val typ = if (rnd.nextInt(3) == 0) "purchase" else "click"
+      Event(u * 1000 + i, ts(i), u, typ, 1.0)
+    }
+    val d = Files.createTempDirectory("graft-pat-batch").toString
+    events.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batch = graft.operators.EventOps.patternMatch(spark, d, withinMs = 5 * 60000L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+        r.getAs[Long]("b_event_id"), r.getAs[Long]("lag_ms"))).toSet
+
+    val src = Files.createTempDirectory("graft-pat-src").toString
+    val chk = Files.createTempDirectory("graft-pat-chk").toString
+    val (first, second) = events.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(events.size / 2)
+    writeBatch(src, "b1", first)
+    val q = EventPipeline.patternMatchStream(
+      EventPipeline.fileSource(spark, src).as[Event], withinMs = 5 * 60000L)
+      .toDF().writeStream.format("memory").queryName("pat_matches")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", second)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pat_matches").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+        r.getAs[Long]("b_event_id"), r.getAs[Long]("lag_ms"))).toSet
+    assert(streamed == batch,
+      s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
+    assert(batch.nonEmpty, "planted corpus produced no matches — test is vacuous")
+    // the split must actually exercise cross-batch state: at least one
+    // match's A is in batch 1 while its B is in batch 2
+    val firstIds = first.map(_.event_id).toSet
+    assert(batch.exists(m => firstIds.contains(m._2) && !firstIds.contains(m._3)),
+      "no match crossed the micro-batch boundary — split is vacuous")
+  }
+
   test("ignition: 100 raw JSON records through the complete consumer — admitted/dropped/dead-letter counts") { withRocksDB {
     import graft.streaming.PipelineConfig
     // the reference consumer loop end-to-end minus the broker socket (no
