@@ -139,6 +139,7 @@ object SparkEntry {
     // density pruning (Lloyd's): rows-only, planted-geometry spec-gated
     "emb_prototypes"    -> ((s, d) => Similarity.embPrototypes(s, d)),
     "emb_d4"            -> ((s, d) => Similarity.embD4(s, d)),
+    "emb_label_prop"    -> ((s, d) => Similarity.labelProp(s, d)),
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {

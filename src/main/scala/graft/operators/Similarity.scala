@@ -1299,4 +1299,53 @@ object Similarity {
       prototypesOf(bucketed, centroids, pruneFrac)
     } finally corpus.unpersist(blocking = false)
   }
+
+  /** C63: label propagation over the k-NN graph (Zhu & Ghahramani 2002,
+    * public) — the semi-supervised scale path for spreading a small
+    * hand-labeled seed set (quality tiers, topical domains) across a whole
+    * embedding corpus: seeds (vec_id ≡ 0 mod `seedMod` here, standing in
+    * for the "hand-labeled" subset) keep their labels clamped; every other
+    * vector iteratively takes the cosine-weighted majority label of its k
+    * nearest neighbors, flipping freely until the votes settle.
+    *
+    * Scale shape: the graph is built ONCE by the bucketed
+    * [[knnGraphIvf]] (never all-pairs) and cached; each round is one
+    * shuffle join of the n·k edge list against the n-row label frontier +
+    * a two-level partial-agg argmax (sum weights per (node, label), then
+    * max(struct) — no per-node sort). The frontier is localCheckpoint'd
+    * per round, the same lineage-truncation discipline as the star-CC
+    * rounds. Ties break toward the SMALLER label (max of negated id),
+    * deterministic at any partitioning. */
+  def labelProp(spark: SparkSession, dir: String, k: Int = 5, iters: Int = 3,
+                seedMod: Long = 10, nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+    val edges = knnGraphIvf(spark, dir, k, nlist, nprobe)
+      .select(col("q_id"), col("vec_id").as("nbr_id"), col("cos_sim")).cache()
+    try {
+      var labels = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          when(col("vec_id") % seedMod === 0, col("label")).as("lab"),
+          (col("vec_id") % seedMod === 0).as("seed"))
+        .localCheckpoint()
+      var i = 0
+      while (i < iters) {
+        val votes = edges
+          .join(labels.select(col("vec_id").as("nbr_id"), col("lab").as("nbr_lab")),
+            "nbr_id")
+          .filter(col("nbr_lab").isNotNull)
+          .groupBy(col("q_id"), col("nbr_lab"))
+          .agg(sum(col("cos_sim")).as("w"))
+          .groupBy("q_id")
+          .agg(max(struct(col("w"), (-col("nbr_lab")).as("neg_lab"))).as("best"))
+          .select(col("q_id").as("vec_id"), (-col("best.neg_lab")).as("new_lab"))
+        labels = labels.join(votes, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("seed"), col("lab"))
+              .otherwise(coalesce(col("new_lab"), col("lab"))).as("lab"),
+            col("seed"))
+          .localCheckpoint()
+        i += 1
+      }
+      labels.select(col("vec_id"), col("lab").as("label_pred"), col("seed"))
+    } finally edges.unpersist(blocking = false)
+  }
 }

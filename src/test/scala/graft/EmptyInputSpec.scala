@@ -180,6 +180,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.knnGraphIvf(spark, dir).count() == 0)
     assert(Similarity.embPrototypes(spark, dir).count() == 0)
     assert(Similarity.embD4(spark, dir).count() == 0)
+    assert(Similarity.labelProp(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

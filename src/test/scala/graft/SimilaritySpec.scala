@@ -746,6 +746,35 @@ class SimilaritySpec extends SparkSuite {
     assert(out.length == 8 && out.forall(_.getAs[Boolean]("keep")))
   }
 
+  test("labelProp: two seeds spread their labels across their planted groups") {
+    // protoDir ids: 50-53 along e0 (label 0), 60-63 along e4 (label 1);
+    // seedMod=10 clamps exactly 50 and 60 — the groups are orthogonal, so
+    // no cross-group edge can outvote a same-group neighborhood
+    val out = Similarity.labelProp(spark, protoDir, k = 3, iters = 3,
+      seedMod = 10, nlist = 2, nprobe = 2).collect()
+    assert(out.length == 8)
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Int]("label_pred"), r.getAs[Boolean]("seed"))).toMap
+    assert(byId(50L) == ((0, true)) && byId(60L) == ((1, true)))
+    Seq(51L, 52L, 53L).foreach(id => assert(byId(id) == ((0, false)), s"vec $id"))
+    Seq(61L, 62L, 63L).foreach(id => assert(byId(id) == ((1, false)), s"vec $id"))
+  }
+
+  test("labelProp covers the real corpus: every vector labeled, seeds clamped") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.labelProp(spark, sf, k = 5, iters = 3).collect()
+    assert(out.length == emb.size)
+    // seeds keep their true label; with 10% seeds + 3 rounds over a k=5
+    // graph the unlabeled remainder must be (near-)fully covered
+    out.filter(_.getAs[Boolean]("seed")).foreach { r =>
+      assert(r.getAs[Int]("label_pred") == emb(r.getAs[Long]("vec_id")))
+    }
+    val unlabeled = out.count(r => r.isNullAt(r.fieldIndex("label_pred")))
+    assert(unlabeled == 0, s"$unlabeled vectors never reached by propagation")
+  }
+
   test("embD4: semantic dup removed before clustering, survivors density-pruned") {
     val d = Files.createTempDirectory("graft-d4").toString
     def v(i: Int, jitter: Float = 0f): Array[Float] =
