@@ -168,6 +168,7 @@ object SparkEntry {
       Similarity.ivfPqTopK(s, d, nprobe = 8, rerank = 1 << 20)),
     "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
+    "doc_gopher_rules"  -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
@@ -923,6 +924,31 @@ object SparkEntry {
          |  least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
          |    (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
          |FROM documents""".stripMargin,
+    // single int/int divisions throughout — bit-identical ratios; the
+    // rule thresholds compare those identical doubles, so `keep` matches
+    "doc_gopher_rules" ->
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, stop_hits,
+         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio > 0.8
+         |    AND stop_hits >= 2 AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |      / len(regexp_split_to_array(text, '\\s+')) AS symbol_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |      / len(string_split(text, chr(10))) AS bullet_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS DOUBLE)
+         |      / len(string_split(text, chr(10))) AS ellipsis_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS alpha_ratio,
+         |    ${hits(stop)} AS stop_hits
+         |  FROM documents) t""".stripMargin,
     "doc_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,
          |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'

@@ -29,6 +29,46 @@ object TextOps {
         meanWordLen(col("text")).as("mean_word_len"),
         qualityScore(col("text")).as("quality"))
 
+  /** C64: Gopher quality-rule battery (Rae et al. 2021 §A1.1, public) —
+    * the published hand-tuned filters as one map-only pass, every rule a
+    * codegen'd column expression over one split each of lines and words
+    * (no UDF, no second scan): word count ∈ [50, 100k], mean word length
+    * ∈ [3, 10], symbol-to-word ratio (# and …) < 0.1, ≤ 90% bullet lines,
+    * ≤ 30% ellipsis-ended lines, > 80% words with an alphabetic char,
+    * ≥ 2 stopword hits. Emits the measured ratios plus the combined
+    * `keep`, so downstream curation can re-threshold without re-scanning.
+    * Ratios are single int/int IEEE divisions — bit-identical to the
+    * DuckDB oracle by construction (SURVEY §6). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val words = split(col("text"), " ")
+    val nWords = wsTokens(col("text")).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val symbols = regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        meanWordLen(col("text")).as("mean_word_len"),
+        (symbols.cast("double") / nWords).as("symbol_ratio"),
+        (bulletLines.cast("double") / size(lines)).as("bullet_ratio"),
+        (ellipsisLines.cast("double") / size(lines)).as("ellipsis_ratio"),
+        (alphaWords.cast("double") / size(words)).as("alpha_ratio"),
+        hitCount(col("text"), EnStopwords).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") > 0.8 &&
+          col("stop_hits") >= 2)
+  }
+
   /** C10: heuristic language scoring via stopword dictionaries. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val es = Seq("el", "la", "de", "que", "y", "en")

@@ -42,6 +42,9 @@ class EmptyInputSpec extends SparkSuite {
       .write.parquet(s"$d/documents.parquet")
     assert(Dedup.minhashLsh(spark, d).count() == 0)   // null doc drops out
     assert(Dedup.simhashPairs(spark, d).count() == 0)
+    // gopher battery: null text yields null metrics + null keep, not a crash
+    val gr = TextOps.gopherRules(spark, d).collect()
+    assert(gr.length == 2 && gr.exists(r => r.isNullAt(r.fieldIndex("keep"))))
     val toks = TextOps.tokenCount(spark, d).collect()
     assert(toks.length == 2)
     assert(toks.exists(_.isNullAt(1))) // null text -> null counts, not a crash

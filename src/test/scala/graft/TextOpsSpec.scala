@@ -11,6 +11,37 @@ import graft.operators.TextOps
 class TextOpsSpec extends SparkSuite {
   import SparkSuite.spark.implicits._
 
+  test("gopherRules: each published rule trips on its planted violator alone") {
+    val d = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val good = (Seq("the", "and", "of") ++ (1 to 57).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      0L -> good,                                              // passes all 7
+      1L -> (Seq("the", "and") ++ (1 to 8).map(i => s"word$i")).mkString(" "), // 10 words
+      2L -> (Seq("the", "and") ++ Seq.fill(58)("xy")).mkString(" "),           // mean len ~2
+      3L -> (good + " " + Seq.fill(10)("#").mkString(" ")),                    // 10/70 symbols
+      4L -> (1 to 8).map(_ => "- the and of alpha bravo charlie delta").mkString("\n"), // all bullets
+      5L -> (1 to 5).map(i => (Seq("the", "and") ++ (1 to 9).map(j => s"w$i$j"))
+        .mkString(" ") + " ending...").mkString("\n"),                         // all ellipsis lines
+      6L -> (good + " " + Seq.fill(20)("123").mkString(" ")),                  // alpha 60/80
+      7L -> (1 to 60).map(i => s"word$i").mkString(" ")                        // zero stopwords
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.gopherRules(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "clean doc rejected")
+    (1L to 7L).foreach(id => assert(!out(id).getAs[Boolean]("keep"), s"doc $id kept"))
+    // each violator fails for ITS rule (not a side effect of another)
+    assert(out(1L).getAs[Long]("n_words") == 10L)
+    assert(out(2L).getAs[Double]("mean_word_len") < 3.0)
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1 &&
+      out(3L).getAs[Double]("alpha_ratio") > 0.8)
+    assert(out(4L).getAs[Double]("bullet_ratio") == 1.0)
+    assert(out(5L).getAs[Double]("ellipsis_ratio") == 1.0 &&
+      out(5L).getAs[Double]("symbol_ratio") < 0.1)
+    assert(out(6L).getAs[Double]("alpha_ratio") == 0.75)
+    assert(out(7L).getAs[Long]("stop_hits") == 0L)
+  }
+
   test("piiScrub: planted email+phone are counted and redacted") {
     val docs = Seq(
       (1L, "contact bob.smith+x@mail.example.org or 555-867-5309 now"),
