@@ -169,6 +169,7 @@ object SparkEntry {
     "doc_token_count"   -> ((s, d) => TextOps.tokenCount(s, d)),
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_gopher_rules"  -> ((s, d) => TextOps.gopherRules(s, d)),
+    "doc_c4_clean"      -> ((s, d) => TextOps.c4Clean(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
@@ -924,6 +925,21 @@ object SparkEntry {
          |  least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
          |    (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
          |FROM documents""".stripMargin,
+    "doc_c4_clean" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AS keep
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(regexp_split_to_array(l, '\s+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM documents) t""".stripMargin,
     // single int/int divisions throughout — bit-identical ratios; the
     // rule thresholds compare those identical doubles, so `keep` matches
     "doc_gopher_rules" ->

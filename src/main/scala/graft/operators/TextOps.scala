@@ -69,6 +69,33 @@ object TextOps {
           col("stop_hits") >= 2)
   }
 
+  /** C65: C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
+    * keep only lines that end in terminal punctuation (. ! ? ") AND have
+    * ≥ 3 whitespace words AND don't mention "javascript"; then keep the
+    * PAGE only if ≥ 3 lines survive and the page contains neither
+    * "lorem ipsum" nor "{". Map-only like the Gopher battery — one
+    * lines-split, every predicate a codegen'd column expression, and the
+    * cleaned text is reassembled in-row (array_join), so the pass ships
+    * curated text downstream without a second scan. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(split(l, "\\s+")) >= 3 &&
+        !lower(l).contains("javascript"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        array_join(kept, "\n").as("clean_text"),
+        // page-level drops test the ORIGINAL page, as published — a line
+        // the line filter already removed still disqualifies its page
+        (size(kept) >= 3 &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")).as("keep"))
+  }
+
   /** C10: heuristic language scoring via stopword dictionaries. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val es = Seq("el", "la", "de", "que", "y", "en")

@@ -45,6 +45,7 @@ class EmptyInputSpec extends SparkSuite {
     // gopher battery: null text yields null metrics + null keep, not a crash
     val gr = TextOps.gopherRules(spark, d).collect()
     assert(gr.length == 2 && gr.exists(r => r.isNullAt(r.fieldIndex("keep"))))
+    assert(TextOps.c4Clean(spark, d).count() == 2) // null text flows, no crash
     val toks = TextOps.tokenCount(spark, d).collect()
     assert(toks.length == 2)
     assert(toks.exists(_.isNullAt(1))) // null text -> null counts, not a crash

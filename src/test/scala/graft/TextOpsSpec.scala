@@ -42,6 +42,31 @@ class TextOpsSpec extends SparkSuite {
     assert(out(7L).getAs[Long]("stop_hits") == 0L)
   }
 
+  test("c4Clean: line filters, reassembly, and page-level drops on the original page") {
+    val d = java.nio.file.Files.createTempDirectory("graft-c4").toString
+    val docs = Seq(
+      // 4 good sentence lines + droppable junk: short line, no terminal
+      // punct, a javascript mention — junk vanishes, page survives
+      0L -> "This is a good sentence.\nAnother full sentence here!\nshort.\nno terminal punct line\nthis line mentions JavaScript widgets.\nIs this a question?\nA final quoted line.\"",
+      // only 2 lines survive -> page dropped by the 3-line floor
+      1L -> "One good sentence here.\nA second good sentence.\njunk",
+      // clean lines but the PAGE contains a brace on a dropped line
+      2L -> "Good sentence number one.\nGood sentence number two.\nGood sentence number three.\nfunction() {",
+      // lorem ipsum anywhere kills the page, case-insensitively
+      3L -> "Lorem Ipsum dolor sit amet.\nGood sentence number two.\nGood sentence number three.\nGood sentence number four."
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.c4Clean(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(out(0L).getAs[Long]("n_kept_lines") == 4L)
+    assert(out(0L).getAs[String]("clean_text") ==
+      "This is a good sentence.\nAnother full sentence here!\nIs this a question?\nA final quoted line.\"")
+    assert(!out(1L).getAs[Boolean]("keep") && out(1L).getAs[Long]("n_kept_lines") == 2L)
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_kept_lines") == 3L)
+    assert(!out(3L).getAs[Boolean]("keep"))
+  }
+
   test("piiScrub: planted email+phone are counted and redacted") {
     val docs = Seq(
       (1L, "contact bob.smith+x@mail.example.org or 555-867-5309 now"),
