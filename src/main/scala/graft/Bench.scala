@@ -39,7 +39,7 @@ object Bench {
     "emb_mips_topk", "emb_mips_ivf", "emb_semdedup",
     "doc_dsir", "doc_ppl_buckets", "doc_mixture_temp",
     "emb_knn_graph_ivf", "emb_prototypes", "emb_d4", "ev_pattern",
-    "emb_label_prop", "doc_gopher_rules", "doc_c4_clean",
+    "emb_label_prop", "doc_gopher_rules", "doc_c4_clean", "doc_rep_fractions",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

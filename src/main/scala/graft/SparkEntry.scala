@@ -170,6 +170,7 @@ object SparkEntry {
     "doc_quality"       -> ((s, d) => TextOps.quality(s, d)),
     "doc_gopher_rules"  -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_c4_clean"      -> ((s, d) => TextOps.c4Clean(s, d)),
+    "doc_rep_fractions" -> ((s, d) => TextOps.repFractions(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
@@ -925,6 +926,73 @@ object SparkEntry {
          |  least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
          |    (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
          |FROM documents""".stripMargin,
+    // sums cast back to BIGINT (DuckDB widens sum(bigint) to HUGEINT);
+    // top-gram tie-break is the same (cnt, len, gram) struct max in both
+    "doc_rep_fractions" ->
+      """WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |lb AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS b FROM documents),
+        |lc AS (SELECT doc_id, b, count(*) AS cnt FROM lb GROUP BY 1, 2),
+        |la AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, count(*) AS uniq,
+        |         CAST(sum(cnt * length(b)) AS BIGINT) AS chars,
+        |         CAST(sum((cnt - 1) * length(b)) AS BIGINT) AS dup_chars
+        |       FROM lc GROUP BY 1),
+        |pb AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS b FROM documents),
+        |pc AS (SELECT doc_id, b, count(*) AS cnt FROM pb GROUP BY 1, 2),
+        |pa AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total, count(*) AS uniq,
+        |         CAST(sum(cnt * length(b)) AS BIGINT) AS chars,
+        |         CAST(sum((cnt - 1) * length(b)) AS BIGINT) AS dup_chars
+        |       FROM pc GROUP BY 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, CAST(r.n AS INT) AS n,
+        |    unnest(list_transform(range(1, len(t) - CAST(r.n AS INT) + 2),
+        |      i -> array_to_string(list_slice(t, i, i + CAST(r.n AS INT) - 1), ' '))) AS gram
+        |  FROM toks, range(2, 11) r(n)),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+        |ga AS (SELECT doc_id, n,
+        |    max(struct_pack(c := cnt, l := CAST(length(gram) AS BIGINT), g := gram)) AS top,
+        |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM gc GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN struct_extract(top, 'c') * struct_extract(top, 'l') END) AS top2_chars,
+        |    max(CASE WHEN n = 3 THEN struct_extract(top, 'c') * struct_extract(top, 'l') END) AS top3_chars,
+        |    max(CASE WHEN n = 4 THEN struct_extract(top, 'c') * struct_extract(top, 'l') END) AS top4_chars,
+        |    max(CASE WHEN n = 5 THEN dup_chars END) AS dup5_chars,
+        |    max(CASE WHEN n = 6 THEN dup_chars END) AS dup6_chars,
+        |    max(CASE WHEN n = 7 THEN dup_chars END) AS dup7_chars,
+        |    max(CASE WHEN n = 8 THEN dup_chars END) AS dup8_chars,
+        |    max(CASE WHEN n = 9 THEN dup_chars END) AS dup9_chars,
+        |    max(CASE WHEN n = 10 THEN dup_chars END) AS dup10_chars
+        |  FROM ga GROUP BY 1)
+        |SELECT doc_id, n_chars, dup_line_frac, dup_line_char_frac, dup_para_frac,
+        |  dup_para_char_frac, top2_char_frac, top3_char_frac, top4_char_frac,
+        |  dup5_char_frac, dup6_char_frac, dup7_char_frac, dup8_char_frac,
+        |  dup9_char_frac, dup10_char_frac,
+        |  dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |    AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        |    AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+        |    AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+        |    AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
+        |    AND dup10_char_frac <= 0.10 AS keep
+        |FROM (
+        |  SELECT b.doc_id, b.n_chars,
+        |    CASE WHEN la.total > 0 THEN CAST(coalesce(la.total - la.uniq, 0) AS DOUBLE) / la.total ELSE 0.0 END AS dup_line_frac,
+        |    CASE WHEN la.chars > 0 THEN CAST(coalesce(la.dup_chars, 0) AS DOUBLE) / la.chars ELSE 0.0 END AS dup_line_char_frac,
+        |    CASE WHEN pa.total > 0 THEN CAST(coalesce(pa.total - pa.uniq, 0) AS DOUBLE) / pa.total ELSE 0.0 END AS dup_para_frac,
+        |    CASE WHEN pa.chars > 0 THEN CAST(coalesce(pa.dup_chars, 0) AS DOUBLE) / pa.chars ELSE 0.0 END AS dup_para_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.top2_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS top2_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.top3_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS top3_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.top4_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS top4_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup5_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup5_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup6_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup6_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup7_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup7_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup8_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup8_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup9_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup9_char_frac,
+        |    CASE WHEN b.n_chars > 0 THEN CAST(coalesce(s.dup10_chars, 0) AS DOUBLE) / b.n_chars ELSE 0.0 END AS dup10_char_frac
+        |  FROM base b
+        |  LEFT JOIN la ON la.doc_id = b.doc_id
+        |  LEFT JOIN pa ON pa.doc_id = b.doc_id
+        |  LEFT JOIN sig s ON s.doc_id = b.doc_id) t""".stripMargin,
     "doc_c4_clean" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,

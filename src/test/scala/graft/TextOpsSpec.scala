@@ -42,6 +42,29 @@ class TextOpsSpec extends SparkSuite {
     assert(out(7L).getAs[Long]("stop_hits") == 0L)
   }
 
+  test("repFractions: planted dup lines / hot 2-gram trip their signals; clean doc passes") {
+    val d = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val docs = Seq(
+      0L -> "aa bb cc.\naa bb cc.\ndd ee ff.",          // 1 of 3 lines duplicated
+      1L -> "x y x y x y x y",                            // "x y" ×4 dominates
+      2L -> (1 to 60).map(i => s"word$i").mkString(" ")   // no repetition at all
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.repFractions(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Double]("dup_line_frac") == 1.0 / 3)
+    assert(out(0L).getAs[Double]("dup_line_char_frac") == 9.0 / 27)
+    assert(!out(0L).getAs[Boolean]("keep"))
+    // 7 two-grams, "x y" ×4, len 3; doc chars 15
+    assert(out(1L).getAs[Double]("top2_char_frac") == 12.0 / 15)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("dup_line_frac") == 0.0)
+    Seq(5, 6, 7, 8, 9, 10).foreach(n =>
+      assert(out(2L).getAs[Double](s"dup${n}_char_frac") == 0.0))
+    assert(out(2L).getAs[Double]("top2_char_frac") < 0.2)
+  }
+
   test("c4Clean: line filters, reassembly, and page-level drops on the original page") {
     val d = java.nio.file.Files.createTempDirectory("graft-c4").toString
     val docs = Seq(
