@@ -447,7 +447,10 @@ object Bench {
       "doc_pack", "doc_curate", "emb_cosine_topk", "emb_ivf_topk",
       "emb_ivf_query", "emb_lsh_auto", "emb_ivfpq")
     def compactLine(nCore: Int): String = {
-      val coreQs = coreNames.take(nCore).flatMap(k => resMap.get(k).map(k -> _)).map {
+      // a targeted run's picked set is small by construction — emit it all
+      // (the core subset exists to fit the driver's 2000-char stdout tail)
+      val names = if (recording) coreNames.take(nCore) else picked
+      val coreQs = names.flatMap(k => resMap.get(k).map(k -> _)).map {
         case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
         case (k, None)    => "\"" + k + "\":null"
       }.mkString("{", ",", "}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
@@ -95,6 +95,7 @@ trait TextHashKernel { self: UnaryExpression =>
     val boxed = ctx.freshName("kernelOut")
     val unbox = dataType match {
       case LongType => s"((java.lang.Long) $boxed).longValue()"
+      case DoubleType => s"((java.lang.Double) $boxed).doubleValue()"
       case _ => s"($jt) $boxed"
     }
     ev.copy(code =
@@ -301,7 +302,215 @@ case class SigAgreeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass kernel for the Gopher repetition battery (TextOps.repFractions):
+  * per-doc duplicate line/paragraph census + per-n gram top/dup char sums
+  * for n = 2..10, computed in a single compiled pass per document. The
+  * declarative HOF-fold form is CodegenFallback (interpreted lambda per
+  * array element) — measured 9.9 s at sf0.1; this kernel replaces it at
+  * identical semantics: Java regex split (the engine Spark's own split
+  * uses, limit −1), code-point lengths (Spark length()), and UTF-8 BINARY
+  * byte order for the top-gram tie-break (Spark/DuckDB string order — NOT
+  * java.lang.String's UTF-16 order, which diverges for supplementary
+  * planes). */
+object RepStats {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    "line_total", "line_uniq", "line_chars", "line_dup",
+    "para_total", "para_uniq", "para_chars", "para_dup",
+    "top2", "top3", "top4",
+    "dup5", "dup6", "dup7", "dup8", "dup9", "dup10")
+    .map(StructField(_, LongType, nullable = false)))
+
+  private val ParaRe = java.util.regex.Pattern.compile("\n\n")
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
+  private def blockStats(blocks: Array[String], out: Array[Any], off: Int): Unit = {
+    val m = new java.util.HashMap[String, java.lang.Long](blocks.length * 2)
+    var chars = 0L
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      chars += cpLen(b)
+      val c = m.get(b)
+      m.put(b, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    var dup = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= 2L) dup += (e.getValue - 1L) * cpLen(e.getKey)
+    }
+    out(off) = blocks.length.toLong
+    out(off + 1) = m.size.toLong
+    out(off + 2) = chars
+    out(off + 3) = dup
+  }
+
+  def compute(input: UTF8String): AnyRef = {
+    val text = input.toString
+    val out = new Array[Any](17)
+    blockStats(text.split("\n", -1), out, 0)
+    blockStats(ParaRe.split(text, -1), out, 4)
+    val words = text.split(" ", -1)
+    val sb = new java.lang.StringBuilder
+    var n = 2
+    while (n <= 10) {
+      var top = 0L
+      var dup = 0L
+      if (words.length >= n) {
+        val m = new java.util.HashMap[String, java.lang.Long](words.length * 2)
+        var i = 0
+        while (i + n <= words.length) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(words(j))
+            j += 1
+          }
+          val g = sb.toString
+          val c = m.get(g)
+          m.put(g, if (c == null) 1L else c + 1L)
+          i += 1
+        }
+        var topC = 0L
+        var topL = 0L
+        var topG: String = null
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.longValue()
+          if (n <= 4) {
+            val len = cpLen(e.getKey)
+            if (c > topC || (c == topC && (len > topL ||
+                (len == topL && (topG == null || utf8Gt(e.getKey, topG)))))) {
+              topC = c; topL = len; topG = e.getKey
+            }
+          } else if (c >= 2L) dup += c * cpLen(e.getKey)
+        }
+        top = topC * topL
+      }
+      if (n <= 4) out(8 + (n - 2)) = top else out(11 + (n - 5)) = dup
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
+/** One-pass kernels for DSIR (TextOps anchor: operators/Dsir.scala):
+  * hashed uni+bigram bucket featurization and the λ-fold log importance
+  * weight, replicating the declarative form bit-for-bit — Spark's own
+  * Murmur3 (seed 42, UTF-8 bytes, the `hash()` function) with pmod, token
+  * order unigrams-then-bigrams so the fold's summation order is unchanged.
+  * The declarative HOF form walked interpreted lambdas per feature TWICE
+  * (census + score) — measured 13.7 s at sf0.1 / 104 s at 10×. */
+object DsirKernel {
+  private def bucket(str: String, nBuckets: Int): Int = {
+    val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42)
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** Bucket ids, unigrams then "_"-joined adjacent bigrams. */
+  def buckets(s: UTF8String, nBuckets: Int): Array[Int] = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    val out = new Array[Int](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) { out(i) = bucket(words(i), nBuckets); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = bucket(words(i) + "_" + words(i + 1), nBuckets)
+      i += 1
+    }
+    out
+  }
+
+  /** Σ λ[bucket] in featurization order (bit-equal to the fold over the
+    * literal λ array). */
+  def logw(s: UTF8String, nBuckets: Int, lam: Array[Double]): Double = {
+    val bs = buckets(s, nBuckets)
+    var acc = 0.0
+    var i = 0
+    while (i < bs.length) { acc += lam(bs(i)); i += 1 }
+    acc
+  }
+}
+
+/** dsir_buckets(text): hashed uni+bigram feature bucket ids. */
+case class DsirBucketsExpr(child: Expression, nBuckets: Int)
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(nBuckets >= 1)
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+  override def compute(input: UTF8String): AnyRef =
+    new GenericArrayData(DsirKernel.buckets(input, nBuckets))
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketsExpr =
+    copy(child = newChild)
+}
+
+/** dsir_logw(text): log importance weight under the λ model carried as an
+  * expression constant (model-as-plan-literal — no model object in any
+  * task closure beyond this immutable array). */
+case class DsirLogwExpr(child: Expression, nBuckets: Int, lam: Seq[Double])
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(lam.length == nBuckets, s"lam has ${lam.length} entries for $nBuckets buckets")
+  private val lamArr = lam.toArray
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_logw"
+  override def compute(input: UTF8String): AnyRef =
+    java.lang.Double.valueOf(DsirKernel.logw(input, nBuckets, lamArr))
+  override def nullSafeEval(input: Any): Any =
+    DsirKernel.logw(input.asInstanceOf[UTF8String], nBuckets, lamArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): DsirLogwExpr =
+    copy(child = newChild)
+}
+
+/** rep_stats(text): the 17 repetition-census longs for one document. */
+case class RepStatsExpr(child: Expression)
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = RepStats.schema
+  override def prettyName: String = "rep_stats"
+  override def compute(input: UTF8String): AnyRef = RepStats.compute(input)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def repStats(text: Column): Column =
+    GraftShims.toColumn(RepStatsExpr(GraftShims.toExpression(text)))
+  def dsirBuckets(text: Column, nBuckets: Int): Column =
+    GraftShims.toColumn(DsirBucketsExpr(GraftShims.toExpression(text), nBuckets))
+  def dsirLogw(text: Column, nBuckets: Int, lam: Seq[Double]): Column =
+    GraftShims.toColumn(DsirLogwExpr(GraftShims.toExpression(text), nBuckets, lam))
   def minhashSig(text: Column, shingleK: Int = 3, numHashes: Int = 16): Column =
     GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(text), shingleK, numHashes))
   def shingleHashes(text: Column, shingleK: Int = 3): Column =

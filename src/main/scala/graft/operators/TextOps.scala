@@ -113,55 +113,28 @@ object TextOps {
     * `keep` applies the paper's thresholds. */
   def repFractions(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
 
-    def blockAgg(sep: String, pre: String) =
-      docs.select(col("doc_id"), explode(split(col("text"), sep)).as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(
-          sum(col("cnt")).as(s"${pre}_total"),
-          count(lit(1)).as(s"${pre}_uniq"),
-          sum(col("cnt") * length(col("b"))).as(s"${pre}_chars"),
-          sum((col("cnt") - 1) * length(col("b"))).as(s"${pre}_dup_chars"))
-    val lineAgg = blockAgg("\n", "line")
-    val paraAgg = blockAgg("\n\n", "para")
-
-    val emptyGrams = array().cast("array<struct<n:int,gram:string>>")
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(flatten(
-        transform(sequence(lit(2), lit(10)), n =>
-          when(size(col("toks")) >= n,
-            transform(sequence(lit(1), size(col("toks")) - n + 1),
-              i => struct(n.as("n"), array_join(slice(col("toks"), i, n), " ").as("gram"))))
-            .otherwise(emptyGrams)))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    val gAgg = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "n").agg(
-        max(struct(col("cnt"), length(col("gram")).cast("long").as("len"),
-          col("gram"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
-          .otherwise(0L)).as("dup_chars"))
-    val sigCols = Seq(2, 3, 4).map(n =>
-      max(when(col("n") === n, col("top.cnt") * col("top.len")))
-        .as(s"top${n}_chars")) ++
-      Seq(5, 6, 7, 8, 9, 10).map(n =>
-        max(when(col("n") === n, col("dup_chars"))).as(s"dup${n}_chars"))
-    val sig = gAgg.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // all twelve signals are PER-DOC: no shuffle anywhere — one compiled
+    // kernel pass per document ([[graft.functions.RepStats]]) computes the
+    // line/para duplicate census and every per-n gram top/dup sum. The r8
+    // first cut exploded 9 gram sizes to a (doc, n, gram) shuffle (22.6 s
+    // at sf0.1); the HOF-fold rewrite was map-only but interpreted
+    // (CodegenFallback, 9.9 s); the native kernel computes the identical
+    // values inside whole-stage codegen.
+    val staged = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextHashExpressions.repStats(col("text")).as("rs"))
 
     def frac(num: Column, den: Column): Column =
       when(den > 0, coalesce(num, lit(0L)).cast("double") / den).otherwise(lit(0.0))
-    val out = base
-      .join(lineAgg, Seq("doc_id"), "left")
-      .join(paraAgg, Seq("doc_id"), "left")
-      .join(sig, Seq("doc_id"), "left")
+    val out = staged
       .select((col("doc_id") +: col("n_chars") +: (Seq(
-        frac(col("line_total") - col("line_uniq"), col("line_total")).as("dup_line_frac"),
-        frac(col("line_dup_chars"), col("line_chars")).as("dup_line_char_frac"),
-        frac(col("para_total") - col("para_uniq"), col("para_total")).as("dup_para_frac"),
-        frac(col("para_dup_chars"), col("para_chars")).as("dup_para_char_frac")) ++
-        Seq(2, 3, 4).map(n => frac(col(s"top${n}_chars"), col("n_chars")).as(s"top${n}_char_frac")) ++
-        Seq(5, 6, 7, 8, 9, 10).map(n => frac(col(s"dup${n}_chars"), col("n_chars")).as(s"dup${n}_char_frac")))): _*)
+        frac(col("rs.line_total") - col("rs.line_uniq"), col("rs.line_total")).as("dup_line_frac"),
+        frac(col("rs.line_dup"), col("rs.line_chars")).as("dup_line_char_frac"),
+        frac(col("rs.para_total") - col("rs.para_uniq"), col("rs.para_total")).as("dup_para_frac"),
+        frac(col("rs.para_dup"), col("rs.para_chars")).as("dup_para_char_frac")) ++
+        Seq(2, 3, 4).map(n => frac(col(s"rs.top$n"), col("n_chars")).as(s"top${n}_char_frac")) ++
+        Seq(5, 6, 7, 8, 9, 10).map(n => frac(col(s"rs.dup$n"), col("n_chars")).as(s"dup${n}_char_frac")))): _*)
     out.withColumn("keep",
       col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
         col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&

@@ -22,6 +22,20 @@ class DsirSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang", "source")
   }
 
+  test("dsir: compiled bucket kernel equals the declarative Murmur3 featurization") {
+    // hash parity proof: the kernel must reproduce pmod(hash(f), B) —
+    // Spark's Murmur3 seed 42 over UTF-8 bytes — bucket-for-bucket, in
+    // unigrams-then-bigrams order, on REAL corpus text
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull).limit(200)
+    val both = docs.select(
+      graft.functions.TextHashExpressions.dsirBuckets(col("text"), 4096).as("k"),
+      Dsir.featureBucketsDeclarative(4096).as("d")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), "kernel/declarative bucket drift")
+    }
+  }
+
   test("dsir: target-like candidates outscore and outrank raw-like ones") {
     val out = Dsir.dsirSelectOf(plantedDocs, col("source") === "tgt",
       nBuckets = 512, nSelect = 8).collect()
