@@ -57,4 +57,31 @@ object DocPipeline {
         col("max_token_len") <= maxTokenLen && col("quality") >= minQuality)
       .withColumn("split", TextOps.splitOf(col("doc_id")))
       .select(col("doc_id"), col("source"), col("split"), col("quality"))
+
+  /** A35b: the streaming NEAR-dup curation gate — [[TextOps
+    * .curateIncremental]] per micro-batch via foreachBatch against the
+    * persisted signature store ([[TextOps.writeCurateStore]] seeds it).
+    *
+    * Why not keyed state like [[curatedStream]]'s exact dedup: near-dup
+    * admission must consult the CORPUS-LIFETIME signature index — no
+    * watermark horizon bounds it, so it belongs on cheap storage, not in
+    * a state store. foreachBatch + the crash-stable store cycle
+    * (signatures append → pairs derived from the PERSISTED store → digest
+    * marker last) keeps per-trigger cost O(batch signatures + band
+    * probes) and makes a mid-ingest crash re-runnable: retried doc ids
+    * are recognized and skipped, so the store converges instead of
+    * double-counting. Verdict rows (curate's schema) append to
+    * `verdictDir` per batch. */
+  def curateNeardupStream(docs: DataFrame, storeDir: String,
+                          verdictDir: String, checkpoint: String,
+                          minQuality: Double = 0.2, maxDigitRatio: Double = 0.3,
+                          maxTokenLen: Int = 25, threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextOps.curateIncremental(batch, storeDir, minQuality, maxDigitRatio,
+          maxTokenLen, threshold)
+          .write.mode("append").parquet(verdictDir)
+        ()
+      }.start()
 }

@@ -179,6 +179,38 @@ class StreamingSpec extends SparkSuite {
     Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$file.parquet"))
   }
 
+  test("streaming near-dup gate: store-backed verdicts across micro-batches") {
+    import graft.operators.TextOps
+    val goodA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val freshC = "zinc yttrium xenon tungsten titanium sodium silver radium potassium " +
+      "platinum osmium nickel mercury lithium iron iodine helium gold copper cobalt"
+    val store = Files.createTempDirectory("graft-ndstream-store").toString
+    val src = Files.createTempDirectory("graft-ndstream-src").toString
+    val verdicts = Files.createTempDirectory("graft-ndstream-out").toString
+    val chk = Files.createTempDirectory("graft-ndstream-chk").toString
+    TextOps.writeCurateStore(Seq((1L, goodA)).toDF("doc_id", "text"), store)
+
+    val q = graft.streaming.DocPipeline.curateNeardupStream(
+      graft.streaming.DocPipeline.docSource(spark, src), store, verdicts, chk)
+    // batch 1: near-dup of the SEEDED corpus doc + a fresh doc
+    writeDocs(src, "b1", Seq((10L, goodA + " uniform victor"), (11L, freshC)))
+    q.processAllAvailable()
+    // batch 2: exact copy of batch 1's admitted text (store digest catches
+    // it) + a near-copy (store SIGNATURES from batch 1 catch it)
+    writeDocs(src, "b2", Seq((12L, freshC), (13L, freshC + " argon neon")))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(verdicts).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reason"))).toMap
+    assert(out.size == 4, s"one verdict per streamed doc: $out")
+    assert(out(10L)._2 == "neardup", s"near-dup of the seeded corpus doc: $out")
+    assert(out(11L)._1, s"fresh doc admitted: $out")
+    assert(out(12L)._2 == "duplicate", s"cross-BATCH exact dup via store digest: $out")
+    assert(out(13L)._2 == "neardup", s"cross-BATCH near-dup via store signatures: $out")
+  }
+
   test("streaming curation gate: cross-batch dedup state + policy/quality gates") {
     import graft.streaming.DocPipeline
     val src = Files.createTempDirectory("graft-doccur-src").toString
