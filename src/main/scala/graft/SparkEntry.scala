@@ -334,6 +334,7 @@ object SparkEntry {
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_pattern"        -> ((s, d) => EventOps.patternMatch(s, d)),
+    "ev_dropout"        -> ((s, d) => EventOps.patternDropout(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -1516,6 +1517,16 @@ object SparkEntry {
         |  (end_ms - last_ms) // 86400000 AS days_inactive,
         |  (end_ms - last_ms) // 86400000 >= 7 AS churned
         |FROM u, e""".stripMargin,
+    // dropout complement: min-over-following-B computed unbounded (the
+    // report shows WHEN the too-late conversion happened, if ever)
+    "ev_dropout" ->
+      """SELECT user_id, a_event_id, a_ts_ms, next_b_ms FROM (
+        |  SELECT a.user_id, a.event_id AS a_event_id, epoch_ms(a.ts) AS a_ts_ms,
+        |    (SELECT min(epoch_ms(b.ts)) FROM events b
+        |      WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+        |        AND epoch_ms(b.ts) >= epoch_ms(a.ts)) AS next_b_ms
+        |  FROM events a WHERE a.event_type = 'click') t
+        |WHERE next_b_ms IS NULL OR next_b_ms - a_ts_ms > 3600000""".stripMargin,
     // most-recent-A-per-B with same-ms ties resolved A-first / largest id,
     // matching the batch window's (ts, is_b, event_id) running order
     "ev_pattern" ->

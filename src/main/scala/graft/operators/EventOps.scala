@@ -531,4 +531,33 @@ object EventOps {
         col("ts_ms").as("b_ts_ms"),
         (col("ts_ms") - col("a_ts_ms")).as("lag_ms"))
   }
+
+  /** A40b: funnel dropout — the complement of [[patternMatch]]: every
+    * `first`-type event with NO `second`-type event at-or-after it within
+    * `withinMs` for the same user (the abandonment report: clicks that
+    * never converted). Same one-shuffle shape, mirrored: each A row picks
+    * up the EARLIEST following B via first(ignoreNulls) over an
+    * unbounded-following frame; tie order keeps A before a same-ms B, so
+    * a same-ms B still rescues its A (lag 0 — consistent with
+    * patternMatch's boundary). Emits (user, a_event_id, a_ts_ms,
+    * next_b_ms nullable) for the dropped-out As. */
+  def patternDropout(spark: SparkSession, dir: String, first: String = "click",
+                     second: String = "purchase",
+                     withinMs: Long = 3600L * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(first, second))
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"),
+        when(col("event_type") === second, 1).otherwise(0).as("is_b"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_b"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("next_b_ms",
+        org.apache.spark.sql.functions
+          .first(when(col("is_b") === 1, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("is_b") === 0 &&
+        (col("next_b_ms").isNull || col("next_b_ms") - col("ts_ms") > withinMs))
+      .select(col("user_id"), col("event_id").as("a_event_id"),
+        col("ts_ms").as("a_ts_ms"), col("next_b_ms"))
+  }
 }

@@ -132,6 +132,37 @@ class EventOpsSpec extends SparkSuite {
       (3L, 11L, 12L, 5 * min)))
   }
 
+  test("patternDropout: clicks with no conversion within T, boundary and same-ms rescue") {
+    import SparkSuite.spark.implicits._
+    import graft.streaming.EventPipeline.Event
+    val t0 = 1700000000000L
+    val min = 60000L
+    def e(id: Long, tMs: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(tMs), u, typ, 1.0)
+    val d = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    Seq(
+      // user 1: converting click (20min lag), dropout with a LATE B
+      // (2h — next_b_ms recorded), same-ms rescue (lag 0)
+      e(1, t0, 1, "click"), e(2, t0 + 20 * min, 1, "purchase"),
+      e(3, t0 + 300 * min, 1, "click"), e(4, t0 + 420 * min, 1, "purchase"),
+      e(5, t0 + 600 * min, 1, "click"), e(6, t0 + 600 * min, 1, "purchase"),
+      // user 2: boundary — lag EXACTLY withinMs still converts; then a
+      // click with no purchase ever after (next_b_ms null)
+      e(7, t0, 2, "click"), e(8, t0 + 60 * min, 2, "purchase"),
+      e(9, t0 + 120 * min, 2, "click"),
+      // a purchase BEFORE the click never rescues it
+      e(10, t0, 3, "purchase"), e(11, t0 + 10 * min, 3, "click")
+    ).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventOps.patternDropout(spark, d).collect()
+      .map(r => r.getAs[Long]("a_event_id") ->
+        (if (r.isNullAt(r.fieldIndex("next_b_ms"))) None
+         else Some(r.getAs[Long]("next_b_ms")))).toMap
+    assert(out == Map(
+      3L -> Some(t0 + 420 * min),  // converted, but 2h too late
+      9L -> None,                  // never converted
+      11L -> None))                // only a PRIOR purchase — doesn't count
+  }
+
   test("sessionWindowCounts: native session_window boundary = exact gap splits") {
     import SparkSuite.spark.implicits._
     import graft.streaming.EventPipeline.Event
