@@ -294,6 +294,78 @@ object EventPipeline {
       }
   }
 
+  case class PendingA(aTsMs: Long, aEventId: Long)
+  case class Dropout(user_id: Long, a_event_id: Long, a_ts_ms: Long)
+
+  /** A40b-streaming: funnel dropout as a NEGATIVE pattern (Flink CEP's
+    * notFollowedBy — the hard half of CEP, since "nothing arrived" is only
+    * knowable once event time has provably passed): each A-type event
+    * registers an event-time timer at a_ts + withinMs; a B-type event
+    * at-or-after a pending A within the horizon rescues it (removes it
+    * silently); the timer firing — which Spark guarantees happens only
+    * once the WATERMARK passes the horizon — emits the dropout. A late B
+    * beyond the horizon does not rescue (matches the batch operator,
+    * which reports those as dropouts with the late conversion time).
+    *
+    * State per user = the As still inside their horizon (bounded by
+    * arrival rate × withinMs) and is deleted by the very timers that
+    * emit — nothing outlives a_ts + withinMs + watermark delay. Requires
+    * RocksDB (transformWithState). Bounded replay emits exactly the batch
+    * [[graft.operators.EventOps.patternDropout]] id set (spec). */
+  def patternDropoutStream(events: Dataset[Event], first: String = "click",
+                           second: String = "purchase",
+                           withinMs: Long = 3600L * 1000,
+                           watermark: Option[String] = Some("10 minutes")): Dataset[Dropout] = {
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .filter(e => e.event_type == first || e.event_type == second)
+      .groupByKey(_.user_id)
+      .transformWithState(new DropoutProcessor(first, second, withinMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  class DropoutProcessor(first: String, second: String, withinMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Dropout] {
+    import org.apache.spark.sql.Encoders
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingA] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      pending = getHandle.getListState[PendingA]("pending",
+        Encoders.product[PendingA], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Dropout] = {
+      // same in-batch order as the batch window: (ts, A-before-B, id) —
+      // a same-ms B rescues its A
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == second) 1 else 0, e.event_id))
+      var ps = pending.get().toSeq
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (e.event_type == first) {
+          ps :+= PendingA(t, e.event_id)
+          getHandle.registerTimer(t + withinMs + 1)
+        } else
+          ps = ps.filterNot(p => p.aTsMs <= t && t - p.aTsMs <= withinMs)
+      }
+      if (ps.isEmpty) pending.clear() else pending.put(ps.toArray)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+                                    timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Dropout] = {
+      val fire = expiredTimerInfo.getExpiryTimeInMs
+      val (dead, alive) = pending.get().toSeq
+        .partition(p => p.aTsMs + withinMs + 1 <= fire)
+      if (alive.isEmpty) pending.clear() else pending.put(alive.toArray)
+      dead.sortBy(p => (p.aTsMs, p.aEventId))
+        .map(p => Dropout(key, p.aEventId, p.aTsMs)).iterator
+    }
+  }
+
   /** StatefulProcessor for [[rateLimitedAnchored]]: ValueState holds
     * (windowStartMs anchored at first event, admitted count); a timer at
     * windowStart+windowMs deletes the key's state like Redis EXPIRE. */

@@ -636,6 +636,50 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty, "constructed series produced no alerts — test is vacuous")
   } }
 
+  test("streaming dropout: event-time timers emit exactly the batch dropout set") { withRocksDB {
+    val t0 = 1700000000000L
+    val min = 60000L
+    def e(id: Long, tMs: Long, u: Long, typ: String) =
+      Event(id, new Timestamp(tMs), u, typ, 1.0)
+    // same planted corpus as the batch dropout spec, plus a far-future
+    // sentinel (neither A nor B — filtered, but it advances the watermark
+    // so every timer provably fires before the query stops)
+    val events = Seq(
+      e(1, t0, 1, "click"), e(2, t0 + 20 * min, 1, "purchase"),
+      e(3, t0 + 300 * min, 1, "click"), e(4, t0 + 420 * min, 1, "purchase"),
+      e(5, t0 + 600 * min, 1, "click"), e(6, t0 + 600 * min, 1, "purchase"),
+      e(7, t0, 2, "click"), e(8, t0 + 60 * min, 2, "purchase"),
+      e(9, t0 + 120 * min, 2, "click"),
+      e(10, t0, 3, "purchase"), e(11, t0 + 10 * min, 3, "click"))
+    val sentinel = e(99, t0 + 5000 * min, 99, "watermark_sentinel")
+    val d = Files.createTempDirectory("graft-drop-batch").toString
+    (events :+ sentinel).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batchIds = graft.operators.EventOps.patternDropout(spark, d).collect()
+      .map(_.getAs[Long]("a_event_id")).toSet
+
+    val src = Files.createTempDirectory("graft-drop-src").toString
+    val chk = Files.createTempDirectory("graft-drop-chk").toString
+    // split so a click (7) is rescued by a purchase (8) from the NEXT
+    // micro-batch — pending state must cross the batch boundary
+    val (b1, b2) = events.sortBy(ev => (ev.ts.getTime, ev.event_id)).splitAt(5)
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.patternDropoutStream(
+      EventPipeline.fileSource(spark, src).as[Event])
+      .toDF().writeStream.format("memory").queryName("dropouts")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2 :+ sentinel)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dropouts").collect()
+      .map(_.getAs[Long]("a_event_id")).toSet
+    assert(streamed == batchIds,
+      s"only-batch=${batchIds -- streamed} only-stream=${streamed -- batchIds}")
+    assert(batchIds == Set(3L, 9L, 11L), s"planted expectation drifted: $batchIds")
+    // the split really exercised cross-batch rescue: click 7 sits in b1,
+    // its rescuing purchase 8 in b2, and 7 was NOT emitted
+    assert(b1.exists(_.event_id == 7L) && b2.exists(_.event_id == 8L))
+  } }
+
   test("streaming pattern match equals the batch operator on a time-ordered replay") {
     // planted clicks/purchases per user, with matches that must CROSS the
     // micro-batch split (A arrives in batch 1, its B in batch 2)
