@@ -40,7 +40,7 @@ object Bench {
     "doc_dsir", "doc_ppl_buckets", "doc_mixture_temp",
     "emb_knn_graph_ivf", "emb_prototypes", "emb_d4", "ev_pattern",
     "emb_label_prop", "doc_gopher_rules", "doc_c4_clean", "doc_rep_fractions",
-    "ev_dropout",
+    "ev_dropout", "ev_sequence",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

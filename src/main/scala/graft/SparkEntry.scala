@@ -335,6 +335,7 @@ object SparkEntry {
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_pattern"        -> ((s, d) => EventOps.patternMatch(s, d)),
     "ev_dropout"        -> ((s, d) => EventOps.patternDropout(s, d)),
+    "ev_sequence"       -> ((s, d) => EventOps.sequenceMatch(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -1517,6 +1518,31 @@ object SparkEntry {
         |  (end_ms - last_ms) // 86400000 AS days_inactive,
         |  (end_ms - last_ms) // 86400000 >= 7 AS churned
         |FROM u, e""".stripMargin,
+    // two chained rn=1 picks, inner tie-break (a_ts, a_id) DESC, outer
+    // (b_ts, b_id) DESC — the same "last in (ts, stage, id) order" rule
+    "ev_sequence" ->
+      """WITH qb AS (
+        |  SELECT user_id, b_id, b_ts, a_id, a_ts FROM (
+        |    SELECT b.user_id, b.event_id AS b_id, epoch_ms(b.ts) AS b_ts,
+        |      a.event_id AS a_id, epoch_ms(a.ts) AS a_ts,
+        |      row_number() OVER (PARTITION BY b.event_id
+        |        ORDER BY epoch_ms(a.ts) DESC, a.event_id DESC) AS rn
+        |    FROM events b JOIN events a ON a.user_id = b.user_id
+        |    WHERE b.event_type = 'click' AND a.event_type = 'signup'
+        |      AND epoch_ms(a.ts) <= epoch_ms(b.ts)
+        |      AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 86400000) t
+        |  WHERE rn = 1)
+        |SELECT user_id, a_event_id, b_event_id, c_event_id,
+        |  a_ts_ms, b_ts_ms, c_ts_ms FROM (
+        |  SELECT c.user_id, qb.a_id AS a_event_id, qb.b_id AS b_event_id,
+        |    c.event_id AS c_event_id, qb.a_ts AS a_ts_ms, qb.b_ts AS b_ts_ms,
+        |    epoch_ms(c.ts) AS c_ts_ms,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY qb.b_ts DESC, qb.b_id DESC) AS rn
+        |  FROM events c JOIN qb ON qb.user_id = c.user_id
+        |  WHERE c.event_type = 'purchase' AND qb.b_ts <= epoch_ms(c.ts)
+        |    AND epoch_ms(c.ts) - qb.b_ts <= 3600000) t
+        |WHERE rn = 1""".stripMargin,
     // dropout complement: min-over-following-B computed unbounded (the
     // report shows WHEN the too-late conversion happened, if ever)
     "ev_dropout" ->

@@ -532,6 +532,51 @@ object EventOps {
         (col("ts_ms") - col("a_ts_ms")).as("lag_ms"))
   }
 
+  /** A41: three-stage sequence match — "A then B then C" with per-hop time
+    * bounds (signup → click within `withinAbMs`, that click → purchase
+    * within `withinBcMs`): for each C-type event, the most recent B
+    * at-or-before it within the B→C bound that ITSELF has a most recent A
+    * within the A→B bound. Non-consuming, like [[patternMatch]].
+    *
+    * Still ONE user_id shuffle: the per-user event-time sort carries TWO
+    * stacked running `last(ignoreNulls)` passes over the same window
+    * spec — pass 1 links every B to its A, pass 2 links every C to the
+    * last QUALIFIED B (the struct carries the whole A/B lineage) — so the
+    * chain extends by window passes, never by self-joins. Same-ms ties
+    * order A < B < C (stage column), so a same-millisecond hop is legal
+    * at lag 0 and the largest same-ms id anchors, exactly A40's rule. */
+  def sequenceMatch(spark: SparkSession, dir: String, first: String = "signup",
+                    second: String = "click", third: String = "purchase",
+                    withinAbMs: Long = 24 * 3600L * 1000,
+                    withinBcMs: Long = 3600L * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(first, second, third))
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"),
+        when(col("event_type") === first, 0)
+          .when(col("event_type") === second, 1).otherwise(2).as("stage"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("stage"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withA = ev
+      .withColumn("a_ts", last(when(col("stage") === 0, col("ts_ms")),
+        ignoreNulls = true).over(w))
+      .withColumn("a_id", last(when(col("stage") === 0, col("event_id")),
+        ignoreNulls = true).over(w))
+    val qualB = col("stage") === 1 && col("a_ts").isNotNull &&
+      col("ts_ms") - col("a_ts") <= withinAbMs
+    val withB = withA
+      .withColumn("b", last(
+        when(qualB, struct(col("ts_ms").as("b_ts"), col("event_id").as("b_id"),
+          col("a_ts"), col("a_id"))), ignoreNulls = true).over(w))
+    withB
+      .filter(col("stage") === 2 && col("b").isNotNull &&
+        col("ts_ms") - col("b.b_ts") <= withinBcMs)
+      .select(col("user_id"), col("b.a_id").as("a_event_id"),
+        col("b.b_id").as("b_event_id"), col("event_id").as("c_event_id"),
+        col("b.a_ts").as("a_ts_ms"), col("b.b_ts").as("b_ts_ms"),
+        col("ts_ms").as("c_ts_ms"))
+  }
+
   /** A40b: funnel dropout — the complement of [[patternMatch]]: every
     * `first`-type event with NO `second`-type event at-or-after it within
     * `withinMs` for the same user (the abandonment report: clicks that

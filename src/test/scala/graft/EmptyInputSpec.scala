@@ -33,6 +33,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.funnel(spark, dir).count() == 0)
     assert(EventOps.patternMatch(spark, dir).count() == 0)
     assert(EventOps.patternDropout(spark, dir).count() == 0)
+    assert(EventOps.sequenceMatch(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

@@ -132,6 +132,34 @@ class EventOpsSpec extends SparkSuite {
       (3L, 11L, 12L, 5 * min)))
   }
 
+  test("sequenceMatch: three-stage chain with per-hop bounds, same-ms chain legal") {
+    import SparkSuite.spark.implicits._
+    import graft.streaming.EventPipeline.Event
+    val t0 = 1700000000000L
+    val min = 60000L
+    def e(id: Long, tMs: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(tMs), u, typ, 1.0)
+    val d = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    Seq(
+      // user 1: clean chain; a later purchase misses the B→C bound
+      e(1, t0, 1, "signup"), e(2, t0 + 60 * min, 1, "click"),
+      e(3, t0 + 90 * min, 1, "purchase"), e(4, t0 + 300 * min, 1, "purchase"),
+      // user 2: click with no prior signup never qualifies
+      e(5, t0, 2, "click"), e(6, t0 + 30 * min, 2, "purchase"),
+      // user 3: signup→click beyond the 24 h A→B bound
+      e(7, t0, 3, "signup"), e(8, t0 + 25 * 60 * min, 3, "click"),
+      e(9, t0 + (25 * 60 + 30) * min, 3, "purchase"),
+      // user 4: whole chain at ONE millisecond (lag-0 hops), then a second
+      // click re-anchors a later purchase to the same signup
+      e(10, t0, 4, "signup"), e(11, t0, 4, "click"), e(12, t0, 4, "purchase"),
+      e(13, t0 + 10 * min, 4, "click"), e(14, t0 + 20 * min, 4, "purchase")
+    ).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventOps.sequenceMatch(spark, d).collect()
+      .map(r => (r.getAs[Long]("a_event_id"), r.getAs[Long]("b_event_id"),
+        r.getAs[Long]("c_event_id"))).toSet
+    assert(out == Set((1L, 2L, 3L), (10L, 11L, 12L), (10L, 13L, 14L)))
+  }
+
   test("patternDropout: clicks with no conversion within T, boundary and same-ms rescue") {
     import SparkSuite.spark.implicits._
     import graft.streaming.EventPipeline.Event
