@@ -378,18 +378,39 @@ object Bench {
         val genSec = (System.nanoTime() - genT0) / 1e9
         val cal0 = calibMs()
         val base = best.results.collect { case (k, Some(v)) => k -> v }.toMap
+        // PER-QUERY calib brackets (r8 finding): the ~20-minute scale10
+        // section can cross a minutes-long steal burst that min-of-2 inside
+        // the burst cannot escape — r7/r8 recorded 21-134× artifacts that
+        // quiet-window re-measures put at 2.6-8.7×. Every rep is bracketed
+        // by the fixed-work spin (the trailing spin doubles as the next
+        // rep's leading one); a rep is QUIET iff both brackets sit under
+        // the gate. Min is taken over quiet reps when any exist; a query
+        // with successful reps but no quiet one keeps min-of-all and is
+        // listed in "busy" — adjudication is mechanical, never a re-run.
+        var spin = cal0
+        val busyQs = scala.collection.mutable.ArrayBuffer[String]()
         val timed = picked.flatMap { name =>
           benchFn(name).map { fn =>
-            val times = (1 to scaleReps).map { _ =>
+            var quietTimes = List.empty[Double]
+            var allTimes = List.empty[Option[Double]]
+            val maxTries = scaleReps + 2 // a couple of burst-escape retries
+            while (allTimes.length < maxTries && quietTimes.length < scaleReps) {
+              val pre = spin
               spark.catalog.clearCache()
               val t0 = System.nanoTime()
-              try { materialize(fn(spark, dst)); Some((System.nanoTime() - t0) / 1e9) }
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
-                None
-              }
+              val t = try { materialize(fn(spark, dst)); Some((System.nanoTime() - t0) / 1e9) }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] scale10 $name failed: ${e.getMessage}")
+                  None
+                }
+              spin = calibMs()
+              allTimes ::= t
+              if (pre <= gateMs && spin <= gateMs) t.foreach(v => quietTimes ::= v)
             }
-            name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
+            // error semantics unchanged: any failed rep marks the query
+            name -> (if (allTimes.exists(_.isEmpty)) None
+                     else if (quietTimes.nonEmpty) Some(quietTimes.min)
+                     else { busyQs += name; Some(allTimes.flatten.min) })
           }
         }
         val cal1 = calibMs()
@@ -402,7 +423,8 @@ object Bench {
         val errs = timed.collect { case (k, None) => "\"" + k + "\"" }
           .mkString("[", ",", "]")
         val sum10 = timed.flatMap(_._2).sum
-        f"""{"copies":$copies,"mode":"distinct","gen_sec":$genSec%.1f,"sum_sec":$sum10%.3f,"median_ratio":$medR%.2f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"ratios":$rJson,"errors":$errs}"""
+        val busyJson = busyQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f"""{"copies":$copies,"mode":"distinct","gen_sec":$genSec%.1f,"sum_sec":$sum10%.3f,"median_ratio":$medR%.2f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"busy":$busyJson,"ratios":$rJson,"errors":$errs}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
         "null"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.functions.{DotProductExpr, MinHashSigExpr, NoInlineExpr, RhpSignExpr,
-  ShingleHashesExpr, SigAgreeExpr, SimHashExpr, WinnowExpr}
+  ShingleHashesExpr, SigAgreeExpr, SimHashExpr, TopCosBucketsExpr, WinnowExpr}
 
 /** graft's native SQL functions, registrable two ways:
   *   - at session build time: `.withExtensions(new GraftExtensions)` or
@@ -39,7 +39,11 @@ object GraftFunctions {
     (new FunctionIdentifier("rhp_sign"),
       new ExpressionInfo(classOf[RhpSignExpr].getName, "rhp_sign"),
       (c: Seq[Expression]) => RhpSignExpr(c.head, intArg(c, 1, 16),
-        intArg(c, 2, 0))))
+        intArg(c, 2, 0))),
+    (new FunctionIdentifier("top_cos_buckets"),
+      new ExpressionInfo(classOf[TopCosBucketsExpr].getName, "top_cos_buckets"),
+      (c: Seq[Expression]) => TopCosBucketsExpr(c.head, c(1), c(2),
+        intArg(c, 3, 1))))
 
   private def intArg(c: Seq[Expression], i: Int, dflt: Int): Int =
     if (c.length > i) c(i) match {

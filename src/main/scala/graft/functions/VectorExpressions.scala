@@ -156,6 +156,125 @@ case class RhpSignExpr(child: Expression, numPlanes: Int,
     copy(child = newChild)
 }
 
+/** top_cos_buckets(v, nrm, cents, np): the `np` centroid ids nearest to `v`
+  * by cosine, in (cos desc, c_id asc) order — `cents` is one in-row array of
+  * (c_id, cv, cn) structs (the whole centroid table aggregated to a single
+  * broadcast row).
+  *
+  * This is the BLOCKED-ASSIGNMENT kernel for the Lloyd/IVF family: the
+  * declarative form (corpus × centroids crossJoin → n·k rows → per-vector
+  * max-struct aggregate or row_number window) materializes and SHUFFLES a
+  * corpus×k row set per pass, which at k ∝ √n makes every Lloyd iteration
+  * an O(n^1.5)-row exchange. With the argmax/top-np folded in-row, corpus
+  * assignment and probe selection are MAP-ONLY — zero exchange per pass;
+  * the n·k flops still happen but inside one compiled loop per row.
+  *
+  * Ordering semantics are pinned to Spark's: doubles compare via
+  * java.lang.Double.compare (NaN greatest, -0.0 < 0.0), ties break to the
+  * smaller c_id — bit-identical bucket choices to the max(struct(c_sim,
+  * -c_id)) aggregate and the row_number(c_sim desc, c_id) window it
+  * replaces. NULL for null/empty inputs; np clamps to the centroid count.
+  *
+  * Single-row bound: the cents array holds nlist·(dim+2) doubles in one
+  * row (~33 MB at nlist 65536 × dim 64) — fine through the auto-√n sizing
+  * regime's 65536 cap; past that, chunk the centroid table and merge
+  * per-chunk top-np (associative). */
+case class TopCosBucketsExpr(vec: Expression, nrm: Expression,
+                             cents: Expression, np: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(np >= 1, "np must be >= 1")
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = cents
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "top_cos_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (vec.dataType, nrm.dataType, cents.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(s: StructType, _)) if s.length == 3 &&
+              s(0).dataType == LongType &&
+              (s(1).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+              s(2).dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_cos_buckets expects (array<double>, double, array<struct<long,array<double>,double>>), got $other")
+    }
+  }
+
+  def compute(v: ArrayData, n: Double, cs: ArrayData): AnyRef = {
+    val dim = v.numElements()
+    val k = cs.numElements()
+    if (dim == 0 || k == 0) return null
+    val keep = math.min(np, k)
+    // insertion top-np over (sim desc, id asc) — np is small (1..dozens)
+    // on the hot paths; the exhaustive twin passes np = MaxValue and this
+    // degrades to an O(k²) insertion sort of the full centroid set, fine
+    // at index-table sizes
+    val topSim = new Array[Double](keep)
+    val topId = new Array[Long](keep)
+    var filled = 0
+    var i = 0
+    while (i < k) {
+      val row = cs.getStruct(i, 3)
+      val cid = row.getLong(0)
+      val cv = row.getArray(1)
+      val cn = row.getDouble(2)
+      var acc = 0.0
+      var d = 0
+      val m = math.min(dim, cv.numElements())
+      while (d < m) { acc += v.getDouble(d) * cv.getDouble(d); d += 1 }
+      val sim = acc / (n * cn)
+      // find insertion point from the tail (list kept sorted best-first)
+      var pos = filled
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(sim, topSim(pos - 1))
+        c > 0 || (c == 0 && cid < topId(pos - 1))
+      }) pos -= 1
+      if (pos < keep) {
+        val last = math.min(filled, keep - 1)
+        var j = last
+        while (j > pos) { topSim(j) = topSim(j - 1); topId(j) = topId(j - 1); j -= 1 }
+        topSim(pos) = sim
+        topId(pos) = cid
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override def nullSafeEval(v: Any, n: Any, cs: Any): Any =
+    compute(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      cs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topBuckets", this, classOf[TopCosBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, (v, n, cs) => {
+      val out = ctx.freshName("tcbOut")
+      s"""
+         |Object $out = $ref.compute($v, $n, $cs);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $out;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TopCosBucketsExpr =
+    copy(vec = newFirst, nrm = newSecond, cents = newThird)
+}
+
 object VectorExpressions {
   /** Column-level API for the codegen'd dot product (inputs must already be
     * array<double> — see VectorFunctions.toDouble). */
@@ -171,4 +290,9 @@ object VectorExpressions {
   def rhpSign(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column =
     GraftShims.toColumn(RhpSignExpr(GraftShims.toExpression(v), numPlanes,
       planeOffset))
+
+  /** In-row top-np bucket selection (see [[TopCosBucketsExpr]]). */
+  def topCosBuckets(v: Column, nrm: Column, cents: Column, np: Int): Column =
+    GraftShims.toColumn(TopCosBucketsExpr(GraftShims.toExpression(v),
+      GraftShims.toExpression(nrm), GraftShims.toExpression(cents), np))
 }

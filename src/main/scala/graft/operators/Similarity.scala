@@ -495,17 +495,23 @@ object Similarity {
   private[graft] def buildIvfIndex(corpus: DataFrame, nlist: Int,
                                    lloydIters: Int,
                                    seedsOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    // assignment of every corpus vector against broadcast centroids: argmax
-    // as a partial-aggregatable max(struct) — no per-key sort window, so it
-    // stays map-side-combinable at any scale
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_sim"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg_id"))).as("best"),
-          any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
-        .select((-col("best.neg_id")).as("bucket"), col("vec_id"), col("v"), col("nrm"))
+    // assignment of every corpus vector: MAP-ONLY in-row argmax against the
+    // centroid table aggregated to one broadcast row (TopCosBucketsExpr).
+    // The declarative form (crossJoin → n·k rows → per-vector max-struct
+    // aggregate) exchanged a corpus×k row set per Lloyd pass — at the
+    // auto-√n sizing regime that is an O(n^1.5)-row shuffle PER ITERATION;
+    // the kernel keeps the n·k flops inside one compiled loop per row and
+    // assignment costs zero exchanges. Bucket choice is bit-identical
+    // (Double.compare ordering, ties to the smaller c_id).
+    def assign(cents: DataFrame): DataFrame = {
+      val centsRow = cents
+        .agg(collect_list(struct(col("c_id"), col("cv"), col("cn"))).as("cents"))
+      corpus.crossJoin(broadcast(centsRow))
+        .select(graft.functions.VectorExpressions
+            .topCosBuckets(col("v"), col("nrm"), col("cents"), 1)
+            .getItem(0).as("bucket"),
+          col("vec_id"), col("v"), col("nrm"))
+    }
 
     // deterministic seeding (hash-spread sample), then Lloyd refinement:
     // new centroid = element-wise mean of the bucket's vectors (posexplode →
@@ -1227,13 +1233,19 @@ object Similarity {
       else math.min(math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt), 65536)
     val np = math.min(nprobe, nl)
     val (centroids, bucketed) = buildIvfIndex(emb, nl, lloydIters)
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    // probe selection is corpus-sized here (every vector is a query), so
+    // the crossJoin→window form would shuffle n·nlist rows just to rank
+    // probes — the in-row top-np kernel keeps it map-only (same ordering
+    // semantics as row_number over (c_sim desc, c_id)); the explode emits
+    // the n·np probe rows directly
+    val centsRow = centroids
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cn"))).as("cents"))
     val probes = emb
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= np)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("bucket"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(graft.functions.VectorExpressions
+          .topCosBuckets(col("qv"), col("qn"), col("cents"), np)).as("bucket"))
     // corpus-sized probe side: shuffle join on bucket (deliberately NOT
     // broadcast — contrast ivfQuery, whose probe side is a few queries)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
