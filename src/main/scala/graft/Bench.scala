@@ -41,6 +41,8 @@ object Bench {
     "emb_knn_graph_ivf", "emb_prototypes", "emb_d4", "ev_pattern",
     "emb_label_prop", "doc_gopher_rules", "doc_c4_clean", "doc_rep_fractions",
     "ev_dropout", "ev_sequence",
+    // round-9 additions
+    "ev_markov", "ev_decay_counts",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -337,6 +337,8 @@ object SparkEntry {
     "ev_dropout"        -> ((s, d) => EventOps.patternDropout(s, d)),
     "ev_sequence"       -> ((s, d) => EventOps.sequenceMatch(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
+    "ev_markov"         -> ((s, d) => EventOps.markovChain(s, d)),
+    "ev_decay_counts"   -> ((s, d) => EventOps.decayCounts(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
     "doc_top_bigrams"   -> ((s, d) => TextOps.topBigrams(s, d)),
@@ -1592,6 +1594,49 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_transitions DESC, from_type, to_type
         |LIMIT 20""".stripMargin,
+    // same transition CTEs as ev_top_paths; prob is ONE double division of
+    // two exact counts — bit-equal in both engines
+    "ev_markov" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_ms, event_id) AS to_type
+        |  FROM i),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c""".stripMargin,
+    // decay weight 1/(1<<k): integer shift + one IEEE division (never pow),
+    // double·2^-k scaling is exact, sums decimal-quantized — engine-portable
+    "ev_decay_counts" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_ms(ts) // 86400000 AS day_num
+        |  FROM events),
+        |e AS (SELECT max(day_num) AS end_day FROM ev),
+        |wv AS (
+        |  SELECT event_type, value,
+        |    1.0 / CAST(CAST(1 AS BIGINT) << CAST(LEAST((end_day - day_num) // 7, 50) AS INT)
+        |               AS DOUBLE) AS w
+        |  FROM ev, e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS decayed_n,
+        |  CAST(sum(CAST(value * w AS DECIMAL(18,9))) AS DOUBLE) AS decayed_value
+        |FROM wv GROUP BY 1""".stripMargin,
     // mean quality decimal-summed (order-independent); dup volume = docs
     // minus distinct normalized fingerprints, same formula as doc_fingerprint
     "doc_source_stats" ->

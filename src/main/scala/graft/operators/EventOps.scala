@@ -454,7 +454,15 @@ object EventOps {
     * lag/lead windows and the session cumsum all ride it), then a
     * ≤|types|²-key partial-agg and a TakeOrderedAndProject — no global
     * sort, no second corpus pass at any scale. */
-  def topPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def topPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    transitionCounts(spark, dir)
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(k)
+
+  /** In-session consecutive event-type transition counts — the shared core
+    * of [[topPaths]] and [[markovChain]]: one user_id shuffle (lag + island
+    * cumsum + lead all ride it), then a ≤|types|²-key partial agg. */
+  private def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = 30L * 60 * 1000
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     Tables.events(spark, dir)
@@ -472,8 +480,65 @@ object EventOps {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
-      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
-      .limit(k)
+  }
+
+  /** A43: first-order Markov transition model over session paths — the
+    * probabilistic form of [[topPaths]]: P(next = b | current = a) =
+    * n(a→b) / Σ_b' n(a→b'), estimated from the same in-session transition
+    * counts (a 30-min-gap session break is an absorbing boundary — no
+    * transition spans it, matching [[sessionize]]).
+    *
+    * Scale shape: all the corpus-sized work is [[transitionCounts]]'s one
+    * user_id shuffle; the probability normalization runs on the ≤|types|²
+    * aggregate, where a window over from_type is summary-sized at any
+    * corpus scale. prob is ONE IEEE division of two exact longs — bit-equal
+    * across engines. */
+  def markovChain(spark: SparkSession, dir: String): DataFrame = {
+    val byFrom = Window.partitionBy(col("from_type"))
+    transitionCounts(spark, dir)
+      .withColumn("n_from", sum(col("n_transitions")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from")).as("prob"))
+  }
+
+  /** A42: exponentially time-decayed engagement score per event type — the
+    * dashboard "recency-weighted" counter (half-life `halfLifeDays`,
+    * anchored at the corpus's last calendar day): an event k half-lives old
+    * contributes 2^-k of a fresh one, so the score tracks CURRENT activity
+    * without a hard cutoff window.
+    *
+    * Engine-portable by construction: the decay factor is 1/(1<<k) — an
+    * integer shift and one IEEE division, never pow() (libm-dependent) —
+    * and multiplying a double by 2^-k is EXACT scaling, so the weighted
+    * values are bit-identical in both engines before the decimal-quantized
+    * order-independent sum. k clamps at 50 half-lives (contribution < 1e-15
+    * — identically negligible on both sides, and the shift stays in-range).
+    * One ≤|types|-key partial-agg shuffle + a 1-row broadcast scalar for
+    * the anchor day; map-only otherwise. */
+  def decayCounts(spark: SparkSession, dir: String,
+                  halfLifeDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (tsMs(col("ts")) / lit(86400000L)).cast("long").as("day_num"))
+    val end = ev.agg(max(col("day_num")).as("end_day"))
+    val k = least(((col("end_day") - col("day_num")) / lit(halfLifeDays.toLong))
+      .cast("long"), lit(50L))
+    val w = lit(1.0) / expr("cast(shiftleft(1L, cast(k as int)) as double)")
+    ev.crossJoin(broadcast(end)) // single row: constant-size broadcast
+      .withColumn("k", k)
+      .withColumn("w", w)
+      .groupBy("event_type")
+      // per-term quantization at scale 9: |value·w| ≤ ~1e4 keeps every term
+      // under 14 significant digits, where a double's shortest decimal
+      // representation (Spark's BigDecimal path) and its exact binary
+      // expansion (DuckDB's cast) agree — scale 15 needed an 18th digit
+      // and diverged by one ulp-sized term (measured 2^-37 at sf0.01)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("decayed_n"),
+        sum((col("value") * col("w"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("decayed_value"))
   }
 
   /** A8b: session windows via Spark's NATIVE session_window operator — the

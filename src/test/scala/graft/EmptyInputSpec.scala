@@ -34,6 +34,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.patternMatch(spark, dir).count() == 0)
     assert(EventOps.patternDropout(spark, dir).count() == 0)
     assert(EventOps.sequenceMatch(spark, dir).count() == 0)
+    assert(EventOps.markovChain(spark, dir).count() == 0)
+    assert(EventOps.decayCounts(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

@@ -242,6 +242,44 @@ class EventOpsSpec extends SparkSuite {
     assert(EventOps.topPaths(spark, sf, k = 5).count() == 5)
   }
 
+  test("markovChain: rows match unlimited topPaths, probs normalize per from_type") {
+    import org.apache.spark.sql.functions._
+    val mk = EventOps.markovChain(spark, sf).cache()
+    val tp = EventOps.topPaths(spark, sf, k = Int.MaxValue)
+    // identical transition inventory (same counts per (from, to) pair)
+    assert(mk.select("from_type", "to_type", "n_transitions")
+      .except(tp).count() == 0)
+    assert(tp.except(mk.select("from_type", "to_type", "n_transitions"))
+      .count() == 0)
+    // each from_type's outgoing probabilities sum to 1 (up to double adds)
+    val sums = mk.groupBy("from_type").agg(sum(col("prob")).as("p")).collect()
+    assert(sums.nonEmpty && sums.forall(r => math.abs(r.getAs[Double]("p") - 1.0) < 1e-9))
+    assert(mk.collect().forall { r =>
+      val p = r.getAs[Double]("prob"); p > 0.0 && p <= 1.0 })
+  }
+
+  test("decayCounts: weight-1 limit equals plain counts; real decay shrinks them") {
+    import org.apache.spark.sql.functions._
+    // half-life far beyond the corpus horizon → every k = 0, w = 1: the
+    // decayed count must equal the plain count EXACTLY and the decayed
+    // value the exact decimal sum of value
+    val flat = EventOps.decayCounts(spark, sf, halfLifeDays = 1000000).cache()
+    assert(flat.collect().forall(r =>
+      r.getAs[Double]("decayed_n") == r.getAs[Long]("n_events").toDouble))
+    val plain = Tables.events(spark, sf).groupBy("event_type")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double").as("sv"))
+    val joined = flat.join(plain, "event_type").collect()
+    assert(joined.nonEmpty && joined.forall(r =>
+      r.getAs[Double]("decayed_value") == r.getAs[Double]("sv")))
+    // a real half-life strictly discounts any type with >1 day of history
+    val decayed = EventOps.decayCounts(spark, sf, halfLifeDays = 7).collect()
+    assert(decayed.forall(r =>
+      r.getAs[Double]("decayed_n") <= r.getAs[Long]("n_events").toDouble))
+    assert(decayed.exists(r =>
+      r.getAs[Double]("decayed_n") < r.getAs[Long]("n_events").toDouble))
+  }
+
   test("sessionWindowCounts equals lag-based islands on the real table") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
