@@ -42,7 +42,7 @@ object Bench {
     "emb_label_prop", "doc_gopher_rules", "doc_c4_clean", "doc_rep_fractions",
     "ev_dropout", "ev_sequence",
     // round-9 additions
-    "ev_markov", "ev_decay_counts",
+    "ev_markov", "ev_decay_counts", "doc_fineweb_rules", "doc_bigram_ll",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

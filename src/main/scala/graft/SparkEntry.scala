@@ -171,6 +171,8 @@ object SparkEntry {
     "doc_gopher_rules"  -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_c4_clean"      -> ((s, d) => TextOps.c4Clean(s, d)),
     "doc_rep_fractions" -> ((s, d) => TextOps.repFractions(s, d)),
+    "doc_fineweb_rules" -> ((s, d) => TextOps.fineWebRules(s, d)),
+    "doc_bigram_ll"     -> ((s, d) => TextOps.bigramLl(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
@@ -997,6 +999,51 @@ object SparkEntry {
         |  LEFT JOIN la ON la.doc_id = b.doc_id
         |  LEFT JOIN pa ON pa.doc_id = b.doc_id
         |  LEFT JOIN sig s ON s.doc_id = b.doc_id) t""".stripMargin,
+    // dup-line char census identical to doc_rep_fractions' la CTE; the two
+    // line ratios are single int/int divisions over the same line split
+    "doc_fineweb_rules" ->
+      """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |lb AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS b FROM documents),
+        |lc AS (SELECT doc_id, b, count(*) AS cnt FROM lb GROUP BY 1, 2),
+        |la AS (SELECT doc_id, CAST(sum(cnt * length(b)) AS BIGINT) AS chars,
+        |         CAST(sum((cnt - 1) * length(b)) AS BIGINT) AS dup_chars
+        |       FROM lc GROUP BY 1)
+        |SELECT doc_id, n_lines, punct_line_ratio, short_line_frac,
+        |  dup_line_char_frac,
+        |  punct_line_ratio > 0.12 AND dup_line_char_frac < 0.1
+        |    AND short_line_frac < 0.67 AS keep
+        |FROM (
+        |  SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, x -> ends_with(x, '.') OR ends_with(x, '!')
+        |        OR ends_with(x, '?') OR ends_with(x, '"'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS punct_line_ratio,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS short_line_frac,
+        |    CASE WHEN la.chars > 0 THEN
+        |      CAST(coalesce(la.dup_chars, 0) AS DOUBLE) / la.chars
+        |      ELSE 0.0 END AS dup_line_char_frac
+        |  FROM l LEFT JOIN la ON la.doc_id = l.doc_id) t""".stripMargin,
+    // same census/smoothing scheme as doc_unigram_ll, keyed by the pair;
+    // prefix counts derive from the census, V from the distinct-token count
+    "doc_bigram_ll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM t WHERE len(ws) >= 2),
+        |pp AS (SELECT doc_id, struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM p),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM pp GROUP BY 1, 2),
+        |ac AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |s AS (SELECT pp.doc_id,
+        |        CAST(-ln((n_ab + 1) / (n_a + n_vocab)) AS DECIMAL(18,9)) AS tok_nll
+        |      FROM pp JOIN bc USING (a, b) JOIN ac USING (a), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS nll2
+        |FROM s GROUP BY 1""".stripMargin,
     "doc_c4_clean" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,

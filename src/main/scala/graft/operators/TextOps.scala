@@ -96,6 +96,46 @@ object TextOps {
           !col("text").contains("{")).as("keep"))
   }
 
+  /** C67: FineWeb's three added quality filters (Penedo et al. 2024, "The
+    * FineWeb Datasets", public — the filters their ablations added ON TOP
+    * of the C4/Gopher batteries): drop a page when (1) the fraction of
+    * lines ending in terminal punctuation (. ! ? ") is ≤ 0.12, (2) the
+    * fraction of characters in duplicated lines is ≥ 0.1, or (3) the
+    * fraction of lines shorter than 30 characters is ≥ 0.67. Emits the
+    * three measured signals plus the combined `keep` so curation can
+    * re-threshold without a second scan.
+    *
+    * Map-only like the sibling batteries: the two line ratios are
+    * codegen'd expressions over one lines-split; the duplicated-line char
+    * census rides the same native [[graft.functions.RepStats]] kernel the
+    * Gopher repetition battery uses (identical definition: chars across
+    * occurrences 2.. of each repeated line / total line chars). Ratios are
+    * single int/int IEEE divisions — bit-identical to the DuckDB oracle. */
+  def fineWebRules(spark: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val punctLines = size(filter(lines, l =>
+      l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")))
+    val shortLines = size(filter(lines, l => length(l) < 30))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        ratio(punctLines, size(lines)).as("punct_line_ratio"),
+        ratio(shortLines, size(lines)).as("short_line_frac"),
+        graft.functions.TextHashExpressions.repStats(col("text")).as("rs"))
+      .withColumn("dup_line_char_frac",
+        when(col("rs.line_chars") > 0,
+          coalesce(col("rs.line_dup"), lit(0L)).cast("double") / col("rs.line_chars"))
+          .otherwise(lit(0.0)))
+      .drop("rs")
+      .withColumn("keep",
+        col("punct_line_ratio") > 0.12 &&
+          col("dup_line_char_frac") < 0.1 &&
+          col("short_line_frac") < 0.67)
+  }
+
   /** C66: Gopher REPETITION battery (Rae et al. 2021 §A1.1, public) — the
     * twelve published repetition signals per doc: duplicate line/paragraph
     * fractions (count- and char-based), top {2,3,4}-gram char fraction
@@ -1089,6 +1129,47 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll"))
+  }
+
+  /** C68: bigram-LM document scoring — the word-order-aware extension of
+    * [[unigramLl]] (the CCNet perplexity signal family): train add-one-
+    * smoothed bigram probabilities on the corpus itself, score each doc by
+    * its mean per-position −ln p(wᵢ | wᵢ₋₁) with
+    * p(b|a) = (c(a,b)+1) / (c(a,·)+V). Where the unigram model is provably
+    * blind to order (equal-multiset docs score identically — the C55 spec
+    * pins this), the bigram model separates shuffled text from fluent text,
+    * the usual next step before reaching for an external LM.
+    *
+    * Scale: the bigram census is one partial-agg shuffle keyed by the pair;
+    * prefix counts c(a,·) derive from the CENSUS (summary-sized), never a
+    * second corpus pass; the score join re-uses the pair partitioning (no
+    * broadcast hint — the bigram vocabulary grows with the corpus); V is a
+    * single broadcast row. Per-position −ln(p) summed as DECIMAL(18,9) —
+    * exact, order-independent, engine-portable (1-ULP libm divergence dies
+    * in the 9-dp quantization, the C40 scheme). Docs with fewer than two
+    * tokens have no bigram positions and are absent by construction. */
+  def bigramLl(spark: SparkSession, dir: String): DataFrame =
+    bigramLlOf(Tables.documents(spark, dir))
+
+  private[graft] def bigramLlOf(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val ac = bc.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("n_vocab"))
+    pairs.join(bc, Seq("a", "b")).join(ac, Seq("a"))
+      .crossJoin(broadcast(vocab)) // single row: constant-size broadcast
+      .withColumn("tok_nll", (-log((col("n_ab") + 1) / (col("n_a") + col("n_vocab"))))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll2"))
   }
 
   /** CCNet-style perplexity bucketing: per LANGUAGE, rank documents by the

@@ -146,6 +146,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.movingAvg(spark, dir).count() == 0)
     assert(EventOps.typeCooccurrence(spark, dir).count() == 0)
     assert(TextOps.topBigrams(spark, dir).count() == 0)
+    assert(TextOps.fineWebRules(spark, dir).count() == 0)
+    assert(TextOps.bigramLl(spark, dir).count() == 0)
   }
 
   test("round-5 operators survive empty inputs") {

@@ -65,6 +65,54 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L).getAs[Double]("top2_char_frac") < 0.2)
   }
 
+  test("fineWebRules: each published filter trips on its planted violator alone") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fineweb").toString
+    val longLine = (i: Int) => s"This is a sufficiently long sentence number $i okay."
+    val noPunct = (i: Int) => s"This is a sufficiently long sentence number $i okay"
+    val docs = Seq(
+      0L -> (1 to 5).map(longLine).mkString("\n"),          // passes all 3
+      1L -> (1 to 9).map(i => s"Tiny line $i.").mkString("\n"), // all short
+      2L -> (1 to 5).map(noPunct).mkString("\n"),           // no terminal punct
+      3L -> (Seq.fill(3)(longLine(1)) ++ Seq(longLine(2), longLine(3)))
+        .mkString("\n")                                     // one line ×3
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.fineWebRules(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "clean doc rejected")
+    (1L to 3L).foreach(id => assert(!out(id).getAs[Boolean]("keep"), s"doc $id kept"))
+    // each violator trips ITS filter, with the exact measured fraction
+    assert(out(1L).getAs[Double]("short_line_frac") == 1.0 &&
+      out(1L).getAs[Double]("punct_line_ratio") == 1.0)
+    assert(out(2L).getAs[Double]("punct_line_ratio") == 0.0 &&
+      out(2L).getAs[Double]("short_line_frac") == 0.0)
+    val lineLen = longLine(1).length.toDouble
+    assert(out(3L).getAs[Double]("dup_line_char_frac") == 2 * lineLen / (5 * lineLen) &&
+      out(3L).getAs[Double]("punct_line_ratio") == 1.0)
+    assert(out(0L).getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("bigramLl separates word order where the unigram model is blind") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    val docs = Seq(
+      0L -> "c c d d",   // equal multiset to doc 1, different order
+      1L -> "c d c d",
+      2L -> "c d c d c d c d", // the corpus-typical phrasing
+      3L -> "solo"             // single token: no bigram positions
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val uni = graft.operators.TextOps.unigramLlOf(
+      spark.read.parquet(s"$d/documents.parquet")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(uni(0L) == uni(1L), "unigram model must be order-blind")
+    val bi = TextOps.bigramLl(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll2")).toMap
+    assert(bi(0L) != bi(1L), "bigram model must see order")
+    // the doc written in the corpus's dominant bigram is more typical
+    assert(bi(2L) < bi(0L))
+    assert(!bi.contains(3L), "a 1-token doc has no bigram positions")
+  }
+
   test("c4Clean: line filters, reassembly, and page-level drops on the original page") {
     val d = java.nio.file.Files.createTempDirectory("graft-c4").toString
     val docs = Seq(
