@@ -551,7 +551,7 @@ object Similarity {
     // outlive the loop — the returned assignment re-scans parquet once.
     val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
     try {
-      buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))._2
+      buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))._2
         .select(col("vec_id"), col("bucket").as("cluster"))
     } finally corpus.unpersist(blocking = false)
   }
@@ -610,6 +610,121 @@ object Similarity {
     seedDf(chosen.toSeq.map(c =>
       org.apache.spark.sql.Row(c._1, c._2.toSeq, c._3)))
   }
+
+  /** Deterministic k-means‖ seeding (Bahmani et al. 2012, "Scalable
+    * k-means++", public) — the large-k replacement for [[farthestSeeds]],
+    * whose driver-side k-center sweep is O(k²·oversample·dim) flops and
+    * stops being viable past k ≈ 10⁴ (the auto-√n nlist regime reaches
+    * that at ~10⁸ vectors). k-means‖ replaces the k sequential choices
+    * with `rounds` CORPUS-PARALLEL passes: each round samples every vector
+    * independently with probability min(1, ℓ·d(v)/φ) — d(v) the cosine
+    * dissimilarity to the current seed set, φ its corpus sum, ℓ =
+    * `oversample`·k — so the candidate set grows by ~ℓ per round and the
+    * whole draw is O(rounds) passes regardless of k.
+    *
+    * Derandomized exactly like the paper's implementation folklore: the
+    * per-(vector, round) uniform comes from xxhash64, so re-runs (and any
+    * partitioning) produce the identical seed set. The final reduction
+    * weights each candidate by its corpus assignment count (one bounded
+    * ≤|C|-key aggregate) and runs the deterministic WEIGHTED greedy
+    * k-center sweep on the ≤ 1+ℓ·rounds candidates driver-side — the same
+    * shape as [[farthestSeeds]] but over a candidate set sized by ℓ·rounds,
+    * not by corpus hash order. Every corpus pass is the map-only
+    * [[graft.functions.TopCosBucketsExpr]] assignment (zero exchanges
+    * beyond the φ scalar and the weight aggregate). */
+  private[graft] def kmeansParSeeds(corpus: DataFrame, k: Int,
+                                    rounds: Int = 5,
+                                    oversample: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val ell = math.max(1, oversample * k)
+    def centsRowOf(cents: DataFrame) =
+      cents.agg(collect_list(struct(col("c_id"), col("cv"), col("cn"))).as("cents"))
+    // deterministic first seed: hash-smallest vector (same rule as the
+    // farthest-point sweep's candidate head)
+    var seeds = corpus
+      .orderBy(md5(col("vec_id").cast("string").cast("binary"))).limit(1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      // d(v) = 1 − cos(v, nearest seed): nearest id via the map-only kernel,
+      // sim recomputed through one broadcast join against the seed table
+      val withCost = corpus.crossJoin(broadcast(centsRowOf(seeds)))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          graft.functions.VectorExpressions
+            .topCosBuckets(col("v"), col("nrm"), col("cents"), 1)
+            .getItem(0).as("c_id"))
+        .join(broadcast(seeds), "c_id")
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .as("cost"))
+      val phiRow = withCost.agg(sum(col("cost")).as("phi")).head()
+      val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDouble(0)
+      if (phi > 0.0) {
+        // u(v, r) ∈ [0,1) from the top 53 hash bits — deterministic draw
+        val u = shiftrightunsigned(
+          xxhash64(col("vec_id"), lit(r)), 11).cast("double") / lit(9007199254740992.0)
+        val drawn = withCost
+          .filter(u < least(lit(1.0), lit(ell.toDouble) * col("cost") / lit(phi)))
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        seeds = seeds.unionByName(drawn).dropDuplicates("c_id").localCheckpoint(true)
+      }
+      r += 1
+    }
+    // candidate weights: corpus points per nearest candidate (bounded keys)
+    val weights = corpus.crossJoin(broadcast(centsRowOf(seeds)))
+      .select(graft.functions.VectorExpressions
+        .topCosBuckets(col("v"), col("nrm"), col("cents"), 1)
+        .getItem(0).as("c_id"))
+      .groupBy("c_id").agg(count(lit(1)).as("w"))
+    val cand = seeds.join(weights, Seq("c_id"), "left")
+      .select(col("c_id"), col("cv"), col("cn"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1).toArray,
+        row.getDouble(2), row.getLong(3)))
+    if (cand.isEmpty) return seeds.limit(0)
+    // deterministic weighted greedy reduction to k: start from the
+    // heaviest candidate (ties to smaller id), then repeatedly take the
+    // candidate maximizing w·(1 − best cos to any chosen seed)
+    def cos(a: Array[Double], an: Double, b: Array[Double], bn: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (an * bn)
+    }
+    val first = cand.minBy(c => (-c._4, c._1))
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val chosenIds = scala.collection.mutable.HashSet(first._1)
+    val best = scala.collection.mutable.Map(
+      cand.iterator.map(c => c._1 -> cos(c._2, c._3, first._2, first._3)).toSeq: _*)
+    while (chosen.length < math.min(k, cand.length)) {
+      val next = cand.iterator.filterNot(c => chosenIds(c._1))
+        .maxBy(c => (c._4 * (1.0 - best(c._1)), -c._1))
+      chosen += next
+      chosenIds += next._1
+      cand.foreach(c => best(c._1) = math.max(best(c._1), cos(c._2, c._3, next._2, next._3)))
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cn",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(chosen.toSeq.map(c =>
+      org.apache.spark.sql.Row(c._1, c._2.toSeq, c._3)).asJava, schema)
+  }
+
+  /** Seeding dispatch: the greedy k-center sweep ([[farthestSeeds]]) up to
+    * `farthestCap` seeds — past that its O(k²·oversample·dim) driver cost
+    * dominates and the corpus-parallel [[kmeansParSeeds]] takes over. Both
+    * are deterministic, so the switch only moves WHICH deterministic seed
+    * set a large-k build starts Lloyd from. */
+  private[graft] def seedsFor(corpus: DataFrame, k: Int,
+                              farthestCap: Int = 512): DataFrame =
+    if (k <= farthestCap) farthestSeeds(corpus, k)
+    else kmeansParSeeds(corpus, k)
 
   /** Probe + exact-score stage shared by [[ivfTopK]] and the persisted-index
     * path: each query scores only the vectors of its `nprobe` nearest
@@ -1283,7 +1398,7 @@ object Similarity {
     val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
     try {
       val (centroids, bucketed) =
-        buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))
+        buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))
       prototypesOf(bucketed, centroids, pruneFrac)
     } finally corpus.unpersist(blocking = false)
   }
@@ -1320,7 +1435,7 @@ object Similarity {
       .join(survivors, "vec_id").cache()
     try {
       val (centroids, bucketed) =
-        buildIvfIndex(corpus, k, lloydIters, Some(farthestSeeds(corpus, k)))
+        buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))
       prototypesOf(bucketed, centroids, pruneFrac)
     } finally corpus.unpersist(blocking = false)
   }

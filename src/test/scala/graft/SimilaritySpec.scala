@@ -496,6 +496,39 @@ class SimilaritySpec extends SparkSuite {
       .filter(col("cluster") =!= col("c2")).count() == 0)
   }
 
+  test("kmeansParSeeds: one seed per planted group, deterministic, bounded candidates") {
+    // same planted geometry as the embClusters spec: 4 well-separated
+    // centers, 10 jittered members each — the k-means|| draw must land one
+    // seed in each group (coverage is the whole point of d²-sampling)
+    val d = Files.createTempDirectory("graft-kmpar").toString
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for {
+      c <- centers.indices
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong,
+      centers(c).map(a => a + 0.05f * rnd.nextGaussian().toFloat), c)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    import graft.functions.VectorFunctions.{toDouble, norm => vnorm}
+    val corpus = Tables.embeddings(spark, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vnorm(col("v")))
+    val seeds = Similarity.kmeansParSeeds(corpus, k = 4, rounds = 3).cache()
+    assert(seeds.count() == 4)
+    val groups = seeds.collect().map(_.getAs[Long]("c_id") / 10).toSet
+    assert(groups == Set(0L, 1L, 2L, 3L),
+      s"seeds must cover all 4 planted groups, got $groups")
+    // derandomized draw: a re-run returns the identical seed set
+    val again = Similarity.kmeansParSeeds(corpus, k = 4, rounds = 3)
+    assert(seeds.select("c_id").except(again.select("c_id")).count() == 0)
+    assert(again.select("c_id").except(seeds.select("c_id")).count() == 0)
+    // large-k clustering takes the k-means|| path end-to-end (k > the
+    // farthest-point cap) and still covers the corpus deterministically
+    val big = Similarity.embClusters(spark, d, k = 600, lloydIters = 1)
+    assert(big.count() == 40)
+  }
+
   test("embClusters covers the corpus with at most k clusters on real data") {
     val out = Similarity.embClusters(spark, sf).cache()
     assert(out.count() == Tables.embeddings(spark, sf).count())
