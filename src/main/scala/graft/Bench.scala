@@ -43,6 +43,7 @@ object Bench {
     "ev_dropout", "ev_sequence",
     // round-9 additions
     "ev_markov", "ev_decay_counts", "doc_fineweb_rules", "doc_bigram_ll",
+    "emb_pca",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
@@ -51,7 +52,8 @@ object Bench {
     * 16×es the row count — the operator a user runs returns the array.
     * The bench times the user-facing operator. */
   private val benchOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)))
+    Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)),
+      "emb_pca" -> ((s, d) => graft.operators.Similarity.embPca(s, d)))
 
   private[graft] def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
     benchOverrides.get(name).orElse(SparkEntry.queries.get(name))

@@ -333,6 +333,12 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim_idx", "value")))
         .select(col("vec_id"), col("dim_idx"), round(col("value"), 6).as("value"))
     }),
+    "emb_pca"           -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Similarity.embPca(s, d)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx"), round(col("value"), 6).as("value"))
+    }),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_pattern"        -> ((s, d) => EventOps.patternMatch(s, d)),

@@ -1016,6 +1016,129 @@ object Similarity {
       when(size(v) > 0, projected).otherwise(zero).as("projected"), col("label"))
   }
 
+  /** C69: PCA over the embedding corpus — the classical Gram-matrix route
+    * (the same decomposition Spark MLlib's RowMatrix uses, public): the
+    * d×d covariance accumulates distributively, the tiny eigenproblem is
+    * solved on the driver, and the projection is a map-only pass with the
+    * components inlined as plan literals. Where [[randomProject]] (JL)
+    * preserves distances obliviously, PCA picks the variance-optimal
+    * subspace — the standard choice before IVF/PQ when a training pass is
+    * affordable (FAISS's OPQ/PCA pre-transforms are this shape).
+    *
+    * Scale shape: per-dim means are one posexplode + ≤dim-key partial agg;
+    * the centered Gram Σ(v−μ)(v−μ)ᵀ is a d²-key partial agg over the
+    * in-row (i, j) pair fan-out — the shuffle ships ≤d² doubles per
+    * partition no matter the corpus size. (Past ~10⁹ rows the d² row
+    * fan-out itself is the cost; an accumulating per-partition pass would
+    * replace it — documented, not needed at current scale.) The
+    * eigensolve is cyclic Jacobi on the d×d matrix driver-side —
+    * deterministic, microseconds at d = 64. Projection: r codegen'd
+    * vec_dot columns against component literals; sign fixed so each
+    * component's largest-|coordinate| entry is positive (eigenvector sign
+    * is arbitrary — pinning it makes re-runs and engine ports bit-stable).
+    * Output preserves `label` so downstream ANN specs can re-use planted
+    * structure. */
+  def embPca(spark: SparkSession, dir: String, outDim: Int = 8): DataFrame =
+    embPcaOf(Tables.embeddings(spark, dir), outDim)
+
+  private[graft] def embPcaOf(emb: DataFrame, outDim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"),
+      col("label")).filter(size(col("v")) > 0).cache()
+    try {
+      val muRows = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .orderBy("i").collect()
+      if (muRows.isEmpty)
+        return e.select(col("vec_id"),
+          col("v").as("projected"), col("label")).limit(0)
+      val d = muRows.length
+      val n = muRows.head.getAs[Long]("n").toDouble
+      val mu = muRows.map(r => r.getAs[Double]("s") / n)
+      val muLit = org.apache.spark.sql.functions.typedlit(mu.toSeq)
+      // centered Gram: in-row pair fan-out, ≤d² shuffle keys
+      val g = e
+        .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+        .select(col("i"),
+          (col("xi") - element_at(muLit, col("i") + 1)).as("ci"),
+          posexplode(col("v")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"),
+          (col("ci") * (col("xj") - element_at(muLit, col("j") + 1))).as("p"))
+        .groupBy("i", "j").agg(sum(col("p")).as("g"))
+        .collect()
+      val gram = Array.ofDim[Double](d, d)
+      g.foreach(r => gram(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
+        r.getAs[Double]("g") / n)
+      val (eigVals, eigVecs) = jacobiEigen(gram)
+      val r = math.min(outDim, d)
+      val order = eigVals.indices.sortBy(i => (-eigVals(i), i)).take(r)
+      val comps = order.map { idx =>
+        val w = eigVecs.map(_(idx))
+        // deterministic sign: the largest-|entry| coordinate is positive
+        val m = w.indices.maxBy(i => (math.abs(w(i)), -i))
+        if (w(m) < 0) w.map(x => -x) else w
+      }
+      val proj = array(comps.map { w =>
+        val wl = org.apache.spark.sql.functions.typedlit(w.toSeq)
+        val bias = w.indices.iterator.map(i => w(i) * mu(i)).sum
+        dot(col("v"), wl) - lit(bias)
+      }: _*)
+      e.select(col("vec_id"), proj.as("projected"), col("label"))
+        .localCheckpoint(true) // materialize before the cache is released
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+    * (eigenvalues, eigenvectors-as-columns). Deterministic sweep order,
+    * converges quadratically; d ≤ a few hundred is driver-trivial. */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off = math.max(off, math.abs(a(p)(q)))
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // theta = 0 (equal diagonal) needs the full 45° rotation —
+            // signum(0) = 0 would make the rotation a no-op and stall
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** C44: int8 linear quantization of the embedding corpus — the
     * storage/serving compression step before ANN (4× smaller vectors,
     * reconstruction `lo + (code+128)/255·(hi−lo)`). Per-dimension min/max

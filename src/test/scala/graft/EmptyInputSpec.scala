@@ -140,6 +140,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.sessionWindowCounts(spark, dir).count() == 0)
     assert(TextOps.unigramLl(spark, dir).count() == 0)
     assert(Similarity.randomProject(spark, dir).count() == 0)
+    assert(Similarity.embPca(spark, dir).count() == 0)
     assert(TextOps.sourceStats(spark, dir).count() == 0)
     assert(EventOps.topPaths(spark, dir).count() == 0)
     assert(EventOps.inactiveUsers(spark, dir).count() == 0)

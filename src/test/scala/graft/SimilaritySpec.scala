@@ -529,6 +529,53 @@ class SimilaritySpec extends SparkSuite {
     assert(big.count() == 40)
   }
 
+  test("embPca: top component recovers the planted dominant direction; deterministic") {
+    val d = Files.createTempDirectory("graft-pca").toString
+    val rnd = new scala.util.Random(41)
+    val dim = 32
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val u = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val w0 = Array.fill(dim)(rnd.nextGaussian())
+    val uw = u.zip(w0).map { case (a, b) => a * b }.sum
+    val w = unit(w0.zip(u).map { case (b, a) => b - uw * a }) // ⟂ u
+    val coefs = (0 until 60).map(i => (i.toLong,
+      10.0 * rnd.nextGaussian(), 1.0 * rnd.nextGaussian()))
+    val vecs = coefs.map { case (id, a, b) =>
+      (id, u.indices.map(i => (a * u(i) + b * w(i)).toFloat).toArray, 0) }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.embPca(spark, d, outDim = 2).cache()
+    val proj = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size == 60 && proj.values.forall(_.length == 2))
+    // the first projected coordinate must be (anti)collinear with the
+    // planted dominant coefficient — |Pearson corr| > 0.99
+    def corr(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+      val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      cov / (sx * sy)
+    }
+    val a = coefs.map(_._2)
+    val p0 = coefs.map(c => proj(c._1)(0))
+    val p1 = coefs.map(c => proj(c._1)(1))
+    assert(math.abs(corr(a, p0)) > 0.99, s"corr ${corr(a, p0)}")
+    // variance-ordered components: dim 0 carries the 10x-spread direction
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(variance(p0) > 10 * variance(p1))
+    // pure function of the data: bit-identical re-run
+    val again = Similarity.embPca(spark, d, outDim = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.keys.forall(id => proj(id).sameElements(again(id))))
+  }
+
   test("embClusters covers the corpus with at most k clusters on real data") {
     val out = Similarity.embClusters(spark, sf).cache()
     assert(out.count() == Tables.embeddings(spark, sf).count())
