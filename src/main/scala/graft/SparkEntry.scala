@@ -173,6 +173,7 @@ object SparkEntry {
     "doc_rep_fractions" -> ((s, d) => TextOps.repFractions(s, d)),
     "doc_fineweb_rules" -> ((s, d) => TextOps.fineWebRules(s, d)),
     "doc_bigram_ll"     -> ((s, d) => TextOps.bigramLl(s, d)),
+    "doc_span_corrupt"  -> ((s, d) => TextOps.spanCorrupt(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
     "doc_term_freq"     -> ((s, d) => TextOps.termFrequencies(s, d)),
@@ -1050,6 +1051,28 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS nll2
         |FROM s GROUP BY 1""".stripMargin,
+    // derandomized span starts: md5(doc:pos) 3-hex-prefix threshold (plain
+    // string compare, the doc_split scheme); islands merge adjacent spans
+    "doc_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens)) AS p
+        |      FROM t WHERE n_tokens > 0),
+        |s AS (SELECT doc_id, n_tokens, p, LEAST(p + 3, n_tokens) AS e FROM p
+        |      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 3) < '0cd'),
+        |m AS (SELECT doc_id, n_tokens, p, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        |      FROM s),
+        |i AS (SELECT doc_id, n_tokens, p, e,
+        |        CAST(sum(CASE WHEN prev_e IS NULL OR p > prev_e THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS island
+        |      FROM m)
+        |SELECT doc_id, island - 1 AS span_idx, min(p) AS start_pos,
+        |  max(e) AS end_pos, max(e) - min(p) AS n_masked,
+        |  max(n_tokens) AS n_tokens
+        |FROM i GROUP BY doc_id, island""".stripMargin,
     "doc_c4_clean" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,

@@ -1172,6 +1172,57 @@ object TextOps {
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll2"))
   }
 
+  /** C70: T5-style span-corruption manifest (Raffel et al. 2020 §3.1.4,
+    * public — the denoising objective's mask layout): each token position
+    * independently starts a `spanLen`-token mask span with probability
+    * `startProb` (defaults 3 and 0.05 ⇒ expected corruption
+    * 1−(1−.05)³ ≈ 14.3%, the paper's 15% regime); overlapping/adjacent
+    * spans merge into maximal masked runs, and the output is the (doc,
+    * span) manifest — start/end token offsets per masked span — that a
+    * sentinel-inserting tokenizer consumes.
+    *
+    * DERANDOMIZED like every sampling decision here (doc_split, mixture,
+    * DSIR's Gumbel draw): the per-position coin is
+    * md5(doc_id:pos) < threshold — a plain lowercase-hex string compare,
+    * portable across engines and reproducible on corpus growth (no
+    * rand(), and tomorrow's re-run masks identical spans). Threshold
+    * strings quantize startProb at 16⁻³ (three hex digits).
+    *
+    * Scale shape: the position fan-out is one in-row sequence() explode
+    * (O(tokens) rows); span-start selection is map-only; the merge is a
+    * gaps-and-islands window partitioned by doc_id — ONE doc-keyed
+    * shuffle, within-partition linear. */
+  def spanCorrupt(spark: SparkSession, dir: String, spanLen: Int = 3,
+                  startProb: Double = 0.05): DataFrame = {
+    require(spanLen >= 1, "spanLen must be >= 1")
+    require(startProb > 0 && startProb < 1, "startProb must be in (0,1)")
+    // three-hex-digit threshold: P(md5 < T) = round(startProb·4096)/4096
+    val cut = math.max(1, math.round(startProb * 4096).toInt)
+    val threshold = f"$cut%03x" // md5 hex < "00x..." compares on the prefix
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1)).as("p"))
+      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("p").cast("string")).cast("binary")), 1, 3) < threshold)
+      .withColumn("e", least(col("p") + spanLen, col("n_tokens")))
+      .withColumn("prev_e", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_e").isNull || col("p") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("start_pos"), max(col("e")).as("end_pos"),
+        any_value(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), (col("island") - 1).as("span_idx"),
+        col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos")).as("n_masked"), col("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing: per LANGUAGE, rank documents by the
     * corpus-unigram-LM score ([[unigramLl]]) and cut head/middle/tail
     * terciles — the published curation scheme that keeps "head" (most

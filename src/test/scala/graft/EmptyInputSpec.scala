@@ -149,6 +149,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.topBigrams(spark, dir).count() == 0)
     assert(TextOps.fineWebRules(spark, dir).count() == 0)
     assert(TextOps.bigramLl(spark, dir).count() == 0)
+    assert(TextOps.spanCorrupt(spark, dir).count() == 0)
   }
 
   test("round-5 operators survive empty inputs") {

@@ -113,6 +113,34 @@ class TextOpsSpec extends SparkSuite {
     assert(!bi.contains(3L), "a 1-token doc has no bigram positions")
   }
 
+  test("spanCorrupt: coverage near the T5 regime, disjoint in-bounds spans, deterministic") {
+    import graft.operators.TextOps
+    val out = TextOps.spanCorrupt(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // spans sit inside their doc and are non-empty
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("start_pos"); val e = r.getAs[Long]("end_pos")
+      s >= 0 && s < e && e <= r.getAs[Long]("n_tokens") &&
+        r.getAs[Long]("n_masked") == e - s
+    })
+    // merged islands are STRICTLY separated (an adjacent span would have merged)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { spans =>
+      val sorted = spans.toSeq.sortBy(_.getAs[Long]("start_pos"))
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1).getAs[Long]("start_pos") > pair(0).getAs[Long]("end_pos"))
+      }
+    }
+    // corpus-wide masked fraction ≈ 1 − (1−p)^L = 14.3% at the defaults
+    val masked = rows.map(_.getAs[Long]("n_masked")).sum.toDouble
+    val total = out.select("doc_id", "n_tokens").distinct()
+      .agg(sum(col("n_tokens"))).head().getLong(0).toDouble
+    val frac = masked / total
+    assert(frac > 0.10 && frac < 0.19, s"masked fraction $frac")
+    // derandomized: a re-run emits the identical manifest
+    assert(out.except(TextOps.spanCorrupt(spark, sf)).count() == 0)
+  }
+
   test("c4Clean: line filters, reassembly, and page-level drops on the original page") {
     val d = java.nio.file.Files.createTempDirectory("graft-c4").toString
     val docs = Seq(
