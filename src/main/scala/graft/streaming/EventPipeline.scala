@@ -294,6 +294,56 @@ object EventPipeline {
       }
   }
 
+  case class TransitionState(lastTsMs: Long, lastEventId: Long, lastType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        from_event_id: Long, to_event_id: Long, to_ts_ms: Long)
+
+  /** A43-streaming: LIVE session-path transitions — the streaming feed
+    * under the `ev_top_paths` / `ev_markov` dashboards: per user, every
+    * consecutive event pair inside a session (30-min inactivity gap, the
+    * [[sessionized]] boundary) emits one (from_type → to_type) transition
+    * the moment the second event arrives; a gap strictly larger than
+    * `gapMs` is a session break and starts no transition, exactly the
+    * batch operator's island semantics (an event AT the gap still chains).
+    *
+    * State per user is ONE record (last in-session event) evicted by an
+    * event-time timeout once the watermark passes last+gap — state tracks
+    * ACTIVE sessions only, the A40 discipline. In-batch order follows the
+    * batch window's (ts, event_id); an in-watermark cross-batch regression
+    * (an event older than the stored last) conservatively starts no
+    * transition and never regresses the anchor. */
+  def transitionStream(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                       watermark: Option[String] = Some("10 minutes")): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, batch, state: GroupState[TransitionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Transition]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null || t >= st.lastTsMs) {
+                if (st != null && t - st.lastTsMs <= gapMs)
+                  out += Transition(user, st.lastType, e.event_type,
+                    st.lastEventId, e.event_id, t)
+                st = TransitionState(t, e.event_id, e.event_type)
+              } // else: in-watermark disorder — never regress the anchor
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.lastTsMs + gapMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class PendingA(aTsMs: Long, aEventId: Long)
   case class Dropout(user_id: Long, a_event_id: Long, a_ts_ms: Long)
 

@@ -254,4 +254,16 @@ class PlanSpec extends SparkSuite {
     // are all hash-partitioned
     assert(!p.contains("Exchange SinglePartition"), p.take(1500))
   }
+
+  test("knn graph IVF: corpus assignment and probe ranking are map-only kernels") {
+    val p = planOf(Similarity.knnGraphIvf(spark, sf, k = 3, nlist = 8, nprobe = 2))
+    // the in-row top-buckets kernel replaced the crossJoin→max-struct
+    // assignment and the crossJoin→row_number probe ranking: the only
+    // corpus exchanges left are the two sides of the bucket join and the
+    // per-query top-k window — a probe-ranking Window over c_sim or a
+    // vec_id re-aggregation would be a regression to the shuffled form
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p.take(2500))
+    assert(!p.contains("c_sim"), p.take(2500))
+    assert("top_cos_buckets".r.findAllIn(p).nonEmpty, p.take(2500))
+  }
 }

@@ -719,6 +719,52 @@ class StreamingSpec extends SparkSuite {
       "no match crossed the micro-batch boundary — split is vacuous")
   }
 
+  test("streaming transitions equal batch topPaths on a time-ordered replay") {
+    // deterministic per-user walks: 3-min in-session spacing with a 45-min
+    // jump every 7th event, so sessions genuinely break mid-stream
+    def tm(m: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 08:00:00").getTime + m * 60000L)
+    val rnd = new scala.util.Random(17)
+    val types = Array("view", "click", "purchase", "error")
+    val events = for { u <- 1L to 5L; i <- 0 until 30 } yield
+      Event(u * 1000 + i, tm(i * 3 + (i / 7) * 45), u,
+        types(rnd.nextInt(types.length)), 1.0)
+    val d = Files.createTempDirectory("graft-trans-batch").toString
+    events.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batch = graft.operators.EventOps.topPaths(spark, d, k = Int.MaxValue)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_transitions")).toMap
+
+    val src = Files.createTempDirectory("graft-trans-src").toString
+    val chk = Files.createTempDirectory("graft-trans-chk").toString
+    val (first, second) = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .splitAt(events.size / 2)
+    writeBatch(src, "b1", first)
+    val q = EventPipeline.transitionStream(
+      EventPipeline.fileSource(spark, src).as[Event])
+      .toDF().writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", second)
+    q.processAllAvailable(); q.stop()
+    val streamedRows = spark.table("transitions").collect()
+    val streamed = streamedRows
+      .groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .view.mapValues(_.length.toLong).toMap
+    assert(streamed == batch,
+      s"only-batch=${batch.toSet -- streamed.toSet} only-stream=${streamed.toSet -- batch.toSet}")
+    // conservation: transitions = events − sessions (the topPaths law)
+    val sessions = graft.operators.EventOps.sessionize(spark, d).count()
+    assert(streamedRows.length == events.size - sessions)
+    // the split exercised cross-batch state: some transition's from-event
+    // arrived in batch 1 and its to-event in batch 2
+    val firstIds = first.map(_.event_id).toSet
+    assert(streamedRows.exists(r => firstIds.contains(r.getAs[Long]("from_event_id")) &&
+      !firstIds.contains(r.getAs[Long]("to_event_id"))),
+      "no transition crossed the micro-batch boundary — split is vacuous")
+  }
+
   test("ignition: 100 raw JSON records through the complete consumer — admitted/dropped/dead-letter counts") { withRocksDB {
     import graft.streaming.PipelineConfig
     // the reference consumer loop end-to-end minus the broker socket (no
