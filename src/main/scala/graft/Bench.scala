@@ -392,12 +392,18 @@ object Bench {
         // with successful reps but no quiet one keeps min-of-all and is
         // listed in "busy" — adjudication is mechanical, never a re-run.
         var spin = cal0
+        var done = 0
         val busyQs = scala.collection.mutable.ArrayBuffer[String]()
         val timed = picked.flatMap { name =>
           benchFn(name).map { fn =>
             var quietTimes = List.empty[Double]
             var allTimes = List.empty[Option[Double]]
-            val maxTries = scaleReps + 2 // a couple of burst-escape retries
+            // burst-escape retries only make sense against a BURST — once
+            // ~10 consecutive queries never see a quiet bracket the whole
+            // host is degraded (r9: an all-day calib 54-60 put every query
+            // in `busy` and the retries doubled the section for nothing)
+            val hostDegraded = done >= 10 && busyQs.length == done
+            val maxTries = if (hostDegraded) scaleReps else scaleReps + 2
             while (allTimes.length < maxTries && quietTimes.length < scaleReps) {
               val pre = spin
               spark.catalog.clearCache()
@@ -412,6 +418,7 @@ object Bench {
               if (pre <= gateMs && spin <= gateMs) t.foreach(v => quietTimes ::= v)
             }
             // error semantics unchanged: any failed rep marks the query
+            done += 1
             name -> (if (allTimes.exists(_.isEmpty)) None
                      else if (quietTimes.nonEmpty) Some(quietTimes.min)
                      else { busyQs += name; Some(allTimes.flatten.min) })
@@ -498,7 +505,10 @@ object Bench {
             s.drop(s.indexOf("\"ratios\""))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
           val worst = ratios.sortBy(-_._2).take(5)
             .map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
-          s"""{"median_ratio":${field("median_ratio")},"worst":$worst}"""
+          val nBusy = ("\"busy\":\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+            .map(m => if (m.group(1).trim.isEmpty) 0 else m.group(1).count(_ == '"') / 2)
+            .getOrElse(0)
+          s"""{"median_ratio":${field("median_ratio")},"n_busy":$nBusy,"worst":$worst}"""
       }
       val hostCompact =
         f"""{"calib_start_ms":${best.calibStart}%.0f,"calib_end_ms":${best.calibEnd}%.0f,"degraded":$degraded}"""
