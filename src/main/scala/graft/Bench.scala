@@ -43,7 +43,7 @@ object Bench {
     "ev_dropout", "ev_sequence",
     // round-9 additions
     "ev_markov", "ev_decay_counts", "doc_fineweb_rules", "doc_bigram_ll",
-    "emb_pca", "doc_span_corrupt",
+    "emb_pca", "doc_span_corrupt", "emb_ivf_ingest",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -127,6 +127,33 @@ object SparkEntry {
     // brute force EXACTLY — oracle-gated end-to-end check of assignment,
     // probing and ranking
     "emb_ivf_exhaustive"-> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
+    // corpus-growth ingest: base index on the first 80% of corpus ids, the
+    // last 20% ingested against the STORED centroids, then served
+    // exhaustively — must hash-equal brute force over the FULL corpus
+    // (bucketing never changes exhaustive scores, so a lost or misrouted
+    // ingested vector is a row diff here)
+    "emb_ivf_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import s.implicits._
+      val emb = graft.Tables.embeddings(s, d)
+      val cutRow = emb.agg(expr("max(vec_id) * 8 div 10")).head()
+      if (cutRow.isNullAt(0)) // empty corpus: no index, no results
+        Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "vec_id", "rank", "cos_sim")
+      else {
+        val cut = cutRow.getLong(0)
+        val idx = java.nio.file.Files.createTempDirectory("graft-ivfingest")
+        try {
+          Similarity.writeIvfIndexFrom(emb.filter(col("vec_id") < cut),
+            idx.toString, nQueries = 10, nlist = 8, lloydIters = 1)
+          Similarity.ivfIngest(s, emb.filter(col("vec_id") >= cut), idx.toString)
+          Similarity.ivfTopKFromIndex(s, d, idx.toString,
+            nprobe = Int.MaxValue).localCheckpoint(true)
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(idx.toFile).deleteRecursively()
+        }
+      }
+    }),
     // C56: MIPS — exact brute force (gated), the norm-augmented IVF probe
     // path (rows-only), and its exhaustive twin (every bucket probed, exact
     // re-score ⇒ must reproduce the brute force bit-for-bit — gated)
@@ -912,6 +939,7 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
+    "emb_ivf_ingest" -> bruteTopkSql,
     "emb_ivf_q_exhaustive" -> bruteTopkSql,
     "emb_ivfpq_exhaustive" -> bruteTopkSql,
     "emb_mips_topk" -> bruteMipsSql,

@@ -753,8 +753,16 @@ object Similarity {
     * Encode-once / query-many: at 100 TB the training + assignment passes
     * run at ingest, not per query session. */
   def writeIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-                    nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
+                    nQueries: Int = 10, nlist: Int = 8, lloydIters: Int = 1): Unit =
+    writeIvfIndexFrom(Tables.embeddings(spark, dir), indexDir,
+      nQueries, nlist, lloydIters)
+
+  /** [[writeIvfIndex]] over an explicit (raw-shaped) embedding table — the
+    * form the ingest gate builds its base index from. */
+  private[graft] def writeIvfIndexFrom(raw: DataFrame, indexDir: String,
+                                       nQueries: Int, nlist: Int,
+                                       lloydIters: Int): Unit = {
+    val emb = withNorm(raw)
     val corpus = emb.filter(col("vec_id") >= nQueries)
     val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
@@ -765,6 +773,42 @@ object Similarity {
     // query sessions size nprobe from THIS index, not an extrapolation
     measureRecallCurve(emb.filter(col("vec_id") < nQueries), bucketed, centroids)
       .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
+  }
+
+  /** C71: corpus-growth ingest for the persisted IVF index — the daily
+    * operation the encode-once story was missing: new vectors are assigned
+    * against the STORED centroids (one map-only [[TopCosBucketsExpr]] pass,
+    * bit-identical bucket choice to the build-time assignment) and APPENDED
+    * to `assignments.parquet`, so every `*FromIndex` serving path sees the
+    * grown corpus without re-clustering anything. Re-submitted vec_ids are
+    * anti-joined out first (retry idempotence — the dead-letter/dup-spans
+    * lesson), and the batch is materialized BEFORE the append so the
+    * read-own-writes window can't double it. Per-ingest cost: O(batch)
+    * kernel flops + one distinct-id scan of the assignment table (ids
+    * only, never vectors).
+    *
+    * Centroids go stale as the distribution drifts — the trade every
+    * streaming ANN system makes; rebuild cadence is a policy knob, and the
+    * exhaustive-probe serving twin stays EXACT regardless (bucketing never
+    * changes scores, only which buckets are probed — the gate proves the
+    * grown index serves the full corpus bit-equal to brute force). */
+  def ivfIngest(spark: SparkSession, batch: DataFrame,
+                indexDir: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val centsRow = centroids
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cn"))).as("cents"))
+    val existing = spark.read.parquet(s"$indexDir/assignments.parquet")
+      .select(col("vec_id")).distinct()
+    val assigned = withNorm(batch)
+      .join(existing, Seq("vec_id"), "left_anti")
+      .crossJoin(broadcast(centsRow))
+      .select(graft.functions.VectorExpressions
+          .topCosBuckets(col("v"), col("nrm"), col("cents"), 1)
+          .getItem(0).as("bucket"),
+        col("vec_id"))
+      .localCheckpoint(true)
+    assigned.write.mode("append").parquet(s"$indexDir/assignments.parquet")
+    assigned
   }
 
   /** Query a persisted IVF index: identical results to [[ivfTopK]] with the
@@ -1325,8 +1369,19 @@ object Similarity {
     * collapse + canonical choice. */
   def semDedup(spark: SparkSession, dir: String, k: Int = 10,
                threshold: Double = 0.9, lloydIters: Int = 4): DataFrame = {
-    val assign = embClusters(spark, dir, k, lloydIters)
-    val emb = withNorm(Tables.embeddings(spark, dir)).join(assign, "vec_id")
+    val corpus = withNorm(Tables.embeddings(spark, dir)).cache()
+    try semDedupOf(corpus, k, threshold, lloydIters)
+    finally corpus.unpersist(blocking = false)
+  }
+
+  /** [[semDedup]] over an already-normed (and ideally cached) corpus — the
+    * shared-read form [[embD4]] composes so the corpus parquet is scanned
+    * once across the dedup AND re-cluster stages. */
+  private[graft] def semDedupOf(corpus: DataFrame, k: Int,
+                                threshold: Double, lloydIters: Int): DataFrame = {
+    val assign = buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))._2
+      .select(col("vec_id"), col("bucket").as("cluster"))
+    val emb = corpus.join(assign, "vec_id")
     val a = emb.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = emb.select(col("cluster"), col("vec_id").as("id_b"),
@@ -1552,15 +1607,20 @@ object Similarity {
   def embD4(spark: SparkSession, dir: String, k: Int = 10,
             dedupThreshold: Double = 0.9, pruneFrac: Double = 0.3,
             lloydIters: Int = 4): DataFrame = {
-    val survivors = semDedup(spark, dir, k, dedupThreshold, lloydIters)
-      .filter(col("keep")).select(col("vec_id"))
-    val corpus = withNorm(Tables.embeddings(spark, dir))
-      .join(survivors, "vec_id").cache()
+    // ONE cached corpus read feeds both stages (the r8 candidate): the
+    // dedup pass and the post-dedup re-cluster share the normed corpus;
+    // the survivor set is just a filter over it
+    val full = withNorm(Tables.embeddings(spark, dir)).cache()
     try {
-      val (centroids, bucketed) =
-        buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))
-      prototypesOf(bucketed, centroids, pruneFrac)
-    } finally corpus.unpersist(blocking = false)
+      val survivors = semDedupOf(full, k, dedupThreshold, lloydIters)
+        .filter(col("keep")).select(col("vec_id"))
+      val corpus = full.join(survivors, "vec_id").cache()
+      try {
+        val (centroids, bucketed) =
+          buildIvfIndex(corpus, k, lloydIters, Some(seedsFor(corpus, k)))
+        prototypesOf(bucketed, centroids, pruneFrac)
+      } finally corpus.unpersist(blocking = false)
+    } finally full.unpersist(blocking = false)
   }
 
   /** C63: label propagation over the k-NN graph (Zhu & Ghahramani 2002,

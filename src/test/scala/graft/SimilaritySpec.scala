@@ -529,6 +529,37 @@ class SimilaritySpec extends SparkSuite {
     assert(big.count() == 40)
   }
 
+  test("ivfIngest: grown index covers the corpus exactly once; retries are no-ops") {
+    import graft.functions.VectorFunctions.{toDouble, norm => vnorm}
+    val idx = Files.createTempDirectory("graft-ingest").toString
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut1 = maxId * 8 / 10
+    val cut2 = maxId * 9 / 10
+    Similarity.writeIvfIndexFrom(emb.filter(col("vec_id") < cut1), idx, 10, 8, 1)
+    val base = spark.read.parquet(s"$idx/assignments.parquet").count()
+    val in1 = Similarity.ivfIngest(spark,
+      emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2), idx)
+    val in2 = Similarity.ivfIngest(spark, emb.filter(col("vec_id") >= cut2), idx)
+    assert(in1.count() > 0 && in2.count() > 0)
+    // retry idempotence: re-submitting batch 1 appends nothing
+    val retry = Similarity.ivfIngest(spark,
+      emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2), idx)
+    assert(retry.count() == 0)
+    val asg = spark.read.parquet(s"$idx/assignments.parquet").cache()
+    assert(asg.count() == base + in1.count() + in2.count())
+    // coverage: every positive-norm corpus vector assigned EXACTLY once
+    val corpusN = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), vnorm(toDouble(col("embedding"))).as("n"))
+      .filter(col("n") > 0.0).count()
+    assert(asg.select("vec_id").distinct().count() == asg.count())
+    assert(asg.count() == corpusN)
+    // ingested buckets are real centroid ids
+    val cids = spark.read.parquet(s"$idx/centroids.parquet")
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(in1.collect().forall(r => cids.contains(r.getAs[Long]("bucket"))))
+  }
+
   test("embPca: top component recovers the planted dominant direction; deterministic") {
     val d = Files.createTempDirectory("graft-pca").toString
     val rnd = new scala.util.Random(41)
