@@ -167,6 +167,9 @@ object SparkEntry {
     "emb_prototypes"    -> ((s, d) => Similarity.embPrototypes(s, d)),
     "emb_d4"            -> ((s, d) => Similarity.embD4(s, d)),
     "emb_label_prop"    -> ((s, d) => Similarity.labelProp(s, d)),
+    // C73 PageRank centrality over the k-NN graph (rows-only: iterative,
+    // but bit-deterministic via per-step DECIMAL(28,12) quantization)
+    "emb_pagerank"      -> ((s, d) => Similarity.pageRank(s, d)),
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {
@@ -412,6 +415,8 @@ object SparkEntry {
     "emb_semdedup"      -> ((s, d) => Similarity.semDedup(s, d)),
     "ev_profile"        -> ((s, d) => TextOps.profileEvents(s, d)),
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    // C72 BM25 retrieval with the derived common/rare query pair
+    "doc_bm25"          -> ((s, d) => TextOps.bm25Search(s, d)),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "doc_policy"        -> ((s, d) => TextOps.policyFilter(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
@@ -1929,6 +1934,35 @@ object SparkEntry {
         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
         |WHERE rank <= 3""".stripMargin,
+    // BM25: per-term contributions quantize to DECIMAL(18,9) before the
+    // per-(query, doc) sum (order-free exact), rank on the exact decimal;
+    // constants mirror the Scala literals (k1+1 = 2.2 and 1-b = 0.25 are
+    // both exact double results of the same-literal arithmetic)
+    "doc_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS occ
+        |        FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qc AS (SELECT 'common' AS query_id, term FROM dfq
+        |       ORDER BY occ DESC, term LIMIT 5),
+        |qr AS (SELECT 'rare' AS query_id, term FROM dfq WHERE df >= 2
+        |       ORDER BY df, occ, term LIMIT 5),
+        |q AS (SELECT * FROM qc UNION ALL SELECT * FROM qr),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+        |         AS DECIMAL(18,9)) AS ts
+        |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
+        |      JOIN dl ON tf.doc_id = dl.doc_id, n)
+        |SELECT query_id, doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sum(ts) DESC, doc_id) AS rank
+        |FROM c GROUP BY 1, 2 QUALIFY rank <= 10""".stripMargin,
     "doc_policy" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,

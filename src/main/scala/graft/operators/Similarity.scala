@@ -1671,4 +1671,83 @@ object Similarity {
       labels.select(col("vec_id"), col("lab").as("label_pred"), col("seed"))
     } finally edges.unpersist(blocking = false)
   }
+
+  // ---- PageRank centrality over the k-NN graph (C73) ---------------------
+
+  /** Damped PageRank over an arbitrary (src, dst) edge list — the shared
+    * core of [[pageRank]] (Page et al. 1999; the cosine-graph centrality
+    * use is LexRank, Erkan & Radev 2004 — both public). Uniform
+    * out-neighbor transition (w = 1/outdeg), teleport (1−d)/n, dangling
+    * mass redistributed uniformly each step — the standard formulation, so
+    * Σ ranks stays 1 up to quantization.
+    *
+    * DETERMINISTIC across runs and engines: ranks live as DECIMAL(28,12);
+    * each edge contribution rank·w·d is one double product quantized back
+    * to DECIMAL(28,12) BEFORE the per-dst sum (exact, summation-order-free
+    * — shuffle fetch order can never wobble a double sum), and the
+    * teleport+dangling base is the same double arithmetic on both sides of
+    * a re-run. Bit-identical outputs, iteration for iteration.
+    *
+    * Scale shape: per iteration ONE shuffle join of the n·k edge list
+    * against the n-row rank frontier + a dst-keyed partial-agg sum (the
+    * label-prop discipline), dangling mass is a 1-row broadcast scalar,
+    * and the frontier localCheckpoints every round (star-CC lineage
+    * truncation). Nothing corpus-sized is ever collected or broadcast. */
+  private[graft] def pageRankOf(nodes: DataFrame, edges: DataFrame,
+                                iters: Int = 10,
+                                damping: Double = 0.85): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("id").as("vec_id"),
+      lit(0.0).as("pagerank"))
+    val init = new java.math.BigDecimal(1.0 / n)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .cache()
+    val dangling = nodes.join(edges.select(col("src").as("id")).distinct(),
+      Seq("id"), "left_anti").localCheckpoint()
+    try {
+      var ranks = nodes.select(col("id"), lit(init).cast(dec).as("r"))
+        .localCheckpoint()
+      var i = 0
+      while (i < iters) {
+        val dm = ranks.join(dangling, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0).cast(dec)).as("dm"))
+        val contrib = e
+          .join(ranks.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst"),
+            (col("r").cast("double") * col("w") * lit(damping)).cast(dec).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cs"))
+        ranks = ranks
+          .join(contrib.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
+          .crossJoin(broadcast(dm)) // single row: constant-size broadcast
+          .select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * col("dm").cast("double") / n +
+              coalesce(col("cs"), lit(0).cast(dec)).cast("double"))
+              .cast(dec).as("r"))
+          .localCheckpoint()
+        i += 1
+      }
+      ranks.select(col("id").as("vec_id"), col("r").cast("double").as("pagerank"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** C73 gate entry: PageRank centrality of every corpus vector over the
+    * cosine k-NN graph — the LexRank-style "how representative is this
+    * document" curation signal (central docs anchor coverage, low-rank
+    * periphery flags outliers/noise; the graph-centrality complement to
+    * C62's distance-to-centroid prototypicality). Graph built ONCE by the
+    * bucketed IVF path (never all-pairs), nodes = the full corpus (zero
+    * vectors enter as dangling teleport targets, still well-defined). */
+  def pageRank(spark: SparkSession, dir: String, k: Int = 5,
+               iters: Int = 10): DataFrame = {
+    val edges = knnGraphIvf(spark, dir, k)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    pageRankOf(nodes, edges, iters)
+      .select(col("vec_id"), round(col("pagerank"), 9).as("pagerank"))
+  }
 }

@@ -1535,4 +1535,93 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
   }
+
+  // ---- BM25 retrieval (C72) ---------------------------------------------
+
+  /** C72: Okapi BM25 top-k retrieval (Robertson & Walker / Sparck Jones —
+    * the public probabilistic ranking function): for each query,
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+    * (tf(t,d) + k1·(1−b + b·dl(d)/avgdl)) with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). The retrieval primitive
+    * under targeted curation and eval-set leak hunts — "which training
+    * docs answer this benchmark question" is exactly a BM25 probe.
+    *
+    * Engine portability: each per-(term, doc) contribution quantizes to
+    * DECIMAL(18,9) BEFORE the per-(query, doc) sum (the bigramLl/
+    * decayCounts discipline) — the sum is exact and summation-order-free,
+    * so ranking on it is identical in any engine; ln()'s 1-ULP libm skew
+    * sits ~9 digits above the quantization step for these magnitudes.
+    * Ties break on doc_id; the reported score rounds to 6 dp.
+    *
+    * Scale shape: the corpus is touched for one (doc, term) partial-agg
+    * shuffle (tf — inherent); df/dl/avgdl derive from tf, never a second
+    * scan. The query-term table joins df BROADCAST (queries are
+    * user-sized), so candidate generation is MAP-ONLY over tf; candidate
+    * scores re-use the doc_id partitioning for the per-(query, doc) sum
+    * (grouping keys ⊇ join key ⇒ no extra exchange), and the final
+    * per-query top-k is a rank-pushdown window (WindowGroupLimit: each
+    * map partition keeps k) — no corpus-sized data ever crosses to a
+    * per-query reducer. */
+  private[graft] def bm25Of(docs: DataFrame, queries: DataFrame,
+                            topK: Int = 10, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame =
+    bm25Core(bm25Tf(docs), queries, topK, k1, b)
+
+  /** The (doc, term) postings table — built ONCE and localCheckpoint'd:
+    * df, dl, avgdl, and the candidate pass are all derivations of it, and
+    * without the materialization each branch would re-scan the corpus
+    * (Spark plans no cross-branch common-subexpression reuse). One corpus
+    * scan + one (doc, term) partial-agg shuffle total. */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  private def bm25Core(tf: DataFrame, queries: DataFrame,
+                       topK: Int, k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // queries ⋈ df stays query-sized; broadcasting it makes candidate
+    // generation a map-only pass over tf
+    val qterms = broadcast(
+      queries.join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)))))
+    val contrib = tf.join(qterms, "term")
+      .join(dl, "doc_id")
+      .withColumn("ts",
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+    val perDoc = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("s").cast("double"), 6).as("score"), col("rank"))
+  }
+
+  /** C72 gate entry: BM25 with a DERIVED query pair so the check needs no
+    * external query table — "common" = the 5 highest-occurrence corpus
+    * terms (idf discounts them), "rare" = the 5 lowest-df terms seen in
+    * ≥2 docs (idf rewards them). Both derive from exact integer counts
+    * with full tie-breaks, so any engine builds the identical queries. */
+  def bm25Search(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val tf = bm25Tf(Tables.documents(spark, dir))
+    val occ = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("occ"))
+    val qCommon = occ.orderBy(col("occ").desc, col("term")).limit(5)
+      .select(lit("common").as("query_id"), col("term"))
+    val qRare = occ.filter(col("df") >= 2)
+      .orderBy(col("df"), col("occ"), col("term")).limit(5)
+      .select(lit("rare").as("query_id"), col("term"))
+    bm25Core(tf, qCommon.unionAll(qRare), topK, 1.2, 0.75)
+  }
 }

@@ -187,12 +187,14 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.semDedup(spark, dir).count() == 0)
     assert(TextOps.mixtureTemp(spark, dir).count() == 0)
     assert(TextOps.pplBuckets(spark, dir).count() == 0)
+    assert(TextOps.bm25Search(spark, dir).count() == 0)
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
     assert(Similarity.knnGraph(spark, dir).count() == 0)
     assert(Similarity.knnGraphIvf(spark, dir).count() == 0)
     assert(Similarity.embPrototypes(spark, dir).count() == 0)
     assert(Similarity.embD4(spark, dir).count() == 0)
     assert(Similarity.labelProp(spark, dir).count() == 0)
+    assert(Similarity.pageRank(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

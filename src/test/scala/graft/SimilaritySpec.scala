@@ -916,4 +916,55 @@ class SimilaritySpec extends SparkSuite {
       nlist = 2, nprobe = 1).collect()
     assert(out.length == 1 && out.head.getAs[Long]("vec_id") == 10L)
   }
+
+  test("pageRankOf: 2-cycle splits mass evenly; star centers the hub") {
+    import SparkSuite.spark.implicits._
+    // two-node cycle: stationary distribution is exactly (1/2, 1/2)
+    val cyc = Similarity.pageRankOf(
+      Seq(1L, 2L).toDF("id"), Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
+      .toMap
+    assert(math.abs(cyc(1L) - 0.5) < 1e-9 && math.abs(cyc(2L) - 0.5) < 1e-9)
+    // star: 2,3,4,5 -> 1 and 1 -> 2: hub ranks first (stationary 0.476 vs
+    // 0.434), its out-neighbor second, the symmetric leaves 3/4/5 tie
+    // exactly. The 1<->2 cycle makes ranks ALTERNATE with amplitude
+    // ~0.85^t, so this adversarial graph needs iters well past the
+    // default 10 to order correctly — 50 puts the residual at ~3e-4,
+    // an order under the 0.041 stationary gap
+    val star = Similarity.pageRankOf(
+      (1L to 5L).toDF("id"),
+      Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L)).toDF("src", "dst"),
+      iters = 50)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
+      .toMap
+    assert(star(1L) > star(2L) && star(2L) > star(3L))
+    assert(star(3L) == star(4L) && star(4L) == star(5L))
+    // mass conservation up to the per-step quantization slack
+    assert(math.abs(star.values.sum - 1.0) < 1e-8, s"sum=${star.values.sum}")
+  }
+
+  test("pageRankOf: dangling node redistributes, isolated node keeps teleport") {
+    import SparkSuite.spark.implicits._
+    // 1 -> 2, 2 dangles, 3 isolated: ranks must stay a distribution and
+    // 2 (receiving) must outrank both 1 and 3 (teleport-only)
+    val out = Similarity.pageRankOf(
+      Seq(1L, 2L, 3L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
+      .toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-8)
+    assert(out(2L) > out(1L) && out(2L) > out(3L))
+    assert(out(1L) == out(3L)) // neither has in-edges: identical base mass
+  }
+
+  test("pageRank on the real corpus: full coverage, a distribution, bit-stable") {
+    val a = Similarity.pageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(a.length == n)
+    assert(a.forall(_._2 > 0))
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-6)
+    val b = Similarity.pageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
 }

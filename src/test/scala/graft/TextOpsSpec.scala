@@ -772,4 +772,61 @@ class TextOpsSpec extends SparkSuite {
     assert(aCopies == Seq(1L, 2L, 2L, 2L), s"A got $aCopies")
     assert(bCopies == Seq(0L, 1L, 1L, 1L), s"B got $bCopies")
   }
+
+  test("bm25: length normalization, idf discount, tie-break, exact cell") {
+    // avgdl = (2 + 8 + 2 + 2) / 4 = 3.5
+    val docs = Seq(
+      1L -> "apple banana",
+      2L -> "apple apple filler filler filler filler filler filler",
+      3L -> "banana filler",
+      4L -> "filler filler").toDF("doc_id", "text")
+    val queries = Seq(
+      ("qa", "apple"), ("qb", "banana"), ("qf", "filler")).toDF("query_id", "term")
+    val out = TextOps.bm25Of(docs, queries).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("rank"))).toMap
+    // length normalization: d1 (tf=1, dl=2) outranks d2 (tf=2, dl=8)
+    assert(out(("qa", 1L))._2 == 1L && out(("qa", 2L))._2 == 2L)
+    assert(!out.contains(("qa", 3L)) && !out.contains(("qa", 4L)))
+    // idf: same (tf, dl) cell scores higher for the rarer term
+    // (banana df=2 vs filler df=3 on doc 3)
+    assert(out(("qb", 3L))._1 > out(("qf", 3L))._1)
+    // exact cell: score(qa, d1) = quantize9(idf * 2.2/(1 + 1.2*(0.25+0.75*2/3.5)))
+    val idf = math.log(1.0 + (4L - 2L + 0.5) / (2L + 0.5))
+    val raw = idf * (1L * 2.2) / (1L + 1.2 * (0.25 + 0.75 * 2L / 3.5))
+    val expect = BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(("qa", 1L))._1 - expect) < 1e-9,
+      s"got ${out(("qa", 1L))._1}, expected $expect")
+  }
+
+  test("bm25: identical docs tie on exact decimal score, rank by doc_id") {
+    val docs = Seq(7L -> "apple pie", 3L -> "apple pie", 9L -> "other words")
+      .toDF("doc_id", "text")
+    val q = Seq(("q", "apple")).toDF("query_id", "term")
+    val out = TextOps.bm25Of(docs, q).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 7L)))
+    assert(out(0)._3 == out(1)._3)
+  }
+
+  test("bm25Search: derived queries rank the sf corpus deterministically") {
+    val a = TextOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val b = TextOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    val byQ = a.groupBy(_._1)
+    assert(byQ.keySet == Set("common", "rare"))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq)
+      // scores non-increasing down the ranking
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+  }
 }
