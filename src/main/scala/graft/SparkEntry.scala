@@ -154,6 +154,32 @@ object SparkEntry {
         }
       }
     }),
+    // C74: delete lifecycle — tombstone a deterministic corpus subset,
+    // serve the MASKED index exhaustively (pre-compact, so this gates the
+    // tombstone anti-join itself) — must hash-equal brute force over the
+    // corpus minus the deleted ids
+    "emb_ivf_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val emb = graft.Tables.embeddings(s, d)
+      if (emb.take(1).isEmpty)
+        Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "vec_id", "rank", "cos_sim")
+      else {
+        val idx = java.nio.file.Files.createTempDirectory("graft-ivfdel")
+        try {
+          Similarity.writeIvfIndexFrom(emb, idx.toString,
+            nQueries = 10, nlist = 8, lloydIters = 1)
+          Similarity.ivfDelete(s,
+            emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+            idx.toString)
+          Similarity.ivfTopKFromIndex(s, d, idx.toString,
+            nprobe = Int.MaxValue).localCheckpoint(true)
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(idx.toFile).deleteRecursively()
+        }
+      }
+    }),
     // C56: MIPS — exact brute force (gated), the norm-augmented IVF probe
     // path (rows-only), and its exhaustive twin (every bucket probed, exact
     // re-score ⇒ must reproduce the brute force bit-for-bit — gated)
@@ -456,6 +482,19 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
        |  FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |WHERE rank <= 5""".stripMargin
+
+  // the delete-lifecycle oracle: brute force over the corpus MINUS the
+  // tombstoned ids (vec_id % 10 = 3) — the masked exhaustive serve must
+  // reproduce it exactly
+  private val bruteTopkDeleteSql =
+    s"""SELECT q_id, vec_id, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+       |  FROM embeddings c, embeddings q
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.vec_id % 10 != 3) t
        |WHERE rank <= 5""".stripMargin
 
   // brute-force inner-product top-k — no norm division, no zero-vector
@@ -945,6 +984,7 @@ object SparkEntry {
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_ivf_ingest" -> bruteTopkSql,
+    "emb_ivf_delete" -> bruteTopkDeleteSql,
     "emb_ivf_q_exhaustive" -> bruteTopkSql,
     "emb_ivfpq_exhaustive" -> bruteTopkSql,
     "emb_mips_topk" -> bruteMipsSql,

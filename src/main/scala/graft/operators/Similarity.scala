@@ -782,8 +782,11 @@ object Similarity {
     * to `assignments.parquet`, so every `*FromIndex` serving path sees the
     * grown corpus without re-clustering anything. Re-submitted vec_ids are
     * anti-joined out first (retry idempotence — the dead-letter/dup-spans
-    * lesson), and the batch is materialized BEFORE the append so the
-    * read-own-writes window can't double it. Per-ingest cost: O(batch)
+    * lesson; the anti-join is against ALL ids ever assigned, so a
+    * tombstoned-but-uncompacted id can't be resurrected by ingest —
+    * deletes are final until [[ivfCompact]]), and the batch is
+    * materialized BEFORE the append so the read-own-writes window can't
+    * double it. Per-ingest cost: O(batch)
     * kernel flops + one distinct-id scan of the assignment table (ids
     * only, never vectors).
     *
@@ -811,10 +814,69 @@ object Similarity {
     assigned
   }
 
+  /** C74: deletions for the persisted IVF index — the retention/takedown
+    * half of the C71 lifecycle (build → ingest → delete → compact):
+    * deleted vec_ids append to `indexDir/tombstones.parquet` and every
+    * serving read anti-joins them out ([[liveAssignments]]); the
+    * assignment table itself is untouched, so a delete is O(ids), never a
+    * corpus rewrite — the LSM-style mask-now-rewrite-later trade every
+    * mutable ANN store makes. Idempotent: ids already tombstoned (or never
+    * indexed) are dropped, so a retried delete appends nothing. Deletes
+    * are final until [[ivfCompact]] folds them in — a pre-compact
+    * re-ingest of a deleted id is a no-op by the ingest's own
+    * already-indexed anti-join (documented there); post-compact the id is
+    * genuinely gone and may be re-ingested. Returns the NEWLY tombstoned
+    * ids. */
+  def ivfDelete(spark: SparkSession, ids: DataFrame,
+                indexDir: String): DataFrame = {
+    val present = spark.read.parquet(s"$indexDir/assignments.parquet")
+      .select(col("vec_id")).distinct()
+    val newTombs = ids.select(col("vec_id")).distinct()
+      .join(present, Seq("vec_id"), "left_semi")
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize before the append (no read-own-writes)
+    newTombs.write.mode("append").parquet(s"$indexDir/tombstones.parquet")
+    newTombs
+  }
+
+  /** Fold tombstones into the assignment table: rewrite it to live rows
+    * only and clear the tombstone set — after this, serving reads carry no
+    * anti-join and a formerly-deleted id may be re-ingested. The live view
+    * materializes BEFORE the overwrite (read-own-writes guard). Returns
+    * the number of rows dropped. */
+  def ivfCompact(spark: SparkSession, indexDir: String): Long = {
+    val all = spark.read.parquet(s"$indexDir/assignments.parquet")
+    val before = all.count()
+    val live = liveAssignments(spark, indexDir).localCheckpoint(true)
+    live.write.mode("overwrite").parquet(s"$indexDir/assignments.parquet")
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
+    tombs.getFileSystem(spark.sessionState.newHadoopConf()).delete(tombs, true)
+    before - live.count()
+  }
+
+  /** The tombstone set, or an empty (vec_id) table when none was ever
+    * written. Existence via Hadoop's FileSystem, not java.io — the index
+    * dir may be hdfs:// or s3a://. */
+  private def readTombstones(spark: SparkSession, indexDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path))
+      spark.read.parquet(s"$indexDir/tombstones.parquet").select(col("vec_id"))
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** The serving view of the assignment table: tombstoned ids masked out.
+    * The tombstone side is deletion-sized — Spark broadcasts the anti-join
+    * build side while small, exactly the wanted shape. */
+  private def liveAssignments(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/assignments.parquet")
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
+
   /** Query a persisted IVF index: identical results to [[ivfTopK]] with the
     * same parameters. The assignment table joins back to the embeddings
     * table on vec_id (the corpus partitioning key) for the exact scoring
-    * pass — only probed buckets are scored.
+    * pass — only probed buckets are scored; tombstoned ids
+    * ([[ivfDelete]]) are masked out of every serve.
     *
     * `nprobe` defaults to the index's OWN measured recall curve: pass ≤0
     * (the default) and the probe count is the smallest clearing
@@ -836,7 +898,7 @@ object Similarity {
       if (nprobe > 0) nprobe
       else indexNprobe(spark, indexDir, centroids.count().toInt, targetRecall, k)
     val emb = withNorm(Tables.embeddings(spark, dir))
-    val bucketed = spark.read.parquet(s"$indexDir/assignments.parquet")
+    val bucketed = liveAssignments(spark, indexDir)
       .join(emb.filter(col("vec_id") >= nQueries), Seq("vec_id"))
       .select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
     ivfQuery(emb.filter(col("vec_id") < nQueries), bucketed, centroids, k, probes)

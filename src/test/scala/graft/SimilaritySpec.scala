@@ -917,6 +917,55 @@ class SimilaritySpec extends SparkSuite {
     assert(out.length == 1 && out.head.getAs[Long]("vec_id") == 10L)
   }
 
+  test("ivfDelete lifecycle: masked serve == fresh index on the filtered corpus") {
+    import SparkSuite.spark.implicits._
+    def v(i: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(j => if (i == j) 1f else if (j == (i + 1) % 8) jitter else 0f)
+    val queries = Seq((0L, v(0), 0), (1L, v(3), 1))
+    val corpus = Seq(
+      (10L, v(0, 0.1f), 0), (11L, v(0, 0.5f), 0), (12L, v(0, 0.05f), 0),
+      (13L, v(3, 0.1f), 1), (14L, v(3, 0.6f), 1), (15L, v(6), 2),
+      (16L, v(6, 0.3f), 2), (17L, v(1, 0.2f), 0))
+    def mkDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivfdel-spec").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val full = mkDir(queries ++ corpus)
+    val filtered = mkDir(queries ++ corpus.filterNot(r => r._1 == 12L || r._1 == 13L))
+    val idxFull = java.nio.file.Files.createTempDirectory("graft-ivfdel-ix").toString
+    val idxFilt = java.nio.file.Files.createTempDirectory("graft-ivfdel-iy").toString
+    Similarity.writeIvfIndex(spark, full, idxFull, nQueries = 10, nlist = 4)
+    Similarity.writeIvfIndex(spark, filtered, idxFilt, nQueries = 10, nlist = 4)
+    // delete 12 and 13 (plus 99, never indexed — must be ignored)
+    val tombed = Similarity.ivfDelete(spark,
+      Seq(12L, 13L, 99L).toDF("vec_id"), idxFull)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(tombed == Set(12L, 13L))
+    // retried delete appends nothing
+    assert(Similarity.ivfDelete(spark, Seq(12L, 13L).toDF("vec_id"), idxFull)
+      .collect().isEmpty)
+    def serve(dataDir: String, idxDir: String) =
+      Similarity.ivfTopKFromIndex(spark, dataDir, idxDir, k = 3,
+        nprobe = Int.MaxValue).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).sorted.toSeq
+    val masked = serve(full, idxFull)
+    // exhaustive serving is clustering-invariant, so the masked index must
+    // reproduce a freshly-built index on the corpus minus the deleted ids
+    assert(masked == serve(filtered, idxFilt))
+    assert(!masked.exists(t => t._3 == 12L || t._3 == 13L))
+    // compact folds the mask in: identical serve, tombstones gone, 2 dropped
+    assert(Similarity.ivfCompact(spark, idxFull) == 2L)
+    assert(!new java.io.File(s"$idxFull/tombstones.parquet").exists())
+    assert(serve(full, idxFull) == masked)
+    // post-compact the id is really gone — re-ingest resurrects it
+    Similarity.ivfIngest(spark,
+      Seq((12L, v(0, 0.05f), 0)).toDF("vec_id", "embedding", "label"), idxFull)
+    assert(serve(full, idxFull).exists(_._3 == 12L))
+  }
+
   test("pageRankOf: 2-cycle splits mass evenly; star centers the hub") {
     import SparkSuite.spark.implicits._
     // two-node cycle: stationary distribution is exactly (1/2, 1/2)
