@@ -89,6 +89,8 @@ object SparkEntry {
     "q_cube"           -> ((s, d) => Analytics.cubeFlags(s, d)),
     "q_grouping_sets"  -> ((s, d) => Analytics.groupingSets(s, d)),
     "qa_orphans"       -> ((s, d) => Analytics.qaOrphans(s, d)),
+    // B36 Deequ-style constraint suite (one fused agg pass per table)
+    "qa_constraints"   -> ((s, d) => Analytics.qaConstraints(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -902,6 +904,56 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'orders->customer',
         |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
+    // B36: every metric is an exact integer-count fraction (one IEEE
+    // division) — no rounding needed for cross-engine equality
+    "qa_constraints" ->
+      """WITH ev AS (SELECT count(*) AS n, count(DISTINCT event_id) AS d_id,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |    sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |      ('click','view','signup','purchase','error') THEN 1 ELSE 0 END) AS bad_type,
+        |    sum(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS neg_value
+        |  FROM events),
+        |ord AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS d_key,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey),
+        |li AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50)
+        |      THEN 1 ELSE 0 END) AS bad_qty,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+        |      THEN 1 ELSE 0 END) AS bad_flag,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey),
+        |doc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS empty_text
+        |  FROM documents),
+        |m AS (
+        |  SELECT 'events.event_id.unique' AS check_name,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n - d_id AS DOUBLE) / CAST(n AS DOUBLE) END AS metric FROM ev
+        |  UNION ALL SELECT 'events.event_id.complete',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(null_id AS DOUBLE) / CAST(n AS DOUBLE) END FROM ev
+        |  UNION ALL SELECT 'events.user_id.complete',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(null_user AS DOUBLE) / CAST(n AS DOUBLE) END FROM ev
+        |  UNION ALL SELECT 'events.event_type.in_domain',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_type AS DOUBLE) / CAST(n AS DOUBLE) END FROM ev
+        |  UNION ALL SELECT 'events.value.non_negative',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(neg_value AS DOUBLE) / CAST(n AS DOUBLE) END FROM ev
+        |  UNION ALL SELECT 'orders.o_orderkey.unique',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n - d_key AS DOUBLE) / CAST(n AS DOUBLE) END FROM ord
+        |  UNION ALL SELECT 'orders.o_totalprice.positive',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_price AS DOUBLE) / CAST(n AS DOUBLE) END FROM ord
+        |  UNION ALL SELECT 'orders.o_custkey.refs_customer',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(orphans AS DOUBLE) / CAST(n AS DOUBLE) END FROM ord
+        |  UNION ALL SELECT 'lineitem.l_quantity.in_range',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_qty AS DOUBLE) / CAST(n AS DOUBLE) END FROM li
+        |  UNION ALL SELECT 'lineitem.l_returnflag.in_domain',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_flag AS DOUBLE) / CAST(n AS DOUBLE) END FROM li
+        |  UNION ALL SELECT 'lineitem.l_orderkey.refs_orders',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(orphans AS DOUBLE) / CAST(n AS DOUBLE) END FROM li
+        |  UNION ALL SELECT 'documents.text.complete',
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(empty_text AS DOUBLE) / CAST(n AS DOUBLE) END FROM doc)
+        |SELECT check_name, metric, metric = 0.0 AS passed FROM m""".stripMargin,
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -599,6 +599,81 @@ object Analytics {
       .unionByName(orphans("orders->customer",
         Tables.orders(spark, dir).select("o_custkey"), "o_custkey",
         Tables.customer(spark, dir).select("c_custkey"), "c_custkey"))
+  }
+
+  /** B36: declarative data-quality constraint suite — the Deequ shape
+    * (Schelter et al., VLDB 2018, public): uniqueness, completeness,
+    * domain/range conformity, and referential integrity as ONE result of
+    * (constraint, metric, passed) rows, the gate a production pipeline
+    * runs before publishing a batch.
+    *
+    * Scale shape: one partial-agg pass per table computes ALL its
+    * single-table metrics (count/countDistinct/conditional sums fused in
+    * one agg — never a scan per constraint); each referential check is one
+    * left join counted in the same pass as its fact scan (dim side
+    * broadcast while small). Conformity counts only non-null violators —
+    * nulls belong to the completeness constraints. Metrics are exact
+    * integer-count fractions (single IEEE division — bit-identical in any
+    * engine); empty tables report 0.0, not NaN. */
+  def qaConstraints(spark: SparkSession, dir: String): DataFrame = {
+    def frac(x: Column, n: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(x.cast("double") / n.cast("double"))
+    def rows(agg: DataFrame, metrics: (String, Column)*): DataFrame =
+      agg.select(explode(array(metrics.map { case (name, m) =>
+        struct(lit(name).as("check_name"), m.as("metric")) }: _*)).as("r"))
+        .select(col("r.check_name"), col("r.metric"))
+    val ev = Tables.events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("event_id")).as("d_id"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(col("event_type").isNotNull &&
+        !col("event_type").isin("click", "view", "signup", "purchase", "error"),
+        1L).otherwise(0L)).as("bad_type"),
+      sum(when(col("value").isNotNull && col("value") < 0, 1L)
+        .otherwise(0L)).as("neg_value"))
+    val evRows = rows(ev,
+      "events.event_id.unique" -> frac(col("n") - col("d_id"), col("n")),
+      "events.event_id.complete" -> frac(col("null_id"), col("n")),
+      "events.user_id.complete" -> frac(col("null_user"), col("n")),
+      "events.event_type.in_domain" -> frac(col("bad_type"), col("n")),
+      "events.value.non_negative" -> frac(col("neg_value"), col("n")))
+    val ord = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("d_key"),
+        sum(when(col("o_totalprice").isNotNull && col("o_totalprice") <= 0, 1L)
+          .otherwise(0L)).as("bad_price"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orphans"))
+    val ordRows = rows(ord,
+      "orders.o_orderkey.unique" -> frac(col("n") - col("d_key"), col("n")),
+      "orders.o_totalprice.positive" -> frac(col("bad_price"), col("n")),
+      "orders.o_custkey.refs_customer" -> frac(col("orphans"), col("n")))
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNotNull &&
+          !(col("l_quantity") >= 1 && col("l_quantity") <= 50), 1L)
+          .otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_returnflag").isNotNull &&
+          !col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("bad_flag"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphans"))
+    val liRows = rows(li,
+      "lineitem.l_quantity.in_range" -> frac(col("bad_qty"), col("n")),
+      "lineitem.l_returnflag.in_domain" -> frac(col("bad_flag"), col("n")),
+      "lineitem.l_orderkey.refs_orders" -> frac(col("orphans"), col("n")))
+    val doc = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("empty_text"))
+    val docRows = rows(doc,
+      "documents.text.complete" -> frac(col("empty_text"), col("n")))
+    evRows.unionByName(ordRows).unionByName(liRows).unionByName(docRows)
+      .select(col("check_name"), col("metric"),
+        (col("metric") === 0.0).as("passed"))
   }
 
   /** B21: window distribution family — percent_rank / cume_dist / nth_value

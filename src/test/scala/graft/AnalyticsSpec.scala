@@ -50,4 +50,48 @@ class AnalyticsSpec extends SparkSuite {
     val topk = Analytics.topkParts(spark, sf, 3).collect().map(_.getAs[Double]("revenue"))
     assert(topk.length == 3 && topk.sliding(2).forall { case Array(a, b) => a >= b })
   }
+
+  test("qaConstraints: planted violations report exact fractions, clean corpus passes") {
+    import SparkSuite.spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-qa").toString
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq(
+      (Some(1L), t, Some(10L), "click", 1.0),
+      (Some(1L), t, Some(10L), "view", 2.0),     // duplicate event_id
+      (Some(2L), t, None, "bogus", -3.0),        // null user, bad type, neg value
+      (Some(3L), t, Some(11L), "purchase", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    Seq((100L, 1L, 10.0), (100L, 1L, 20.0),      // duplicate o_orderkey
+      (101L, 999L, 30.0),                        // orphan custkey
+      (102L, 2L, 0.0))                           // non-positive price
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(s"$d/customer.parquet")
+    Seq((100L, 5.0, "A"), (100L, 99.0, "N"),     // quantity out of range
+      (999L, 10.0, "X"))                         // orphan orderkey + bad flag
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, Some("ok")), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val out = Analytics.qaConstraints(spark, d).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Double]("metric"), r.getAs[Boolean]("passed"))).toMap
+    assert(out.size == 12)
+    assert(out("events.event_id.unique") == (0.25, false))
+    assert(out("events.event_id.complete") == (0.0, true))
+    assert(out("events.user_id.complete") == (0.25, false))
+    assert(out("events.event_type.in_domain") == (0.25, false))
+    assert(out("events.value.non_negative") == (0.25, false))
+    assert(out("orders.o_orderkey.unique") == (0.25, false))
+    assert(out("orders.o_totalprice.positive") == (0.25, false))
+    assert(out("orders.o_custkey.refs_customer") == (0.25, false))
+    assert(out("lineitem.l_quantity.in_range") == (1.0 / 3, false))
+    assert(out("lineitem.l_returnflag.in_domain") == (1.0 / 3, false))
+    assert(out("lineitem.l_orderkey.refs_orders") == (1.0 / 3, false))
+    assert(out("documents.text.complete") == (2.0 / 3, false))
+    // the real corpus is constraint-clean end to end
+    val clean = Analytics.qaConstraints(spark, sf).collect()
+    assert(clean.length == 12 && clean.forall(_.getAs[Boolean]("passed")))
+  }
 }
