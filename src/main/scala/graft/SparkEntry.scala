@@ -33,6 +33,26 @@ object SparkEntry {
     "ev_last_n"         -> ((s, d) => EventOps.lastN(s, d)),
     "ev_last_n_lex"     -> ((s, d) => EventOps.lastNLex(s, d)),
     "ev_counts_by_type" -> ((s, d) => EventOps.countsByType(s, d)),
+    // A44: ORC interchange roundtrip — events written to ORC and read back
+    // must aggregate identically to the parquet original (long, string,
+    // double, and timestamp columns all cross the ORC writer+reader)
+    "ev_orc_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+      try {
+        graft.Tables.events(s, d).write.mode("overwrite").orc(s"$tmp/events.orc")
+        s.read.orc(s"$tmp/events.orc")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            graft.functions.Cols.dsum(col("value")).as("sum_value"),
+            graft.functions.Cols.tsMs(max(col("ts"))).as("max_ts_ms"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     "ev_throughput"     -> ((s, d) => EventOps.throughput(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
@@ -556,6 +576,10 @@ object SparkEntry {
       """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, epoch_ms(ts) AS ts_ms,
         |  user_id, event_type, value
         |FROM events ORDER BY id_str DESC LIMIT 50""".stripMargin,
+    "ev_orc_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS sum_value, epoch_ms(max(ts)) AS max_ts_ms
+         |FROM events GROUP BY event_type""".stripMargin,
     "ev_counts_by_type" ->
       s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS sum_value, ${dsum("value")} / count(*) AS avg_value,

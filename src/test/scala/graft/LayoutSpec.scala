@@ -250,4 +250,62 @@ class LayoutSpec extends SparkSuite {
         s"scan read $scanRead of $n rows — row-group skipping not happening")
     } finally spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
   }
+
+  test("csv ingest: schema enforced, malformed rows dead-letter with raw text") {
+    import graft.sources.Formats
+    val d = Files.createTempDirectory("graft-csv").toString
+    val lines = Seq(
+      "event_id,ts,user_id,event_type,value",
+      "1,2026-01-01 00:00:00,10,click,1.5",
+      "2,2026-01-01 00:00:01,11,view,2.0",
+      "3,2026-01-01 00:00:02,12,purchase,0.25",
+      "4,2026-01-01 00:00:03,13,error",          // wrong arity
+      "5,not-a-timestamp,14,click,oops")         // two unparsable cells
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/events.csv"),
+      lines.mkString("\n").getBytes)
+    val (nGood, nDead) = Formats.ingest(
+      Formats.eventsCsv(spark, s"$d/events.csv"), s"$d/good", s"$d/dead")
+    assert((nGood, nDead) == (3L, 2L))
+    val good = spark.read.parquet(s"$d/good").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"))).sorted.toSeq
+    assert(good == Seq((1L, "click", 1.5), (2L, "view", 2.0), (3L, "purchase", 0.25)))
+    val dead = spark.read.parquet(s"$d/dead").collect()
+      .map(_.getAs[String]("raw")).sorted.toSeq
+    assert(dead == Seq("4,2026-01-01 00:00:03,13,error",
+      "5,not-a-timestamp,14,click,oops"))
+  }
+
+  test("jsonl ingest: malformed json and type mismatches dead-letter, not throw") {
+    import graft.sources.Formats
+    val d = Files.createTempDirectory("graft-jsonl").toString
+    val lines = Seq(
+      """{"event_id":1,"ts":"2026-01-01 00:00:00","user_id":10,"event_type":"click","value":1.5}""",
+      """{"event_id":2,"ts":"2026-01-01 00:00:01","user_id":11,"event_type":"view","value":2.0}""",
+      """{"event_id":3,"ts":"2026-01-01 00:00:02","user_id":"not-a-long","event_type":"view","value":3.0}""",
+      """{"event_id":4,"broken json""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/events.jsonl"),
+      lines.mkString("\n").getBytes)
+    val (nGood, nDead) = Formats.ingest(
+      Formats.eventsJsonl(spark, s"$d/events.jsonl"), s"$d/good", s"$d/dead")
+    assert((nGood, nDead) == (2L, 2L))
+    val good = spark.read.parquet(s"$d/good").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).sorted.toSeq
+    assert(good == Seq((1L, 1.5), (2L, 2.0)))
+    // every dead row keeps its raw line for replay
+    assert(spark.read.parquet(s"$d/dead").collect()
+      .forall(_.getAs[String]("raw").nonEmpty))
+  }
+
+  test("orc roundtrip preserves every event column bit-for-bit") {
+    val d = Files.createTempDirectory("graft-orc-spec").toString
+    val src = Tables.events(spark, sf)
+    src.write.orc(s"$d/events.orc")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+      .sortBy(_._1).toSeq
+    assert(key(spark.read.orc(s"$d/events.orc")) == key(src))
+  }
 }
