@@ -54,6 +54,8 @@ object SparkEntry {
       }
     }),
     "ev_throughput"     -> ((s, d) => EventOps.throughput(s, d)),
+    // A45 hysteresis burst detection (exact order-statistic thresholds)
+    "ev_bursts"         -> ((s, d) => EventOps.bursts(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
@@ -576,6 +578,39 @@ object SparkEntry {
       """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, epoch_ms(ts) AS ts_ms,
         |  user_id, event_type, value
         |FROM events ORDER BY id_str DESC LIMIT 50""".stripMargin,
+    // A45: thresholds are exact per-type order statistics (longs), the
+    // hysteresis state is a running last-definite-marker, episodes break
+    // at cold windows or window gaps and must contain a hot window
+    "ev_bursts" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS win FROM events),
+        |wc AS (SELECT event_type, win, count(*) AS n FROM e GROUP BY 1, 2),
+        |st AS (SELECT event_type, win, n,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY n, win) AS rnk
+        |       FROM wc),
+        |hi AS (SELECT event_type, n AS hi FROM st
+        |       WHERE rnk = CAST(ceil(cnt * 0.95) AS BIGINT)),
+        |lo AS (SELECT event_type, n AS lo FROM st
+        |       WHERE rnk = CAST(ceil(cnt * 0.75) AS BIGINT)),
+        |mk AS (SELECT wc.event_type, wc.win, wc.n,
+        |         CASE WHEN wc.n >= hi.hi THEN 1
+        |              WHEN wc.n < lo.lo THEN 0 END AS marker
+        |       FROM wc JOIN hi USING (event_type) JOIN lo USING (event_type)),
+        |stt AS (SELECT *, coalesce(last_value(marker IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY win
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |        FROM mk),
+        |b AS (SELECT * FROM stt WHERE state = 1),
+        |nb AS (SELECT *, CASE WHEN lag(win) OVER (PARTITION BY event_type ORDER BY win) IS NULL
+        |         OR win != lag(win) OVER (PARTITION BY event_type ORDER BY win) + 1
+        |         THEN 1 ELSE 0 END AS is_new FROM b),
+        |ib AS (SELECT *, sum(is_new) OVER (PARTITION BY event_type ORDER BY win
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+        |       FROM nb)
+        |SELECT event_type, CAST(burst_id AS BIGINT) AS burst_id,
+        |  min(win) * 3600000 AS start_ms, (max(win) + 1) * 3600000 AS end_ms,
+        |  count(*) AS n_windows, max(n) AS peak, CAST(sum(n) AS BIGINT) AS total
+        |FROM ib GROUP BY 1, 2 HAVING max(marker) = 1""".stripMargin,
     "ev_orc_roundtrip" ->
       s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS sum_value, epoch_ms(max(ts)) AS max_ts_ms

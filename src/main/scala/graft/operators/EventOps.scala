@@ -670,4 +670,61 @@ object EventOps {
       .select(col("user_id"), col("event_id").as("a_event_id"),
         col("ts_ms").as("a_ts_ms"), col("next_b_ms"))
   }
+
+  /** A45: burst detection with HYSTERESIS over per-type windowed rates —
+    * the two-state form of Kleinberg's burst model (Kleinberg, KDD 2002,
+    * public): a burst episode OPENS at a window whose count clears the
+    * per-type `hiPct` percentile, STAYS open through windows above the
+    * `loPct` percentile (sustained elevation isn't N separate alerts — the
+    * flapping-alarm fix), and CLOSES at the first window below it or at a
+    * window gap. Episodes that never contain a hot window (e.g. elevated
+    * tails re-entered after a gap) are dropped.
+    *
+    * Thresholds are EXACT per-type order statistics (the count at
+    * ascending rank ⌈pct·n_windows⌉, ties ordered (n, win)) — relative to
+    * each type's own distribution, so they exist at every SF (top-5%
+    * windows are bursts by construction) and every comparison is of exact
+    * longs — bit-identical cross-engine, no float thresholds.
+    *
+    * Scale shape: corpus work is ONE (type, window) partial-agg shuffle;
+    * ranks, the running hysteresis state (last definite hot/cold marker —
+    * the A40 running-anchor discipline), and episode islanding all run on
+    * the windows-per-type SUMMARY (a year of hourly windows is 8.8k rows
+    * per type at any corpus size). */
+  def bursts(spark: SparkSession, dir: String, winMs: Long = 3600000L,
+             hiPct: Double = 0.95, loPct: Double = 0.75): DataFrame = {
+    require(loPct < hiPct, "loPct must sit below hiPct")
+    val byType = Window.partitionBy(col("event_type"))
+    val run = byType.orderBy(col("win"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = Tables.events(spark, dir)
+      .select(col("event_type"), tsMs(col("ts")).as("ts_ms"))
+      .groupBy(col("event_type"), expr(s"ts_ms div $winMs").as("win"))
+      .agg(count(lit(1)).as("n"))
+    val st = wc
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("rnk", row_number().over(byType.orderBy(col("n"), col("win"))))
+    val hi = st.filter(col("rnk") === ceil(col("cnt") * hiPct))
+      .select(col("event_type"), col("n").as("hi"))
+    val lo = st.filter(col("rnk") === ceil(col("cnt") * loPct))
+      .select(col("event_type"), col("n").as("lo"))
+    wc.join(hi, "event_type").join(lo, "event_type")
+      .withColumn("marker",
+        when(col("n") >= col("hi"), 1L).when(col("n") < col("lo"), 0L))
+      .withColumn("state",
+        coalesce(last(col("marker"), ignoreNulls = true).over(run), lit(0L)))
+      .filter(col("state") === 1L)
+      .withColumn("prev_win", lag(col("win"), 1).over(byType.orderBy(col("win"))))
+      .withColumn("is_new", when(col("prev_win").isNull ||
+        col("win") =!= col("prev_win") + 1, 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("is_new")).over(run))
+      .groupBy(col("event_type"), col("burst_id"))
+      .agg((min(col("win")) * winMs).as("start_ms"),
+        ((max(col("win")) + 1) * winMs).as("end_ms"),
+        count(lit(1)).as("n_windows"), max(col("n")).as("peak"),
+        sum(col("n")).as("total"), max(col("marker")).as("mk"))
+      .filter(col("mk") === 1L) // an episode must contain a hot window
+      .select(col("event_type"), col("burst_id"), col("start_ms"),
+        col("end_ms"), col("n_windows"), col("peak"), col("total"))
+  }
 }

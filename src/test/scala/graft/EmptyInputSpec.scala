@@ -36,6 +36,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.sequenceMatch(spark, dir).count() == 0)
     assert(EventOps.markovChain(spark, dir).count() == 0)
     assert(EventOps.decayCounts(spark, dir).count() == 0)
+    assert(EventOps.bursts(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

@@ -303,4 +303,39 @@ class EventOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(native == naive)
   }
+
+  test("bursts: hysteresis opens hot, rides middles, closes cold; gaps split") {
+    import SparkSuite.spark.implicits._
+    val H = 3600000L
+    // type x: 19 windows (w15 missing). Order stats: hi = rank ceil(.95*19)
+    // = 19 -> 10; lo = rank ceil(.75*19) = 15 -> 2. Hot >= 10, cold < 2.
+    val xWins = Seq(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
+      5 -> 2, 6 -> 2, 7 -> 2, 8 -> 2, 9 -> 2,
+      10 -> 10, 11 -> 4, 12 -> 1, 13 -> 1, 14 -> 10,
+      16 -> 4, 17 -> 2, 18 -> 2, 19 -> 2)
+    // type y: constant rate -> hi = lo = 3, every window hot, ONE episode
+    val yWins = (0 to 19).map(_ -> 3)
+    var id = 0L
+    val rows = (xWins.map(("x", _)) ++ yWins.map(("y", _))).flatMap {
+      case (tpe, (w, c)) => (0 until c).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(w * H + i * 1000L), 1L, tpe, 1.0)
+      }
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.bursts(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("burst_id")) ->
+        (r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+          r.getAs[Long]("n_windows"), r.getAs[Long]("peak"),
+          r.getAs[Long]("total"))).toMap
+    // x: hot w10 rides the middle w11, closes at cold w12 -> [w10, w12)
+    assert(out(("x", 1L)) == (10 * H, 12 * H, 2L, 10L, 14L))
+    // x: hot w14, the post-gap middle tail (w16-19, no hot) is DROPPED
+    assert(out(("x", 2L)) == (14 * H, 15 * H, 1L, 10L, 10L))
+    // y: degenerate flat series -> hi = lo, one wall-to-wall episode
+    assert(out(("y", 1L)) == (0L, 20 * H, 20L, 3L, 60L))
+    assert(out.size == 3)
+  }
 }
