@@ -695,12 +695,7 @@ object EventOps {
              hiPct: Double = 0.95, loPct: Double = 0.75): DataFrame = {
     require(loPct < hiPct, "loPct must sit below hiPct")
     val byType = Window.partitionBy(col("event_type"))
-    val run = byType.orderBy(col("win"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wc = Tables.events(spark, dir)
-      .select(col("event_type"), tsMs(col("ts")).as("ts_ms"))
-      .groupBy(col("event_type"), expr(s"ts_ms div $winMs").as("win"))
-      .agg(count(lit(1)).as("n"))
+    val wc = burstWindowCounts(Tables.events(spark, dir), winMs)
     val st = wc
       .withColumn("cnt", count(lit(1)).over(byType))
       .withColumn("rnk", row_number().over(byType.orderBy(col("n"), col("win"))))
@@ -708,7 +703,29 @@ object EventOps {
       .select(col("event_type"), col("n").as("hi"))
     val lo = st.filter(col("rnk") === ceil(col("cnt") * loPct))
       .select(col("event_type"), col("n").as("lo"))
-    wc.join(hi, "event_type").join(lo, "event_type")
+    burstEpisodes(wc.join(hi, "event_type").join(lo, "event_type"), winMs)
+  }
+
+  /** [[bursts]] with ABSOLUTE thresholds over an explicit events frame —
+    * the form the streaming twin's replay spec compares against (a stream
+    * can't know its percentile thresholds up front). */
+  private[graft] def burstsFixed(events: DataFrame, winMs: Long,
+                                 hi: Long, lo: Long): DataFrame =
+    burstEpisodes(burstWindowCounts(events, winMs)
+      .withColumn("hi", lit(hi)).withColumn("lo", lit(lo)), winMs)
+
+  private def burstWindowCounts(events: DataFrame, winMs: Long): DataFrame =
+    events.select(col("event_type"), tsMs(col("ts")).as("ts_ms"))
+      .groupBy(col("event_type"), expr(s"ts_ms div $winMs").as("win"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Hysteresis islanding over (event_type, win, n, hi, lo) marked window
+    * counts — shared by the percentile and fixed-threshold entries. */
+  private def burstEpisodes(marked: DataFrame, winMs: Long): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val run = byType.orderBy(col("win"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
       .withColumn("marker",
         when(col("n") >= col("hi"), 1L).when(col("n") < col("lo"), 0L))
       .withColumn("state",

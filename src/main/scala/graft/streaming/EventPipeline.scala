@@ -344,6 +344,88 @@ object EventPipeline {
       }
   }
 
+  case class BurstState(counts: Map[Long, Long], nextWin: Long,
+                        markerState: Boolean, inIsland: Boolean,
+                        sawHot: Boolean, epId: Long, epStartWin: Long,
+                        epLastWin: Long, epPeak: Long, epTotal: Long,
+                        epWindows: Long)
+  case class Burst(event_type: String, burst_id: Long, start_ms: Long,
+                   end_ms: Long, n_windows: Long, peak: Long, total: Long)
+
+  /** A45-streaming: LIVE hysteresis burst episodes with ABSOLUTE
+    * thresholds (a stream can't know its percentile order statistics up
+    * front — `hi`/`lo` are the operational alert levels). Keyed by
+    * event_type; open window counts accumulate in state, and a window is
+    * fed to the hysteresis machine only once the WATERMARK proves it
+    * complete — so an episode is emitted exactly once, when it closes
+    * (cold window, window gap, or a finalized-empty successor), with the
+    * same id/bounds/peak/total the batch [[graft.operators.EventOps]]
+    * islanding assigns (island ids count EVERY state-1 island, including
+    * hotless ones that are later dropped — the replay spec pins id
+    * parity). An event-time timeout at the next window boundary drives
+    * finalization through quiet periods; state per type = the open
+    * (unfinalized) windows plus one episode record, and the type key set
+    * is schema-small, so state never scales with the corpus. */
+  def burstStream(events: Dataset[Event], winMs: Long, hi: Long, lo: Long,
+                  watermark: Option[String] = Some("10 minutes")): Dataset[Burst] = {
+    require(lo <= hi, "lo must sit at or below hi")
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, Burst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (tpe, batch, state: GroupState[BurstState]) =>
+          var st = state.getOption.getOrElse(BurstState(Map.empty,
+            Long.MinValue, markerState = false, inIsland = false,
+            sawHot = false, 0L, 0L, 0L, 0L, 0L, 0L))
+          batch.foreach { e =>
+            val w = Math.floorDiv(e.ts.getTime, winMs)
+            // windows the watermark already finalized never reopen
+            if (st.nextWin == Long.MinValue || w >= st.nextWin)
+              st = st.copy(counts =
+                st.counts.updated(w, st.counts.getOrElse(w, 0L) + 1L))
+          }
+          val wmWin = Math.floorDiv(state.getCurrentWatermarkMs(), winMs)
+          val out = Seq.newBuilder[Burst]
+          def closeIsland(): Unit = if (st.inIsland) {
+            if (st.sawHot)
+              out += Burst(tpe, st.epId, st.epStartWin * winMs,
+                (st.epLastWin + 1) * winMs, st.epWindows, st.epPeak, st.epTotal)
+            st = st.copy(inIsland = false, sawHot = false)
+          }
+          st.counts.keys.filter(_ < wmWin).toSeq.sorted.foreach { w =>
+            val c = st.counts(w)
+            val marker = if (c >= hi) true else if (c < lo) false
+              else st.markerState
+            if (marker) {
+              if (!(st.inIsland && w == st.epLastWin + 1)) {
+                closeIsland() // a gap among state-1 windows splits islands
+                st = st.copy(inIsland = true, sawHot = false,
+                  epId = st.epId + 1, epStartWin = w,
+                  epPeak = 0L, epTotal = 0L, epWindows = 0L)
+              }
+              st = st.copy(markerState = marker,
+                sawHot = st.sawHot || c >= hi, epLastWin = w,
+                epPeak = math.max(st.epPeak, c), epTotal = st.epTotal + c,
+                epWindows = st.epWindows + 1L)
+            } else {
+              closeIsland()
+              st = st.copy(markerState = marker)
+            }
+          }
+          // the successor window is finalized and EMPTY: nothing can
+          // extend this island any more — close it now, don't wait
+          if (st.inIsland && st.epLastWin + 1 < wmWin) closeIsland()
+          st = st.copy(counts = st.counts.filter(_._1 >= wmWin),
+            nextWin = math.max(st.nextWin, wmWin))
+          // epId monotonicity must survive quiet periods: keep the
+          // |types|-bounded state alive rather than evict-and-reset ids
+          state.update(st)
+          state.setTimeoutTimestamp((wmWin + 1L) * winMs)
+          out.result().iterator
+      }
+  }
+
   case class PendingA(aTsMs: Long, aEventId: Long)
   case class Dropout(user_id: Long, a_event_id: Long, a_ts_ms: Long)
 

@@ -1025,4 +1025,58 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("multi_out").collect().map(_.getAs[Long]("event_id")).toSet
       == Set(1L, 2L, 3L))
   }
+
+  test("burstStream: bounded replay emits exactly the fixed-threshold batch episodes") {
+    val H = 3600000L
+    // the A45 planted series with ABSOLUTE thresholds hi=10, lo=2:
+    // bursts [w10,w11] (hot rides middle, closes cold) and [w14] (post-gap
+    // middle tail w16-19 forms a hotless island -> dropped, but it MUST
+    // consume island id 3 for id parity with the batch islanding); the
+    // flush event at w50 is a cold singleton that finalizes everything
+    val xWins = Seq(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
+      5 -> 2, 6 -> 2, 7 -> 2, 8 -> 2, 9 -> 2,
+      10 -> 10, 11 -> 4, 12 -> 1, 13 -> 1, 14 -> 10,
+      16 -> 4, 17 -> 2, 18 -> 2, 19 -> 2, 50 -> 1)
+    val yWins = (0 to 19).map(_ -> 3) // all-middle: never opens, no episodes
+    var id = 0L
+    val events = (xWins.map(("x", _)) ++ yWins.map(("y", _))).flatMap {
+      case (tpe, (w, c)) => (0 until c).map { i =>
+        id += 1
+        Event(id, new Timestamp(w * H + i * 1000L), 1L, tpe, 1.0)
+      }
+    }.sortBy(e => (e.ts.getTime, e.event_id))
+    import SparkSuite.spark.implicits._
+    val batch = graft.operators.EventOps
+      .burstsFixed(events.toDF(), H, hi = 10L, lo = 2L).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("burst_id"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("peak"),
+        r.getAs[Long]("total"))).toSet
+    assert(batch.map(t => (t._1, t._2)) == Set(("x", 1L), ("x", 2L)),
+      s"planted batch shape drifted: $batch")
+
+    val src = Files.createTempDirectory("graft-burst-src").toString
+    val chk = Files.createTempDirectory("graft-burst-chk").toString
+    // split INSIDE w11 so episode 1's windows cross the micro-batch boundary
+    val cut = events.indexWhere(e => e.ts.getTime >= 11 * H + 2000L)
+    val (first, second) = events.splitAt(cut)
+    assert(first.exists(_.ts.getTime >= 10 * H) &&
+      second.exists(e => e.ts.getTime >= 11 * H && e.ts.getTime < 12 * H),
+      "split no longer crosses episode 1 — test is vacuous")
+    writeBatch(src, "b1", first)
+    val q = EventPipeline.burstStream(
+      EventPipeline.fileSource(spark, src).as[Event], H, hi = 10L, lo = 2L)
+      .toDF().writeStream.format("memory").queryName("burst_eps")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", second)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("burst_eps").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("burst_id"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("peak"),
+        r.getAs[Long]("total"))).toSet
+    assert(streamed == batch,
+      s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
+  }
 }
