@@ -166,8 +166,10 @@ object Dedup {
                        threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val (numHashes, batchSigs, batchBands) = sigBandBatch(newDocs, storeDir)
-    val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
-    val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
+    // pairing reads MASK tombstoned docs (C75); the admission anti-join in
+    // sigBandBatch intentionally does not — deletes are final until compact
+    val storeSigs = liveStoreSigs(spark, storeDir)
+    val storeBands = liveStoreBands(spark, storeDir)
     val crossCand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val innerCand = batchBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
@@ -256,8 +258,8 @@ object Dedup {
     val spark = batchIds.sparkSession
     val numHashes =
       spark.read.parquet(s"$storeDir/params.parquet").head().getAs[Int]("num_hashes")
-    val storeSigs = spark.read.parquet(s"$storeDir/sigs.parquet")
-    val storeBands = spark.read.parquet(s"$storeDir/bands.parquet")
+    val storeSigs = liveStoreSigs(spark, storeDir) // C75: forgotten docs masked
+    val storeBands = liveStoreBands(spark, storeDir)
     val ids = batchIds.select(col("doc_id")).distinct()
     val batchBands = storeBands.join(ids, Seq("doc_id"), "left_semi")
     val cand = storeBands.as("a").join(batchBands.as("b"), Seq("band", "bucket"))
@@ -278,6 +280,66 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
+
+  // ---- Signature-store takedown (C75) -----------------------------------
+
+  /** C75: takedown for the persisted near-dup signature store — the
+    * retention half of the ingest lifecycle, the C74 tombstone design
+    * applied to document state: forgotten doc_ids append to
+    * `storeDir/tombstones.parquet` (O(ids), no store rewrite) and every
+    * PAIRING read ([[minhashLshIngest]], [[pairsFromStore]]) masks them
+    * out, so a forgotten doc immediately stops producing candidate pairs.
+    * The ingest admission check stays on the RAW id set — deletes are
+    * final until [[signatureStoreCompact]], so a pre-compact re-ingest of
+    * a forgotten id is a no-op rather than a silent resurrection.
+    * Idempotent: already-tombstoned / never-stored ids append nothing.
+    * Returns the NEWLY tombstoned ids. */
+  def signatureStoreForget(ids: DataFrame, storeDir: String): DataFrame = {
+    val spark = ids.sparkSession
+    val present = spark.read.parquet(s"$storeDir/sigs.parquet")
+      .select(col("doc_id"))
+    val newTombs = ids.select(col("doc_id")).distinct()
+      .join(present, Seq("doc_id"), "left_semi")
+      .join(sigTombstones(spark, storeDir), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // materialize before the append
+    newTombs.write.mode("append").parquet(s"$storeDir/tombstones.parquet")
+    newTombs
+  }
+
+  /** Fold tombstones into the signature store: rewrite sigs + bands to
+    * live rows and clear the tombstone set — after this a forgotten id may
+    * be re-ingested. Tombstones are deleted LAST, so a crash between the
+    * rewrites leaves every read path (masked or not) still correct on
+    * retry. Returns the number of documents dropped. */
+  def signatureStoreCompact(spark: SparkSession, storeDir: String): Long = {
+    val tombs = sigTombstones(spark, storeDir).localCheckpoint(true)
+    val n = tombs.count()
+    if (n > 0) {
+      val liveS = liveStoreSigs(spark, storeDir).localCheckpoint(true)
+      val liveB = liveStoreBands(spark, storeDir).localCheckpoint(true)
+      liveB.write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
+      liveS.write.mode("overwrite").parquet(s"$storeDir/sigs.parquet")
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones.parquet")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    n
+  }
+
+  private def sigTombstones(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path))
+      spark.read.parquet(s"$storeDir/tombstones.parquet").select(col("doc_id"))
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def liveStoreSigs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/sigs.parquet")
+      .join(sigTombstones(spark, storeDir), Seq("doc_id"), "left_anti")
+
+  private def liveStoreBands(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/bands.parquet")
+      .join(sigTombstones(spark, storeDir), Seq("doc_id"), "left_anti")
 
   /** SimHash per doc via the native [[graft.functions.SimHashExpr]] kernel —
     * map-only (the earlier explode → 64 sign-sum aggregates paid a
@@ -861,6 +923,64 @@ object Dedup {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$storeDir/docs.parquet")
     out
+  }
+
+  /** C75b: takedown for the duplicated-span GRAM STORE — the subtraction
+    * problem: the store's (fp, df) census carries no doc attribution, so a
+    * forgotten document's gram contributions can only leave the counts by
+    * RE-GRAMMING its content (a takedown request ships the content being
+    * removed — the caller must pass the text as stored; the store cannot
+    * verify it). The subtraction lands as a NEGATIVE-df correction
+    * partition `batch_id = -forgetId`: readers already sum all partitions
+    * ([[dupSpansIncremental]]'s store census), so corrections apply with
+    * zero reader changes — the LSM correction-record pattern, and exact,
+    * because the same text yields the identical gram set (net df 0 for
+    * every (doc, gram) pair).
+    *
+    * Only docs actually ADMITTED (present in the store's doc ledger)
+    * subtract, each at most once (a forget ledger partition
+    * `forget_id=<forgetId>` anti-joins re-requests). Same crash-retry
+    * discipline as ingest: read sides exclude this forgetId's own
+    * partitions, writes are dynamic overwrites of exactly those
+    * partitions, the ledger lands LAST. The admitted-doc ledger keeps the
+    * forgotten id (re-submission stays blocked — the C74/C75 "deletes are
+    * final" rule; a store rebuild is the re-admission path). Returns the
+    * doc ids subtracted this call. */
+  def gramStoreForget(forgotten: DataFrame, storeDir: String,
+                      forgetId: Long): DataFrame = {
+    require(forgetId > 0L, "forgetId must be positive (lands as batch_id = -forgetId)")
+    val spark = forgotten.sparkSession
+    val k = spark.read.parquet(s"$storeDir/params.parquet")
+      .head().getAs[Int]("k")
+    val admitted = spark.read.parquet(s"$storeDir/docs.parquet").select("doc_id")
+    val alreadyForgot = gramForgetLedger(spark, storeDir)
+      .filter(col("forget_id") =!= forgetId) // retry: ignore own partial land
+      .select("doc_id")
+    val docs = forgotten.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+      .join(admitted, Seq("doc_id"), "left_semi")
+      .join(alreadyForgot, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pin before the store mutates
+    gramWins(docs, k)
+      .groupBy("fp").agg((-countDistinct(col("doc_id"))).as("df"))
+      .withColumn("batch_id", lit(-forgetId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/dfs.parquet")
+    val out = docs.select(col("doc_id")).localCheckpoint(true)
+    out.withColumn("forget_id", lit(forgetId))
+      .write.partitionBy("forget_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/forgotten.parquet")
+    out
+  }
+
+  private def gramForgetLedger(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/forgotten.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.parquet(s"$storeDir/forgotten.parquet")
+    else spark.range(0).select(col("id").as("doc_id"),
+      col("id").as("forget_id"))
   }
 
   /** C54b: apply the cut — each doc's non-duplicated token segments

@@ -508,4 +508,85 @@ class DedupSpec extends SparkSuite {
       gt.values.filter(_.size > 1).forall(ms => ms.toSeq.map(q).distinct.size == 1),
       "corpus failed to exercise quality-based selection (all winners are min-id)")
   }
+
+  test("signature store forget: tombstoned docs stop pairing; compact re-admits") {
+    import SparkSuite.spark.implicits._
+    def sent(tag: String) =
+      s"alpha bravo charlie delta echo foxtrot golf hotel india $tag juliet kilo lima"
+    val store = java.nio.file.Files.createTempDirectory("graft-sigforget").toString
+    Dedup.writeSignatureStore(Seq(
+      (1L, sent("one")), (2L, sent("one")), // exact dup pair
+      (3L, "unrelated words entirely different from the duplicated sentence"))
+      .toDF("doc_id", "text"), store)
+    val before = Dedup.pairsFromStore(Seq(2L).toDF("doc_id"), store)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(before == Set((1L, 2L)))
+    // forget 1 (plus never-stored 99 — ignored); a retry appends nothing
+    assert(Dedup.signatureStoreForget(Seq(1L, 99L).toDF("doc_id"), store)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(Dedup.signatureStoreForget(Seq(1L).toDF("doc_id"), store)
+      .collect().isEmpty)
+    assert(Dedup.pairsFromStore(Seq(2L).toDF("doc_id"), store).collect().isEmpty)
+    // pre-compact re-ingest of the forgotten id is a no-op (deletes final)
+    Dedup.ingestSignatures(Seq((1L, sent("one"))).toDF("doc_id", "text"), store)
+    assert(Dedup.pairsFromStore(Seq(2L).toDF("doc_id"), store).collect().isEmpty)
+    // a NEW dup pairs with the live copy only — the masked doc never surfaces
+    val p4 = Dedup.minhashLshIngest(Seq((4L, sent("one"))).toDF("doc_id", "text"), store)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p4 == Set((2L, 4L)), s"got $p4")
+    // compact: doc truly gone, tombstones cleared, the id re-admits
+    assert(Dedup.signatureStoreCompact(spark, store) == 1L)
+    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    val p1b = Dedup.minhashLshIngest(Seq((1L, sent("one"))).toDF("doc_id", "text"), store)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1b == Set((2L, 1L), (4L, 1L)), s"got $p1b")
+  }
+
+  test("gram store forget: negative-df corrections equal a store built without the doc") {
+    import SparkSuite.spark.implicits._
+    val shared = (0 until 30).map(i => s"g$i").mkString(" ")
+    def noise(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 30).map(_ => s"n${r.nextInt(500)}").mkString(" ")
+    }
+    val c = Seq((1L, shared + " " + noise(1)), (2L, shared + " " + noise(2)),
+      (3L, shared + " " + noise(3)))
+    def mkStore(rows: Seq[(Long, String)]): String = {
+      val s = java.nio.file.Files.createTempDirectory("graft-gramforget").toString
+      Dedup.writeGramStore(rows.toDF("doc_id", "text"), s, k = 20)
+      s
+    }
+    val a = mkStore(c)                            // full corpus, then forget 3
+    val b = mkStore(c.filterNot(_._1 == 3L))      // rebuilt without 3
+    val full = mkStore(c)                         // untouched control
+    assert(Dedup.gramStoreForget(Seq((3L, c(2)._2)).toDF("doc_id", "text"),
+      a, forgetId = 1L).collect().map(_.getLong(0)).toSet == Set(3L))
+    // census equality: summed (fp, df) with corrections == rebuilt store
+    import org.apache.spark.sql.functions.{col, sum}
+    def census(s: String) = spark.read.parquet(s"$s/dfs.parquet")
+      .groupBy("fp").agg(sum("df").as("df")).filter(col("df") =!= 0)
+      .collect().map(r => (r.get(0), r.getAs[Long]("df"))).toSet
+    assert(census(a) == census(b))
+    // a same-forgetId retry re-lands the identical partition (net once);
+    // a NEW forgetId is blocked by the ledger; never-admitted ids no-op
+    assert(Dedup.gramStoreForget(Seq((3L, c(2)._2)).toDF("doc_id", "text"),
+      a, forgetId = 1L).collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(census(a) == census(b))
+    assert(Dedup.gramStoreForget(Seq((3L, c(2)._2)).toDF("doc_id", "text"),
+      a, forgetId = 2L).collect().isEmpty)
+    assert(Dedup.gramStoreForget(Seq((99L, "never admitted text")).toDF("doc_id", "text"),
+      a, forgetId = 3L).collect().isEmpty)
+    assert(census(a) == census(b))
+    // end to end: at minDf=4 the probe's spans flip on the forgotten df —
+    // the corrected store behaves exactly like the rebuilt one, and the
+    // untouched control still cuts
+    val probe = Seq((10L, shared + " " + noise(10))).toDF("doc_id", "text")
+    def spans(s: String) = Dedup.dupSpansIncremental(probe, s, batchId = 7L, minDf = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("cut_tokens"))).toSet
+    val sa = spans(a)
+    assert(sa == spans(b))
+    assert(sa.forall(_._2 == 0L), s"corrected store still cuts: $sa")
+    assert(spans(full).exists(_._2 > 0L), "control store failed to cut — vacuous")
+  }
 }
