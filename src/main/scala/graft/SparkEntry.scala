@@ -467,6 +467,18 @@ object SparkEntry {
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // C72 BM25 retrieval with the derived common/rare query pair
     "doc_bm25"          -> ((s, d) => TextOps.bm25Search(s, d)),
+    // C76 persisted postings store: serve-from-store must be bit-equal to
+    // the direct path (same oracle)
+    "doc_bm25_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25s")
+      try {
+        TextOps.writeBm25Store(graft.Tables.documents(s, d), tmp.toString)
+        TextOps.bm25FromStore(s, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     "doc_entropy"       -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "doc_policy"        -> ((s, d) => TextOps.policyFilter(s, d)),
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
@@ -496,6 +508,33 @@ object SparkEntry {
   private val dotCQ = "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
   private def nrm(t: String) =
     s"sqrt(list_dot_product(CAST($t.embedding AS DOUBLE[]), CAST($t.embedding AS DOUBLE[])))"
+
+  // C72/C76: per-term DECIMAL(18,9) quantization before the order-free sum
+  private val bm25Sql =
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS occ
+        |        FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qc AS (SELECT 'common' AS query_id, term FROM dfq
+        |       ORDER BY occ DESC, term LIMIT 5),
+        |qr AS (SELECT 'rare' AS query_id, term FROM dfq WHERE df >= 2
+        |       ORDER BY df, occ, term LIMIT 5),
+        |q AS (SELECT * FROM qc UNION ALL SELECT * FROM qr),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+        |         AS DECIMAL(18,9)) AS ts
+        |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
+        |      JOIN dl ON tf.doc_id = dl.doc_id, n)
+        |SELECT query_id, doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sum(ts) DESC, doc_id) AS rank
+        |FROM c GROUP BY 1, 2 QUALIFY rank <= 10""".stripMargin
 
   // brute-force cosine top-k — also the oracle for the exhaustive-probe IVF
   // path, which must reproduce it exactly
@@ -2089,31 +2128,10 @@ object SparkEntry {
     // per-(query, doc) sum (order-free exact), rank on the exact decimal;
     // constants mirror the Scala literals (k1+1 = 2.2 and 1-b = 0.25 are
     // both exact double results of the same-literal arithmetic)
-    "doc_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS occ
-        |        FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs,
-        |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |qc AS (SELECT 'common' AS query_id, term FROM dfq
-        |       ORDER BY occ DESC, term LIMIT 5),
-        |qr AS (SELECT 'rare' AS query_id, term FROM dfq WHERE df >= 2
-        |       ORDER BY df, occ, term LIMIT 5),
-        |q AS (SELECT * FROM qc UNION ALL SELECT * FROM qr),
-        |c AS (SELECT q.query_id, tf.doc_id,
-        |        CAST(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-        |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
-        |         AS DECIMAL(18,9)) AS ts
-        |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
-        |      JOIN dl ON tf.doc_id = dl.doc_id, n)
-        |SELECT query_id, doc_id, count(*) AS n_terms,
-        |  round(CAST(sum(ts) AS DOUBLE), 6) AS score,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sum(ts) DESC, doc_id) AS rank
-        |FROM c GROUP BY 1, 2 QUALIFY rank <= 10""".stripMargin,
+    "doc_bm25" -> bm25Sql,
+    // C76: serve-from-store is bit-equal to the direct path
+    "doc_bm25_store" -> bm25Sql,
+
     "doc_policy" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,

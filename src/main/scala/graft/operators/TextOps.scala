@@ -1613,8 +1613,10 @@ object TextOps {
     * terms (idf discounts them), "rare" = the 5 lowest-df terms seen in
     * ≥2 docs (idf rewards them). Both derive from exact integer counts
     * with full tie-breaks, so any engine builds the identical queries. */
-  def bm25Search(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
-    val tf = bm25Tf(Tables.documents(spark, dir))
+  def bm25Search(spark: SparkSession, dir: String, topK: Int = 10): DataFrame =
+    bm25Derived(bm25Tf(Tables.documents(spark, dir)), topK)
+
+  private def bm25Derived(tf: DataFrame, topK: Int): DataFrame = {
     val occ = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("occ"))
     val qCommon = occ.orderBy(col("occ").desc, col("term")).limit(5)
@@ -1624,4 +1626,110 @@ object TextOps {
       .select(lit("rare").as("query_id"), col("term"))
     bm25Core(tf, qCommon.unionAll(qRare), topK, 1.2, 0.75)
   }
+
+  // ---- Persisted BM25 postings store (C76) ------------------------------
+
+  /** C76: the PERSISTED form of C72 — tokenize-once / query-many, the
+    * production retrieval shape: `storeDir/postings.parquet` holds
+    * (doc_id, term, tf) in append-only `batch_id=N` partitions; df, dl,
+    * avgdl, and the derived queries are all PURE SUMS of postings, so
+    * every store operation is an additive partition land:
+    *   - [[bm25Ingest]]: new docs' postings as partition `batchId` (docs
+    *     already posted are anti-joined out — retry/idempotence);
+    *   - [[bm25StoreForget]]: postings CARRY doc attribution (unlike the
+    *     C75 gram census), so takedown needs NO content — the store's own
+    *     summed rows for the ids, negated, land as `batch_id = −forgetId`
+    *     and every reader's sum nets the doc to zero. Naturally
+    *     idempotent: a second forget negates net-zero rows, landing
+    *     nothing.
+    *   - [[bm25Compact]]: fold all partitions to a net batch 0.
+    * Readers sum partitions on the (doc, term) key (partial agg), then
+    * run the identical scoring core — [[bm25FromStore]] is bit-equal to
+    * [[bm25Search]] over the same corpus, which is exactly its gate. */
+  def writeBm25Store(docs: DataFrame, storeDir: String): Unit =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$storeDir/postings.parquet")
+
+  /** Net postings view: partitions summed on (doc_id, term), zero rows
+    * (forgotten docs) dropped; checkpointed once — df/dl/avgdl/queries
+    * and the candidate pass all derive from it (the bm25Tf discipline).
+    * `excludeBatch` lets a mutation's read side ignore its own partly
+    * landed partition (crash-retry). */
+  private def bm25StoreTf(spark: SparkSession, storeDir: String,
+                          excludeBatch: Option[Long] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$storeDir/postings.parquet")
+    excludeBatch.fold(raw)(b => raw.filter(col("batch_id") =!= b))
+      .groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
+      .filter(col("tf") =!= 0)
+      .localCheckpoint()
+  }
+
+  /** Post a new batch's documents into the store (partition `batchId`).
+    * Docs already net-posted are skipped — so a retried ingest lands the
+    * identical partition (dynamic overwrite), and a forgotten-but-
+    * uncompacted doc stays out (the C74/C75 "deletes are final" rule…
+    * after [[bm25Compact]] its net rows are gone and it may return).
+    * Returns the newly posted doc ids. */
+  def bm25Ingest(docs: DataFrame, storeDir: String, batchId: Long): DataFrame = {
+    require(batchId > 0L, "batchId 0 is the initial writeBm25Store corpus")
+    val spark = docs.sparkSession
+    // admission check on RAW partition presence, not the net view: a
+    // forgotten doc nets to zero but its rows remain until compact, so a
+    // re-submission stays blocked — the C74/C75 "deletes are final" rule
+    val posted = spark.read.parquet(s"$storeDir/postings.parquet")
+      .filter(col("batch_id") =!= batchId)
+      .select(col("doc_id")).distinct()
+    val batch = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+      .join(posted, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pin before the store mutates
+    batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/postings.parquet")
+    batch.select(col("doc_id"))
+  }
+
+  /** Takedown: land the ids' net postings NEGATED as `batch_id =
+    * −forgetId`. Content-free (postings are attributed), net-once under
+    * retries and re-requests by construction. Returns the ids that had
+    * live postings to remove. */
+  def bm25StoreForget(ids: DataFrame, storeDir: String,
+                      forgetId: Long): DataFrame = {
+    require(forgetId > 0L, "forgetId lands as batch_id = -forgetId")
+    val spark = ids.sparkSession
+    val neg = bm25StoreTf(spark, storeDir, Some(-forgetId))
+      .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), (-col("tf")).as("tf"))
+      .localCheckpoint(true)
+    neg.withColumn("batch_id", lit(-forgetId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/postings.parquet")
+    neg.select(col("doc_id")).distinct()
+  }
+
+  /** Fold every partition to a net batch 0 (dropping netted-out docs);
+    * after this, forgotten ids may be re-ingested. Returns the number of
+    * net postings rows kept. */
+  def bm25Compact(spark: SparkSession, storeDir: String): Long = {
+    val net = bm25StoreTf(spark, storeDir) // checkpointed: safe to overwrite
+    net.withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$storeDir/postings.parquet")
+    net.count()
+  }
+
+  /** Serve the derived common/rare BM25 queries from the persisted store —
+    * bit-equal to [[bm25Search]] over the same corpus (the gate). */
+  def bm25FromStore(spark: SparkSession, storeDir: String,
+                    topK: Int = 10): DataFrame =
+    bm25Derived(bm25StoreTf(spark, storeDir), topK)
 }

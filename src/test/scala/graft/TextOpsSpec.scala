@@ -811,6 +811,52 @@ class TextOpsSpec extends SparkSuite {
     assert(out(0)._3 == out(1)._3)
   }
 
+  test("bm25 store: split ingest equals direct; forget nets out; compact re-admits") {
+    import org.apache.spark.sql.functions.col
+    def collectEq(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("score"),
+        r.getAs[Long]("rank"))).sorted.toSeq
+    val docs = Tables.documents(spark, sf)
+    val direct = collectEq(TextOps.bm25Search(spark, sf))
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25store").toString
+    val cut = 400L
+    TextOps.writeBm25Store(docs.filter(col("doc_id") < cut), store)
+    assert(TextOps.bm25Ingest(docs.filter(col("doc_id") >= cut), store, batchId = 1L)
+      .count() > 0)
+    // split build+ingest serves bit-equal to the direct single-pass path
+    assert(collectEq(TextOps.bm25FromStore(spark, store)) == direct)
+    // a same-batchId retry re-lands its identical partition (state net-once)…
+    assert(TextOps.bm25Ingest(docs.filter(col("doc_id") >= cut), store, 1L)
+      .count() > 0)
+    assert(collectEq(TextOps.bm25FromStore(spark, store)) == direct)
+    // …while a re-submission under a NEW batch id is skipped entirely
+    assert(TextOps.bm25Ingest(docs.filter(col("doc_id") >= cut), store, 2L)
+      .collect().isEmpty)
+    // forget the top common-query doc: store must now serve exactly like a
+    // corpus that never contained it
+    val victim = direct.filter(t => t._1 == "common" && t._5 == 1L).head._2
+    val d2 = java.nio.file.Files.createTempDirectory("graft-bm25minus").toString
+    docs.filter(col("doc_id") =!= victim)
+      .write.parquet(s"$d2/documents.parquet")
+    import SparkSuite.spark.implicits._
+    assert(TextOps.bm25StoreForget(Seq(victim).toDF("doc_id"), store, forgetId = 1L)
+      .collect().map(_.getLong(0)).toSeq == Seq(victim))
+    val served = collectEq(TextOps.bm25FromStore(spark, store))
+    assert(served == collectEq(TextOps.bm25Search(spark, d2)))
+    assert(!served.exists(_._2 == victim))
+    // re-forget under a new id nets nothing; pre-compact re-ingest blocked
+    assert(TextOps.bm25StoreForget(Seq(victim).toDF("doc_id"), store, 2L)
+      .collect().isEmpty)
+    assert(TextOps.bm25Ingest(docs.filter(col("doc_id") === victim), store, 3L)
+      .collect().isEmpty)
+    // compact folds the negation away and the doc may return
+    assert(TextOps.bm25Compact(spark, store) > 0)
+    assert(TextOps.bm25Ingest(docs.filter(col("doc_id") === victim), store, 4L)
+      .collect().map(_.getLong(0)).toSeq == Seq(victim))
+    assert(collectEq(TextOps.bm25FromStore(spark, store)) == direct)
+  }
+
   test("bm25Search: derived queries rank the sf corpus deterministically") {
     val a = TextOps.bm25Search(spark, sf).collect()
       .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("rank"),
