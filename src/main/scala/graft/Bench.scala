@@ -45,7 +45,7 @@ object Bench {
     "ev_markov", "ev_decay_counts", "doc_fineweb_rules", "doc_bigram_ll",
     "emb_pca", "doc_span_corrupt", "emb_ivf_ingest",
     "doc_bm25", "emb_pagerank", "emb_ivf_delete", "qa_constraints",
-    "ev_orc_roundtrip", "ev_bursts", "doc_bm25_store",
+    "ev_orc_roundtrip", "ev_bursts", "doc_bm25_store", "ev_hll_sliding",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -56,6 +56,9 @@ object SparkEntry {
     "ev_throughput"     -> ((s, d) => EventOps.throughput(s, d)),
     // A45 hysteresis burst detection (exact order-statistic thresholds)
     "ev_bursts"         -> ((s, d) => EventOps.bursts(s, d)),
+    // A46 sliding-window distinct via HLL sketch unions (rows-only:
+    // DuckDB's approx_distinct is a different sketch)
+    "ev_hll_sliding"    -> ((s, d) => Sketches.hllSliding(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),

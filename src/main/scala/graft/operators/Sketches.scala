@@ -96,6 +96,41 @@ object Sketches {
         count(lit(1)).as("n_days"))
   }
 
+  /** A46: trailing `windowDays`-day distinct users per (type, day) — the
+    * "7-day actives" dashboard series — via MERGEABLE sketches: the corpus
+    * is scanned ONCE into per-(type, day) HLL sketches, and every sliding
+    * window is a UNION of its member sketches (each daily sketch fans out
+    * to the ≤windowDays windows it belongs to — a summary-sized explode),
+    * never a re-scan per window. The naive form re-reads the corpus
+    * windowDays times (every event belongs to windowDays windows — at
+    * 100 TB that's the difference between one pass and seven); the sketch
+    * algebra is exactly why HLL is the industry sliding-distinct answer.
+    * Windows are labeled by their END day and reported only for days the
+    * corpus contains. Estimates are deterministic (HLL is hash-based, no
+    * rng) but approximate — spec-checked against exact trailing distincts
+    * within the lgK error envelope; rows-only by design (DuckDB's
+    * approx_distinct is a different sketch). */
+  def hllSliding(spark: SparkSession, dir: String, windowDays: Int = 7,
+                 lgK: Int = 14): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Cols.tsMs(col("ts")).as("ts_ms"), col("user_id"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+    val realDays = d.select(col("event_type"), col("day").as("win_day"))
+    d.select(col("event_type"), col("sketch"), col("n_events"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("win_day"))
+      .join(realDays, Seq("event_type", "win_day"), "left_semi")
+      .groupBy("event_type", "win_day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .cast("long").as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Count-Min heavy hitters: one-pass sketch of user activity, then
     * estimated counts for the exact top-k users (estimate >= true count). */
   def cmsTopUsers(spark: SparkSession, dir: String, k: Int = 10,

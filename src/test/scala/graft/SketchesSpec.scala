@@ -70,4 +70,40 @@ class SketchesSpec extends SparkSuite {
       assert(est <= exact * 1.1 + 10, s"CMS too loose: $r")
     }
   }
+
+  test("hllSliding: trailing-window sketch unions match exact distincts") {
+    import SparkSuite.spark.implicits._
+    // day d holds users {d..d+4}; the trailing-7 window ending at day t
+    // covers users {max(0,t-6)..t+4} -> exactly min(t,6)+5 distincts
+    val D = 86400000L
+    var id = 0L
+    val rows = for { d <- 0 to 9; u <- d to d + 4 } yield {
+      id += 1
+      (id, new java.sql.Timestamp(d * D + 3600000L), u.toLong, "x", 1.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hlls").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Sketches.hllSliding(spark, dir).collect()
+      .map(r => r.getAs[Long]("win_day") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_days"))).toMap
+    assert(out.keySet == (0L to 9L).toSet)
+    for (t <- 0 to 9) {
+      val exact = math.min(t, 6) + 5
+      val (est, nDays) = out(t.toLong)
+      assert(nDays == math.min(t, 6) + 1, s"day $t window size $nDays")
+      assert(math.abs(est - exact) <= math.max(1, exact / 20),
+        s"day $t: estimate $est vs exact $exact")
+    }
+    // real corpus: every window estimate is sane against its type's total
+    val totals = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    val real = Sketches.hllSliding(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val cap = totals(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("approx_users") <= (cap * 1.05).toLong + 2)
+    }
+  }
 }
