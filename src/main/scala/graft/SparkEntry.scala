@@ -59,6 +59,8 @@ object SparkEntry {
     // A46 sliding-window distinct via HLL sketch unions (rows-only:
     // DuckDB's approx_distinct is a different sketch)
     "ev_hll_sliding"    -> ((s, d) => Sketches.hllSliding(s, d)),
+    // A47 seasonality heatmap (hour-of-day x day-of-week shares)
+    "ev_hourly_profile" -> ((s, d) => EventOps.hourlyProfile(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
@@ -620,6 +622,14 @@ object SparkEntry {
       """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, epoch_ms(ts) AS ts_ms,
         |  user_id, event_type, value
         |FROM events ORDER BY id_str DESC LIMIT 50""".stripMargin,
+    // A47: Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 — +1
+    // aligns them. Shares are exact-long IEEE divisions, no rounding.
+    "ev_hourly_profile" ->
+      """SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+        |  count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // A45: thresholds are exact per-type order statistics (longs), the
     // hysteresis state is a running last-definite-marker, episodes break
     // at cold windows or window gaps and must contain a hot window

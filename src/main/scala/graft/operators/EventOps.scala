@@ -671,6 +671,22 @@ object EventOps {
         col("ts_ms").as("a_ts_ms"), col("next_b_ms"))
   }
 
+  /** A47: hour-of-day × day-of-week seasonality profile per event type —
+    * the dashboard heatmap under "when do users do this": counts and the
+    * per-type share of each (dow, hour) cell. One ≤|types|·168-key
+    * partial-agg shuffle; shares are single IEEE divisions of exact longs
+    * over a summary-level window — engine-portable with no rounding. */
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(byType))
+  }
+
   /** A45: burst detection with HYSTERESIS over per-type windowed rates —
     * the two-state form of Kleinberg's burst model (Kleinberg, KDD 2002,
     * public): a burst episode OPENS at a window whose count clears the

@@ -1659,9 +1659,16 @@ object TextOps {
     * and the candidate pass all derive from it (the bm25Tf discipline).
     * `excludeBatch` lets a mutation's read side ignore its own partly
     * landed partition (crash-retry). */
+  private val bm25PostingsSchema =
+    "doc_id BIGINT, term STRING, tf BIGINT, batch_id BIGINT"
+
   private def bm25StoreTf(spark: SparkSession, storeDir: String,
                           excludeBatch: Option[Long] = None): DataFrame = {
-    val raw = spark.read.parquet(s"$storeDir/postings.parquet")
+    // explicit schema: a store whose corpus was empty has zero partitions,
+    // where schema inference would fail; the declared schema also pins the
+    // store layout against drift
+    val raw = spark.read.schema(bm25PostingsSchema)
+      .parquet(s"$storeDir/postings.parquet")
     excludeBatch.fold(raw)(b => raw.filter(col("batch_id") =!= b))
       .groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
       .filter(col("tf") =!= 0)
@@ -1680,7 +1687,8 @@ object TextOps {
     // admission check on RAW partition presence, not the net view: a
     // forgotten doc nets to zero but its rows remain until compact, so a
     // re-submission stays blocked — the C74/C75 "deletes are final" rule
-    val posted = spark.read.parquet(s"$storeDir/postings.parquet")
+    val posted = spark.read.schema(bm25PostingsSchema)
+      .parquet(s"$storeDir/postings.parquet")
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id")).distinct()
     val batch = docs.filter(col("text").isNotNull)

@@ -37,6 +37,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.markovChain(spark, dir).count() == 0)
     assert(EventOps.decayCounts(spark, dir).count() == 0)
     assert(EventOps.bursts(spark, dir).count() == 0)
+    assert(EventOps.hourlyProfile(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {
@@ -189,6 +190,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.mixtureTemp(spark, dir).count() == 0)
     assert(TextOps.pplBuckets(spark, dir).count() == 0)
     assert(TextOps.bm25Search(spark, dir).count() == 0)
+    assert(graft.operators.Sketches.hllSliding(spark, dir).count() == 0)
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
     assert(Similarity.knnGraph(spark, dir).count() == 0)
     assert(Similarity.knnGraphIvf(spark, dir).count() == 0)

@@ -304,6 +304,29 @@ class EventOpsSpec extends SparkSuite {
     assert(native == naive)
   }
 
+  test("hourlyProfile: exact heatmap cells and per-type shares") {
+    import SparkSuite.spark.implicits._
+    // 2026-08-10 is a Monday -> Spark dayofweek = 2 (1 = Sunday)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2026-08-10 10:00:00"), 1L, "x", 1.0),
+      (2L, t("2026-08-10 10:30:00"), 2L, "x", 1.0),
+      (3L, t("2026-08-10 10:59:59"), 3L, "x", 1.0),
+      (4L, t("2026-08-11 23:00:00"), 1L, "x", 1.0),
+      (5L, t("2026-08-10 10:15:00"), 1L, "y", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-hourly").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.hourlyProfile(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow"),
+        r.getAs[Long]("hod")) -> (r.getAs[Long]("n"), r.getAs[Double]("share")))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("x", 2L, 10L)) == (3L, 0.75))
+    assert(out(("x", 3L, 23L)) == (1L, 0.25))
+    assert(out(("y", 2L, 10L)) == (1L, 1.0))
+  }
+
   test("bursts: hysteresis opens hot, rides middles, closes cold; gaps split") {
     import SparkSuite.spark.implicits._
     val H = 3600000L
