@@ -61,6 +61,10 @@ object SparkEntry {
     "ev_hll_sliding"    -> ((s, d) => Sketches.hllSliding(s, d)),
     // A47 seasonality heatmap (hour-of-day x day-of-week shares)
     "ev_hourly_profile" -> ((s, d) => EventOps.hourlyProfile(s, d)),
+    // A48 exact DAU / trailing-7-day stickiness (the exact twin of A46)
+    "ev_stickiness"     -> ((s, d) => EventOps.stickiness(s, d)),
+    // A49 robust MAD anomaly alerts (rank-median center and spread)
+    "ev_mad_alert"      -> ((s, d) => EventOps.madAlert(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
@@ -630,6 +634,39 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) /
         |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS share
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // A48: the 7-way fan-out mirrors the Spark shape exactly; stickiness
+    // is one DOUBLE/BIGINT division of exact longs. Inner join keeps only
+    // corpus days (fan-out manufactures window-ends past the last day).
+    "ev_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fan AS (SELECT DISTINCT ud.day + CAST(g.i AS INTEGER) AS day, ud.user_id
+        |        FROM ud, generate_series(0, 6) AS g(i)),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT day, count(*) AS wau FROM fan GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A49: med and MAD are rank-selected order statistics (value at
+    // ascending rank ceil(n/2), event_id tie-break — the ev_quantiles_exact
+    // discipline), so both engines pick identical doubles and the 3*MAD
+    // fence is pure IEEE arithmetic on them.
+    "ev_mad_alert" ->
+      """WITH med AS (
+        |  SELECT event_type, max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN value END) AS med
+        |  FROM (SELECT event_type, value, event_id,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n FROM events) t GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.user_id, e.event_type, e.value, m.med,
+        |          abs(e.value - m.med) AS absdev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN absdev END) AS mad
+        |  FROM (SELECT event_type, absdev, event_id,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY absdev, event_id) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n FROM dev) t GROUP BY 1)
+        |SELECT d.event_id, d.user_id, d.event_type, d.value, d.med, mad.mad AS mad
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE d.absdev > 3.0 * mad.mad""".stripMargin,
     // A45: thresholds are exact per-type order statistics (longs), the
     // hysteresis state is a running last-definite-marker, episodes break
     // at cold windows or window gaps and must contain a hot window

@@ -760,4 +760,63 @@ object EventOps {
       .select(col("event_type"), col("burst_id"), col("start_ms"),
         col("end_ms"), col("n_windows"), col("peak"), col("total"))
   }
+
+  /** A48: DAU / trailing-7-day-active stickiness per day — the exact twin
+    * of the HLL sliding-distinct series (A46), and the dashboard's
+    * engagement-health ratio. One corpus scan dedups to (day, user) pairs;
+    * the trailing window is the same ≤7-way summary-level fan-out as A46
+    * (each user-day contributes to the windows ENDING on day..day+6, then
+    * a second distinct absorbs a user active on several days of one
+    * window) — never a per-window corpus re-scan and never a row-range
+    * self-join. Reported only for days the corpus contains; stickiness is
+    * ONE IEEE division of exact longs — engine-portable. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")) // inner: drops synthetic post-corpus end days
+      .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+  }
+
+  /** A49: robust anomaly alerts via MAD (median absolute deviation) — the
+    * outlier-resistant twin of [[zscoreAlert]]: a z-score threshold moves
+    * when the anomalies themselves inflate the mean/stddev, while the
+    * median±k·MAD fence doesn't (50% breakdown point; Hampel's rule,
+    * public). Both center and spread are EXACT rank-selected order
+    * statistics (the [[graft.operators.Sketches.exactQuantiles]]
+    * discipline — value at ascending rank ⌈n/2⌉, (value, event_id) tie
+    * order): no interpolation formula to match across engines, the flag
+    * comparison is pure double arithmetic on values that exist in the
+    * data. Two per-type sort windows over the corpus + a broadcast-sized
+    * (type → med, mad) join; the window partitions by the
+    * low-cardinality type key, same scale shape as exactQuantiles. */
+  def madAlert(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def rankMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col("event_id"))
+      val n = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = rankMedian(ev, "value", "med")
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = rankMedian(
+      withMed.select(col("event_type"), col("event_id"),
+        col("absdev").as("value")), "value", "mad")
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .filter(col("absdev") > lit(k) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("med"), col("mad"))
+  }
 }

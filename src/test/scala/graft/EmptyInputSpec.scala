@@ -38,6 +38,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.decayCounts(spark, dir).count() == 0)
     assert(EventOps.bursts(spark, dir).count() == 0)
     assert(EventOps.hourlyProfile(spark, dir).count() == 0)
+    assert(EventOps.stickiness(spark, dir).count() == 0)
+    assert(EventOps.madAlert(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

@@ -327,6 +327,50 @@ class EventOpsSpec extends SparkSuite {
     assert(out(("y", 2L, 10L)) == (1L, 1.0))
   }
 
+  test("stickiness: trailing-7-day actives dedup users across window days") {
+    import SparkSuite.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 2 active on BOTH d1 and d2 — the d2 window must count it once;
+    // d9 is 7 days past d2, so its trailing window contains only user 3
+    val rows = Seq(
+      (1L, t("2026-08-01 10:00:00"), 1L, "x", 1.0),
+      (2L, t("2026-08-01 11:00:00"), 2L, "x", 1.0),
+      (3L, t("2026-08-02 09:00:00"), 2L, "x", 1.0),
+      (4L, t("2026-08-09 09:00:00"), 3L, "x", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-stick").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.stickiness(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("stickiness"))).toMap
+    assert(out.size == 3) // only corpus days, no synthetic window-ends
+    assert(out("2026-08-01") == (2L, 2L, 1.0))
+    assert(out("2026-08-02") == (1L, 2L, 0.5))
+    assert(out("2026-08-09") == (1L, 1L, 1.0))
+  }
+
+  test("madAlert: rank med/MAD fence flags only the outlier; MAD=0 flags none") {
+    import SparkSuite.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val xs = Seq(10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 12.0, 13.0, 100.0)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, t("2026-08-01 10:00:00"), 1L, "x", v) } ++
+      Seq((100L, t("2026-08-01 10:00:00"), 1L, "y", 5.0),
+        (101L, t("2026-08-01 10:00:00"), 1L, "y", 5.0),
+        (102L, t("2026-08-01 10:00:00"), 1L, "y", 5.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.madAlert(spark, d).collect()
+    // x: n=9, med = rank-5 of sorted = 11; absdevs sorted rank-5 = 1 -> MAD=1;
+    // fence 3*1 flags only the 100 (absdev 89). y: constant, MAD=0, 0>0 false.
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "x" && r.getAs[Double]("value") == 100.0)
+    assert(r.getAs[Double]("med") == 11.0 && r.getAs[Double]("mad") == 1.0)
+  }
+
   test("bursts: hysteresis opens hot, rides middles, closes cold; gaps split") {
     import SparkSuite.spark.implicits._
     val H = 3600000L
