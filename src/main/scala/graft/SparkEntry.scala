@@ -65,6 +65,8 @@ object SparkEntry {
     "ev_stickiness"     -> ((s, d) => EventOps.stickiness(s, d)),
     // A49 robust MAD anomaly alerts (rank-median center and spread)
     "ev_mad_alert"      -> ((s, d) => EventOps.madAlert(s, d)),
+    // A50 Holt linear-trend volume forecast per type
+    "ev_forecast"       -> ((s, d) => EventOps.forecast(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
@@ -646,6 +648,33 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A50: the recursive CTE executes the identical IEEE op sequence as
+    // the Spark fold (alpha=beta=0.5 exact binary fractions; the l_t
+    // expression is duplicated inside b_t in BOTH engines), so level,
+    // trend and the projections are hash-exact with no tolerance.
+    "ev_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, CAST(y AS DOUBLE) AS y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         max(day) OVER (PARTITION BY event_type) AS last_day
+        |  FROM daily),
+        |hw AS (
+        |  SELECT s1.event_type, 2 AS t, s1.n, s1.last_day,
+        |         s1.y AS l, s2.y - s1.y AS b
+        |  FROM seq s1 JOIN seq s2 ON s1.event_type = s2.event_type
+        |    AND s1.t = 1 AND s2.t = 2
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.t + 1, hw.n, hw.last_day,
+        |         0.5 * s.y + 0.5 * (hw.l + hw.b) AS l,
+        |         0.5 * ((0.5 * s.y + 0.5 * (hw.l + hw.b)) - hw.l) + 0.5 * hw.b AS b
+        |  FROM hw JOIN seq s ON s.event_type = hw.event_type AND s.t = hw.t + 1)
+        |SELECT event_type, n AS n_days, last_day, l AS level, b AS trend,
+        |       l + b AS forecast_1, l + 7.0 * b AS forecast_7
+        |FROM hw WHERE t = n""".stripMargin,
     // A49: med and MAD are rank-selected order statistics (value at
     // ascending rank ceil(n/2), event_id tie-break — the ev_quantiles_exact
     // discipline), so both engines pick identical doubles and the 3*MAD

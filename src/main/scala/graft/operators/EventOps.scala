@@ -784,6 +784,42 @@ object EventOps {
       .withColumn("stickiness", col("dau").cast("double") / col("wau"))
   }
 
+  /** A50: per-type volume forecast via Holt's linear-trend exponential
+    * smoothing (public; Holt 1957 / Hyndman's FPP) over the daily count
+    * series — the dashboard's "tomorrow's volume" line completing the
+    * anomaly suite (bursts detect, z/MAD flag, this projects). Corpus
+    * work is ONE (type, day) partial-agg shuffle; the recurrence
+    * l_t = α·y_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b runs as an in-row
+    * `aggregate` fold over each type's day-sorted series (summary-sized
+    * array, executor-side — never a driver collect). α=β=0.5 are exact
+    * binary fractions and the fold duplicates the l_t expression inside
+    * b_t exactly as the oracle's recursive CTE writes it, so both engines
+    * execute the identical IEEE op sequence — hash-exact forecasts with
+    * no tolerance. Init: l=y₁, b=y₂−y₁ (needs ≥2 observed days; the
+    * recurrence runs over observed days in order). */
+  def forecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("y").cast("double").as("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .withColumn("lb", expr(
+        """aggregate(slice(s, 3, size(s) - 2),
+          |  struct(s[0].y AS l, s[1].y - s[0].y AS b),
+          |  (acc, x) -> struct(
+          |    0.5D * x.y + 0.5D * (acc.l + acc.b) AS l,
+          |    0.5D * ((0.5D * x.y + 0.5D * (acc.l + acc.b)) - acc.l)
+          |      + 0.5D * acc.b AS b))""".stripMargin))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        element_at(col("s"), -1)("day").as("last_day"),
+        col("lb")("l").as("level"), col("lb")("b").as("trend"),
+        (col("lb")("l") + col("lb")("b")).as("forecast_1"),
+        (col("lb")("l") + lit(7.0) * col("lb")("b")).as("forecast_7"))
+  }
+
   /** A49: robust anomaly alerts via MAD (median absolute deviation) — the
     * outlier-resistant twin of [[zscoreAlert]]: a z-score threshold moves
     * when the anomalies themselves inflate the mean/stddev, while the

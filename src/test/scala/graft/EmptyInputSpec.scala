@@ -40,6 +40,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.hourlyProfile(spark, dir).count() == 0)
     assert(EventOps.stickiness(spark, dir).count() == 0)
     assert(EventOps.madAlert(spark, dir).count() == 0)
+    assert(EventOps.forecast(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

@@ -350,6 +350,31 @@ class EventOpsSpec extends SparkSuite {
     assert(out("2026-08-09") == (1L, 1L, 1.0))
   }
 
+  test("forecast: Holt recurrence matches hand-computed level/trend exactly") {
+    import SparkSuite.spark.implicits._
+    def t(day: Int, i: Int) = java.sql.Timestamp.valueOf(f"2026-08-$day%02d 0$i:00:00")
+    // x: daily counts [2,4,5,9] -> seed l=2,b=2; y5: l=4.5,b=2.25;
+    // y9: l=7.875,b=2.8125 (all exact binary). y: 1 day -> excluded.
+    // z: [3,7] -> seed is the answer (fold over empty slice).
+    val counts = Map(1 -> 2, 2 -> 4, 3 -> 5, 4 -> 9)
+    val rows = counts.toSeq.flatMap { case (d, n) =>
+      (1 to n).map(i => (d * 100L + i, t(d, i), 1L, "x", 1.0)) } ++
+      Seq((900L, t(1, 1), 1L, "y", 1.0)) ++
+      (1 to 3).map(i => (910L + i, t(1, i), 1L, "z", 1.0)) ++
+      (1 to 7).map(i => (920L + i, t(2, i), 1L, "z", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-fc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.forecast(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[java.sql.Date]("last_day").toString,
+          r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast_1"), r.getAs[Double]("forecast_7"))).toMap
+    assert(out.size == 2) // y has one observation -> no forecast
+    assert(out("x") == (4L, "2026-08-04", 7.875, 2.8125, 10.6875, 27.5625))
+    assert(out("z") == (2L, "2026-08-02", 3.0, 4.0, 7.0, 31.0))
+  }
+
   test("madAlert: rank med/MAD fence flags only the outlier; MAD=0 flags none") {
     import SparkSuite.spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
