@@ -46,6 +46,7 @@ object Bench {
     "emb_pca", "doc_span_corrupt", "emb_ivf_ingest",
     "doc_bm25", "emb_pagerank", "emb_ivf_delete", "qa_constraints",
     "ev_orc_roundtrip", "ev_bursts", "doc_bm25_store", "ev_hll_sliding",
+    "ev_hourly_profile", "ev_stickiness", "ev_mad_alert", "ev_forecast",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
@@ -251,14 +252,21 @@ object Bench {
   /** Fixed single-thread spin, calibrating host speed: the same work takes
     * the same time on a quiet host, so a drift between the start and end
     * markers flags a CPU-steal window DURING the bench — lets a reader
-    * separate host noise from real regressions without re-running. */
+    * separate host noise from real regressions without re-running.
+    *
+    * Min-of-3: a single spin confounds steal with one-off scheduler blips
+    * and GC pauses; a genuine steal window inflates all three consecutive
+    * spins, so the min preserves the signal while dropping the spikes. */
   private[graft] def calibMs(): Double = {
-    var acc = 0L
-    val t0 = System.nanoTime()
-    var i = 0L
-    while (i < 20_000_000L) { acc ^= java.lang.Long.rotateLeft(acc + i, 13) * 0x9E3779B97F4A7C15L; i += 1 }
-    if (acc == 42L) println("") // keep the loop observable
-    (System.nanoTime() - t0) / 1e6
+    def spin(): Double = {
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < 20_000_000L) { acc ^= java.lang.Long.rotateLeft(acc + i, 13) * 0x9E3779B97F4A7C15L; i += 1 }
+      if (acc == 42L) println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq(spin(), spin(), spin()).min
   }
 
   /** One timed pass: batch min-of-reps + streaming, bracketed by calib
@@ -308,7 +316,16 @@ object Bench {
     // quiet window is still recorded (driver contract: one JSON line) but
     // carries "degraded":true — three rounds of adjudicating host noise
     // by hand is what this field replaces.
-    val gateMs = sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE_MS", "43").toDouble
+    // Gate re-derived 2026-08-14 (CalibProbe): a FRESH JVM's first spins
+    // read ~43-48 ms, but any long-lived JVM settles at ~53-56 ms on a
+    // PROVABLY idle host (pre-session, idle-session, post-query and
+    // post-stop all read 53-56 while a concurrently-launched fresh JVM
+    // read 43) — warm-JVM JIT/turbo state, not steal. The old 43 ms gate
+    // was calibrated on fresh-JVM spins and mislabeled every real bench
+    // run "degraded" (r9: three all-day false positives). 58 ms passes
+    // the warm-JVM quiet band and still flags the measured steal bursts
+    // (60-71+ ms spikes).
+    val gateMs = sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE_MS", "58").toDouble
     val attemptCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val waitDeadline = System.nanoTime() +
       (sys.env.getOrElse("SPARK_GRAFT_CALIB_WAIT_SEC", "480").toDouble * 1e9).toLong
