@@ -67,6 +67,10 @@ object SparkEntry {
     "ev_mad_alert"      -> ((s, d) => EventOps.madAlert(s, d)),
     // A50 Holt linear-trend volume forecast per type
     "ev_forecast"       -> ((s, d) => EventOps.forecast(s, d)),
+    // A51 calendar-aligned week-over-week change per (type, day)
+    "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
+    // A52 L28 engagement-depth histogram for the last corpus day
+    "ev_l28"            -> ((s, d) => EventOps.l28(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_topk_users"     -> ((s, d) => EventOps.topkUsers(s, d)),
     "ev_json_extract"   -> ((s, d) => EventOps.jsonExtract(s, d)),
@@ -648,6 +652,25 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A51: exact-long counts; wow is one IEEE division; the first week's
+    // days carry null prev_n/wow in both engines.
+    "ev_wow_change" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n, p.n AS prev_n,
+        |  CAST(d.n - p.n AS DOUBLE) / p.n AS wow
+        |FROM daily d LEFT JOIN daily p
+        |  ON p.event_type = d.event_type AND p.day = d.day - 7""".stripMargin,
+    // A52: the anchor day is max(day); the histogram is exact integer
+    // counts only.
+    "ev_l28" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |a AS (SELECT max(day) AS last_day FROM ud),
+        |per_user AS (
+        |  SELECT ud.user_id, count(*) AS days_active
+        |  FROM ud, a WHERE ud.day >= a.last_day - 27
+        |  GROUP BY 1)
+        |SELECT days_active, count(*) AS n_users FROM per_user GROUP BY 1""".stripMargin,
     // A50: the recursive CTE executes the identical IEEE op sequence as
     // the Spark fold (alpha=beta=0.5 exact binary fractions; the l_t
     // expression is duplicated inside b_t in BOTH engines), so level,

@@ -784,6 +784,44 @@ object EventOps {
       .withColumn("stickiness", col("dau").cast("double") / col("wau"))
   }
 
+  /** A51: week-over-week change per (type, day) — the dashboard's "vs
+    * last week" series. Calendar-aligned: each day compares against
+    * day−7 via a summary-level self-join on the shifted date (a row-lag
+    * would silently misalign across gap days). Counts are exact longs;
+    * the relative change is one IEEE division; days with no prior-week
+    * observation report null. One corpus partial-agg shuffle; everything
+    * after runs on the ≤|types|·days summary. */
+  def wowChange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val prev = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("prev_n"))
+    daily.join(prev, Seq("event_type", "day"), "left")
+      .withColumn("wow",
+        (col("n") - col("prev_n")).cast("double") / col("prev_n"))
+  }
+
+  /** A52: L28 engagement-depth histogram — for the corpus's last day,
+    * how many users were active on exactly k of the trailing 28 days
+    * (the classic Lk engagement distribution; k=1..28). One corpus scan
+    * to distinct (user, day), filtered to the anchor window at the
+    * SCAN (the date predicate pushes down to the parquet reader at
+    * 100 TB when landing is day-partitioned — see Layout); per-user day
+    * counts and the histogram are two summary-level shuffles. The
+    * anchor (max day) is a 1-row broadcast scalar, same discipline as
+    * decayCounts. */
+  def l28(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val anchor = userDays.agg(max(col("day")).as("last_day"))
+    userDays.crossJoin(broadcast(anchor))
+      .filter(col("day") >= date_sub(col("last_day"), 27))
+      .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+      .groupBy("days_active").agg(count(lit(1)).as("n_users"))
+  }
+
   /** A50: per-type volume forecast via Holt's linear-trend exponential
     * smoothing (public; Holt 1957 / Hyndman's FPP) over the daily count
     * series — the dashboard's "tomorrow's volume" line completing the

@@ -41,6 +41,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.stickiness(spark, dir).count() == 0)
     assert(EventOps.madAlert(spark, dir).count() == 0)
     assert(EventOps.forecast(spark, dir).count() == 0)
+    assert(EventOps.wowChange(spark, dir).count() == 0)
+    assert(EventOps.l28(spark, dir).count() == 0)
   }
 
   test("null text rows don't break the text/dedup kernels") {

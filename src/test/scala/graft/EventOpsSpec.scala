@@ -375,6 +375,44 @@ class EventOpsSpec extends SparkSuite {
     assert(out("z") == (2L, "2026-08-02", 3.0, 4.0, 7.0, 31.0))
   }
 
+  test("wowChange: calendar-aligned day-7 compare; gap days report null") {
+    import SparkSuite.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-08-$s 10:00:00")
+    val rows = Seq(
+      (1L, t("01"), 1L, "x", 1.0), (2L, t("01"), 2L, "x", 1.0),
+      (3L, t("08"), 1L, "x", 1.0), (4L, t("08"), 2L, "x", 1.0),
+      (5L, t("08"), 3L, "x", 1.0),
+      (6L, t("09"), 1L, "x", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-wow").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.wowChange(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n"), Option(r.getAs[java.lang.Long]("prev_n")),
+          Option(r.getAs[java.lang.Double]("wow")))).toMap
+    assert(out.size == 3)
+    assert(out("2026-08-01") == (2L, None, None)) // no prior week
+    assert(out("2026-08-08") == (3L, Some(2L), Some(0.5)))
+    assert(out("2026-08-09") == (1L, None, None)) // 08-02 has no data
+  }
+
+  test("l28: per-user trailing-28-day active-day histogram at the anchor") {
+    import SparkSuite.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-$s 10:00:00")
+    val rows = Seq(
+      (1L, t("08-30"), 1L, "x", 1.0), (2L, t("08-29"), 1L, "x", 1.0),
+      (3L, t("08-28"), 1L, "x", 1.0), // user 1: 3 active days in window
+      (4L, t("08-30"), 2L, "x", 1.0), // user 2: 1 in-window day...
+      (5L, t("07-01"), 2L, "x", 1.0), // ...plus one outside, not counted
+      (6L, t("07-01"), 4L, "x", 1.0)) // user 4: only outside -> absent
+    val d = java.nio.file.Files.createTempDirectory("graft-l28").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.l28(spark, d).collect()
+      .map(r => r.getAs[Long]("days_active") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(3L -> 1L, 1L -> 1L))
+  }
+
   test("madAlert: rank med/MAD fence flags only the outlier; MAD=0 flags none") {
     import SparkSuite.spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
