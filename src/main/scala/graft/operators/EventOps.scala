@@ -763,24 +763,30 @@ object EventOps {
 
   /** A48: DAU / trailing-7-day-active stickiness per day — the exact twin
     * of the HLL sliding-distinct series (A46), and the dashboard's
-    * engagement-health ratio. One corpus scan dedups to (day, user) pairs;
-    * the trailing window is the same ≤7-way summary-level fan-out as A46
-    * (each user-day contributes to the windows ENDING on day..day+6, then
-    * a second distinct absorbs a user active on several days of one
-    * window) — never a per-window corpus re-scan and never a row-range
-    * self-join. Reported only for days the corpus contains; stickiness is
-    * ONE IEEE division of exact longs — engine-portable. */
+    * engagement-health ratio. ONE corpus scan dedups to (day, user)
+    * pairs; the trailing window is the A46 ≤7-way summary-level fan-out
+    * (each user-day → the window-end days day..day+6), and DAU rides the
+    * same aggregation as a per-(end, user) offset-0 flag — never a
+    * per-window corpus re-scan, never a row-range self-join, and no
+    * second corpus branch. Reported only for days the corpus contains;
+    * stickiness is ONE IEEE division of exact longs — engine-portable. */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
+    // single corpus pass: each user-day fans to the ≤7 window-end days it
+    // contributes to, carrying an "active on the end day itself" flag for
+    // offset 0 — the per-(end, user) max of that flag folds DAU into the
+    // same aggregation chain that counts WAU, so the naive two-branch
+    // form's second scan and its join disappear (the explain'd two-scan
+    // plan was this operator's first version; Catalyst did not reuse the
+    // distinct exchange across the differently-shaped branches)
+    Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = userDays
-      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
-        col("user_id"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("wau"))
-    dau.join(wau, Seq("day")) // inner: drops synthetic post-corpus end days
+      .select(col("day"), col("user_id"), explode(expr("sequence(0, 6)")).as("i"))
+      .groupBy(expr("date_add(day, i)").as("day"), col("user_id"))
+      .agg(max(when(col("i") === 0, 1L).otherwise(0L)).as("active_today"))
+      .groupBy("day")
+      .agg(sum(col("active_today")).as("dau"), count(lit(1)).as("wau"))
+      .filter(col("dau") > 0) // drops synthetic post-corpus end days
       .withColumn("stickiness", col("dau").cast("double") / col("wau"))
   }
 
@@ -805,12 +811,13 @@ object EventOps {
   /** A52: L28 engagement-depth histogram — for the corpus's last day,
     * how many users were active on exactly k of the trailing 28 days
     * (the classic Lk engagement distribution; k=1..28). One corpus scan
-    * to distinct (user, day), filtered to the anchor window at the
-    * SCAN (the date predicate pushes down to the parquet reader at
-    * 100 TB when landing is day-partitioned — see Layout); per-user day
-    * counts and the histogram are two summary-level shuffles. The
-    * anchor (max day) is a 1-row broadcast scalar, same discipline as
-    * decayCounts. */
+    * to distinct (user, day); the anchor-window filter applies before
+    * the distinct shuffle, and per-user day counts + the histogram are
+    * two summary-level shuffles. The anchor (max day) is a 1-row
+    * broadcast scalar (the decayCounts discipline) — a runtime value,
+    * so it does NOT statically prune the scan; a deployment on
+    * day-partitioned landing (Layout) should resolve the anchor first
+    * and pass it as a literal to get partition pruning. */
   def l28(spark: SparkSession, dir: String): DataFrame = {
     val userDays = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
@@ -882,7 +889,11 @@ object EventOps {
         .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
         .select(col("event_type"), col(valueCol).as(out))
     }
-    val med = rankMedian(ev, "value", "med")
+    // med is ≤|types| rows but its lineage is a corpus sort-window;
+    // localCheckpoint pins the summary so the mad branch and the flag
+    // pass don't each replay that window (explain'd: 4 corpus scans
+    // without it, the 3 inherent to two-level exact order stats with it)
+    val med = rankMedian(ev, "value", "med").localCheckpoint()
     val withMed = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("absdev", abs(col("value") - col("med")))
     val mad = rankMedian(
