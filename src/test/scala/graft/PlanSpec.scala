@@ -30,6 +30,22 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
   }
 
+  test("stickiness: ONE corpus scan, three exchanges, no join") {
+    val p = planOf(EventOps.stickiness(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("madAlert: med summary checkpointed — two lazy corpus scans, broadcast joins only") {
+    val p = planOf(EventOps.madAlert(spark, sf))
+    // the third corpus pass (med) ran eagerly at localCheckpoint; the
+    // timed plan must not replay it as a parquet window branch
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("cosine topk: rank pushdown via WindowGroupLimit") {
     val p = planOf(Similarity.cosineTopK(spark, sf))
     assert(p.contains("WindowGroupLimit"), p.take(800))
