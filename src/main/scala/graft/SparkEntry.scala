@@ -69,6 +69,8 @@ object SparkEntry {
     "ev_forecast"       -> ((s, d) => EventOps.forecast(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
+    // A53 exact inter-arrival gap percentiles per type
+    "ev_gap_stats"      -> ((s, d) => EventOps.gapStats(s, d)),
     // A52 L28 engagement-depth histogram for the last corpus day
     "ev_l28"            -> ((s, d) => EventOps.l28(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
@@ -652,6 +654,25 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A53: gaps and their percentiles are exact longs via rank selection
+    // (the ev_quantiles_exact discipline); both engines order the rank
+    // window by (gap, ts, event_id).
+    "ev_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap_ms, ts_ms, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_ms, ts_ms, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN gap_ms END) AS gap_p50_ms,
+        |  max(CASE WHEN rn = CAST(ceil(n*0.95) AS BIGINT) THEN gap_ms END) AS gap_p95_ms,
+        |  max(gap_ms) AS gap_max_ms, max(n) AS n_gaps
+        |FROM r GROUP BY 1""".stripMargin,
     // A51: exact-long counts; wow is one IEEE division; the first week's
     // days carry null prev_n/wow in both engines.
     "ev_wow_change" ->

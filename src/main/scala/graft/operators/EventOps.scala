@@ -790,6 +790,37 @@ object EventOps {
       .withColumn("stickiness", col("dau").cast("double") / col("wau"))
   }
 
+  /** A53: inter-arrival gap statistics per event type — the SLA/latency
+    * monitor ("are events arriving slower?"): exact p50/p95/max of the
+    * millisecond gaps between consecutive same-type events, plus the
+    * gap count. Gaps come from ONE per-type lag window; the percentiles
+    * are rank-selected order statistics over the SAME sorted partition
+    * (the exactQuantiles discipline — no interpolation, engine-exact;
+    * the gaps window orders by (ts, event_id) and the rank window by
+    * (gap, ts, event_id), both within the low-cardinality type key, so
+    * the corpus sorts once per window spec and never globally). */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val byTypeTime = Window.partitionBy("event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), tsMs(col("ts")).as("ts_ms"))
+      .withColumn("gap_ms",
+        col("ts_ms") - lag(col("ts_ms"), 1).over(byTypeTime))
+      .filter(col("gap_ms").isNotNull)
+    val byGap = Window.partitionBy("event_type")
+      .orderBy(col("gap_ms"), col("ts_ms"), col("event_id"))
+    val n = Window.partitionBy("event_type")
+    gaps
+      .withColumn("rn", row_number().over(byGap))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("gap_ms"))).as("gap_p50_ms"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("gap_ms"))).as("gap_p95_ms"),
+        max(col("gap_ms")).as("gap_max_ms"),
+        max(col("n")).as("n_gaps"))
+  }
+
   /** A51: week-over-week change per (type, day) — the dashboard's "vs
     * last week" series. Calendar-aligned: each day compares against
     * day−7 via a summary-level self-join on the shifted date (a row-lag

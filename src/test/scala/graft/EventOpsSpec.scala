@@ -375,6 +375,28 @@ class EventOpsSpec extends SparkSuite {
     assert(out("z") == (2L, "2026-08-02", 3.0, 4.0, 7.0, 31.0))
   }
 
+  test("gapStats: exact rank-selected inter-arrival percentiles; zero-gap ties") {
+    import SparkSuite.spark.implicits._
+    val base = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val rows = Seq(
+      // x at 0, 1000, 3000, 10000 -> gaps [1000, 2000, 7000]
+      (1L, t(0L), 1L, "x", 1.0), (2L, t(1000L), 1L, "x", 1.0),
+      (3L, t(3000L), 1L, "x", 1.0), (4L, t(10000L), 1L, "x", 1.0),
+      // y: two events in the same millisecond -> one zero gap
+      (5L, t(500L), 1L, "y", 1.0), (6L, t(500L), 1L, "y", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.gapStats(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("gap_p50_ms"), r.getAs[Long]("gap_p95_ms"),
+          r.getAs[Long]("gap_max_ms"), r.getAs[Long]("n_gaps"))).toMap
+    // x: n=3 -> p50 rank 2 = 2000, p95 rank 3 = 7000
+    assert(out("x") == (2000L, 7000L, 7000L, 3L))
+    assert(out("y") == (0L, 0L, 0L, 1L))
+  }
+
   test("wowChange: calendar-aligned day-7 compare; gap days report null") {
     import SparkSuite.spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2026-08-$s 10:00:00")
