@@ -15,6 +15,11 @@ run / fork := true
 // round driver parses the LAST stdout line of `runMain graft.Bench` as JSON
 // and the logger prefix breaks that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" banner, which
+// otherwise prints to stdout AFTER the program's JSON line and becomes the
+// last line a tail-parser sees (measured: the bench JSON was
+// second-to-last). "[info]" banner lines before the JSON are unaffected.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
