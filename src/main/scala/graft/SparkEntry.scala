@@ -71,6 +71,8 @@ object SparkEntry {
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
     "ev_gap_stats"      -> ((s, d) => EventOps.gapStats(s, d)),
+    // A54 heartbeat-loss silence/recovery alerts per type
+    "ev_silence"        -> ((s, d) => EventOps.silenceAlerts(s, d)),
     // A52 L28 engagement-depth histogram for the last corpus day
     "ev_l28"            -> ((s, d) => EventOps.l28(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
@@ -654,6 +656,23 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A54: exact-long arithmetic only; the trailing open episode uses the
+    // corpus's global max ts as the observation horizon.
+    "ev_silence" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT event_type, ts_ms,
+        |        lag(ts_ms) OVER (PARTITION BY event_type ORDER BY ts_ms, event_id) AS prev
+        |      FROM e),
+        |gg AS (SELECT * FROM g WHERE prev IS NOT NULL AND ts_ms - prev > 3600000),
+        |l AS (SELECT event_type, max(ts_ms) AS last_ms FROM e GROUP BY 1),
+        |fin AS (SELECT max(ts_ms) AS end_ms FROM e)
+        |SELECT event_type, 'silence' AS kind, prev + 3600000 AS at_ms, prev AS since_ms FROM gg
+        |UNION ALL
+        |SELECT event_type, 'recovery' AS kind, ts_ms AS at_ms, prev AS since_ms FROM gg
+        |UNION ALL
+        |SELECT l.event_type, 'silence' AS kind, l.last_ms + 3600000 AS at_ms,
+        |       l.last_ms AS since_ms
+        |FROM l, fin WHERE fin.end_ms - l.last_ms > 3600000""".stripMargin,
     // A53: gaps and their percentiles are exact longs via rank selection
     // (the ev_quantiles_exact discipline); both engines order the rank
     // window by (gap, ts, event_id).

@@ -821,6 +821,39 @@ object EventOps {
         max(col("n")).as("n_gaps"))
   }
 
+  /** A54: heartbeat-loss report — the batch twin of
+    * [[graft.streaming.EventPipeline.silenceStream]]: one "silence" alert
+    * per episode where an event type produced nothing for more than
+    * `silenceMs` (stamped at the moment the silence became provable,
+    * last_ts + silenceMs), plus a "recovery" alert when the type resumed.
+    * Closed episodes come from ONE per-type lag window (consecutive-event
+    * gaps); the trailing open episode compares each type's last event
+    * against the corpus's global end (a 1-row broadcast scalar — the same
+    * observation horizon the streaming twin's watermark provides).
+    * Sorts only within the low-cardinality type key. */
+  def silenceAlerts(spark: SparkSession, dir: String,
+                    silenceMs: Long = 3600000L): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), tsMs(col("ts")).as("ts_ms"))
+    val gapped = ev
+      .withColumn("prev", lag(col("ts_ms"), 1).over(byType))
+      .filter(col("prev").isNotNull &&
+        col("ts_ms") - col("prev") > silenceMs)
+    val silences = gapped.select(col("event_type"), lit("silence").as("kind"),
+      (col("prev") + silenceMs).as("at_ms"), col("prev").as("since_ms"))
+    val recoveries = gapped.select(col("event_type"), lit("recovery").as("kind"),
+      col("ts_ms").as("at_ms"), col("prev").as("since_ms"))
+    val corpusEnd = ev.agg(max(col("ts_ms")).as("end_ms"))
+    val trailing = ev.groupBy("event_type").agg(max(col("ts_ms")).as("last_ms"))
+      .crossJoin(broadcast(corpusEnd))
+      .filter(col("end_ms") - col("last_ms") > silenceMs)
+      .select(col("event_type"), lit("silence").as("kind"),
+        (col("last_ms") + silenceMs).as("at_ms"), col("last_ms").as("since_ms"))
+    silences.unionByName(recoveries).unionByName(trailing)
+  }
+
   /** A51: week-over-week change per (type, day) — the dashboard's "vs
     * last week" series. Calendar-aligned: each day compares against
     * day−7 via a summary-level self-join on the shifted date (a row-lag

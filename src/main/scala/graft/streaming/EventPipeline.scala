@@ -543,6 +543,84 @@ object EventPipeline {
     }
   }
 
+  case class Silence(event_type: String, kind: String, at_ms: Long,
+                     since_ms: Long)
+  case class SilenceState(lastTsMs: Long, alerted: Boolean)
+
+  /** A54 streaming twin: per-type heartbeat-loss monitor — ONE "silence"
+    * alert the moment event time provably passes last_ts + silenceMs with
+    * nothing arriving (event-time timer, fires post-watermark), and one
+    * "recovery" when the type resumes. The alert SET is replay-invariant
+    * by construction: a gap wholly inside one micro-batch emits its
+    * silence+recovery in-row at the identical timestamps the timer path
+    * would have produced, a gap the watermark proves first emits silence
+    * via the timer and recovery on resume, and stale timers (re-anchored
+    * by a newer event) no-op via the expiry==last+silenceMs guard — so a
+    * bounded replay equals the batch [[graft.operators.EventOps
+    * .silenceAlerts]] report (spec). State = ONE (lastTs, alerted) record
+    * per event type — never corpus- or user-scaled. In-watermark
+    * disorder: a late event with ts ≤ lastTs never regresses the anchor
+    * (the transitionStream discipline). */
+  def silenceStream(events: Dataset[Event], silenceMs: Long = 3600000L,
+                    watermark: Option[String] = Some("10 minutes")): Dataset[Silence] = {
+    import events.sparkSession.implicits._
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupByKey(_.event_type)
+      .transformWithState(new SilenceProcessor(silenceMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  class SilenceProcessor(silenceMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, Silence] {
+    import org.apache.spark.sql.Encoders
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SilenceState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SilenceState]("silence",
+        Encoders.product[SilenceState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Silence] = {
+      val sorted = rows.map(_.ts.getTime).toSeq.sorted
+      var out = List.empty[Silence]
+      var s = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { t =>
+        s = s match {
+          case Some(SilenceState(last, alerted)) =>
+            if (t - last > silenceMs) {
+              // the gap closed inside this batch: emit what the timer
+              // would have (unless it already fired), then the recovery
+              if (!alerted) out :+= Silence(key, "silence", last + silenceMs, last)
+              out :+= Silence(key, "recovery", t, last)
+              Some(SilenceState(t, false))
+            } else Some(SilenceState(math.max(last, t), alerted))
+          case None => Some(SilenceState(t, false))
+        }
+      }
+      val fin = s.get
+      st.update(fin)
+      if (!fin.alerted) getHandle.registerTimer(fin.lastTsMs + silenceMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+                                    timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Silence] = {
+      val fire = expiredTimerInfo.getExpiryTimeInMs
+      if (st.exists()) {
+        val cur = st.get()
+        // stale timers from superseded anchors no-op
+        if (!cur.alerted && fire == cur.lastTsMs + silenceMs) {
+          st.update(SilenceState(cur.lastTsMs, true))
+          return Iterator.single(Silence(key, "silence", fire, cur.lastTsMs))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
   case class ZAlert(event_id: Long, user_id: Long, ts_ms: Long,
                     value: Double, z: Double)
   case class ZBuffer(values: List[Double])

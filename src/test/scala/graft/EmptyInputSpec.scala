@@ -43,6 +43,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.forecast(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
+    assert(EventOps.silenceAlerts(spark, dir).count() == 0)
     assert(EventOps.l28(spark, dir).count() == 0)
   }
 

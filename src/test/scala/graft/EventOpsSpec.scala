@@ -397,6 +397,32 @@ class EventOpsSpec extends SparkSuite {
     assert(out("y") == (0L, 0L, 0L, 1L))
   }
 
+  test("silenceAlerts: closed episodes, exact-threshold non-alert, trailing open") {
+    import SparkSuite.spark.implicits._
+    val S = 3600000L // 1h threshold
+    val base = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val rows = Seq(
+      // x: gap of exactly S (no alert), then a 2S gap (silence+recovery)
+      (1L, t(0L), 1L, "x", 1.0), (2L, t(S), 1L, "x", 1.0),
+      (3L, t(3 * S), 1L, "x", 1.0),
+      // y: one event, then global end leaves a trailing open silence
+      (4L, t(0L), 1L, "y", 1.0),
+      // z: defines the corpus end; its own gaps are under threshold
+      (5L, t(3 * S + 100L), 1L, "z", 1.0), (6L, t(4 * S), 1L, "z", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.silenceAlerts(spark, d, S).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("kind"),
+        r.getAs[Long]("at_ms") - base, r.getAs[Long]("since_ms") - base)).toSet
+    // x's trailing is exactly S from the end (4S - 3S) -> strict > means
+    // no alert; y's trailing 4S - 0 > S does alert
+    assert(out == Set(
+      ("x", "silence", 2 * S, S), ("x", "recovery", 3 * S, S),
+      ("y", "silence", S, 0L)))
+  }
+
   test("wowChange: calendar-aligned day-7 compare; gap days report null") {
     import SparkSuite.spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2026-08-$s 10:00:00")

@@ -1026,6 +1026,54 @@ class StreamingSpec extends SparkSuite {
       == Set(1L, 2L, 3L))
   }
 
+  test("silenceStream: bounded replay emits exactly the batch silence/recovery set") { withRocksDB {
+    val S = 3600000L // 1h threshold
+    val base = 1700000000000L
+    def e(id: Long, ms: Long, tpe: String) =
+      Event(id, new Timestamp(base + ms), 1L, tpe, 1.0)
+    // x: exact-S gap (no alert) then a 2S gap crossing the batch split;
+    // y: single event -> open trailing silence; z: under-threshold gaps
+    // -> only a trailing; the sentinel advances the watermark so every
+    // legitimate timer provably fires (its own never does)
+    val events = Seq(
+      e(1, 0, "x"), e(2, S, "x"), e(3, 3 * S, "x"),
+      e(4, 0, "y"),
+      e(5, 3 * S + 100, "z"), e(6, 4 * S, "z"), e(7, 4 * S + 1000, "z"))
+    val sentinel = e(99, 100 * S, "watermark_sentinel")
+    val d = Files.createTempDirectory("graft-sil-batch").toString
+    (events :+ sentinel).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[String]("kind"),
+        r.getAs[Long]("at_ms"), r.getAs[Long]("since_ms"))
+    val batch = graft.operators.EventOps.silenceAlerts(spark, d, S)
+      .collect().map(keyOf).toSet
+    assert(batch == Set(
+      ("x", "silence", base + 2 * S, base + S),
+      ("x", "recovery", base + 3 * S, base + S),
+      ("x", "silence", base + 4 * S, base + 3 * S),
+      ("y", "silence", base + S, base),
+      ("z", "silence", base + 5 * S + 1000, base + 4 * S + 1000)),
+      s"planted batch shape drifted: $batch")
+
+    val src = Files.createTempDirectory("graft-sil-src").toString
+    val chk = Files.createTempDirectory("graft-sil-chk").toString
+    // split after x@S: episode (x, 2S..3S) anchors in b1, closes in b2
+    val (b1, b2) = events.partition(_.ts.getTime <= base + S)
+    assert(b1.exists(_.event_id == 2L) && b2.exists(_.event_id == 3L))
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.silenceStream(
+      EventPipeline.fileSource(spark, src).as[Event], S,
+      watermark = Some("0 seconds"))
+      .toDF().writeStream.format("memory").queryName("silence_alerts")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2 :+ sentinel)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("silence_alerts").collect().map(keyOf).toSet
+    assert(streamed == batch,
+      s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
+  } }
+
   test("burstStream: bounded replay emits exactly the fixed-threshold batch episodes") {
     val H = 3600000L
     // the A45 planted series with ABSOLUTE thresholds hi=10, lo=2:
