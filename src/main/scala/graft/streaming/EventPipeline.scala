@@ -811,6 +811,36 @@ object EventPipeline {
       }
       .start()
 
+  /** A55: per-window trending top-k — the Flink "windowed top-N" shape
+    * and the finalized-history complement of [[topUsersQuery]]'s live
+    * cumulative board: for each watermark-CLOSED tumbling window, the k
+    * most active users, appended once to a replayable parquet history.
+    * The append-mode windowed agg emits a window's rows exactly once at
+    * close, so the rank inside foreachBatch only ever sees COMPLETE
+    * windows (no retraction handling); ranking partitions by window over
+    * the batch's summary-sized counts (count desc, user_id tie-break).
+    * Several windows closing in one micro-batch rank independently. */
+  def trendingQuery(events: DataFrame, outDir: String, checkpoint: String,
+                    k: Int = 5, watermark: String = "10 minutes",
+                    window: String = "1 hour"): StreamingQuery = {
+    val counts = events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+    counts.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val byWin = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("n").desc, col("user_id"))
+        batch.withColumn("rnk", row_number().over(byWin))
+          .filter(col("rnk") <= k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** Memory-sink query for tests/dashboards (the WebSocket fan-out stand-in). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

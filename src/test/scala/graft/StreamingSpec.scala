@@ -1026,6 +1026,44 @@ class StreamingSpec extends SparkSuite {
       == Set(1L, 2L, 3L))
   }
 
+  test("trendingQuery: per-closed-window top-k, exactly once, tie-broken by id") {
+    val H = 3600000L
+    val base = 1700000000000L // not hour-aligned; windows align to epoch hours
+    val h0 = base - base % H
+    def e(id: Long, ms: Long, u: Long) =
+      Event(id, new Timestamp(h0 + ms), u, "click", 1.0)
+    var id = 0L
+    def burst(hour: Int, u: Long, n: Int) = (1 to n).map { i =>
+      id += 1; e(id, hour * H + i * 1000L, u)
+    }
+    // h0: u1x3 u2x2 u3x1 -> top2 = u1, u2; h1: u2x5 u3x5 (tie -> id order);
+    // h2: u4x1; the sentinel closes everything and its own window never emits
+    val b1 = burst(0, 1L, 3) ++ burst(0, 2L, 2) ++ burst(0, 3L, 1) ++
+      burst(1, 2L, 3)
+    val b2 = burst(1, 2L, 2) ++ burst(1, 3L, 5) ++ burst(2, 4L, 1) :+
+      e(9999L, 100 * H, 99L)
+    val src = Files.createTempDirectory("graft-trend-src").toString
+    val chk = Files.createTempDirectory("graft-trend-chk").toString
+    val out = Files.createTempDirectory("graft-trend-out").toString + "/top"
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.trendingQuery(
+      EventPipeline.fileSource(spark, src), out, chk, k = 2,
+      watermark = "0 seconds")
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime - h0,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[Int]("rnk"))).toSet
+    // h1's u2 count spans BOTH micro-batches (3 + 2 = 5) — the closed
+    // window carries the merged count exactly once
+    assert(got == Set(
+      (0L, 1L, 3L, 1), (0L, 2L, 2L, 2),
+      (1 * H, 2L, 5L, 1), (1 * H, 3L, 5L, 2),
+      (2 * H, 4L, 1L, 1)), s"got $got")
+  }
+
   test("silenceStream: bounded replay emits exactly the batch silence/recovery set") { withRocksDB {
     val S = 3600000L // 1h threshold
     val base = 1700000000000L
