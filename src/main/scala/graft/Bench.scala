@@ -47,7 +47,7 @@ object Bench {
     "doc_bm25", "emb_pagerank", "emb_ivf_delete", "qa_constraints",
     "ev_orc_roundtrip", "ev_bursts", "doc_bm25_store", "ev_hll_sliding",
     "ev_hourly_profile", "ev_stickiness", "ev_mad_alert", "ev_forecast",
-    "ev_wow_change", "ev_l28", "ev_gap_stats", "ev_silence",
+    "ev_wow_change", "ev_l28", "ev_gap_stats", "ev_silence", "ev_trending",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -73,6 +73,8 @@ object SparkEntry {
     "ev_gap_stats"      -> ((s, d) => EventOps.gapStats(s, d)),
     // A54 heartbeat-loss silence/recovery alerts per type
     "ev_silence"        -> ((s, d) => EventOps.silenceAlerts(s, d)),
+    // A55 per-hour trending top-k users (batch twin of trendingQuery)
+    "ev_trending"       -> ((s, d) => EventOps.trending(s, d)),
     // A52 L28 engagement-depth histogram for the last corpus day
     "ev_l28"            -> ((s, d) => EventOps.l28(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
@@ -656,6 +658,16 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A55: Spark's window('1 hour') and DuckDB's date_trunc both align to
+    // epoch hours; rank is deterministic (count desc, user_id).
+    "ev_trending" ->
+      """SELECT window_ms, user_id, n, rnk FROM (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_ms, user_id,
+        |         count(*) AS n,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |           ORDER BY count(*) DESC, user_id) AS rnk
+        |  FROM events GROUP BY date_trunc('hour', ts), user_id) t
+        |WHERE rnk <= 5""".stripMargin,
     // A54: exact-long arithmetic only; the trailing open episode uses the
     // corpus's global max ts as the observation horizon.
     "ev_silence" ->

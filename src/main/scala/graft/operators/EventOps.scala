@@ -821,6 +821,23 @@ object EventOps {
         max(col("n")).as("n_gaps"))
   }
 
+  /** A55 batch twin: per-hour trending top-k users — identical ranking to
+    * [[graft.streaming.EventPipeline.trendingQuery]]'s closed-window rank
+    * (count desc, user_id tie-break) over the batch windowed counts. One
+    * (window, user) partial-agg shuffle; the rank window partitions by the
+    * hour key over the summary. */
+  def trending(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start").cast("timestamp_ltz")).as("window_ms"),
+        col("user_id"), col("n"))
+    val byWin = Window.partitionBy("window_ms")
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rnk", row_number().over(byWin).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** A54: heartbeat-loss report — the batch twin of
     * [[graft.streaming.EventPipeline.silenceStream]]: one "silence" alert
     * per episode where an event type produced nothing for more than
