@@ -75,6 +75,8 @@ object SparkEntry {
     "ev_silence"        -> ((s, d) => EventOps.silenceAlerts(s, d)),
     // A55 per-hour trending top-k users (batch twin of trendingQuery)
     "ev_trending"       -> ((s, d) => EventOps.trending(s, d)),
+    // A56 persisted incremental rollup store (serve ≡ direct agg)
+    "ev_rollup_store"   -> ((s, d) => EventOps.rollupStore(s, d)),
     // A52 L28 engagement-depth histogram for the last corpus day
     "ev_l28"            -> ((s, d) => EventOps.l28(s, d)),
     "ev_sessionize"     -> ((s, d) => EventOps.sessionize(s, d)),
@@ -658,6 +660,13 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // A56: serve-from-store must equal the direct aggregation — decimal
+    // partial sums are exact and associative, so the split/ingest path
+    // hashes identically to this one-pass SQL.
+    "ev_rollup_store" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // A55: Spark's window('1 hour') and DuckDB's date_trunc both align to
     // epoch hours; rank is deterministic (count desc, user_id).
     "ev_trending" ->

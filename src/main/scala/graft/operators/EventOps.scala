@@ -821,6 +821,51 @@ object EventOps {
         max(col("n")).as("n_gaps"))
   }
 
+  /** A56: persisted INCREMENTAL rollup store for the dashboard counts —
+    * the C76 store discipline applied to event aggregates: per-(type, day)
+    * counts and exact DECIMAL(18,4) value sums live as additive
+    * `batch_id=N` parquet partitions, so daily ingest lands ONE partial
+    * agg of the new batch (summary-sized write, the corpus is never
+    * re-read) and serving is a pure SUM over partitions — decimal
+    * addition is exact and associative, so serve-from-store is
+    * hash-identical to a direct aggregation of the full corpus (the gate
+    * proves it). Same-batch retry re-lands its identical partition
+    * (overwrite → idempotent); rollups are content-free, so the
+    * exactly-once batch assignment is the caller's contract (pair with
+    * the A13 checkpoint). Explicit read schema: an empty store has zero
+    * partitions, where inference fails, and drift fails loudly. */
+  private val rollupStoreSchema =
+    "event_type STRING, day DATE, n BIGINT, sum_value DECIMAL(28,4), batch_id BIGINT"
+
+  private def rollupOf(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("sum_value"))
+
+  def rollupStoreWrite(events: DataFrame, storeDir: String, batchId: Long): Unit =
+    rollupOf(events).coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/rollup.parquet/batch_id=$batchId")
+
+  def rollupStoreServe(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(rollupStoreSchema).parquet(s"$storeDir/rollup.parquet")
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value")).cast("double").as("sum_value"))
+
+  /** Gate entry: 80/20 split by event_id → base write + one ingest →
+    * serve. Hash-equal to the direct aggregation (oracle). */
+  def rollupStore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-rollup-store").toString
+    val ids = ev.agg(max(col("event_id")).as("m")).head().getAs[java.lang.Long]("m")
+    val cut = if (ids == null) 0L else ids * 4 / 5 // empty corpus: empty store
+    rollupStoreWrite(ev.filter(col("event_id") <= cut), store, 0L)
+    rollupStoreWrite(ev.filter(col("event_id") > cut), store, 1L)
+    rollupStoreServe(spark, store)
+  }
+
   /** A55 batch twin: per-hour trending top-k users — identical ranking to
     * [[graft.streaming.EventPipeline.trendingQuery]]'s closed-window rank
     * (count desc, user_id tie-break) over the batch windowed counts. One

@@ -45,6 +45,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)
     assert(EventOps.trending(spark, dir).count() == 0)
+    assert(EventOps.rollupStore(spark, dir).count() == 0)
     assert(EventOps.l28(spark, dir).count() == 0)
   }
 

@@ -375,6 +375,34 @@ class EventOpsSpec extends SparkSuite {
     assert(out("z") == (2L, "2026-08-02", 3.0, 4.0, 7.0, 31.0))
   }
 
+  test("rollupStore: split ingest serves the direct aggregate; retry idempotent") {
+    import SparkSuite.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-08-$s 10:00:00")
+    val rows = Seq(
+      (1L, t("01"), 1L, "x", 1.25), (2L, t("01"), 2L, "x", 2.50),
+      (3L, t("02"), 1L, "x", 4.00), (4L, t("01"), 3L, "y", 0.75))
+    val d = java.nio.file.Files.createTempDirectory("graft-rs").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-rs-store").toString
+    val ev = graft.Tables.events(spark, d)
+    EventOps.rollupStoreWrite(ev.filter($"event_id" <= 2), store, 0L)
+    EventOps.rollupStoreWrite(ev.filter($"event_id" > 2), store, 1L)
+    def served = EventOps.rollupStoreServe(spark, store).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
+        -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    val expected = Map(
+      ("x", "2026-08-01") -> (2L, 3.75), ("x", "2026-08-02") -> (1L, 4.0),
+      ("y", "2026-08-01") -> (1L, 0.75))
+    assert(served == expected)
+    // same-batch retry re-lands the identical partition — no double count
+    EventOps.rollupStoreWrite(ev.filter($"event_id" > 2), store, 1L)
+    assert(served == expected)
+    // a genuinely new batch lands additively
+    EventOps.rollupStoreWrite(ev.filter($"event_id" === 1L), store, 2L)
+    assert(served(("x", "2026-08-01")) == (3L, 5.0))
+  }
+
   test("gapStats: exact rank-selected inter-arrival percentiles; zero-gap ties") {
     import SparkSuite.spark.implicits._
     val base = 1700000000000L
