@@ -67,6 +67,8 @@ object SparkEntry {
     "ev_mad_alert"      -> ((s, d) => EventOps.madAlert(s, d)),
     // A50 Holt linear-trend volume forecast per type
     "ev_forecast"       -> ((s, d) => EventOps.forecast(s, d)),
+    // A57 CUSUM level-shift changepoints over daily counts (all-integer)
+    "ev_cusum"          -> ((s, d) => EventOps.cusum(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -759,6 +761,54 @@ object SparkEntry {
         |SELECT event_type, n AS n_days, last_day, l AS level, b AS trend,
         |       l + b AS forecast_1, l + 7.0 * b AS forecast_7
         |FROM hw WHERE t = n""".stripMargin,
+    // A57: every quantity is an exact long (median/MAD daily counts, the
+    // two one-sided running sums, the 4*MAD fence) — the recursive CTE and
+    // the Spark fold agree bit-for-bit with no IEEE arithmetic anywhere.
+    // The base case (t=1) is the zero-state fold step spelled out.
+    "ev_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type, max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN y END) AS med
+        |  FROM (SELECT event_type, y,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY y, day) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n FROM daily) t GROUP BY 1),
+        |mad AS (
+        |  SELECT event_type, greatest(1, max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN absdev END)) AS k
+        |  FROM (SELECT d.event_type, abs(d.y - m.med) AS absdev,
+        |          row_number() OVER (PARTITION BY d.event_type ORDER BY abs(d.y - m.med), d.day) AS rn,
+        |          count(*) OVER (PARTITION BY d.event_type) AS n
+        |        FROM daily d JOIN med m USING (event_type)) t GROUP BY 1),
+        |par AS (SELECT m.event_type, m.med, d.k, 4 * d.k AS h
+        |        FROM med m JOIN mad d USING (event_type)),
+        |cu AS (
+        |  SELECT s.event_type, s.t, s.day, s.y,
+        |         greatest(0, s.y - p.med - p.k) AS sp_raw,
+        |         greatest(0, p.med - p.k - s.y) AS sn_raw,
+        |         CASE WHEN greatest(0, s.y - p.med - p.k) > p.h THEN 0
+        |              ELSE greatest(0, s.y - p.med - p.k) END AS sp,
+        |         CASE WHEN greatest(0, p.med - p.k - s.y) > p.h THEN 0
+        |              ELSE greatest(0, p.med - p.k - s.y) END AS sn,
+        |         p.med, p.k, p.h
+        |  FROM seq s JOIN par p USING (event_type) WHERE s.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.t, s.day, s.y,
+        |         greatest(0, cu.sp + (s.y - cu.med - cu.k)) AS sp_raw,
+        |         greatest(0, cu.sn + (cu.med - cu.k - s.y)) AS sn_raw,
+        |         CASE WHEN greatest(0, cu.sp + (s.y - cu.med - cu.k)) > cu.h THEN 0
+        |              ELSE greatest(0, cu.sp + (s.y - cu.med - cu.k)) END AS sp,
+        |         CASE WHEN greatest(0, cu.sn + (cu.med - cu.k - s.y)) > cu.h THEN 0
+        |              ELSE greatest(0, cu.sn + (cu.med - cu.k - s.y)) END AS sn,
+        |         cu.med, cu.k, cu.h
+        |  FROM cu JOIN seq s ON s.event_type = cu.event_type AND s.t = cu.t + 1)
+        |SELECT event_type, day, y, sp_raw AS s_pos, sn_raw AS s_neg,
+        |       sp_raw > h AS alarm_up, sn_raw > h AS alarm_down
+        |FROM cu""".stripMargin,
     // A49: med and MAD are rank-selected order statistics (value at
     // ascending rank ceil(n/2), event_id tie-break — the ev_quantiles_exact
     // discipline), so both engines pick identical doubles and the 3*MAD

@@ -991,6 +991,77 @@ object EventOps {
         (col("lb")("l") + lit(7.0) * col("lb")("b")).as("forecast_7"))
   }
 
+  /** A57: CUSUM changepoint detection per event type over the daily count
+    * series (Page 1954, public) — the anomaly suite's missing piece: bursts
+    * find rate episodes, z/MAD flag outlier rows, forecast projects, CUSUM
+    * detects a sustained LEVEL SHIFT that no single day trips. Two one-sided
+    * statistics: s⁺ accumulates max(0, s⁺ + (y − μ − k)) for upward shifts,
+    * s⁻ symmetrically for downward; an alarm fires when a side exceeds h and
+    * that side resets to 0 (the emitted row reports the pre-reset exceed
+    * value). All parameters are EXACT integers derived from the series
+    * itself: μ = per-type median daily count and k = max(1, MAD of daily
+    * counts), both rank-selected order statistics at ⌈n/2⌉ with (value, day)
+    * tie order (the ev_quantiles_exact discipline); h = 4k. Every quantity
+    * is a long — no IEEE arithmetic anywhere, so the oracle's recursive CTE
+    * is hash-exact by construction. Corpus work is ONE (type, day)
+    * partial-agg shuffle; medians, the fold, and the explode all run on the
+    * ≤|types|·days summary (the A50 forecast shape — the recurrence is an
+    * in-row `aggregate` fold over the day-sorted series, never a driver
+    * collect). Gap days are simply absent from the series (consistent with
+    * A50); a deployment wanting zero-filled days densifies upstream. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    // exact rank-selected median of a summary-level column (≤|types|·days
+    // rows — the sort window runs on the daily summary, not the corpus)
+    def rankMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
+      val n = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = rankMedian(daily, "y", "med")
+    val mad = rankMedian(
+      daily.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          abs(col("y") - col("med")).as("absdev")),
+      "absdev", "madRaw")
+      .select(col("event_type"), greatest(lit(1L), col("madRaw")).as("k"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("h", lit(4L) * col("k"))
+      // fold state = (current s⁺, current s⁻, emitted rows); the raw
+      // (pre-reset) statistic is what each row reports and the reset-to-0
+      // is what carries forward past an alarm — both sides independent
+      .withColumn("out", expr(
+        """aggregate(s,
+          |  struct(0L AS sp, 0L AS sn,
+          |    CAST(array() AS ARRAY<STRUCT<day: DATE, y: BIGINT,
+          |      s_pos: BIGINT, s_neg: BIGINT,
+          |      alarm_up: BOOLEAN, alarm_down: BOOLEAN>>) AS rows),
+          |  (acc, x) -> struct(
+          |    IF(greatest(0L, acc.sp + (x.y - med - k)) > h, 0L,
+          |       greatest(0L, acc.sp + (x.y - med - k))) AS sp,
+          |    IF(greatest(0L, acc.sn + (med - k - x.y)) > h, 0L,
+          |       greatest(0L, acc.sn + (med - k - x.y))) AS sn,
+          |    array_append(acc.rows, struct(
+          |      x.day AS day, x.y AS y,
+          |      greatest(0L, acc.sp + (x.y - med - k)) AS s_pos,
+          |      greatest(0L, acc.sn + (med - k - x.y)) AS s_neg,
+          |      greatest(0L, acc.sp + (x.y - med - k)) > h AS alarm_up,
+          |      greatest(0L, acc.sn + (med - k - x.y)) > h AS alarm_down)) AS rows)
+          |).rows""".stripMargin))
+      .select(col("event_type"), explode(col("out")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+        col("r.s_pos").as("s_pos"), col("r.s_neg").as("s_neg"),
+        col("r.alarm_up").as("alarm_up"), col("r.alarm_down").as("alarm_down"))
+  }
+
   /** A49: robust anomaly alerts via MAD (median absolute deviation) — the
     * outlier-resistant twin of [[zscoreAlert]]: a z-score threshold moves
     * when the anomalies themselves inflate the mean/stddev, while the

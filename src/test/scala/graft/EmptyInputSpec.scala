@@ -41,6 +41,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.stickiness(spark, dir).count() == 0)
     assert(EventOps.madAlert(spark, dir).count() == 0)
     assert(EventOps.forecast(spark, dir).count() == 0)
+    assert(EventOps.cusum(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

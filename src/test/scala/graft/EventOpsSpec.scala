@@ -451,6 +451,42 @@ class EventOpsSpec extends SparkSuite {
       ("y", "silence", S, 0L)))
   }
 
+  test("cusum: accumulation to alarm, reset carries forward, constant series silent") {
+    import SparkSuite.spark.implicits._
+    // x: 8 days at 10 then 4 days at 13 -> med 10, MAD 0 -> k=1, h=4;
+    //    s+ walks 2,4,6(alarm,reset),2 across the shifted days
+    // y: downward shift 10 -> 7, same walk on the s- side
+    // z: constant 5 -> statistics pinned at 0, no alarms
+    var id = 0L
+    def day(n: Int) = f"2026-07-$n%02d 12:00:00"
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double)]
+    for (d <- 1 to 12; _ <- 1 to (if (d <= 8) 10 else 13)) {
+      id += 1; rows += ((id, java.sql.Timestamp.valueOf(day(d)), 1L, "x", 1.0))
+    }
+    for (d <- 1 to 12; _ <- 1 to (if (d <= 8) 10 else 7)) {
+      id += 1; rows += ((id, java.sql.Timestamp.valueOf(day(d)), 1L, "y", 1.0))
+    }
+    for (d <- 1 to 6; _ <- 1 to 5) {
+      id += 1; rows += ((id, java.sql.Timestamp.valueOf(day(d)), 1L, "z", 1.0))
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.cusum(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"),
+          r.getAs[Boolean]("alarm_up"), r.getAs[Boolean]("alarm_down"))).toMap
+    assert(out.size == 30)
+    assert(out(("x", "2026-07-08")) == (0L, 0L, false, false))
+    assert(out(("x", "2026-07-09")) == (2L, 0L, false, false))
+    assert(out(("x", "2026-07-10")) == (4L, 0L, false, false)) // == h, not >
+    assert(out(("x", "2026-07-11")) == (6L, 0L, true, false))  // alarm + reset
+    assert(out(("x", "2026-07-12")) == (2L, 0L, false, false)) // proves reset
+    assert(out(("y", "2026-07-11")) == (0L, 6L, false, true))
+    assert(out(("y", "2026-07-12")) == (0L, 2L, false, false))
+    assert((1 to 6).forall(n => out(("z", f"2026-07-$n%02d")) == (0L, 0L, false, false)))
+  }
+
   test("wowChange: calendar-aligned day-7 compare; gap days report null") {
     import SparkSuite.spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2026-08-$s 10:00:00")
