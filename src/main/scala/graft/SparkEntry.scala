@@ -69,6 +69,10 @@ object SparkEntry {
     "ev_forecast"       -> ((s, d) => EventOps.forecast(s, d)),
     // A57 CUSUM level-shift changepoints over daily counts (all-integer)
     "ev_cusum"          -> ((s, d) => EventOps.cusum(s, d)),
+    // A58 last-touch conversion attribution by channel (+ direct bucket)
+    "ev_attribution"    -> ((s, d) => EventOps.attributionLastTouch(s, d)),
+    // A58b linear multi-touch attribution (equal split over in-window touches)
+    "ev_attribution_linear" -> ((s, d) => EventOps.attributionLinear(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -809,6 +813,46 @@ object SparkEntry {
         |SELECT event_type, day, y, sp_raw AS s_pos, sn_raw AS s_neg,
         |       sp_raw > h AS alarm_up, sn_raw > h AS alarm_down
         |FROM cu""".stripMargin,
+    // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
+    // (ts DESC, event_id DESC = the window's largest same-ms id); channel
+    // sums are per-term DECIMAL(18,9) — order-independent exact.
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('purchase','click','view')),
+        |conv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        |pick AS (
+        |  SELECT c.event_id, c.value,
+        |    (SELECT t.event_type FROM touch t WHERE t.user_id = c.user_id
+        |       AND t.ts_ms <= c.ts_ms AND c.ts_ms - t.ts_ms <= 86400000
+        |     ORDER BY t.ts_ms DESC, t.event_id DESC LIMIT 1) AS ch
+        |  FROM conv c)
+        |SELECT coalesce(ch, 'direct') AS channel, count(*) AS n_conv,
+        |  CAST(sum(CAST(value AS DECIMAL(18,9))) AS DOUBLE) AS attr_value
+        |FROM pick GROUP BY 1""".stripMargin,
+    // A58b: the join enumerates exactly the pairs the two range frames
+    // see (t in [c-T, c] <=> c in [t, t+T]); each credit term is the same
+    // IEEE division quantized to DECIMAL(18,9), so the exact sums agree.
+    "ev_attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('purchase','click','view')),
+        |conv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        |nconv AS (
+        |  SELECT c.user_id, c.ts_ms, c.value,
+        |    (SELECT count(*) FROM touch t WHERE t.user_id = c.user_id
+        |       AND t.ts_ms >= c.ts_ms - 86400000 AND t.ts_ms <= c.ts_ms) AS n
+        |  FROM conv c),
+        |cr AS (
+        |  SELECT t.event_type AS channel, t.event_id AS tid,
+        |         CAST(c.value / c.n AS DECIMAL(18,9)) AS credit
+        |  FROM touch t JOIN nconv c ON c.user_id = t.user_id
+        |    AND c.ts_ms >= t.ts_ms AND c.ts_ms - t.ts_ms <= 86400000)
+        |SELECT channel, count(DISTINCT tid) AS n_credited,
+        |  CAST(sum(credit) AS DOUBLE) AS attr_value
+        |FROM cr GROUP BY 1""".stripMargin,
     // A49: med and MAD are rank-selected order statistics (value at
     // ascending rank ceil(n/2), event_id tie-break — the ev_quantiles_exact
     // discipline), so both engines pick identical doubles and the 3*MAD

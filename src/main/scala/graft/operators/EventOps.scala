@@ -991,6 +991,78 @@ object EventOps {
         (col("lb")("l") + lit(7.0) * col("lb")("b")).as("forecast_7"))
   }
 
+  /** A58: last-touch conversion attribution — the marketing-analytics
+    * staple: each purchase's value is credited to the channel (event type)
+    * of the user's most recent click/view at-or-before it within the
+    * attribution window; a purchase with no in-window touch lands in the
+    * 'direct' bucket. ONE user_id shuffle (the A40 discipline): a running
+    * last(ignoreNulls) over the per-user event-time sort carries the most
+    * recent touch onto every conversion row — never a touches×conversions
+    * inequality join. Same-ms ties order touch before conversion (a lag-0
+    * touch attributes), largest same-ms event_id wins. Channel value sums
+    * are per-term DECIMAL(18,9)-quantized exact longs-style sums (the A42
+    * portability bound: |value| ≤ ~1e3 keeps terms under 14 significant
+    * digits), so cross-engine hash-exact. */
+  def attributionLastTouch(spark: SparkSession, dir: String,
+                           withinMs: Long = 86400000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), tsMs(col("ts")).as("ts_ms"),
+        (col("event_type") === "purchase").as("is_conv"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("is_conv").cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastTouch = last(
+      when(!col("is_conv"), struct(col("ts_ms"), col("event_type"))),
+      ignoreNulls = true).over(byUser)
+    ev.withColumn("lt", lastTouch)
+      .filter(col("is_conv"))
+      .withColumn("channel",
+        when(col("lt").isNotNull &&
+          col("ts_ms") - col("lt")("ts_ms") <= withinMs,
+          col("lt")("event_type")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("attr_value"))
+  }
+
+  /** A58b: linear multi-touch attribution — each purchase's value splits
+    * EQUALLY across all of the user's touches in the trailing attribution
+    * window (position-agnostic multi-touch, the standard complement of
+    * [[attributionLastTouch]]'s winner-takes-all). Still ONE user_id
+    * shuffle and ZERO self-joins, via two range-frame window passes over
+    * the same per-user sort: pass 1 gives every conversion its in-window
+    * touch count n (trailing range frame counting touch rows); pass 2
+    * gives every touch its credit Σ value/n over the conversions in its
+    * FORWARD range frame — t ∈ [c−T, c] ⟺ c ∈ [t, t+T], so the two frames
+    * see exactly the same (touch, conversion) pairs. Each credit term is
+    * one IEEE division of the same doubles in both engines, quantized to
+    * DECIMAL(18,9) per term (A42 bound) before the exact channel sum. */
+  def attributionLinear(spark: SparkSession, dir: String,
+                        withinMs: Long = 86400000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), tsMs(col("ts")).as("ts_ms"),
+        (col("event_type") === "purchase").as("is_conv"))
+    val trailing = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-withinMs, 0)
+    val forward = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(0, withinMs)
+    ev.withColumn("n_touch",
+        sum(when(!col("is_conv"), lit(1L)).otherwise(lit(0L))).over(trailing))
+      .withColumn("credit",
+        sum(when(col("is_conv") && col("n_touch") > 0,
+          (col("value") / col("n_touch"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))).over(forward))
+      .filter(!col("is_conv") && col("credit").isNotNull)
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_credited"),
+        sum(col("credit")).cast("double").as("attr_value"))
+  }
+
   /** A57: CUSUM changepoint detection per event type over the daily count
     * series (Page 1954, public) — the anomaly suite's missing piece: bursts
     * find rate episodes, z/MAD flag outlier rows, forecast projects, CUSUM

@@ -451,6 +451,44 @@ class EventOpsSpec extends SparkSuite {
       ("y", "silence", S, 0L)))
   }
 
+  test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
+    import SparkSuite.spark.implicits._
+    val T = 86400000L
+    val base = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val H = 3600000L
+    val rows = Seq(
+      // u1: view, click, purchase 12 -> last-touch click; linear 6+6
+      (10L, t(0L), 1L, "view", 1.0), (11L, t(H), 1L, "click", 1.0),
+      (12L, t(2 * H), 1L, "purchase", 12.0),
+      // u2: bare purchase -> direct
+      (20L, t(0L), 2L, "purchase", 7.0),
+      // u3: touch outside the window -> direct, no linear credit
+      (30L, t(0L), 3L, "click", 1.0), (31L, t(T + 1L), 3L, "purchase", 5.0),
+      // u4: same-ms touch attributes (lag-0 legal)
+      (40L, t(0L), 4L, "view", 1.0), (41L, t(0L), 4L, "purchase", 8.0),
+      // u5: two same-ms touches -> largest event_id (the view) wins last-touch
+      (50L, t(0L), 5L, "click", 1.0), (51L, t(0L), 5L, "view", 1.0),
+      (52L, t(1L), 5L, "purchase", 10.0),
+      // u6: purchase exactly at touch+T still attributes (<= boundary)
+      (60L, t(0L), 6L, "click", 1.0), (61L, t(T), 6L, "purchase", 2.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val lt = EventOps.attributionLastTouch(spark, d).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_conv"), r.getAs[Double]("attr_value"))).toMap
+    assert(lt == Map("click" -> (2L, 14.0), "view" -> (2L, 18.0),
+      "direct" -> (2L, 12.0)))
+    val lin = EventOps.attributionLinear(spark, d).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_credited"), r.getAs[Double]("attr_value"))).toMap
+    // u1 splits 6/6; u4 gives its view 8; u5 splits 5/5; u6's click gets 2
+    assert(lin == Map("view" -> (3L, 19.0), "click" -> (3L, 13.0)))
+    // conservation: linear credits total exactly the attributable value
+    assert(lin.values.map(_._2).sum == 32.0)
+  }
+
   test("cusum: accumulation to alarm, reset carries forward, constant series silent") {
     import SparkSuite.spark.implicits._
     // x: 8 days at 10 then 4 days at 13 -> med 10, MAD 0 -> k=1, h=4;
