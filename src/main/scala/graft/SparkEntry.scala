@@ -73,6 +73,10 @@ object SparkEntry {
     "ev_attribution"    -> ((s, d) => EventOps.attributionLastTouch(s, d)),
     // A58b linear multi-touch attribution (equal split over in-window touches)
     "ev_attribution_linear" -> ((s, d) => EventOps.attributionLinear(s, d)),
+    // A59 SCD Type-2 versioned dimension from the signup change log
+    "ev_scd2"           -> ((s, d) => EventOps.scd2Build(s, d)),
+    // A59b point-in-time enrichment (as-of union, never an interval join)
+    "ev_scd2_join"      -> ((s, d) => EventOps.scd2Join(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -813,6 +817,40 @@ object SparkEntry {
         |SELECT event_type, day, y, sp_raw AS s_pos, sn_raw AS s_neg,
         |       sp_raw > h AS alarm_up, sn_raw > h AS alarm_down
         |FROM cu""".stripMargin,
+    // A59: half-open validity intervals partition each user's timeline;
+    // same-ms double-writes collapse to the largest event_id first.
+    "ev_scd2" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_ms(ts) AS from_ms,
+        |         max_by(value, event_id) AS dim_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY from_ms) AS version_n,
+        |  from_ms AS effective_from_ms,
+        |  lead(from_ms) OVER (PARTITION BY user_id ORDER BY from_ms) AS effective_to_ms,
+        |  dim_value
+        |FROM v""".stripMargin,
+    // A59b: the LEFT JOIN finds the unique interval containing each
+    // purchase ts (intervals partition the timeline, so at most one row
+    // matches) — semantically identical to the running-last pick.
+    "ev_scd2_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_ms(ts) AS from_ms,
+        |         max_by(value, event_id) AS dim_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |scd AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY from_ms) AS version_n,
+        |    from_ms,
+        |    lead(from_ms) OVER (PARTITION BY user_id ORDER BY from_ms) AS to_ms,
+        |    dim_value
+        |  FROM v)
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+        |       s.dim_value, s.version_n
+        |FROM events p LEFT JOIN scd s ON s.user_id = p.user_id
+        |  AND s.from_ms <= epoch_ms(p.ts)
+        |  AND (s.to_ms IS NULL OR epoch_ms(p.ts) < s.to_ms)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

@@ -991,6 +991,65 @@ object EventOps {
         (col("lb")("l") + lit(7.0) * col("lb")("b")).as("forecast_7"))
   }
 
+  /** A59: SCD Type-2 dimension build — the warehouse staple the engine was
+    * missing: a per-user change log (here: 'signup' events carrying the
+    * changing attribute in `value`) becomes a VERSIONED dimension with
+    * half-open validity intervals [effective_from, effective_to) that
+    * partition the timeline (effective_to null = current version). Same-ms
+    * double-writes collapse to the largest event_id (last writer wins,
+    * via max(struct) partial agg — no sort). ONE user_id shuffle: the
+    * dedup partial-agg, the version row_number and the lead() all share
+    * the user_id partitioning; everything is summary-sized (versions per
+    * user, not events). */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), tsMs(col("ts")).as("from_ms"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("from_ms")
+    ch.groupBy("user_id", "from_ms")
+      .agg(max(struct(col("event_id"), col("value")))("value").as("dim_value"))
+      .withColumn("version_n", row_number().over(w))
+      .withColumn("effective_to_ms", lead(col("from_ms"), 1).over(w))
+      .select(col("user_id"), col("version_n").cast("long").as("version_n"),
+        col("from_ms").as("effective_from_ms"), col("effective_to_ms"),
+        col("dim_value"))
+  }
+
+  /** A59b: point-in-time (as-of) enrichment against the SCD2 dimension —
+    * each purchase picks the version valid AT its event time (the interval
+    * containing ts; an event exactly at a version boundary takes the NEW
+    * version, half-open semantics). NOT an interval join (O(events ×
+    * versions) worst case and an inequality predicate no engine hashes):
+    * the A17 as-of discipline — union version-start rows with event rows,
+    * ONE user_id shuffle, per-user event-time sort where version rows
+    * order before same-ms events, and a running last(ignoreNulls) carries
+    * the active version onto every purchase. Events before a user's first
+    * version keep null dim columns (left semantics). */
+  def scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(spark, dir)
+      .select(col("user_id"), col("effective_from_ms").as("ts_ms"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        struct(col("dim_value"), col("version_n")).as("dim"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"),
+        lit(1).as("kind"), col("event_id"), col("value"),
+        lit(null).cast(
+          "struct<dim_value: double, version_n: bigint>").as("dim"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(purchases)
+      .withColumn("cur", last(when(col("kind") === 0, col("dim")),
+        ignoreNulls = true).over(byUser))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
+        col("cur")("dim_value").as("dim_value"),
+        col("cur")("version_n").as("version_n"))
+  }
+
   /** A58: last-touch conversion attribution — the marketing-analytics
     * staple: each purchase's value is credited to the channel (event type)
     * of the user's most recent click/view at-or-before it within the

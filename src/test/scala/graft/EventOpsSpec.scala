@@ -451,6 +451,38 @@ class EventOpsSpec extends SparkSuite {
       ("y", "silence", S, 0L)))
   }
 
+  test("scd2: versioned intervals, last-writer-wins same-ms, boundary takes new version") {
+    import SparkSuite.spark.implicits._
+    val base = 1700000000000L
+    val H = 3600000L
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    val rows = Seq(
+      // u1 change log: v1 at t0; same-ms double-write at t0+2H (id 4 wins)
+      (1L, t(0L), 1L, "signup", 1.0),
+      (3L, t(2 * H), 1L, "signup", 2.0), (4L, t(2 * H), 1L, "signup", 2.5),
+      // u1 purchases: before first version, at v1 start, at v2 start, after
+      (10L, t(-1L), 1L, "purchase", 9.0), (11L, t(0L), 1L, "purchase", 9.0),
+      (12L, t(2 * H), 1L, "purchase", 9.0), (13L, t(3 * H), 1L, "purchase", 9.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val dim = EventOps.scd2Build(spark, d).collect()
+      .map(r => r.getAs[Long]("version_n") ->
+        (r.getAs[Long]("effective_from_ms") - base,
+          Option(r.getAs[java.lang.Long]("effective_to_ms")).map(_ - base),
+          r.getAs[Double]("dim_value"))).toMap
+    assert(dim == Map(1L -> (0L, Some(2 * H), 1.0), 2L -> (2 * H, None, 2.5)))
+    val joined = EventOps.scd2Join(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("dim_value")),
+          Option(r.getAs[java.lang.Long]("version_n")))).toMap
+    assert(joined == Map(
+      10L -> (None, None),                 // pre-history purchase: null dim
+      11L -> (Some(1.0), Some(1L)),        // boundary: the starting version
+      12L -> (Some(2.5), Some(2L)),        // boundary: the NEW version
+      13L -> (Some(2.5), Some(2L))))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
