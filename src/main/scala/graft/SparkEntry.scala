@@ -77,6 +77,8 @@ object SparkEntry {
     "ev_scd2"           -> ((s, d) => EventOps.scd2Build(s, d)),
     // A59b point-in-time enrichment (as-of union, never an interval join)
     "ev_scd2_join"      -> ((s, d) => EventOps.scd2Join(s, d)),
+    // A60 RFM segmentation: exact quintile scores via two-level global rank
+    "ev_rfm"            -> ((s, d) => EventOps.rfm(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -851,6 +853,33 @@ object SparkEntry {
         |  AND s.from_ms <= epoch_ms(p.ts)
         |  AND (s.to_ms IS NULL OR epoch_ms(p.ts) < s.to_ms)
         |WHERE p.event_type = 'purchase'""".stripMargin,
+    // A60: the naive global row_number reproduces the grouped two-level
+    // rank (g_id = user_id div bucket is monotone in user_id, so group
+    // order IS (metric, user_id) order); scores are all-integer.
+    "ev_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS frequency,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |                      THEN CAST(value AS DECIMAL(18,9)) END),
+        |             CAST(0 AS DECIMAL(18,9))) AS mon
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT u.*,
+        |    row_number() OVER (ORDER BY last_ms, user_id) AS r_rank,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS f_rank,
+        |    row_number() OVER (ORDER BY mon, user_id) AS m_rank,
+        |    count(*) OVER () AS n_users,
+        |    max(last_ms) OVER () AS anchor_ms
+        |  FROM u)
+        |SELECT user_id, (anchor_ms - last_ms) // 86400000 AS recency_days,
+        |  frequency, CAST(mon AS DOUBLE) AS monetary,
+        |  1 + (5 * (r_rank - 1)) // n_users AS r_score,
+        |  1 + (5 * (f_rank - 1)) // n_users AS f_score,
+        |  1 + (5 * (m_rank - 1)) // n_users AS m_score,
+        |  (1 + (5 * (r_rank - 1)) // n_users) * 100
+        |    + (1 + (5 * (f_rank - 1)) // n_users) * 10
+        |    + (1 + (5 * (m_rank - 1)) // n_users) AS rfm_cell
+        |FROM r""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

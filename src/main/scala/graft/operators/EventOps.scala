@@ -1232,4 +1232,60 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("med"), col("mad"))
   }
+
+  /** A60: RFM segmentation (Hughes 1994, public) — the classic
+    * customer-base cut: every user scored 1..5 on Recency (last activity,
+    * later = higher), Frequency (event count) and Monetary (exact
+    * DECIMAL(18,9)-quantized purchase value sum — the A42 portability
+    * bound), each score an exact QUINTILE of the user's global rank:
+    * score = 1 + (5·(rank−1)) div n — all-integer, no ntile tie
+    * ambiguity to match cross-engine. Corpus work = ONE user_id partial
+    * agg (localCheckpoint'd so the three rank passes don't each replay
+    * the corpus scan — the madAlert discipline); each rank is the
+    * two-level global-order pattern (the lenDeciles/vocab/shardAssign
+    * discipline): groups = (metric value, user_id div idBucket) refine
+    * the total order (g_id is monotone in user_id, so group order IS
+    * (value, user_id) order), group offsets come from one cumsum over
+    * the group-size summary, and the user table only ever sorts within
+    * a group — no corpus- or user-table-wide single-partition window.
+    * Ties break by user_id everywhere; the recency anchor (global max
+    * last-activity) is a 1-row broadcast scalar. */
+  def rfm(spark: SparkSession, dir: String, idBucket: Long = 64): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(tsMs(col("ts"))).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(dec))), lit(0).cast(dec)).as("mon"))
+      .localCheckpoint()
+    // exact global rank of each user by (metric asc, user_id asc) via the
+    // two-level pattern; runs on the user summary, never the corpus
+    def rankBy(df: DataFrame, keyCol: String, out: String): DataFrame = {
+      val keyed = df.withColumn("g_id", expr(s"user_id div $idBucket"))
+      val offsets = keyed.groupBy(keyCol, "g_id")
+        .agg(count(lit(1)).as("sz"))
+        .withColumn("off", coalesce(sum(col("sz")).over(
+          Window.orderBy(col(keyCol), col("g_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(keyCol), col("g_id"), col("off"))
+      val inGroup = Window.partitionBy(keyCol, "g_id").orderBy("user_id")
+      keyed.join(offsets, Seq(keyCol, "g_id"))
+        .withColumn(out, col("off") + row_number().over(inGroup))
+        .drop("g_id", "off")
+    }
+    val ranked = rankBy(rankBy(rankBy(users,
+      "last_ms", "r_rank"), "frequency", "f_rank"), "mon", "m_rank")
+    val scalars = users.agg(count(lit(1)).as("n_users"),
+      max(col("last_ms")).as("anchor_ms"))
+    def score(rank: String) = expr(s"1 + (5 * ($rank - 1)) div n_users")
+    ranked.crossJoin(broadcast(scalars)) // single row: constant-size
+      .select(col("user_id"),
+        expr("(anchor_ms - last_ms) div 86400000").as("recency_days"),
+        col("frequency"), col("mon").cast("double").as("monetary"),
+        score("r_rank").as("r_score"), score("f_rank").as("f_score"),
+        score("m_rank").as("m_score"),
+        (score("r_rank") * 100 + score("f_rank") * 10 + score("m_rank"))
+          .as("rfm_cell"))
+  }
 }

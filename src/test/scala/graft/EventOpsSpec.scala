@@ -483,6 +483,43 @@ class EventOpsSpec extends SparkSuite {
       13L -> (Some(2.5), Some(2L))))
   }
 
+  test("rfm: exact quintile scores, same-last_ms tie by user_id, no-purchase zero monetary") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    val H = 3600000L
+    val D = 86400000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    // 5 users => score == rank; u1/u2 share last_ms (tie -> user_id order)
+    val rows = Seq(
+      // u1: 5 views, last B+4H, no purchase (monetary 0 -> m rank 1)
+      (1L, t(0), 1L, "view", 1.0), (2L, t(H), 1L, "view", 1.0),
+      (3L, t(2 * H), 1L, "view", 1.0), (4L, t(3 * H), 1L, "view", 1.0),
+      (5L, t(4 * H), 1L, "view", 1.0),
+      // u2: 4 events, last ALSO B+4H, one purchase 10
+      (6L, t(0), 2L, "purchase", 10.0), (7L, t(H), 2L, "view", 1.0),
+      (8L, t(2 * H), 2L, "view", 1.0), (9L, t(4 * H), 2L, "view", 1.0),
+      // u3: 3 events, last B+2D, purchase 20
+      (10L, t(D), 3L, "view", 1.0), (11L, t(D + H), 3L, "view", 1.0),
+      (12L, t(2 * D), 3L, "purchase", 20.0),
+      // u4: 2 purchases 5+10=15, last B+3D
+      (13L, t(3 * D - H), 4L, "purchase", 5.0), (14L, t(3 * D), 4L, "purchase", 10.0),
+      // u5: 1 purchase 30 at the anchor B+4D
+      (15L, t(4 * D), 5L, "purchase", 30.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-rfm").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.rfm(spark, d).collect().map(r =>
+      r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"), r.getAs[Long]("rfm_cell"))).toMap
+    assert(got == Map(
+      1L -> (3L, 5L, 0.0, 151L),  // r1 (oldest, id tie-break) f5 m1
+      2L -> (3L, 4L, 10.0, 242L), // same last_ms as u1 -> r2
+      3L -> (2L, 3L, 20.0, 334L),
+      4L -> (1L, 2L, 15.0, 423L),
+      5L -> (0L, 1L, 30.0, 515L)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
