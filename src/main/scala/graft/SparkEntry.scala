@@ -79,6 +79,8 @@ object SparkEntry {
     "ev_scd2_join"      -> ((s, d) => EventOps.scd2Join(s, d)),
     // A60 RFM segmentation: exact quintile scores via two-level global rank
     "ev_rfm"            -> ((s, d) => EventOps.rfm(s, d)),
+    // A61 Kaplan-Meier churn survival over whole-day user lifetimes
+    "ev_survival"       -> ((s, d) => EventOps.survival(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -880,6 +882,35 @@ object SparkEntry {
         |    + (1 + (5 * (f_rank - 1)) // n_users) * 10
         |    + (1 + (5 * (m_rank - 1)) // n_users) AS rfm_cell
         |FROM r""".stripMargin,
+    // A61: the recursive CTE walks durations ascending computing the same
+    // (rem, surv) state as the Spark fold — each step one IEEE divide and
+    // one multiply of identical doubles, so survival is hash-exact.
+    "ev_survival" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(epoch_ms(ts)) // 86400000 AS fd,
+        |         max(epoch_ms(ts)) // 86400000 AS ld
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(ld) AS max_day, count(*) AS n_users FROM u),
+        |g AS (
+        |  SELECT ld - fd AS t, count(*) AS m,
+        |         count(*) FILTER (WHERE ld < max_day) AS d
+        |  FROM u, mx GROUP BY 1),
+        |seq AS (SELECT t, m, d, row_number() OVER (ORDER BY t) AS rn FROM g),
+        |km AS (
+        |  SELECT s.rn, s.t, n_users AS n_risk, s.d, s.m,
+        |         n_users - s.m AS rem,
+        |         CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |           - CAST(s.d AS DOUBLE) / CAST(n_users AS DOUBLE)) AS surv
+        |  FROM seq s, mx WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.rn, s.t, km.rem AS n_risk, s.d, s.m,
+        |         km.rem - s.m AS rem,
+        |         km.surv * (CAST(1.0 AS DOUBLE)
+        |           - CAST(s.d AS DOUBLE) / CAST(km.rem AS DOUBLE)) AS surv
+        |  FROM km JOIN seq s ON s.rn = km.rn + 1)
+        |SELECT t AS duration_days, n_risk, d AS n_events,
+        |       m - d AS n_censored, surv AS survival
+        |FROM km""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

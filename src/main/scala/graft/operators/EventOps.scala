@@ -1288,4 +1288,58 @@ object EventOps {
         (score("r_rank") * 100 + score("f_rank") * 10 + score("m_rank"))
           .as("rfm_cell"))
   }
+
+  /** A61: Kaplan–Meier churn survival curve (Kaplan & Meier 1958, public)
+    * — "what fraction of users is still active after k days of tenure":
+    * each user's observed lifetime is last_day − first_day (whole days);
+    * a user whose last activity falls on the corpus's final day is
+    * CENSORED (still alive at observation end, standard right-censoring),
+    * everyone else churned at their last day. S(t) = Π_{tᵢ ≤ t}
+    * (1 − dᵢ/nᵢ) with nᵢ the at-risk count entering duration tᵢ
+    * (censored-at-t users count in nᵢ and leave after — the textbook
+    * convention). Corpus work = ONE user_id partial agg; the duration
+    * census and the product fold run on the ≤horizon-days summary (the
+    * A50/A57 in-row `aggregate` shape — the fold also derives nᵢ by
+    * running subtraction, so no cumulative window at all). HASH-EXACT
+    * cross-engine: counts are longs and each survival step is the same
+    * IEEE multiply of the same two doubles the oracle's recursive CTE
+    * computes (multiplication by the 1.0 seed is exact). */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val scal = u.agg(max(col("ld")).as("max_day"),
+      count(lit(1)).as("n_users"))
+    u.crossJoin(broadcast(scal)) // single row: constant-size
+      .groupBy((col("ld") - col("fd")).as("t"))
+      .agg(count(lit(1)).as("m"),
+        count(when(col("ld") < col("max_day"), lit(1))).as("d"))
+      .agg(sort_array(collect_list(struct(col("t"), col("m"), col("d"))))
+        .as("s"))
+      .crossJoin(broadcast(scal))
+      .withColumn("out", expr(
+        """aggregate(s,
+          |  struct(n_users AS rem, CAST(1.0 AS DOUBLE) AS surv,
+          |    CAST(array() AS ARRAY<STRUCT<duration_days: BIGINT,
+          |      n_risk: BIGINT, n_events: BIGINT, n_censored: BIGINT,
+          |      survival: DOUBLE>>) AS rows),
+          |  (acc, x) -> struct(
+          |    acc.rem - x.m AS rem,
+          |    acc.surv * (CAST(1.0 AS DOUBLE)
+          |      - CAST(x.d AS DOUBLE) / CAST(acc.rem AS DOUBLE)) AS surv,
+          |    array_append(acc.rows, struct(
+          |      x.t AS duration_days, acc.rem AS n_risk, x.d AS n_events,
+          |      x.m - x.d AS n_censored,
+          |      acc.surv * (CAST(1.0 AS DOUBLE)
+          |        - CAST(x.d AS DOUBLE) / CAST(acc.rem AS DOUBLE))
+          |        AS survival)) AS rows)
+          |).rows""".stripMargin))
+      .select(explode(col("out")).as("r"))
+      .select(col("r.duration_days").as("duration_days"),
+        col("r.n_risk").as("n_risk"), col("r.n_events").as("n_events"),
+        col("r.n_censored").as("n_censored"),
+        col("r.survival").as("survival"))
+  }
 }

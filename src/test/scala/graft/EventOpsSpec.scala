@@ -520,6 +520,31 @@ class EventOpsSpec extends SparkSuite {
       5L -> (0L, 1L, 30.0, 515L)))
   }
 
+  test("survival: KM product over durations, censored stay at risk, final-day censoring") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long) = new java.sql.Timestamp(20000L * D + day * D)
+    // max_day = 10: u4 and u5 end there => censored; others churn
+    val rows = Seq(
+      (1L, t(0), 1L, "view", 1.0),                          // u1: t=0 churn
+      (2L, t(0), 2L, "view", 1.0), (3L, t(2), 2L, "view", 1.0),  // u2: t=2 churn
+      (4L, t(1), 3L, "view", 1.0), (5L, t(3), 3L, "view", 1.0),  // u3: t=2 churn
+      (6L, t(0), 4L, "view", 1.0), (7L, t(10), 4L, "view", 1.0), // u4: t=10 cens
+      (8L, t(10), 5L, "view", 1.0))                         // u5: t=0 censored
+    val d = java.nio.file.Files.createTempDirectory("graft-km").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.survival(spark, d).collect()
+      .map(r => (r.getAs[Long]("duration_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival"))).sortBy(_._1)
+    val s0 = 1.0 * (1.0 - 1.0 / 5.0)        // t=0: 1 churn of 5 at risk
+    val s2 = s0 * (1.0 - 2.0 / 3.0)         // t=2: 2 churn of 3 at risk
+    val s10 = s2 * (1.0 - 0.0 / 1.0)        // t=10: censoring only
+    assert(got.toSeq == Seq(
+      (0L, 5L, 1L, 1L, s0), (2L, 3L, 2L, 0L, s2), (10L, 1L, 0L, 1L, s10)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
