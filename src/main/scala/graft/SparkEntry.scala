@@ -81,6 +81,8 @@ object SparkEntry {
     "ev_rfm"            -> ((s, d) => EventOps.rfm(s, d)),
     // A61 Kaplan-Meier churn survival over whole-day user lifetimes
     "ev_survival"       -> ((s, d) => EventOps.survival(s, d)),
+    // A62 hash-assigned A/B (A/A) experiment + two-proportion z readout
+    "ev_experiment"     -> ((s, d) => EventOps.experiment(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -911,6 +913,37 @@ object SparkEntry {
         |SELECT t AS duration_days, n_risk, d AS n_events,
         |       m - d AS n_censored, surv AS survival
         |FROM km""".stripMargin,
+    // A62: the CTE computes the identical IEEE sequence (rates, pooled p,
+    // pooled SE, z) from the same exact 2x2 counts; md5 of "exp1:<id>"
+    // hashes the same UTF-8 bytes in both engines.
+    "ev_experiment" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT count(*) FILTER (WHERE variant = 'A') AS n_a,
+        |    count(*) FILTER (WHERE variant = 'A' AND conv = 1) AS conv_a,
+        |    count(*) FILTER (WHERE variant = 'B') AS n_b,
+        |    count(*) FILTER (WHERE variant = 'B' AND conv = 1) AS conv_b
+        |  FROM u),
+        |d AS (
+        |  SELECT *, CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+        |  FROM cells),
+        |s AS (
+        |  SELECT *, sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+        |    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |       + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se
+        |  FROM d)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |  rate_b - rate_a AS lift, (rate_b - rate_a) / se AS z_stat,
+        |  abs((rate_b - rate_a) / se) > CAST(1.96 AS DOUBLE) AS significant
+        |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

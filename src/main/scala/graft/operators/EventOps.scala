@@ -1342,4 +1342,48 @@ object EventOps {
         col("r.n_censored").as("n_censored"),
         col("r.survival").as("survival"))
   }
+
+  /** A62: A/B experiment readout — deterministic 50/50 user assignment +
+    * two-proportion z-test on a conversion predicate (here: per-user
+    * purchase count ≥ minPurchases; "has any purchase" is degenerate on
+    * this corpus — every user converts). Assignment is the doc_split
+    * md5-prefix discipline: variant = first md5 hex byte of
+    * "salt:user_id" < 0x80 — no rand(), identical on re-run and across
+    * engines, and independent of behavior, so on organic data this reads
+    * as an A/A test (|z| should stay small — the harness also validates
+    * assignment unbiasedness). Corpus work = ONE user_id partial agg;
+    * the 2×2 table is a single global agg row and every derived double
+    * (rates, pooled p, pooled standard error, z) is a fixed IEEE op
+    * sequence mirrored verbatim by the oracle — sqrt is correctly
+    * rounded in both engines, so the readout is hash-exact. */
+  def experiment(spark: SparkSession, dir: String, salt: String = "exp1",
+                 minPurchases: Long = 14): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "purchase", lit(1))).as("np"))
+      .withColumn("conv", (col("np") >= minPurchases).cast("int"))
+      .withColumn("variant", when(substring(md5(
+        concat(lit(salt), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2) < "80", "A").otherwise("B"))
+    users.agg(
+        count(when(col("variant") === "A", lit(1))).as("n_a"),
+        count(when(col("variant") === "A" && col("conv") === 1, lit(1)))
+          .as("conv_a"),
+        count(when(col("variant") === "B", lit(1))).as("n_b"),
+        count(when(col("variant") === "B" && col("conv") === 1, lit(1)))
+          .as("conv_b"))
+      .withColumn("rate_a", expr("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+      .withColumn("rate_b", expr("CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("p", expr(
+        "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("se", expr(
+        """sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+          | * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |    + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))""".stripMargin))
+      .withColumn("lift", expr("rate_b - rate_a"))
+      .withColumn("z_stat", expr("(rate_b - rate_a) / se"))
+      .withColumn("significant", expr("abs(z_stat) > CAST(1.96 AS DOUBLE)"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .drop("p", "se")
+  }
 }

@@ -48,6 +48,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.scd2Join(spark, dir).count() == 0)
     assert(EventOps.rfm(spark, dir).count() == 0)
     assert(EventOps.survival(spark, dir).count() == 0)
+    assert(EventOps.experiment(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

@@ -545,6 +545,35 @@ class EventOpsSpec extends SparkSuite {
       (0L, 5L, 1L, 1L, s0), (2L, 3L, 2L, 0L, s2), (10L, 1L, 0L, 1L, s10)))
   }
 
+  test("experiment: md5 assignment, >= conversion boundary, exact z arithmetic") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // user k makes exactly k purchases; minPurchases=5 => users 5..8 convert
+    val rows = (1L to 8L).flatMap(u => (1L to u).map(i =>
+      (u * 100 + i, new java.sql.Timestamp(B + u * 1000 + i), u,
+        "purchase", 1.0)))
+    val d = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val variant = (1L to 8L).map(u =>
+      u -> (if (md5hex(s"exp1:$u").substring(0, 2) < "80") "A" else "B")).toMap
+    val nA = variant.values.count(_ == "A").toLong
+    val cA = (5L to 8L).count(variant(_) == "A").toLong
+    val nB = 8L - nA
+    val cB = 4L - cA
+    val (ra, rb) = (cA.toDouble / nA.toDouble, cB.toDouble / nB.toDouble)
+    val p = (cA + cB).toDouble / (nA + nB).toDouble
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / nA.toDouble + 1.0 / nB.toDouble))
+    val row = EventOps.experiment(spark, d, minPurchases = 5).collect().head
+    assert((row.getAs[Long]("n_a"), row.getAs[Long]("conv_a"),
+      row.getAs[Long]("n_b"), row.getAs[Long]("conv_b")) == (nA, cA, nB, cB))
+    assert(row.getAs[Double]("rate_a") == ra && row.getAs[Double]("rate_b") == rb)
+    assert(row.getAs[Double]("z_stat") == (rb - ra) / se)
+    assert(row.getAs[Boolean]("significant") == (math.abs((rb - ra) / se) > 1.96))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
