@@ -83,6 +83,9 @@ object SparkEntry {
     "ev_survival"       -> ((s, d) => EventOps.survival(s, d)),
     // A62 hash-assigned A/B (A/A) experiment + two-proportion z readout
     "ev_experiment"     -> ((s, d) => EventOps.experiment(s, d)),
+    // A63 Lorenz deciles of per-user activity + exact Gini coefficient
+    "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
+    "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -944,6 +947,41 @@ object SparkEntry {
         |  rate_b - rate_a AS lift, (rate_b - rate_a) / se AS z_stat,
         |  abs((rate_b - rate_a) / se) > CAST(1.96 AS DOUBLE) AS significant
         |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin,
+    // A63: naive global row_number reproduces the two-level rank; shares
+    // are single IEEE divisions of exact integers.
+    "ev_concentration" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT n_events, row_number() OVER (ORDER BY n_events, user_id) AS rank,
+        |         count(*) OVER () AS n_users,
+        |         CAST(sum(n_events) OVER () AS BIGINT) AS total
+        |  FROM u),
+        |d AS (
+        |  SELECT (10 * (rank - 1)) // n_users AS decile, count(*) AS n_users_d,
+        |         CAST(sum(n_events) AS BIGINT) AS n_events_d, max(total) AS total
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_users_d AS n_users, n_events_d AS n_events,
+        |  CAST(sum(n_events_d) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_events,
+        |  CAST(n_events_d AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(CAST(sum(n_events_d) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM d""".stripMargin,
+    // A63b: both engines hold every aggregate as an exact integer
+    // (HUGEINT there, DECIMAL(38,0) here — same values), and the
+    // coefficient is one double division of those exact values.
+    "ev_gini" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |r AS (SELECT n_events,
+        |        row_number() OVER (ORDER BY n_events, user_id) AS rank
+        |      FROM u)
+        |SELECT count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(2 * sum(CAST(rank AS HUGEINT) * n_events)
+        |       - (count(*) + 1) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE)
+        |  / CAST(count(*) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

@@ -1250,6 +1250,28 @@ object EventOps {
     * a group — no corpus- or user-table-wide single-partition window.
     * Ties break by user_id everywhere; the recency anchor (global max
     * last-activity) is a 1-row broadcast scalar. */
+  /** Exact global rank of each user-summary row by (metric asc, user_id
+    * asc) via the two-level global-order pattern (the lenDeciles/vocab/
+    * shardAssign discipline): groups = (metric value, user_id div
+    * idBucket) refine the total order (g_id is monotone in user_id, so
+    * group order IS (value, user_id) order), group offsets come from one
+    * cumsum over the group-size summary, and the table only ever sorts
+    * within a group — no table-wide single-partition window. */
+  private def rankBy(df: DataFrame, keyCol: String, out: String,
+                     idBucket: Long): DataFrame = {
+    val keyed = df.withColumn("g_id", expr(s"user_id div $idBucket"))
+    val offsets = keyed.groupBy(keyCol, "g_id")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("off", coalesce(sum(col("sz")).over(
+        Window.orderBy(col(keyCol), col("g_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("g_id"), col("off"))
+    val inGroup = Window.partitionBy(keyCol, "g_id").orderBy("user_id")
+    keyed.join(offsets, Seq(keyCol, "g_id"))
+      .withColumn(out, col("off") + row_number().over(inGroup))
+      .drop("g_id", "off")
+  }
+
   def rfm(spark: SparkSession, dir: String, idBucket: Long = 64): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)
     val users = Tables.events(spark, dir)
@@ -1259,23 +1281,9 @@ object EventOps {
         coalesce(sum(when(col("event_type") === "purchase",
           col("value").cast(dec))), lit(0).cast(dec)).as("mon"))
       .localCheckpoint()
-    // exact global rank of each user by (metric asc, user_id asc) via the
-    // two-level pattern; runs on the user summary, never the corpus
-    def rankBy(df: DataFrame, keyCol: String, out: String): DataFrame = {
-      val keyed = df.withColumn("g_id", expr(s"user_id div $idBucket"))
-      val offsets = keyed.groupBy(keyCol, "g_id")
-        .agg(count(lit(1)).as("sz"))
-        .withColumn("off", coalesce(sum(col("sz")).over(
-          Window.orderBy(col(keyCol), col("g_id"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(keyCol), col("g_id"), col("off"))
-      val inGroup = Window.partitionBy(keyCol, "g_id").orderBy("user_id")
-      keyed.join(offsets, Seq(keyCol, "g_id"))
-        .withColumn(out, col("off") + row_number().over(inGroup))
-        .drop("g_id", "off")
-    }
     val ranked = rankBy(rankBy(rankBy(users,
-      "last_ms", "r_rank"), "frequency", "f_rank"), "mon", "m_rank")
+      "last_ms", "r_rank", idBucket), "frequency", "f_rank", idBucket),
+      "mon", "m_rank", idBucket)
     val scalars = users.agg(count(lit(1)).as("n_users"),
       max(col("last_ms")).as("anchor_ms"))
     def score(rank: String) = expr(s"1 + (5 * ($rank - 1)) div n_users")
@@ -1385,5 +1393,64 @@ object EventOps {
       .withColumn("significant", expr("abs(z_stat) > CAST(1.96 AS DOUBLE)"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .drop("p", "se")
+  }
+
+  /** Per-user activity counts ranked ascending by (n_events, user_id) —
+    * the shared input of [[concentration]] and [[gini]]. One corpus
+    * user_id partial agg; the rank is the two-level pattern. */
+  private def activityRanked(spark: SparkSession, dir: String,
+                             idBucket: Long): DataFrame =
+    rankBy(Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events")), "n_events", "rank", idBucket)
+
+  /** A63: activity-concentration Lorenz deciles — "do 1% of users generate
+    * 99% of events?": users ranked ascending by activity (ties by
+    * user_id), cut into exact rank deciles (decile = (10·(rank−1)) div n
+    * — all-integer, the lenDeciles discipline), each decile reporting its
+    * user count, event count, cumulative events, and (cumulative) share
+    * of total — the Lorenz curve at decile resolution. Corpus work = ONE
+    * user_id partial agg; the rank is the two-level pattern and the
+    * decile rollup + cumsum run on a ≤10-row summary. Shares are single
+    * IEEE divisions of exact longs — hash-exact. */
+  def concentration(spark: SparkSession, dir: String,
+                    idBucket: Long = 64): DataFrame = {
+    val ranked = activityRanked(spark, dir, idBucket)
+    val scal = ranked.agg(count(lit(1)).as("n_users"),
+      sum(col("n_events")).as("total_events"))
+    ranked.crossJoin(broadcast(scal)) // single row: constant-size
+      .withColumn("decile", expr("(10 * (rank - 1)) div n_users"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users_d"), sum(col("n_events")).as("n_events_d"),
+        max(col("total_events")).as("total_events"))
+      .withColumn("cum_events", sum(col("n_events_d")).over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users_d").as("n_users"),
+        col("n_events_d").as("n_events"), col("cum_events"),
+        expr("CAST(n_events_d AS DOUBLE) / CAST(total_events AS DOUBLE)")
+          .as("share"),
+        expr("CAST(cum_events AS DOUBLE) / CAST(total_events AS DOUBLE)")
+          .as("cum_share"))
+  }
+
+  /** A63b: exact Gini coefficient of per-user activity (Gini 1912,
+    * public; the rank form G = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx) for
+    * x sorted ascending). Every aggregate is an exact DECIMAL(38,0) —
+    * rank·count products overflow longs at planetary scale — and the
+    * coefficient is ONE IEEE division of two exactly-computed decimals,
+    * so the scalar is hash-exact cross-engine. Same single corpus scan +
+    * summary rank as [[concentration]]. */
+  def gini(spark: SparkSession, dir: String, idBucket: Long = 64): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    activityRanked(spark, dir, idBucket)
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        sum(expr(s"CAST(rank AS $dec) * CAST(n_events AS $dec)")).as("s"))
+      .filter(col("n_users") > 0)
+      .select(col("n_users"), col("total_events"),
+        expr(s"""CAST(CAST(2 AS $dec) * s
+          |  - CAST(n_users + 1 AS $dec) * CAST(total_events AS $dec) AS DOUBLE)
+          |/ CAST(CAST(n_users AS $dec) * CAST(total_events AS $dec) AS DOUBLE)"""
+          .stripMargin).as("gini"))
   }
 }

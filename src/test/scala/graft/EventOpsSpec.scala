@@ -574,6 +574,36 @@ class EventOpsSpec extends SparkSuite {
     assert(row.getAs[Boolean]("significant") == (math.abs((rb - ra) / se) > 1.96))
   }
 
+  test("concentration/gini: exact Lorenz deciles and rank-form Gini; equal users => 0") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def mk(counts: Map[Long, Int]): String = {
+      val rows = counts.toSeq.flatMap { case (u, n) => (1 to n).map(i =>
+        (u * 100 + i, new java.sql.Timestamp(B + i * 1000L), u, "view", 1.0)) }
+      val d = java.nio.file.Files.createTempDirectory("graft-gini").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$d/events.parquet")
+      d
+    }
+    // counts 1,1,3,5: ranks 1..4 (tie by id), total 10
+    val d1 = mk(Map(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 5))
+    val lorenz = EventOps.concentration(spark, d1).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("cum_events"), r.getAs[Double]("share"),
+          r.getAs[Double]("cum_share"))).toMap
+    assert(lorenz == Map(
+      0L -> (1L, 1L, 1L, 0.1, 0.1), 2L -> (1L, 1L, 2L, 0.1, 0.2),
+      5L -> (1L, 3L, 5L, 0.3, 0.5), 7L -> (1L, 5L, 10L, 0.5, 1.0)))
+    val g1 = EventOps.gini(spark, d1).collect().head
+    // S = 1+2+9+20 = 32; G = (64 - 5*10) / (4*10) = 0.35
+    assert((g1.getAs[Long]("n_users"), g1.getAs[Long]("total_events"),
+      g1.getAs[Double]("gini")) == (4L, 10L, 0.35))
+    // perfectly equal users => Gini exactly 0
+    val d2 = mk(Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(EventOps.gini(spark, d2).collect().head.getAs[Double]("gini") == 0.0)
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
