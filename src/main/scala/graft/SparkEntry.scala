@@ -86,6 +86,8 @@ object SparkEntry {
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
+    // A64 daily new-vs-returning active users
+    "ev_new_returning"  -> ((s, d) => EventOps.newVsReturning(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -982,6 +984,17 @@ object SparkEntry {
         |       - (count(*) + 1) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE)
         |  / CAST(count(*) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE) AS gini
         |FROM r""".stripMargin,
+    // A64: all-integer daily split on the (user, day) distinct grid.
+    "ev_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |        min(day) OVER (PARTITION BY user_id) AS first_day
+        |      FROM ud)
+        |SELECT day, count(*) AS dau,
+        |  count(*) FILTER (WHERE day = first_day) AS n_new,
+        |  count(*) - count(*) FILTER (WHERE day = first_day) AS n_returning
+        |FROM f GROUP BY 1""".stripMargin,
     // A58: the correlated LIMIT-1 subquery mirrors the running-last pick
     // (ts DESC, event_id DESC = the window's largest same-ms id); channel
     // sums are per-term DECIMAL(18,9) — order-independent exact.

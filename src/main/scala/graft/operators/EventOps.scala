@@ -1440,6 +1440,25 @@ object EventOps {
     * coefficient is ONE IEEE division of two exactly-computed decimals,
     * so the scalar is hash-exact cross-engine. Same single corpus scan +
     * summary rank as [[concentration]]. */
+  /** A64: daily new-vs-returning actives — the dashboard growth staple:
+    * for each day, how many active users were seen for the FIRST time
+    * that day vs returning. One (user_id, day) distinct shuffle, then a
+    * per-user min-day window that reuses the user-side partitioning, then
+    * a day rollup over the summary — all exact integer counts. A user's
+    * "first day" is corpus-relative (the standard caveat: a corpus that
+    * starts mid-history counts day-1 actives as new). */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = Window.partitionBy("user_id")
+    ud.withColumn("first_day", min(col("day")).over(firstDay))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        count(when(col("day") === col("first_day"), lit(1))).as("n_new"))
+      .withColumn("n_returning", col("dau") - col("n_new"))
+  }
+
   def gini(spark: SparkSession, dir: String, idBucket: Long = 64): DataFrame = {
     val dec = "DECIMAL(38,0)"
     activityRanked(spark, dir, idBucket)

@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.experiment(spark, dir).count() == 0)
     assert(EventOps.concentration(spark, dir).count() == 0)
     assert(EventOps.gini(spark, dir).count() == 0)
+    assert(EventOps.newVsReturning(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

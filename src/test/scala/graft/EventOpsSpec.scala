@@ -604,6 +604,28 @@ class EventOpsSpec extends SparkSuite {
     assert(EventOps.gini(spark, d2).collect().head.getAs[Double]("gini") == 0.0)
   }
 
+  test("newVsReturning: first-day actives are new, multi-event days dedup") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      // u1 active d0 (twice) and d2; u2 active d0 only; u3 first seen d2
+      (1L, t(0, 1), 1L, "view", 1.0), (2L, t(0, 2), 1L, "view", 1.0),
+      (3L, t(2, 1), 1L, "view", 1.0),
+      (4L, t(0, 3), 2L, "view", 1.0),
+      (5L, t(2, 2), 3L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-nvr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.newVsReturning(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_returning"))).toMap
+    val d0 = new java.sql.Date(20000L * D).toString
+    val d2 = new java.sql.Date(20000L * D + 2 * D).toString
+    assert(got == Map(d0 -> (2L, 2L, 0L), d2 -> (2L, 1L, 1L)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
