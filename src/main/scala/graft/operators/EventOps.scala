@@ -1141,9 +1141,12 @@ object EventOps {
     * collect). Gap days are simply absent from the series (consistent with
     * A50); a deployment wanting zero-filled days densifies upstream. */
   def cusum(spark: SparkSession, dir: String): DataFrame = {
+    // ≤|types|·days summary, checkpointed so the med/mad branches and
+    // the fold input don't each replay the corpus scan
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
     // exact rank-selected median of a summary-level column (≤|types|·days
     // rows — the sort window runs on the daily summary, not the corpus)
     def rankMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
@@ -1313,11 +1316,14 @@ object EventOps {
     * IEEE multiply of the same two doubles the oracle's recursive CTE
     * computes (multiplication by the 1.0 seed is exact). */
   def survival(spark: SparkSession, dir: String): DataFrame = {
+    // users-sized summary, checkpointed so the scalar branch and the
+    // census don't each replay the corpus scan (the madAlert discipline)
     val u = Tables.events(spark, dir)
       .select(col("user_id"), tsMs(col("ts")).as("ms"))
       .select(col("user_id"), expr("ms div 86400000").as("day"))
       .groupBy("user_id")
       .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .localCheckpoint()
     val scal = u.agg(max(col("ld")).as("max_day"),
       count(lit(1)).as("n_users"))
     u.crossJoin(broadcast(scal)) // single row: constant-size
@@ -1400,8 +1406,11 @@ object EventOps {
     * user_id partial agg; the rank is the two-level pattern. */
   private def activityRanked(spark: SparkSession, dir: String,
                              idBucket: Long): DataFrame =
+    // checkpointed: rankBy's two branches (rows + offsets) and the
+    // callers' scalar branches would each replay the corpus scan
     rankBy(Tables.events(spark, dir).groupBy("user_id")
-      .agg(count(lit(1)).as("n_events")), "n_events", "rank", idBucket)
+      .agg(count(lit(1)).as("n_events")).localCheckpoint(),
+      "n_events", "rank", idBucket)
 
   /** A63: activity-concentration Lorenz deciles — "do 1% of users generate
     * 99% of events?": users ranked ascending by activity (ties by

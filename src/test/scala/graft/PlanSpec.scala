@@ -271,6 +271,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(1500))
   }
 
+  test("user-summary family: checkpointed summaries — zero corpus scans in the timed plan") {
+    // rfm / survival / concentration / gini / cusum all localCheckpoint
+    // their summary, so the served plan replays no parquet scan and
+    // every rank/fold branch reads the materialized summary
+    for ((n, df) <- Seq(
+      "rfm" -> EventOps.rfm(spark, sf),
+      "survival" -> EventOps.survival(spark, sf),
+      "concentration" -> EventOps.concentration(spark, sf),
+      "gini" -> EventOps.gini(spark, sf),
+      "cusum" -> EventOps.cusum(spark, sf))) {
+      val p = planOf(df)
+      assert("Scan parquet".r.findAllIn(p).isEmpty, s"$n replays the corpus:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin") || n == "rfm", s"$n:\n${p.take(1200)}")
+    }
+  }
+
+  test("scd2 as-of join: union + running-last — no join operator at all") {
+    val p = planOf(EventOps.scd2Join(spark, sf))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
+    // two scans (dim change-log + purchases), three user_id exchanges
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p.take(1200))
+  }
+
+  test("new-vs-returning: one corpus scan, three exchanges") {
+    val p = planOf(EventOps.newVsReturning(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p.take(1200))
+  }
+
+  test("experiment: one corpus scan, one exchange, single summary row") {
+    val p = planOf(EventOps.experiment(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+  }
+
   test("knn graph IVF: corpus assignment and probe ranking are map-only kernels") {
     val p = planOf(Similarity.knnGraphIvf(spark, sf, k = 3, nlist = 8, nprobe = 2))
     // the in-row top-buckets kernel replaced the crossJoin→max-struct
