@@ -50,7 +50,7 @@ object Bench {
     "ev_wow_change", "ev_l28", "ev_gap_stats", "ev_silence", "ev_trending",
     "ev_rollup_store", "ev_cusum", "ev_attribution", "ev_attribution_linear",
     "ev_scd2_join", "ev_rfm", "ev_survival", "ev_experiment",
-    "ev_concentration", "ev_gini", "ev_new_returning",
+    "ev_concentration", "ev_gini", "ev_new_returning", "ev_cohort_ltv",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

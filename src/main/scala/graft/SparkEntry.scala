@@ -88,6 +88,8 @@ object SparkEntry {
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
     // A64 daily new-vs-returning active users
     "ev_new_returning"  -> ((s, d) => EventOps.newVsReturning(s, d)),
+    // A65 cohort lifetime-value curves (revenue twin of retention cohorts)
+    "ev_cohort_ltv"     -> ((s, d) => EventOps.cohortLtv(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -984,6 +986,32 @@ object SparkEntry {
         |       - (count(*) + 1) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE)
         |  / CAST(count(*) * CAST(sum(n_events) AS HUGEINT) AS DOUBLE) AS gini
         |FROM r""".stripMargin,
+    // A65: exact decimal revenue sums and cumsums; one IEEE division for
+    // the per-user LTV; cohort size = the offset-0 first_value.
+    "ev_cohort_ltv" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,9))
+        |         ELSE CAST(0 AS DECIMAL(18,9)) END AS rev
+        |  FROM events),
+        |f AS (SELECT user_id, day, rev,
+        |        min(day) OVER (PARTITION BY user_id) AS day0 FROM ud),
+        |g AS (
+        |  SELECT strftime(day0, '%Y-%m-%d') AS cohort_day,
+        |         CAST(day - day0 AS BIGINT) AS offset_days,
+        |         count(DISTINCT user_id) AS n_active, sum(rev) AS rev
+        |  FROM f WHERE day - day0 <= 7 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort_day, offset_days, n_active, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_day ORDER BY offset_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+        |    first_value(n_active) OVER (PARTITION BY cohort_day
+        |      ORDER BY offset_days) AS cohort_size
+        |  FROM g)
+        |SELECT cohort_day, offset_days, n_active,
+        |  CAST(rev AS DOUBLE) AS revenue, CAST(cum_rev AS DOUBLE) AS cum_revenue,
+        |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+        |FROM w""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

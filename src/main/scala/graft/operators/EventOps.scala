@@ -1449,6 +1449,42 @@ object EventOps {
     * coefficient is ONE IEEE division of two exactly-computed decimals,
     * so the scalar is hash-exact cross-engine. Same single corpus scan +
     * summary rank as [[concentration]]. */
+  /** A65: cohort lifetime value — the revenue complement of
+    * [[retentionCohorts]]'s user counts: users grouped by first-activity
+    * day, each cohort's purchase revenue rolled up per day-offset with
+    * the cumulative LTV curve and a per-user average. ONE corpus user_id
+    * shuffle (the cohort comes from a per-user min-day window, never a
+    * firsts join); the (cohort, offset) rollup, the offset cumsum and
+    * the division all run on the ≤cohorts×offsets summary. Revenue is
+    * the A42 per-term DECIMAL(18,9) quantization — order-free exact
+    * sums, exact cumulative sums — and ltv_per_user is ONE IEEE division
+    * of those exact values; cohort size = offset-0 actives (every user's
+    * day0 row exists by construction), carried by a first_value over the
+    * same summary ordering. */
+  def cohortLtv(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", col("value").cast(dec))
+          .otherwise(lit(0).cast(dec)).as("rev"))
+      .withColumn("day0", min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("offset_days", datediff(col("day"), col("day0")).cast("long"))
+      .filter(col("offset_days") <= maxOffset)
+    val byCohort = Window.partitionBy("cohort_day").orderBy("offset_days")
+    ev.groupBy(date_format(col("day0"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("rev")).as("rev"))
+      .withColumn("cum_rev", sum(col("rev")).over(
+        byCohort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cohort_size", first(col("n_active")).over(byCohort))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        expr("CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE)")
+          .as("ltv_per_user"))
+  }
+
   /** A64: daily new-vs-returning actives — the dashboard growth staple:
     * for each day, how many active users were seen for the FIRST time
     * that day vs returning. One (user_id, day) distinct shuffle, then a

@@ -626,6 +626,33 @@ class EventOpsSpec extends SparkSuite {
     assert(got == Map(d0 -> (2L, 2L, 0L), d2 -> (2L, 1L, 1L)))
   }
 
+  test("cohortLtv: per-offset revenue, cumulative curve, cohort-size division, window cut") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      // cohort d0: u1 buys 10 on d0 and 5 on d1; u2 views d0, buys 20 on d1
+      (1L, t(0, 1), 1L, "purchase", 10.0), (2L, t(1, 1), 1L, "purchase", 5.0),
+      (3L, t(0, 2), 2L, "view", 1.0), (4L, t(1, 2), 2L, "purchase", 20.0),
+      // cohort d1: u3 buys 7 on d1
+      (5L, t(1, 3), 3L, "purchase", 7.0),
+      // beyond maxOffset=7: u1's d9 purchase must not appear
+      (6L, t(9, 1), 1L, "purchase", 99.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-ltv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val c0 = new java.sql.Date(20000L * D).toString
+    val c1 = new java.sql.Date(20000L * D + D).toString
+    val got = EventOps.cohortLtv(spark, d).collect()
+      .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("offset_days")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("cum_revenue"), r.getAs[Double]("ltv_per_user"))).toMap
+    assert(got == Map(
+      (c0, 0L) -> (2L, 10.0, 10.0, 5.0),
+      (c0, 1L) -> (2L, 25.0, 35.0, 17.5),
+      (c1, 0L) -> (1L, 7.0, 7.0, 7.0)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
