@@ -90,6 +90,8 @@ object SparkEntry {
     "ev_new_returning"  -> ((s, d) => EventOps.newVsReturning(s, d)),
     // A65 cohort lifetime-value curves (revenue twin of retention cohorts)
     "ev_cohort_ltv"     -> ((s, d) => EventOps.cohortLtv(s, d)),
+    // A66 exact time-to-convert percentiles across converting users
+    "ev_ttc"            -> ((s, d) => EventOps.timeToConvert(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1012,6 +1014,26 @@ object SparkEntry {
         |  CAST(rev AS DOUBLE) AS revenue, CAST(cum_rev AS DOUBLE) AS cum_revenue,
         |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_per_user
         |FROM w""".stripMargin,
+    // A66: rank-selected exact order statistics (ceil(q*n), (ttc, user)
+    // tie order) — all longs, no interpolation.
+    "ev_ttc" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+        |      AS first_p
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id, first_p - first_ms AS ttc
+        |      FROM u WHERE first_p IS NOT NULL),
+        |r AS (SELECT ttc, row_number() OVER (ORDER BY ttc, user_id) AS rank,
+        |             count(*) OVER () AS n
+        |      FROM c)
+        |SELECT count(*) AS n_converted,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.25) AS BIGINT) THEN ttc END) AS p25_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.5) AS BIGINT) THEN ttc END) AS p50_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.75) AS BIGINT) THEN ttc END) AS p75_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN ttc END) AS p90_ms,
+        |  max(ttc) AS max_ms
+        |FROM r HAVING count(*) > 0""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -1485,6 +1485,38 @@ object EventOps {
           .as("ltv_per_user"))
   }
 
+  /** A66: time-to-convert — exact millisecond percentiles of (first
+    * purchase − first activity) across converting users, the activation
+    * funnel's headline latency metric. Every statistic is an exact
+    * rank-selected order statistic (value at ascending rank ⌈q·n⌉,
+    * (ttc, user_id) tie order — the ev_quantiles_exact discipline; no
+    * interpolation to match cross-engine) and every quantity is a long.
+    * ONE corpus user_id partial agg; the checkpointed converter summary
+    * feeds the two-level global rank and the count branch, and the final
+    * pick is a single summary agg row. Never-converting users are
+    * excluded (their ttc is undefined); n_converted reports the base. */
+  def timeToConvert(spark: SparkSession, dir: String,
+                    idBucket: Long = 64): DataFrame = {
+    val conv = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(tsMs(col("ts"))).as("first_ms"),
+        min(when(col("event_type") === "purchase", tsMs(col("ts"))))
+          .as("first_p"))
+      .filter(col("first_p").isNotNull)
+      .select(col("user_id"), (col("first_p") - col("first_ms")).as("ttc"))
+      .localCheckpoint()
+    val n = conv.agg(count(lit(1)).as("n"))
+    def pick(q: Double, out: String) =
+      max(when(col("rank") === ceil(col("n") * q).cast("long"), col("ttc")))
+        .as(out)
+    rankBy(conv, "ttc", "rank", idBucket)
+      .crossJoin(broadcast(n)) // single row: constant-size
+      .agg(max(col("n")).as("n_converted"),
+        pick(0.25, "p25_ms"), pick(0.5, "p50_ms"), pick(0.75, "p75_ms"),
+        pick(0.9, "p90_ms"), max(col("ttc")).as("max_ms"))
+      .filter(col("n_converted") > 0)
+  }
+
   /** A64: daily new-vs-returning actives — the dashboard growth staple:
     * for each day, how many active users were seen for the FIRST time
     * that day vs returning. One (user_id, day) distinct shuffle, then a

@@ -653,6 +653,28 @@ class EventOpsSpec extends SparkSuite {
       (c1, 0L) -> (1L, 7.0, 7.0, 7.0)))
   }
 
+  test("ttc: rank-selected percentiles, zero-ttc first-purchase, non-converters excluded") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    val rows = Seq(
+      (1L, t(0), 1L, "view", 1.0), (2L, t(100), 1L, "purchase", 1.0),
+      (3L, t(0), 2L, "view", 1.0), (4L, t(300), 2L, "purchase", 1.0),
+      (5L, t(0), 3L, "purchase", 1.0),                       // ttc 0
+      (6L, t(0), 4L, "view", 1.0), (7L, t(200), 4L, "purchase", 1.0),
+      (8L, t(500), 4L, "purchase", 1.0),                     // min picks 200
+      (9L, t(0), 5L, "view", 1.0))                           // never converts
+    val d = java.nio.file.Files.createTempDirectory("graft-ttc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.timeToConvert(spark, d).collect().head
+    // ttc sorted: 0, 100, 200, 300; ranks ceil(q*4) = 1, 2, 3, 4
+    assert((r.getAs[Long]("n_converted"), r.getAs[Long]("p25_ms"),
+      r.getAs[Long]("p50_ms"), r.getAs[Long]("p75_ms"),
+      r.getAs[Long]("p90_ms"), r.getAs[Long]("max_ms")) ==
+      (4L, 0L, 100L, 200L, 300L, 300L))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
