@@ -92,6 +92,10 @@ object SparkEntry {
     "ev_cohort_ltv"     -> ((s, d) => EventOps.cohortLtv(s, d)),
     // A66 exact time-to-convert percentiles across converting users
     "ev_ttc"            -> ((s, d) => EventOps.timeToConvert(s, d)),
+    // A67 weekday-seasonal anomaly days (median/MAD per (type, dow))
+    "ev_dow_anomaly"    -> ((s, d) => EventOps.dowAnomaly(s, d)),
+    // A68 bounded 7-day rolling retention per day
+    "ev_bounded_retention" -> ((s, d) => EventOps.boundedRetention(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1034,6 +1038,47 @@ object SparkEntry {
         |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN ttc END) AS p90_ms,
         |  max(ttc) AS max_ms
         |FROM r HAVING count(*) > 0""".stripMargin,
+    // A67: all-long median/MAD fence per (type, epoch-day mod 7); the
+    // rank selection mirrors ceil(n*0.5) with (value, day) tie order.
+    "ev_dow_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT *, day_idx % 7 AS dow FROM daily),
+        |med AS (
+        |  SELECT event_type, dow, y AS med FROM (
+        |    SELECT event_type, dow, y, day_idx,
+        |      row_number() OVER (PARTITION BY event_type, dow
+        |        ORDER BY y, day_idx) AS rn,
+        |      count(*) OVER (PARTITION BY event_type, dow) AS n
+        |    FROM dw) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)),
+        |wm AS (SELECT dw.*, med, abs(y - med) AS absdev
+        |       FROM dw JOIN med USING (event_type, dow)),
+        |mad AS (
+        |  SELECT event_type, dow, greatest(1, absdev) AS mad FROM (
+        |    SELECT event_type, dow, absdev, day_idx,
+        |      row_number() OVER (PARTITION BY event_type, dow
+        |        ORDER BY absdev, day_idx) AS rn,
+        |      count(*) OVER (PARTITION BY event_type, dow) AS n
+        |    FROM wm) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT))
+        |SELECT event_type, CAST(epoch_ms(day_idx * 86400000) AS DATE) AS day,
+        |       dow, y, med, mad
+        |FROM wm JOIN mad USING (event_type, dow)
+        |WHERE absdev > 3 * mad""".stripMargin,
+    // A68: retained <=> per-user lead(day) within the window; censored
+    // trailing days reported as-is (documented caveat).
+    "ev_bounded_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |nx AS (SELECT user_id, day,
+        |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |       FROM ud)
+        |SELECT day, count(*) AS n_active,
+        |  count(*) FILTER (WHERE next_day - day <= 7) AS n_retained,
+        |  CAST(count(*) FILTER (WHERE next_day - day <= 7) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS retention
+        |FROM nx GROUP BY 1""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

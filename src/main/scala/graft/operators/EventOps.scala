@@ -1517,6 +1517,72 @@ object EventOps {
       .filter(col("n_converted") > 0)
   }
 
+  /** A67: weekday-seasonal anomaly detection — the seasonality-aware
+    * member of the anomaly suite (z/MAD flag rows, cusum finds level
+    * shifts, THIS asks "is today's volume abnormal FOR A TUESDAY?"):
+    * per (type, weekday-class) the daily-count median and MAD are exact
+    * rank-selected order statistics (⌈n/2⌉, (value, day) tie order) and
+    * a day is flagged when |y − med| > k·max(1, MAD) — every quantity a
+    * long, zero IEEE ops, hash-exact by construction. The weekday class
+    * is epoch-day mod 7 (engine-portable — no dayofweek() convention to
+    * match). Corpus work = ONE (type, day) partial agg (checkpointed);
+    * medians and the flag pass run on the ≤types·days summary. */
+  def dowAnomaly(spark: SparkSession, dir: String, k: Long = 3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), tsMs(col("ts")).as("ms"))
+      .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", expr("day_idx % 7"))
+      .localCheckpoint()
+    def rankMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type", "dow")
+        .orderBy(col(valueCol), col("day_idx"))
+      val n = Window.partitionBy("event_type", "dow")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("event_type"), col("dow"), col(valueCol).as(out))
+    }
+    val med = rankMedian(daily, "y", "med")
+    val withMed = daily.join(broadcast(med), Seq("event_type", "dow"))
+      .withColumn("absdev", abs(col("y") - col("med")))
+    val mad = rankMedian(
+      withMed.select(col("event_type"), col("dow"), col("day_idx"),
+        col("absdev").as("y2")), "y2", "madRaw")
+      .select(col("event_type"), col("dow"),
+        greatest(lit(1L), col("madRaw")).as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type", "dow"))
+      .filter(col("absdev") > lit(k) * col("mad"))
+      .select(col("event_type"),
+        to_date(expr("timestamp_millis(day_idx * 86400000)")).as("day"),
+        col("dow"), col("y"), col("med"), col("mad"))
+  }
+
+  /** A68: bounded 7-day rolling retention — per calendar day, the share
+    * of that day's actives seen again within the next `within` days
+    * ("did day-d users come back that week?"). On the (user, day)
+    * distinct grid a user's NEXT active day is a per-user lead(), so
+    * retained ⟺ lead − day ≤ within — no day-range self-join. Same
+    * 1-scan/3-exchange shape as [[newVsReturning]]; all counts exact
+    * longs, the rate one IEEE division. Days within `within` of the
+    * corpus end are right-censored (their retained count can only
+    * grow with more data) — the standard dashboard caveat, reported
+    * as-is. */
+  def boundedRetention(spark: SparkSession, dir: String,
+                       within: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val nxt = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("next_day", lead(col("day"), 1).over(nxt))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(datediff(col("next_day"), col("day")) <= within, lit(1)))
+          .as("n_retained"))
+      .withColumn("retention", expr(
+        "CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)"))
+  }
+
   /** A64: daily new-vs-returning actives — the dashboard growth staple:
     * for each day, how many active users were seen for the FIRST time
     * that day vs returning. One (user_id, day) distinct shuffle, then a

@@ -54,6 +54,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.newVsReturning(spark, dir).count() == 0)
     assert(EventOps.cohortLtv(spark, dir).count() == 0)
     assert(EventOps.timeToConvert(spark, dir).count() == 0)
+    assert(EventOps.dowAnomaly(spark, dir).count() == 0)
+    assert(EventOps.boundedRetention(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

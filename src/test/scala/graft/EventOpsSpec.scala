@@ -675,6 +675,49 @@ class EventOpsSpec extends SparkSuite {
       (4L, 0L, 100L, 200L, 300L, 300L))
   }
 
+  test("dowAnomaly: same-weekday fence flags only the spike; exact-3-MAD boundary silent") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def mkDay(ty: String, day: Long, n: Int, idBase: Long) = (1 to n).map(i =>
+      (idBase + i, new java.sql.Timestamp(day * D + i * 1000L), i.toLong, ty, 1.0))
+    // type x, one weekday class (days 20000/20007/20014): 5,5,50 -> flag 50
+    // type y, same class: 5,5,8 -> absdev 3 == 3*mad(1) -> NOT flagged
+    val rows = mkDay("x", 20000, 5, 1000) ++ mkDay("x", 20007, 5, 2000) ++
+      mkDay("x", 20014, 50, 3000) ++ mkDay("y", 20000, 5, 4000) ++
+      mkDay("y", 20007, 5, 5000) ++ mkDay("y", 20014, 8, 6000)
+    val d = java.nio.file.Files.createTempDirectory("graft-dow").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.dowAnomaly(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("y"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad")))
+    assert(got.toSeq == Seq(
+      ("x", new java.sql.Date(20014L * D).toString, 50L, 5L, 1L)))
+  }
+
+  test("boundedRetention: lead-within-window retained, gap-8 and terminal days not") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      (1L, t(0, 1), 1L, "view", 1.0), (2L, t(5, 1), 1L, "view", 1.0),
+      (3L, t(0, 2), 2L, "view", 1.0), (4L, t(8, 1), 2L, "view", 1.0),
+      (5L, t(0, 3), 3L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-br").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.boundedRetention(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_retained"),
+          r.getAs[Double]("retention"))).toMap
+    def day(k: Long) = new java.sql.Date(20000L * D + k * D).toString
+    assert(got == Map(
+      day(0) -> (3L, 1L, 1.0 / 3.0),
+      day(5) -> (1L, 0L, 0.0),
+      day(8) -> (1L, 0L, 0.0)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
