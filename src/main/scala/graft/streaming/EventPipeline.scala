@@ -621,6 +621,75 @@ object EventPipeline {
     }
   }
 
+  case class SeenDay(day_ms: Long, user_id: Long, is_new: Boolean)
+  case class FirstSeen(firstDayMs: Long, pending: List[Long])
+
+  /** A64 streaming twin: per-(day, user) new-vs-returning classification
+    * emitted exactly once per active day, AT DAY CLOSE (event-time timer
+    * at end-of-day, fires once the watermark proves the day complete) —
+    * so the verdict is replay-invariant by construction: a user's first
+    * day is the minimum day observed so far, and when day D's timer
+    * fires every event with ts ≤ end(D) is already reflected in that
+    * minimum (later arrivals are beyond the watermark and belong to
+    * later days — an admitted event's day is always unclosed). In-batch
+    * and cross-batch disorder therefore produce the identical verdict
+    * set, equal to the batch [[graft.operators.EventOps.newVsReturning]]
+    * grid (spec aggregates and compares). State = ONE (firstDay, open
+    * days) record per user — open days are bounded by the watermark
+    * horizon; the firstDay long lives for the user's lifetime (the
+    * zscoreAlertStream unbounded-churn caveat applies: bound total state
+    * by sharding or snapshot trims). Duplicate timers are impossible
+    * (a day registers once, on entering the pending set) and a fired
+    * day leaves pending, making the emission exactly-once. */
+  def firstSeenStream(events: Dataset[Event],
+                      watermark: String = "10 minutes"): Dataset[SeenDay] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  class FirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SeenDay] {
+    import org.apache.spark.sql.Encoders
+    private val DayMs = 86400000L
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FirstSeen] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FirstSeen]("firstseen",
+        Encoders.product[FirstSeen], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SeenDay] = {
+      val days = rows.map(e => Math.floorDiv(e.ts.getTime, DayMs) * DayMs).toSet
+      if (days.nonEmpty) {
+        val s0 = if (st.exists()) st.get() else FirstSeen(Long.MaxValue, Nil)
+        val fresh = days -- s0.pending.toSet
+        fresh.foreach(d => getHandle.registerTimer(d + DayMs))
+        st.update(FirstSeen(math.min(s0.firstDayMs, days.min),
+          (s0.pending.toSet ++ days).toList.sorted))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+                                    timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SeenDay] = {
+      val d = expiredTimerInfo.getExpiryTimeInMs - DayMs
+      if (st.exists()) {
+        val s = st.get()
+        if (s.pending.contains(d)) {
+          st.update(s.copy(pending = s.pending.filterNot(_ == d)))
+          return Iterator.single(SeenDay(d, key, d == s.firstDayMs))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
   case class ZAlert(event_id: Long, user_id: Long, ts_ms: Long,
                     value: Double, z: Double)
   case class ZBuffer(values: List[Double])

@@ -1112,6 +1112,51 @@ class StreamingSpec extends SparkSuite {
       s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
   } }
 
+  test("firstSeenStream: day-close verdicts equal the batch new/returning grid") { withRocksDB {
+    val D = 86400000L
+    val base = 20000L * D
+    def e(id: Long, day: Long, k: Long, u: Long) =
+      Event(id, new Timestamp(base + day * D + k), u, "view", 1.0)
+    // u1: day0 (x2) then day2; u2: day2 only; u3: day1 BEFORE day0 in the
+    // same batch (in-batch disorder); u4: day0 in b1, day1 in b2
+    val b1 = Seq(e(1, 0, 1000, 1), e(2, 0, 2000, 1),
+      e(3, 1, 1000, 3), e(4, 0, 3000, 3), e(5, 0, 4000, 4))
+    val b2 = Seq(e(6, 2, 1000, 1), e(7, 2, 2000, 2), e(8, 1, 2000, 4))
+    val sentinel = e(99, 10, 0, 99)
+    import SparkSuite.spark.implicits._
+    // batch oracle on the identical parquet (sentinel's own day excluded —
+    // its day never closes in the stream)
+    val d = Files.createTempDirectory("graft-fs-batch").toString
+    (b1 ++ b2 :+ sentinel).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batch = graft.operators.EventOps.newVsReturning(spark, d)
+      .collect().map(r => (r.getAs[java.sql.Date]("day").getTime,
+        r.getAs[Long]("dau"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_returning"))).filter(_._1 < base + 10 * D).toSet
+
+    val src = Files.createTempDirectory("graft-fs-src").toString
+    val chk = Files.createTempDirectory("graft-fs-chk").toString
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.firstSeenStream(
+      EventPipeline.fileSource(spark, src).as[Event], watermark = "0 seconds")
+      .toDF().writeStream.format("memory").queryName("first_seen")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2 :+ sentinel)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("first_seen").collect()
+      .map(r => (r.getAs[Long]("day_ms"), r.getAs[Long]("user_id"),
+        r.getAs[Boolean]("is_new"))).toSet
+    assert(rows == Set(
+      (base, 1L, true), (base, 3L, true), (base, 4L, true),
+      (base + D, 3L, false), (base + D, 4L, false),
+      (base + 2 * D, 1L, false), (base + 2 * D, 2L, true)), rows.toString)
+    // exactly-once per (day, user), and the aggregated grid == batch
+    assert(spark.table("first_seen").count() == rows.size)
+    val agg = rows.groupBy(_._1).map { case (day, rs) =>
+      (day, rs.size.toLong, rs.count(_._3).toLong, rs.count(!_._3).toLong) }.toSet
+    assert(agg == batch, s"stream=$agg batch=$batch")
+  } }
+
   test("burstStream: bounded replay emits exactly the fixed-threshold batch episodes") {
     val H = 3600000L
     // the A45 planted series with ABSOLUTE thresholds hi=10, lo=2:
