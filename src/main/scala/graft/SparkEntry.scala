@@ -96,6 +96,8 @@ object SparkEntry {
     "ev_dow_anomaly"    -> ((s, d) => EventOps.dowAnomaly(s, d)),
     // A68 bounded 7-day rolling retention per day
     "ev_bounded_retention" -> ((s, d) => EventOps.boundedRetention(s, d)),
+    // A69 multiwindow SLO burn-rate alerts (1h fast AND 6h sustained)
+    "ev_slo_burn"       -> ((s, d) => EventOps.sloBurn(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1079,6 +1081,30 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE next_day - day <= 7) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS retention
         |FROM nx GROUP BY 1""".stripMargin,
+    // A69: integer-hour RANGE frame mirrors rangeBetween(-5, 0); the
+    // burns are the identical divide/divide sequence on exact longs.
+    "ev_slo_burn" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n_total,
+        |         count(*) FILTER (WHERE event_type = 'error') AS n_err
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr, n_total, n_err,
+        |    CAST(sum(n_err) OVER (ORDER BY hr
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err6,
+        |    CAST(sum(n_total) OVER (ORDER BY hr
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6
+        |  FROM h),
+        |b AS (
+        |  SELECT *,
+        |    CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      / CAST(0.2 AS DOUBLE) AS burn_1h,
+        |    CAST(err6 AS DOUBLE) / CAST(total6 AS DOUBLE)
+        |      / CAST(0.2 AS DOUBLE) AS burn_6h
+        |  FROM w)
+        |SELECT hr * 3600000 AS hour_ms, n_err, n_total, err6, total6,
+        |       burn_1h, burn_6h
+        |FROM b WHERE burn_1h > 1.2 AND burn_6h > 1.0""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -1583,6 +1583,39 @@ object EventOps {
         "CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)"))
   }
 
+  /** A69: multiwindow SLO burn-rate alerts (the Google SRE-workbook
+    * multi-burn-rate pattern, public) — "page only when the error budget
+    * is burning fast AND the burn is sustained": per hour, the 1-hour
+    * and trailing-6-hour error rates over the event stream, each divided
+    * by the budget (the SLO's allowed error rate); an hour alerts when
+    * the fast burn exceeds `thFast` and the sustained burn exceeds
+    * `thSlow` — the two-window AND suppresses both blips (fast-only) and
+    * stale pages (slow-only). Corpus work = ONE epoch-hour partial agg;
+    * the 6-hour rolling sums are a RANGE frame over the hour summary
+    * keyed by integer hour index (gap hours shrink the frame, they don't
+    * misalign it), and every count is an exact long — the burns are a
+    * fixed divide/divide sequence, hash-exact cross-engine. */
+  def sloBurn(spark: SparkSession, dir: String, budget: Double = 0.2,
+              thFast: Double = 1.2, thSlow: Double = 1.0): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(tsMs(col("ts")).as("ms"), col("event_type"))
+      .groupBy(expr("ms div 3600000").as("hr"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", lit(1))).as("n_err"))
+    val w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    hourly
+      .withColumn("err6", sum(col("n_err")).over(w6))
+      .withColumn("total6", sum(col("n_total")).over(w6))
+      .withColumn("burn_1h", expr(
+        s"CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / CAST($budget AS DOUBLE)"))
+      .withColumn("burn_6h", expr(
+        s"CAST(err6 AS DOUBLE) / CAST(total6 AS DOUBLE) / CAST($budget AS DOUBLE)"))
+      .filter(col("burn_1h") > thFast && col("burn_6h") > thSlow)
+      .select(expr("hr * 3600000").as("hour_ms"),
+        col("n_err"), col("n_total"), col("err6"), col("total6"),
+        col("burn_1h"), col("burn_6h"))
+  }
+
   /** A64: daily new-vs-returning actives — the dashboard growth staple:
     * for each day, how many active users were seen for the FIRST time
     * that day vs returning. One (user_id, day) distinct shuffle, then a

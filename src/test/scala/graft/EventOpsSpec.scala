@@ -718,6 +718,34 @@ class EventOpsSpec extends SparkSuite {
       day(8) -> (1L, 0L, 0.0)))
   }
 
+  test("sloBurn: two-window AND — sustained burn alerts, fast-only blip suppressed, gap frame shrinks") {
+    import SparkSuite.spark.implicits._
+    val H = 3600000L
+    val HB = 480000L // hour index base
+    var id = 0L
+    def mkHour(hr: Long, total: Int, errors: Int) = (1 to total).map { i =>
+      id += 1
+      (id, new java.sql.Timestamp((HB + hr) * H + i * 1000L), i.toLong,
+        if (i <= errors) "error" else "view", 1.0)
+    }
+    // h0 at-budget; h1/h2 sustained burn; h3-h7 clean; h8 fast-only blip
+    // (6h window dilutes it); h20 post-gap spike (frame = itself only)
+    val rows = mkHour(0, 10, 2) ++ mkHour(1, 10, 5) ++ mkHour(2, 10, 3) ++
+      (3L to 7L).flatMap(mkHour(_, 10, 0)) ++ mkHour(8, 10, 3) ++
+      mkHour(20, 10, 5)
+    val d = java.nio.file.Files.createTempDirectory("graft-slo").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.sloBurn(spark, d).collect()
+      .map(r => (r.getAs[Long]("hour_ms") / H - HB) ->
+        (r.getAs[Long]("n_err"), r.getAs[Long]("err6"),
+          r.getAs[Long]("total6"))).toMap
+    assert(got == Map(
+      1L -> (5L, 7L, 20L),   // 6h frame h0-h1: 7/20 sustained
+      2L -> (3L, 10L, 30L),  // h0-h2: 10/30
+      20L -> (5L, 5L, 10L))) // gap: frame shrinks to h20 alone
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
