@@ -98,6 +98,8 @@ object SparkEntry {
     "ev_bounded_retention" -> ((s, d) => EventOps.boundedRetention(s, d)),
     // A69 multiwindow SLO burn-rate alerts (1h fast AND 6h sustained)
     "ev_slo_burn"       -> ((s, d) => EventOps.sloBurn(s, d)),
+    // C77 per-dimension embedding drift between the 80% base and the tail
+    "emb_drift"         -> ((s, d) => Similarity.drift(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1105,6 +1107,27 @@ object SparkEntry {
         |SELECT hr * 3600000 AS hour_ms, n_err, n_total, err6, total6,
         |       burn_1h, burn_6h
         |FROM b WHERE burn_1h > 1.2 AND burn_6h > 1.0""".stripMargin,
+    // C77: DECIMAL(18,9) per-term quantization is lossless on float
+    // inputs, sums exact, means/delta one fixed IEEE sequence.
+    "emb_drift" ->
+      """WITH cut AS (SELECT max(vec_id) * 8 // 10 AS c FROM embeddings),
+        |e AS (SELECT vec_id,
+        |        CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS d,
+        |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_idx
+        |      FROM embeddings),
+        |g AS (
+        |  SELECT dim_idx,
+        |    count(*) FILTER (WHERE vec_id <= c) AS n_base,
+        |    count(*) FILTER (WHERE vec_id > c) AS n_new,
+        |    sum(d) FILTER (WHERE vec_id <= c) AS s_base,
+        |    sum(d) FILTER (WHERE vec_id > c) AS s_new
+        |  FROM e, cut GROUP BY 1)
+        |SELECT dim_idx, n_base, n_new,
+        |  CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean_base,
+        |  CAST(s_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS mean_new,
+        |  CAST(s_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+        |    - CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS delta
+        |FROM g WHERE n_base > 0 AND n_new > 0""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -1812,4 +1812,48 @@ object Similarity {
     pageRankOf(nodes, edges, iters)
       .select(col("vec_id"), round(col("pagerank"), 9).as("pagerank"))
   }
+
+  /** C77: embedding distribution-drift monitor — "did the new batch of
+    * vectors come from the same encoder/distribution?": per dimension,
+    * the mean over the BASE corpus (vec_id ≤ the 80% id cut — the
+    * doc_curate_incr split convention) vs the mean over the NEW tail,
+    * with the per-dim delta. The standard day-2 check before trusting a
+    * re-encoded or newly-ingested embedding batch (a systematic per-dim
+    * shift = encoder version drift; this is the cheap exact complement
+    * of a two-sample test). Exact cross-engine: every float quantizes to
+    * DECIMAL(18,9) per term (the A42 bound — floats are ≤9 significant
+    * digits, so the quantization is lossless on float inputs), sums are
+    * order-free exact, and each mean/delta is a fixed IEEE op sequence.
+    * Scale: ONE posexplode pass (n·dim rows) partial-aggregated
+    * map-side into ≤dim groups — no joins, no per-vector state. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cutRow = emb.agg(expr("max(vec_id) * 8 div 10")).head()
+    if (cutRow.isNullAt(0)) // empty corpus: no base/new split to compare
+      return Seq.empty[(Long, Long, Long, Double, Double, Double)]
+        .toDF("dim_idx", "n_base", "n_new", "mean_base", "mean_new", "delta")
+    val cut = cutRow.getLong(0)
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .select(col("dim_idx").cast("long").as("dim_idx"),
+        (col("vec_id") <= cut).as("base"),
+        // widen to DOUBLE before quantizing: a direct float→decimal cast
+        // rounds the float's SHORTEST representation in some engines; the
+        // double carries the full binary expansion, so both engines round
+        // the same true value (the emb_quantize discipline)
+        col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("d"))
+      .groupBy("dim_idx")
+      .agg(count(when(col("base"), lit(1))).as("n_base"),
+        count(when(!col("base"), lit(1))).as("n_new"),
+        sum(when(col("base"), col("d"))).as("s_base"),
+        sum(when(!col("base"), col("d"))).as("s_new"))
+      .filter(col("n_base") > 0 && col("n_new") > 0)
+      .withColumn("mean_base", expr("CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE)"))
+      .withColumn("mean_new", expr("CAST(s_new AS DOUBLE) / CAST(n_new AS DOUBLE)"))
+      .select(col("dim_idx"), col("n_base"), col("n_new"),
+        col("mean_base"), col("mean_new"),
+        expr("mean_new - mean_base").as("delta"))
+  }
 }

@@ -99,6 +99,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.tokenCount(spark, dir).count() == 0)
     assert(Similarity.cosineTopK(spark, dir).count() == 0)
     assert(Similarity.neardupPairs(spark, dir).count() == 0)
+    assert(Similarity.drift(spark, dir).count() == 0)
   }
 
   test("round-2 operators survive empty inputs") {

@@ -1016,4 +1016,21 @@ class SimilaritySpec extends SparkSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank"))
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
+
+  test("drift: exact per-dim base/new means and delta on the 80% id cut") {
+    val d = Files.createTempDirectory("graft-drift").toString
+    // max id 9 -> cut 7: base = ids 0..7 (all [1,2]), new = 8..9
+    val vecs = (0L to 7L).map(i => (i, Array(1f, 2f), 0)) ++
+      Seq((8L, Array(2f, 0f), 0), (9L, Array(4f, 2f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.drift(spark, d).collect()
+      .map(r => r.getAs[Long]("dim_idx") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("mean_base"), r.getAs[Double]("mean_new"),
+          r.getAs[Double]("delta"))).toMap
+    assert(got == Map(
+      0L -> (8L, 2L, 1.0, 3.0, 2.0),
+      1L -> (8L, 2L, 2.0, 1.0, -1.0)))
+  }
 }
