@@ -100,6 +100,8 @@ object SparkEntry {
     "ev_slo_burn"       -> ((s, d) => EventOps.sloBurn(s, d)),
     // C77 per-dimension embedding drift between the 80% base and the tail
     "emb_drift"         -> ((s, d) => Similarity.drift(s, d)),
+    // A70 per-session ML feature extraction over the sessionize islands
+    "ev_session_features" -> ((s, d) => EventOps.sessionFeatures(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1128,6 +1130,34 @@ object SparkEntry {
         |  CAST(s_new AS DOUBLE) / CAST(n_new AS DOUBLE)
         |    - CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS delta
         |FROM g WHERE n_base > 0 AND n_new > 0""".stripMargin,
+    // A70: the sessionize islanding verbatim plus typed feature columns.
+    "ev_session_features" ->
+      """WITH t1 AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |t2 AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM t1)
+        |SELECT user_id, session_id, min(ts_ms) AS start_ms,
+        |  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_views,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,9)) END),
+        |    CAST(0 AS DECIMAL(18,9))) AS DOUBLE) AS purchase_value,
+        |  max(ts_ms) - min(ts_ms) AS duration_ms,
+        |  (min(ts_ms) // 3600000) % 24 AS start_hour,
+        |  count(*) FILTER (WHERE event_type = 'purchase') > 0 AS converted
+        |FROM t2 GROUP BY 1, 2""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -134,6 +134,43 @@ object EventOps {
         count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   }
 
+  /** A70: per-session ML feature extraction — the training-set builder
+    * over [[sessionize]]'s islands: for every (user, session) the event
+    * count, distinct-type count, per-type counts, duration, start hour
+    * and exact DECIMAL(18,9) purchase value (A42) — the feature vector a
+    * churn/conversion model trains on. Same ONE user_id shuffle as
+    * sessionize: the lag/cumsum windows and BOTH aggregation phases
+    * (including the distinct-type expand) cluster on supersets of
+    * user_id, so the single exchange carries the whole pipeline.
+    * All-integer features except the quantized value — hash-exact. */
+  def sessionFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("start_ms"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
+        count(when(col("event_type") === "view", lit(1))).as("n_views"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(dec))), lit(0).cast(dec))
+          .cast("double").as("purchase_value"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+      .withColumn("start_hour", expr("(start_ms div 3600000) % 24"))
+      .withColumn("converted", col("n_purchases") > 0)
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -746,6 +746,33 @@ class EventOpsSpec extends SparkSuite {
       20L -> (5L, 5L, 10L))) // gap: frame shrinks to h20 alone
   }
 
+  test("sessionFeatures: typed feature vector per island, exact-gap stays in-session") {
+    import SparkSuite.spark.implicits._
+    val B = 1700006400000L // midnight UTC: session-1 hour 0, session-2 hour 1
+    val G = 1800000L       // the 30-min gap
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    val rows = Seq(
+      // session 1: view, click, purchase(10), error; event at exactly +G
+      // from its predecessor STAYS in-session (strict > breaks)
+      (1L, t(0), 1L, "view", 1.0), (2L, t(1000), 1L, "click", 1.0),
+      (3L, t(1000 + G), 1L, "purchase", 10.0), (4L, t(2000 + G), 1L, "error", 1.0),
+      // session 2 opens at +G+1ms after the last event: two purchases
+      (5L, t(2000 + 2 * G + 1), 1L, "purchase", 2.5),
+      (6L, t(3000 + 2 * G + 1), 1L, "purchase", 0.5))
+    val d = java.nio.file.Files.createTempDirectory("graft-sfeat").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.sessionFeatures(spark, d).collect()
+      .map(r => r.getAs[Long]("session_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_clicks"), r.getAs[Long]("n_purchases"),
+          r.getAs[Double]("purchase_value"), r.getAs[Long]("duration_ms"),
+          r.getAs[Long]("start_hour"), r.getAs[Boolean]("converted"))).toMap
+    assert(got == Map(
+      1L -> (4L, 4L, 1L, 1L, 10.0, 2000L + G, 0L, true),
+      2L -> (2L, 1L, 0L, 2L, 3.0, 1000L, 1L, true)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L

@@ -307,6 +307,12 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
   }
 
+  test("session features: one exchange carries windows, distinct expand, and both agg phases") {
+    val p = planOf(EventOps.sessionFeatures(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
   test("knn graph IVF: corpus assignment and probe ranking are map-only kernels") {
     val p = planOf(Similarity.knnGraphIvf(spark, sf, k = 3, nlist = 8, nprobe = 2))
     // the in-row top-buckets kernel replaced the crossJoin→max-struct
