@@ -102,6 +102,8 @@ object SparkEntry {
     "emb_drift"         -> ((s, d) => Similarity.drift(s, d)),
     // A70 per-session ML feature extraction over the sessionize islands
     "ev_session_features" -> ((s, d) => EventOps.sessionFeatures(s, d)),
+    // C78 per-source corpus drift (token length + quality, base vs tail)
+    "doc_drift"         -> ((s, d) => TextOps.docDrift(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1158,6 +1160,39 @@ object SparkEntry {
         |  (min(ts_ms) // 3600000) % 24 AS start_hour,
         |  count(*) FILTER (WHERE event_type = 'purchase') > 0 AS converted
         |FROM t2 GROUP BY 1, 2""".stripMargin,
+    // C78: token counts exact longs; quality quantizes DECIMAL(18,9) per
+    // doc before the order-free sum; means/deltas one IEEE sequence.
+    "doc_drift" ->
+      s"""WITH cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents
+        |            WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks,
+        |    CAST(least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+        |        / 100.0, 1.0) *
+        |      (1.0 - CAST(${hits(stop)} AS DOUBLE)
+        |        / len(regexp_split_to_array(text, '\\s+')))
+        |      AS DECIMAL(18,9)) AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT source,
+        |    count(*) FILTER (WHERE doc_id <= c) AS n_base,
+        |    count(*) FILTER (WHERE doc_id > c) AS n_new,
+        |    CAST(sum(toks) FILTER (WHERE doc_id <= c) AS BIGINT) AS t_base,
+        |    CAST(sum(toks) FILTER (WHERE doc_id > c) AS BIGINT) AS t_new,
+        |    sum(q) FILTER (WHERE doc_id <= c) AS q_base,
+        |    sum(q) FILTER (WHERE doc_id > c) AS q_new
+        |  FROM d, cut GROUP BY 1)
+        |SELECT source, n_base, n_new,
+        |  CAST(t_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean_toks_base,
+        |  CAST(t_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS mean_toks_new,
+        |  CAST(t_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+        |    - CAST(t_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS toks_delta,
+        |  CAST(q_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean_q_base,
+        |  CAST(q_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS mean_q_new,
+        |  CAST(q_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+        |    - CAST(q_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS q_delta
+        |FROM g WHERE n_base > 0 AND n_new > 0""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -1740,4 +1740,49 @@ object TextOps {
   def bm25FromStore(spark: SparkSession, storeDir: String,
                     topK: Int = 10): DataFrame =
     bm25Derived(bm25StoreTf(spark, storeDir), topK)
+
+  /** C78: corpus drift monitor — the text-side twin of C77 emb_drift,
+    * run before admitting a new crawl snapshot: per source, the exact
+    * mean token count and mean quality score over the 80% doc_id BASE
+    * vs the NEW tail, with deltas (a shifted token-length or quality
+    * distribution = changed extraction/boilerplate upstream — catch it
+    * before it pollutes the training mix). Token counts are exact longs;
+    * the quality double (the doc_quality expression verbatim) quantizes
+    * DECIMAL(18,9) per doc before the order-free exact sum (A42), and
+    * each mean/delta is one fixed IEEE division/subtraction — hash-exact.
+    * ONE corpus scan partial-aggregated map-side into ≤sources groups;
+    * null-text rows excluded (the curate contract). */
+  def docDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        wsTokens(col("text")).cast("long").as("toks"),
+        qualityScore(col("text")).cast(dec).as("q"))
+    val cutRow = docs.agg(expr("max(doc_id) * 8 div 10")).head()
+    if (cutRow.isNullAt(0)) // empty corpus: nothing to compare
+      return Seq.empty[(String, Long, Long, Double, Double, Double, Double, Double, Double)]
+        .toDF("source", "n_base", "n_new", "mean_toks_base", "mean_toks_new",
+          "toks_delta", "mean_q_base", "mean_q_new", "q_delta")
+    val cut = cutRow.getLong(0)
+    docs.withColumn("base", col("doc_id") <= cut)
+      .groupBy("source")
+      .agg(count(when(col("base"), lit(1))).as("n_base"),
+        count(when(!col("base"), lit(1))).as("n_new"),
+        sum(when(col("base"), col("toks"))).as("t_base"),
+        sum(when(!col("base"), col("toks"))).as("t_new"),
+        sum(when(col("base"), col("q"))).as("q_base"),
+        sum(when(!col("base"), col("q"))).as("q_new"))
+      .filter(col("n_base") > 0 && col("n_new") > 0)
+      .withColumn("mean_toks_base", expr("CAST(t_base AS DOUBLE) / CAST(n_base AS DOUBLE)"))
+      .withColumn("mean_toks_new", expr("CAST(t_new AS DOUBLE) / CAST(n_new AS DOUBLE)"))
+      .withColumn("mean_q_base", expr("CAST(q_base AS DOUBLE) / CAST(n_base AS DOUBLE)"))
+      .withColumn("mean_q_new", expr("CAST(q_new AS DOUBLE) / CAST(n_new AS DOUBLE)"))
+      .select(col("source"), col("n_base"), col("n_new"),
+        col("mean_toks_base"), col("mean_toks_new"),
+        expr("mean_toks_new - mean_toks_base").as("toks_delta"),
+        col("mean_q_base"), col("mean_q_new"),
+        expr("mean_q_new - mean_q_base").as("q_delta"))
+  }
 }

@@ -101,6 +101,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.cosineTopK(spark, dir).count() == 0)
     assert(Similarity.neardupPairs(spark, dir).count() == 0)
     assert(Similarity.drift(spark, dir).count() == 0)
+    assert(TextOps.docDrift(spark, dir).count() == 0)
   }
 
   test("round-2 operators survive empty inputs") {

@@ -875,4 +875,30 @@ class TextOpsSpec extends SparkSuite {
         p.length < 2 || p(0)._4 >= p(1)._4))
     }
   }
+
+  test("docDrift: per-source base/new means; tail-less sources drop; null text excluded") {
+    import SparkSuite.spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // max id 4 -> cut 3: base = 0..3, new = 4; no stopwords => q = toks/100
+    val docs = Seq(
+      (0L, words(10), "en", "a", 1L), (1L, words(10), "en", "a", 1L),
+      (2L, words(5), "en", "b", 1L), (3L, words(5), "en", "b", 1L),
+      (4L, words(30), "en", "a", 1L))
+    val d = java.nio.file.Files.createTempDirectory("graft-ddrift").toString
+    (docs :+ ((5L, null.asInstanceOf[String], "en", "a", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.docDrift(spark, d).collect()
+    assert(got.length == 1) // source b has no tail rows -> dropped
+    val r = got.head
+    // null-text id 5 excluded everywhere (cut stays 3, n_new stays 1)
+    assert((r.getAs[String]("source"), r.getAs[Long]("n_base"),
+      r.getAs[Long]("n_new")) == ("a", 2L, 1L))
+    assert(r.getAs[Double]("mean_toks_base") == 10.0)
+    assert(r.getAs[Double]("mean_toks_new") == 30.0)
+    assert(r.getAs[Double]("toks_delta") == 20.0)
+    assert(r.getAs[Double]("mean_q_base") == 0.1)   // 10 tokens, 0 stopwords
+    assert(r.getAs[Double]("mean_q_new") == 0.3)
+    assert(r.getAs[Double]("q_delta") == 0.3 - 0.1)
+  }
 }
