@@ -52,7 +52,7 @@ object Bench {
     "ev_scd2_join", "ev_rfm", "ev_survival", "ev_experiment",
     "ev_concentration", "ev_gini", "ev_new_returning", "ev_cohort_ltv",
     "ev_ttc", "ev_dow_anomaly", "ev_bounded_retention", "ev_slo_burn",
-    "emb_drift", "ev_session_features", "doc_drift",
+    "emb_drift", "ev_session_features", "doc_drift", "ev_funnel_latency",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -104,6 +104,8 @@ object SparkEntry {
     "ev_session_features" -> ((s, d) => EventOps.sessionFeatures(s, d)),
     // C78 per-source corpus drift (token length + quality, base vs tail)
     "doc_drift"         -> ((s, d) => TextOps.docDrift(s, d)),
+    // A71 sequential-funnel step latency percentiles
+    "ev_funnel_latency" -> ((s, d) => EventOps.funnelLatency(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1193,6 +1195,41 @@ object SparkEntry {
         |  CAST(q_new AS DOUBLE) / CAST(n_new AS DOUBLE)
         |    - CAST(q_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS q_delta
         |FROM g WHERE n_base > 0 AND n_new > 0""".stripMargin,
+    // A71: sequential firsts via the same running-min windows; rank-
+    // selected exact percentiles per step.
+    "ev_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (SELECT *,
+        |  min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER r AS v_run
+        |  FROM ev WINDOW r AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND v_run IS NOT NULL
+        |                      THEN ts_ms END AS c_q FROM w),
+        |w3 AS (SELECT *, min(c_q) OVER r AS c_run
+        |  FROM w2 WINDOW r AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_ms END) AS v,
+        |    min(c_q) AS c,
+        |    min(CASE WHEN event_type = 'purchase' AND c_run IS NOT NULL
+        |        THEN ts_ms END) AS p
+        |  FROM w3 GROUP BY 1),
+        |l AS (
+        |  SELECT 'view->click' AS step, user_id, c - v AS lat
+        |  FROM u WHERE c IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click->purchase', user_id, p - c FROM u WHERE p IS NOT NULL),
+        |r AS (SELECT step, lat,
+        |    row_number() OVER (PARTITION BY step ORDER BY lat, user_id) AS rank,
+        |    count(*) OVER (PARTITION BY step) AS n
+        |  FROM l)
+        |SELECT step, max(n) AS n_users,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.5) AS BIGINT) THEN lat END) AS p50_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN lat END) AS p90_ms,
+        |  max(lat) AS max_ms
+        |FROM r GROUP BY 1""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -171,6 +171,57 @@ object EventOps {
       .withColumn("converted", col("n_purchases") > 0)
   }
 
+  /** A71: sequential-funnel step latency — exact percentiles of the time
+    * between completed funnel steps (view → first at-or-after click →
+    * first at-or-after purchase), the activation metric A66's single
+    * first-to-first pair can't see. Step firsts are SEQUENTIAL (a click
+    * before any view doesn't count — the running-min window discipline:
+    * v_run/c_run carry "a qualifying earlier step exists" along the
+    * per-user event-time sort, so all three firsts come out of ONE
+    * user_id shuffle, no join, no re-scan). Percentiles are
+    * rank-selected exact order statistics at ⌈q·n⌉ per step ((lat,
+    * user_id) tie order, two-level global rank on the checkpointed
+    * completer summary) — all longs, hash-exact. Same-ms step pairs
+    * order by event_id (a same-ms later-id click after a view counts,
+    * latency 0). */
+  def funnelLatency(spark: SparkSession, dir: String,
+                    idBucket: Long = 64): DataFrame = {
+    val run = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMs(col("ts")).as("ts_ms"))
+      .withColumn("v_run",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(run))
+      .withColumn("c_q", when(col("event_type") === "click" &&
+        col("v_run").isNotNull, col("ts_ms")))
+      .withColumn("c_run", min(col("c_q")).over(run))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("v"),
+        min(col("c_q")).as("c"),
+        min(when(col("event_type") === "purchase" &&
+          col("c_run").isNotNull, col("ts_ms"))).as("p"))
+      .localCheckpoint()
+    def pick(q: Double, out: String) =
+      max(when(col("rank") === ceil(col("n") * q).cast("long"), col("lat")))
+        .as(out)
+    def stepStats(lat: org.apache.spark.sql.Column, label: String): DataFrame = {
+      val l = u.filter(lat.isNotNull).select(col("user_id"), lat.as("lat"))
+      val n = l.agg(count(lit(1)).as("n"))
+      rankBy(l, "lat", "rank", idBucket)
+        .crossJoin(broadcast(n)) // single row: constant-size
+        .agg(max(col("n")).as("n_users"),
+          pick(0.5, "p50_ms"), pick(0.9, "p90_ms"),
+          max(col("lat")).as("max_ms"))
+        .filter(col("n_users") > 0)
+        .select(lit(label).as("step"), col("n_users"),
+          col("p50_ms"), col("p90_ms"), col("max_ms"))
+    }
+    stepStats(col("c") - col("v"), "view->click")
+      .unionByName(stepStats(col("p") - col("c"), "click->purchase"))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

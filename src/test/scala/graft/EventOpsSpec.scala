@@ -773,6 +773,32 @@ class EventOpsSpec extends SparkSuite {
       2L -> (2L, 1L, 0L, 2L, 3.0, 1000L, 1L, true)))
   }
 
+  test("funnelLatency: sequential firsts, pre-view click ignored, no-click purchase dropped") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    val rows = Seq(
+      (1L, t(0), 1L, "view", 1.0), (2L, t(100), 1L, "click", 1.0),
+      (3L, t(200), 1L, "purchase", 1.0),
+      // u2: the click BEFORE any view must not qualify
+      (4L, t(0), 2L, "click", 1.0), (5L, t(50), 2L, "view", 1.0),
+      (6L, t(80), 2L, "click", 1.0), (7L, t(90), 2L, "purchase", 1.0),
+      // u3: purchase without any qualifying click -> no step-2 row
+      (8L, t(0), 3L, "view", 1.0), (9L, t(50), 3L, "purchase", 1.0),
+      // u4: same-ms click with larger id counts (latency 0)
+      (10L, t(0), 4L, "view", 1.0), (11L, t(0), 4L, "click", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.funnelLatency(spark, d).collect()
+      .map(r => r.getAs[String]("step") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("p50_ms"),
+          r.getAs[Long]("p90_ms"), r.getAs[Long]("max_ms"))).toMap
+    assert(got == Map(
+      "view->click" -> (3L, 30L, 100L, 100L),    // lats [0, 30, 100]
+      "click->purchase" -> (2L, 10L, 100L, 100L))) // lats [10, 100]
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
