@@ -106,6 +106,8 @@ object SparkEntry {
     "doc_drift"         -> ((s, d) => TextOps.docDrift(s, d)),
     // A71 sequential-funnel step latency percentiles
     "ev_funnel_latency" -> ((s, d) => EventOps.funnelLatency(s, d)),
+    // A72 daily exact value-percentile trend per type
+    "ev_value_trend"    -> ((s, d) => EventOps.valueTrend(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1230,6 +1232,19 @@ object SparkEntry {
         |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN lat END) AS p90_ms,
         |  max(lat) AS max_ms
         |FROM r GROUP BY 1""".stripMargin,
+    // A72: rank-selected picks at ceil(q*n), (value, event_id) tie order.
+    "ev_value_trend" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+        |  FROM events)
+        |SELECT event_type, day, max(n) AS n_events,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+        |  max(value) AS max_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -222,6 +222,33 @@ object EventOps {
       .unionByName(stepStats(col("p") - col("c"), "click->purchase"))
   }
 
+  /** A72: daily value-percentile trend per type — "is the latency/value
+    * distribution creeping up day over day?": exact p50/p95/max of
+    * `value` per (type, day), rank-selected order statistics at ⌈q·n⌉
+    * with (value, event_id) tie order (the ev_quantiles_exact discipline
+    * refined by day — the corpus only ever sorts within a (type, day)
+    * partition, a FINER key than A27's per-type sort). One shuffle; the
+    * rollup reuses the window partitioning; all picks exact — hash-exact
+    * for integer-representable values and bit-stable for doubles (the
+    * picked value exists in the data, no interpolation). */
+  def valueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("value"), col("event_id"))
+    val g = Window.partitionBy("event_type", "day")
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(g))
+      .groupBy("event_type", "day")
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+          col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"),
+          col("value"))).as("p95"),
+        max(col("value")).as("max_value"))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -799,6 +799,31 @@ class EventOpsSpec extends SparkSuite {
       "click->purchase" -> (2L, 10L, 100L, 100L))) // lats [10, 100]
   }
 
+  test("valueTrend: exact per-(type, day) rank picks with event_id tie order") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    // day 0, type x: values [1, 2, 2, 5, 9] -> n=5, p50 = rank 3 (= 2),
+    // p95 = rank ceil(4.75)=5 (= 9); day 1, type x: [7] -> all 7
+    val rows = Seq(
+      (1L, t(0, 1), 1L, "x", 2.0), (2L, t(0, 2), 1L, "x", 1.0),
+      (3L, t(0, 3), 1L, "x", 9.0), (4L, t(0, 4), 1L, "x", 2.0),
+      (5L, t(0, 5), 1L, "x", 5.0),
+      (6L, t(1, 1), 1L, "x", 7.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-vt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.valueTrend(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p95"), r.getAs[Double]("max_value"))).toMap
+    def day(k: Long) = new java.sql.Date(20000L * D + k * D).toString
+    assert(got == Map(
+      ("x", day(0)) -> (5L, 2.0, 9.0, 9.0),
+      ("x", day(1)) -> (1L, 7.0, 7.0, 7.0)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
