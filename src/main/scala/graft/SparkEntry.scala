@@ -108,6 +108,8 @@ object SparkEntry {
     "ev_funnel_latency" -> ((s, d) => EventOps.funnelLatency(s, d)),
     // A72 daily exact value-percentile trend per type
     "ev_value_trend"    -> ((s, d) => EventOps.valueTrend(s, d)),
+    // A73 deepest-sequential-stage funnel distribution
+    "ev_funnel_stages"  -> ((s, d) => EventOps.funnelStages(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1245,6 +1247,40 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
         |  max(value) AS max_value
         |FROM r GROUP BY 1, 2""".stripMargin,
+    // A73: the same sequential qualification windows; reached counts are
+    // a 4-row descending cumsum; shares one IEEE division.
+    "ev_funnel_stages" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (SELECT *,
+        |  min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER r AS v_run
+        |  FROM ev WINDOW r AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND v_run IS NOT NULL
+        |                      THEN ts_ms END AS c_q FROM w),
+        |w3 AS (SELECT *, min(c_q) OVER r AS c_run
+        |  FROM w2 WINDOW r AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+        |    max(CASE WHEN c_q IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+        |    max(CASE WHEN event_type = 'purchase' AND c_run IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS purchased
+        |  FROM w3 GROUP BY 1),
+        |s AS (SELECT CASE WHEN purchased = 1 THEN 3 WHEN clicked = 1 THEN 2
+        |             WHEN viewed = 1 THEN 1 ELSE 0 END AS stage FROM u),
+        |g AS (SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM g)
+        |SELECT stage, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY stage DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_reached,
+        |  CAST(CAST(sum(n_users) OVER (ORDER BY stage DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / CAST(n_total AS DOUBLE) AS reach_share
+        |FROM g, t""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

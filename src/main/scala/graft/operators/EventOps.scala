@@ -249,6 +249,47 @@ object EventOps {
         max(col("value")).as("max_value"))
   }
 
+  /** A73: funnel stage distribution — the denominator view [[funnelLatency]]
+    * prices: every user bucketed by the DEEPEST sequential stage reached
+    * (none → viewed → clicked → purchased, same at-or-after qualification
+    * — a pre-view click doesn't advance the stage), with the exact-stage
+    * count, the reached-at-least count (the classic funnel bar) and its
+    * share of all users. Same ONE user_id shuffle as funnelLatency; the
+    * stage rollup and shares run on a ≤4-row summary (each share one
+    * IEEE division of exact longs). */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMs(col("ts")).as("ts_ms"))
+      .withColumn("v_run",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(run))
+      .withColumn("c_q", when(col("event_type") === "click" &&
+        col("v_run").isNotNull, col("ts_ms")))
+      .withColumn("c_run", min(col("c_q")).over(run))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", lit(1L))).as("viewed"),
+        max(when(col("c_q").isNotNull, lit(1L))).as("clicked"),
+        max(when(col("event_type") === "purchase" &&
+          col("c_run").isNotNull, lit(1L))).as("purchased"))
+    val stages = u.select(
+      when(col("purchased") === 1, lit(3L))
+        .when(col("clicked") === 1, lit(2L))
+        .when(col("viewed") === 1, lit(1L)).otherwise(lit(0L)).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    // ≤4-row summary: the reached-stage-k populations and share chain
+    val tot = stages.agg(sum(col("n_users")).as("n_total"))
+    stages.crossJoin(broadcast(tot)) // single row: constant-size
+      .withColumn("n_reached", sum(col("n_users")).over(
+        Window.orderBy(col("stage").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage"), col("n_users"), col("n_reached"),
+        expr("CAST(n_reached AS DOUBLE) / CAST(n_total AS DOUBLE)")
+          .as("reach_share"))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

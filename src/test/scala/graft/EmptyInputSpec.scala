@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.sessionFeatures(spark, dir).count() == 0)
     assert(EventOps.funnelLatency(spark, dir).count() == 0)
     assert(EventOps.valueTrend(spark, dir).count() == 0)
+    assert(EventOps.funnelStages(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

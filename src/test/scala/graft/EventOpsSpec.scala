@@ -824,6 +824,33 @@ class EventOpsSpec extends SparkSuite {
       ("x", day(1)) -> (1L, 7.0, 7.0, 7.0)))
   }
 
+  test("funnelStages: deepest sequential stage, unqualified steps don't advance") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    val rows = Seq(
+      // u1 full funnel -> 3; u4 view+click -> 2
+      (1L, t(0), 1L, "view", 1.0), (2L, t(10), 1L, "click", 1.0),
+      (3L, t(20), 1L, "purchase", 1.0),
+      (4L, t(0), 4L, "view", 1.0), (5L, t(10), 4L, "click", 1.0),
+      // u2: click BEFORE view doesn't advance -> stage 1
+      (6L, t(0), 2L, "click", 1.0), (7L, t(50), 2L, "view", 1.0),
+      // u3: purchase without qualified click -> stage 1
+      (8L, t(0), 3L, "view", 1.0), (9L, t(50), 3L, "purchase", 1.0),
+      // u6: click only, never viewed -> stage 0
+      (10L, t(0), 6L, "click", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-fstg").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.funnelStages(spark, d).collect()
+      .map(r => r.getAs[Long]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_reached"),
+          r.getAs[Double]("reach_share"))).toMap
+    assert(got == Map(
+      3L -> (1L, 1L, 0.2), 2L -> (1L, 2L, 0.4),
+      1L -> (2L, 4L, 0.8), 0L -> (1L, 5L, 1.0)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
