@@ -53,7 +53,8 @@ object Bench {
     "ev_concentration", "ev_gini", "ev_new_returning", "ev_cohort_ltv",
     "ev_ttc", "ev_dow_anomaly", "ev_bounded_retention", "ev_slo_burn",
     "emb_drift", "ev_session_features", "doc_drift", "ev_funnel_latency",
-    "ev_value_trend", "ev_funnel_stages",
+    "ev_value_trend", "ev_funnel_stages", "ev_bounce_rate",
+    "ev_purchase_cadence",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

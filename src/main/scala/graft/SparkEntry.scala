@@ -110,6 +110,10 @@ object SparkEntry {
     "ev_value_trend"    -> ((s, d) => EventOps.valueTrend(s, d)),
     // A73 deepest-sequential-stage funnel distribution
     "ev_funnel_stages"  -> ((s, d) => EventOps.funnelStages(s, d)),
+    // A74 daily bounce rate over the sessionize islands
+    "ev_bounce_rate"    -> ((s, d) => EventOps.bounceRate(s, d)),
+    // A75 exact repeat-purchase cadence percentiles
+    "ev_purchase_cadence" -> ((s, d) => EventOps.purchaseCadence(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1281,6 +1285,50 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS DOUBLE) / CAST(n_total AS DOUBLE) AS reach_share
         |FROM g, t""".stripMargin,
+    // A74: the sessionize islanding verbatim, rolled up by start day.
+    "ev_bounce_rate" ->
+      """WITH t1 AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |t2 AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM t1),
+        |s AS (SELECT user_id, session_id, min(ts_ms) AS start_ms,
+        |             count(*) AS n_events
+        |      FROM t2 GROUP BY 1, 2)
+        |SELECT CAST(epoch_ms(start_ms) AS DATE) AS day,
+        |  count(*) AS n_sessions,
+        |  count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+        |  CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM s GROUP BY 1""".stripMargin,
+    // A75: per-user purchase gaps via lag; rank-selected exact picks,
+    // ties by the buying event's id.
+    "ev_purchase_cadence" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, event_id, gap FROM p WHERE gap IS NOT NULL),
+        |r AS (SELECT gap, row_number() OVER (ORDER BY gap, event_id) AS rank,
+        |             count(*) OVER () AS n
+        |      FROM g)
+        |SELECT (SELECT count(*) FROM g) AS n_gaps,
+        |  (SELECT count(DISTINCT user_id) FROM g) AS n_repeat_buyers,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.25) AS BIGINT) THEN gap END) AS p25_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.5) AS BIGINT) THEN gap END) AS p50_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.75) AS BIGINT) THEN gap END) AS p75_ms,
+        |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN gap END) AS p90_ms,
+        |  max(gap) AS max_ms
+        |FROM r HAVING count(*) > 0""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

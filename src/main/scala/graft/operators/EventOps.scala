@@ -290,6 +290,63 @@ object EventOps {
           .as("reach_share"))
   }
 
+  /** A74: daily bounce rate — the share of sessions that contain exactly
+    * one event, per session-start day (the classic engagement-quality
+    * dial). Pure derivation over [[sessionize]]'s islands (same ONE
+    * user_id shuffle); the day rollup runs on the session summary and
+    * the rate is one IEEE division of exact longs. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy(to_date(expr("timestamp_millis(start_ms)")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, lit(1))).as("n_bounces"))
+      .withColumn("bounce_rate", expr(
+        "CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE)"))
+
+  /** A75: purchase cadence — exact percentiles of the gap between a
+    * user's CONSECUTIVE purchases ("how often do repeat buyers buy?"),
+    * the repeat-revenue planning metric (A66 measures first conversion;
+    * this measures the rhythm after it). Per-user lag over the purchase
+    * stream gives the gaps (one user_id shuffle, sorts only within a
+    * user's purchases); p25/50/75/90/max are rank-selected exact order
+    * statistics on the checkpointed gap summary via the two-level global
+    * rank — all longs. Gap identity = the BUYING event's id (ties in the
+    * rank order break deterministically). */
+  def purchaseCadence(spark: SparkSession, dir: String,
+                      idBucket: Long = 64): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("event_id"), col("gap"))
+      .localCheckpoint()
+    val n = gaps.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_repeat_buyers"))
+    def pick(q: Double, out: String) =
+      max(when(col("rank") === ceil(col("n") * q).cast("long"), col("gap")))
+        .as(out)
+    // rank ties break by event_id (the gap's buying event), not user_id:
+    // a user contributes many gaps, so user_id alone isn't a total order
+    val keyed = gaps.withColumn("g_id", expr(s"event_id div $idBucket"))
+    val offsets = keyed.groupBy("gap", "g_id")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("off", coalesce(sum(col("sz")).over(
+        Window.orderBy(col("gap"), col("g_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("gap"), col("g_id"), col("off"))
+    val inGroup = Window.partitionBy("gap", "g_id").orderBy("event_id")
+    keyed.join(offsets, Seq("gap", "g_id"))
+      .withColumn("rank", col("off") + row_number().over(inGroup))
+      .crossJoin(broadcast(n)) // single row: constant-size
+      .agg(max(col("n")).as("n_gaps"),
+        max(col("n_repeat_buyers")).as("n_repeat_buyers"),
+        pick(0.25, "p25_ms"), pick(0.5, "p50_ms"), pick(0.75, "p75_ms"),
+        pick(0.9, "p90_ms"), max(col("gap")).as("max_ms"))
+      .filter(col("n_gaps") > 0)
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

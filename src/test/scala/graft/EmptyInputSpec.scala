@@ -61,6 +61,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.funnelLatency(spark, dir).count() == 0)
     assert(EventOps.valueTrend(spark, dir).count() == 0)
     assert(EventOps.funnelStages(spark, dir).count() == 0)
+    assert(EventOps.bounceRate(spark, dir).count() == 0)
+    assert(EventOps.purchaseCadence(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

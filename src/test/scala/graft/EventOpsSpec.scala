@@ -851,6 +851,49 @@ class EventOpsSpec extends SparkSuite {
       1L -> (2L, 4L, 0.8), 0L -> (1L, 5L, 1.0)))
   }
 
+  test("bounceRate: single-event sessions per start day; multi-event sessions don't bounce") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    val G = 1800000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      // u1 day0: bounce session, then (after > gap) a 2-event session
+      (1L, t(0, 0), 1L, "view", 1.0),
+      (2L, t(0, G + 1), 1L, "view", 1.0), (3L, t(0, G + 1000), 1L, "view", 1.0),
+      // u2 day1: bounce
+      (4L, t(1, 0), 2L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-br2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.bounceRate(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
+          r.getAs[Double]("bounce_rate"))).toMap
+    def day(k: Long) = new java.sql.Date(20000L * D + k * D).toString
+    assert(got == Map(day(0) -> (2L, 1L, 0.5), day(1) -> (1L, 1L, 1.0)))
+  }
+
+  test("purchaseCadence: per-user consecutive gaps, single buyers excluded, exact picks") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    val rows = Seq(
+      (1L, t(0), 1L, "purchase", 1.0), (2L, t(100), 1L, "purchase", 1.0),
+      (3L, t(400), 1L, "purchase", 1.0),          // u1 gaps: 100, 300
+      (4L, t(0), 2L, "purchase", 1.0),            // u2: single buy, no gap
+      (5L, t(0), 3L, "purchase", 1.0), (6L, t(50), 3L, "purchase", 1.0),
+      (7L, t(10), 1L, "view", 1.0))               // non-purchase ignored
+    val d = java.nio.file.Files.createTempDirectory("graft-cad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.purchaseCadence(spark, d).collect().head
+    // gaps sorted [50, 100, 300]: ranks ceil(q*3) = 1, 2, 3, 3
+    assert((r.getAs[Long]("n_gaps"), r.getAs[Long]("n_repeat_buyers"),
+      r.getAs[Long]("p25_ms"), r.getAs[Long]("p50_ms"),
+      r.getAs[Long]("p75_ms"), r.getAs[Long]("p90_ms"),
+      r.getAs[Long]("max_ms")) == (3L, 2L, 50L, 100L, 300L, 300L, 300L))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
