@@ -910,6 +910,63 @@ object EventPipeline {
       .start()
   }
 
+  /** A69 streaming twin: live multiwindow SLO burn monitor — hourly
+    * (n_total, n_err) tumbling windows close exactly once at the
+    * watermark (append mode); foreachBatch appends each closed hour to a
+    * compact parquet hour-history, then evaluates the 1h/6h burns for
+    * ONLY the newly closed hours against that history and appends alert
+    * rows. Replay-invariant + exactly-once by construction: the
+    * watermark is monotone, so when hour H closes every predecessor
+    * hour has closed in this or an earlier batch — the history (written
+    * BEFORE the read, covering same-batch earlier hours) always contains
+    * the full 6-hour frame that exists; each hour closes once, so it is
+    * appended and evaluated once. The alert predicate is the batch
+    * [[graft.operators.EventOps.sloBurn]] arithmetic verbatim (exact
+    * longs + the fixed divide sequence), so a bounded replay's alert set
+    * equals the batch report over the closed hours (spec). */
+  def sloBurnStream(events: DataFrame, historyDir: String, alertsDir: String,
+                    checkpoint: String, budget: Double = 0.2,
+                    thFast: Double = 1.2, thSlow: Double = 1.0,
+                    watermark: String = "10 minutes"): StreamingQuery = {
+    val hourly = events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", lit(1))).as("n_err"))
+      .select((unix_millis(col("window.start").cast("timestamp"))
+        / lit(3600000L)).cast("long").as("hr"),
+        col("n_total"), col("n_err"))
+    hourly.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val closed = batch.select("hr", "n_total", "n_err")
+          closed.write.mode("append").parquet(historyDir)
+          val bounds = closed.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi")).head()
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          val hist = spark.read.parquet(historyDir)
+            .filter(col("hr") >= lo - 5 && col("hr") <= hi)
+          val w6 = org.apache.spark.sql.expressions.Window
+            .orderBy("hr").rangeBetween(-5, 0)
+          hist
+            .withColumn("err6", sum(col("n_err")).over(w6))
+            .withColumn("total6", sum(col("n_total")).over(w6))
+            .filter(col("hr") >= lo) // evaluate only the newly closed hours
+            .withColumn("burn_1h", expr(
+              s"CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / CAST($budget AS DOUBLE)"))
+            .withColumn("burn_6h", expr(
+              s"CAST(err6 AS DOUBLE) / CAST(total6 AS DOUBLE) / CAST($budget AS DOUBLE)"))
+            .filter(col("burn_1h") > thFast && col("burn_6h") > thSlow)
+            .select((col("hr") * 3600000L).as("hour_ms"), col("n_err"),
+              col("n_total"), col("err6"), col("total6"),
+              col("burn_1h"), col("burn_6h"))
+            .write.mode("append").parquet(alertsDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Memory-sink query for tests/dashboards (the WebSocket fan-out stand-in). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

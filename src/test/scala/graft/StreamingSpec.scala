@@ -1157,6 +1157,51 @@ class StreamingSpec extends SparkSuite {
     assert(agg == batch, s"stream=$agg batch=$batch")
   } }
 
+  test("sloBurnStream: closed-hour alert set equals the batch multiwindow report") {
+    val H = 3600000L
+    val HB = 480000L
+    var id = 0L
+    def mkHour(hr: Long, total: Int, errors: Int): Seq[Event] =
+      (1 to total).map { i =>
+        id += 1
+        Event(id, new Timestamp((HB + hr) * H + i * 1000L), i.toLong,
+          if (i <= errors) "error" else "view", 1.0)
+      }
+    // the A69 spec scenario: h1/h2 sustained, h8 fast-only blip, h20 gap
+    val events = mkHour(0, 10, 2) ++ mkHour(1, 10, 5) ++ mkHour(2, 10, 3) ++
+      (3L to 7L).flatMap(mkHour(_, 10, 0)) ++ mkHour(8, 10, 3) ++
+      mkHour(20, 10, 5)
+    val sentinel = Event(9999L, new Timestamp((HB + 100) * H), 1L,
+      "watermark_sentinel", 1.0)
+    import SparkSuite.spark.implicits._
+    val d = Files.createTempDirectory("graft-slo-batch").toString
+    (events :+ sentinel).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("hour_ms"), r.getAs[Long]("n_err"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("err6"), r.getAs[Long]("total6"),
+        r.getAs[Double]("burn_1h"), r.getAs[Double]("burn_6h"))
+    val batch = graft.operators.EventOps.sloBurn(spark, d).collect().map(keyOf).toSet
+    assert(batch.map(_._1 / H - HB) == Set(1L, 2L, 20L), batch.toString)
+
+    val src = Files.createTempDirectory("graft-slo-src").toString
+    val hist = Files.createTempDirectory("graft-slo-hist").toString + "/history"
+    val alerts = Files.createTempDirectory("graft-slo-al").toString + "/alerts"
+    val chk = Files.createTempDirectory("graft-slo-chk").toString
+    // split mid-scenario: h0-h2 in b1 (h1 alert fires from partial history),
+    // the rest + sentinel in b2
+    val (b1, b2) = events.partition(_.ts.getTime < (HB + 3) * H)
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.sloBurnStream(
+      EventPipeline.fileSource(spark, src).toDF(), hist, alerts, chk,
+      watermark = "0 seconds")
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2 :+ sentinel)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(alerts).collect().map(keyOf).toSet
+    assert(streamed == batch,
+      s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
+  }
+
   test("burstStream: bounded replay emits exactly the fixed-threshold batch episodes") {
     val H = 3600000L
     // the A45 planted series with ABSOLUTE thresholds hi=10, lo=2:
