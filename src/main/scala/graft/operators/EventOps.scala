@@ -329,16 +329,7 @@ object EventOps {
         .as(out)
     // rank ties break by event_id (the gap's buying event), not user_id:
     // a user contributes many gaps, so user_id alone isn't a total order
-    val keyed = gaps.withColumn("g_id", expr(s"event_id div $idBucket"))
-    val offsets = keyed.groupBy("gap", "g_id")
-      .agg(count(lit(1)).as("sz"))
-      .withColumn("off", coalesce(sum(col("sz")).over(
-        Window.orderBy(col("gap"), col("g_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("gap"), col("g_id"), col("off"))
-    val inGroup = Window.partitionBy("gap", "g_id").orderBy("event_id")
-    keyed.join(offsets, Seq("gap", "g_id"))
-      .withColumn("rank", col("off") + row_number().over(inGroup))
+    rankBy(gaps, "gap", "rank", idBucket, tieCol = "event_id")
       .crossJoin(broadcast(n)) // single row: constant-size
       .agg(max(col("n")).as("n_gaps"),
         max(col("n_repeat_buyers")).as("n_repeat_buyers"),
@@ -1466,23 +1457,25 @@ object EventOps {
     * a group — no corpus- or user-table-wide single-partition window.
     * Ties break by user_id everywhere; the recency anchor (global max
     * last-activity) is a 1-row broadcast scalar. */
-  /** Exact global rank of each user-summary row by (metric asc, user_id
-    * asc) via the two-level global-order pattern (the lenDeciles/vocab/
-    * shardAssign discipline): groups = (metric value, user_id div
-    * idBucket) refine the total order (g_id is monotone in user_id, so
-    * group order IS (value, user_id) order), group offsets come from one
-    * cumsum over the group-size summary, and the table only ever sorts
-    * within a group — no table-wide single-partition window. */
+  /** Exact global rank of each summary row by (metric asc, tie-id asc)
+    * via the two-level global-order pattern (the lenDeciles/vocab/
+    * shardAssign discipline): groups = (metric value, tieCol div
+    * idBucket) refine the total order (g_id is monotone in the tie id,
+    * so group order IS (value, tie-id) order), group offsets come from
+    * one cumsum over the group-size summary, and the table only ever
+    * sorts within a group — no table-wide single-partition window.
+    * tieCol must be unique per row (user_id on user summaries; an
+    * event_id where one user contributes many rows). */
   private def rankBy(df: DataFrame, keyCol: String, out: String,
-                     idBucket: Long): DataFrame = {
-    val keyed = df.withColumn("g_id", expr(s"user_id div $idBucket"))
+                     idBucket: Long, tieCol: String = "user_id"): DataFrame = {
+    val keyed = df.withColumn("g_id", expr(s"$tieCol div $idBucket"))
     val offsets = keyed.groupBy(keyCol, "g_id")
       .agg(count(lit(1)).as("sz"))
       .withColumn("off", coalesce(sum(col("sz")).over(
         Window.orderBy(col(keyCol), col("g_id"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(keyCol), col("g_id"), col("off"))
-    val inGroup = Window.partitionBy(keyCol, "g_id").orderBy("user_id")
+    val inGroup = Window.partitionBy(keyCol, "g_id").orderBy(tieCol)
     keyed.join(offsets, Seq(keyCol, "g_id"))
       .withColumn(out, col("off") + row_number().over(inGroup))
       .drop("g_id", "off")
