@@ -54,7 +54,7 @@ object Bench {
     "ev_ttc", "ev_dow_anomaly", "ev_bounded_retention", "ev_slo_burn",
     "emb_drift", "ev_session_features", "doc_drift", "ev_funnel_latency",
     "ev_value_trend", "ev_funnel_stages", "ev_bounce_rate",
-    "ev_purchase_cadence",
+    "ev_purchase_cadence", "ev_streaks", "doc_dup_rate",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -114,6 +114,10 @@ object SparkEntry {
     "ev_bounce_rate"    -> ((s, d) => EventOps.bounceRate(s, d)),
     // A75 exact repeat-purchase cadence percentiles
     "ev_purchase_cadence" -> ((s, d) => EventOps.purchaseCadence(s, d)),
+    // A76 max consecutive-day streak distribution
+    "ev_streaks"        -> ((s, d) => EventOps.streaks(s, d)),
+    // C79 per-source duplicate-rate dashboard over the C11 fingerprints
+    "doc_dup_rate"      -> ((s, d) => TextOps.dupRate(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1329,6 +1333,31 @@ object SparkEntry {
         |  max(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN gap END) AS p90_ms,
         |  max(gap) AS max_ms
         |FROM r HAVING count(*) > 0""".stripMargin,
+    // A76: day_idx - row_number islands; all-integer histogram.
+    "ev_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_idx
+        |  FROM events),
+        |i AS (SELECT user_id, day_idx,
+        |        day_idx - row_number() OVER (PARTITION BY user_id
+        |          ORDER BY day_idx) AS island
+        |      FROM ud),
+        |l AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(len) AS max_streak FROM l GROUP BY 1)
+        |SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1""".stripMargin,
+    // C79: dup flag = corpus-wide fingerprint count >= 2 (cross-source
+    // copies count for both sides); rate one IEEE division.
+    "doc_dup_rate" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_fp FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE n_fp >= 2) AS n_dup_docs,
+        |  CAST(count(*) FILTER (WHERE n_fp >= 2) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM c GROUP BY 1""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

@@ -338,6 +338,25 @@ object EventOps {
       .filter(col("n_gaps") > 0)
   }
 
+  /** A76: activity-streak distribution — how many users have a maximum
+    * consecutive-day streak of exactly k days (the engagement-habit
+    * metric). Classic gaps-and-islands on the (user, day) distinct grid:
+    * day_idx − row_number over the per-user day order is constant within
+    * a run of consecutive days, so islands fall out of ONE more window
+    * on the same user partitioning; per-user max island length, then a
+    * ≤horizon-length histogram. All exact longs. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("day_idx")
+    Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day_idx"))
+      .distinct()
+      .withColumn("island", col("day_idx") - row_number().over(byUser))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("max_streak"))
+      .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -1752,6 +1752,28 @@ object TextOps {
     * each mean/delta is one fixed IEEE division/subtraction — hash-exact.
     * ONE corpus scan partial-aggregated map-side into ≤sources groups;
     * null-text rows excluded (the curate contract). */
+  /** C79: per-source duplicate-rate dashboard — "which source is
+    * polluted?": the share of each source's docs whose normalized
+    * fingerprint (the C11 md5) appears ≥2 times ANYWHERE in the corpus
+    * (cross-source copies count for both sides — the curation question
+    * is "is this doc redundant", not "who copied whom"). ONE fingerprint
+    * shuffle; the per-doc dup flag is a count window on that
+    * partitioning and the source rollup is a second summary-level
+    * shuffle; the rate is one IEEE division of exact longs. */
+  def dupRate(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("n_fp", count(lit(1)).over(byFp))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_fp") >= 2, lit(1))).as("n_dup_docs"))
+      .withColumn("dup_rate", expr(
+        "CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+  }
+
   def docDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)

@@ -894,6 +894,25 @@ class EventOpsSpec extends SparkSuite {
       r.getAs[Long]("max_ms")) == (3L, 2L, 50L, 100L, 300L, 300L, 300L))
   }
 
+  test("streaks: consecutive-day islands, max per user, exact histogram") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      // u1: days 0,1,2 then 5,6 -> max streak 3 (two events on day 1 dedup)
+      (1L, t(0, 1), 1L, "view", 1.0), (2L, t(1, 1), 1L, "view", 1.0),
+      (3L, t(1, 2), 1L, "view", 1.0), (4L, t(2, 1), 1L, "view", 1.0),
+      (5L, t(5, 1), 1L, "view", 1.0), (6L, t(6, 1), 1L, "view", 1.0),
+      (7L, t(0, 1), 2L, "view", 1.0),                       // u2: streak 1
+      (8L, t(1, 1), 3L, "view", 1.0), (9L, t(2, 1), 3L, "view", 1.0)) // u3: 2
+    val d = java.nio.file.Files.createTempDirectory("graft-stk").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.streaks(spark, d).collect()
+      .map(r => r.getAs[Long]("max_streak") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(3L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L

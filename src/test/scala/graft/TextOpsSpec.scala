@@ -901,4 +901,23 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getAs[Double]("mean_q_new") == 0.3)
     assert(r.getAs[Double]("q_delta") == 0.3 - 0.1)
   }
+
+  test("dupRate: corpus-wide fingerprint census, cross-source copies count both sides") {
+    import SparkSuite.spark.implicits._
+    val docs = Seq(
+      (0L, "hello world", "en", "a", 1L),
+      (1L, "Hello   world ", "en", "a", 1L),   // normalizes to the same fp
+      (2L, "unique a", "en", "a", 1L),
+      (3L, "hello world", "en", "b", 1L),      // cross-source copy
+      (4L, "unique b", "en", "b", 1L),
+      (5L, null.asInstanceOf[String], "en", "b", 1L)) // excluded
+    val d = java.nio.file.Files.createTempDirectory("graft-dupr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.dupRate(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Double]("dup_rate"))).toMap
+    assert(got == Map("a" -> (3L, 2L, 2.0 / 3.0), "b" -> (2L, 1L, 0.5)))
+  }
 }
