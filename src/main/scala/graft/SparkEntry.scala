@@ -118,6 +118,8 @@ object SparkEntry {
     "ev_streaks"        -> ((s, d) => EventOps.streaks(s, d)),
     // C79 per-source duplicate-rate dashboard over the C11 fingerprints
     "doc_dup_rate"      -> ((s, d) => TextOps.dupRate(s, d)),
+    // C80 declared-label vs C10-prediction confusion matrix
+    "doc_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type
@@ -1358,6 +1360,23 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE n_fp >= 2) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS dup_rate
         |FROM c GROUP BY 1""".stripMargin,
+    // C80: the C10 predictor verbatim, crossed with the declared label.
+    "doc_lang_confusion" ->
+      s"""WITH t AS (
+        |  SELECT lang, ${hits(stop)} AS en_hits,
+        |    ${hits("['el','la','de','que','y','en']")} AS es_hits,
+        |    ${hits("['der','die','das','und','ist','ein']")} AS de_hits
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |       WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred
+        |  FROM t),
+        |g AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(CAST(sum(n_docs) OVER
+        |    (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS label_share
+        |FROM g""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

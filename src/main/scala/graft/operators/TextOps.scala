@@ -186,21 +186,41 @@ object TextOps {
   }
 
   /** C10: heuristic language scoring via stopword dictionaries. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangPred(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .drop("text")
+
+  /** Adds the C10 stopword-hit columns and `lang_pred` to any frame with
+    * a `text` column (shared by [[langId]] and [[langConfusion]]). */
+  private def withLangPred(df: DataFrame): DataFrame = {
     val es = Seq("el", "la", "de", "que", "y", "en")
     val deW = Seq("der", "die", "das", "und", "ist", "ein")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .select(col("doc_id"),
-        hitCount(col("text"), EnStopwords).cast("long").as("en_hits"),
-        hitCount(col("text"), es).cast("long").as("es_hits"),
-        hitCount(col("text"), deW).cast("long").as("de_hits"))
+    df.withColumn("en_hits", hitCount(col("text"), EnStopwords).cast("long"))
+      .withColumn("es_hits", hitCount(col("text"), es).cast("long"))
+      .withColumn("de_hits", hitCount(col("text"), deW).cast("long"))
       .withColumn("lang_pred",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
           col("en_hits") > 0, "en")
           .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
           .when(col("de_hits") > 0, "de")
           .otherwise("unknown"))
+  }
+
+  /** C80: language-label validation — the confusion matrix between the
+    * dataset's declared `lang` column and the C10 heuristic's prediction
+    * (label agreement is the standard first audit of an inherited
+    * corpus: a hot off-diagonal cell means mislabeled docs or a drifted
+    * labeling pipeline upstream). Pure derivation over [[langId]] plus
+    * ONE ≤langs² partial agg; the share divides by the label's row count
+    * (one IEEE division per cell). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byLabel = Window.partitionBy("lang")
+    withLangPred(Tables.documents(spark, dir).select(col("lang"), col("text")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(byLabel).cast("double"))
   }
 
   /** C11: content fingerprint (md5 of whitespace-normalized lowercase text). */

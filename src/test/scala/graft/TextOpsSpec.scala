@@ -920,4 +920,22 @@ class TextOpsSpec extends SparkSuite {
           r.getAs[Double]("dup_rate"))).toMap
     assert(got == Map("a" -> (3L, 2L, 2.0 / 3.0), "b" -> (2L, 1L, 0.5)))
   }
+
+  test("langConfusion: off-diagonal cells and label shares from the C10 predictor") {
+    import SparkSuite.spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog", "en", "a", 1L),   // en predicted en
+      (1L, "el perro y la casa", "en", "a", 1L),    // mislabeled: predicts es
+      (2L, "der hund ist ein tier", "de", "a", 1L), // de predicted de
+      (3L, "zzz qqq", "de", "a", 1L))               // no hits -> unknown
+    val d = java.nio.file.Files.createTempDirectory("graft-lconf").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.langConfusion(spark, d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("label_share"))).toMap
+    assert(got == Map(
+      ("en", "en") -> (1L, 0.5), ("en", "es") -> (1L, 0.5),
+      ("de", "de") -> (1L, 0.5), ("de", "unknown") -> (1L, 0.5)))
+  }
 }
