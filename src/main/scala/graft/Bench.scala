@@ -55,7 +55,7 @@ object Bench {
     "emb_drift", "ev_session_features", "doc_drift", "ev_funnel_latency",
     "ev_value_trend", "ev_funnel_stages", "ev_bounce_rate",
     "ev_purchase_cadence", "ev_streaks", "doc_dup_rate",
-    "doc_lang_confusion",
+    "doc_lang_confusion", "ev_audience_overlap", "ev_growth",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

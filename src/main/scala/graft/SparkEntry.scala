@@ -116,6 +116,10 @@ object SparkEntry {
     "ev_purchase_cadence" -> ((s, d) => EventOps.purchaseCadence(s, d)),
     // A76 max consecutive-day streak distribution
     "ev_streaks"        -> ((s, d) => EventOps.streaks(s, d)),
+    // A77 exact audience-overlap Jaccard per type pair
+    "ev_audience_overlap" -> ((s, d) => EventOps.audienceOverlap(s, d)),
+    // A78 daily growth accounting (new/retained/resurrected/churned)
+    "ev_growth"         -> ((s, d) => EventOps.growthAccounting(s, d)),
     // C79 per-source duplicate-rate dashboard over the C11 fingerprints
     "doc_dup_rate"      -> ((s, d) => TextOps.dupRate(s, d)),
     // C80 declared-label vs C10-prediction confusion matrix
@@ -1377,6 +1381,52 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / CAST(CAST(sum(n_docs) OVER
         |    (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS label_share
         |FROM g""".stripMargin,
+    // A77: distinct grid self-join on user, a < b unordered pairs.
+    "ev_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE)
+        |    AS jaccard
+        |FROM p JOIN t ta ON ta.event_type = type_a
+        |       JOIN t tb ON tb.event_type = type_b""".stripMargin,
+    // A78: lag/lead classification on the (user, day) grid; churn lands
+    // on the day after a run ends, censored at the horizon.
+    "ev_growth" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_idx
+        |  FROM events),
+        |g AS (SELECT user_id, day_idx,
+        |        lag(day_idx) OVER w AS prev, lead(day_idx) OVER w AS next
+        |      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)),
+        |mx AS (SELECT max(day_idx) AS max_day FROM ud),
+        |a AS (
+        |  SELECT day_idx,
+        |    count(*) FILTER (WHERE prev IS NULL) AS n_new,
+        |    count(*) FILTER (WHERE prev = day_idx - 1) AS n_retained,
+        |    count(*) FILTER (WHERE prev IS NOT NULL AND prev < day_idx - 1)
+        |      AS n_resurrected
+        |  FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT day_idx + 1 AS day_idx, count(*) AS n_churned
+        |  FROM g, mx
+        |  WHERE (next IS NULL OR next > day_idx + 1) AND day_idx < max_day
+        |  GROUP BY 1)
+        |SELECT coalesce(a.day_idx, c.day_idx) AS day_idx,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned,
+        |  CASE WHEN coalesce(n_churned, 0) > 0
+        |       THEN CAST(coalesce(n_new, 0) + coalesce(n_resurrected, 0)
+        |              AS DOUBLE) / CAST(n_churned AS DOUBLE) END AS quick_ratio
+        |FROM a FULL OUTER JOIN c ON a.day_idx = c.day_idx""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

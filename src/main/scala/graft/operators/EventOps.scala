@@ -357,6 +357,75 @@ object EventOps {
       .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
   }
 
+  /** A77: audience overlap matrix — exact Jaccard between the user sets
+    * of every event-type pair ("do buyers click?" / segment overlap).
+    * The (user, type) distinct grid self-joins on user_id (same key both
+    * sides, each user contributes ≤\|types\|² pairs) and the pair rollup
+    * is ≤\|types\|² rows; per-type totals broadcast back. a < b keeps
+    * each unordered pair once; all counts exact longs, Jaccard one IEEE
+    * division. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.as("x").join(ut.as("y"), "user_id")
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals).withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a"), "type_a")
+      .join(broadcast(totals).withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b"), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)")
+          .as("jaccard"))
+  }
+
+  /** A78: growth accounting (the public "quick ratio" framework): every
+    * active day classifies each user as NEW (first-ever day), RETAINED
+    * (also active the previous day) or RESURRECTED (returning after a
+    * gap), and a CHURN is attributed to the day AFTER a user's activity
+    * run ends (lead-gap or trailing end, right-censored past the corpus
+    * horizon). Per day: the three active counts, churned, and quick
+    * ratio = (new + resurrected) / churned (null when nothing churned).
+    * ONE (user, day) distinct shuffle; lag/lead ride the same user
+    * partitioning; the churn attribution and the day join are
+    * summary-level; counts exact longs, the ratio one IEEE division. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("day_idx")
+    val grid = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day_idx"))
+      .distinct()
+      .withColumn("prev", lag(col("day_idx"), 1).over(byUser))
+      .withColumn("next", lead(col("day_idx"), 1).over(byUser))
+      .localCheckpoint()
+    val maxDay = grid.agg(max(col("day_idx")).as("max_day"))
+    val active = grid.groupBy("day_idx")
+      .agg(count(when(col("prev").isNull, lit(1))).as("n_new"),
+        count(when(col("prev") === col("day_idx") - 1, lit(1))).as("n_retained"),
+        count(when(col("prev").isNotNull &&
+          col("prev") < col("day_idx") - 1, lit(1))).as("n_resurrected"))
+    // a run ending on day d churns on d+1 (unless censored at the horizon)
+    val churn = grid.crossJoin(broadcast(maxDay)) // single row: constant-size
+      .filter((col("next").isNull || col("next") > col("day_idx") + 1) &&
+        col("day_idx") < col("max_day"))
+      .groupBy((col("day_idx") + 1).as("day_idx"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("day_idx"), "full_outer")
+      .select(col("day_idx"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0, expr(
+          "CAST(n_new + n_resurrected AS DOUBLE) / CAST(n_churned AS DOUBLE)")))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

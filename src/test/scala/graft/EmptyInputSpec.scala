@@ -64,6 +64,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.bounceRate(spark, dir).count() == 0)
     assert(EventOps.purchaseCadence(spark, dir).count() == 0)
     assert(EventOps.streaks(spark, dir).count() == 0)
+    assert(EventOps.audienceOverlap(spark, dir).count() == 0)
+    assert(EventOps.growthAccounting(spark, dir).count() == 0)
     assert(TextOps.dupRate(spark, dir).count() == 0)
     assert(TextOps.langConfusion(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)

@@ -913,6 +913,54 @@ class EventOpsSpec extends SparkSuite {
     assert(got == Map(3L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("audienceOverlap: exact Jaccard per unordered type pair") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(B + ms)
+    // u1 {a,b}, u2 {a}, u3 {a,b,c} (duplicate (u1, a) event dedups)
+    val rows = Seq(
+      (1L, t(0), 1L, "a", 1.0), (2L, t(1), 1L, "b", 1.0), (3L, t(2), 1L, "a", 1.0),
+      (4L, t(0), 2L, "a", 1.0),
+      (5L, t(0), 3L, "a", 1.0), (6L, t(1), 3L, "b", 1.0), (7L, t(2), 3L, "c", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.audienceOverlap(spark, d).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(got == Map(
+      ("a", "b") -> (3L, 2L, 2L, 2.0 / 3.0),
+      ("a", "c") -> (3L, 1L, 1L, 1.0 / 3.0),
+      ("b", "c") -> (2L, 1L, 1L, 0.5)))
+  }
+
+  test("growthAccounting: new/retained/resurrected split, churn day-after, horizon censoring") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    def t(day: Long, k: Long) = new java.sql.Timestamp(20000L * D + day * D + k)
+    val rows = Seq(
+      // u1: days 0,1,3; u2: days 0,4 (day 4 = horizon)
+      (1L, t(0, 1), 1L, "view", 1.0), (2L, t(1, 1), 1L, "view", 1.0),
+      (3L, t(3, 1), 1L, "view", 1.0),
+      (4L, t(0, 2), 2L, "view", 1.0), (5L, t(4, 1), 2L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-grw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.growthAccounting(spark, d).collect()
+      .map(r => (r.getAs[Long]("day_idx") - 20000L) ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"),
+          Option(r.getAs[java.lang.Double]("quick_ratio")))).toMap
+    assert(got == Map(
+      0L -> (2L, 0L, 0L, 0L, None),          // both new; nothing churned yet
+      1L -> (0L, 1L, 0L, 1L, Some(0.0)),     // u1 retained; u2's run churned
+      2L -> (0L, 0L, 0L, 1L, Some(0.0)),     // u1's 0-1 run churned
+      3L -> (0L, 0L, 1L, 0L, None),          // u1 resurrected
+      4L -> (0L, 0L, 1L, 1L, Some(1.0))))    // u2 resurrected at the horizon;
+                                             // u1's day-3 run churned
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
