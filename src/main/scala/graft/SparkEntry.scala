@@ -124,6 +124,9 @@ object SparkEntry {
     "doc_dup_rate"      -> ((s, d) => TextOps.dupRate(s, d)),
     // C80 declared-label vs C10-prediction confusion matrix
     "doc_lang_confusion" -> ((s, d) => TextOps.langConfusion(s, d)),
+    // C81 deflate compression-ratio quality signal (no SQL oracle exists
+    // for deflate -> rows-only by design; spec pins the semantics)
+    "doc_compress_ratio" -> ((s, d) => TextOps.compressRatio(s, d)),
     // A51 calendar-aligned week-over-week change per (type, day)
     "ev_wow_change"     -> ((s, d) => EventOps.wowChange(s, d)),
     // A53 exact inter-arrival gap percentiles per type

@@ -504,7 +504,44 @@ case class RepStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** deflate_len(text): DEFLATE-compressed byte length of the UTF-8 text
+  * (raw stream, fixed level 6) — the compression-ratio quality signal:
+  * highly repetitive/boilerplate text compresses far below prose, random
+  * noise barely compresses at all (the RefinedWeb/Gopher-family "too
+  * compressible / too incompressible" cut). Deterministic for a given
+  * JDK zlib (re-run stable — spec-pinned); no SQL oracle exists, so the
+  * derived operator is rows-only by design. One streaming pass over the
+  * bytes with a fixed 8 KiB output buffer — O(len) time, O(1) extra
+  * memory, and the expression stays inside whole-stage codegen via the
+  * shared kernel call. */
+case class DeflateLenExpr(child: Expression)
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override def compute(input: UTF8String): AnyRef = {
+    val bytes = input.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    java.lang.Long.valueOf(total)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): DeflateLenExpr =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def deflateLen(text: Column): Column =
+    GraftShims.toColumn(DeflateLenExpr(GraftShims.toExpression(text)))
   def repStats(text: Column): Column =
     GraftShims.toColumn(RepStatsExpr(GraftShims.toExpression(text)))
   def dsirBuckets(text: Column, nBuckets: Int): Column =

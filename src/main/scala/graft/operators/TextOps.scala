@@ -223,6 +223,27 @@ object TextOps {
           sum(col("n_docs")).over(byLabel).cast("double"))
   }
 
+  /** C81: compression-ratio quality signal — DEFLATE length / raw UTF-8
+    * length per doc, with the two-sided keep verdict (the RefinedWeb/
+    * Gopher-family heuristic: boilerplate and template spam compress far
+    * below prose — ratio < lo; binary junk and OCR noise barely compress
+    * — ratio > hi). Map-only over one corpus scan; the kernel is a
+    * codegen-resident custom Expression (no UDF), O(len)/O(1) per doc.
+    * No SQL engine exposes deflate, so the gate entry is rows-only BY
+    * DESIGN; the spec pins the orderings (repeat ≪ prose < noise), the
+    * boundary semantics and re-run determinism. */
+  def compressRatio(spark: SparkSession, dir: String, lo: Double = 0.1,
+                    hi: Double = 1.0): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.TextHashExpressions.deflateLen(col("text"))
+          .as("n_deflate"))
+      .withColumn("ratio", expr(
+        "CAST(n_deflate AS DOUBLE) / CAST(n_bytes AS DOUBLE)"))
+      .withColumn("keep", col("ratio") >= lo && col("ratio") <= hi)
+
   /** C11: content fingerprint (md5 of whitespace-normalized lowercase text). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

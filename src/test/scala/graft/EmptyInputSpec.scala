@@ -68,6 +68,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.growthAccounting(spark, dir).count() == 0)
     assert(TextOps.dupRate(spark, dir).count() == 0)
     assert(TextOps.langConfusion(spark, dir).count() == 0)
+    assert(TextOps.compressRatio(spark, dir).count() == 0)
     assert(EventOps.wowChange(spark, dir).count() == 0)
     assert(EventOps.gapStats(spark, dir).count() == 0)
     assert(EventOps.silenceAlerts(spark, dir).count() == 0)

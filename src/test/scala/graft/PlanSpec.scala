@@ -101,6 +101,11 @@ class PlanSpec extends SparkSuite {
     val p2 = sh.queryExecution.executedPlan.toString
     val shLine = p2.linesIterator.find(_.contains("simhash64")).getOrElse("")
     assert(shLine.trim.startsWith("*("), s"simhash64 projection not codegen'd:\n$p2")
+    val cr = TextOps.compressRatio(spark, sf)
+    val p3 = cr.queryExecution.executedPlan.toString
+    val dfLine = p3.linesIterator.find(_.contains("deflate_len")).getOrElse("")
+      .dropWhile(c => c == '+' || c == '-' || c == ':' || c == ' ')
+    assert(dfLine.startsWith("*("), s"deflate_len projection not codegen'd:\n$p3")
   }
 
   test("q21: stacked semi + anti joins, no cartesian product") {

@@ -921,6 +921,34 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map("a" -> (3L, 2L, 2.0 / 3.0), "b" -> (2L, 1L, 0.5)))
   }
 
+  test("compressRatio: repetition compresses below prose below noise; deterministic re-run") {
+    import SparkSuite.spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (0L, "spam " * 400, "en", "a", 1L),                      // pure repetition
+      (1L, (1 to 300).map(i => s"w${i * 7919 % 1000}x$i").mkString(" "),
+        "en", "a", 1L), // varied tokens: compresses, but nowhere near rep
+      (2L, Array.fill(2000)(rng.nextPrintableChar()).mkString, "en", "a", 1L),
+      (3L, "", "en", "a", 1L))                                 // empty excluded
+    val d = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.compressRatio(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("n_deflate"),
+          r.getAs[Double]("ratio"), r.getAs[Boolean]("keep"))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L)) // empty doc excluded
+    val (rep, prose, noise) = (got(0L)._3, got(1L)._3, got(2L)._3)
+    assert(rep < prose && prose < noise, s"$rep $prose $noise")
+    assert(rep < 0.1 && !got(0L)._4)      // repetition fails the lo cut
+    assert(got(1L)._4)                    // prose keeps
+    assert(got(2L)._3 > 0.5)              // noise barely compresses
+    // deterministic re-run: identical lengths
+    val again = TextOps.compressRatio(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_deflate")).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("langConfusion: off-diagonal cells and label shares from the C10 predictor") {
     import SparkSuite.spark.implicits._
     val docs = Seq(
