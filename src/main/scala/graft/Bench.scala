@@ -56,7 +56,7 @@ object Bench {
     "ev_value_trend", "ev_funnel_stages", "ev_bounce_rate",
     "ev_purchase_cadence", "ev_streaks", "doc_dup_rate",
     "doc_lang_confusion", "ev_audience_overlap", "ev_growth",
-    "doc_compress_ratio",
+    "doc_compress_ratio", "ev_retention_triangle",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

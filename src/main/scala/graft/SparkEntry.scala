@@ -120,6 +120,8 @@ object SparkEntry {
     "ev_audience_overlap" -> ((s, d) => EventOps.audienceOverlap(s, d)),
     // A78 daily growth accounting (new/retained/resurrected/churned)
     "ev_growth"         -> ((s, d) => EventOps.growthAccounting(s, d)),
+    // A79 weekly retention triangle (full cohort-curve grid)
+    "ev_retention_triangle" -> ((s, d) => EventOps.retentionTriangle(s, d)),
     // C79 per-source duplicate-rate dashboard over the C11 fingerprints
     "doc_dup_rate"      -> ((s, d) => TextOps.dupRate(s, d)),
     // C80 declared-label vs C10-prediction confusion matrix
@@ -1430,6 +1432,24 @@ object SparkEntry {
         |       THEN CAST(coalesce(n_new, 0) + coalesce(n_resurrected, 0)
         |              AS DOUBLE) / CAST(n_churned AS DOUBLE) END AS quick_ratio
         |FROM a FULL OUTER JOIN c ON a.day_idx = c.day_idx""".stripMargin,
+    // A79: epoch-week grid; offset-0 cell is the cohort size.
+    "ev_retention_triangle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, week,
+        |        min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |      FROM uw),
+        |g AS (SELECT cohort_week, week - cohort_week AS week_offset,
+        |             count(*) AS n_users
+        |      FROM c GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  first_value(n_users) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset) AS cohort_size,
+        |  CAST(n_users AS DOUBLE) / CAST(first_value(n_users) OVER
+        |    (PARTITION BY cohort_week ORDER BY week_offset) AS DOUBLE)
+        |    AS retention
+        |FROM g""".stripMargin,
     // A64: all-integer daily split on the (user, day) distinct grid.
     "ev_new_returning" ->
       """WITH ud AS (

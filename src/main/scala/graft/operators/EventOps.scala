@@ -426,6 +426,30 @@ object EventOps {
           "CAST(n_new + n_resurrected AS DOUBLE) / CAST(n_churned AS DOUBLE)")))
   }
 
+  /** A79: the weekly retention triangle — the full cohort-curve grid
+    * A20b's bounded daily window can't show: users grouped by
+    * first-activity WEEK (epoch-week = day_idx div 7 — engine-portable,
+    * no calendar-week convention), each (cohort_week, week-offset) cell
+    * counting the cohort members active that week, with the share of the
+    * cohort (offset-0 actives = cohort size by construction). One
+    * (user, week) distinct shuffle; the cohort comes from a per-user min
+    * window on the same partitioning; the triangle rollup and the
+    * first_value share divide run on the ≤weeks² summary. */
+  def retentionTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val byCohort = Window.partitionBy("cohort_week").orderBy("week_offset")
+    Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 604800000").as("week"))
+      .distinct()
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size", first(col("n_users")).over(byCohort))
+      .withColumn("retention", expr(
+        "CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)"))
+  }
+
   /** A9: top-10 users by event count (deterministic ties by user_id). */
   def topkUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.events(spark, dir)

@@ -66,6 +66,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.streaks(spark, dir).count() == 0)
     assert(EventOps.audienceOverlap(spark, dir).count() == 0)
     assert(EventOps.growthAccounting(spark, dir).count() == 0)
+    assert(EventOps.retentionTriangle(spark, dir).count() == 0)
     assert(TextOps.dupRate(spark, dir).count() == 0)
     assert(TextOps.langConfusion(spark, dir).count() == 0)
     assert(TextOps.compressRatio(spark, dir).count() == 0)

@@ -961,6 +961,30 @@ class EventOpsSpec extends SparkSuite {
                                              // u1's day-3 run churned
   }
 
+  test("retentionTriangle: epoch-week cohorts, offset-0 size, exact shares") {
+    import SparkSuite.spark.implicits._
+    val W = 604800000L
+    def t(week: Long, k: Long) = new java.sql.Timestamp(3000L * W + week * W + k)
+    val rows = Seq(
+      // cohort w0: u1 active w0, w1, w3; u2 active w0 only
+      (1L, t(0, 1), 1L, "view", 1.0), (2L, t(1, 1), 1L, "view", 1.0),
+      (3L, t(3, 1), 1L, "view", 1.0), (4L, t(0, 2), 2L, "view", 1.0),
+      // cohort w2: u3 active w2, w3
+      (5L, t(2, 1), 3L, "view", 1.0), (6L, t(3, 2), 3L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.retentionTriangle(spark, d).collect()
+      .map(r => (r.getAs[Long]("cohort_week") - 3000L,
+        r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2L, 1.0), (0L, 1L) -> (1L, 2L, 0.5),
+      (0L, 3L) -> (1L, 2L, 0.5),
+      (2L, 0L) -> (1L, 1L, 1.0), (2L, 1L) -> (1L, 1L, 1.0)))
+  }
+
   test("attribution: last-touch pick, direct bucket, linear equal split, T boundary") {
     import SparkSuite.spark.implicits._
     val T = 86400000L
