@@ -4,7 +4,9 @@ import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProductExpr, MinHashSigExpr, NoInlineExpr, RhpSignExpr,
+import graft.functions.{BitmapAggExpr, BitmapAndAggExpr, BitmapAndExpr,
+  BitmapContainsExpr, BitmapCountExpr, BitmapOrAggExpr, BitmapOrExpr,
+  DotProductExpr, MinHashSigExpr, NoInlineExpr, RhpSignExpr,
   ShingleHashesExpr, SigAgreeExpr, SimHashExpr, TopCosBucketsExpr, WinnowExpr}
 
 /** graft's native SQL functions, registrable two ways:
@@ -43,7 +45,30 @@ object GraftFunctions {
     (new FunctionIdentifier("top_cos_buckets"),
       new ExpressionInfo(classOf[TopCosBucketsExpr].getName, "top_cos_buckets"),
       (c: Seq[Expression]) => TopCosBucketsExpr(c.head, c(1), c(2),
-        intArg(c, 3, 1))))
+        intArg(c, 3, 1))),
+    // exact-bitmap sketch family (aggregates register like native SQL aggs:
+    // the builder returns the AggregateFunction, the analyzer wraps it)
+    (new FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAggExpr].getName, "bitmap_agg"),
+      (c: Seq[Expression]) => BitmapAggExpr(c.head)),
+    (new FunctionIdentifier("bitmap_or_agg"),
+      new ExpressionInfo(classOf[BitmapOrAggExpr].getName, "bitmap_or_agg"),
+      (c: Seq[Expression]) => BitmapOrAggExpr(c.head)),
+    (new FunctionIdentifier("bitmap_and_agg"),
+      new ExpressionInfo(classOf[BitmapAndAggExpr].getName, "bitmap_and_agg"),
+      (c: Seq[Expression]) => BitmapAndAggExpr(c.head)),
+    (new FunctionIdentifier("bitmap_count"),
+      new ExpressionInfo(classOf[BitmapCountExpr].getName, "bitmap_count"),
+      (c: Seq[Expression]) => BitmapCountExpr(c.head)),
+    (new FunctionIdentifier("bitmap_contains"),
+      new ExpressionInfo(classOf[BitmapContainsExpr].getName, "bitmap_contains"),
+      (c: Seq[Expression]) => BitmapContainsExpr(c.head, c(1))),
+    (new FunctionIdentifier("bitmap_and"),
+      new ExpressionInfo(classOf[BitmapAndExpr].getName, "bitmap_and"),
+      (c: Seq[Expression]) => BitmapAndExpr(c.head, c(1))),
+    (new FunctionIdentifier("bitmap_or"),
+      new ExpressionInfo(classOf[BitmapOrExpr].getName, "bitmap_or"),
+      (c: Seq[Expression]) => BitmapOrExpr(c.head, c(1))))
 
   private def intArg(c: Seq[Expression], i: Int, dflt: Int): Int =
     if (c.length > i) c(i) match {

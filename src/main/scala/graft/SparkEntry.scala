@@ -155,6 +155,11 @@ object SparkEntry {
     "ev_approx_stats"   -> ((s, d) => Sketches.approxStats(s, d)),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
     "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
+    "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),
+    "ev_bitmap_rollup"  -> ((s, d) => BitmapOps.bitmapRollup(s, d)),
+    "ev_bitmap_sliding" -> ((s, d) => BitmapOps.bitmapSliding(s, d)),
+    "ev_bitmap_overlap" -> ((s, d) => BitmapOps.bitmapOverlap(s, d)),
+    "ev_bitmap_store"   -> ((s, d) => BitmapOps.bitmapStore(s, d)),
     "ev_bloom_join"     -> ((s, d) => Sketches.bloomPrunedJoin(s, d)),
     "ev_retention"      -> ((s, d) => EventOps.retention(s, d)),
     "ev_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
@@ -1651,6 +1656,58 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |        count(*) OVER (PARTITION BY event_type) AS n
         |      FROM events) t
+        |GROUP BY 1""".stripMargin,
+    // exact-bitmap family: the sketches are exact, so every entry is
+    // oracle-gated against plain DISTINCT aggregation
+    "ev_bitmap_daily" ->
+      """SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_bitmap_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       count(DISTINCT epoch_ms(ts) // 86400000) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
+    "ev_bitmap_sliding" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT event_type, day_idx FROM d)
+        |SELECT w.event_type, w.day_idx AS win_day,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       count(DISTINCT e.day_idx) AS n_days
+        |FROM days w JOIN d e ON e.event_type = w.event_type
+        |  AND e.day_idx BETWEEN w.day_idx - 6 AND w.day_idx
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_bitmap_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.n AS n_a, b.n AS n_b
+        |  FROM n a JOIN n b ON a.event_type < b.event_type),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+        |       COALESCE(i.n_both, 0) AS n_both,
+        |       CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+        |         / (p.n_a + p.n_b - COALESCE(i.n_both, 0)) AS jaccard
+        |FROM pairs p LEFT JOIN inter i
+        |  ON i.type_a = p.type_a AND i.type_b = p.type_b""".stripMargin,
+    "ev_bitmap_store" ->
+      """WITH b AS (SELECT min(epoch_ms(ts) // 86400000) AS d0,
+        |                  max(epoch_ms(ts) // 86400000) AS d1 FROM events)
+        |SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       count(DISTINCT epoch_ms(ts) // 86400000) AS n_days
+        |FROM events, b
+        |WHERE epoch_ms(ts) // 86400000 >= (b.d0 + b.d1) // 2
+        |  AND epoch_ms(ts) // 86400000 <= b.d1
         |GROUP BY 1""".stripMargin,
     "ev_bloom_join" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
