@@ -57,6 +57,8 @@ object Bench {
     "ev_purchase_cadence", "ev_streaks", "doc_dup_rate",
     "doc_lang_confusion", "ev_audience_overlap", "ev_growth",
     "doc_compress_ratio", "ev_retention_triangle",
+    "ev_bitmap_daily", "ev_bitmap_rollup", "ev_bitmap_sliding",
+    "ev_bitmap_overlap", "ev_bitmap_store",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
