@@ -209,6 +209,7 @@ object SparkEntry {
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_ngram_auto"    -> ((s, d) => Dedup.ngramJaccardAuto(s, d)),
+    "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
     "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
@@ -219,6 +220,9 @@ object SparkEntry {
     // threshold 0.4 (the fixed-param entry's), not the 0.85 production
     // default: at sf0.01 the 0.85 dump is 0 rows — a vacuous gate row
     "emb_lsh_auto"      -> ((s, d) => Similarity.lshNeardupPairsAuto(s, d, threshold = 0.4)),
+    "emb_hamming_topk"  -> ((s, d) => Similarity.hammingTopK(s, d)),
+    "emb_hamming_exhaustive" -> ((s, d) => Similarity.hammingTopKExhaustive(s, d)),
+    "emb_mmr"           -> ((s, d) => Similarity.mmrTopK(s, d)),
     "emb_pq_topk"       -> ((s, d) => Similarity.pqTopK(s, d)),
     "emb_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(s, d)),
     // encode-once/query-many: the index is built on first touch (per SF +
@@ -343,6 +347,8 @@ object SparkEntry {
     "doc_rep_fractions" -> ((s, d) => TextOps.repFractions(s, d)),
     "doc_fineweb_rules" -> ((s, d) => TextOps.fineWebRules(s, d)),
     "doc_bigram_ll"     -> ((s, d) => TextOps.bigramLl(s, d)),
+    "doc_kn_ll"         -> ((s, d) => TextOps.knLl(s, d)),
+    "doc_fertility"     -> ((s, d) => TextOps.fertility(s, d)),
     "doc_span_corrupt"  -> ((s, d) => TextOps.spanCorrupt(s, d)),
     "doc_lang_id"       -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextOps.fingerprintDocs(s, d)),
@@ -2095,6 +2101,7 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "emb_cosine_topk" -> bruteTopkSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
+    "emb_hamming_exhaustive" -> bruteTopkSql,
     "emb_ivf_ingest" -> bruteTopkSql,
     "emb_ivf_delete" -> bruteTopkDeleteSql,
     "emb_ivf_q_exhaustive" -> bruteTopkSql,
@@ -2236,6 +2243,40 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS nll2
         |FROM s GROUP BY 1""".stripMargin,
+    // interpolated Kneser-Ney (d = 0.75): every model table derives from
+    // the pair census; identical double association order as the Spark plan
+    "doc_kn_ll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM t WHERE len(ws) >= 2),
+        |pp AS (SELECT doc_id, struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM p),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM pp GROUP BY 1, 2),
+        |ba AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a,
+        |         count(*) AS t_a FROM bc GROUP BY 1),
+        |bb AS (SELECT b, count(*) AS r_b FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t_all FROM bc),
+        |s AS (SELECT pp.doc_id,
+        |        CAST(-ln((CAST(n_ab AS DOUBLE) - 0.75) / CAST(n_a AS DOUBLE)
+        |          + (0.75 * CAST(t_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |            * (CAST(r_b AS DOUBLE) / t_all)) AS DECIMAL(18,9)) AS tok_nll
+        |      FROM pp JOIN bc USING (a, b) JOIN ba USING (a) JOIN bb USING (b), tt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS kn_nll
+        |FROM s GROUP BY 1""".stripMargin,
+    // integer sums cross the shuffle; one double division per output row
+    "doc_fertility" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |    / CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS DOUBLE), 6) AS fertility,
+        |  round(CAST(sum(length(text)) AS DOUBLE)
+        |    / CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE), 6) AS chars_per_token
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // derandomized span starts: md5(doc:pos) 3-hex-prefix threshold (plain
     // string compare, the doc_split scheme); islands merge adjacent spans
     "doc_span_corrupt" ->
@@ -2358,6 +2399,30 @@ object SparkEntry {
         |FROM ipairs JOIN sizes sa ON ipairs.id_a = sa.doc_id
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3""".stripMargin,
+    // Broder containment: same inverted-index shape, asymmetric normalizer
+    "doc_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |ipairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / sa.n AS cont_a,
+        |  CAST(shared AS DOUBLE) / sb.n AS cont_b
+        |FROM ipairs JOIN sizes sa ON ipairs.id_a = sa.doc_id
+        |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
+        |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+        |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
     "doc_sample" ->
       """SELECT source, doc_id, lang, n_chars, sample_rank FROM (
         |  SELECT source, doc_id, lang, n_chars,

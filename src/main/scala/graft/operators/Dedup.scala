@@ -661,6 +661,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** C84: n-gram CONTAINMENT pairs — Broder's (1997) asymmetric companion
+    * to resemblance/Jaccard: containment(A in B) = |A∩B| / |A|. Jaccard is
+    * blind to the quote-inclusion case a curation pipeline most wants —
+    * a short doc wholly embedded in a much longer one scores
+    * |A|/(|A|+|B|−|A|) ≈ |A|/|B| ≈ 0 by Jaccard but 1.0 by containment.
+    * Emits each unordered candidate pair once with BOTH directions
+    * (cont_a = shared/|A|, cont_b = shared/|B|), filtered on the larger —
+    * so the exchange is byte-identical to [[ngramJaccard]]'s (same
+    * inverted index, same (id_a, id_b) partial-agg) and the same df/pair
+    * budget analysis applies; corpora past the boilerplate knee route
+    * through the LSH candidates exactly as [[ngramJaccardAuto]] does. */
+  def ngramContainment(spark: SparkSession, dir: String, k: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inv = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+    val sizes = docs.select(col("doc_id"),
+      size(graft.functions.TextHashExpressions.shingleHashes(col("text"), k)).as("n"))
+      .filter(col("n") > 0)
+    val inter = inv.select(col("doc_id").as("id_a"), col("g"))
+      .join(inv.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** The gram document-frequency CEILING of a corpus — the one number that
     * decides between [[ngramJaccard]]'s exact inverted-index join (candidate
     * pairs per gram grow O(df²)) and the [[ngramJaccardLsh]] escape. One

@@ -1856,4 +1856,122 @@ object Similarity {
         col("mean_base"), col("mean_new"),
         expr("mean_new - mean_base").as("delta"))
   }
+
+  /** C85: binary sign-code search — Charikar (2002) random-hyperplane
+    * codes as a SERVING structure, not just an LSH blocking key: every
+    * vector compresses to `bits` sign bits (the deterministic global plane
+    * sequence [[graft.functions.RhpSignExpr]] that the LSH family already
+    * uses), candidate ranking is XOR + popcount over the packed words —
+    * 16 bytes/vector at the 128-bit default instead of dim·8, the
+    * classic 32× scan-footprint cut — and only the top-`rerank` Hamming
+    * shortlist is re-scored with exact cosine.
+    *
+    * Scale shape: pass 1 reads the corpus ONCE, emitting (vec_id, words,
+    * hamming) against the broadcast query codes — no vector ships; the
+    * Hamming top-R per query is the same WindowGroupLimit bound as every
+    * top-k here; pass 2 re-reads ONLY the shortlist vectors (a broadcast
+    * semi-join of R·nQueries ids against the corpus — the "fetch" step a
+    * deployed binary index does against the primary store). Exactness
+    * recovers by construction as R → corpus size ([[hammingTopKExhaustive]]
+    * is oracle-gated against brute force; the recall spec measures the
+    * default R). */
+  def hammingTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  k: Int = 5, bits: Int = 128, rerank: Int = 50): DataFrame = {
+    require(bits % 64 == 0, "bits must pack whole 64-bit words")
+    val nWords = bits / 64
+    val wordCols = (0 until nWords).map(i =>
+      graft.functions.VectorExpressions.rhpSign(col("v"), 64, i * 64).as(s"w$i"))
+    val coded = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id") +: wordCols: _*)
+    val qCodes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id") +:
+        (0 until nWords).map(i => col(s"w$i").as(s"qw$i")): _*)
+    val ham = (0 until nWords)
+      .map(i => bit_count(col(s"w$i").bitwiseXOR(col(s"qw$i"))))
+      .reduce(_ + _)
+    val shortlist = coded.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(qCodes))
+      .select(col("q_id"), col("vec_id"), ham.cast("int").as("hamming"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("hrank") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    // pass 2: fetch + exact rerank of the R-sized shortlist only
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"), col("hamming"))
+  }
+
+  /** [[hammingTopK]] with the rerank shortlist widened to the whole corpus:
+    * every candidate is exactly re-scored, so the result is brute-force
+    * top-k by construction — the oracle-gated twin proving the binary-code
+    * path's only loss is the declared Hamming shortlist cut. */
+  def hammingTopKExhaustive(spark: SparkSession, dir: String, nQueries: Int = 10,
+                            k: Int = 5): DataFrame =
+    hammingTopK(spark, dir, nQueries, k, rerank = Int.MaxValue)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+
+  /** C86: Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998, public) — diversity-aware top-k: greedily pick the candidate
+    * maximizing λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s), so near-duplicate
+    * results stop crowding the answer list (the retrieval-side mirror of
+    * SemDeDup's training-side pruning).
+    *
+    * Scale shape: stage 1 is the standard scored pass + WindowGroupLimit
+    * shortlist (top-`shortlist` per query — MMR over the full corpus is
+    * quadratic and pointless: anything outside the relevance shortlist can
+    * never be picked). The greedy loop then runs k SUMMARY-SIZED rounds
+    * over the (nQueries·shortlist)-row table: each round one window argmax
+    * picks the next item per query (all queries advance in the same
+    * round — the loop count is k, not k·nQueries) and one broadcast join
+    * against the nQueries picked rows updates each survivor's redundancy
+    * incrementally (greatest(red, cos(c, picked)) — the standard O(k·N)
+    * incremental MMR, never re-scanning S). localCheckpoint per round
+    * keeps the loop's lineage flat (the star-CC discipline); the corpus
+    * is read once, in stage 1. */
+  def mmrTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              lambda: Double = 0.7, shortlist: Int = 50): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    var remaining = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("srank", row_number().over(w)).filter(col("srank") <= shortlist)
+      .drop("srank").withColumn("red", lit(0.0))
+      .localCheckpoint(true)
+    val mmrW = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr_score").desc, col("vec_id"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (step <- 1 to k) {
+      val scored = remaining.withColumn("mmr_score",
+        lit(lambda) * col("cos_sim") - lit(1 - lambda) * col("red"))
+      val pick = scored.withColumn("rn", row_number().over(mmrW))
+        .filter(col("rn") === 1).drop("rn", "red")
+        .withColumn("sel_rank", lit(step.toLong))
+        .localCheckpoint(true) // nQueries rows
+      picks += pick.select(col("q_id"), col("sel_rank"), col("vec_id"),
+        col("cos_sim"), col("mmr_score"))
+      val pickedVecs = pick.select(col("q_id"), col("vec_id").as("p_id"),
+        col("v").as("pv"), col("nrm").as("pn"))
+      remaining = remaining
+        .join(broadcast(pickedVecs), Seq("q_id"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .withColumn("red", greatest(col("red"),
+          dot(col("v"), col("pv")) / (col("nrm") * col("pn"))))
+        .drop("p_id", "pv", "pn")
+        .localCheckpoint(true)
+    }
+    picks.reduce(_ unionByName _)
+  }
 }

@@ -1848,4 +1848,89 @@ object TextOps {
         col("mean_q_base"), col("mean_q_new"),
         expr("mean_q_new - mean_q_base").as("q_delta"))
   }
+
+  /** C82: interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.24, public — the smoothing KenLM ships and
+    * CCNet's perplexity filter runs). Where [[bigramLl]]'s add-one
+    * smoothing over-taxes frequent contexts, KN discounts every observed
+    * bigram by a fixed d and backs off to CONTINUATION probability — how
+    * many distinct contexts a word follows, not how often it occurs — the
+    * published fix for the "San Francisco" problem (frequent-but-bound
+    * words stop inflating their unigram backoff):
+    *
+    *   P(b|a) = (c(a,b) − d)/c(a,·) + d·N₁₊(a·)/c(a,·) · N₁₊(·b)/N₁₊(··)
+    *
+    * with d = 0.75 (the literature default; exactly representable in
+    * binary, so both engines compute bit-identical doubles in identical
+    * association order). Scoring the training corpus itself means every
+    * scored pair is in the census (c(a,b) ≥ 1 > d) — P > 0 with no
+    * unseen-event branch.
+    *
+    * Scale: ONE corpus-scale pair shuffle builds the census; every other
+    * model table derives from the census (summary-sized): c(a,·) and
+    * N₁₊(a·) in one groupBy("a") (census rows are distinct pairs, so
+    * count(*) IS the continuation-type count), N₁₊(·b) by "b", N₁₊(··) a
+    * single broadcast row. The score join re-uses the pair partitioning —
+    * no broadcast hint, the bigram vocabulary grows with the corpus.
+    * Per-position −ln P summed as DECIMAL(18,9) — exact, order-independent,
+    * engine-portable (the C40/C68 quantization scheme). */
+  def knLl(spark: SparkSession, dir: String): DataFrame =
+    knLlOf(Tables.documents(spark, dir))
+
+  private[graft] def knLlOf(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val census = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    // census rows are distinct (a,b): count(*) per a IS N1+(a·)
+    val byA = census.groupBy("a")
+      .agg(sum(col("n_ab")).as("n_a"), count(lit(1)).as("t_a"))
+    val byB = census.groupBy("b").agg(count(lit(1)).as("r_b"))
+    val total = census.agg(count(lit(1)).cast("double").as("t_all"))
+    pairs.join(census, Seq("a", "b")).join(byA, Seq("a")).join(byB, Seq("b"))
+      .crossJoin(broadcast(total)) // single row: constant-size broadcast
+      .withColumn("p_kn", expr(
+        """(CAST(n_ab AS DOUBLE) - 0.75) / CAST(n_a AS DOUBLE)
+          | + (0.75 * CAST(t_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+          |   * (CAST(r_b AS DOUBLE) / t_all)""".stripMargin))
+      .withColumn("tok_nll", (-log(col("p_kn")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("kn_nll"))
+  }
+
+  /** C83: tokenizer-fertility audit per (source, lang) — subword tokens
+    * per whitespace word and chars per subword token, the standard
+    * multilingual-tokenizer health metric (high fertility on a language ⇒
+    * the vocabulary under-serves it, its documents cost more sequence
+    * positions per word). Uses the repo's BPE-ish regex tokenizer
+    * ([[graft.functions.TextFunctions.regexTokens]]) as the subword proxy,
+    * same as C8.
+    *
+    * Scale: map-only per-doc counts, then one partial-agg shuffle on the
+    * tiny (source, lang) key — group count is bounded by the catalog, not
+    * the corpus. Ratios are computed FROM THE SUMS after aggregation
+    * (exact integers through the shuffle; one double division per output
+    * row), so the result is order-independent and engine-portable. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        wsTokens(col("text")).cast("long").as("words"),
+        regexTokens(col("text")).cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
 }

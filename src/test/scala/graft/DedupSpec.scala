@@ -72,6 +72,30 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram containment catches the quote-inclusion pair Jaccard misses") {
+    val d = Files.createTempDirectory("graft-cont").toString
+    val words = (0 until 400).map(i => s"u$i")
+    val long = words.mkString(" ")                  // 400 unique tokens, 398 grams
+    val short = words.slice(100, 110).mkString(" ") // 10-token excerpt of `long`
+    val other = (0 until 50).map(i => s"z$i").mkString(" ")
+    Seq(
+      (0L, long, "en", "s", long.length.toLong),
+      (1L, short, "en", "s", short.length.toLong), // wholly contained in 0
+      (2L, other, "en", "s", other.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val cont = Dedup.ngramContainment(spark, d, threshold = 0.5).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))).toMap
+    // every gram of the excerpt is in the long doc: containment 1.0 one way
+    assert(cont((0L, 1L))._2 == 1.0)
+    assert(cont((0L, 1L))._1 == 8.0 / 398) // 8 shared grams over 398
+    assert(!cont.contains((0L, 2L)) && !cont.contains((1L, 2L)))
+    // ...while Jaccard scores the same pair ≈ 0.02 — below any useful cut
+    val jac = Dedup.ngramJaccard(spark, d, threshold = 0.3).collect()
+    assert(!jac.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+  }
+
   test("ngram jaccard LSH-verify variant agrees on the planted pairs") {
     val pairs = Dedup.ngramJaccardLsh(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap

@@ -111,6 +111,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.keepList(spark, dir).count() == 0)
     assert(TextOps.tokenCount(spark, dir).count() == 0)
     assert(Similarity.cosineTopK(spark, dir).count() == 0)
+    assert(Similarity.hammingTopK(spark, dir).count() == 0)
+    assert(Similarity.mmrTopK(spark, dir).count() == 0)
     assert(Similarity.neardupPairs(spark, dir).count() == 0)
     assert(Similarity.drift(spark, dir).count() == 0)
     assert(TextOps.docDrift(spark, dir).count() == 0)
@@ -119,6 +121,7 @@ class EmptyInputSpec extends SparkSuite {
   test("round-2 operators survive empty inputs") {
     assert(Dedup.winnowPairs(spark, dir).count() == 0)
     assert(Dedup.ngramJaccard(spark, dir).count() == 0)
+    assert(Dedup.ngramContainment(spark, dir).count() == 0)
     assert(Similarity.lshNeardupPairs(spark, dir).count() == 0)
     assert(EventOps.retentionCohorts(spark, dir).count() == 0)
     assert(TextOps.tokenEntropy(spark, dir).count() == 0)
@@ -191,6 +194,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.topBigrams(spark, dir).count() == 0)
     assert(TextOps.fineWebRules(spark, dir).count() == 0)
     assert(TextOps.bigramLl(spark, dir).count() == 0)
+    assert(TextOps.knLl(spark, dir).count() == 0)
+    assert(TextOps.fertility(spark, dir).count() == 0)
     assert(TextOps.spanCorrupt(spark, dir).count() == 0)
   }
 

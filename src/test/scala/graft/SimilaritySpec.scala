@@ -45,6 +45,58 @@ class SimilaritySpec extends SparkSuite {
     assert(q1.head.getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("hamming exhaustive twin equals brute-force cosine top-k exactly") {
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    val ham = Similarity.hammingTopKExhaustive(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(ham.nonEmpty && ham == brute,
+      "rerank over the whole corpus must reduce to brute force")
+  }
+
+  test("hamming default shortlist keeps high rank-1 recall on the sf corpus") {
+    val brute1 = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    val ham1 = Similarity.hammingTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    val hits = brute1.count { case (q, v) => ham1.get(q).contains(v) }
+    assert(hits >= (brute1.size * 7) / 10,
+      s"rank-1 recall ${hits}/${brute1.size} under the 128-bit default")
+  }
+
+  test("mmr at lambda=1 reproduces plain cosine top-k; lower lambda diversifies") {
+    val plain = Similarity.cosineTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    val mmr1 = Similarity.mmrTopK(spark, sf, lambda = 1.0).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    assert(mmr1.nonEmpty && mmr1 == plain,
+      "lambda=1 removes the redundancy term entirely")
+    // planted redundancy: two near-copies of the query direction + one
+    // relevant-but-orthogonal candidate
+    val d = Files.createTempDirectory("graft-mmr").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray.padTo(8, 0f)
+    Seq(
+      (0L, v(1.0), 0),          // the query
+      (10L, v(1.0, 0.05), 0),   // near-copy A of the query direction
+      (11L, v(1.0, 0.06), 0),   // near-copy B — redundant given A
+      (12L, v(0.6, 0.0, 0.8), 1)) // relevant, orthogonal to the copies
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val sel = Similarity.mmrTopK(spark, d, nQueries = 1, k = 3, lambda = 0.3)
+      .collect().sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(sel == Seq(10L, 12L, 11L),
+      s"greedy MMR must interleave the diverse candidate, got $sel")
+    val plainSel = Similarity.mmrTopK(spark, d, nQueries = 1, k = 3, lambda = 1.0)
+      .collect().sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(plainSel == Seq(10L, 11L, 12L))
+  }
+
   test("hardNegatives: nearest DIFFERENT-label vectors, same-label near-copy excluded") {
     // planted dir: query 0 (label 0, = e0) has corpus near-copy 10 with the
     // SAME label (cos ~0.995) — top-k would return it first; hard-negative

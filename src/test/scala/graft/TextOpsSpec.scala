@@ -113,6 +113,58 @@ class TextOpsSpec extends SparkSuite {
     assert(!bi.contains(3L), "a 1-token doc has no bigram positions")
   }
 
+  test("knLl: continuation backoff separates docs the add-one bigram model scores identically") {
+    val d = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    val docs = (Seq(
+      0L -> "x the",        // (x,the): c=1 — same surface stats as doc 1
+      1L -> "x francisco",  // (x,francisco): c=1
+      7L -> "san francisco" // francisco is frequent but context-bound
+    ) ++ (2L to 6L).map(i => i -> s"a$i the")) // "the" follows 6 distinct contexts
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // add-one bigram: both pairs have c(a,b)=1, c(x,·)=2, same V ⇒ equal nll
+    val bi = TextOps.bigramLl(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll2")).toMap
+    assert(bi(0L) == bi(1L), "add-one bigram is blind to continuation diversity")
+    // KN: r("the")=6 contexts vs r("francisco")=2 ⇒ doc 0 is more typical
+    val kn = TextOps.knLl(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("kn_nll")).toMap
+    assert(kn(0L) < kn(1L), "KN continuation probability must see context diversity")
+    // hand-computed: T=8 distinct pairs, n_x=2, t_x=2;
+    // P(the|x) = (1-.75)/2 + (.75*2/2)*(6/8); P(francisco|x) = .25/2 + .75*(2/8)
+    val pThe = 0.25 / 2 + (0.75 * 2 / 2) * (6.0 / 8)
+    val pFra = 0.25 / 2 + (0.75 * 2 / 2) * (2.0 / 8)
+    assert(math.abs(kn(0L) - BigDecimal(-math.log(pThe))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    assert(math.abs(kn(1L) - BigDecimal(-math.log(pFra))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    // every probability is valid: P in (0,1] ⇒ kn_nll >= 0 on the real table
+    val real = TextOps.knLl(spark, sf)
+    assert(real.filter(col("kn_nll") < 0).count() == 0)
+    assert(real.count() > 0)
+  }
+
+  test("fertility: exact ratios from planted token counts; keyed by (source, lang)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    val docs = Seq(
+      (0L, "ab cd", "en", "web", 5L),   // 2 words, 2 re-tokens, 5 chars
+      (1L, "a,b", "en", "web", 3L),     // 1 word, 3 re-tokens (a , b), 3 chars
+      (2L, "xyz", "de", "web", 3L)      // separate group
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.fertility(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    val en = out(("web", "en"))
+    assert(en.getAs[Long]("n_docs") == 2 && en.getAs[Long]("n_words") == 3 &&
+      en.getAs[Long]("n_tokens") == 5 && en.getAs[Long]("n_chars") == 8)
+    assert(en.getAs[Double]("fertility") == BigDecimal(5.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(en.getAs[Double]("chars_per_token") == 1.6)
+    val de = out(("web", "de"))
+    assert(de.getAs[Long]("n_words") == 1 && de.getAs[Long]("n_tokens") == 1 &&
+      de.getAs[Double]("fertility") == 1.0)
+  }
+
   test("spanCorrupt: coverage near the T5 regime, disjoint in-bounds spans, deterministic") {
     import graft.operators.TextOps
     val out = TextOps.spanCorrupt(spark, sf).cache()
