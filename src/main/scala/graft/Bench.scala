@@ -59,6 +59,8 @@ object Bench {
     "doc_compress_ratio", "ev_retention_triangle",
     "ev_bitmap_daily", "ev_bitmap_rollup", "ev_bitmap_sliding",
     "ev_bitmap_overlap", "ev_bitmap_store",
+    "doc_kn_ll", "doc_fertility", "doc_containment",
+    "emb_hamming_topk", "emb_mmr",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
