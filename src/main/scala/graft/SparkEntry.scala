@@ -15,11 +15,19 @@ object SparkEntry {
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
   /** Fingerprint of the embeddings table's files (path + sizes + mtimes) —
-    * versions the on-disk ANN index so regenerated data invalidates it. */
-  private def embDataTag(dir: String): String = {
-    val files = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
-      .getOrElse(Array.empty).sortBy(_.getName)
-    val sig = dir + files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+    * versions the on-disk ANN index so regenerated data invalidates it.
+    * Listing goes through Hadoop's FileSystem (the SIM:468/862 discipline):
+    * a java.io.File walk silently returns an EMPTY listing for hdfs:// or
+    * s3a:// paths, so the tag would never change and a regenerated remote
+    * table would be served from a stale index forever. */
+  private[graft] def embDataTag(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files =
+      if (fs.exists(path)) fs.listStatus(path).sortBy(_.getPath.getName)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val sig = dir + files.map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").mkString(",")
     java.lang.Long.toHexString(
       sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -210,6 +218,10 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_ngram_auto"    -> ((s, d) => Dedup.ngramJaccardAuto(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
+    // C84-auto: gram-stats gate → exact inverted-index containment on this
+    // corpus (routes identically to doc_ngram_auto's gate; the df-capped
+    // escape is spec-gated on a planted boilerplate corpus)
+    "doc_containment_auto" -> ((s, d) => Dedup.ngramContainmentAuto(s, d)),
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
     "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
@@ -232,12 +244,12 @@ object SparkEntry {
     // number a deployed ANN service actually serves. Identity to the live
     // operators is spec-gated (SimilaritySpec persisted-index).
     "emb_pq_query"      -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-m8k16-${embDataTag(d)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-m8k16-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writePqIndex(s, d, idx)
       Similarity.pqTopKFromIndex(s, d, idx)
     }),
     "emb_ivf_query"     -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(d)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
       Similarity.ivfTopKFromIndex(s, d, idx)
     }),
@@ -317,7 +329,7 @@ object SparkEntry {
     // quantized serving path (IVF + int8 codes + float re-rank): rows-only
     // (quantized scoring isn't SQL-expressible); recall/identity spec-gated
     "emb_ivf_q"         -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfq-n8-${embDataTag(d)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfq-n8-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writeIvfQIndex(s, d, idx)
       Similarity.ivfQTopKFromIndex(s, d, idx)
     }),
@@ -331,7 +343,7 @@ object SparkEntry {
     // corpus vector): rows-only (ADC scoring isn't SQL-expressible);
     // recall/identity spec-gated
     "emb_ivfpq"         -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-n8m8k16-${embDataTag(d)}"
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-n8m8k16-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writeIvfPqIndex(s, d, idx)
       Similarity.ivfPqTopKFromIndex(s, d, idx)
     }),
@@ -2272,9 +2284,9 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
-        |    / CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS DOUBLE), 6) AS fertility,
+        |    / CAST(NULLIF(sum(len(regexp_split_to_array(text, '\s+'))), 0) AS DOUBLE), 6) AS fertility,
         |  round(CAST(sum(length(text)) AS DOUBLE)
-        |    / CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE), 6) AS chars_per_token
+        |    / CAST(NULLIF(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 0) AS DOUBLE), 6) AS chars_per_token
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     // derandomized span starts: md5(doc:pos) 3-hex-prefix threshold (plain
@@ -2401,6 +2413,31 @@ object SparkEntry {
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3""".stripMargin,
     // Broder containment: same inverted-index shape, asymmetric normalizer
     "doc_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |ipairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / sa.n AS cont_a,
+        |  CAST(shared AS DOUBLE) / sb.n AS cont_b
+        |FROM ipairs JOIN sizes sa ON ipairs.id_a = sa.doc_id
+        |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
+        |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+        |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // the auto gate MUST route this healthy corpus to the exact containment
+    // path — same oracle as doc_containment verifies the routed output
+    "doc_containment_auto" ->
       """WITH words AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -693,6 +693,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
   }
 
+  /** Containment's boilerplate ESCAPE — candidates from a df-CAPPED
+    * inverted index (grams held by 2..`dfCap` docs), then EXACT containment
+    * verified on the candidates' full gram arrays.
+    *
+    * Why not the MinHash-LSH escape the Jaccard family uses
+    * ([[ngramJaccardLsh]]): MinHash collision probability tracks
+    * RESEMBLANCE, and the quote-inclusion pairs containment exists for
+    * (short A embedded in long B) have Jaccard ≈ |A|/|B| ≈ 0 by
+    * construction — LSH buckets would systematically miss exactly the
+    * pairs this operator is asked to find. A df-cap instead bounds the
+    * candidate volume at Σ_{df≤cap} df(df−1)/2 per gram (provably ≤
+    * cap·(index size)/2) while keeping every pair that shares at least one
+    * NON-boilerplate gram. The declared recall trade — a pair whose only
+    * shared grams each appear in > `dfCap` documents is dropped — is the
+    * standard hot-shingle-suppression discipline (the same cut MOSS makes
+    * on over-common fingerprints), and it discards exactly the evidence
+    * that stopped distinguishing documents anyway.
+    *
+    * Scale shape: gram census → semi-join keeps the rare slice of the
+    * index; candidate pairs partial-agg to one row per (id_a, id_b); the
+    * verify join ships each candidate's two gram ARRAYS once (bounded by
+    * the budgeted candidate count, never per-gram quadratic) and the
+    * containment is in-row array_intersect — exact values, identical to
+    * [[ngramContainment]] on every surviving pair. */
+  def ngramContainmentCapped(spark: SparkSession, dir: String, k: Int = 3,
+                             threshold: Double = 0.5,
+                             dfCap: Long = 1000): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withGrams = docs.select(col("doc_id"), graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val inv = withGrams.select(col("doc_id"), explode(col("grams")).as("g"))
+    // df ≥ 2: a single-doc gram can't pair; df ≤ cap: hot grams suppressed
+    val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("g")
+    val capped = inv.join(rare, Seq("g"))
+    val cand = capped.select(col("doc_id").as("id_a"), col("g"))
+      .join(capped.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_rare_shared"))
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(withGrams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(withGrams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("cont_a", col("inter").cast("double") / size(col("g_a")))
+      .withColumn("cont_b", col("inter").cast("double") / size(col("g_b")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+  }
+
+  /** The largest df cap whose TOTAL capped candidate volume
+    * Σ_{2 ≤ df ≤ cap} df·(df−1)/2 · (grams at that df) fits `pairBudget` —
+    * the knob [[ngramContainmentAuto]] turns when a corpus blows the
+    * budget with every individual df modest (the r6 duplicated-corpus
+    * mode, where a one-gram ceiling can't help). Derived from the df
+    * HISTOGRAM (distinct df values — bounded by the most-duplicated
+    * gram's count in the worst case, in practice a few hundred rows), so
+    * the driver collect is summary-sized. Floored at 2: below that the
+    * candidate set is empty and the operator would silently answer
+    * nothing — at cap=2 the volume is exactly (grams in 2 docs), the
+    * irreducible minimum for any containment evidence at all. */
+  private[graft] def dfCapForBudget(docs: DataFrame, k: Int,
+                                    pairBudget: Long, dfLimit: Long): Long = {
+    val hist = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfLimit)
+      .groupBy("df").agg(count(lit(1)).as("n_grams"))
+      .orderBy("df")
+      .collect().map(r => (r.getAs[Long]("df"), r.getAs[Long]("n_grams")))
+    var cum = 0L
+    var cap = 2L
+    hist.foreach { case (df, n) =>
+      cum += df * (df - 1) / 2 * n
+      if (cum <= pairBudget || df == 2) cap = df
+    }
+    cap
+  }
+
+  /** C84-auto: [[ngramContainment]] with the boilerplate escape armed —
+    * the same two-stat gate as [[ngramJaccardAuto]] (worst single-gram df
+    * AND total pair volume), but routing to the df-capped exact-verify
+    * path rather than MinHash-LSH (which cannot see low-Jaccard
+    * containment pairs — see [[ngramContainmentCapped]]). In the capped
+    * branch the cap is sized DOWN from `dfLimit` until the measured
+    * candidate volume fits `pairBudget` ([[dfCapForBudget]]), so the
+    * duplicated-corpus mode — every df modest, total volume dup² — is
+    * bounded too, not just the hot-gram mode. */
+  def ngramContainmentAuto(spark: SparkSession, dir: String, k: Int = 3,
+                           threshold: Double = 0.5, dfLimit: Long = 1000,
+                           pairBudget: Long = 20000000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (maxDf, totalPairs) = gramStats(docs, k)
+    ngramPathFor(maxDf, dfLimit, totalPairs, pairBudget) match {
+      case "lsh" =>
+        val cap = dfCapForBudget(docs, k, pairBudget, dfLimit)
+        ngramContainmentCapped(spark, dir, k, threshold, cap)
+      case _ => ngramContainment(spark, dir, k, threshold)
+    }
+  }
+
   /** The gram document-frequency CEILING of a corpus — the one number that
     * decides between [[ngramJaccard]]'s exact inverted-index join (candidate
     * pairs per gram grow O(df²)) and the [[ngramJaccardLsh]] escape. One

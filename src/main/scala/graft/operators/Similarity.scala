@@ -1901,7 +1901,12 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    emb.join(broadcast(shortlist), Seq("vec_id"))
+    // broadcast the fetch list only when the shortlist is genuinely
+    // R·nQueries-bounded: the exhaustive twin (rerank = Int.MaxValue) keeps
+    // the whole corpus, and broadcasting a corpus-sized table is a driver
+    // OOM at any real SF — let AQE pick the join there instead
+    val fetch = if (rerank == Int.MaxValue) shortlist else broadcast(shortlist)
+    emb.join(fetch, Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), col("hamming"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))

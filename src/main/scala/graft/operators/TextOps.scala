@@ -1891,7 +1891,15 @@ object TextOps {
       .agg(sum(col("n_ab")).as("n_a"), count(lit(1)).as("t_a"))
     val byB = census.groupBy("b").agg(count(lit(1)).as("r_b"))
     val total = census.agg(count(lit(1)).cast("double").as("t_all"))
-    pairs.join(census, Seq("a", "b")).join(byA, Seq("a")).join(byB, Seq("b"))
+    // the whole model folds onto the CENSUS (summary-sized — distinct
+    // bigrams, not corpus positions): n_a/t_a/r_b lookups and the per-pair
+    // score are census-side joins/arithmetic, so the corpus-scale pairs
+    // table crosses exactly ONE join, on its (a, b) key. The r8 shape —
+    // pairs→census→byA→byB — re-shuffled the corpus-sized stream on (a,b),
+    // then (a), then (b): measured 16.8× at 10× vs ≤ linear expected.
+    // Per-row double arithmetic is unchanged (same expression, same scalar
+    // inputs), so tok_nll stays bit-identical to the oracle's.
+    val model = census.join(byA, Seq("a")).join(byB, Seq("b"))
       .crossJoin(broadcast(total)) // single row: constant-size broadcast
       .withColumn("p_kn", expr(
         """(CAST(n_ab AS DOUBLE) - 0.75) / CAST(n_a AS DOUBLE)
@@ -1899,6 +1907,8 @@ object TextOps {
           |   * (CAST(r_b AS DOUBLE) / t_all)""".stripMargin))
       .withColumn("tok_nll", (-log(col("p_kn")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .select(col("a"), col("b"), col("tok_nll"))
+    pairs.join(model, Seq("a", "b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("kn_nll"))
@@ -1929,8 +1939,12 @@ object TextOps {
         sum(col("words")).as("n_words"),
         sum(col("toks")).as("n_tokens"),
         sum(col("chars")).as("n_chars"))
-      .withColumn("fertility",
-        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
-      .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      // degenerate groups (whitespace-only docs → 0 words / 0 tokens) yield
+      // NULL ratios on BOTH engines (NULLIF in the oracle): Spark's
+      // x/0 = Infinity vs DuckDB's ieee_floating_point_ops-dependent
+      // division-by-zero would otherwise diverge on exactly those groups
+      .withColumn("fertility", when(col("n_words") > 0,
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)))
+      .withColumn("chars_per_token", when(col("n_tokens") > 0,
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)))
 }

@@ -613,4 +613,75 @@ class DedupSpec extends SparkSuite {
     assert(sa.forall(_._2 == 0L), s"corrected store still cuts: $sa")
     assert(spans(full).exists(_._2 > 0L), "control store failed to cut — vacuous")
   }
+
+  test("containment escape: df-cap suppresses hot-gram pairs, keeps rare-shared pairs EXACT; auto routes by the gate") {
+    // same planted-hot-gram construction as the Jaccard escape test, plus
+    // one RARE-shared pair (docs 100/101 share "r1 r2 r3" in distinct
+    // contexts — df 2, inside any cap) so the capped path has something to
+    // verify exactly
+    def corpus(d: Int, n: Int = 40): String = {
+      val dir = Files.createTempDirectory(s"graft-conthot$d").toString
+      val hot = (0 until n).map { i =>
+        val filler = (0 until 12).map(j => s"u${i}x$j").mkString(" ")
+        val t = if (i < d) s"$filler hot1 hot2 hot3" else filler
+        (i.toLong, t, "en", "s", t.length.toLong)
+      }
+      val rare = Seq(100L, 101L).map { id =>
+        val filler = (0 until 8).map(j => s"v${id}x$j").mkString(" ")
+        val t = s"$filler r1 r2 r3"
+        (id, t, "en", "s", t.length.toLong)
+      }
+      (hot ++ rare).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val d = corpus(32)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toSet
+    val exact = key(Dedup.ngramContainment(spark, d, threshold = 0.0))
+    // exact path: 32·31/2 hot pairs + the rare pair
+    assert(exact.size == 32 * 31 / 2 + 1, s"exact pair count ${exact.size}")
+    // capped at dfCap=10: the hot gram (df 32) leaves the index — ONLY the
+    // rare pair survives, with containment values IDENTICAL to the exact
+    // path's (full-gram-array verification, not the capped index's counts)
+    val capped = key(Dedup.ngramContainmentCapped(spark, d, threshold = 0.0, dfCap = 10))
+    assert(capped == exact.filter(p => p._1 == 100L && p._2 == 101L),
+      s"capped must keep exactly the rare pair with exact values: $capped")
+    // the quote-inclusion case Jaccard-LSH would miss: both directions
+    // reported, the short side's containment is the larger
+    val (_, _, ca, cb) = capped.head
+    assert(math.max(ca, cb) > 0.0 && ca <= 1.0 && cb <= 1.0)
+    // auto: healthy gate → exact; hot gate (dfLimit below the planted df)
+    // → the capped path
+    assert(key(Dedup.ngramContainmentAuto(spark, d, threshold = 0.0)) == exact)
+    assert(key(Dedup.ngramContainmentAuto(spark, d, threshold = 0.0,
+      dfLimit = 10)) == capped)
+  }
+
+  test("dfCapForBudget: largest cap whose cumulative pair volume fits, floored at 2") {
+    // planted df histogram over DISJOINT trigram blocks in unique contexts:
+    // gram A in 4 docs (6 pairs), B in 3 (3 pairs), C and D in 2 (1 each)
+    // → cumulative pair volume by df: df≤2 → 2, df≤3 → 5, df≤4 → 11
+    val dir = Files.createTempDirectory("graft-dfcap").toString
+    def filler(tag: String) = (0 until 6).map(j => s"f$tag$j").mkString(" ")
+    val rows = Seq(
+      (0L, s"${filler("a0")} a1 a2 a3"), (1L, s"${filler("a1")} a1 a2 a3"),
+      (2L, s"${filler("a2")} a1 a2 a3"), (3L, s"${filler("a3")} a1 a2 a3"),
+      (4L, s"${filler("b0")} b1 b2 b3"), (5L, s"${filler("b1")} b1 b2 b3"),
+      (6L, s"${filler("b2")} b1 b2 b3"),
+      (7L, s"${filler("c0")} c1 c2 c3"), (8L, s"${filler("c1")} c1 c2 c3"),
+      (9L, s"${filler("d0")} d1 d2 d3"), (10L, s"${filler("d1")} d1 d2 d3")
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
+    assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 11L, dfLimit = 1000) == 4L)
+    assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 10L, dfLimit = 1000) == 3L)
+    assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 4L, dfLimit = 1000) == 2L)
+    // below even the df=2 volume: floored at 2, never empty-by-construction
+    assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 1L, dfLimit = 1000) == 2L)
+    // dfLimit truncates the histogram from above
+    assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 11L, dfLimit = 3) == 3L)
+  }
 }

@@ -97,6 +97,79 @@ class SimilaritySpec extends SparkSuite {
     assert(plainSel == Seq(10L, 11L, 12L))
   }
 
+  test("mmr at intermediate lambda: scores AND selections match an independent greedy reference") {
+    // non-trivial geometry (no orthogonal shortcuts): the redundancy-update
+    // path must fire on several steps, and every emitted mmr_score is
+    // checked against a from-scratch Scala implementation of Carbonell's
+    // greedy recurrence — not just the selection order
+    val d = Files.createTempDirectory("graft-mmr-ref").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray.padTo(4, 0f)
+    val vecs: Map[Long, Array[Float]] = Map(
+      0L -> v(1.0, 0.2, 0.1),               // query 0
+      1L -> v(0.1, 1.0, 0.3),               // query 1
+      10L -> v(0.9, 0.3, 0.2),
+      11L -> v(0.85, 0.35, 0.15),
+      12L -> v(0.2, 0.9, 0.4),
+      13L -> v(0.5, 0.5, 0.5),
+      14L -> v(0.7, 0.1, 0.6),
+      15L -> v(0.3, 0.8, 0.1))
+    vecs.toSeq.sortBy(_._1).map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(j => x(j).toDouble * y(j).toDouble).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    // independent greedy MMR: top-`shortlist` relevance pool, then k rounds
+    // of argmax(λ·cos − (1−λ)·red) with incremental red = max(red, cos(c, picked))
+    def refMmr(qIds: Seq[Long], corpus: Seq[Long], k: Int, lambda: Double,
+               shortlist: Int): Set[(Long, Long, Long, Double, Double)] =
+      qIds.flatMap { q =>
+        var pool = corpus.map(c => (c, cos(vecs(c), vecs(q))))
+          .sortBy { case (id, s) => (-s, id) }.take(shortlist)
+          .map { case (id, s) => (id, s, 0.0) } // (vec_id, cos_sim, red)
+        (1 to k).flatMap { step =>
+          if (pool.isEmpty) Nil else {
+            val scored = pool.map { case (id, s, red) =>
+              (id, s, lambda * s - (1 - lambda) * red) }
+            val (pid, pcos, pscore) = scored.sortBy { case (id, _, m) => (-m, id) }.head
+            pool = pool.filter(_._1 != pid).map { case (id, s, red) =>
+              (id, s, math.max(red, cos(vecs(id), vecs(pid)))) }
+            Seq((q, step.toLong, pid, pcos, pscore))
+          }
+        }
+      }.toSet
+
+    var anyFlip = false
+    val rel = refMmr(Seq(0L, 1L), (10L to 15L), k = 4, lambda = 1.0, shortlist = 6)
+    for (lambda <- Seq(0.3, 0.5, 0.7)) {
+      val got = Similarity.mmrTopK(spark, d, nQueries = 2, k = 4,
+        lambda = lambda, shortlist = 6).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("sel_rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+          r.getAs[Double]("mmr_score"))).toSet
+      val want = refMmr(Seq(0L, 1L), (10L to 15L), k = 4, lambda = lambda,
+        shortlist = 6)
+      assert(got.size == want.size, s"λ=$lambda: ${got.size} vs ${want.size} rows")
+      // match on identity, then scores to 1e-9 (independent double paths)
+      val gotByKey = got.map(t => (t._1, t._2) -> t).toMap
+      want.foreach { case (q, step, id, c, m) =>
+        val g = gotByKey((q, step))
+        assert(g._3 == id, s"λ=$lambda q$q step$step: picked ${g._3}, want $id")
+        assert(math.abs(g._4 - c) < 1e-9, s"λ=$lambda q$q step$step cos ${g._4} vs $c")
+        assert(math.abs(g._5 - m) < 1e-9, s"λ=$lambda q$q step$step mmr ${g._5} vs $m")
+      }
+      if (want.map(t => (t._1, t._2, t._3)) != rel.map(t => (t._1, t._2, t._3)))
+        anyFlip = true
+    }
+    // non-vacuous: the redundancy term must actually change a selection vs
+    // pure relevance at SOME tested λ (measured: the flip happens at 0.3 —
+    // positively-correlated fixtures need a strong diversity weight)
+    assert(anyFlip, "fixture too easy: no tested λ reorders vs λ=1")
+  }
+
   test("hardNegatives: nearest DIFFERENT-label vectors, same-label near-copy excluded") {
     // planted dir: query 0 (label 0, = e0) has corpus near-copy 10 with the
     // SAME label (cos ~0.995) — top-k would return it first; hard-negative
