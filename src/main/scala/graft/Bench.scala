@@ -636,3 +636,23 @@ object BenchScale {
     spark.stop()
   }
 }
+
+/** LSH-auto volume probe: prints (n, bits, bands, candidate pairs, output
+  * pairs) per dir — the measured form of the occupancy-pinning linearity
+  * claim (SURVEY §5). Usage: runMain graft.LshProbe <dir> [dir2 ...]
+  * [-t threshold] */
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val t = args.sliding(2).collectFirst { case Array("-t", v) => v.toDouble }
+      .getOrElse(0.4)
+    val dirs = args.filter(a => a != "-t" && !a.matches("[0-9.]+"))
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    dirs.foreach { dir =>
+      val (n, bits, bands, cand, out) =
+        graft.operators.Similarity.lshAutoStats(spark, dir, threshold = t)
+      println(f"""{"probe":"lsh_auto","dir":"$dir","threshold":$t,"n":$n,"bits":$bits,"bands":$bands,"cand_pairs":$cand,"out_pairs":$out}""")
+    }
+    spark.stop()
+  }
+}

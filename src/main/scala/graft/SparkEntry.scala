@@ -592,6 +592,12 @@ object SparkEntry {
     // A14 streaming path (bounded run, verified by the batch oracle) + C12
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventPipeline.windowedCountsViaStream(s, d)),
+    // A80f: the LIVE trailing-7-day actives series through a real bounded
+    // streaming run (sliding windows × exact bitmap distinct in streaming
+    // state) — the batch COUNT(DISTINCT) oracle verifies the whole
+    // stream path: staging, watermark close, bitmap union algebra
+    "stream_sliding_distinct" -> ((s, d) =>
+      graft.streaming.EventPipeline.slidingDistinctViaStream(s, d)),
     "mm_meta_stats" -> ((s, d) =>
       graft.multimodal.Multimodal.metaStats(graft.multimodal.Multimodal.mediaTable(s, d))),
     "mm_frame_sample" -> ((s, d) => {
@@ -3236,6 +3242,22 @@ object SparkEntry {
          |SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM ev GROUP BY 1, 2""".stripMargin,
+    // sliding 7d/1d windows: an event at ts belongs to exactly the 7
+    // day-aligned window starts day(ts)-6..day(ts); same single-batch
+    // dedup equivalence note as stream_windowed_counts above
+    "stream_sliding_distinct" ->
+      """WITH ev AS (
+        |  SELECT ts, user_id, event_type FROM (
+        |    SELECT ts, user_id, event_type,
+        |      row_number() OVER (PARTITION BY event_id ORDER BY epoch_ms(ts)) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |w AS (
+        |  SELECT event_type, user_id,
+        |    epoch_ms(date_trunc('day', ts)) - 86400000 * k AS win_start_ms
+        |  FROM ev CROSS JOIN range(0, 7) AS r(k))
+        |SELECT win_start_ms, event_type,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // the feature rows' join keys are derivable in SQL even though the
     // embedding payload is stub-generated — gates row coverage + key mapping
     "mm_features" ->

@@ -208,6 +208,33 @@ object Similarity {
     lshPairsOf(embN, threshold, bits, bands)
   }
 
+  /** Measured LSH-auto volumes — the direct evidence behind the "candidates
+    * stay linear" sizing claim, runnable at any pair of scales (the
+    * occupancy-pinning math predicts candidates ∝ n; this measures them):
+    * (n, bits, bands, candidate pair rows the band join generates
+    * = Σ_{band,bucket} c·(c−1)/2, and the verified output pairs at the
+    * threshold). Output pairs are a property of the CORPUS (how many true
+    * near-dups exist), not the scheme — if the corpus's cluster structure
+    * makes true pairs grow super-linearly, no candidate generator can be
+    * linear and stay correct; the candidate/output split makes the two
+    * causes distinguishable in one record. */
+  def lshAutoStats(spark: SparkSession, dir: String, threshold: Double = 0.85,
+                   targetRecall: Double = 0.9, targetOccupancy: Int = 64,
+                   maxBands: Int = 32): (Long, Int, Int, Long, Long) = {
+    val embN = withNorm(Tables.embeddings(spark, dir))
+    val n = math.max(1L, embN.count())
+    val (bits, bands) = lshAutoParams(n, threshold, targetRecall,
+      targetOccupancy, maxBands)
+    val candPairs = embN
+      .withColumn("bsigs", array((0 until bands).map(b => bandSig(bits, b)): _*))
+      .filter(col("bsigs")(0).isNotNull)
+      .select(posexplode(col("bsigs"))).toDF("band", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
+    val outPairs = lshPairsOf(embN, threshold, bits, bands).count()
+    (n, bits, bands, candPairs, outPairs)
+  }
+
   /** (bits, bands) for [[lshNeardupPairsAuto]] — pure sizing math, spec-
     * pinned: occupancy-pinning band width, collision-bound band count. */
   private[graft] def lshAutoParams(n: Long, threshold: Double,

@@ -781,6 +781,76 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** A80f: LIVE trailing-window distinct actives — the streaming twin of
+    * the batch sliding-distinct family ([[graft.operators.BitmapOps]]
+    * bitmapSliding exact / [[graft.operators.Sketches]] hllSliding
+    * approximate): sliding event-time windows (`windowDur` every
+    * `slideDur`) × event_type, each holding an EXACT mergeable bitmap of
+    * user ids in streaming state. What makes this streamable is the same
+    * algebra the batch rollup runs — the bitmap aggregate's partials
+    * union associatively, so every micro-batch ORs its partial bitmaps
+    * into the window's stored buffer; no per-user dedup state, no
+    * re-scan. Append mode emits each window exactly once, when the
+    * watermark passes its end — the dashboard's closed trailing-7-day
+    * actives series. State cost per open window is O(distinct users / 8)
+    * bytes (roaring containers), windows/slide windows open per type. */
+  def slidingDistinct(events: DataFrame,
+                      watermark: Option[String] = Some("10 minutes"),
+                      windowDur: String = "7 days",
+                      slideDur: String = "1 day"): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupBy(org.apache.spark.sql.functions.window(
+          col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(graft.functions.BitmapFunctions.bitmapCount(
+          graft.functions.BitmapFunctions.bitmapAgg(col("user_id"))).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n_users"), col("n_events"))
+
+  /** [[slidingDistinct]] driven through a REAL bounded streaming run over
+    * the parquet events (the [[windowedCountsViaStream]] harness shape):
+    * stage + sentinel → readStream → dedup → sliding bitmap agg → append
+    * memory sink. The sentinel sits `windowDur` + 1 day past the corpus
+    * max, so the final no-data micro-batch's watermark passes every REAL
+    * window's end (a window containing an event at T ends ≤ day(T) +
+    * windowDur) while the sentinel's own windows stay open and never
+    * reach the sink. Lets the driver's batch COUNT(DISTINCT) oracle
+    * verify the streaming bitmap path end-to-end. */
+  def slidingDistinctViaStream(spark: SparkSession, dir: String,
+                               windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-slide-stage").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    if (maxTs == null)
+      return Seq.empty[(Long, String, Long, Long)]
+        .toDF("win_start_ms", "event_type", "n_users", "n_events")
+    // sentinel user_id 0, not -1: its windows never close (nothing of it
+    // reaches the sink) but the bitmap aggregate still BUFFERS the row,
+    // and the roaring containers require non-negative ids
+    val sentinel = Seq((-1L,
+      new Timestamp(maxTs.getTime + (windowDays + 1) * 24L * 3600 * 1000),
+      0L, "watermark_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(stage)
+    val in = spark.readStream.schema(eventSchema).parquet(stage)
+    val counts = slidingDistinct(deduped(in, "10 minutes"), watermark = None,
+      windowDur = s"$windowDays days", slideDur = "1 day")
+    val name = s"stream_sliding_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect().toSeq // bounded: windows × types
+    val schema = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator.asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Latest-value-per-key as an arbitrary-state streaming operator using the
     * Spark 4 transformWithState API (RocksDB-backed `ValueState`, TTL'd like
     * the reference's Redis keys). Emits an update row whenever a key's

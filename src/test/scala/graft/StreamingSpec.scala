@@ -1255,4 +1255,43 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch,
       s"only-batch=${batch -- streamed} only-stream=${streamed -- batch}")
   }
+
+  test("A80f: sliding distinct actives — cross-batch bitmap union, per-user dedup, append-once close") {
+    val src = Files.createTempDirectory("graft-slide-src").toString
+    val chk = Files.createTempDirectory("graft-slide-chk").toString
+    // batch 1: users 1 and 2 in the 10:00 window (user 2 twice — distinct
+    // must count once); batch 2: user 3 lands in the SAME window (the
+    // union must merge across micro-batch state), then a sentinel far
+    // enough ahead to close the real windows
+    writeBatch(src, "b1", Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 1.0),
+      Event(3, ts(2), 2, "click", 1.0)))
+    val in = EventPipeline.fileSource(spark, src)
+    val counts = EventPipeline.slidingDistinct(EventPipeline.deduped(in),
+      watermark = None, windowDur = "10 minutes", slideDur = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("slide_distinct")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // nothing can close before the sentinel: append emits zero rows so far
+    assert(spark.table("slide_distinct").isEmpty,
+      "append mode must hold windows open until the watermark passes")
+    writeBatch(src, "b2", Seq(
+      Event(4, ts(3), 3, "click", 1.0),
+      Event(99, Timestamp.valueOf("2024-01-01 10:50:00"), 0, "sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("slide_distinct").collect()
+      .map(r => (r.getAs[Long]("win_start_ms"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_events")))).toMap
+    val w1000 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val w0955 = w1000 - 5L * 60 * 1000
+    // both windows containing 10:00-10:03 close under the 10:40 watermark:
+    // 3 DISTINCT users over 4 events, batch-2's user 3 unioned into
+    // batch-1's stored bitmap {1, 2}
+    assert(out((w1000, "click")) == ((3L, 4L)), s"got $out")
+    assert(out((w0955, "click")) == ((3L, 4L)), s"got $out")
+    // the sentinel's own windows stay open — append never emits them
+    assert(!out.keySet.exists(_._2 == "sentinel"), s"sentinel leaked: $out")
+  }
 }
