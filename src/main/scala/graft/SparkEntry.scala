@@ -217,6 +217,10 @@ object SparkEntry {
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_ngram_auto"    -> ((s, d) => Dedup.ngramJaccardAuto(s, d)),
+    // C87: per-source exact ROC-AUC of the C9 quality score vs the C64
+    // Gopher verdict (Mann-Whitney with tie halves, census + two-level
+    // prefix -- no global sort)
+    "doc_quality_auc"   -> ((s, d) => TextOps.qualityAuc(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2441,6 +2445,54 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // AUC: the window orders by the exact per-doc quality double (same
+    // bits both engines — doc_quality is hash-gated); numerator stays an
+    // exact integer until one final IEEE division; single-class sources
+    // yield NULL via NULLIF
+    "doc_quality_auc" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |      AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+         |      AND ellipsis_ratio <= 0.3 AND alpha_ratio > 0.8
+         |      AND stop_hits >= 2 AS keep
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |      CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mean_word_len,
+         |      CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |        / len(regexp_split_to_array(text, '\\s+')) AS symbol_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)),
+         |          l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS bullet_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS ellipsis_ratio,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS alpha_ratio,
+         |      ${hits(stop)} AS stop_hits
+         |    FROM documents) t),
+         |s AS (SELECT d.source, q.quality, g.keep
+         |      FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)),
+         |census AS (
+         |  SELECT source, quality,
+         |    count(*) FILTER (WHERE keep) AS n_pos,
+         |    count(*) FILTER (WHERE NOT keep) AS n_neg
+         |  FROM s GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT *, coalesce(sum(n_neg) OVER (PARTITION BY source ORDER BY quality
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+         |  FROM census)
+         |SELECT source, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(2 * n_pos * cum_neg + n_pos * n_neg) AS DOUBLE)
+         |    / CAST(NULLIF(2 * sum(n_pos) * sum(n_neg), 0) AS DOUBLE) AS auc
+         |FROM c2 GROUP BY 1""".stripMargin,
     // the auto gate MUST route this healthy corpus to the exact containment
     // path — same oracle as doc_containment verifies the routed output
     "doc_containment_auto" ->

@@ -1947,4 +1947,60 @@ object TextOps {
         round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)))
       .withColumn("chars_per_token", when(col("n_tokens") > 0,
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)))
+
+  /** Exact Mann–Whitney ROC-AUC of a score against a boolean label, per
+    * group — the calibration statistic for any learned or heuristic
+    * quality signal (AUC = P[random positive outranks random negative],
+    * ties counted half, the standard U-statistic form). Computed WITHOUT a
+    * global sort: one corpus shuffle builds the per-(group, score) census;
+    * the cumulative-negatives-below prefix is the repo's two-level pattern
+    * (seventh instance — coarse order-compatible score buckets → summary-
+    * sized offset window per group → in-bucket prefix window); the
+    * numerator 2·Σ n_pos·cumNeg + Σ n_pos·n_neg accumulates as
+    * DECIMAL(38,0) (exact integers through the shuffle, one IEEE division
+    * per output row), so the result hash-matches any engine. Groups with a
+    * single class yield NULL (AUC undefined), never a division artifact. */
+  private[graft] def aucOf(df: DataFrame, group: Seq[String],
+                           score: String, label: String): DataFrame = {
+    val gcols = group.map(col)
+    val census = df
+      .groupBy((gcols :+ col(score)): _*)
+      .agg(sum(when(col(label), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(label), 0L).otherwise(1L)).as("n_neg"))
+      .withColumn("g", floor(col(score) * 1024).cast("long"))
+    val offsets = census.groupBy((gcols :+ col("g")): _*)
+      .agg(sum(col("n_neg")).as("bneg"))
+      .withColumn("offset", coalesce(sum(col("bneg")).over(
+        Window.partitionBy(gcols: _*).orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gcols :+ col("g") :+ col("offset")): _*)
+    val inBucket = Window.partitionBy((gcols :+ col("g")): _*)
+      .orderBy(col(score)).rowsBetween(Window.unboundedPreceding, -1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    census.join(offsets, group :+ "g")
+      .withColumn("cum_neg",
+        col("offset") + coalesce(sum(col("n_neg")).over(inBucket), lit(0L)))
+      .groupBy(gcols: _*)
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum((col("n_pos") * col("cum_neg") * 2 + col("n_pos") * col("n_neg"))
+          .cast(dec)).as("num2"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("num2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double")))
+      .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
+  }
+
+  /** C87: quality-signal calibration — per-source exact ROC-AUC of the
+    * cheap C9 quality score against the C64 Gopher rule verdict: "does the
+    * one-pass heuristic rank Gopher-pass documents above Gopher-fail
+    * ones?", the audit a corpus owner runs before trusting a cheap score
+    * to pre-filter what the expensive battery would have cut. Both inputs
+    * are independently oracle-gated map passes; the AUC reduction is
+    * [[aucOf]] (census + two-level prefix — no global sort at any scale). */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality"))
+      .join(gopherRules(spark, dir).select(col("doc_id"), col("keep")), "doc_id")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    aucOf(scored, Seq("source"), "quality", "keep")
+  }
 }

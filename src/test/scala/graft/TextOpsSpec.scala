@@ -1018,4 +1018,46 @@ class TextOpsSpec extends SparkSuite {
       ("en", "en") -> (1L, 0.5), ("en", "es") -> (1L, 0.5),
       ("de", "de") -> (1L, 0.5), ("de", "unknown") -> (1L, 0.5)))
   }
+
+  test("aucOf: exact Mann-Whitney AUC with ties, brute-force pair reference, degenerate NULL") {
+    // hand fixture with a tie ON a positive/negative pair and a tied
+    // negative pair: brute-force over all pos x neg pairs is the ground
+    // truth (win 1, tie 0.5)
+    val rows = Seq(
+      ("s", 0.9, true), ("s", 0.8, false), ("s", 0.8, true),
+      ("s", 0.5, false), ("s", 0.5, false), ("s", 0.3, true))
+      .toDF("source", "score", "keep")
+    def brute(data: Seq[(Double, Boolean)]): Double = {
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      wins / (pos.size * neg.size)
+    }
+    val want = brute(Seq((0.9, true), (0.8, false), (0.8, true),
+      (0.5, false), (0.5, false), (0.3, true)))
+    val got = TextOps.aucOf(rows, Seq("source"), "score", "keep").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_pos") == 3L && got.head.getAs[Long]("n_neg") == 3L)
+    assert(got.head.getAs[Double]("auc") == want,
+      s"got ${got.head.getAs[Double]("auc")}, brute $want")
+    // perfectly separated = 1.0; reversed = 0.0; single-class = NULL —
+    // three groups through one call (the per-group independence check)
+    val multi = Seq(
+      ("hi", 0.9, true), ("hi", 0.8, true), ("hi", 0.2, false),
+      ("lo", 0.1, true), ("lo", 0.9, false),
+      ("one", 0.5, true), ("one", 0.6, true))
+      .toDF("source", "score", "keep")
+    val m = TextOps.aucOf(multi, Seq("source"), "score", "keep").collect()
+      .map(r => r.getAs[String]("source") ->
+        Option(r.getAs[java.lang.Double]("auc"))).toMap
+    assert(m("hi").contains(1.0))
+    assert(m("lo").contains(0.0))
+    assert(m("one").isEmpty, s"single-class AUC must be NULL: $m")
+    // the gate composition is non-degenerate on the real corpus: every
+    // source has both classes and the score carries real signal
+    val real = TextOps.qualityAuc(spark, sf)
+    val aucs = real.collect().flatMap(r => Option(r.getAs[java.lang.Double]("auc")))
+    assert(aucs.nonEmpty && aucs.forall(a => a >= 0.0 && a <= 1.0))
+  }
 }
