@@ -221,6 +221,8 @@ object SparkEntry {
     // Gopher verdict (Mann-Whitney with tie halves, census + two-level
     // prefix -- no global sort)
     "doc_quality_auc"   -> ((s, d) => TextOps.qualityAuc(s, d)),
+    // C88: per-source OOV audit against the exact top-1000 corpus vocab
+    "doc_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2445,6 +2447,32 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // top-V census rank matches vocabOf's two-level total order (count
+    // desc, term); token stream aggregates to a census before any join
+    "doc_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY 1),
+        |top AS (SELECT term FROM (
+        |  SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM tc) r
+        |  WHERE rk <= 1000),
+        |census AS (
+        |  SELECT source, term, count(*) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE text IS NOT NULL) t
+        |  GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN top.term IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_covered,
+        |  count(*) AS n_terms,
+        |  CAST(sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_terms,
+        |  CAST(sum(CASE WHEN top.term IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cnt) AS DOUBLE) AS coverage,
+        |  CAST(sum(cnt) - sum(CASE WHEN top.term IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cnt) AS DOUBLE) AS oov_rate
+        |FROM census LEFT JOIN top USING (term)
+        |GROUP BY 1""".stripMargin,
     // AUC: the window orders by the exact per-doc quality double (same
     // bits both engines — doc_quality is hash-gated); numerator stays an
     // exact integer until one final IEEE division; single-class sources

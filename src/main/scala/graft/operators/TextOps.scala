@@ -1990,6 +1990,37 @@ object TextOps {
       .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** C88: vocabulary-coverage / OOV audit per source — the fixed-vocab
+    * companion to the C83 fertility audit: what fraction of token
+    * OCCURRENCES a top-`topV` corpus vocabulary covers, per source (a
+    * source with a high OOV rate is the one a fixed tokenizer vocabulary
+    * under-serves — the audit run before freezing V). Vocabulary = the
+    * exact top-V terms by global count via [[vocabOf]]'s two-level total
+    * order (count desc, then term — no global sort); the corpus-scale
+    * token stream never joins the vocab directly: it first partial-aggs
+    * to the (source, term) census (map-side combinable), the census joins
+    * the V-row vocab (AQE broadcasts it), and coverage is one
+    * integer-sums groupBy — ratios as single IEEE divisions per output
+    * row, oracle-portable. */
+  def vocabCoverage(spark: SparkSession, dir: String, topV: Long = 1000): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top = vocabOf(docs, minCount = 1).filter(col("vocab_id") <= topV)
+      .select(col("term"), lit(1L).as("in_v"))
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .join(top, Seq("term"), "left")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, col("cnt")).otherwise(0L)).as("n_covered"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov_terms"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("oov_rate", (col("n_tokens") - col("n_covered")).cast("double")
+        / col("n_tokens").cast("double"))
+  }
+
   /** C87: quality-signal calibration — per-source exact ROC-AUC of the
     * cheap C9 quality score against the C64 Gopher rule verdict: "does the
     * one-pass heuristic rank Gopher-pass documents above Gopher-fail

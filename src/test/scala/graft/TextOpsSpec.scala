@@ -1060,4 +1060,26 @@ class TextOpsSpec extends SparkSuite {
     val aucs = real.collect().flatMap(r => Option(r.getAs[java.lang.Double]("auc")))
     assert(aucs.nonEmpty && aucs.forall(a => a >= 0.0 && a <= 1.0))
   }
+
+  test("vocabCoverage: hand-planted top-V, per-source OOV rates exact") {
+    val d = java.nio.file.Files.createTempDirectory("graft-vcov").toString
+    // global counts: "a" x5, "b" x3, "c" x2, "d" x1 -> top-2 = {a, b}
+    Seq(
+      (0L, "a a a b b", "en", "s1", 9L),
+      (1L, "a a b c", "en", "s1", 7L),
+      (2L, "c d", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.vocabCoverage(spark, d, topV = 2).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("n_oov_terms"), r.getAs[Double]("coverage")))).toMap
+    // s1: 9 tokens, covered a(5)+b(3)=8, oov terms {c}; s2: 2 tokens,
+    // covered 0, oov terms {c, d}
+    assert(out("s1") == ((9L, 8L, 1L, 8.0 / 9.0)), s"got $out")
+    assert(out("s2") == ((2L, 0L, 2L, 0.0)), s"got $out")
+    // V >= vocabulary size: full coverage everywhere
+    val full = TextOps.vocabCoverage(spark, d, topV = 100).collect()
+    assert(full.forall(_.getAs[Double]("coverage") == 1.0))
+  }
 }
