@@ -238,6 +238,9 @@ object SparkEntry {
     // threshold 0.4 (the fixed-param entry's), not the 0.85 production
     // default: at sf0.01 the 0.85 dump is 0 rows — a vacuous gate row
     "emb_lsh_auto"      -> ((s, d) => Similarity.lshNeardupPairsAuto(s, d, threshold = 0.4)),
+    // C89: Matryoshka truncated-serving audit — top-k overlap + rank-1
+    // agreement per truncation width vs the full-dim ranking
+    "emb_trunc_audit"   -> ((s, d) => Similarity.truncAudit(s, d)),
     "emb_hamming_topk"  -> ((s, d) => Similarity.hammingTopK(s, d)),
     "emb_hamming_exhaustive" -> ((s, d) => Similarity.hammingTopKExhaustive(s, d)),
     "emb_mmr"           -> ((s, d) => Similarity.mmrTopK(s, d)),
@@ -2473,6 +2476,45 @@ object SparkEntry {
         |    / CAST(sum(cnt) AS DOUBLE) AS oov_rate
         |FROM census LEFT JOIN top USING (term)
         |GROUP BY 1""".stripMargin,
+    // truncation audit: slices + dots replay bit-identically
+    // (list_slice = Spark slice; list_dot_product = the native kernel's
+    // double accumulation); the native width rides the widths list so
+    // the full-dim row is the control
+    "emb_trunc_audit" ->
+      """WITH dims AS (SELECT DISTINCT td FROM (
+        |    SELECT unnest([8, 16, 32]) AS td
+        |    UNION ALL
+        |    SELECT DISTINCT len(embedding) AS td FROM embeddings
+        |    WHERE embedding IS NOT NULL) t),
+        |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |         FROM embeddings WHERE embedding IS NOT NULL),
+        |sv AS (SELECT td, vec_id, v, nrm FROM (
+        |  SELECT d.td, b.vec_id, list_slice(b.v, 1, d.td) AS v,
+        |    sqrt(list_dot_product(list_slice(b.v, 1, d.td),
+        |                          list_slice(b.v, 1, d.td))) AS nrm
+        |  FROM base b CROSS JOIN dims d) s WHERE nrm > 0),
+        |q AS (SELECT td, vec_id AS q_id, v AS qv, nrm AS qn FROM sv WHERE vec_id < 10),
+        |c AS (SELECT * FROM sv WHERE vec_id >= 10),
+        |ranked AS (
+        |  SELECT c.td, q.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.td, q.q_id
+        |      ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qn) DESC,
+        |        c.vec_id) AS rank
+        |  FROM c JOIN q ON c.td = q.td
+        |  QUALIFY rank <= 5),
+        |mw AS (SELECT q_id, max(td) AS max_w FROM ranked GROUP BY 1),
+        |fl AS (SELECT r.q_id, r.vec_id, r.rank AS full_rank
+        |       FROM ranked r JOIN mw ON r.q_id = mw.q_id AND r.td = mw.max_w),
+        |perq AS (
+        |  SELECT td, r.q_id,
+        |    sum(CASE WHEN f.full_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_match,
+        |    sum(CASE WHEN r.rank = 1 AND f.full_rank = 1 THEN 1 ELSE 0 END) AS r1
+        |  FROM ranked r LEFT JOIN fl f ON r.q_id = f.q_id AND r.vec_id = f.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(td AS BIGINT) AS trunc_dim, count(*) AS n_q,
+        |  CAST(sum(n_match) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE) AS overlap_at_k,
+        |  CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rank1_match
+        |FROM perq GROUP BY 1""".stripMargin,
     // AUC: the window orders by the exact per-doc quality double (same
     // bits both engines — doc_quality is hash-gated); numerator stays an
     // exact integer until one final IEEE division; single-class sources

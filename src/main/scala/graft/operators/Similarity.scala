@@ -1884,6 +1884,76 @@ object Similarity {
         expr("mean_new - mean_base").as("delta"))
   }
 
+  /** C89: truncated-serving audit (Matryoshka representation serving,
+    * Kusupati et al. 2022, public — rank with a PREFIX of each embedding,
+    * cutting scan bytes ∝ dim): for each truncation width, how much of
+    * the full-dimension cosine top-k survives when both query and corpus
+    * vectors are sliced to their first `w` coordinates — top-k overlap
+    * and rank-1 agreement per width, the measurement a serving owner
+    * reads before committing to a cheaper width. The full-dim reference
+    * ranking rides the same scored pass (the native width is appended to
+    * `widths`), so width = dim is a built-in control row (overlap 1.0 by
+    * construction).
+    *
+    * Scale shape: ONE corpus scan fans out to |widths| sliced rows per
+    * vector (in-row slice + norm — map-only); queries broadcast per
+    * width; per-(width, query) top-k is the standard WindowGroupLimit
+    * bound, so the shuffle carries ≤ widths·queries·k rows; overlap is a
+    * join of two (widths·queries·k)-row tables. Output fractions are
+    * integer-count ratios (one IEEE division per row) — oracle-portable.
+    * Zero-norm SLICES are excluded per width (cos undefined), mirroring
+    * the withNorm discipline; a query whose slice is zero-norm drops out
+    * of that width's denominator `n_q`. */
+  def truncAudit(spark: SparkSession, dir: String, nQueries: Int = 10,
+                 k: Int = 5, widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val dim = size(col("v"))
+    // distinct sorted widths, native width appended in-row (dim is a
+    // per-row value — slice(v, 1, dim) = v, the reference ranking)
+    val wArr = array_distinct(concat(
+      array(widths.sorted.map(w => lit(w)): _*), array(dim)))
+    def slicedSide(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), explode(wArr).as("trunc_dim"), col("v"))
+      .select(col("vec_id"), col("trunc_dim"),
+        slice(col("v"), lit(1), col("trunc_dim")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val q = slicedSide(emb.filter(col("vec_id") < nQueries))
+      .select(col("trunc_dim"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = slicedSide(emb.filter(col("vec_id") >= nQueries))
+    val w = Window.partitionBy(col("trunc_dim"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ranked = c.join(broadcast(q), Seq("trunc_dim"))
+      .select(col("trunc_dim"), col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("trunc_dim"), col("q_id"), col("vec_id"), col("rank"))
+      .localCheckpoint(true) // ≤ widths·queries·k rows; read twice below
+    val full = ranked
+      .withColumn("max_w", max(col("trunc_dim")).over(
+        Window.partitionBy(col("q_id"))))
+      .filter(col("trunc_dim") === col("max_w"))
+      .select(col("q_id"), col("vec_id"), col("rank").as("full_rank"))
+    ranked.join(full, Seq("q_id", "vec_id"), "left")
+      .groupBy("trunc_dim", "q_id")
+      .agg(sum(when(col("full_rank").isNotNull, 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("rank") === 1 && col("full_rank") === 1, 1L)
+          .otherwise(0L)).as("r1"))
+      .groupBy("trunc_dim")
+      .agg(count(lit(1)).as("n_q"), sum(col("n_match")).as("n_overlap"),
+        sum(col("r1")).as("n_rank1"))
+      .withColumn("overlap_at_k", col("n_overlap").cast("double")
+        / (col("n_q") * k).cast("double"))
+      .withColumn("rank1_match",
+        col("n_rank1").cast("double") / col("n_q").cast("double"))
+      .select(col("trunc_dim").cast("long").as("trunc_dim"), col("n_q"),
+        col("overlap_at_k"), col("rank1_match"))
+  }
+
   /** C85: binary sign-code search — Charikar (2002) random-hyperplane
     * codes as a SERVING structure, not just an LSH blocking key: every
     * vector compresses to `bits` sign bits (the deterministic global plane

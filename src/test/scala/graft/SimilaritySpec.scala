@@ -1158,4 +1158,34 @@ class SimilaritySpec extends SparkSuite {
       0L -> (8L, 2L, 1.0, 3.0, 2.0),
       1L -> (8L, 2L, 2.0, 1.0, -1.0)))
   }
+
+  test("truncAudit: prefix tie flips rank-1, zero slices excluded, native width is the 1.0 control") {
+    val d = Files.createTempDirectory("graft-trunc").toString
+    // q0 = (1,0,0,1): full rank-1 is B (cos .949) but the width-2 slices of
+    // A and B are IDENTICAL (1,0) -> tie breaks to min vec_id = A, so the
+    // truncated ranking provably disagrees with full. q1's width-2 slice is
+    // zero-norm -> drops out of that width's denominator. C's width-2
+    // slice is zero-norm -> excluded from width-2 candidates.
+    Seq(
+      (0L, Array(1f, 0f, 0f, 1f), 0),  // query 0
+      (1L, Array(0f, 0f, 1f, 1f), 0),  // query 1 (zero width-2 slice)
+      (10L, Array(1f, 0f, 0f, 0f), 0), // A
+      (11L, Array(1f, 0f, 0f, 2f), 0), // B — full-dim winner for q0
+      (12L, Array(0f, 0f, 1f, 0f), 0)) // C — full-dim winner for q1
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.truncAudit(spark, d, nQueries = 2, k = 1, widths = Seq(2))
+      .collect().map(r => r.getAs[Long]("trunc_dim") ->
+        ((r.getAs[Long]("n_q"), r.getAs[Double]("overlap_at_k"),
+          r.getAs[Double]("rank1_match")))).toMap
+    assert(out(2L) == ((1L, 0.0, 0.0)), s"width 2: $out")
+    assert(out(4L) == ((2L, 1.0, 1.0)), s"native control: $out")
+    // real corpus: overlap grows monotonically with width, control = 1.0
+    val real = Similarity.truncAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("trunc_dim") -> r.getAs[Double]("overlap_at_k"))
+      .sortBy(_._1)
+    assert(real.last._2 == 1.0, s"native width must be exact: $real")
+    assert(real.map(_._2).sliding(2).forall(p => p(0) <= p(1) + 0.2),
+      s"overlap should broadly grow with width: $real")
+  }
 }
