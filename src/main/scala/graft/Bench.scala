@@ -61,6 +61,9 @@ object Bench {
     "ev_bitmap_overlap", "ev_bitmap_store",
     "doc_kn_ll", "doc_fertility", "doc_containment",
     "emb_hamming_topk", "emb_mmr",
+    // round-10 additions
+    "doc_containment_auto", "doc_quality_auc", "doc_vocab_coverage",
+    "emb_trunc_audit", "emb_ood",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -241,6 +241,9 @@ object SparkEntry {
     // C89: Matryoshka truncated-serving audit — top-k overlap + rank-1
     // agreement per truncation width vs the full-dim ranking
     "emb_trunc_audit"   -> ((s, d) => Similarity.truncAudit(s, d)),
+    // C90: diagonal-Mahalanobis OOD score (decimal-exact per-dim stats as
+    // plan literals; map-only scoring)
+    "emb_ood"           -> ((s, d) => Similarity.oodScore(s, d)),
     "emb_hamming_topk"  -> ((s, d) => Similarity.hammingTopK(s, d)),
     "emb_hamming_exhaustive" -> ((s, d) => Similarity.hammingTopKExhaustive(s, d)),
     "emb_mmr"           -> ((s, d) => Similarity.mmrTopK(s, d)),
@@ -2476,6 +2479,32 @@ object SparkEntry {
         |    / CAST(sum(cnt) AS DOUBLE) AS oov_rate
         |FROM census LEFT JOIN top USING (term)
         |GROUP BY 1""".stripMargin,
+    // per-dim stats from the same DECIMAL(18,9) sums; per-TERM
+    // DECIMAL(18,9) quantization makes the per-vector sum
+    // order-independent (list_sum == Spark's in-row decimal fold)
+    "emb_ood" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT CAST(unnest(v) AS DECIMAL(18,9)) AS d,
+        |        generate_subscripts(v, 1) AS i FROM e),
+        |g AS (SELECT i, count(*) AS n, sum(d) AS s, sum(d * d) AS s2
+        |      FROM x GROUP BY 1),
+        |st AS (SELECT i,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS vr
+        |  FROM g),
+        |st2 AS (SELECT i, mu,
+        |    CASE WHEN vr > 0 THEN sqrt(vr) ELSE 0.0 END AS sg FROM st),
+        |arrs AS (SELECT list(mu ORDER BY i) AS mu, list(sg ORDER BY i) AS sg
+        |         FROM st2)
+        |SELECT vec_id,
+        |  round(CAST(list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> CASE WHEN sg[i] > 0
+        |      THEN CAST(((v[i] - mu[i]) / sg[i]) * ((v[i] - mu[i]) / sg[i]) AS DECIMAL(18,9))
+        |      ELSE CAST(0.0 AS DECIMAL(18,9)) END)) AS DOUBLE), 6) AS ood
+        |FROM e, arrs""".stripMargin,
     // truncation audit: slices + dots replay bit-identically
     // (list_slice = Spark slice; list_dot_product = the native kernel's
     // double accumulation); the native width rides the widths list so

@@ -1954,6 +1954,57 @@ object Similarity {
         col("overlap_at_k"), col("rank1_match"))
   }
 
+  /** C90: out-of-distribution score per vector — diagonal Mahalanobis
+    * distance to the corpus distribution (Lee et al. 2018's Mahalanobis
+    * OOD detector, public, with the standard diagonal-covariance
+    * simplification): ood = Σ_d ((x_d − μ_d)/σ_d)², the admission audit
+    * that flags junk embeddings (wrong modality, corrupted rows, encoder
+    * drift) before they enter an index or a training mix. Constant
+    * dimensions (σ = 0) contribute zero — never a division artifact.
+    *
+    * Scale shape: per-dim stats are ONE ≤dim-key partial agg over the
+    * posexploded corpus (the C69/C77 pattern) with the emb_quantize
+    * decimal discipline — double-widened DECIMAL(18,9) sums, so μ and σ
+    * are order-independent and bit-identical cross-engine; the ≤dim-row
+    * result folds into the scoring pass as PLAN LITERALS (model-as-
+    * constant, the C55/C57 discipline — no broadcast, no join), making
+    * scoring map-only: one in-row indexed fold per vector, left-to-right
+    * double accumulation mirrored by the oracle's list_reduce. */
+  def oodScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val stats = emb.select(posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast(dec9).as("d"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+        sum(col("d") * col("d")).as("s2"))
+      .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("vr", expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu"))
+      .withColumn("sg", expr("CASE WHEN vr > 0 THEN sqrt(vr) ELSE 0.0 END"))
+      .orderBy("i").collect() // ≤ dim rows — the model, not the corpus
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("vec_id", "ood")
+    val mu = array(stats.map(r => lit(r.getAs[Double]("mu"))): _*)
+    val sg = array(stats.map(r => lit(r.getAs[Double]("sg"))): _*)
+    // per-term DECIMAL(18,9) quantization (the C40/C68 scheme — the one
+    // double->decimal cast width measured to round identically in both
+    // engines; 12-digit casts disagreed in the last digit on 3/500 terms)
+    // makes the per-vector sum order-independent; final 6 dp round
+    val dec9s = org.apache.spark.sql.types.DecimalType(18, 9)
+    emb.select(col("vec_id"), round(aggregate(
+      transform(col("v"), (x, i) => {
+        val m = try_element_at(mu, i + 1)
+        val g = try_element_at(sg, i + 1)
+        when(g > 0, (((x - m) / g) * ((x - m) / g)).cast(dec9s))
+          .otherwise(lit(0.0).cast(dec9s))
+      }), lit(0.0).cast(dec9s),
+      // decimal + widens the type; cast back — exact at these magnitudes
+      (acc, t) => (acc + t).cast(dec9s)).cast("double"), 6).as("ood"))
+  }
+
   /** C85: binary sign-code search — Charikar (2002) random-hyperplane
     * codes as a SERVING structure, not just an LSH blocking key: every
     * vector compresses to `bits` sign bits (the deterministic global plane

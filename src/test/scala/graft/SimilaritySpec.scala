@@ -1188,4 +1188,42 @@ class SimilaritySpec extends SparkSuite {
     assert(real.map(_._2).sliding(2).forall(p => p(0) <= p(1) + 0.2),
       s"overlap should broadly grow with width: $real")
   }
+
+  test("oodScore: matches a from-scratch diagonal-Mahalanobis reference; constant dims skipped; outlier ranks top") {
+    val d = Files.createTempDirectory("graft-ood").toString
+    // third dim CONSTANT (sigma = 0 -> must contribute nothing), planted
+    // far outlier id 4
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(0f, 0f, 7f), 1L -> Array(4f, 0f, 7f),
+      2L -> Array(0f, 2f, 7f), 3L -> Array(4f, 2f, 7f),
+      4L -> Array(20f, -6f, 7f))
+    vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // reference: exact decimal-free double math on the tiny fixture (the
+    // operator's decimal quantization only suppresses order effects, which
+    // a 5-vector fixture doesn't have beyond 1e-9 -- compare at 1e-6)
+    val dims = 3
+    val n = vecs.size.toDouble
+    val mu = (0 until dims).map(j => vecs.map(_._2(j).toDouble).sum / n)
+    val sg = (0 until dims).map { j =>
+      val vr = vecs.map(v => v._2(j).toDouble * v._2(j)).sum / n - mu(j) * mu(j)
+      if (vr > 0) math.sqrt(vr) else 0.0
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> (0 until dims).map { j =>
+        if (sg(j) > 0) { val t = (v(j) - mu(j)) / sg(j); t * t } else 0.0
+      }.sum
+    }.toMap
+    val got = Similarity.oodScore(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("ood")).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-6, s"vec $id: got ${got(id)}, want $w") }
+    // the planted outlier carries the largest score by a wide margin
+    assert(got(4L) == got.values.max && got(4L) > 2 * got.filterKeys(_ != 4L).values.max)
+    // deterministic re-run
+    val again = Similarity.oodScore(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("ood")).toMap
+    assert(again == got)
+  }
 }
