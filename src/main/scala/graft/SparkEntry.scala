@@ -223,6 +223,8 @@ object SparkEntry {
     "doc_quality_auc"   -> ((s, d) => TextOps.qualityAuc(s, d)),
     // C88: per-source OOV audit against the exact top-1000 corpus vocab
     "doc_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    // C91: reliability bins for the quality score vs the Gopher verdict
+    "doc_quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2453,6 +2455,43 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // same quality/keep exprs as doc_quality_auc; equal-width bins with
+    // the 1.0 score clamped into the top bin; decimal-exact mean score
+    "doc_quality_calibration" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |      AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+         |      AND ellipsis_ratio <= 0.3 AND alpha_ratio > 0.8
+         |      AND stop_hits >= 2 AS keep
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |      CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mean_word_len,
+         |      CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |        / len(regexp_split_to_array(text, '\\s+')) AS symbol_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)),
+         |          l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS bullet_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS ellipsis_ratio,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS alpha_ratio,
+         |      ${hits(stop)} AS stop_hits
+         |    FROM documents) t)
+         |SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bin,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         |FROM q JOIN g USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // top-V census rank matches vocabOf's two-level total order (count
     // desc, term); token stream aggregates to a census before any join
     "doc_vocab_coverage" ->

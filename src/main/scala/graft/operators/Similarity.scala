@@ -1975,8 +1975,20 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .filter(col("v").isNotNull)
+    val stats = oodStatsOf(emb)
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("vec_id", "ood")
+    emb.select(col("vec_id"), oodCol(col("v"), stats).as("ood"))
+  }
+
+  /** The frozen per-dim (μ, σ) model behind [[oodScore]] — ONE ≤dim-key
+    * partial agg with decimal-exact sums, collected to ≤dim rows. Exposed
+    * so the streaming admission gate can score new arrivals against a
+    * BASE corpus's distribution ([[graft.streaming.EmbPipeline]]) with
+    * scores identical to the batch operator by construction. */
+  private[graft] def oodStatsOf(emb: DataFrame): Array[(Double, Double)] = {
     val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
-    val stats = emb.select(posexplode(col("v")).as(Seq("i", "x")))
+    emb.select(posexplode(col("v")).as(Seq("i", "x")))
       .select(col("i"), col("x").cast(dec9).as("d"))
       .groupBy("i")
       .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
@@ -1985,24 +1997,29 @@ object Similarity {
       .withColumn("vr", expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu"))
       .withColumn("sg", expr("CASE WHEN vr > 0 THEN sqrt(vr) ELSE 0.0 END"))
       .orderBy("i").collect() // ≤ dim rows — the model, not the corpus
-    if (stats.isEmpty)
-      return Seq.empty[(Long, Double)].toDF("vec_id", "ood")
-    val mu = array(stats.map(r => lit(r.getAs[Double]("mu"))): _*)
-    val sg = array(stats.map(r => lit(r.getAs[Double]("sg"))): _*)
-    // per-term DECIMAL(18,9) quantization (the C40/C68 scheme — the one
-    // double->decimal cast width measured to round identically in both
-    // engines; 12-digit casts disagreed in the last digit on 3/500 terms)
-    // makes the per-vector sum order-independent; final 6 dp round
+      .map(r => (r.getAs[Double]("mu"), r.getAs[Double]("sg")))
+  }
+
+  /** The map-only OOD scoring column over an `array<double>` vector: the
+    * (μ, σ) model inlines as PLAN LITERALS (model-as-constant). Per-term
+    * DECIMAL(18,9) quantization (the C40/C68 scheme — the one
+    * double→decimal cast width measured to round identically in both
+    * engines; 12-digit casts disagreed in the last digit on 3/500 terms)
+    * makes the per-vector sum order-independent; final 6 dp round. */
+  private[graft] def oodCol(v: Column,
+                            stats: Array[(Double, Double)]): Column = {
+    val mu = array(stats.map(t => lit(t._1)): _*)
+    val sg = array(stats.map(t => lit(t._2)): _*)
     val dec9s = org.apache.spark.sql.types.DecimalType(18, 9)
-    emb.select(col("vec_id"), round(aggregate(
-      transform(col("v"), (x, i) => {
+    round(aggregate(
+      transform(v, (x, i) => {
         val m = try_element_at(mu, i + 1)
         val g = try_element_at(sg, i + 1)
         when(g > 0, (((x - m) / g) * ((x - m) / g)).cast(dec9s))
           .otherwise(lit(0.0).cast(dec9s))
       }), lit(0.0).cast(dec9s),
       // decimal + widens the type; cast back — exact at these magnitudes
-      (acc, t) => (acc + t).cast(dec9s)).cast("double"), 6).as("ood"))
+      (acc, t) => (acc + t).cast(dec9s)).cast("double"), 6)
   }
 
   /** C85: binary sign-code search — Charikar (2002) random-hyperplane

@@ -1990,6 +1990,36 @@ object TextOps {
       .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** C91: reliability diagram for a bounded score against a boolean
+    * outcome — the calibration companion to [[qualityAuc]] (AUC measures
+    * RANKING; this measures whether the score's VALUE means what it says):
+    * scores bin into `nBins` equal-width cells on [0,1], each reporting
+    * its doc count, decimal-exact mean score, and empirical positive rate
+    * — a well-calibrated score has mean_score ≈ pos_rate per bin. One
+    * map-only binning pass + one nBins-key partial agg; mean_score sums
+    * DECIMAL(18,9)-quantized scores (order-independent), both ratios are
+    * single IEEE divisions. Gated on the C9 quality score vs the C64
+    * Gopher verdict (same pairing as C87). */
+  def qualityCalibration(spark: SparkSession, dir: String,
+                         nBins: Int = 10): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    quality(spark, dir).select(col("doc_id"), col("quality"))
+      .join(gopherRules(spark, dir).select(col("doc_id"), col("keep")), "doc_id")
+      // score exactly 1.0 belongs to the top bin, not a phantom nBins-th
+      .withColumn("bin", least(floor(col("quality") * nBins).cast("long"),
+        lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("quality").cast(dec9)).as("s"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("mean_score",
+        expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("pos_rate",
+        expr("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+        col("pos_rate"))
+  }
+
   /** C88: vocabulary-coverage / OOV audit per source — the fixed-vocab
     * companion to the C83 fertility audit: what fraction of token
     * OCCURRENCES a top-`topV` corpus vocabulary covers, per source (a

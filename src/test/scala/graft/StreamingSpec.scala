@@ -1294,4 +1294,54 @@ class StreamingSpec extends SparkSuite {
     // the sentinel's own windows stay open — append never emits them
     assert(!out.keySet.exists(_._2 == "sentinel"), s"sentinel leaked: $out")
   }
+
+  test("C90s: streaming OOD gate — frozen base model, batch-identical scores, outlier dead-lettered") {
+    import graft.streaming.EmbPipeline
+    val base = Files.createTempDirectory("graft-ood-base").toString
+    val srcDir = Files.createTempDirectory("graft-ood-src").toString
+    val chk = Files.createTempDirectory("graft-ood-chk").toString
+    val baseVecs: Seq[(Long, Array[Float], Int)] = Seq(
+      (0L, Array(0f, 0f, 7f), 0), (1L, Array(4f, 0f, 7f), 0),
+      (2L, Array(0f, 2f, 7f), 0), (3L, Array(4f, 2f, 7f), 0),
+      (4L, Array(2f, 1f, 7f), 0))
+    baseVecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val model = EmbPipeline.oodModel(spark, base)
+    assert(model.length == 3 && model(2)._2 == 0.0) // constant dim: sigma 0
+
+    def writeVecBatch(file: String, rows: Seq[(Long, Array[Float], Int)]): Unit = {
+      val staging = Files.createTempDirectory("graft-ood-stage").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/$file.parquet"))
+    }
+    // batch 1: two in-distribution arrivals (values present in the base)
+    writeVecBatch("b1", Seq((100L, Array(0f, 0f, 7f), 0), (101L, Array(4f, 2f, 7f), 0)))
+    val gated = EmbPipeline.oodGateStream(
+      EmbPipeline.embSource(spark, srcDir), model)
+    val q = gated.writeStream.format("memory").queryName("ood_gate")
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // batch 2: a wrong-modality row — the model must stay FROZEN (scored
+    // against base stats, not re-fit including itself)
+    writeVecBatch("b2", Seq((999L, Array(1000f, 1000f, 7f), 0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ood_gate").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("ood"), r.getAs[Boolean]("admitted")))).toMap
+    assert(out(100L)._2 && out(101L)._2, s"in-distribution rows rejected: $out")
+    assert(!out(999L)._2, s"outlier admitted: $out")
+    assert(out(999L)._1 > 100 * out(100L)._1)
+    // stream scores are IDENTICAL to the batch operator on the same rows:
+    // vec 100/101 duplicate base rows 0/3, which batch-scores via the same
+    // frozen stats (base == scored corpus there)
+    val batch = graft.operators.Similarity.oodScore(spark, base).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("ood")).toMap
+    assert(out(100L)._1 == batch(0L) && out(101L)._1 == batch(3L),
+      s"stream/batch divergence: $out vs $batch")
+  }
 }

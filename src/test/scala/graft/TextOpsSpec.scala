@@ -1082,4 +1082,34 @@ class TextOpsSpec extends SparkSuite {
     val full = TextOps.vocabCoverage(spark, d, topV = 100).collect()
     assert(full.forall(_.getAs[Double]("coverage") == 1.0))
   }
+
+  test("qualityCalibration: bins partition the corpus, means stay inside their bin, top bin owns 1.0") {
+    val out = TextOps.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("mean_score"),
+        r.getAs[Double]("pos_rate")))
+    assert(out.nonEmpty && out.forall(b => b._1 >= 0 && b._1 <= 9))
+    // bins partition: doc and positive counts reconcile with the inputs
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == docs)
+    val keeps = TextOps.gopherRules(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(out.map(_._3).sum == keeps)
+    // each bin's mean score lies inside the bin (top bin closed at 1.0)
+    out.foreach { case (bin, _, _, m, p) =>
+      val lo = bin / 10.0
+      val hi = if (bin == 9) 1.0 + 1e-12 else (bin + 1) / 10.0
+      assert(m >= lo - 1e-9 && m < hi, s"bin $bin mean $m outside [$lo, $hi)")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // a score of exactly 1.0 lands in bin 9, not a phantom bin 10
+    val planted = Seq((0L, 1.0, true), (1L, 0.0, false)).toDF("doc_id", "quality", "keep")
+    // reuse the operator's binning expression shape directly
+    val bins = planted.withColumn("bin",
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("quality") * 10)
+          .cast("long"), org.apache.spark.sql.functions.lit(9L)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(bins(0L) == 9L && bins(1L) == 0L)
+  }
 }
