@@ -63,7 +63,7 @@ object Bench {
     "emb_hamming_topk", "emb_mmr",
     // round-10 additions
     "doc_containment_auto", "doc_quality_auc", "doc_vocab_coverage",
-    "emb_trunc_audit", "emb_ood",
+    "emb_trunc_audit", "emb_ood", "doc_quality_calibration", "qa_key_skew",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

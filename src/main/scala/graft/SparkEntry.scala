@@ -211,6 +211,8 @@ object SparkEntry {
     "qa_orphans"       -> ((s, d) => Analytics.qaOrphans(s, d)),
     // B36 Deequ-style constraint suite (one fused agg pass per table)
     "qa_constraints"   -> ((s, d) => Analytics.qaConstraints(s, d)),
+    // B37: per-(table, key) join-skew census — max/mean + heavy hitter
+    "qa_key_skew"      -> ((s, d) => Analytics.keySkew(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -2455,6 +2457,25 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // struct-max tie-break = (cnt, key) lexicographic max in both engines
+    "qa_key_skew" ->
+      """WITH s AS (
+        |  SELECT 'lineitem.l_orderkey' AS entity, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'documents.source', CAST(source AS VARCHAR) FROM documents),
+        |c AS (SELECT entity, k, count(*) AS cnt FROM s WHERE k IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT entity, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        count(*) AS n_keys,
+        |        max(struct_pack(cnt := cnt, k := k)) AS m
+        |      FROM c GROUP BY 1)
+        |SELECT entity, n_rows, n_keys,
+        |  CAST(struct_extract(m, 'cnt') AS BIGINT) AS max_count,
+        |  struct_extract(m, 'k') AS top_key,
+        |  CAST(struct_extract(m, 'cnt') * n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) AS skew
+        |FROM g""".stripMargin,
     // same quality/keep exprs as doc_quality_auc; equal-width bins with
     // the 1.0 score clamped into the top bin; decimal-exact mean score
     "doc_quality_calibration" ->

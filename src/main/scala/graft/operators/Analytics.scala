@@ -688,4 +688,28 @@ object Analytics {
       .withColumn("cume", round(cume_dist().over(w), 6))
       .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(w))
   }
+  /** B37: join-key skew diagnostics — the pre-flight a 100 TB owner runs
+    * before choosing a join strategy: per (table, key), the key census's
+    * shape — row count, distinct keys, the heaviest key and its count,
+    * and skew = max/mean (1.0 = perfectly uniform; the threshold where
+    * salting/AQE-skew-split starts paying is a few ×). One partial-agg
+    * census per key (map-side combinable) + a single-row summary fold;
+    * the heavy hitter is a struct-max (no sort), ties break to the
+    * larger key in BOTH engines. Keys surface as strings so one report
+    * row schema covers integer and categorical keys alike. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    def stat(entity: String, df: DataFrame, key: Column): DataFrame =
+      df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("cnt"), col("k"))).as("m"))
+        .select(lit(entity).as("entity"), col("n_rows"), col("n_keys"),
+          col("m.cnt").as("max_count"), col("m.k").as("top_key"))
+        .withColumn("skew", expr(
+          "CAST(max_count * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)"))
+    stat("lineitem.l_orderkey", Tables.lineitem(spark, dir), col("l_orderkey"))
+      .unionByName(stat("orders.o_custkey", Tables.orders(spark, dir), col("o_custkey")))
+      .unionByName(stat("events.user_id", Tables.events(spark, dir), col("user_id")))
+      .unionByName(stat("documents.source", Tables.documents(spark, dir), col("source")))
+  }
 }

@@ -94,4 +94,26 @@ class AnalyticsSpec extends SparkSuite {
     val clean = Analytics.qaConstraints(spark, sf).collect()
     assert(clean.length == 12 && clean.forall(_.getAs[Boolean]("passed")))
   }
+
+  test("keySkew: census reconciles with a direct groupBy; skew >= 1 and bounded") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.keySkew(spark, sf).collect()
+      .map(r => r.getAs[String]("entity") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("max_count"), r.getAs[String]("top_key"),
+          r.getAs[Double]("skew")))).toMap
+    assert(out.size == 4)
+    out.foreach { case (e, (nRows, nKeys, maxC, _, skew)) =>
+      assert(nKeys >= 1 && nKeys <= nRows, s"$e: $nKeys keys / $nRows rows")
+      assert(maxC >= 1 && maxC <= nRows, e)
+      // skew = max/mean: >= 1 always, = n_keys iff one key owns everything
+      assert(skew >= 1.0 - 1e-9 && skew <= nKeys.toDouble + 1e-9, s"$e skew $skew")
+    }
+    // reconcile one entity against a direct census
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), count(lit(1)), max(col("c"))).head()
+    val (nR, nK, mC, _, _) = out("events.user_id")
+    assert(nR == direct.getLong(0) && nK == direct.getLong(1) && mC == direct.getLong(2))
+  }
 }
