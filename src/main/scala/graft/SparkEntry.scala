@@ -551,6 +551,8 @@ object SparkEntry {
     "ev_sequence"       -> ((s, d) => EventOps.sequenceMatch(s, d)),
     "ev_inactive_users" -> ((s, d) => EventOps.inactiveUsers(s, d)),
     "ev_markov"         -> ((s, d) => EventOps.markovChain(s, d)),
+    // A81: per-user session-path likelihood under the A43 transition model
+    "ev_user_ll"        -> ((s, d) => EventOps.userLl(s, d)),
     "ev_decay_counts"   -> ((s, d) => EventOps.decayCounts(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -3174,6 +3176,38 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_transitions DESC, from_type, to_type
         |LIMIT 20""".stripMargin,
+    // same transition CTEs; add-one smoothing over the type alphabet,
+    // per-transition -ln P quantized to DECIMAL(18,9) (the C68 discipline)
+    "ev_user_ll" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_ms, event_id) AS to_type
+        |  FROM i),
+        |p AS (SELECT user_id, from_type, to_type FROM t WHERE to_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*) AS n_ab FROM p GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_from FROM c GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types FROM events),
+        |m AS (
+        |  SELECT from_type, to_type,
+        |    CAST(-ln((n_ab + 1) / (n_from + n_types)) AS DECIMAL(18,9)) AS tok_nll
+        |  FROM c JOIN f USING (from_type), v)
+        |SELECT user_id, count(*) AS n_transitions,
+        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS nll
+        |FROM p JOIN m USING (from_type, to_type)
+        |GROUP BY 1""".stripMargin,
     // same transition CTEs as ev_top_paths; prob is ONE double division of
     // two exact counts — bit-equal in both engines
     "ev_markov" ->

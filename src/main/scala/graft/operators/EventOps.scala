@@ -778,7 +778,10 @@ object EventOps {
   /** In-session consecutive event-type transition counts — the shared core
     * of [[topPaths]] and [[markovChain]]: one user_id shuffle (lag + island
     * cumsum + lead all ride it), then a ≤|types|²-key partial agg. */
-  private def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-transition rows (user_id, from_type, to_type) over session paths
+    * — ONE user-keyed shuffle (session islanding + lead ride the same
+    * partitioning); shared by the A43 census and the A81 per-user scorer. */
+  private def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = 30L * 60 * 1000
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     Tables.events(spark, dir)
@@ -794,8 +797,46 @@ object EventOps {
         Window.partitionBy(col("user_id"), col("session_id"))
           .orderBy(col("ts_ms"), col("event_id"))))
       .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+  }
+
+  private def transitionCounts(spark: SparkSession, dir: String): DataFrame =
+    transitionPairs(spark, dir)
+      .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
+
+  /** A81: per-user session-path LIKELIHOOD under the corpus transition
+    * model — the sequence-anomaly score the A43 Markov census enables
+    * (the event-side twin of C68's bigram LM): each user's mean
+    * −ln P(to | from) with add-one smoothing over the type alphabet,
+    * P = (c(from,to)+1)/(c(from,·)+V). A user whose transition pattern is
+    * atypical for the corpus (scripted scanners, broken clients replaying
+    * one edge, fraud flows) scores high; P > 0 everywhere by smoothing.
+    *
+    * Scale (the C82 census-fold discipline from the start): the pairs
+    * stream is ONE user-keyed window shuffle; the census and its
+    * per-from totals are summary-sized; the whole score folds onto the
+    * census, and pairs cross exactly one (from, to) join before the
+    * user-keyed mean. Per-transition −ln P as DECIMAL(18,9) — exact,
+    * order-independent, engine-portable. */
+  def userLl(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transitionPairs(spark, dir)
+    val census = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_ab"))
+    val byFrom = census.groupBy("from_type").agg(sum(col("n_ab")).as("n_from"))
+    val vocab = Tables.events(spark, dir)
+      .agg(countDistinct(col("event_type")).cast("double").as("n_types"))
+    val model = census.join(byFrom, Seq("from_type"))
+      .crossJoin(broadcast(vocab)) // single row: constant-size broadcast
+      .withColumn("tok_nll",
+        (-log((col("n_ab") + 1) / (col("n_from") + col("n_types"))))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .select(col("from_type"), col("to_type"), col("tok_nll"))
+    pairs.join(model, Seq("from_type", "to_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll"))
   }
 
   /** A43: first-order Markov transition model over session paths — the

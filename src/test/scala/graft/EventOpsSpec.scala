@@ -1152,4 +1152,38 @@ class EventOpsSpec extends SparkSuite {
     assert(out(("y", 1L)) == (0L, 20 * H, 20L, 3L, 60L))
     assert(out.size == 3)
   }
+
+  test("userLl: the user replaying a rare transition scores highest; totals reconcile with the census") {
+    import SparkSuite.spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-10 10:$m%02d:00")
+    // users 1-3 walk the dominant A->B edge; user 9 walks the rare A->C.
+    // All transitions are within one session (minutes apart << 30-min gap)
+    var id = 0L
+    def walk(u: Long, types: Seq[String]) = types.zipWithIndex.map { case (ty, i) =>
+      id += 1; (id, t(i), u, ty, 1.0) }
+    val rows = walk(1L, Seq("A", "B", "A", "B")) ++ walk(2L, Seq("A", "B")) ++
+      walk(3L, Seq("A", "B")) ++ walk(9L, Seq("A", "C"))
+    val d = java.nio.file.Files.createTempDirectory("graft-userll").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.userLl(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("nll")))).toMap
+    // census: A->B x5 (u1 twice + its B->A bridge... count exactly below),
+    // reconcile totals first: every user's transition count sums to the
+    // corpus pair count (u1: 3, u2: 1, u3: 1, u9: 1)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L && out(9L)._1 == 1L)
+    // the rare-edge user is the clear anomaly; the common-edge users tie
+    assert(out(9L)._2 == out.values.map(_._2).max,
+      s"rare A->C must score highest: $out")
+    assert(out(2L)._2 == out(3L)._2, s"identical walks must tie: $out")
+    assert(out(9L)._2 > out(2L)._2)
+    // hand values for a single A->B / A->C: census c(A,B) = 4 (u1 twice,
+    // u2, u3), c(B,A) = 1, c(A,C) = 1 -> n_from(A) = 5; alphabet V = 3
+    // P(B|A) = (4+1)/(5+3); P(C|A) = (1+1)/(5+3)
+    def q(x: Double) = math.round(-math.log(x) * 1e9) / 1e9 // DECIMAL(18,9)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    assert(out(2L)._2 == r6(q(5.0 / 8.0)))
+    assert(out(9L)._2 == r6(q(2.0 / 8.0)))
+  }
 }
