@@ -227,6 +227,8 @@ object SparkEntry {
     "doc_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     // C91: reliability bins for the quality score vs the Gopher verdict
     "doc_quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
+    // C92: exact per-source quality quantiles (two-level rank, no fat window)
+    "doc_quality_quantiles" -> ((s, d) => TextOps.qualityQuantiles(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2478,6 +2480,24 @@ object SparkEntry {
         |  CAST(struct_extract(m, 'cnt') * n_keys AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE) AS skew
         |FROM g""".stripMargin,
+    // type-1 quantile at rank ceil(q*n), ties by (quality, doc_id) — the
+    // plain window replay of the Spark side's two-level exact rank
+    "doc_quality_quantiles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 100.0, 1.0) *
+         |      (1.0 - CAST(${hits(stop)} AS DOUBLE) / len(regexp_split_to_array(text, '\\s+'))) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT d.source, q.quality,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality, q.doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY d.source) AS n
+         |  FROM q JOIN documents d USING (doc_id))
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  max(CASE WHEN rnk = ceil(n * 0.1) THEN quality END) AS p10,
+         |  max(CASE WHEN rnk = ceil(n * 0.5) THEN quality END) AS p50,
+         |  max(CASE WHEN rnk = ceil(n * 0.9) THEN quality END) AS p90
+         |FROM r GROUP BY 1""".stripMargin,
     // same quality/keep exprs as doc_quality_auc; equal-width bins with
     // the 1.0 score clamped into the top bin; decimal-exact mean score
     "doc_quality_calibration" ->

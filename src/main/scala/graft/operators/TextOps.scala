@@ -1990,6 +1990,38 @@ object TextOps {
       .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** C92: exact per-source quality-score quantiles (p10/p50/p90, the
+    * type-1 order statistic: the value at rank ⌈q·n⌉) — the numbers that
+    * turn a global quality threshold into per-source thresholds (a fixed
+    * cut keeps 90% of one source and 10% of another; thresholds are set
+    * off these quantiles). A naive percentile() OVER (PARTITION BY
+    * source) puts each source in one reducer — sources are few and huge,
+    * the worst window shape at 100 TB; instead the exact rank comes from
+    * the two-level pattern (eighth instance — coarse score buckets →
+    * summary offset window per source → in-bucket row_number), and the
+    * quantile is a conditional max over rank = ⌈q·n⌉. Ties order by
+    * (quality, doc_id) — fully deterministic. */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("g", floor(col("quality") * 1024).cast("long"))
+    val offsets = scored.groupBy("source", "g").agg(count(lit(1)).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.partitionBy("source").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("g"), col("offset"))
+    val nRows = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val inBucket = Window.partitionBy("source", "g").orderBy("quality", "doc_id")
+    scored.join(offsets, Seq("source", "g"))
+      .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      .join(nRows, "source") // AQE broadcasts the ≤|sources|-row table
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rnk") === ceil(col("n") * 0.1), col("quality"))).as("p10"),
+        max(when(col("rnk") === ceil(col("n") * 0.5), col("quality"))).as("p50"),
+        max(when(col("rnk") === ceil(col("n") * 0.9), col("quality"))).as("p90"))
+  }
+
   /** C91: reliability diagram for a bounded score against a boolean
     * outcome — the calibration companion to [[qualityAuc]] (AUC measures
     * RANKING; this measures whether the score's VALUE means what it says):

@@ -1112,4 +1112,28 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
     assert(bins(0L) == 9L && bins(1L) == 0L)
   }
+
+  test("qualityQuantiles: two-level rank equals Spark's own per-source window quantile doc-for-doc") {
+    import org.apache.spark.sql.expressions.Window
+    // naive reference: plain window rank per source on the sf corpus
+    val scored = TextOps.quality(spark, sf).select(col("doc_id"), col("quality"))
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    val naive = scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max(when(col("rnk") === ceil(col("n") * 0.1), col("quality"))).as("p10"),
+        max(when(col("rnk") === ceil(col("n") * 0.5), col("quality"))).as("p50"),
+        max(when(col("rnk") === ceil(col("n") * 0.9), col("quality"))).as("p90"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("p10"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+    val got = TextOps.qualityQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("p10"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+    assert(got == naive)
+    // quantiles are ordered and non-vacuous
+    got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
+    assert(got.values.exists { case (a, _, c) => a < c })
+  }
 }
