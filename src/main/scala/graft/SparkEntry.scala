@@ -555,6 +555,8 @@ object SparkEntry {
     "ev_markov"         -> ((s, d) => EventOps.markovChain(s, d)),
     // A81: per-user session-path likelihood under the A43 transition model
     "ev_user_ll"        -> ((s, d) => EventOps.userLl(s, d)),
+    // A82: sample-ratio-mismatch guardrail for the experiment readout
+    "ev_ab_srm"         -> ((s, d) => EventOps.abSrm(s, d)),
     "ev_decay_counts"   -> ((s, d) => EventOps.decayCounts(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -3196,6 +3198,23 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_transitions DESC, from_type, to_type
         |LIMIT 20""".stripMargin,
+    // chi-square(1) against the intended 50/50 split; same md5 assignment
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |             THEN 'A' ELSE 'B' END AS variant FROM u),
+        |g AS (SELECT count(*) FILTER (WHERE variant = 'A') AS n_a,
+        |        count(*) FILTER (WHERE variant = 'B') AS n_b FROM v)
+        |SELECT n_a, n_b, n_a + n_b AS n,
+        |  (CAST(n_a AS DOUBLE) - (n_a + n_b) * 0.5) * (CAST(n_a AS DOUBLE) - (n_a + n_b) * 0.5)
+        |    / ((n_a + n_b) * 0.5)
+        |  + (CAST(n_b AS DOUBLE) - (n_a + n_b) * (1.0 - 0.5)) * (CAST(n_b AS DOUBLE) - (n_a + n_b) * (1.0 - 0.5))
+        |    / ((n_a + n_b) * (1.0 - 0.5)) AS chi2,
+        |  ((CAST(n_a AS DOUBLE) - (n_a + n_b) * 0.5) * (CAST(n_a AS DOUBLE) - (n_a + n_b) * 0.5)
+        |    / ((n_a + n_b) * 0.5)
+        |  + (CAST(n_b AS DOUBLE) - (n_a + n_b) * (1.0 - 0.5)) * (CAST(n_b AS DOUBLE) - (n_a + n_b) * (1.0 - 0.5))
+        |    / ((n_a + n_b) * (1.0 - 0.5))) > CAST(3.841 AS DOUBLE) AS srm
+        |FROM g WHERE n_a + n_b > 0""".stripMargin,
     // same transition CTEs; add-one smoothing over the type alphabet,
     // per-transition -ln P quantized to DECIMAL(18,9) (the C68 discipline)
     "ev_user_ll" ->

@@ -1760,6 +1760,36 @@ object EventOps {
       .drop("p", "se")
   }
 
+  /** A82: sample-ratio-mismatch (SRM) guardrail for the A62 experiment —
+    * the FIRST check an experimentation platform runs, before any lift is
+    * believed: with a 50/50 split intent, does the observed assignment
+    * ratio deviate more than chance allows? Pearson chi-square with 1 df
+    * against the intended split; stat > 3.841 (α = 0.05) ⇒ SRM — the
+    * randomization itself is broken (routing bug, bot filter applied to
+    * one arm, crash on one variant) and the experiment readout is void.
+    * Same derandomized md5 assignment as A62, one user-keyed partial agg
+    * to a single summary row; the statistic is integer-count arithmetic
+    * with one sqrt-free division chain — engine-portable. */
+  def abSrm(spark: SparkSession, dir: String, salt: String = "exp1",
+            intendedA: Double = 0.5): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("variant", when(substring(md5(
+        concat(lit(salt), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2) < "80", "A").otherwise("B"))
+      .agg(count(when(col("variant") === "A", lit(1))).as("n_a"),
+        count(when(col("variant") === "B", lit(1))).as("n_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("exp_a", col("n") * intendedA)
+      .withColumn("exp_b", col("n") * (1.0 - intendedA))
+      .withColumn("chi2", expr(
+        """(CAST(n_a AS DOUBLE) - exp_a) * (CAST(n_a AS DOUBLE) - exp_a) / exp_a
+          | + (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b""".stripMargin))
+      .withColumn("srm", expr("chi2 > CAST(3.841 AS DOUBLE)"))
+      .filter(col("n") > 0)
+      .select(col("n_a"), col("n_b"), col("n"), col("chi2"), col("srm"))
+  }
+
   /** Per-user activity counts ranked ascending by (n_events, user_id) —
     * the shared input of [[concentration]] and [[gini]]. One corpus
     * user_id partial agg; the rank is the two-level pattern. */

@@ -1186,4 +1186,30 @@ class EventOpsSpec extends SparkSuite {
     assert(out(2L)._2 == r6(q(5.0 / 8.0)))
     assert(out(9L)._2 == r6(q(2.0 / 8.0)))
   }
+
+  test("abSrm: matches an independent md5+chi-square reference; extreme intended split trips the flag") {
+    // independent reference on the sf corpus: same derandomized assignment
+    // recomputed with java MessageDigest, chi-square in plain Scala
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val nA = users.count(u => md5hex(s"exp1:$u").substring(0, 2) < "80")
+    val nB = users.length - nA
+    val n = users.length.toDouble
+    def chi2(expA: Double): Double = {
+      val eA = n * expA; val eB = n * (1 - expA)
+      (nA - eA) * (nA - eA) / eA + (nB - eB) * (nB - eB) / eB
+    }
+    val out = EventOps.abSrm(spark, sf).collect().head
+    assert(out.getAs[Long]("n_a") == nA && out.getAs[Long]("n_b") == nB)
+    assert(math.abs(out.getAs[Double]("chi2") - chi2(0.5)) < 1e-9)
+    // a healthy 50/50 hash split must NOT flag on this corpus
+    assert(!out.getAs[Boolean]("srm"), s"false SRM: $out")
+    // demanding a 95/5 split against a hash that delivers ~50/50 must flag
+    val skewed = EventOps.abSrm(spark, sf, intendedA = 0.95).collect().head
+    assert(skewed.getAs[Boolean]("srm"))
+    assert(math.abs(skewed.getAs[Double]("chi2") - chi2(0.95)) < 1e-9)
+  }
 }
