@@ -557,6 +557,9 @@ object SparkEntry {
     "ev_user_ll"        -> ((s, d) => EventOps.userLl(s, d)),
     // A82: sample-ratio-mismatch guardrail for the experiment readout
     "ev_ab_srm"         -> ((s, d) => EventOps.abSrm(s, d)),
+    // A83: Markov removal-effect attribution (rows-only: absorbing-chain
+    // solve is not SQL-expressible; hand-solved chain spec-gated)
+    "ev_attribution_markov" -> ((s, d) => EventOps.attributionMarkov(s, d)),
     "ev_decay_counts"   -> ((s, d) => EventOps.decayCounts(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),

@@ -1760,6 +1760,102 @@ object EventOps {
       .drop("p", "se")
   }
 
+  /** A83: Markov removal-effect attribution (Anderl et al. 2016, public —
+    * the data-driven multi-touch model that replaced position heuristics):
+    * user journeys become a first-order chain over {(start)} ∪ channels ∪
+    * {(conv), (null)}; a channel's credit is its REMOVAL EFFECT — the
+    * fractional drop in absorption probability into (conv) when the
+    * channel is deleted and its inbound edges redirect to (null) — and
+    * attribution shares normalize the effects. Unlike A58's last-touch /
+    * linear rules, credit follows measured path structure (a channel that
+    * only ever assists mid-path still earns its keep).
+    *
+    * Scale: journeys and transitions are ONE user_id-keyed shuffle (every
+    * window partitions by user_id alone — journey boundaries are handled
+    * by comparing the lagged row's journey id, so the (user, journey)
+    * windows never force a second exchange); the transition census is
+    * (channels+2)²-bounded — summary-sized — and the absorbing-chain
+    * solves are driver math on a ≤(channels+1)² system per channel
+    * (fixed-order Gaussian elimination, no pivoting ⇒ bit-deterministic),
+    * the model-as-summary discipline of C32/C69. Not SQL-expressible
+    * (matrix solve) ⇒ rows-only gate + a hand-solved spec chain. */
+  def attributionMarkov(spark: SparkSession, dir: String,
+                        touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(touchTypes :+ "purchase": _*))
+      .select(col("user_id"), tsMs(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"), (col("event_type") === "purchase").as("is_conv"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("is_conv").cast("int"), col("event_id"))
+    val rows = ev
+      // journey id = purchases strictly before this row: a purchase CLOSES
+      // the journey of the touches preceding it
+      .withColumn("jid", coalesce(sum(when(col("is_conv"), 1L).otherwise(0L))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_jid", lag(col("jid"), 1).over(byUser))
+      .withColumn("next_jid", lead(col("jid"), 1).over(byUser))
+      .withColumn("from_state",
+        when(col("prev_type").isNull || col("prev_jid") =!= col("jid"),
+          lit("(start)")).otherwise(col("prev_type")))
+      .withColumn("to_state",
+        when(col("is_conv"), lit("(conv)")).otherwise(col("event_type")))
+    val t1 = rows.select(col("from_state"), col("to_state"))
+    // a non-converting journey's LAST touch transitions to (null): no
+    // successor row at all, or the successor opened a new journey
+    val t2 = rows.filter(!col("is_conv") &&
+        (col("next_jid").isNull || col("next_jid") =!= col("jid")))
+      .select(col("event_type").as("from_state"), lit("(null)").as("to_state"))
+    val census = t1.unionByName(t2)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .collect() // (channels+2)^2-bounded — the model, not the corpus
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val channels = touchTypes.filter(c =>
+      census.keys.exists(k => k._1 == c || k._2 == c)).sorted
+    if (census.isEmpty || !census.keys.exists(_._2 == "(conv)"))
+      return Seq.empty[(String, Double, Double)]
+        .toDF("channel", "removal_effect", "share")
+    // absorption probability into (conv) from (start), with `removed`
+    // deleted (inbound edges -> (null), its own row dropped)
+    def pConv(removed: Option[String]): Double = {
+      val trans = "(start)" +: channels.filterNot(removed.contains)
+      val idx = trans.zipWithIndex.toMap
+      val m = trans.length
+      // (I - Q) x = Rconv, built in fixed state order
+      val a = Array.ofDim[Double](m, m + 1)
+      for (s <- trans; i = idx(s)) {
+        val out = census.collect { case ((f, t), n) if f == s => (t, n) }
+        val tot = out.map(_._2).sum.toDouble
+        a(i)(i) = 1.0
+        if (tot > 0) out.foreach { case (t, n) =>
+          if (removed.contains(t)) () // redirected to (null): no equation term
+          else if (t == "(conv)") a(i)(m) += n / tot
+          else if (t != "(null)") idx.get(t).foreach(j => a(i)(j) -= n / tot)
+        }
+      }
+      // fixed-order elimination (diagonals are 1 - within-journey cycle
+      // mass > 0 for any chain with a (conv)/(null) exit, so no pivoting)
+      for (k <- 0 until m) {
+        val d = a(k)(k)
+        for (c <- k to m) a(k)(c) /= d
+        for (r <- 0 until m; if r != k) {
+          val f = a(r)(k)
+          if (f != 0.0) for (c <- k to m) a(r)(c) -= f * a(k)(c)
+        }
+      }
+      a(idx("(start)"))(m)
+    }
+    val base = pConv(None)
+    if (base <= 0) return Seq.empty[(String, Double, Double)]
+      .toDF("channel", "removal_effect", "share")
+    val effects = channels.map(c => c -> ((base - pConv(Some(c))) / base))
+    val tot = effects.map(_._2).sum
+    effects.map { case (c, re) =>
+      (c, re, if (tot > 0) re / tot else 0.0) }
+      .toDF("channel", "removal_effect", "share")
+  }
+
   /** A82: sample-ratio-mismatch (SRM) guardrail for the A62 experiment —
     * the FIRST check an experimentation platform runs, before any lift is
     * believed: with a 50/50 split intent, does the observed assignment

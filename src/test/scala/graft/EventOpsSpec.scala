@@ -1212,4 +1212,50 @@ class EventOpsSpec extends SparkSuite {
     assert(skewed.getAs[Boolean]("srm"))
     assert(math.abs(skewed.getAs[Double]("chi2") - chi2(0.95)) < 1e-9)
   }
+
+  test("attributionMarkov: hand-solved 2-channel chain; removal effects and shares exact") {
+    import SparkSuite.spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-10 10:$m%02d:00")
+    // journeys: u1 start->A->conv, u2 start->A->B->conv, u3 start->B->(null)
+    // census: start->A 2, A->B 1, A->conv 1, start->B 1, B->conv 1, B->null 1
+    // P_conv(B) = 1/2; P_conv(A) = 1/2 + 1/2 * 1/2 = 3/4
+    // base = 2/3 * 3/4 + 1/3 * 1/2 = 2/3
+    // remove A: base' = 1/3 * 1/2 = 1/6  -> RE_A = (2/3 - 1/6)/(2/3) = 3/4
+    // remove B: base' = 2/3 * 1/2 = 1/3  -> RE_B = (2/3 - 1/3)/(2/3) = 1/2
+    // shares: A = (3/4)/(5/4) = 0.6, B = 0.4
+    val rows = Seq(
+      (1L, t(0), 1L, "click", 1.0), (2L, t(1), 1L, "purchase", 9.0),
+      (3L, t(0), 2L, "click", 1.0), (4L, t(1), 2L, "view", 1.0),
+      (5L, t(2), 2L, "purchase", 9.0),
+      (6L, t(0), 3L, "view", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-markov-attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.attributionMarkov(spark, d).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Double]("removal_effect"), r.getAs[Double]("share")))).toMap
+    // A = click, B = view
+    assert(math.abs(out("click")._1 - 0.75) < 1e-12, s"RE_A: $out")
+    assert(math.abs(out("view")._1 - 0.5) < 1e-12, s"RE_B: $out")
+    assert(math.abs(out("click")._2 - 0.6) < 1e-12 &&
+      math.abs(out("view")._2 - 0.4) < 1e-12, s"shares: $out")
+    // a channel on EVERY converting path has removal effect 1
+    val rows2 = Seq(
+      (1L, t(0), 1L, "click", 1.0), (2L, t(1), 1L, "purchase", 9.0),
+      (3L, t(0), 2L, "click", 1.0), (4L, t(1), 2L, "purchase", 9.0),
+      (5L, t(0), 3L, "view", 1.0)) // view journey never converts
+    val d2 = java.nio.file.Files.createTempDirectory("graft-markov-attr2").toString
+    rows2.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d2/events.parquet")
+    val out2 = EventOps.attributionMarkov(spark, d2).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("removal_effect")).toMap
+    assert(math.abs(out2("click") - 1.0) < 1e-12 && math.abs(out2("view")) < 1e-12, s"$out2")
+    // real corpus: shares form a distribution, deterministic re-run
+    val real = EventOps.attributionMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(real.nonEmpty && math.abs(real.map(_._3).sum - 1.0) < 1e-9)
+    val again = EventOps.attributionMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(real.toSet == again.toSet)
+  }
 }
