@@ -1948,6 +1948,35 @@ object TextOps {
       .withColumn("chars_per_token", when(col("n_tokens") > 0,
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)))
 
+  /** ONE-SCAN (doc_id, source, quality, keep) projection shared by the
+    * calibration family (C87/C91/C92): the C9 score and the C64 verdict
+    * are both map-only column expressions, so composing them as separate
+    * operators joined on doc_id would read the corpus three times and
+    * shuffle twice for nothing — here the whole scored/labeled input is
+    * a single projection over one parquet scan, zero joins. Expressions
+    * are verbatim C9/C64 (their oracles pin the values). */
+  private def qualityWithVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val words = split(col("text"), " ")
+    val nWords = wsTokens(col("text")).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val symbols = regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"),
+        (nWords.between(50, 100000) &&
+          meanWordLen(col("text")).between(3.0, 10.0) &&
+          (symbols.cast("double") / nWords) < 0.1 &&
+          (bulletLines.cast("double") / size(lines)) <= 0.9 &&
+          (ellipsisLines.cast("double") / size(lines)) <= 0.3 &&
+          (alphaWords.cast("double") / size(words)) > 0.8 &&
+          hitCount(col("text"), EnStopwords).cast("long") >= 2).as("keep"))
+  }
+
   /** Exact Mann–Whitney ROC-AUC of a score against a boolean label, per
     * group — the calibration statistic for any learned or heuristic
     * quality signal (AUC = P[random positive outranks random negative],
@@ -2002,8 +2031,8 @@ object TextOps {
     * quantile is a conditional max over rank = ⌈q·n⌉. Ties order by
     * (quality, doc_id) — fully deterministic. */
   def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = quality(spark, dir).select(col("doc_id"), col("quality"))
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val scored = qualityWithVerdict(spark, dir)
+      .select(col("doc_id"), col("source"), col("quality"))
       .withColumn("g", floor(col("quality") * 1024).cast("long"))
     val offsets = scored.groupBy("source", "g").agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
@@ -2035,8 +2064,7 @@ object TextOps {
   def qualityCalibration(spark: SparkSession, dir: String,
                          nBins: Int = 10): DataFrame = {
     val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
-    quality(spark, dir).select(col("doc_id"), col("quality"))
-      .join(gopherRules(spark, dir).select(col("doc_id"), col("keep")), "doc_id")
+    qualityWithVerdict(spark, dir)
       // score exactly 1.0 belongs to the top bin, not a phantom nBins-th
       .withColumn("bin", least(floor(col("quality") * nBins).cast("long"),
         lit(nBins - 1L)))
@@ -2090,10 +2118,6 @@ object TextOps {
     * to pre-filter what the expensive battery would have cut. Both inputs
     * are independently oracle-gated map passes; the AUC reduction is
     * [[aucOf]] (census + two-level prefix — no global sort at any scale). */
-  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
-    val scored = quality(spark, dir).select(col("doc_id"), col("quality"))
-      .join(gopherRules(spark, dir).select(col("doc_id"), col("keep")), "doc_id")
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-    aucOf(scored, Seq("source"), "quality", "keep")
-  }
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame =
+    aucOf(qualityWithVerdict(spark, dir), Seq("source"), "quality", "keep")
 }
