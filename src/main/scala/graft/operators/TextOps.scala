@@ -1992,11 +1992,16 @@ object TextOps {
   private[graft] def aucOf(df: DataFrame, group: Seq[String],
                            score: String, label: String): DataFrame = {
     val gcols = group.map(col)
+    // the census is the sole corpus consumer; every later branch (bucket
+    // offsets, the prefix join) derives from it — localCheckpoint so the
+    // corpus is scanned ONCE, not once per derived branch (measured: 4
+    // parquet scans without it)
     val census = df
       .groupBy((gcols :+ col(score)): _*)
       .agg(sum(when(col(label), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col(label), 0L).otherwise(1L)).as("n_neg"))
       .withColumn("g", floor(col(score) * 1024).cast("long"))
+      .localCheckpoint(true)
     val offsets = census.groupBy((gcols :+ col("g")): _*)
       .agg(sum(col("n_neg")).as("bneg"))
       .withColumn("offset", coalesce(sum(col("bneg")).over(
@@ -2034,12 +2039,16 @@ object TextOps {
     val scored = qualityWithVerdict(spark, dir)
       .select(col("doc_id"), col("source"), col("quality"))
       .withColumn("g", floor(col("quality") * 1024).cast("long"))
-    val offsets = scored.groupBy("source", "g").agg(count(lit(1)).as("sz"))
+    // ONE bucket census feeds both the offsets and the per-source totals
+    // (checkpointed: without it each branch re-scans the corpus)
+    val bucketCensus = scored.groupBy("source", "g")
+      .agg(count(lit(1)).as("sz")).localCheckpoint(true)
+    val offsets = bucketCensus
       .withColumn("offset", coalesce(sum(col("sz")).over(
         Window.partitionBy("source").orderBy("g")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("source"), col("g"), col("offset"))
-    val nRows = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val nRows = bucketCensus.groupBy("source").agg(sum(col("sz")).as("n"))
     val inBucket = Window.partitionBy("source", "g").orderBy("quality", "doc_id")
     scored.join(offsets, Seq("source", "g"))
       .withColumn("rnk", col("offset") + row_number().over(inBucket))
