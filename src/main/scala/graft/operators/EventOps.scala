@@ -822,8 +822,10 @@ object EventOps {
     * order-independent, engine-portable. */
   def userLl(spark: SparkSession, dir: String): DataFrame = {
     val pairs = transitionPairs(spark, dir)
+    // checkpointed: the census feeds its own per-from totals AND the score
+    // join — without it each derived branch replays the corpus window
     val census = pairs.groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n_ab"))
+      .agg(count(lit(1)).as("n_ab")).localCheckpoint(true)
     val byFrom = census.groupBy("from_type").agg(sum(col("n_ab")).as("n_from"))
     val vocab = Tables.events(spark, dir)
       .agg(countDistinct(col("event_type")).cast("double").as("n_types"))

@@ -2103,11 +2103,30 @@ object TextOps {
     * row, oracle-portable. */
   def vocabCoverage(spark: SparkSession, dir: String, topV: Long = 1000): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val top = vocabOf(docs, minCount = 1).filter(col("vocab_id") <= topV)
-      .select(col("term"), lit(1L).as("in_v"))
-    docs.filter(col("text").isNotNull)
+    // ONE corpus scan: the (source, term) census is checkpointed and the
+    // GLOBAL term census derives from it by summing over sources — the
+    // vocabOf route would re-explode the corpus once per derived branch
+    // (measured 6 parquet scans; now the scan happens exactly once)
+    val census = docs.filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val tc = census.groupBy("term").agg(sum(col("cnt")).as("n_occurrences"))
+    // two-level exact top-V rank (the vocabOf scheme, census-side)
+    val keyed = tc.withColumn("pfx", substring(col("term"), 1, 1))
+    val offsets = keyed.groupBy("n_occurrences", "pfx")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("offset", coalesce(sum(col("sz")).over(
+        Window.orderBy(col("n_occurrences").desc, col("pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_occurrences").as("o_n"), col("pfx").as("o_p"), col("offset"))
+    val inGroup = Window.partitionBy("n_occurrences", "pfx").orderBy("term")
+    val top = keyed
+      .join(offsets, keyed("n_occurrences") === col("o_n") && keyed("pfx") === col("o_p"))
+      .withColumn("vocab_id", col("offset") + row_number().over(inGroup))
+      .filter(col("vocab_id") <= topV)
+      .select(col("term"), lit(1L).as("in_v"))
+    census
       .join(top, Seq("term"), "left")
       .groupBy("source")
       .agg(sum(col("cnt")).as("n_tokens"),
