@@ -250,6 +250,9 @@ object SparkEntry {
     // C90: diagonal-Mahalanobis OOD score (decimal-exact per-dim stats as
     // plan literals; map-only scoring)
     "emb_ood"           -> ((s, d) => Similarity.oodScore(s, d)),
+    // C90b: store lifecycle — merged decimal moments are bit-equal to the
+    // single-pass fit, so the SAME oracle as emb_ood must hash-match
+    "emb_ood_store"     -> ((s, d) => Similarity.oodStore(s, d)),
     "emb_hamming_topk"  -> ((s, d) => Similarity.hammingTopK(s, d)),
     "emb_hamming_exhaustive" -> ((s, d) => Similarity.hammingTopKExhaustive(s, d)),
     "emb_mmr"           -> ((s, d) => Similarity.mmrTopK(s, d)),
@@ -2570,6 +2573,29 @@ object SparkEntry {
     // DECIMAL(18,9) quantization makes the per-vector sum
     // order-independent (list_sum == Spark's in-row decimal fold)
     "emb_ood" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT CAST(unnest(v) AS DECIMAL(18,9)) AS d,
+        |        generate_subscripts(v, 1) AS i FROM e),
+        |g AS (SELECT i, count(*) AS n, sum(d) AS s, sum(d * d) AS s2
+        |      FROM x GROUP BY 1),
+        |st AS (SELECT i,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS vr
+        |  FROM g),
+        |st2 AS (SELECT i, mu,
+        |    CASE WHEN vr > 0 THEN sqrt(vr) ELSE 0.0 END AS sg FROM st),
+        |arrs AS (SELECT list(mu ORDER BY i) AS mu, list(sg ORDER BY i) AS sg
+        |         FROM st2)
+        |SELECT vec_id,
+        |  round(CAST(list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> CASE WHEN sg[i] > 0
+        |      THEN CAST(((v[i] - mu[i]) / sg[i]) * ((v[i] - mu[i]) / sg[i]) AS DECIMAL(18,9))
+        |      ELSE CAST(0.0 AS DECIMAL(18,9)) END)) AS DOUBLE), 6) AS ood
+        |FROM e, arrs""".stripMargin,
+    "emb_ood_store" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE embedding IS NOT NULL),
         |x AS (SELECT CAST(unnest(v) AS DECIMAL(18,9)) AS d,

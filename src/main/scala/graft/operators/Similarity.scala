@@ -2000,6 +2000,80 @@ object Similarity {
       .map(r => (r.getAs[Double]("mu"), r.getAs[Double]("sg")))
   }
 
+  /** C90b: the OOD model STORE — encode-once/score-many for the admission
+    * gate (the quality-model/BM25-store discipline): per-dim partial
+    * moments (n, Σd, Σd²) persist per ingest batch under
+    * `batch_id=<id>` partitions (retry-idempotent: a replayed batch
+    * overwrites its own partition), and serving SUMS the partials — the
+    * decimal sums are associative-exact, so a store built from any batch
+    * split yields BIT-IDENTICAL (μ, σ) to a single-pass fit, proven by
+    * the gate (store-served scores hash-equal emb_ood's oracle). The
+    * store is ≤dim rows per batch — the artifact is model-sized, never
+    * corpus-sized. */
+  def oodStoreWrite(emb: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("i"), col("x").cast(dec9).as("d"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).cast(org.apache.spark.sql.types.DecimalType(38, 9)).as("s"),
+        sum(col("d") * col("d"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("s2"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/stats.parquet/batch_id=$batchId")
+  }
+
+  private val oodStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("i",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s",
+      org.apache.spark.sql.types.DecimalType(38, 9)),
+    org.apache.spark.sql.types.StructField("s2",
+      org.apache.spark.sql.types.DecimalType(38, 18))))
+
+  /** (μ, σ) from the store's merged partials — same final expressions as
+    * the direct fit, and the merged decimal sums are exactly the
+    * single-pass sums, so the model is bit-identical by construction. */
+  def oodStatsFromStore(spark: SparkSession, storeDir: String): Array[(Double, Double)] =
+    spark.read.schema(oodStoreSchema).parquet(s"$storeDir/stats.parquet")
+      .groupBy("i")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2"))
+      .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("vr", expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu"))
+      .withColumn("sg", expr("CASE WHEN vr > 0 THEN sqrt(vr) ELSE 0.0 END"))
+      .orderBy("i").collect()
+      .map(r => (r.getAs[Double]("mu"), r.getAs[Double]("sg")))
+
+  /** Score a corpus against a persisted OOD store (no re-fit). */
+  def oodScoreFromStore(spark: SparkSession, dir: String,
+                        storeDir: String): DataFrame = {
+    import spark.implicits._
+    val stats = oodStatsFromStore(spark, storeDir)
+    if (stats.isEmpty) return Seq.empty[(Long, Double)].toDF("vec_id", "ood")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("vec_id"), oodCol(col("v"), stats).as("ood"))
+  }
+
+  /** C90b gate entry: 80/20 split by vec_id → base write + one ingest →
+    * score the FULL corpus from the store alone. The merged moments are
+    * bit-equal to the single-pass fit, so this must hash-match the same
+    * oracle as `emb_ood` — the lifecycle proof. */
+  def oodStore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("graft-ood-store").toString
+    val maxId = emb.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0)
+    val cut = if (maxId == null) 0L else maxId * 4 / 5
+    oodStoreWrite(emb.filter(col("vec_id") <= cut), store, 0L)
+    oodStoreWrite(emb.filter(col("vec_id") > cut), store, 1L)
+    oodScoreFromStore(spark, dir, store)
+  }
+
   /** The map-only OOD scoring column over an `array<double>` vector: the
     * (μ, σ) model inlines as PLAN LITERALS (model-as-constant). Per-term
     * DECIMAL(18,9) quantization (the C40/C68 scheme — the one

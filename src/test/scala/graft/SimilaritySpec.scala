@@ -1226,4 +1226,33 @@ class SimilaritySpec extends SparkSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("ood")).toMap
     assert(again == got)
   }
+
+  test("oodStore: merged batch moments are bit-equal to the single-pass fit; retries idempotent") {
+    val d = Files.createTempDirectory("graft-oodstore-src").toString
+    Seq(
+      (0L, Array(0f, 0f, 7f), 0), (1L, Array(4f, 0f, 7f), 0),
+      (2L, Array(0f, 2f, 7f), 0), (3L, Array(4f, 2f, 7f), 0),
+      (4L, Array(20f, -6f, 7f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("ood")).toMap
+    val direct = scores(Similarity.oodScore(spark, d))
+    // three-way batch split (different from the gate's 80/20): the merge
+    // algebra must not care how the corpus was sliced
+    val store = Files.createTempDirectory("graft-oodstore").toString
+    val emb = graft.Tables.embeddings(spark, d)
+    Similarity.oodStoreWrite(emb.filter(col("vec_id") <= 1), store, 0L)
+    Similarity.oodStoreWrite(col_between(emb, 2L, 3L), store, 1L)
+    Similarity.oodStoreWrite(emb.filter(col("vec_id") === 4), store, 2L)
+    assert(scores(Similarity.oodScoreFromStore(spark, d, store)) == direct,
+      "store-served scores must be BIT-equal to the single-pass fit")
+    // a replayed ingest overwrites its own partition — net once
+    Similarity.oodStoreWrite(col_between(emb, 2L, 3L), store, 1L)
+    assert(scores(Similarity.oodScoreFromStore(spark, d, store)) == direct,
+      "replayed batch must not double-count")
+  }
+
+  private def col_between(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+    df.filter(col("vec_id") >= lo && col("vec_id") <= hi)
 }
