@@ -563,6 +563,8 @@ object SparkEntry {
     // A83: Markov removal-effect attribution (rows-only: absorbing-chain
     // solve is not SQL-expressible; hand-solved chain spec-gated)
     "ev_attribution_markov" -> ((s, d) => EventOps.attributionMarkov(s, d)),
+    // A84: sweep-line session-concurrency curve (change points only)
+    "ev_concurrency"    -> ((s, d) => EventOps.concurrency(s, d)),
     "ev_decay_counts"   -> ((s, d) => EventOps.decayCounts(s, d)),
     "ev_moving_avg"     -> ((s, d) => EventOps.movingAvg(s, d)),
     "ev_type_cooccur"   -> ((s, d) => EventOps.typeCooccurrence(s, d)),
@@ -3227,6 +3229,31 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_transitions DESC, from_type, to_type
         |LIMIT 20""".stripMargin,
+    // sweep-line over the sessionize islands: +1 at the start minute, -1
+    // one past the end; running sum over the minute census
+    "ev_concurrency" ->
+      """WITH se AS (
+        |  SELECT min(ts_ms) // 60000 AS m_start, max(ts_ms) // 60000 AS m_end
+        |  FROM (
+        |    SELECT user_id, ts_ms,
+        |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |        CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+        |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM events) t1) t2
+        |  GROUP BY user_id, session_id),
+        |dl AS (
+        |  SELECT minute, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT m_start AS minute, 1 AS d FROM se
+        |    UNION ALL SELECT m_end + 1, -1 FROM se) u
+        |  GROUP BY 1)
+        |SELECT minute * 60000 AS minute_ms, delta,
+        |  CAST(sum(delta) OVER (ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
+        |FROM dl QUALIFY delta <> 0""".stripMargin,
     // chi-square(1) against the intended 50/50 split; same md5 assignment
     "ev_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

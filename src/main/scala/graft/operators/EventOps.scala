@@ -1762,6 +1762,34 @@ object EventOps {
       .drop("p", "se")
   }
 
+  /** A84: live-session CONCURRENCY curve — the classic sweep-line over
+    * the A8 session intervals: +1 at each session's start minute, −1 one
+    * minute past its end (end-inclusive activity), running sum = the
+    * number of simultaneously open sessions at every change point. The
+    * capacity-planning series (peak concurrency, load shape) the event
+    * store answers without any per-minute × per-session join.
+    *
+    * Scale: sessions are the A8 one-user_id-shuffle islands; the delta
+    * census partial-aggs to ≤2 rows per session keyed by MINUTE — the
+    * running sum's window ranges over the observed-horizon minute census
+    * (a summary: minutes in the data's span), never corpus rows. Emits
+    * change-point minutes only. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select((col("start_ms") / 60000L).cast("long").as("m_start"),
+        (col("end_ms") / 60000L).cast("long").as("m_end"))
+    val deltas = sess.select(col("m_start").as("minute"), lit(1L).as("d"))
+      .unionByName(sess.select((col("m_end") + 1).as("minute"), lit(-1L).as("d")))
+      .groupBy("minute").agg(sum(col("d")).as("delta"))
+    deltas
+      .withColumn("n_active", sum(col("delta")).over(
+        Window.orderBy("minute")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("delta") =!= 0)
+      .select((col("minute") * 60000L).as("minute_ms"), col("delta"),
+        col("n_active"))
+  }
+
   /** A83: Markov removal-effect attribution (Anderl et al. 2016, public —
     * the data-driven multi-touch model that replaced position heuristics):
     * user journeys become a first-order chain over {(start)} ∪ channels ∪

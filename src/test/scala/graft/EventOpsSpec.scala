@@ -1258,4 +1258,30 @@ class EventOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(real.toSet == again.toSet)
   }
+
+  test("concurrency: sweep-line counts overlapping sessions exactly at change points") {
+    import SparkSuite.spark.implicits._
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-08-10 $h%02d:$m%02d:00")
+    // u1 session 10:00-10:10, u2 10:05-10:20, u3 the single event 10:05
+    val rows = Seq(
+      (1L, t(10, 0), 1L, "x", 1.0), (2L, t(10, 10), 1L, "x", 1.0),
+      (3L, t(10, 5), 2L, "x", 1.0), (4L, t(10, 20), 2L, "x", 1.0),
+      (5L, t(10, 5), 3L, "x", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val base = java.sql.Timestamp.valueOf("2026-08-10 10:00:00").getTime
+    val out = EventOps.concurrency(spark, d).collect()
+      .map(r => ((r.getAs[Long]("minute_ms") - base) / 60000L,
+        r.getAs[Long]("delta"), r.getAs[Long]("n_active"))).sortBy(_._1)
+    // +1@0 -> 1; +2@5 -> 3; -1@6 (u3 end+1) -> 2; -1@11 -> 1; -1@21 -> 0
+    assert(out.toSeq == Seq((0L, 1L, 1L), (5L, 2L, 3L), (6L, -1L, 2L),
+      (11L, -1L, 1L), (21L, -1L, 0L)), s"got ${out.toSeq}")
+    // invariant on the real corpus: the curve returns to zero at the end
+    val real = EventOps.concurrency(spark, sf).collect()
+      .map(r => (r.getAs[Long]("minute_ms"), r.getAs[Long]("n_active")))
+      .sortBy(_._1)
+    assert(real.nonEmpty && real.last._2 == 0L, "open sessions never closed")
+    assert(real.map(_._2).forall(_ >= 0L))
+  }
 }
