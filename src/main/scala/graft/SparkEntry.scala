@@ -229,6 +229,8 @@ object SparkEntry {
     "doc_quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
     // C92: exact per-source quality quantiles (two-level rank, no fat window)
     "doc_quality_quantiles" -> ((s, d) => TextOps.qualityQuantiles(s, d)),
+    // C93: per-source positional header/footer boilerplate flags
+    "doc_boilerplate"   -> ((s, d) => TextOps.boilerplate(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2545,6 +2547,26 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
          |FROM q JOIN g USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // prefix/suffix digests over the raw whitespace split; short docs take
+    // their whole text for both ends (min(k, words))
+    "doc_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_slice(w, 1, 5), ' ')) AS pfx,
+        |    md5(array_to_string(list_slice(w, greatest(len(w) - 4, 1),
+        |      greatest(len(w) - 4, 1) + 4), ' ')) AS sfx
+        |  FROM d),
+        |ns AS (SELECT source, count(*) AS n_src FROM p GROUP BY 1),
+        |cp AS (SELECT source, pfx, count(*) AS n_pfx FROM p GROUP BY 1, 2),
+        |cs AS (SELECT source, sfx, count(*) AS n_sfx FROM p GROUP BY 1, 2)
+        |SELECT doc_id, p.source, n_pfx, n_sfx,
+        |  n_pfx >= 2 AND CAST(n_pfx AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.2 AS boiler_prefix,
+        |  n_sfx >= 2 AND CAST(n_sfx AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.2 AS boiler_suffix
+        |FROM p JOIN cp USING (source, pfx) JOIN cs USING (source, sfx)
+        |  JOIN ns USING (source)""".stripMargin,
     // top-V census rank matches vocabOf's two-level total order (count
     // desc, term); token stream aggregates to a census before any join
     "doc_vocab_coverage" ->

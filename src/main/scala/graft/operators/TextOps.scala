@@ -2024,6 +2024,44 @@ object TextOps {
       .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** C93: per-source positional BOILERPLATE flags — the header/footer
+    * census CCNet-style pipelines trim before dedup ever runs: a doc
+    * whose first (or last) `k` words are shared by ≥ `minShare` of its
+    * source (and ≥ 2 docs absolutely) is carrying source-template
+    * chrome, not content — navigation bars, cookie banners, footers. The
+    * C54 dup-span machinery sees these too, but positional detection is
+    * per-SOURCE and per-POSITION, which is how trim decisions are made.
+    *
+    * Scale: one scan emits md5 PREFIX/SUFFIX digests (fixed-width join
+    * keys, never the word strings); the (source, digest) censuses are
+    * partial-aggregated summaries (bounded by distinct templates); the
+    * verdict is two summary joins back onto the corpus keyed by digest —
+    * AQE broadcasts them when small. Short docs take their whole text as
+    * both prefix and suffix (min(k, words)). */
+  def boilerplate(spark: SparkSession, dir: String, k: Int = 5,
+                  minShare: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("w"), 1, k)).cast("binary")).as("pfx"),
+        md5(concat_ws(" ", slice(col("w"),
+          greatest(size(col("w")) - (k - 1), lit(1)), lit(k))).cast("binary")).as("sfx"))
+    val nSrc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    def census(c: String) = docs.groupBy("source", c)
+      .agg(count(lit(1)).as(s"n_$c"))
+    docs
+      .join(census("pfx"), Seq("source", "pfx"))
+      .join(census("sfx"), Seq("source", "sfx"))
+      .join(nSrc, "source") // AQE broadcasts the ≤|sources|-row table
+      .withColumn("boiler_prefix", col("n_pfx") >= 2 &&
+        col("n_pfx").cast("double") / col("n_src").cast("double") >= minShare)
+      .withColumn("boiler_suffix", col("n_sfx") >= 2 &&
+        col("n_sfx").cast("double") / col("n_src").cast("double") >= minShare)
+      .select(col("doc_id"), col("source"), col("n_pfx"), col("n_sfx"),
+        col("boiler_prefix"), col("boiler_suffix"))
+  }
+
   /** C92: exact per-source quality-score quantiles (p10/p50/p90, the
     * type-1 order statistic: the value at rank ⌈q·n⌉) — the numbers that
     * turn a global quality threshold into per-source thresholds (a fixed

@@ -1136,4 +1136,34 @@ class TextOpsSpec extends SparkSuite {
     got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
     assert(got.values.exists { case (a, _, c) => a < c })
   }
+
+  test("boilerplate: shared source headers/footers flagged, unique ends clean, short docs handled") {
+    val hdr = "welcome to acme corp site"
+    val ftr = "copyright acme all rights reserved"
+    def pad(tag: String) = (0 until 6).map(j => s"u$tag$j").mkString(" ")
+    val rows = Seq(
+      // s1: 3/5 docs share the 5-word header (share 0.6 >= 0.2); docs 3+4
+      // share the 5-word footer (share 0.4)
+      (0L, s"$hdr ${pad("a")}"), (1L, s"$hdr ${pad("b")}"),
+      (2L, s"$hdr ${pad("c")}"),
+      (3L, s"${pad("d")} $ftr"), (4L, s"${pad("e")} $ftr"),
+      // s2: all-unique docs -> nothing flagged, plus a SHORT doc pair whose
+      // whole text is both prefix and suffix (min(k, words))
+      (10L, pad("x")), (11L, pad("y")), (12L, "tiny doc"), (13L, "tiny doc")
+    ).map { case (id, t) =>
+      (id, t, "en", if (id < 10) "s1" else "s2", t.length.toLong) }
+    val d = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.boilerplate(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("boiler_prefix"), r.getAs[Boolean]("boiler_suffix")))).toMap
+    assert(out(0L)._1 && out(1L)._1 && out(2L)._1, s"shared header not flagged: $out")
+    assert(!out(0L)._2 && !out(1L)._2, "unique tails must stay clean")
+    assert(out(3L)._2 && out(4L)._2, s"shared footer not flagged: $out")
+    assert(!out(3L)._1 && !out(4L)._1)
+    assert(!out(10L)._1 && !out(10L)._2 && !out(11L)._1)
+    // identical short docs: whole-text prefix AND suffix both flagged
+    assert(out(12L) == ((true, true)) && out(13L) == ((true, true)), s"$out")
+  }
 }
