@@ -231,6 +231,8 @@ object SparkEntry {
     "doc_quality_quantiles" -> ((s, d) => TextOps.qualityQuantiles(s, d)),
     // C93: per-source positional header/footer boilerplate flags
     "doc_boilerplate"   -> ((s, d) => TextOps.boilerplate(s, d)),
+    // C94: cross-source content-overlap matrix on the C1 fp census
+    "doc_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
     // C84-auto: gram-stats gate → exact inverted-index containment on this
     // corpus (routes identically to doc_ngram_auto's gate; the df-capped
@@ -2547,6 +2549,29 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
          |FROM q JOIN g USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // unordered source pairs sharing distinct word-3-grams (the C4 gram
+    // contract: lowercase, whitespace collapse, short docs one whole-doc
+    // shingle, empty docs none); Jaccard over the distinct-gram sets
+    "doc_source_overlap" ->
+      """WITH words AS (
+        |  SELECT source,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |fs AS (
+        |  SELECT DISTINCT source, g AS fp FROM (
+        |    SELECT source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |tot AS (SELECT source, count(*) AS n_fps FROM fs GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, ta.n_fps AS n_a, tb.n_fps AS n_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(ta.n_fps + tb.n_fps - n_shared AS DOUBLE) AS jaccard
+        |FROM pr JOIN tot ta ON pr.source_a = ta.source
+        |  JOIN tot tb ON pr.source_b = tb.source""".stripMargin,
     // prefix/suffix digests over the raw whitespace split; short docs take
     // their whole text for both ends (min(k, words))
     "doc_boilerplate" ->

@@ -684,4 +684,27 @@ class DedupSpec extends SparkSuite {
     // dfLimit truncates the histogram from above
     assert(Dedup.dfCapForBudget(docs, 3, pairBudget = 11L, dfLimit = 3) == 3L)
   }
+
+  test("sourceOverlap: shared grams counted once per source pair, disjoint sources absent") {
+    val dir = Files.createTempDirectory("graft-srcovl").toString
+    // s1 and s2 share EXACTLY the gram "common1 common2 common3" (their
+    // other grams carry source-unique context words); s3 is disjoint
+    Seq(
+      (0L, "x1 x2 x3 common1 common2 common3", "en", "s1", 10L),
+      (1L, "y1 y2 y3 common1 common2 common3", "en", "s2", 10L),
+      (2L, "z1 z2 z3", "en", "s3", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("jaccard")))).toMap
+    // each 6-word doc holds 4 distinct grams; exactly one is shared
+    assert(out.keySet == Set(("s1", "s2")), s"disjoint s3 must not pair: $out")
+    assert(out(("s1", "s2")) == ((1L, 4L, 4L, 1.0 / 7.0)), s"$out")
+    // real corpus: non-vacuous (sources share vocabulary grams), bounded
+    val real = Dedup.sourceOverlap(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(r => r.getAs[Double]("jaccard") > 0 &&
+      r.getAs[Double]("jaccard") <= 1.0))
+  }
 }
