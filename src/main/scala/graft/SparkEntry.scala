@@ -231,6 +231,8 @@ object SparkEntry {
     "doc_quality_quantiles" -> ((s, d) => TextOps.qualityQuantiles(s, d)),
     // C93: per-source positional header/footer boilerplate flags
     "doc_boilerplate"   -> ((s, d) => TextOps.boilerplate(s, d)),
+    // C93b: apply the trim — emit cleaned text
+    "doc_boiler_trim"   -> ((s, d) => TextOps.boilerTrim(s, d)),
     // C94: cross-source content-overlap matrix on the C1 fp census
     "doc_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
@@ -2549,6 +2551,37 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
          |FROM q JOIN g USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // trim applied on the C93 verdicts: in-row slice + rejoin; a doc that
+    // is all chrome comes back empty (len clamp at 0)
+    "doc_boiler_trim" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source, w,
+        |    md5(array_to_string(list_slice(w, 1, 5), ' ')) AS pfx,
+        |    md5(array_to_string(list_slice(w, greatest(len(w) - 4, 1),
+        |      greatest(len(w) - 4, 1) + 4), ' ')) AS sfx
+        |  FROM d),
+        |ns AS (SELECT source, count(*) AS n_src FROM p GROUP BY 1),
+        |cp AS (SELECT source, pfx, count(*) AS n_pfx FROM p GROUP BY 1, 2),
+        |cs AS (SELECT source, sfx, count(*) AS n_sfx FROM p GROUP BY 1, 2),
+        |f AS (
+        |  SELECT doc_id, w, len(w) AS n_w,
+        |    n_pfx >= 2 AND CAST(n_pfx AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.2 AS bp,
+        |    n_sfx >= 2 AND CAST(n_sfx AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.2 AS bs
+        |  FROM p JOIN cp USING (source, pfx) JOIN cs USING (source, sfx)
+        |    JOIN ns USING (source)),
+        |t AS (
+        |  SELECT doc_id, w, n_w, bp, bs,
+        |    CASE WHEN bp THEN 6 ELSE 1 END AS st,
+        |    CASE WHEN bs THEN n_w - 5 ELSE n_w END AS sp
+        |  FROM f)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(w, st, st + greatest(sp - st + 1, 0) - 1), ' ') AS trimmed_text,
+        |  bp AS boiler_prefix, bs AS boiler_suffix,
+        |  CAST(n_w - greatest(sp - st + 1, 0) AS BIGINT) AS n_words_removed
+        |FROM t""".stripMargin,
     // unordered source pairs sharing distinct word-3-grams (the C4 gram
     // contract: lowercase, whitespace collapse, short docs one whole-doc
     // shingle, empty docs none); Jaccard over the distinct-gram sets

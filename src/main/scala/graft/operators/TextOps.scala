@@ -2062,6 +2062,31 @@ object TextOps {
         col("boiler_prefix"), col("boiler_suffix"))
   }
 
+  /** C93b: APPLY the positional-boilerplate verdicts — emit each doc's
+    * trimmed text (drop the first/last `k` words when [[boilerplate]]
+    * flags that end), the curation ACTION on top of the audit. A doc that
+    * is all chrome (both ends flagged, ≤ 2k words) comes back empty —
+    * downstream gates drop it, same contract as paraDedup. Trim is an
+    * in-row slice + array_join on the flagged rows; the plan is C93's
+    * plus one projection. */
+  def boilerTrim(spark: SparkSession, dir: String, k: Int = 5,
+                 minShare: Double = 0.2): DataFrame = {
+    val flags = boilerplate(spark, dir, k, minShare)
+      .select(col("doc_id"), col("boiler_prefix"), col("boiler_suffix"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(flags, "doc_id")
+      .withColumn("n_w", size(col("w")))
+      .withColumn("start", when(col("boiler_prefix"), lit(k + 1)).otherwise(lit(1)))
+      .withColumn("stop", when(col("boiler_suffix"), col("n_w") - k).otherwise(col("n_w")))
+      .withColumn("keep_len", greatest(col("stop") - col("start") + 1, lit(0)))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), col("start"), col("keep_len")), " ").as("trimmed_text"),
+        col("boiler_prefix"), col("boiler_suffix"),
+        (col("n_w") - col("keep_len")).cast("long").as("n_words_removed"))
+  }
+
   /** C92: exact per-source quality-score quantiles (p10/p50/p90, the
     * type-1 order statistic: the value at rank ⌈q·n⌉) — the numbers that
     * turn a global quality threshold into per-source thresholds (a fixed

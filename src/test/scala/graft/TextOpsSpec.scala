@@ -1137,6 +1137,28 @@ class TextOpsSpec extends SparkSuite {
     assert(got.values.exists { case (a, _, c) => a < c })
   }
 
+  test("boilerTrim: flagged ends removed verbatim, all-chrome docs come back empty") {
+    val hdr = "welcome to acme corp site"
+    def pad(tag: String) = (0 until 6).map(j => s"u$tag$j").mkString(" ")
+    val rows = Seq(
+      (0L, s"$hdr ${pad("a")}"), (1L, s"$hdr ${pad("b")}"),
+      (2L, s"$hdr ${pad("c")}"),
+      // doc 3 is exactly the shared header twice: prefix AND suffix both
+      // flag (each shared by doc 4's ends too) -> fully trimmed to empty
+      (3L, s"$hdr $hdr"), (4L, s"$hdr $hdr")
+    ).map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+    val d = java.nio.file.Files.createTempDirectory("graft-btrim").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.boilerTrim(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("trimmed_text"), r.getAs[Long]("n_words_removed")))).toMap
+    assert(out(0L) == ((pad("a"), 5L)), s"got $out")
+    assert(out(1L) == ((pad("b"), 5L)))
+    // all-chrome doc: both ends flagged, 10 words, k=5 each -> empty
+    assert(out(3L) == (("", 10L)) && out(4L) == (("", 10L)), s"got $out")
+  }
+
   test("boilerplate: shared source headers/footers flagged, unique ends clean, short docs handled") {
     val hdr = "welcome to acme corp site"
     val ftr = "copyright acme all rights reserved"
