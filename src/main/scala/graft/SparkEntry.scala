@@ -213,6 +213,8 @@ object SparkEntry {
     "qa_constraints"   -> ((s, d) => Analytics.qaConstraints(s, d)),
     // B37: per-(table, key) join-skew census — max/mean + heavy hitter
     "qa_key_skew"      -> ((s, d) => Analytics.keySkew(s, d)),
+    // B38: per-column completeness/cardinality profile (one pass per table)
+    "qa_profile"       -> ((s, d) => Analytics.columnProfile(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -2477,6 +2479,26 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // per-column counts: all integers, one row per (table, column)
+    "qa_profile" ->
+      """SELECT 'events' AS entity, 'user_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(user_id) AS n_nulls, count(DISTINCT user_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'events', 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'events', 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'orders', 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'orders', 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'orders', 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'documents', 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source) FROM documents
+        |UNION ALL SELECT 'documents', 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang) FROM documents
+        |UNION ALL SELECT 'documents', 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text) FROM documents""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

@@ -712,4 +712,30 @@ object Analytics {
       .unionByName(stat("events.user_id", Tables.events(spark, dir), col("user_id")))
       .unionByName(stat("documents.source", Tables.documents(spark, dir), col("source")))
   }
+  /** B38: column PROFILE — per (table, column): row count, nulls, exact
+    * distinct cardinality; the completeness/cardinality summary a data
+    * owner reads before writing B36-style constraints (which column can
+    * be a key, which needs a null gate, which is low-cardinality enough
+    * to dictionary-encode or broadcast). One aggregation pass per table
+    * (multiple exact count-distincts share the pass via Spark's expand —
+    * no per-column re-scan); all-integer output, hash-exact anywhere. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(entity: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val all = count(lit(1)).as("n_rows") +: aggs
+      val row = df.agg(all.head, all.tail: _*)
+      cols.map(c => row.select(lit(entity).as("entity"), lit(c).as("column"),
+          col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct")))
+        .reduce(_ unionByName _)
+    }
+    prof("events", Tables.events(spark, dir),
+        Seq("user_id", "event_type", "value"))
+      .unionByName(prof("orders", Tables.orders(spark, dir),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice")))
+      .unionByName(prof("documents", Tables.documents(spark, dir),
+        Seq("source", "lang", "text")))
+  }
 }

@@ -116,4 +116,23 @@ class AnalyticsSpec extends SparkSuite {
     val (nR, nK, mC, _, _) = out("events.user_id")
     assert(nR == direct.getLong(0) && nK == direct.getLong(1) && mC == direct.getLong(2))
   }
+
+  test("columnProfile: nulls and exact distincts reconcile against planted data") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.columnProfile(spark, sf).collect()
+      .map(r => (r.getAs[String]("entity"), r.getAs[String]("column")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct")))).toMap
+    assert(out.size == 9)
+    // reconcile one column per table against direct queries
+    val ev = graft.Tables.events(spark, sf)
+    assert(out(("events", "user_id")) ==
+      ((ev.count(), 0L, ev.select(countDistinct(col("user_id"))).head.getLong(0))))
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out(("documents", "text"))._3 ==
+      docs.select(countDistinct(col("text"))).head.getLong(0))
+    // invariants: nulls <= rows, distinct <= rows - nulls (or 0 for all-null)
+    out.values.foreach { case (n, nn, nd) =>
+      assert(nn >= 0 && nn <= n && nd <= n - nn + (if (n == nn) 0 else 0)) }
+  }
 }
