@@ -65,7 +65,7 @@ object Bench {
     "doc_containment_auto", "doc_quality_auc", "doc_vocab_coverage",
     "emb_trunc_audit", "emb_ood", "doc_quality_calibration", "qa_key_skew",
     "ev_user_ll", "doc_quality_quantiles", "ev_concurrency",
-    "doc_boilerplate", "doc_source_overlap",
+    "doc_boilerplate", "doc_source_overlap", "doc_novelty",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

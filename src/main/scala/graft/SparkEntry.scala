@@ -235,6 +235,8 @@ object SparkEntry {
     "doc_boilerplate"   -> ((s, d) => TextOps.boilerplate(s, d)),
     // C93b: apply the trim — emit cleaned text
     "doc_boiler_trim"   -> ((s, d) => TextOps.boilerTrim(s, d)),
+    // C95: per-doc unique-content rate (df=1 grams / distinct grams)
+    "doc_novelty"       -> ((s, d) => TextOps.novelty(s, d)),
     // C94: cross-source content-overlap matrix on the C1 fp census
     "doc_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "doc_containment"   -> ((s, d) => Dedup.ngramContainment(s, d)),
@@ -2573,6 +2575,25 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
          |FROM q JOIN g USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // df = 1 grams over each doc's distinct gram set (the C4 gram contract)
+    "doc_novelty" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |census AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM grams JOIN census USING (g)
+        |GROUP BY 1""".stripMargin,
     // trim applied on the C93 verdicts: in-row slice + rejoin; a doc that
     // is all chrome comes back empty (len clamp at 0)
     "doc_boiler_trim" ->

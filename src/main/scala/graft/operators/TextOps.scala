@@ -2024,6 +2024,33 @@ object TextOps {
       .select((gcols :+ col("n_pos") :+ col("n_neg") :+ col("auc")): _*)
   }
 
+  /** C95: per-document CONTENT NOVELTY — the fraction of a doc's distinct
+    * word-k-grams that appear in NO other document (df = 1 in the corpus
+    * census): the inverse-boilerplate signal that ranks docs by how much
+    * genuinely unique content they contribute (a mixture/sampling weight,
+    * and the triage view after C54/C93 have cut the shared spans — what's
+    * LEFT that is this doc's own). Low novelty + not-a-duplicate = a doc
+    * stitched from corpus-common phrasing; high novelty = unique content
+    * worth keeping even under tight budgets.
+    *
+    * Scale: the C4 inverted-index shape WITHOUT the pair join — one
+    * explode to (doc, gram-hash) distinct rows, a gram-keyed census
+    * (map-side combinable), and one join back on the gram key carrying
+    * only (hash, df) — fixed-width rows, no d² term anywhere (df counts,
+    * never df² pairs). */
+  def novelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val inv = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+    val census = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    inv.join(census, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** C93: per-source positional BOILERPLATE flags — the header/footer
     * census CCNet-style pipelines trim before dedup ever runs: a doc
     * whose first (or last) `k` words are shared by ≥ `minShare` of its

@@ -1188,4 +1188,27 @@ class TextOpsSpec extends SparkSuite {
     // identical short docs: whole-text prefix AND suffix both flagged
     assert(out(12L) == ((true, true)) && out(13L) == ((true, true)), s"$out")
   }
+
+  test("novelty: unique docs at 1.0, exact copies at 0.0, partial sharing exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    // doc 0 fully unique; docs 1+2 identical (every gram df>=2 -> 0.0);
+    // doc 3 = 6 words, shares its LAST 3 words with doc 0's first 3
+    val u = (0 until 6).map(i => s"a$i").mkString(" ")   // grams a0..a3 starts
+    Seq(
+      (0L, u, "en", "s", 10L),
+      (1L, "b1 b2 b3 b4", "en", "s", 8L), (2L, "b1 b2 b3 b4", "en", "s", 8L),
+      (3L, s"c1 c2 c3 a0 a1 a2", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.novelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    // doc 0: grams (a0 a1 a2)(a1 a2 a3)(a2 a3 a4)(a3 a4 a5); the first is
+    // shared with doc 3 -> 3 of 4 novel
+    assert(out(0L) == ((4L, 3L, 0.75)), s"got $out")
+    assert(out(1L) == ((2L, 0L, 0.0)) && out(2L) == ((2L, 0L, 0.0)))
+    // doc 3: 4 grams, only (a0 a1 a2) shared -> 3 of 4 novel
+    assert(out(3L) == ((4L, 3L, 0.75)))
+  }
 }
