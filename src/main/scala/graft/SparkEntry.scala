@@ -263,6 +263,8 @@ object SparkEntry {
     // C90b: store lifecycle — merged decimal moments are bit-equal to the
     // single-pass fit, so the SAME oracle as emb_ood must hash-match
     "emb_ood_store"     -> ((s, d) => Similarity.oodStore(s, d)),
+    // C96: IVF bucket-balance audit (rows-only: Lloyd assignment)
+    "emb_ivf_balance"   -> ((s, d) => Similarity.ivfBalanceFor(s, d)),
     "emb_hamming_topk"  -> ((s, d) => Similarity.hammingTopK(s, d)),
     "emb_hamming_exhaustive" -> ((s, d) => Similarity.hammingTopKExhaustive(s, d)),
     "emb_mmr"           -> ((s, d) => Similarity.mmrTopK(s, d)),

@@ -2000,6 +2000,36 @@ object Similarity {
       .map(r => (r.getAs[Double]("mu"), r.getAs[Double]("sg")))
   }
 
+  /** C96: IVF bucket-BALANCE audit — the probe-cost health check for any
+    * persisted IVF-family index (the ANN sibling of B37's key-skew
+    * census): per-bucket occupancy plus the summary a capacity planner
+    * reads — bucket count, corpus size, max/mean skew (probe latency is
+    * bounded by the fattest probed bucket, and a skewed coarse quantizer
+    * silently turns nprobe=6 into a near-full scan), and the occupancy
+    * share of the largest bucket. One partial-agg census over the
+    * assignments table (never the vectors) + a single summary fold. */
+  def ivfBalance(spark: SparkSession, indexDir: String): DataFrame = {
+    val asg = spark.read.schema("bucket BIGINT, vec_id BIGINT")
+      .parquet(s"$indexDir/assignments.parquet")
+    asg.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n_vecs")).as("n_total"),
+        max(col("n_vecs")).as("max_bucket"))
+      .withColumn("skew", expr(
+        "CAST(max_bucket * n_buckets AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+      .withColumn("max_share", expr(
+        "CAST(max_bucket AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+      .filter(col("n_total") > 0)
+  }
+
+  /** C96 gate entry: build-or-reuse the standard n8 index on the sf dir,
+    * audit it. Rows-only (Lloyd assignment isn't SQL-expressible); the
+    * invariants (totals reconcile, skew ≥ 1) are spec-gated. */
+  def ivfBalanceFor(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-bal").toString
+    writeIvfIndex(spark, dir, idx)
+    ivfBalance(spark, idx)
+  }
+
   /** C90b: the OOD model STORE — encode-once/score-many for the admission
     * gate (the quality-model/BM25-store discipline): per-dim partial
     * moments (n, Σd, Σd²) persist per ingest batch under

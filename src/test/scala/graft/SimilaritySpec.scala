@@ -1255,4 +1255,30 @@ class SimilaritySpec extends SparkSuite {
 
   private def col_between(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
     df.filter(col("vec_id") >= lo && col("vec_id") <= hi)
+
+  test("ivfBalance: totals reconcile with the assignments; planted skew read exactly") {
+    // audit the standard sf index
+    val idx = Files.createTempDirectory("graft-ivfbal").toString
+    Similarity.writeIvfIndex(spark, sf, idx)
+    val out = Similarity.ivfBalance(spark, idx).collect().head
+    val asg = spark.read.parquet(s"$idx/assignments.parquet")
+    assert(out.getAs[Long]("n_total") == asg.count())
+    assert(out.getAs[Long]("n_buckets") ==
+      asg.select("bucket").distinct().count())
+    val maxB = asg.groupBy("bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(out.getAs[Long]("max_bucket") == maxB)
+    assert(out.getAs[Double]("skew") >= 1.0 - 1e-9)
+    assert(out.getAs[Double]("max_share") > 0 && out.getAs[Double]("max_share") <= 1.0)
+    // planted skew: a hand-written assignments table with a fat bucket
+    val idx2 = Files.createTempDirectory("graft-ivfbal2").toString
+    ((0L until 8L).map(i => (0L, i)) ++ Seq((1L, 8L), (2L, 9L)))
+      .toDF("bucket", "vec_id")
+      .write.mode("overwrite").parquet(s"$idx2/assignments.parquet")
+    val p = Similarity.ivfBalance(spark, idx2).collect().head
+    // 3 buckets, 10 vectors, max 8: skew = 8*3/10 = 2.4, share 0.8
+    assert(p.getAs[Long]("n_buckets") == 3L && p.getAs[Long]("n_total") == 10L)
+    assert(p.getAs[Long]("max_bucket") == 8L)
+    assert(p.getAs[Double]("skew") == 2.4 && p.getAs[Double]("max_share") == 0.8)
+  }
 }
