@@ -66,6 +66,8 @@ object Bench {
     "emb_trunc_audit", "emb_ood", "doc_quality_calibration", "qa_key_skew",
     "ev_user_ll", "doc_quality_quantiles", "ev_concurrency",
     "doc_boilerplate", "doc_source_overlap", "doc_novelty",
+    // round-11 additions
+    "ev_cuped", "doc_qlm", "doc_hybrid_rrf", "doc_zipf", "doc_heaps",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

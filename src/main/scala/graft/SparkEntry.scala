@@ -91,6 +91,8 @@ object SparkEntry {
     "ev_survival"       -> ((s, d) => EventOps.survival(s, d)),
     // A62 hash-assigned A/B (A/A) experiment + two-proportion z readout
     "ev_experiment"     -> ((s, d) => EventOps.experiment(s, d)),
+    // A85 CUPED variance-reduced readout (pre-period covariate adjustment)
+    "ev_cuped"          -> ((s, d) => EventOps.cuped(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -617,6 +619,14 @@ object SparkEntry {
     "doc_tfidf_top"     -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // C72 BM25 retrieval with the derived common/rare query pair
     "doc_bm25"          -> ((s, d) => TextOps.bm25Search(s, d)),
+    // C97 Dirichlet query-likelihood retrieval (same derived queries)
+    "doc_qlm"           -> ((s, d) => TextOps.qlmSearch(s, d)),
+    // C98 reciprocal-rank-fusion hybrid of the BM25 + QLM rankings
+    "doc_hybrid_rrf"    -> ((s, d) => TextOps.hybridRrf(s, d)),
+    // C99 per-source Zipf-law fit over the top-500 term census
+    "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
+    // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
+    "doc_heaps"         -> ((s, d) => TextOps.heapsCurve(s, d)),
     // C76 persisted postings store: serve-from-store must be bit-equal to
     // the direct path (same oracle)
     "doc_bm25_store" -> ((s, d) => {
@@ -687,10 +697,83 @@ object SparkEntry {
         |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
         |      JOIN dl ON tf.doc_id = dl.doc_id, n)
         |SELECT query_id, doc_id, count(*) AS n_terms,
-        |  round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+        |  CAST(round(sum(ts), 6) AS DOUBLE) AS score,
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY sum(ts) DESC, doc_id) AS rank
         |FROM c GROUP BY 1, 2 QUALIFY rank <= 10""".stripMargin
+
+  // the shared retrieval CTE prefix: postings, df/occ census, doc lengths,
+  // corpus totals, and the derived common/rare query pair (C72's contract)
+  private val retrievalCtes =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS occ
+      |        FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |        CAST(sum(dl) AS DOUBLE) AS c_tokens FROM dl),
+      |qc AS (SELECT 'common' AS query_id, term FROM dfq
+      |       ORDER BY occ DESC, term LIMIT 5),
+      |qr AS (SELECT 'rare' AS query_id, term FROM dfq WHERE df >= 2
+      |       ORDER BY df, occ, term LIMIT 5),
+      |q AS (SELECT * FROM qc UNION ALL SELECT * FROM qr),
+      |nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY 1)""".stripMargin
+
+  // the QLM ranking body (rank-equivalent Dirichlet decomposition,
+  // mu = 300): matched-term contributions + the per-candidate length prior,
+  // both DECIMAL(18,9)-quantized before the exact sums
+  private val qlmBody =
+    """qlc AS (SELECT q.query_id, tf.doc_id,
+      |        CAST(ln(1.0 + CAST(tf.tf AS DOUBLE) * n.c_tokens
+      |                 / (300.0 * CAST(dfq.occ AS DOUBLE))) AS DECIMAL(18,9)) AS ts
+      |      FROM q JOIN dfq USING (term) JOIN tf USING (term), n),
+      |qls AS (SELECT query_id, doc_id, count(*) AS n_terms, sum(ts) AS s
+      |        FROM qlc GROUP BY 1, 2),
+      |qlr AS (SELECT qls.query_id, qls.doc_id, qls.n_terms,
+      |        qls.s + CAST(ln(300.0 / (CAST(dl.dl AS DOUBLE) + 300.0))
+      |                AS DECIMAL(18,9)) * nq.n_q AS sc
+      |        FROM qls JOIN dl USING (doc_id) JOIN nq USING (query_id))""".stripMargin
+
+  private val qlmSql =
+    s"""$retrievalCtes,
+       |$qlmBody
+       |SELECT query_id, doc_id, n_terms,
+       |  CAST(round(sc, 6) AS DOUBLE) AS score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sc DESC, doc_id) AS rank
+       |FROM qlr QUALIFY rank <= 10""".stripMargin
+
+  // RRF fusion of the BM25 and QLM top-10s: 1/(60+rank) quantized
+  // DECIMAL(18,9), exact 2-term sums, ties on doc_id
+  private val rrfSql =
+    s"""$retrievalCtes,
+       |$qlmBody,
+       |bmc AS (SELECT q.query_id, tf.doc_id,
+       |        CAST(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+       |         AS DECIMAL(18,9)) AS ts
+       |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
+       |      JOIN dl ON tf.doc_id = dl.doc_id, n),
+       |bmr AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sum(ts) DESC, doc_id) AS rank
+       |        FROM bmc GROUP BY 1, 2 QUALIFY rank <= 10),
+       |qlk AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sc DESC, doc_id) AS rank
+       |        FROM qlr QUALIFY rank <= 10),
+       |u AS (SELECT query_id, doc_id, rank FROM bmr
+       |      UNION ALL SELECT query_id, doc_id, rank FROM qlk),
+       |f AS (SELECT query_id, doc_id, count(*) AS n_systems,
+       |      sum(CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(18,9))) AS s
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_systems,
+       |  CAST(round(s, 6) AS DOUBLE) AS rrf_score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY s DESC, doc_id) AS rrf_rank
+       |FROM f QUALIFY rrf_rank <= 10""".stripMargin
 
   // brute-force cosine top-k — also the oracle for the exhaustive-probe IVF
   // path, which must reproduce it exactly
@@ -1061,6 +1144,62 @@ object SparkEntry {
         |  rate_b - rate_a AS lift, (rate_b - rate_a) / se AS z_stat,
         |  abs((rate_b - rate_a) / se) > CAST(1.96 AS DOUBLE) AS significant
         |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin,
+    // A85: per-event DECIMAL(18,9) value quantization before the per-user
+    // sums; per-user cross terms quantized DECIMAL(28,6); one fixed IEEE
+    // tree over the exact sums for every statistic (mirrors the Spark side
+    // term for term)
+    "ev_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |m AS (SELECT CAST(floor(CAST(min(ts_ms) + max(ts_ms) AS DOUBLE) / 2.0)
+        |        AS BIGINT) AS mid FROM e),
+        |u AS (SELECT user_id,
+        |        sum(CASE WHEN ts_ms < mid THEN CAST(value AS DECIMAL(18,9))
+        |            ELSE CAST(0 AS DECIMAL(18,9)) END) AS x,
+        |        sum(CASE WHEN ts_ms >= mid THEN CAST(value AS DECIMAL(18,9))
+        |            ELSE CAST(0 AS DECIMAL(18,9)) END) AS y
+        |      FROM e, m GROUP BY user_id),
+        |u2 AS (SELECT user_id, x, y,
+        |        CAST(x AS DOUBLE) AS xd, CAST(y AS DOUBLE) AS yd,
+        |        CASE WHEN substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |          < '80' THEN 'A' ELSE 'B' END AS variant
+        |       FROM u),
+        |s AS (SELECT count(*) AS n,
+        |        count(*) FILTER (WHERE variant = 'A') AS n_a,
+        |        count(*) FILTER (WHERE variant = 'B') AS n_b,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(CASE WHEN variant = 'A' THEN x ELSE CAST(0 AS DECIMAL(18,9)) END) AS sxa,
+        |        sum(CASE WHEN variant = 'A' THEN y ELSE CAST(0 AS DECIMAL(18,9)) END) AS sya,
+        |        sum(CASE WHEN variant = 'B' THEN x ELSE CAST(0 AS DECIMAL(18,9)) END) AS sxb,
+        |        sum(CASE WHEN variant = 'B' THEN y ELSE CAST(0 AS DECIMAL(18,9)) END) AS syb,
+        |        sum(CAST(xd * xd AS DECIMAL(28,6))) AS sxx,
+        |        sum(CAST(xd * yd AS DECIMAL(28,6))) AS sxy,
+        |        sum(CAST(yd * yd AS DECIMAL(28,6))) AS syy
+        |      FROM u2),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
+        |      FROM s WHERE n_a > 0 AND n_b > 0),
+        |v AS (SELECT *,
+        |        CAST(sxx AS DOUBLE) / nd - mean_x * mean_x AS var_x,
+        |        CAST(syy AS DOUBLE) / nd - mean_y * mean_y AS var_y,
+        |        CAST(sxy AS DOUBLE) / nd - mean_x * mean_y AS cov_xy,
+        |        CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_a,
+        |        CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_x_b,
+        |        CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
+        |        CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_y_b
+        |      FROM d),
+        |t AS (SELECT *,
+        |        CASE WHEN var_x <> 0 THEN cov_xy / var_x END AS theta
+        |      FROM v)
+        |SELECT n_a, n_b,
+        |  round(mean_y_a, 6) AS mean_y_a, round(mean_y_b, 6) AS mean_y_b,
+        |  round(mean_y_b - mean_y_a, 6) AS lift_raw,
+        |  round(theta, 6) AS theta,
+        |  round((mean_y_b - theta * (mean_x_b - mean_x))
+        |    - (mean_y_a - theta * (mean_x_a - mean_x)), 6) AS lift_cuped,
+        |  round(CASE WHEN var_x * var_y <> 0
+        |        THEN cov_xy * cov_xy / (var_x * var_y) END, 6) AS var_reduction
+        |FROM t""".stripMargin,
     // A63: naive global row_number reproduces the two-level rank; shares
     // are single IEEE divisions of exact integers.
     "ev_concentration" ->
@@ -3664,6 +3803,62 @@ object SparkEntry {
     // constants mirror the Scala literals (k1+1 = 2.2 and 1-b = 0.25 are
     // both exact double results of the same-literal arithmetic)
     "doc_bm25" -> bm25Sql,
+    "doc_qlm" -> qlmSql,
+    "doc_hybrid_rrf" -> rrfSql,
+    // C99: ln quantized DECIMAL(18,9) per point (the C72 discipline), exact
+    // decimal second-order sums, one fixed IEEE tree for the fit statistics
+    "doc_zipf" ->
+      """WITH c AS (SELECT source, term, count(*) AS freq FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL) t GROUP BY 1, 2),
+        |r AS (SELECT source,
+        |        CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+        |        CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS y
+        |      FROM (SELECT source, term, freq,
+        |              row_number() OVER (PARTITION BY source
+        |                ORDER BY freq DESC, term) AS rank FROM c) t
+        |      WHERE rank <= 500),
+        |s AS (SELECT source, count(*) AS n_terms,
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |        CAST(sum(y*y) AS DOUBLE) AS syy
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT *, CAST(n_terms AS DOUBLE) AS nd,
+        |        CAST(n_terms AS DOUBLE) * sxy - sx * sy AS num,
+        |        CAST(n_terms AS DOUBLE) * sxx - sx * sx AS denx,
+        |        CAST(n_terms AS DOUBLE) * syy - sy * sy AS deny
+        |      FROM s),
+        |f AS (SELECT *, CASE WHEN denx <> 0 THEN num / denx END AS slope FROM d)
+        |SELECT source, n_terms, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / nd, 6) AS intercept,
+        |  round(CASE WHEN denx * deny <> 0
+        |        THEN num * num / (denx * deny) END, 6) AS r2
+        |FROM f""".stripMargin,
+    // C100: term-exists-at-checkpoint ⇔ first doc_id ≤ cutoff — a 10-bucket
+    // histogram over the first-doc census + prefix sums, all exact integers
+    "doc_heaps" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+        |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM dt),
+        |fd AS (SELECT term, min(doc_id) AS first_doc FROM tf GROUP BY 1),
+        |vh AS (SELECT least(9, CAST(floor(CAST(first_doc - lo AS DOUBLE) * 10.0
+        |           / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT)) AS b,
+        |         count(*) AS nv
+        |       FROM fd, span GROUP BY 1),
+        |dh AS (SELECT least(9, CAST(floor(CAST(doc_id - lo AS DOUBLE) * 10.0
+        |           / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT)) AS b,
+        |         count(*) AS nd, CAST(sum(n_tok) AS BIGINT) AS nt
+        |       FROM dt, span GROUP BY 1),
+        |j AS (SELECT coalesce(dh.b, vh.b) AS b, coalesce(nd, 0) AS nd,
+        |        coalesce(nt, 0) AS nt, coalesce(nv, 0) AS nv
+        |      FROM dh FULL JOIN vh ON dh.b = vh.b)
+        |SELECT b + 1 AS checkpoint,
+        |  CAST(sum(nd) OVER (ORDER BY b) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) OVER (ORDER BY b) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nv) OVER (ORDER BY b) AS BIGINT) AS vocab
+        |FROM j""".stripMargin,
     // C76: serve-from-store is bit-equal to the direct path
     "doc_bm25_store" -> bm25Sql,
 

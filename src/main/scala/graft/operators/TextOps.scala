@@ -1645,8 +1645,9 @@ object TextOps {
       .orderBy(col("s").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+      // decimal-first round (the C97 half-boundary hardening)
       .select(col("query_id"), col("doc_id"), col("n_terms"),
-        round(col("s").cast("double"), 6).as("score"), col("rank"))
+        round(col("s"), 6).cast("double").as("score"), col("rank"))
   }
 
   /** C72 gate entry: BM25 with a DERIVED query pair so the check needs no
@@ -1657,7 +1658,13 @@ object TextOps {
   def bm25Search(spark: SparkSession, dir: String, topK: Int = 10): DataFrame =
     bm25Derived(bm25Tf(Tables.documents(spark, dir)), topK)
 
-  private def bm25Derived(tf: DataFrame, topK: Int): DataFrame = {
+  private def bm25Derived(tf: DataFrame, topK: Int): DataFrame =
+    bm25Core(tf, derivedQueries(tf), topK, 1.2, 0.75)
+
+  /** The corpus-derived (query_id, term) pair shared by every retrieval
+    * gate (C72 BM25, C97 QLM, C98 RRF): exact integer counts with full
+    * tie-breaks, so any engine builds the identical queries. */
+  private def derivedQueries(tf: DataFrame): DataFrame = {
     val occ = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("occ"))
     val qCommon = occ.orderBy(col("occ").desc, col("term")).limit(5)
@@ -1665,7 +1672,7 @@ object TextOps {
     val qRare = occ.filter(col("df") >= 2)
       .orderBy(col("df"), col("occ"), col("term")).limit(5)
       .select(lit("rare").as("query_id"), col("term"))
-    bm25Core(tf, qCommon.unionAll(qRare), topK, 1.2, 0.75)
+    qCommon.unionAll(qRare)
   }
 
   // ---- Persisted BM25 postings store (C76) ------------------------------
@@ -1781,6 +1788,124 @@ object TextOps {
   def bm25FromStore(spark: SparkSession, storeDir: String,
                     topK: Int = 10): DataFrame =
     bm25Derived(bm25StoreTf(spark, storeDir), topK)
+
+  // ---- Query-likelihood retrieval (C97) + RRF hybrid fusion (C98) --------
+
+  /** C97: Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001, public — the language-modeling ranking that sits beside
+    * Okapi BM25 in every IR toolkit, and the second voice RRF fusion
+    * needs). Rank-equivalent sparse decomposition (their eq. 6):
+    *   score(q, d) = Σ_{t ∈ q ∩ d} ln(1 + tf(t,d) / (μ·p(t|C)))
+    *               + |q| · ln(μ / (dl(d) + μ))
+    * with p(t|C) = occ(t) / |C| (corpus unigram probability) — only
+    * MATCHING (term, doc) pairs contribute to the sum, and the
+    * document-length prior folds in once per candidate, so candidate
+    * generation has exactly BM25's sparse shape (docs sharing ≥1 query
+    * term), never a dense query × corpus scoring pass.
+    *
+    * Engine portability (the C72 discipline): each matched-term
+    * contribution and the length prior quantize to DECIMAL(18,9) BEFORE
+    * the per-(query, doc) sum — order-free exact sums; the prior × |q|
+    * product is exact decimal × integer; ranking on the exact decimal is
+    * identical in any engine; ties break on doc_id; score rounds to 6 dp.
+    *
+    * Scale shape: reuses the C72 postings (one corpus scan + one
+    * (doc, term) partial-agg shuffle); occ/dl derive from postings; the
+    * query-term table joins occ BROADCAST, so candidates are map-only
+    * over tf; the per-(query, doc) sum reuses the doc_id partitioning and
+    * the final top-k is a rank-pushdown window (WindowGroupLimit). */
+  def qlmSearch(spark: SparkSession, dir: String, topK: Int = 10,
+                mu: Double = 300.0): DataFrame = {
+    val tf = bm25Tf(Tables.documents(spark, dir))
+    qlmCore(tf, derivedQueries(tf), topK, mu)
+  }
+
+  /** Explicit-queries form (the bm25Of twin) — spec surface. */
+  private[graft] def qlmOf(docs: DataFrame, queries: DataFrame,
+                           topK: Int = 10, mu: Double = 300.0): DataFrame =
+    qlmCore(bm25Tf(docs), queries, topK, mu)
+
+  private def qlmCore(tf: DataFrame, queries: DataFrame,
+                      topK: Int, mu: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val occ = tf.groupBy("term").agg(sum(col("tf")).as("occ"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val ctotal = dl.agg(sum(col("dl")).cast("double").as("c_tokens"))
+    val qterms = broadcast(queries.join(occ, "term").crossJoin(broadcast(ctotal)))
+    val contrib = tf.join(qterms, "term")
+      .withColumn("ts",
+        log(lit(1.0) + col("tf").cast("double") * col("c_tokens") /
+          (lit(mu) * col("occ").cast("double"))).cast(dec))
+    val nq = broadcast(queries.groupBy("query_id").agg(count(lit(1)).as("n_q")))
+    val perDoc = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("s"))
+      .join(dl, "doc_id").join(nq, "query_id")
+      .withColumn("prior",
+        log(lit(mu) / (col("dl").cast("double") + lit(mu))).cast(dec))
+      // n_q as DECIMAL(10,0), not BIGINT: a long multiplier pushes the
+      // product to precision 39 and Spark's precision-loss rule silently
+      // drops to scale 8 (then the add to scale 7) — measured as a 1e-6
+      // score skew vs the exact-arithmetic oracle at sf0.01
+      .withColumn("sc", col("s") + col("prior") *
+        col("n_q").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      // round the exact DECIMAL, then cast: rounding the double instead
+      // hits engine-specific half-boundary behavior (measured: one sf0.01
+      // row sat exactly on a 0.5e-6 tie)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("sc"), 6).cast("double").as("score"), col("rank"))
+  }
+
+  /** C98: reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+    * Büttcher, SIGIR 2009, public — the standard way production search
+    * merges rankings from systems whose scores aren't comparable):
+    *   rrf(q, d) = Σ_{systems ranking d in their top-k} 1 / (κ + rank_s(d))
+    * with the paper's κ = 60. Fused here over the two lexical voices the
+    * engine already serves — C72 BM25 and C97 query-likelihood — on the
+    * SAME derived queries; a doc both systems rank beats a doc only one
+    * sees unless it holds a top slot. The building block for fusing any
+    * retriever set (BM25 + ANN dense retrieval fuse through the identical
+    * [[rrfOf]] kernel — ranks are the only interface).
+    *
+    * Portability: each 1/(κ+rank) quantizes to DECIMAL(18,9) (exact,
+    * order-free 2-term sums); ties on the fused score break on doc_id;
+    * score rounds to 6 dp.
+    *
+    * Scale shape: inputs are ALREADY per-query top-k tables (summary-
+    * sized — k rows per query per system); the fusion is one union + one
+    * (query, doc) partial agg + a rank-pushdown window over k·systems
+    * rows per query. The corpus is touched only by the underlying
+    * retrievers, which share one postings build here. */
+  def hybridRrf(spark: SparkSession, dir: String, topK: Int = 10,
+                kappa: Int = 60, mu: Double = 300.0): DataFrame = {
+    val tf = bm25Tf(Tables.documents(spark, dir))
+    val q = derivedQueries(tf)
+    rrfOf(Seq(bm25Core(tf, q, topK, 1.2, 0.75), qlmCore(tf, q, topK, mu)),
+      topK, kappa)
+  }
+
+  /** Generic RRF kernel: fuse any rankings carrying
+    * (query_id, doc_id, rank) — dense ANN shortlists fuse the same way. */
+  private[graft] def rrfOf(rankings: Seq[DataFrame], topK: Int = 10,
+                           kappa: Int = 60): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val all = rankings.map(_.select("query_id", "doc_id", "rank"))
+      .reduce(_ unionByName _)
+    val fused = all
+      .withColumn("c", (lit(1.0) /
+        (lit(kappa).cast("double") + col("rank").cast("double"))).cast(dec))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_systems"), sum(col("c")).as("s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    fused.withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("n_systems"),
+        round(col("s"), 6).cast("double").as("rrf_score"), col("rrf_rank"))
+  }
 
   /** C78: corpus drift monitor — the text-side twin of C77 emb_drift,
     * run before admitting a new crawl snapshot: per source, the exact
@@ -2238,4 +2363,104 @@ object TextOps {
     * [[aucOf]] (census + two-level prefix — no global sort at any scale). */
   def qualityAuc(spark: SparkSession, dir: String): DataFrame =
     aucOf(qualityWithVerdict(spark, dir), Seq("source"), "quality", "keep")
+
+  // ---- Corpus-law fits: Zipf (C99) and Heaps (C100) -----------------------
+
+  /** C99: per-source Zipf-law fit — OLS of ln(freq) on ln(rank) over each
+    * source's top-R terms (Zipf 1949; the corpus-health diagnostic: natural
+    * language reads slope ≈ −1; templated/boilerplate sources flatten the
+    * head, spam/generated text breaks the line — r² says how law-like the
+    * source is before a human ever samples it). slope/intercept/r² from the
+    * closed-form sums; terms ranked by (freq DESC, term) — fully
+    * deterministic.
+    *
+    * Engine portability: ln(rank)/ln(freq) quantize to DECIMAL(18,9) (the
+    * C72 ln discipline — libm's 1-ULP skew sits below the quantization
+    * step); second-order terms are exact decimal products (DECIMAL(37,18),
+    * inside both engines' 38-digit ceiling); all sums exact and
+    * order-free; the fit statistics are one fixed IEEE expression tree
+    * over the cast sums, identical cross-engine; 6 dp round.
+    *
+    * Scale: one corpus scan → (source, term) partial-agg census; the
+    * rank window's `row_number ≤ R` filter is rank-pushdown
+    * (WindowGroupLimit — each map partition keeps R per source before the
+    * exchange), so the window never sorts a full vocabulary; the fit fold
+    * is a ≤sources-key partial agg over R·sources rows. */
+  def zipfFit(spark: SparkSession, dir: String, topR: Int = 500): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val census = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val pts = census.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topR)
+      .withColumn("x", log(col("rank").cast("double")).cast(dec))
+      .withColumn("y", log(col("freq").cast("double")).cast(dec))
+    val s = pts.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sxq"), sum(col("y")).as("syq"),
+      sum(col("x") * col("x")).as("sxxq"),
+      sum(col("x") * col("y")).as("sxyq"),
+      sum(col("y") * col("y")).as("syyq"))
+    s.withColumn("nd", col("n_terms").cast("double"))
+      .withColumn("sx", col("sxq").cast("double"))
+      .withColumn("sy", col("syq").cast("double"))
+      .withColumn("sxx", col("sxxq").cast("double"))
+      .withColumn("sxy", col("sxyq").cast("double"))
+      .withColumn("syy", col("syyq").cast("double"))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("nd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("denx") =!= lit(0.0), col("num") / col("denx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("nd"))
+      .withColumn("r2", when(col("denx") * col("deny") =!= lit(0.0),
+        col("num") * col("num") / (col("denx") * col("deny"))))
+      .select(col("source"), col("n_terms"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+  }
+
+  /** C100: Heaps-law vocabulary-growth curve — distinct-term count as the
+    * corpus grows through 10 doc_id-range checkpoints (Heaps 1978: V(n) ≈
+    * K·n^β; the capacity-planning series behind vocabulary sizing,
+    * tokenizer budgets, and "is new data still contributing new content"
+    * — a corpus whose curve has gone flat is re-crawling itself).
+    * Vocabulary at a checkpoint needs no per-checkpoint distinct pass:
+    * a term exists at checkpoint i iff its FIRST document id lands at or
+    * before the cutoff, so the whole curve is a ≤10-bucket histogram over
+    * the (term → min doc_id) census plus a prefix sum — one number per
+    * checkpoint, all exact integers.
+    *
+    * Scale: reuses the C72 postings build (one corpus scan + one
+    * (doc, term) partial-agg shuffle); the first-doc census is a
+    * term-keyed partial agg; both histograms are ≤10-key folds and the
+    * running sums range over ≤10 rows. Growing the corpus never
+    * reshuffles old assignments — first-doc ids are immutable. */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tf = bm25Tf(Tables.documents(spark, dir))
+    val docTok = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tok"))
+    val span = broadcast(docTok.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")))
+    def bucket(c: Column): Column = least(lit(9L), floor(
+      (c - col("lo")).cast("double") * lit(10.0) /
+        (col("hi") - col("lo") + lit(1L)).cast("double")).cast("long"))
+    val vHist = tf.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(span)
+      .groupBy(bucket(col("first_doc")).as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val dHist = docTok.crossJoin(span)
+      .groupBy(bucket(col("doc_id")).as("b"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dHist.join(vHist, Seq("b"), "full")
+      .na.fill(0L, Seq("nv", "nd", "nt"))
+      .withColumn("checkpoint", col("b") + lit(1L))
+      .withColumn("n_docs", sum(col("nd")).over(w))
+      .withColumn("n_tokens", sum(col("nt")).over(w))
+      .withColumn("vocab", sum(col("nv")).over(w))
+      .select(col("checkpoint"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
 }

@@ -235,6 +235,11 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.mixtureTemp(spark, dir).count() == 0)
     assert(TextOps.pplBuckets(spark, dir).count() == 0)
     assert(TextOps.bm25Search(spark, dir).count() == 0)
+    assert(TextOps.qlmSearch(spark, dir).count() == 0)
+    assert(TextOps.hybridRrf(spark, dir).count() == 0)
+    assert(TextOps.zipfFit(spark, dir).count() == 0)
+    assert(TextOps.heapsCurve(spark, dir).count() == 0)
+    assert(EventOps.cuped(spark, dir).count() == 0)
     assert(graft.operators.Sketches.hllSliding(spark, dir).count() == 0)
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
     assert(Similarity.knnGraph(spark, dir).count() == 0)

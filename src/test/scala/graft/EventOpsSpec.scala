@@ -1284,4 +1284,93 @@ class EventOpsSpec extends SparkSuite {
     assert(real.nonEmpty && real.last._2 == 0L, "open sessions never closed")
     assert(real.map(_._2).forall(_ >= 0L))
   }
+
+  // ---- A85 CUPED -----------------------------------------------------------
+
+  private def cupedFixture(rows: Seq[(Long, Long, Long, Double)]): String = {
+    // (event_id, ts_ms, user_id, value)
+    import SparkSuite.spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-cuped").toString
+    rows.map { case (id, ms, u, v) =>
+      (id, new java.sql.Timestamp(ms), u, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("cuped: a perfectly predictive covariate gives theta 1, full variance kill, zero residual lift") {
+    val B = 1700000000000L
+    // user u: pre value = u, post value = u (Y = X exactly)
+    val rows = (1L to 40L).flatMap(u => Seq(
+      (u * 10 + 1, B + u, u, u.toDouble),
+      (u * 10 + 2, B + 1000000L + u, u, u.toDouble)))
+    val out = EventOps.cuped(spark, cupedFixture(rows)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 40L)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    // the adjusted lift removes exactly the pre-existing imbalance
+    assert(math.abs(r.getAs[Double]("lift_cuped")) < 1e-9,
+      s"lift_cuped ${r.getAs[Double]("lift_cuped")}")
+    // raw lift equals the variants' pre-period imbalance (Y = X)
+    assert(r.getAs[Double]("lift_raw") != 0.0)
+  }
+
+  test("cuped: every statistic matches an independent from-scratch reference") {
+    val B = 1700000000000L
+    // mixed shape: two pre events for even users, post-only user 41,
+    // pre-only user 42, fractional values
+    val rows = (1L to 40L).flatMap { u =>
+      val pre = Seq((u * 100 + 1, B + u, u, (u * 37 % 11) + 0.25)) ++
+        (if (u % 2 == 0) Seq((u * 100 + 2, B + 500 + u, u, u * 0.5)) else Nil)
+      val post = Seq((u * 100 + 3, B + 1000000L + u, u,
+        ((u * 37 % 11) + 0.25) * 1.5 + (u * 13 % 7) * 0.125))
+      pre ++ post
+    } ++ Seq((4103L, B + 1000000L + 41, 41L, 3.375),
+      (4201L, B + 42, 42L, 2.5))
+    val d = cupedFixture(rows)
+    val got = EventOps.cuped(spark, d).collect().head
+
+    // ---- reference: same definitions, plain Scala -------------------------
+    def q(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val mid = math.floor((lo + hi).toDouble / 2.0).toLong
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = rows.groupBy(_._3).map { case (u, es) =>
+      val x = es.filter(_._2 < mid).map(e => q(e._4, 9)).sum
+      val y = es.filter(_._2 >= mid).map(e => q(e._4, 9)).sum
+      (u, x, y, if (md5hex(s"exp1:$u").substring(0, 2) < "80") "A" else "B")
+    }.toSeq
+    val n = users.size.toDouble
+    val (as, bs) = users.partition(_._4 == "A")
+    val sx = users.map(_._2).sum.toDouble; val sy = users.map(_._3).sum.toDouble
+    val sxx = users.map(t => q(t._2.toDouble * t._2.toDouble, 6)).sum.toDouble
+    val sxy = users.map(t => q(t._2.toDouble * t._3.toDouble, 6)).sum.toDouble
+    val syy = users.map(t => q(t._3.toDouble * t._3.toDouble, 6)).sum.toDouble
+    val meanX = sx / n; val meanY = sy / n
+    val varX = sxx / n - meanX * meanX; val varY = syy / n - meanY * meanY
+    val cov = sxy / n - meanX * meanY
+    val theta = cov / varX
+    val mxa = as.map(_._2).sum.toDouble / as.size.toDouble
+    val mxb = bs.map(_._2).sum.toDouble / bs.size.toDouble
+    val mya = as.map(_._3).sum.toDouble / as.size.toDouble
+    val myb = bs.map(_._3).sum.toDouble / bs.size.toDouble
+    def r6(v: Double) = q(v, 6).toDouble
+    assert(got.getAs[Long]("n_a") == as.size.toLong)
+    assert(got.getAs[Long]("n_b") == bs.size.toLong)
+    assert(got.getAs[Double]("mean_y_a") == r6(mya))
+    assert(got.getAs[Double]("mean_y_b") == r6(myb))
+    assert(got.getAs[Double]("lift_raw") == r6(myb - mya))
+    assert(got.getAs[Double]("theta") == r6(theta),
+      s"theta ${got.getAs[Double]("theta")} vs ${r6(theta)}")
+    assert(got.getAs[Double]("lift_cuped") ==
+      r6((myb - theta * (mxb - meanX)) - (mya - theta * (mxa - meanX))))
+    assert(got.getAs[Double]("var_reduction") == r6(cov * cov / (varX * varY)))
+    // CUPED must not cost precision in the headline: variance reduction > 0
+    assert(got.getAs[Double]("var_reduction") > 0.0)
+  }
 }

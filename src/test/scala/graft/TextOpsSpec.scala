@@ -1211,4 +1211,148 @@ class TextOpsSpec extends SparkSuite {
     // doc 3: 4 grams, only (a0 a1 a2) shared -> 3 of 4 novel
     assert(out(3L) == ((4L, 3L, 0.75)))
   }
+
+  // ---- C97 query-likelihood retrieval ------------------------------------
+
+  private def q9(v: Double): BigDecimal =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(v: BigDecimal): Double =
+    v.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("qlm: exact Dirichlet cell, length prior, tf monotonicity") {
+    // C = 16 tokens; occ(apple)=5, occ(banana)=2, occ(filler)=9
+    val docs = Seq(
+      1L -> "apple banana",
+      2L -> "apple apple filler filler filler filler filler filler",
+      3L -> "banana filler",
+      4L -> "filler filler",
+      5L -> "apple apple").toDF("doc_id", "text")
+    val q = Seq(("qa", "apple")).toDF("query_id", "term")
+    val out = TextOps.qlmOf(docs, q).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Long]("rank")))).toMap
+    // only matching docs are candidates
+    assert(out.keySet == Set(1L, 2L, 5L))
+    // exact cell (d5): q9(ln(1 + 2*16/(300*5))) + q9(ln(300/(2+300)))
+    val expect5 = r6(q9(math.log(1.0 + 2.0 * 16.0 / (300.0 * 5.0))) +
+      q9(math.log(300.0 / 302.0)))
+    assert(out(5L)._1 == expect5, s"got ${out(5L)._1}, expected $expect5")
+    // length prior: same matched tf (=2), shorter doc wins (d5 dl=2, d2 dl=8)
+    assert(out(5L)._1 > out(2L)._1 && out(5L)._2 < out(2L)._2)
+    // tf monotonicity at equal dl: d5 (tf=2, dl=2) > d1 (tf=1, dl=2)
+    assert(out(5L)._1 > out(1L)._1)
+  }
+
+  test("qlm: multi-term query — every query term's prior counts, n_q scales it") {
+    val docs = Seq(
+      1L -> "apple banana",
+      2L -> "apple cherry cherry").toDF("doc_id", "text")
+    val qm = Seq(("qm", "apple"), ("qm", "banana")).toDF("query_id", "term")
+    val out = TextOps.qlmOf(docs, qm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Double]("score")))).toMap
+    // C = 5; occ: apple 2, banana 1, cherry 2
+    // d1 matches both terms; d2 matches apple only but still pays BOTH
+    // priors (|q| = 2) — the rank-equivalent decomposition's contract
+    val e1 = r6(q9(math.log(1.0 + 1.0 * 5.0 / (300.0 * 2.0))) +
+      q9(math.log(1.0 + 1.0 * 5.0 / (300.0 * 1.0))) +
+      q9(math.log(300.0 / 302.0)) * 2)
+    val e2 = r6(q9(math.log(1.0 + 1.0 * 5.0 / (300.0 * 2.0))) +
+      q9(math.log(300.0 / 303.0)) * 2)
+    assert(out(1L) == ((2L, e1)), s"got ${out(1L)}, expected (2, $e1)")
+    assert(out(2L) == ((1L, e2)), s"got ${out(2L)}, expected (1, $e2)")
+  }
+
+  // ---- C98 reciprocal-rank fusion -----------------------------------------
+
+  test("rrf: hand-computed fusion — both-systems doc wins, exact scores, doc_id ties") {
+    val r1 = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = TextOps.rrfOf(Seq(r1, r2)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_systems"), r.getAs[Double]("rrf_score"),
+          r.getAs[Long]("rrf_rank")))).toMap
+    val c = (r: Long) => q9(1.0 / (60.0 + r))
+    // doc 2 in both systems: 1/61 + 1/62, quantized per term
+    assert(out(2L) == ((2L, r6(c(1) + c(2)), 1L)), s"got ${out(2L)}")
+    assert(out(1L) == ((1L, r6(c(1)), 2L)))
+    assert(out(3L) == ((1L, r6(c(2)), 3L)))
+    // exact-score tie breaks on doc_id
+    val t1 = Seq(("t", 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq(("t", 4L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tie = TextOps.rrfOf(Seq(t1, t2)).collect()
+      .map(r => (r.getAs[Long]("rrf_rank"), r.getAs[Long]("doc_id"))).sorted
+    assert(tie.toSeq == Seq((1L, 4L), (2L, 5L)))
+  }
+
+  test("rrf hybrid on the sf corpus: fused set ⊆ union of the two top-10s") {
+    val bm = TextOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val ql = TextOps.qlmSearch(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val fused = TextOps.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))
+      val n = r.getAs[Long]("n_systems")
+      assert(bm.contains(key) || ql.contains(key))
+      assert((n == 2L) == (bm.contains(key) && ql.contains(key)),
+        s"$key n_systems=$n")
+    }
+    // ranks are 1..k consecutive per query
+    fused.groupBy(_.getAs[String]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rrf_rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.size).toSeq)
+    }
+  }
+
+  // ---- C99 Zipf fit / C100 Heaps curve ------------------------------------
+
+  test("zipf: exact planted power law fits slope -1, r2 ~ 1; degenerate source null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // freqs 2520/i for ranks i = 1..5: ln(freq) = ln 2520 - ln(rank)
+    val text = (1 to 5).flatMap(i => Seq.fill(2520 / i)(s"t$i")).mkString(" ")
+    Seq((0L, text, "en", "z", 1L), (1L, "solo", "en", "u", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.zipfFit(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val z = out("z")
+    assert(z.getAs[Long]("n_terms") == 5L)
+    assert(math.abs(z.getAs[Double]("slope") + 1.0) < 1e-6, s"slope ${z.getAs[Double]("slope")}")
+    assert(z.getAs[Double]("r2") > 0.999999)
+    assert(math.abs(z.getAs[Double]("intercept") - math.log(2520.0)) < 1e-5)
+    // single-term source: zero rank variance -> null fit, not NaN/Inf
+    val u = out("u")
+    assert(u.getAs[Long]("n_terms") == 1L)
+    assert(u.isNullAt(u.fieldIndex("slope")) && u.isNullAt(u.fieldIndex("r2")))
+  }
+
+  test("heaps: per-checkpoint vocabulary growth, exact counts, sparse id ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // doc ids 0..9 (bucket = id): doc i = "base w<i>" -> vocab(k) = k + 1
+    (0 to 9).map(i => (i.toLong, s"base w$i", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.heapsCurve(spark, dir).collect()
+      .map(r => r.getAs[Long]("checkpoint") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("vocab")))).toMap
+    assert(out.size == 10)
+    (1 to 10).foreach { k =>
+      assert(out(k.toLong) == ((k.toLong, 2L * k, k + 1L)), s"checkpoint $k: ${out(k.toLong)}")
+    }
+    // sparse ids: 0..4 and 95..99 with range deciles -> buckets 0 and 9 only
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-heaps2").toString
+    ((0 to 4) ++ (95 to 99)).map(i => (i.toLong, s"base x$i", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = TextOps.heapsCurve(spark, dir2).collect()
+      .map(r => r.getAs[Long]("checkpoint") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("vocab")))).toMap
+    assert(out2.keySet == Set(1L, 10L), s"got ${out2.keySet}")
+    assert(out2(1L) == ((5L, 10L, 6L)))
+    assert(out2(10L) == ((10L, 20L, 11L)))
+  }
 }
