@@ -68,6 +68,7 @@ object Bench {
     "doc_boilerplate", "doc_source_overlap", "doc_novelty",
     // round-11 additions
     "ev_cuped", "doc_qlm", "doc_hybrid_rrf", "doc_zipf", "doc_heaps",
+    "ev_power", "ev_changepoint",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
@@ -655,10 +656,12 @@ object LshProbe {
     val dirs = args.filter(a => a != "-t" && !a.matches("[0-9.]+"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val mb = sys.env.getOrElse("SPARK_GRAFT_LSH_MAX_BANDS", "32").toInt
     dirs.foreach { dir =>
-      val (n, bits, bands, cand, out) =
-        graft.operators.Similarity.lshAutoStats(spark, dir, threshold = t)
-      println(f"""{"probe":"lsh_auto","dir":"$dir","threshold":$t,"n":$n,"bits":$bits,"bands":$bands,"cand_pairs":$cand,"out_pairs":$out}""")
+      val (n, bits, bands, cand, out, recall) =
+        graft.operators.Similarity.lshAutoStats(spark, dir, threshold = t,
+          maxBands = mb)
+      println(f"""{"probe":"lsh_auto","dir":"$dir","threshold":$t,"max_bands":$mb,"n":$n,"bits":$bits,"bands":$bands,"cand_pairs":$cand,"out_pairs":$out,"recall_at_threshold":$recall%.4f}""")
     }
     spark.stop()
   }

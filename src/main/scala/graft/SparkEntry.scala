@@ -93,6 +93,11 @@ object SparkEntry {
     "ev_experiment"     -> ((s, d) => EventOps.experiment(s, d)),
     // A85 CUPED variance-reduced readout (pre-period covariate adjustment)
     "ev_cuped"          -> ((s, d) => EventOps.cuped(s, d)),
+    // A87 experiment power: MDE + n-per-arm at the α=.05 / 80% point
+    "ev_power"          -> ((s, d) => EventOps.power(s, d)),
+    // A86 binary-segmentation changepoints over the daily count series
+    // (driver solve on the ≤types×horizon summary — rows-only, spec-gated)
+    "ev_changepoint"    -> ((s, d) => EventOps.changepoints(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -1200,6 +1205,37 @@ object SparkEntry {
         |  round(CASE WHEN var_x * var_y <> 0
         |        THEN cov_xy * cov_xy / (var_x * var_y) END, 6) AS var_reduction
         |FROM t""".stripMargin,
+    // A87: exact 2x2 counts -> one fixed IEEE tree (sqrt correctly
+    // rounded); z constants literal; ceil exact on the double then BIGINT
+    "ev_power" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT count(*) FILTER (WHERE variant = 'A') AS n_a,
+        |    count(*) FILTER (WHERE variant = 'B') AS n_b,
+        |    count(*) FILTER (WHERE conv = 1) AS n_conv
+        |  FROM u),
+        |d AS (
+        |  SELECT *, CAST(n_conv AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    1.959963984540054 + 0.8416212335729143 AS zsum
+        |  FROM cells WHERE n_a > 0 AND n_b > 0),
+        |m AS (
+        |  SELECT *, zsum * sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS mde_abs
+        |  FROM d)
+        |SELECT n_a, n_b, n_conv, round(p, 6) AS p,
+        |  round(mde_abs, 6) AS mde_abs,
+        |  round(CASE WHEN p <> 0 THEN mde_abs / p END, 6) AS mde_rel,
+        |  CASE WHEN p <> 0 AND p <> 1 THEN
+        |    CAST(ceil(2.0 * zsum * zsum * p * (CAST(1.0 AS DOUBLE) - p)
+        |      / ((0.05 * p) * (0.05 * p))) AS BIGINT) END AS n_per_arm
+        |FROM m""".stripMargin,
     // A63: naive global row_number reproduces the two-level rank; shares
     // are single IEEE divisions of exact integers.
     "ev_concentration" ->

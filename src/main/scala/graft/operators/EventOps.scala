@@ -1847,6 +1847,135 @@ object EventOps {
         round(col("var_reduction"), 6).as("var_reduction"))
   }
 
+  /** A87: experiment POWER readout — the minimum detectable effect (MDE)
+    * for the A62 conversion setup at the standard α = 0.05 two-sided /
+    * 80% power operating point (the sizing guardrail every platform shows
+    * beside a readout: an experiment whose observed lift sits under its
+    * MDE hasn't failed, it's underpowered — and the n-per-arm column says
+    * what detecting a target relative lift would take):
+    *   mde = (z_{α/2} + z_β) · sqrt(p(1−p) · (1/n_a + 1/n_b)),
+    *   n_per_arm(rel) = ceil(2 · (z_{α/2}+z_β)² · p(1−p) / (rel·p)²).
+    * Same md5 assignment + conversion definition as A62, so the three
+    * experiment views (readout, SRM guardrail, power) describe one
+    * design. All statistics are a fixed IEEE tree over exact integer
+    * counts (sqrt is correctly rounded — engine-portable); z constants
+    * are literals. One user_id partial-agg shuffle → one summary row. */
+  def power(spark: SparkSession, dir: String, salt: String = "exp1",
+            minPurchases: Long = 14, targetRel: Double = 0.05): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "purchase", lit(1))).as("np"))
+      .withColumn("conv", (col("np") >= minPurchases).cast("int"))
+      .withColumn("variant", when(substring(md5(
+        concat(lit(salt), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2) < "80", "A").otherwise("B"))
+    users.agg(
+        count(when(col("variant") === "A", lit(1))).as("n_a"),
+        count(when(col("variant") === "B", lit(1))).as("n_b"),
+        count(when(col("conv") === 1, lit(1))).as("n_conv"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("p", col("n_conv").cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("zsum", lit(1.959963984540054) + lit(0.8416212335729143))
+      .withColumn("mde_abs", col("zsum") * sqrt(
+        col("p") * (lit(1.0) - col("p")) *
+          (lit(1.0) / col("n_a").cast("double") +
+           lit(1.0) / col("n_b").cast("double"))))
+      .withColumn("mde_rel",
+        when(col("p") =!= lit(0.0), col("mde_abs") / col("p")))
+      .withColumn("n_per_arm",
+        when(col("p") =!= lit(0.0) && col("p") =!= lit(1.0),
+          ceil(lit(2.0) * col("zsum") * col("zsum") *
+            col("p") * (lit(1.0) - col("p")) /
+            ((lit(targetRel) * col("p")) * (lit(targetRel) * col("p"))))))
+      .select(col("n_a"), col("n_b"), col("n_conv"),
+        round(col("p"), 6).as("p"),
+        round(col("mde_abs"), 6).as("mde_abs"),
+        round(col("mde_rel"), 6).as("mde_rel"),
+        col("n_per_arm"))
+  }
+
+  /** A86: changepoint detection over the per-type DAILY count series —
+    * greedy BINARY SEGMENTATION (Scott & Knott 1974; the textbook
+    * recursive mean-shift splitter behind every "when did the metric
+    * level change" dashboard): recursively split the series at the index
+    * that maximizes the between-segment SSE reduction, stop when the best
+    * gain falls under a BIC-style penalty (2·ln n · σ̂², σ̂² from
+    * first-difference variance — level shifts don't inflate it) or at
+    * `maxSegments`. Complements A57's sequential CUSUM (drift alarm) with
+    * the retrospective segmentation view. Emits one row per segment with
+    * its exact mean level.
+    *
+    * Scale: the corpus collapses in ONE (type, day) partial-agg shuffle
+    * to a ≤types×horizon summary; the recursive solve is driver math over
+    * that summary with prefix sums (the A83 model-as-summary discipline —
+    * segmentation is sequential by nature, and the series length is the
+    * HORIZON, not the event count, at any corpus size). Interior missing
+    * days are real zeros and are filled as such. */
+  def changepoints(spark: SparkSession, dir: String,
+                   maxSegments: Int = 6): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), tsMs(col("ts")).as("ms"))
+      .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+      .collect()                       // ≤ types × horizon days — a summary
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val segs = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (tpe, rows) =>
+        val byDay = rows.map(t => t._2 -> t._3).toMap
+        val lo = byDay.keys.min; val hi = byDay.keys.max
+        val y = (lo to hi).map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+        val n = y.length
+        // prefix sums for O(1) segment SSE
+        val ps = y.scanLeft(0.0)(_ + _); val ps2 = y.scanLeft(0.0)((a, v) => a + v * v)
+        def sse(a: Int, b: Int): Double = {
+          val s = ps(b + 1) - ps(a); val s2 = ps2(b + 1) - ps2(a)
+          s2 - s * s / (b - a + 1)
+        }
+        val diffs = y.sliding(2).collect { case Array(u, v) => v - u }.toArray
+        val varHat =
+          if (diffs.length < 2) 0.0
+          else {
+            val m = diffs.sum / diffs.length
+            diffs.map(d => (d - m) * (d - m)).sum / diffs.length / 2.0
+          }
+        val penalty = 2.0 * math.log(math.max(n, 2).toDouble) * varHat
+        var bounds = Vector((0, n - 1))
+        var done = false
+        while (bounds.size < maxSegments && !done) {
+          // best (gain, segIdx, splitAt), ties to the earliest split
+          var best = (0.0, -1, -1)
+          for (((a, b), i) <- bounds.zipWithIndex; if b > a) {
+            val whole = sse(a, b)
+            var t = a
+            while (t < b) {
+              val gain = whole - sse(a, t) - sse(t + 1, b)
+              if (gain > best._1 + 1e-12) best = (gain, i, t)
+              t += 1
+            }
+          }
+          if (best._2 < 0 || best._1 <= penalty) done = true
+          else {
+            val (a, b) = bounds(best._2)
+            bounds = (bounds.take(best._2) :+ ((a, best._3)) :+ ((best._3 + 1, b))) ++
+              bounds.drop(best._2 + 1)
+          }
+        }
+        bounds.sortBy(_._1).zipWithIndex.map { case ((a, b), i) =>
+          val mean = (ps(b + 1) - ps(a)) / (b - a + 1)
+          (tpe, (i + 1).toLong, lo + a, lo + b, (b - a + 1).toLong,
+            BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+    }
+    segs.toDF("event_type", "seg_idx", "start_idx", "end_idx", "n_days", "mean_count")
+      .select(col("event_type"), col("seg_idx"),
+        to_date(expr("timestamp_millis(start_idx * 86400000)")).as("start_day"),
+        to_date(expr("timestamp_millis(end_idx * 86400000)")).as("end_day"),
+        col("n_days"), col("mean_count"))
+  }
+
   /** A84: live-session CONCURRENCY curve — the classic sweep-line over
     * the A8 session intervals: +1 at each session's start minute, −1 one
     * minute past its end (end-inclusive activity), running sum = the

@@ -220,7 +220,7 @@ object Similarity {
     * causes distinguishable in one record. */
   def lshAutoStats(spark: SparkSession, dir: String, threshold: Double = 0.85,
                    targetRecall: Double = 0.9, targetOccupancy: Int = 64,
-                   maxBands: Int = 32): (Long, Int, Int, Long, Long) = {
+                   maxBands: Int = 32): (Long, Int, Int, Long, Long, Double) = {
     val embN = withNorm(Tables.embeddings(spark, dir))
     val n = math.max(1L, embN.count())
     val (bits, bands) = lshAutoParams(n, threshold, targetRecall,
@@ -232,7 +232,20 @@ object Similarity {
       .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
     val outPairs = lshPairsOf(embN, threshold, bits, bands).count()
-    (n, bits, bands, candPairs, outPairs)
+    (n, bits, bands, candPairs, outPairs, lshTheoreticalRecall(threshold, bits, bands))
+  }
+
+  /** Theoretical at-threshold recall of a (bits, bands) sign-LSH scheme:
+    * a pair at exactly `threshold` cosine collides in one band with
+    * p^bits (p = 1 − acos(t)/π), so P(any band) = 1 − (1 − p^bits)^bands.
+    * Pairs ABOVE the threshold do better — this is the floor the sizing
+    * aims at, and the number the band CAP trades away once
+    * `lshAutoParams` clamps (SURVEY §5: the cap's cost is stated recall,
+    * never silent candidate loss — the probe prints it). */
+  private[graft] def lshTheoreticalRecall(threshold: Double, bits: Int,
+                                          bands: Int): Double = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), bands)
   }
 
   /** (bits, bands) for [[lshNeardupPairsAuto]] — pure sizing math, spec-

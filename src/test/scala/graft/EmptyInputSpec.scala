@@ -240,6 +240,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.zipfFit(spark, dir).count() == 0)
     assert(TextOps.heapsCurve(spark, dir).count() == 0)
     assert(EventOps.cuped(spark, dir).count() == 0)
+    assert(EventOps.power(spark, dir).count() == 0)
+    assert(EventOps.changepoints(spark, dir).count() == 0)
     assert(graft.operators.Sketches.hllSliding(spark, dir).count() == 0)
     assert(graft.operators.Dsir.dsirSelect(spark, dir).count() == 0)
     assert(Similarity.knnGraph(spark, dir).count() == 0)

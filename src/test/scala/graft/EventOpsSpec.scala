@@ -1373,4 +1373,98 @@ class EventOpsSpec extends SparkSuite {
     // CUPED must not cost precision in the headline: variance reduction > 0
     assert(got.getAs[Double]("var_reduction") > 0.0)
   }
+
+  // ---- A87 power / A86 changepoints ----------------------------------------
+
+  test("power: MDE and n-per-arm match an independent closed-form reference") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    val rows = (1L to 8L).flatMap(u => (1L to u).map(i =>
+      (u * 100 + i, new java.sql.Timestamp(B + u * 1000 + i), u,
+        "purchase", 1.0)))
+    val d = java.nio.file.Files.createTempDirectory("graft-power").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.power(spark, d, minPurchases = 5).collect().head
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val variants = (1L to 8L).map(u =>
+      if (md5hex(s"exp1:$u").substring(0, 2) < "80") "A" else "B")
+    val nA = variants.count(_ == "A"); val nB = variants.count(_ == "B")
+    val nConv = 4 // users 5..8 convert
+    val p = nConv.toDouble / (nA + nB).toDouble
+    val zsum = 1.959963984540054 + 0.8416212335729143
+    val mde = zsum * math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    def r6d(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_a") == nA.toLong)
+    assert(got.getAs[Long]("n_b") == nB.toLong)
+    assert(got.getAs[Long]("n_conv") == nConv.toLong)
+    assert(got.getAs[Double]("p") == r6d(p))
+    assert(got.getAs[Double]("mde_abs") == r6d(mde), s"got $got")
+    assert(got.getAs[Double]("mde_rel") == r6d(mde / p))
+    assert(got.getAs[Long]("n_per_arm") ==
+      math.ceil(2.0 * zsum * zsum * p * (1.0 - p) / ((0.05 * p) * (0.05 * p))).toLong)
+  }
+
+  test("changepoints: planted step series splits once at the step; flat series never splits") {
+    import SparkSuite.spark.implicits._
+    // type "a": days 0..5 at 10 events/day, days 6..11 at 50/day;
+    // type "b": flat 5/day over the same horizon
+    val rows =
+      (0 to 11).flatMap { d =>
+        val cnt = if (d < 6) 10 else 50
+        (1 to cnt).map(i =>
+          (d * 10000L + i, new java.sql.Timestamp(d * 86400000L + i * 1000L),
+            i.toLong, "a", 1.0))
+      } ++
+      (0 to 11).flatMap(d => (1 to 5).map(i =>
+        (900000L + d * 100 + i,
+          new java.sql.Timestamp(d * 86400000L + i * 1000L), i.toLong, "b", 1.0)))
+    val d = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.changepoints(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("seg_idx"),
+        r.getAs[java.sql.Date]("start_day").toString,
+        r.getAs[java.sql.Date]("end_day").toString,
+        r.getAs[Long]("n_days"), r.getAs[Double]("mean_count")))
+      .sortBy(t => (t._1, t._2))
+    val a = out.filter(_._1 == "a"); val b = out.filter(_._1 == "b")
+    assert(a.length == 2, s"type a segments: ${a.toSeq}")
+    assert(a(0) == (("a", 1L, "1970-01-01", "1970-01-06", 6L, 10.0)), s"got ${a(0)}")
+    assert(a(1) == (("a", 2L, "1970-01-07", "1970-01-12", 6L, 50.0)), s"got ${a(1)}")
+    assert(b.length == 1 && b(0)._5 == 12L && b(0)._6 == 5.0, s"type b: ${b.toSeq}")
+    // determinism
+    val again = EventOps.changepoints(spark, d).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("seg_idx"),
+        r.getAs[java.sql.Date]("start_day").toString,
+        r.getAs[java.sql.Date]("end_day").toString,
+        r.getAs[Long]("n_days"), r.getAs[Double]("mean_count")))
+      .sortBy(t => (t._1, t._2))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("changepoints: segments partition each type's horizon on the real corpus") {
+    val out = EventOps.changepoints(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("seg_idx"),
+        r.getAs[java.sql.Date]("start_day"), r.getAs[java.sql.Date]("end_day"),
+        r.getAs[Long]("n_days")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (tpe, segs) =>
+      val s = segs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to s.length).toSeq, s"$tpe seg_idx gap")
+      // contiguous: each segment starts the day after the previous ends
+      s.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n._3.toLocalDate == p._4.toLocalDate.plusDays(1),
+            s"$tpe gap between ${p._4} and ${n._3}")
+        case _ =>
+      }
+      assert(s.map(_._5).sum ==
+        java.time.temporal.ChronoUnit.DAYS.between(
+          s.head._3.toLocalDate, s.last._4.toLocalDate) + 1,
+        s"$tpe day count mismatch")
+    }
+  }
 }
