@@ -653,15 +653,23 @@ object LshProbe {
   def main(args: Array[String]): Unit = {
     val t = args.sliding(2).collectFirst { case Array("-t", v) => v.toDouble }
       .getOrElse(0.4)
-    val dirs = args.filter(a => a != "-t" && !a.matches("[0-9.]+"))
+    val dirs = args.filter(a => a != "-t" && a != "-recall" && !a.matches("[0-9.]+"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val mb = sys.env.getOrElse("SPARK_GRAFT_LSH_MAX_BANDS", "32").toInt
+    val withRecall = args.contains("-recall")
     dirs.foreach { dir =>
       val (n, bits, bands, cand, out, recall) =
         graft.operators.Similarity.lshAutoStats(spark, dir, threshold = t,
           maxBands = mb)
-      println(f"""{"probe":"lsh_auto","dir":"$dir","threshold":$t,"max_bands":$mb,"n":$n,"bits":$bits,"bands":$bands,"cand_pairs":$cand,"out_pairs":$out,"recall_at_threshold":$recall%.4f}""")
+      val emp =
+        if (!withRecall) """"""
+        else {
+          val (nt, found, r, _, _) = graft.operators.Similarity
+            .lshEmpiricalRecall(spark, dir, t, maxBands = mb)
+          f""","true_pairs":$nt,"found_true":$found,"empirical_recall":$r%.4f"""
+        }
+      println(f"""{"probe":"lsh_auto","dir":"$dir","threshold":$t,"max_bands":$mb,"n":$n,"bits":$bits,"bands":$bands,"cand_pairs":$cand,"out_pairs":$out,"recall_at_threshold":$recall%.4f$emp}""")
     }
     spark.stop()
   }

@@ -195,7 +195,23 @@ object Similarity {
     * degrades by exactly the reported bound rather than cost exploding).
     * One count() scalar sizes the scheme; per-band signatures use the
     * plane-offset kernel, so total planes = bits·bands is NOT capped at
-    * 64. */
+    * 64.
+    *
+    * THE CAP'S PRICE IS RECALL, NEVER PRECISION (every emitted pair is
+    * exact-verified) — and it is a stated, measured number, not a hope:
+    * holding recall R needs bands ≈ −ln(1−R)/p^bits, i.e. bands ∝
+    * n^log2(1/p) under occupancy pinning — amplification cost is
+    * inherently super-linear in n (n^0.28 at θ=0.85, n^0.66 at θ=0.4), so
+    * a FIXED band budget must eventually trade recall. Measured envelope
+    * at θ=0.4 (r11 sweep, empirical vs the exact pair enumeration): n=2k →
+    * 22 bands uncapped, recall 0.90; n=20k needs 145 bands — capped at 32
+    * the measured recall is 0.45 (theory floor 0.40). At the θ=0.85
+    * production default the 32 cap holds target recall to n ≈ 1M vectors
+    * (34 bands needed at 1M, 62 at 10M, 244 at 1B). Size a deployment with
+    * [[lshAutoStats]] / `runMain graft.LshProbe <dir> -t θ [-recall]` —
+    * it prints the chosen scheme, candidate volume, theoretical recall at
+    * the threshold, and (−recall) the measured recall; raise `maxBands`
+    * when the corpus and recall SLO warrant the linear-in-bands wall. */
   def lshNeardupPairsAuto(spark: SparkSession, dir: String,
                           threshold: Double = 0.85,
                           targetRecall: Double = 0.9,
@@ -233,6 +249,45 @@ object Similarity {
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
     val outPairs = lshPairsOf(embN, threshold, bits, bands).count()
     (n, bits, bands, candPairs, outPairs, lshTheoreticalRecall(threshold, bits, bands))
+  }
+
+  /** MEASURED recall of the auto-sized LSH scheme against the exact global
+    * pair enumeration at the same threshold — the ground-truth companion
+    * to [[lshAutoStats]]' volume record (theory says the cap costs recall;
+    * this measures what it actually costs on THIS corpus, where most true
+    * pairs sit well above the threshold and collide more often than the
+    * floor suggests). O(n²·dim) — a gate-SF / rehearsal-SF instrument, not
+    * a production operator; the block product mirrors [[neardupPairs]]
+    * WITHOUT its label blocking (the LSH pairs are global). Returns
+    * (true pairs, LSH-found true pairs, recall, bits, bands). */
+  private[graft] def lshEmpiricalRecall(spark: SparkSession, dir: String,
+                                        threshold: Double,
+                                        targetRecall: Double = 0.9,
+                                        targetOccupancy: Int = 64,
+                                        maxBands: Int = 32): (Long, Long, Double, Int, Int) = {
+    val embN = withNorm(Tables.embeddings(spark, dir))
+    val n = math.max(1L, embN.count())
+    val (bits, bands) = lshAutoParams(n, threshold, targetRecall,
+      targetOccupancy, maxBands)
+    val lsh = lshPairsOf(embN, threshold, bits, bands)
+      .select(col("id_a"), col("id_b"))
+    // the corpus lands as ONE parquet file at probe scales — without an
+    // explicit repartition the nested-loop pair product runs as a single
+    // task (measured: 20k vectors = 400M pair evals on one core, >15 min).
+    // Repartition the STREAM side; the other side rides the broadcast.
+    // (Whichever side Spark broadcasts, the streamed side now has
+    // defaultParallelism tasks.)
+    val par = spark.sparkContext.defaultParallelism
+    val a = embN.repartition(par)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = embN.repartition(par)
+      .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val nTrue = exact.count()
+    val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+    (nTrue, found, if (nTrue == 0) 1.0 else found.toDouble / nTrue, bits, bands)
   }
 
   /** Theoretical at-threshold recall of a (bits, bands) sign-LSH scheme:

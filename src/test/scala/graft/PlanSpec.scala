@@ -332,4 +332,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("c_sim"), p.take(2500))
     assert("top_cos_buckets".r.findAllIn(p).nonEmpty, p.take(2500))
   }
+
+  test("zipf: the top-500 rank filter is WindowGroupLimit pushdown, no full-vocab sort") {
+    val p = planOf(TextOps.zipfFit(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("qlm: query terms broadcast — the corpus side never builds a join hash table") {
+    val p = planOf(TextOps.qlmSearch(spark, sf))
+    // candidate generation: postings stream against the broadcast query
+    // terms; a SortMergeJoin on term would mean the corpus got shuffled
+    // for a ten-term query table
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  test("cuped: one corpus scan, one user exchange, single summary row") {
+    val p = planOf(EventOps.cuped(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(1500)) // events + midpoint scalar
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }

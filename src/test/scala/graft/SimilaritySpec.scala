@@ -260,6 +260,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"bound violated: $recall at ($bits, $bands)")
   }
 
+  test("lsh recall instrumentation: closed form sane, cap floor visible, gate-SF measured recall holds") {
+    import Similarity.{lshTheoreticalRecall, lshEmpiricalRecall}
+    // hand-checked point: the sf0.1 scheme (bits 5, bands 22 at θ=0.4)
+    // sits just above the 0.9 sizing target
+    val r = lshTheoreticalRecall(0.4, 5, 22)
+    assert(r > 0.90 && r < 0.905, s"got $r")
+    assert(lshTheoreticalRecall(0.4, 5, 21) < r)   // monotone in bands
+    // the 10x-scale capped scheme reports its degraded floor (~0.40),
+    // not the target — no silent recall loss
+    assert(lshTheoreticalRecall(0.4, 9, 32) < 0.5)
+    // measured against the exact pair enumeration on the gate corpus:
+    // the auto-sized scheme delivers (pairs above threshold beat the
+    // at-threshold floor)
+    val (nTrue, found, emp, _, _) = lshEmpiricalRecall(spark, sf, 0.4)
+    assert(nTrue > 0 && found <= nTrue)
+    assert(emp >= 0.85, s"empirical recall $emp ($found of $nTrue)")
+  }
+
   test("adaptive LSH finds planted near-dup pairs with exact precision") {
     import java.nio.file.Files
     val d = Files.createTempDirectory("graft-lsh-auto").toString
