@@ -98,6 +98,8 @@ object SparkEntry {
     // A86 binary-segmentation changepoints over the daily count series
     // (driver solve on the ≤types×horizon summary — rows-only, spec-gated)
     "ev_changepoint"    -> ((s, d) => EventOps.changepoints(s, d)),
+    // A88 mixture-SPRT always-valid sequential readout (peeking-safe)
+    "ev_msprt"          -> ((s, d) => EventOps.msprt(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -222,6 +224,9 @@ object SparkEntry {
     "qa_key_skew"      -> ((s, d) => Analytics.keySkew(s, d)),
     // B38: per-column completeness/cardinality profile (one pass per table)
     "qa_profile"       -> ((s, d) => Analytics.columnProfile(s, d)),
+    // B39: keyed snapshot diff (added/removed/changed between two
+    // time-cuts of the A2 latest-state view; unchanged rows suppressed)
+    "qa_snapshot_diff" -> ((s, d) => Analytics.snapshotDiff(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -628,6 +633,10 @@ object SparkEntry {
     "doc_qlm"           -> ((s, d) => TextOps.qlmSearch(s, d)),
     // C98 reciprocal-rank-fusion hybrid of the BM25 + QLM rankings
     "doc_hybrid_rrf"    -> ((s, d) => TextOps.hybridRrf(s, d)),
+    // C101 Kendall τ-b agreement between the BM25 and QLM top-k lists
+    "doc_rank_tau"      -> ((s, d) => TextOps.rankTau(s, d)),
+    // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
+    "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -779,6 +788,60 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY s DESC, doc_id) AS rrf_rank
        |FROM f QUALIFY rrf_rank <= 10""".stripMargin
+
+  // C101: Kendall τ-b between the BM25 and QLM top-10s (absent docs take
+  // the tied rank k+1 = 11); all counts exact integers, τ one fixed IEEE
+  // tree over them (casts exact, sqrt/÷ correctly rounded — no rounding)
+  private val rankTauSql =
+    s"""$retrievalCtes,
+       |$qlmBody,
+       |bmc AS (SELECT q.query_id, tf.doc_id,
+       |        CAST(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+       |         AS DECIMAL(18,9)) AS ts
+       |      FROM q JOIN dfq USING (term) JOIN tf USING (term)
+       |      JOIN dl ON tf.doc_id = dl.doc_id, n),
+       |bmr AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sum(ts) DESC, doc_id) AS rank
+       |        FROM bmc GROUP BY 1, 2 QUALIFY rank <= 10),
+       |qlk AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sc DESC, doc_id) AS rank
+       |        FROM qlr QUALIFY rank <= 10),
+       |u AS (SELECT coalesce(b.query_id, k.query_id) AS query_id,
+       |        coalesce(b.doc_id, k.doc_id) AS doc_id,
+       |        b.rank IS NOT NULL AND k.rank IS NOT NULL AS in_both,
+       |        coalesce(b.rank, 11) AS ra, coalesce(k.rank, 11) AS rb
+       |      FROM bmr b FULL OUTER JOIN qlk k
+       |        ON b.query_id = k.query_id AND b.doc_id = k.doc_id),
+       |cen AS (SELECT query_id, count(*) AS n_union,
+       |        count(*) FILTER (WHERE in_both) AS overlap
+       |        FROM u GROUP BY 1),
+       |p AS (SELECT a.query_id, a.ra AS ra1, a.rb AS rb1,
+       |        b.ra AS ra2, b.rb AS rb2
+       |      FROM u a JOIN u b
+       |        ON a.query_id = b.query_id AND a.doc_id < b.doc_id),
+       |agg AS (SELECT query_id, count(*) AS n_pairs,
+       |        count(*) FILTER (WHERE ra1 <> ra2 AND rb1 <> rb2
+       |          AND ((ra1 < ra2) = (rb1 < rb2))) AS concordant,
+       |        count(*) FILTER (WHERE ra1 <> ra2 AND rb1 <> rb2
+       |          AND ((ra1 < ra2) <> (rb1 < rb2))) AS discordant,
+       |        count(*) FILTER (WHERE ra1 = ra2) AS ties_a,
+       |        count(*) FILTER (WHERE rb1 = rb2) AS ties_b
+       |        FROM p GROUP BY 1)
+       |SELECT cen.query_id, cen.n_union, cen.overlap,
+       |  coalesce(agg.n_pairs, 0) AS n_pairs,
+       |  coalesce(agg.concordant, 0) AS concordant,
+       |  coalesce(agg.discordant, 0) AS discordant,
+       |  coalesce(agg.ties_a, 0) AS ties_a,
+       |  coalesce(agg.ties_b, 0) AS ties_b,
+       |  CASE WHEN (agg.n_pairs - agg.ties_a) > 0
+       |        AND (agg.n_pairs - agg.ties_b) > 0 THEN
+       |    CAST(agg.concordant - agg.discordant AS DOUBLE)
+       |      / sqrt(CAST((agg.n_pairs - agg.ties_a)
+       |                * (agg.n_pairs - agg.ties_b) AS DOUBLE)) END AS tau_b
+       |FROM cen LEFT JOIN agg ON cen.query_id = agg.query_id""".stripMargin
 
   // brute-force cosine top-k — also the oracle for the exhaustive-probe IVF
   // path, which must reproduce it exactly
@@ -1236,6 +1299,60 @@ object SparkEntry {
         |    CAST(ceil(2.0 * zsum * zsum * p * (CAST(1.0 AS DOUBLE) - p)
         |      / ((0.05 * p) * (0.05 * p))) AS BIGINT) END AS n_per_arm
         |FROM m""".stripMargin,
+    // A88: exact cumulative 2x2 cells per enrollment day; ln Λ is one
+    // fixed IEEE tree over them quantized DECIMAL(18,9), so the running
+    // max and the ln(20) threshold compare are exact; 6-dp decimal-first
+    // rounds. The τ²=1e-4 mixture constant casts from the same literal.
+    "ev_msprt" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day_idx,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT day_idx,
+        |    count(*) FILTER (WHERE variant = 'A') AS e_a,
+        |    count(*) FILTER (WHERE variant = 'A' AND conv = 1) AS x_a,
+        |    count(*) FILTER (WHERE variant = 'B') AS e_b,
+        |    count(*) FILTER (WHERE variant = 'B' AND conv = 1) AS x_b
+        |  FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT day_idx,
+        |    CAST(sum(e_a) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(e_b) OVER w AS BIGINT) AS n_b,
+        |    CAST(sum(x_a) OVER w AS BIGINT) AS conv_a,
+        |    CAST(sum(x_b) OVER w AS BIGINT) AS conv_b
+        |  FROM d WINDOW w AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)),
+        |e AS (
+        |  SELECT *,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS delta
+        |  FROM c WHERE n_a > 0 AND n_b > 0),
+        |f AS (
+        |  SELECT *, p * (CAST(1.0 AS DOUBLE) - p)
+        |    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |       + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS v
+        |  FROM e),
+        |g AS (
+        |  SELECT *, CASE WHEN v > CAST(0.0 AS DOUBLE) THEN
+        |    CAST(CAST(0.5 AS DOUBLE) * (ln(v) - ln(v + CAST(0.0001 AS DOUBLE)))
+        |      + delta * delta * CAST(0.0001 AS DOUBLE)
+        |        / (CAST(2.0 AS DOUBLE) * v * (v + CAST(0.0001 AS DOUBLE)))
+        |     AS DECIMAL(18,9))
+        |    ELSE CAST(0 AS DECIMAL(18,9)) END AS ln_lambda
+        |  FROM f),
+        |h AS (
+        |  SELECT *, max(ln_lambda) OVER
+        |    (ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM g)
+        |SELECT day_idx, n_a, n_b, conv_a, conv_b,
+        |  CAST(round(ln_lambda, 6) AS DOUBLE) AS ln_lambda,
+        |  CAST(round(mx, 6) AS DOUBLE) AS max_ln_lambda,
+        |  CAST(mx AS DOUBLE) > ln(CAST(20.0 AS DOUBLE)) AS rejected
+        |FROM h""".stripMargin,
     // A63: naive global row_number reproduces the two-level rank; shares
     // are single IEEE divisions of exact integers.
     "ev_concentration" ->
@@ -2678,6 +2795,35 @@ object SparkEntry {
         |  count(DISTINCT lang) FROM documents
         |UNION ALL SELECT 'documents', 'text', count(*), count(*) - count(text),
         |  count(DISTINCT text) FROM documents""".stripMargin,
+    // B39: the struct-max latest-state view mirrors as a row_number over
+    // the same (ts_ms, event_type, value) DESC ordering; the diff verdict
+    // repeats Spark's OR chain verbatim (null-compare semantics included)
+    "qa_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |           FROM events),
+        |m AS (SELECT CAST(floor(CAST(min(ts_ms) + max(ts_ms) AS DOUBLE) / 2.0)
+        |        AS BIGINT) AS mid FROM e),
+        |o AS (SELECT user_id, ts_ms AS old_ts_ms, event_type AS old_type,
+        |        value AS old_value FROM (
+        |        SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms DESC, event_type DESC, value DESC) AS rn
+        |        FROM e, m WHERE ts_ms < mid) t WHERE rn = 1),
+        |w AS (SELECT user_id, ts_ms AS new_ts_ms, event_type AS new_type,
+        |        value AS new_value FROM (
+        |        SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms DESC, event_type DESC, value DESC) AS rn
+        |        FROM e) t WHERE rn = 1),
+        |d AS (SELECT coalesce(o.user_id, w.user_id) AS user_id,
+        |        old_ts_ms, old_type, old_value, new_ts_ms, new_type, new_value,
+        |        CASE WHEN old_ts_ms IS NULL THEN 'added'
+        |             WHEN new_ts_ms IS NULL THEN 'removed'
+        |             WHEN old_ts_ms <> new_ts_ms OR old_type <> new_type
+        |               OR old_value <> new_value THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN w ON o.user_id = w.user_id)
+        |SELECT user_id, status, old_ts_ms, old_type, old_value,
+        |  new_ts_ms, new_type, new_value
+        |FROM d WHERE status <> 'unchanged'""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (
@@ -3039,6 +3185,23 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents) t
         |WHERE sample_rank <= 5""".stripMargin,
+    // C102: u = (first 52 md5 bits + 0.5) / 2^52 is an exact binary
+    // rational; ln(u) quantizes DECIMAL(18,9); the key is one exact
+    // decimal->double conversion + one correctly-rounded division
+    "doc_weighted_sample" ->
+      """SELECT doc_id, weight, es_key, sample_rank FROM (
+        |  SELECT doc_id, weight, es_key,
+        |    row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank
+        |  FROM (
+        |    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |      CAST(CAST(ln((CAST(CAST(concat('0x', substr(
+        |            md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |          AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |          / CAST(4503599627370496.0 AS DOUBLE))
+        |        AS DECIMAL(18,9)) AS DOUBLE)
+        |        / CAST(n_chars AS DOUBLE) AS es_key
+        |    FROM documents WHERE n_chars > 0) t1) t2
+        |WHERE sample_rank <= 100""".stripMargin,
     "doc_split" ->
       """SELECT source,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
@@ -3841,6 +4004,7 @@ object SparkEntry {
     "doc_bm25" -> bm25Sql,
     "doc_qlm" -> qlmSql,
     "doc_hybrid_rrf" -> rrfSql,
+    "doc_rank_tau" -> rankTauSql,
     // C99: ln quantized DECIMAL(18,9) per point (the C72 discipline), exact
     // decimal second-order sums, one fixed IEEE tree for the fit statistics
     "doc_zipf" ->

@@ -738,4 +738,56 @@ object Analytics {
       .unionByName(prof("documents", Tables.documents(spark, dir),
         Seq("source", "lang", "text")))
   }
+
+  /** B39: keyed SNAPSHOT DIFF — the change-data audit between two
+    * versions of a state table (the nightly "what changed since the last
+    * snapshot" every warehouse runs before publishing: an unexpected
+    * added/removed/changed mix = an upstream pipeline fault caught
+    * before consumers read it). Both snapshots here are time-cuts of the
+    * A2 latest-state view (per-user latest event, the exact struct-max
+    * discipline): OLD = state as of the corpus-span midpoint, NEW =
+    * state over the full span; the diff is one FULL OUTER join on the
+    * key emitting only rows whose state differs —
+    *   added (key only in NEW), removed (only in OLD — impossible for
+    *   this append-only source, the schema carries it for real CDC
+    *   inputs), changed (both sides, any tracked column differs) —
+    * with the old/new values side by side, unchanged rows suppressed.
+    * Exact-equality compare on (event_type, value, ts_ms): both engines
+    * read identical parquet values, so the verdict is hash-exact.
+    *
+    * Scale: each snapshot is ONE user_id partial-agg shuffle over its
+    * scan (the midpoint is a broadcast scalar); the diff join reuses the
+    * same key, and only differing rows survive to the output — no
+    * full-table materialization of the unchanged majority. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), graft.functions.Cols.tsMs(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+    val mid = broadcast(ev.agg(
+      floor((min(col("ts_ms")) + max(col("ts_ms"))).cast("double") / lit(2.0))
+        .cast("long").as("mid")))
+    def latest(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(max(struct(col("ts_ms"), col("event_type"), col("value"))).as("s"))
+      .select(col("user_id"), col("s.ts_ms").as("ts_ms"),
+        col("s.event_type").as("event_type"), col("s.value").as("value"))
+    val base = ev.crossJoin(mid)
+    val old = latest(base.filter(col("ts_ms") < col("mid")))
+      .select(col("user_id"), col("ts_ms").as("old_ts_ms"),
+        col("event_type").as("old_type"), col("value").as("old_value"))
+    val nw = latest(base)
+      .select(col("user_id"), col("ts_ms").as("new_ts_ms"),
+        col("event_type").as("new_type"), col("value").as("new_value"))
+    old.join(nw, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_ts_ms").isNull, lit("added"))
+          .when(col("new_ts_ms").isNull, lit("removed"))
+          .when(col("old_ts_ms") =!= col("new_ts_ms") ||
+                col("old_type") =!= col("new_type") ||
+                col("old_value") =!= col("new_value"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("user_id"), col("status"),
+        col("old_ts_ms"), col("old_type"), col("old_value"),
+        col("new_ts_ms"), col("new_type"), col("new_value"))
+  }
 }

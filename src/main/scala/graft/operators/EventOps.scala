@@ -2130,6 +2130,86 @@ object EventOps {
       .select(col("n_a"), col("n_b"), col("n"), col("chi2"), col("srm"))
   }
 
+  /** A88: mixture-SPRT ALWAYS-VALID sequential experiment readout (Johari,
+    * Koomen, Pekelis & Walsh, KDD 2017 "Peeking at A/B Tests", public —
+    * the fix for the universal practice A62's fixed-horizon z-test
+    * forbids: LOOKING every day and stopping on the first significant
+    * readout inflates false positives far past α; the mSPRT's mixture
+    * likelihood ratio Λₙ is a martingale under H₀, so the running peek
+    * P(sup Λ > 1/α) ≤ α holds at EVERY day simultaneously). Users enroll
+    * at their first-activity day (cumulative 2×2 cells per enrollment
+    * day); with δ̂ = rate_b − rate_a, V = p̂(1−p̂)(1/n_a + 1/n_b) and the
+    * normal mixture prior τ² over the effect size:
+    *   ln Λ = ½·(ln V − ln(V+τ²)) + δ̂²·τ² / (2·V·(V+τ²)),
+    * and the sequential decision is the RUNNING MAX of ln Λ against
+    * ln(1/α) — monotone, so "rejected" can only latch on, never flip
+    * back (the peeking-safe property itself). Same md5 assignment and
+    * conversion predicate as A62/A82/A85/A87 — the five views describe
+    * ONE experiment design.
+    *
+    * Portability: the daily cells are exact integers (one user_id
+    * partial-agg shuffle → per-day cells → horizon-length cumulative
+    * windows); ln Λ is one fixed IEEE tree over them, quantized
+    * DECIMAL(18,9) (the C72 ln discipline — libm's 1-ULP ln skew sits
+    * ~9 digits above the step), so the running max and the threshold
+    * compare are EXACT decimal ops; outputs round decimal-first at 6 dp.
+    *
+    * Scale: corpus → n-user summary in one shuffle, → horizon-sized
+    * daily table in a second summary-level shuffle; the cumulative
+    * windows and running max order over ≤ horizon rows. */
+  def msprt(spark: SparkSession, dir: String, salt: String = "exp1",
+            minPurchases: Long = 14, tau2: Double = 1e-4,
+            alpha: Double = 0.05): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(expr("ms div 86400000")).as("day_idx"),
+        count(when(col("event_type") === "purchase", lit(1))).as("np"))
+      .withColumn("conv", (col("np") >= minPurchases).cast("int"))
+      .withColumn("variant", when(substring(md5(
+        concat(lit(salt), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2) < "80", "A").otherwise("B"))
+    val daily = users.groupBy("day_idx").agg(
+      count(when(col("variant") === "A", lit(1))).as("e_a"),
+      count(when(col("variant") === "A" && col("conv") === 1, lit(1))).as("x_a"),
+      count(when(col("variant") === "B", lit(1))).as("e_b"),
+      count(when(col("variant") === "B" && col("conv") === 1, lit(1))).as("x_b"))
+    val w = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_a", sum(col("e_a")).over(w))
+      .withColumn("n_b", sum(col("e_b")).over(w))
+      .withColumn("conv_a", sum(col("x_a")).over(w))
+      .withColumn("conv_b", sum(col("x_b")).over(w))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("p", (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("delta",
+        col("conv_b").cast("double") / col("n_b").cast("double") -
+          col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("v", col("p") * (lit(1.0) - col("p")) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      // degenerate cells (p̂ ∈ {0,1} ⇒ V = 0): no evidence either way —
+      // ln Λ is 0 by convention on both engines, not a NaN
+      .withColumn("ln_lambda",
+        when(col("v") > lit(0.0),
+          (lit(0.5) * (log(col("v")) - log(col("v") + lit(tau2))) +
+            col("delta") * col("delta") * lit(tau2) /
+              (lit(2.0) * col("v") * (col("v") + lit(tau2)))).cast(dec))
+          .otherwise(lit(0).cast(dec)))
+      .withColumn("max_ln_lambda",
+        max(col("ln_lambda")).over(w))
+      .withColumn("rejected",
+        col("max_ln_lambda").cast("double") > lit(math.log(1.0 / alpha)))
+      .select(col("day_idx"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        round(col("ln_lambda"), 6).cast("double").as("ln_lambda"),
+        round(col("max_ln_lambda"), 6).cast("double").as("max_ln_lambda"),
+        col("rejected"))
+  }
+
   /** Per-user activity counts ranked ascending by (n_events, user_id) —
     * the shared input of [[concentration]] and [[gini]]. One corpus
     * user_id partial agg; the rank is the two-level pattern. */

@@ -1907,6 +1907,129 @@ object TextOps {
         round(col("s"), 6).cast("double").as("rrf_score"), col("rrf_rank"))
   }
 
+  /** C101: Kendall τ-b agreement between two retrievers' top-k lists per
+    * query (Kendall 1938; the top-k treatment follows Fagin, Kumar &
+    * Sivakumar, "Comparing top k lists", SODA 2003, public — docs absent
+    * from a list take the tied rank k+1, so the statistic is defined on
+    * partially-overlapping lists). The monitoring view over a retrieval
+    * stack: C98 fuses the BM25 and QLM voices; this measures how much
+    * they actually AGREE — τ near 1 means the second system adds nothing,
+    * τ near 0 means the fusion is doing real work, and a τ that moves
+    * release-over-release is a ranking regression alarm.
+    *   τ_b = (C − D) / √((n₀ − T_a)(n₀ − T_b)),
+    * over the union's doc pairs: C/D = concordant/discordant, T = pairs
+    * tied within a system (both docs absent from it), n₀ = |U|(|U|−1)/2.
+    * All counts are exact integers; τ_b is one fixed IEEE tree over them
+    * (casts exact below 2⁵³, sqrt/÷ correctly rounded) — hash-exact with
+    * NO quantization needed. Gate pairing is BM25 vs QLM on the shared
+    * derived queries; [[tauOf]] compares ANY two (query_id, doc_id, rank)
+    * rankings — dense-vs-lexical agreement audits ride the same kernel.
+    *
+    * Scale: the inputs are already per-query top-k tables; the union
+    * join and the per-query pair product run over ≤ 2k docs per query
+    * (≤ k(2k−1) pair rows per query) — summary-sized at any corpus
+    * size. The corpus is touched only by the underlying retrievers,
+    * which share one postings build. */
+  def rankTau(spark: SparkSession, dir: String, topK: Int = 10,
+              mu: Double = 300.0): DataFrame = {
+    val tf = bm25Tf(Tables.documents(spark, dir))
+    val q = derivedQueries(tf)
+    tauOf(bm25Core(tf, q, topK, 1.2, 0.75), qlmCore(tf, q, topK, mu), topK)
+  }
+
+  /** Generic τ-b kernel over two (query_id, doc_id, rank) rankings. */
+  private[graft] def tauOf(a: DataFrame, b: DataFrame, topK: Int): DataFrame = {
+    // the union table is summary-sized but sits on TOP of two full
+    // retrieval plans — checkpoint so the pair self-join and the
+    // per-query census don't each replay both retrievers
+    val u = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+      .join(b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("in_both",
+        col("rank_a").isNotNull && col("rank_b").isNotNull)
+      .withColumn("ra", coalesce(col("rank_a"), lit(topK + 1).cast("long")))
+      .withColumn("rb", coalesce(col("rank_b"), lit(topK + 1).cast("long")))
+      .select(col("query_id"), col("doc_id"), col("in_both"),
+        col("ra"), col("rb"))
+      .localCheckpoint()
+    val census = u.groupBy("query_id").agg(
+      count(lit(1)).as("n_union"),
+      count(when(col("in_both"), lit(1))).as("overlap"))
+    val p1 = u.select(col("query_id"), col("doc_id").as("d1"),
+      col("ra").as("ra1"), col("rb").as("rb1"))
+    val p2 = u.select(col("query_id"), col("doc_id").as("d2"),
+      col("ra").as("ra2"), col("rb").as("rb2"))
+    val pairs = p1.join(p2, Seq("query_id")).filter(col("d1") < col("d2"))
+      .withColumn("tie_a", col("ra1") === col("ra2"))
+      .withColumn("tie_b", col("rb1") === col("rb2"))
+      .withColumn("conc", !col("tie_a") && !col("tie_b") &&
+        ((col("ra1") < col("ra2")) === (col("rb1") < col("rb2"))))
+      .withColumn("disc", !col("tie_a") && !col("tie_b") &&
+        ((col("ra1") < col("ra2")) =!= (col("rb1") < col("rb2"))))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("conc"), lit(1))).as("concordant"),
+        count(when(col("disc"), lit(1))).as("discordant"),
+        count(when(col("tie_a"), lit(1))).as("ties_a"),
+        count(when(col("tie_b"), lit(1))).as("ties_b"))
+    census.join(pairs, Seq("query_id"), "left")
+      // a 1-doc union has no pairs: τ undefined (NULL), counts zero
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .withColumn("ties_a", coalesce(col("ties_a"), lit(0L)))
+      .withColumn("ties_b", coalesce(col("ties_b"), lit(0L)))
+      .withColumn("tau_b",
+        when((col("n_pairs") - col("ties_a")) > 0 &&
+             (col("n_pairs") - col("ties_b")) > 0,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt(((col("n_pairs") - col("ties_a")) *
+                  (col("n_pairs") - col("ties_b"))).cast("double"))))
+      .select(col("query_id"), col("n_union"), col("overlap"),
+        col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_a"), col("ties_b"), col("tau_b"))
+  }
+
+  /** C102: weighted sampling WITHOUT replacement via deterministic
+    * exponential keys (Efraimidis & Spirakis 2006, public — the one-pass
+    * "A-ES" scheme behind every distributed weighted sampler): each doc
+    * draws u ∈ (0,1) and competes with key u^(1/w); the top-k keys ARE a
+    * weighted sample without replacement. Ranking on ln(u)/w (monotone in
+    * u^(1/w), overflow-free) with w = n_chars — longer docs
+    * proportionally likelier, the standard token-budget-weighted corpus
+    * subsample. u derives from the md5 of (salt, doc_id) — the C23/C17
+    * derandomized-hash discipline: no rand(), identical on re-run and
+    * across engines — as the first 52 hash bits (+0.5, so u is never 0)
+    * over 2⁵², an exact binary rational.
+    *
+    * Portability: u is exactly representable (52 bits), ln(u) quantizes
+    * DECIMAL(18,9) (the C72 ln discipline), and the key is one exact
+    * decimal→double conversion + one correctly-rounded division —
+    * bit-identical cross-engine, so the raw key column is hash-exact.
+    *
+    * Scale: map-only scoring (the md5/ln tree is per-row arithmetic);
+    * the global top-k is a rank-pushdown window (WindowGroupLimit: every
+    * map partition keeps k before the single k·partitions merge) — no
+    * corpus-sized sort, no driver collect. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100,
+                     salt: String = "ws1"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val scored = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0) // zero-weight docs can never be sampled
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .withColumn("h", conv(substring(md5(
+        concat(lit(salt), lit(":"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 13), 16, 10).cast("long"))
+      .withColumn("lnu", log((col("h").cast("double") + lit(0.5)) /
+        lit(4503599627370496.0)).cast(dec)) // 2^52
+      .withColumn("es_key", col("lnu").cast("double") /
+        col("weight").cast("double"))
+    val w = Window.orderBy(col("es_key").desc, col("doc_id"))
+    scored.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("weight"), col("es_key"), col("sample_rank"))
+  }
+
   /** C78: corpus drift monitor — the text-side twin of C77 emb_drift,
     * run before admitting a new crawl snapshot: per source, the exact
     * mean token count and mean quality score over the 80% doc_id BASE

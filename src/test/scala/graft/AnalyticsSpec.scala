@@ -135,4 +135,48 @@ class AnalyticsSpec extends SparkSuite {
     out.values.foreach { case (n, nn, nd) =>
       assert(nn >= 0 && nn <= n && nd <= n - nn + (if (n == nn) 0 else 0)) }
   }
+
+  test("snapshotDiff: planted added/changed rows surface with old/new state; unchanged suppressed") {
+    import SparkSuite.spark.implicits._
+    val B = 1700000000000L
+    // span [B, B+1000000] ⇒ mid = B+500000:
+    //   u1: one pre-mid event only            → latest unchanged → suppressed
+    //   u2: pre-mid click, post-mid purchase  → changed, both states visible
+    //   u3: post-mid only                     → added
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(B), 1L, "click", 1.0),
+      (2L, new java.sql.Timestamp(B + 1), 2L, "click", 1.5),
+      (3L, new java.sql.Timestamp(B + 1000000L - 1), 2L, "purchase", 2.5),
+      (4L, new java.sql.Timestamp(B + 1000000L), 3L, "view", 3.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = Analytics.snapshotDiff(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(2L, 3L)) // u1 unchanged ⇒ absent
+    val c = out(2L)
+    assert(c.getAs[String]("status") == "changed")
+    assert(c.getAs[String]("old_type") == "click" &&
+      c.getAs[Double]("old_value") == 1.5)
+    assert(c.getAs[String]("new_type") == "purchase" &&
+      c.getAs[Double]("new_value") == 2.5)
+    assert(c.getAs[Long]("old_ts_ms") == B + 1 &&
+      c.getAs[Long]("new_ts_ms") == B + 1000000L - 1)
+    val a = out(3L)
+    assert(a.getAs[String]("status") == "added")
+    assert(a.isNullAt(a.fieldIndex("old_ts_ms")))
+    assert(a.getAs[String]("new_type") == "view" &&
+      a.getAs[Double]("new_value") == 3.0)
+  }
+
+  test("snapshotDiff on the sf corpus: append-only source never reads 'removed'; changed rows advance in time") {
+    val rows = Analytics.snapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getAs[String]("status")
+      assert(st == "added" || st == "changed", st)
+      if (st == "changed")
+        assert(r.getAs[Long]("new_ts_ms") > r.getAs[Long]("old_ts_ms"))
+    }
+  }
 }

@@ -250,6 +250,10 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.embD4(spark, dir).count() == 0)
     assert(Similarity.labelProp(spark, dir).count() == 0)
     assert(Similarity.pageRank(spark, dir).count() == 0)
+    assert(EventOps.msprt(spark, dir).count() == 0)
+    assert(TextOps.rankTau(spark, dir).count() == 0)
+    assert(TextOps.weightedSample(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

@@ -1407,6 +1407,84 @@ class EventOpsSpec extends SparkSuite {
       math.ceil(2.0 * zsum * zsum * p * (1.0 - p) / ((0.05 * p) * (0.05 * p))).toLong)
   }
 
+  // ---- A88 mSPRT ------------------------------------------------------------
+
+  test("msprt: planted staggered enrollment matches an independent reference day for day; the decision latches") {
+    import SparkSuite.spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // users enroll across days 0..3 (u % 4); B-variant users convert
+    // (14 purchases), A-variant users don't (1 purchase) — a strong
+    // planted effect the sequential readout must eventually reject on
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val day = (u % 4).toLong
+      val base = day * 86400000L + u
+      val isB = md5hex(s"exp1:$u").substring(0, 2) >= "80"
+      val np = if (isB) 14 else 1
+      (1 to np).map(i =>
+        (u * 100 + i, new java.sql.Timestamp(base + i), u, "purchase", 1.0))
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-msprt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    // τ² = 0.01: wide enough that the planted δ = 1 effect rejects within
+    // the 40-user horizon (the 1e-4 default is sized for corpus-scale n)
+    val got = EventOps.msprt(spark, d, tau2 = 0.01).collect()
+      .sortBy(_.getAs[Long]("day_idx"))
+    assert(got.length == 4) // one readout per enrollment day
+
+    // ---- reference: same definitions, plain Scala -----------------------
+    def q9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(b: BigDecimal) = b.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perUser = users.map { u =>
+      val isB = md5hex(s"exp1:$u").substring(0, 2) >= "80"
+      ((u % 4).toLong, isB, if (isB) 1 else 0) // conv = np >= 14
+    }
+    val tau2 = 0.01
+    var maxLn = BigDecimal(Long.MinValue)
+    (0L to 3L).zip(got).foreach { case (day, row) =>
+      val in = perUser.filter(_._1 <= day)
+      val nA = in.count(!_._2).toLong; val nB = in.count(_._2).toLong
+      val cA = in.filter(!_._2).map(_._3).sum.toLong
+      val cB = in.filter(_._2).map(_._3).sum.toLong
+      val p = (cA + cB).toDouble / (nA + nB).toDouble
+      val delta = cB.toDouble / nB.toDouble - cA.toDouble / nA.toDouble
+      val v = p * (1.0 - p) * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+      val lnL = q9(0.5 * (math.log(v) - math.log(v + tau2)) +
+        delta * delta * tau2 / (2.0 * v * (v + tau2)))
+      maxLn = maxLn.max(lnL)
+      assert(row.getAs[Long]("day_idx") == day)
+      assert(row.getAs[Long]("n_a") == nA && row.getAs[Long]("n_b") == nB)
+      assert(row.getAs[Long]("conv_a") == cA && row.getAs[Long]("conv_b") == cB)
+      assert(row.getAs[Double]("ln_lambda") == r6(lnL), s"day $day: $row")
+      assert(row.getAs[Double]("max_ln_lambda") == r6(maxLn))
+      assert(row.getAs[Boolean]("rejected") ==
+        (maxLn.toDouble > math.log(20.0)))
+    }
+    // the planted effect is strong: the final readout rejects, and the
+    // decision latches (never flips back once true)
+    assert(got.last.getAs[Boolean]("rejected"))
+    val flags = got.map(_.getAs[Boolean]("rejected"))
+    assert(flags.zip(flags.tail).forall { case (a, b) => !a || b })
+  }
+
+  test("msprt: a degenerate cell (everyone converts) reads ln_lambda 0, never rejects") {
+    import SparkSuite.spark.implicits._
+    val rows = (1L to 20L).flatMap(u => (1 to 14).map(i =>
+      (u * 100 + i, new java.sql.Timestamp(86400000L * (u % 2) + u * 1000 + i),
+        u, "purchase", 1.0)))
+    val d = java.nio.file.Files.createTempDirectory("graft-msprt0").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.msprt(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("ln_lambda") == 0.0) // p̂ = 1 ⇒ V = 0: no evidence
+      assert(!r.getAs[Boolean]("rejected"))
+    }
+  }
+
   test("changepoints: planted step series splits once at the step; flat series never splits") {
     import SparkSuite.spark.implicits._
     // type "a": days 0..5 at 10 events/day, days 6..11 at 50/day;

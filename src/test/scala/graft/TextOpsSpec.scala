@@ -1306,6 +1306,108 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  // ---- C101 Kendall τ-b rank agreement -------------------------------------
+
+  test("rank tau: identical lists read 1.0, reversed lists read -1.0") {
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val same = TextOps.tauOf(a, a, topK = 3).collect().head
+    assert(same.getAs[Long]("n_union") == 3L)
+    assert(same.getAs[Long]("overlap") == 3L)
+    assert(same.getAs[Long]("concordant") == 3L)
+    assert(same.getAs[Long]("discordant") == 0L)
+    assert(same.getAs[Double]("tau_b") == 1.0)
+    val rev = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    assert(TextOps.tauOf(a, rev, topK = 3).collect().head
+      .getAs[Double]("tau_b") == -1.0)
+  }
+
+  test("rank tau: hand-computed partial overlap and disjoint-with-ties cases") {
+    // a ranks 1,2,3; b ranks 2,3,4 — union {1,2,3,4}, absent rank = 4:
+    // pairs (1,*) all discordant, pairs among {2,3,4} all concordant
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 2L, 1L), ("q", 3L, 2L), ("q", 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r = TextOps.tauOf(a, b, topK = 3).collect().head
+    assert(r.getAs[Long]("n_union") == 4L && r.getAs[Long]("overlap") == 2L)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("concordant") == 3L)
+    assert(r.getAs[Long]("discordant") == 3L)
+    assert(r.getAs[Long]("ties_a") == 0L && r.getAs[Long]("ties_b") == 0L)
+    assert(r.getAs[Double]("tau_b") == 0.0)
+    // disjoint top-2 lists: both absent-pairs tie (one per side),
+    // τ_b = (0 − 4) / √((6−1)(6−1)) = −0.8 exactly
+    val c = Seq(("t", 1L, 1L), ("t", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val d = Seq(("t", 3L, 1L), ("t", 4L, 2L)).toDF("query_id", "doc_id", "rank")
+    val s = TextOps.tauOf(c, d, topK = 2).collect().head
+    assert(s.getAs[Long]("overlap") == 0L)
+    assert(s.getAs[Long]("concordant") == 0L)
+    assert(s.getAs[Long]("discordant") == 4L)
+    assert(s.getAs[Long]("ties_a") == 1L && s.getAs[Long]("ties_b") == 1L)
+    assert(s.getAs[Double]("tau_b") == -0.8)
+  }
+
+  test("rank tau on the sf corpus: one row per query, internally consistent") {
+    val rows = TextOps.rankTau(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("query_id")).sorted.toSeq ==
+      Seq("common", "rare"))
+    rows.foreach { r =>
+      val nu = r.getAs[Long]("n_union")
+      assert(nu >= 10L && nu <= 20L) // k ≤ |union| ≤ 2k
+      assert(r.getAs[Long]("overlap") <= 10L)
+      assert(r.getAs[Long]("n_pairs") == nu * (nu - 1) / 2)
+      assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant")
+        <= r.getAs[Long]("n_pairs"))
+      val t = r.getAs[Double]("tau_b")
+      assert(t >= -1.0 && t <= 1.0, s"tau $t")
+    }
+  }
+
+  // ---- C102 weighted sampling (Efraimidis–Spirakis) ------------------------
+
+  test("weighted sample: selection, order, and keys match an independent reference; zero weights excluded") {
+    val d = java.nio.file.Files.createTempDirectory("graft-wsample").toString
+    val docs = (1L to 30L).map(i => (i, (i * 137 % 97) + 1)) :+ (31L, 0L)
+    docs.toDF("doc_id", "n_chars").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.weightedSample(spark, d, k = 10)
+      .collect().sortBy(_.getAs[Long]("sample_rank"))
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(id: Long, w: Long): Double = {
+      val h = java.lang.Long.parseLong(md5hex(s"ws1:$id").substring(0, 13), 16)
+      val u = (h.toDouble + 0.5) / 4503599627370496.0
+      BigDecimal(math.log(u))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / w.toDouble
+    }
+    val expected = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(10)
+    assert(got.length == 10)
+    got.zip(expected).foreach { case (row, (id, w, k)) =>
+      assert(row.getAs[Long]("doc_id") == id, s"got $row, expected doc $id")
+      assert(row.getAs[Long]("weight") == w)
+      assert(row.getAs[Double]("es_key") == k) // bit-exact, no tolerance
+    }
+  }
+
+  test("weighted sample: weights dominate selection; k past n returns everything") {
+    val d = java.nio.file.Files.createTempDirectory("graft-wsample2").toString
+    // 25 heavy docs (100k chars) vs 25 light docs (1 char), interleaved ids:
+    // a light doc only beats a heavy one on a u > ~1-1e-5 draw
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) 100000L else 1L))
+    docs.toDF("doc_id", "n_chars").write.parquet(s"$d/documents.parquet")
+    val top = TextOps.weightedSample(spark, d, k = 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getAs[Long]("weight") == 100000L),
+      top.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"))).mkString(","))
+    // k ≥ n: the whole (positive-weight) corpus comes back
+    assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
+  }
+
   // ---- C99 Zipf fit / C100 Heaps curve ------------------------------------
 
   test("zipf: exact planted power law fits slope -1, r2 ~ 1; degenerate source null") {
