@@ -70,6 +70,7 @@ object Bench {
     "ev_cuped", "doc_qlm", "doc_hybrid_rrf", "doc_zipf", "doc_heaps",
     "ev_power", "ev_changepoint",
     "ev_msprt", "doc_rank_tau", "doc_weighted_sample", "qa_snapshot_diff",
+    "ev_heavy_hitters", "ev_hw_forecast",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

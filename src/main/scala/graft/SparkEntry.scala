@@ -100,6 +100,8 @@ object SparkEntry {
     "ev_changepoint"    -> ((s, d) => EventOps.changepoints(s, d)),
     // A88 mixture-SPRT always-valid sequential readout (peeking-safe)
     "ev_msprt"          -> ((s, d) => EventOps.msprt(s, d)),
+    // A90 Holt-Winters additive weekly-seasonal forecast (h = 1..7)
+    "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -170,6 +172,11 @@ object SparkEntry {
     "ev_counts_salted"  -> ((s, d) => EventOps.countsByTypeSalted(s, d)),
     "ev_funnel"         -> ((s, d) => EventOps.funnel(s, d)),
     "ev_approx_stats"   -> ((s, d) => Sketches.approxStats(s, d)),
+    // A89 SpaceSaving heavy hitters: bounded-state top-k identification
+    // (production m=64 shape rows-only; the exact-capacity twin below
+    // gates the kernel against a plain SQL ranking)
+    "ev_heavy_hitters"  -> ((s, d) => Sketches.heavyHitters(s, d)),
+    "ev_heavy_hitters_exact" -> ((s, d) => Sketches.heavyHittersExact(s, d)),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
     "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
     "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),
@@ -1353,6 +1360,63 @@ object SparkEntry {
         |  CAST(round(mx, 6) AS DOUBLE) AS max_ln_lambda,
         |  CAST(mx AS DOUBLE) > ln(CAST(20.0 AS DOUBLE)) AS rejected
         |FROM h""".stripMargin,
+    // A90: the recursive CTE carries the 7-slot DOUBLE seasonal list and
+    // repeats the l_t expression verbatim inside b_t/s_t exactly as the
+    // Spark fold does — identical IEEE association, hash-exact raw doubles
+    "ev_hw_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense0 AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+        |    hi - lo + 1 AS n
+        |  FROM rng),
+        |dense AS (
+        |  SELECT g.event_type, g.d,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS t,
+        |    CAST(coalesce(dl.y, 0) AS DOUBLE) AS y,
+        |    CAST(g.n AS BIGINT) AS n
+        |  FROM dense0 g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |mm AS (
+        |  SELECT event_type, max(n) AS n,
+        |    sum(y) FILTER (WHERE t BETWEEN 1 AND 7) / 7.0 AS m1,
+        |    sum(y) FILTER (WHERE t BETWEEN 8 AND 14) / 7.0 AS m2
+        |  FROM dense GROUP BY 1),
+        |s0 AS (
+        |  SELECT d.event_type, list(d.y - mm.m1 ORDER BY d.t) AS s
+        |  FROM dense d JOIN mm USING (event_type) WHERE d.t <= 7 GROUP BY 1),
+        |hw AS (
+        |  SELECT mm.event_type, mm.n, 14 AS t, mm.m1 AS l,
+        |    (mm.m2 - mm.m1) / 7.0 AS b, s0.s AS s
+        |  FROM mm JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.n, hw.t + 1,
+        |    0.5 * (d.y - hw.s[1]) + 0.5 * (hw.l + hw.b),
+        |    0.5 * ((0.5 * (d.y - hw.s[1]) + 0.5 * (hw.l + hw.b)) - hw.l)
+        |      + 0.5 * hw.b,
+        |    hw.s[2:7] || [0.5 * (d.y - (0.5 * (d.y - hw.s[1])
+        |      + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s[1]]
+        |  FROM hw JOIN dense d
+        |    ON d.event_type = hw.event_type AND d.t = hw.t + 1
+        |  WHERE hw.t < hw.n)
+        |SELECT event_type, n AS n_days, CAST(g.h AS BIGINT) AS h,
+        |  l AS level, b AS trend,
+        |  l + CAST(g.h AS DOUBLE) * b + s[CAST(g.h AS INT)] AS forecast
+        |FROM (SELECT * FROM hw WHERE t = n) f, generate_series(1, 7) g(h)""".stripMargin,
+    // A89 exact twin: at capacity >= distinct keys the sketch must equal
+    // the plain ranking, est = lo = the true count
+    "ev_heavy_hitters_exact" ->
+      """SELECT event_type, rank, user_id, c AS est, c AS lo FROM (
+        |  SELECT event_type, user_id, count(*) AS c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id) AS rank
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE rank <= 10""".stripMargin,
     // A63: naive global row_number reproduces the two-level rank; shares
     // are single IEEE divisions of exact integers.
     "ev_concentration" ->

@@ -1350,6 +1350,75 @@ object EventOps {
         (col("lb")("l") + lit(7.0) * col("lb")("b")).as("forecast_7"))
   }
 
+  /** A90: Holt–Winters ADDITIVE seasonal forecast per event type (Holt
+    * 1957 / Winters 1960, public — the triple-exponential-smoothing
+    * workhorse behind every weekly-seasonal capacity dashboard): A50's
+    * level+trend smoother plus a period-7 seasonal index, so the forecast
+    * stops averaging the weekend dip into Monday's projection:
+    *   l_t = α(y_t − s_{t−7}) + (1−α)(l+b),  b_t = β(l_t − l) + (1−β)b,
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−7},
+    * α = β = γ = 0.5 (exactly representable — the A50 discipline). Init
+    * from the first two weeks: l₀ = mean(y₁..₇), b₀ = (mean(y₈..₁₄) −
+    * l₀)/7, s_i = y_i − l₀; types with a horizon under 14 days drop
+    * (documented — no seasonal cycle to fit). Interior missing days are
+    * REAL ZEROS and are filled as such (the A86 discipline — a gap is a
+    * quiet day, not a shorter week). Emits h = 1..7 day-ahead rows:
+    * f_h = l + h·b + s[h] (the list holds the last cycle oldest-first,
+    * so position h is day n+h's season).
+    *
+    * Portability: daily counts are exact integers in doubles; the init
+    * means are single correctly-rounded divisions of exact sums; the fold
+    * is a fixed IEEE op sequence (the l_t expression repeated VERBATIM
+    * inside b_t/s_t — both engines associate identically), mirrored by a
+    * DuckDB recursive CTE carrying the 7-slot DOUBLE list. Hash-exact
+    * with no quantization.
+    *
+    * Scale: ONE (type, day) partial-agg shuffle collapses the corpus to
+    * ≤ types×horizon rows; the dense fill, init, and fold are per-type
+    * array expressions over horizon-length state (the A50/A83
+    * model-as-summary shape — series length is the horizon at any
+    * corpus size). */
+  def hwForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), tsMs(col("ts")).as("ms"))
+      .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"),
+        map_from_entries(collect_list(struct(col("day_idx"), col("y"))))
+          .as("m"))
+      .withColumn("ys", expr(
+        "transform(sequence(lo, hi), d -> CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))"))
+      .filter(size(col("ys")) >= 14)
+      .withColumn("n_days", size(col("ys")).cast("long"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(ys, 15, size(ys) - 14),
+          |  struct(
+          |    aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D AS l,
+          |    (aggregate(slice(ys, 8, 7), 0D, (a, x) -> a + x) / 7.0D
+          |      - aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D)
+          |      / 7.0D AS b,
+          |    transform(slice(ys, 1, 7), x ->
+          |      x - aggregate(slice(ys, 1, 7), 0D, (a, x2) -> a + x2) / 7.0D)
+          |      AS s),
+          |  (acc, y) -> struct(
+          |    0.5D * (y - element_at(acc.s, 1)) + 0.5D * (acc.l + acc.b) AS l,
+          |    0.5D * ((0.5D * (y - element_at(acc.s, 1))
+          |        + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b AS b,
+          |    array_append(slice(acc.s, 2, 6),
+          |      0.5D * (y - (0.5D * (y - element_at(acc.s, 1))
+          |          + 0.5D * (acc.l + acc.b))) + 0.5D * element_at(acc.s, 1))
+          |      AS s))""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("st.l").as("level"),
+        col("st.b").as("trend"), col("st.s").as("s"))
+      .withColumn("h", explode(expr("sequence(1, 7)")))
+      .select(col("event_type"), col("n_days"), col("h").cast("long").as("h"),
+        col("level"), col("trend"),
+        (col("level") + col("h").cast("double") * col("trend") +
+          element_at(col("s"), col("h"))).as("forecast"))
+  }
+
   /** A59: SCD Type-2 dimension build — the warehouse staple the engine was
     * missing: a per-user change log (here: 'signup' events carrying the
     * changing attribute in `value`) becomes a VERSIONED dimension with

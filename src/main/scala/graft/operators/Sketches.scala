@@ -144,4 +144,38 @@ object Sketches {
       (u, exact, cms.estimateCount(java.lang.Long.valueOf(u)))
     }.toSeq.toDF("user_id", "exact_count", "cms_estimate")
   }
+
+  /** A89: SpaceSaving heavy hitters per event type (Metwally et al. 2005;
+    * merge per Agarwal et al. "Mergeable summaries", PODS 2012) — one-pass
+    * bounded-state top-k IDENTIFICATION, the sketch A24's CMS (estimate
+    * only, can't enumerate) and A9's exact top-k (full (type, user)
+    * shuffle) bracket. m counters per group carry per-key upper (est) and
+    * lower (lo = est − err) frequency bounds with err ≤ n/m, so any key
+    * above an n/m share is GUARANTEED present; partial sketches merge
+    * map-side (ObjectHashAggregate), so the shuffle moves one ≤ m-entry
+    * payload per (group, partition) — never a row per (group, key). At
+    * capacity ≥ distinct keys the sketch provably degenerates to exact
+    * counts in ANY merge order — [[heavyHittersExact]] is that twin, and
+    * its oracle (plain count/row_number top-k) gates the whole kernel:
+    * update path, canonical serialization, merge, and extraction. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 10,
+                   capacity: Int = 64): DataFrame = {
+    import graft.functions.SpaceSavingFunctions._
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .groupBy("event_type")
+      .agg(ssAgg(col("user_id"), capacity).as("ss"))
+      .select(col("event_type"),
+        posexplode(ssTopK(col("ss"), lit(k))).as(Seq("pos", "hh")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("hh.key").as("user_id"), col("hh.est").as("est"),
+        col("hh.lo").as("lo"))
+  }
+
+  /** A89 oracle twin: capacity past the corpus' distinct-user count —
+    * the sketch must reproduce the exact per-type top-k (est = lo = the
+    * true count), which a plain SQL ranking verifies hash-exactly. */
+  def heavyHittersExact(spark: SparkSession, dir: String,
+                        k: Int = 10): DataFrame =
+    heavyHitters(spark, dir, k, capacity = 1 << 22)
 }

@@ -2008,9 +2008,9 @@ object TextOps {
     * bit-identical cross-engine, so the raw key column is hash-exact.
     *
     * Scale: map-only scoring (the md5/ln tree is per-row arithmetic);
-    * the global top-k is a rank-pushdown window (WindowGroupLimit: every
-    * map partition keeps k before the single k·partitions merge) — no
-    * corpus-sized sort, no driver collect. */
+    * the global top-k plans as TakeOrderedAndProject (every map partition
+    * keeps k before the single k·partitions merge — plan-spec-pinned) —
+    * no corpus-sized sort, no driver collect. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 100,
                      salt: String = "ws1"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)

@@ -251,6 +251,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.labelProp(spark, dir).count() == 0)
     assert(Similarity.pageRank(spark, dir).count() == 0)
     assert(EventOps.msprt(spark, dir).count() == 0)
+    assert(graft.operators.Sketches.heavyHitters(spark, dir).count() == 0)
+    assert(EventOps.hwForecast(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)

@@ -354,4 +354,28 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("weighted sample: global top-k plans as TakeOrderedAndProject — per-partition prune, no full sort") {
+    val p = planOf(TextOps.weightedSample(spark, sf))
+    // the unpartitioned rank window collapses to a bounded global top-k
+    // (each partition keeps k, single k-merge); a Sort + Exchange
+    // rangepartitioning here would be the corpus-sized global sort
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1200))
+  }
+
+  test("heavy hitters: sketch partials merge in ObjectHashAggregate — one type exchange, no per-key shuffle") {
+    val p = planOf(graft.operators.Sketches.heavyHitters(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    // one exchange on event_type; a (type, user) exchange would mean the
+    // sketch stopped combining map-side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("hw forecast: one corpus scan, one (type, day) exchange to the summary fold") {
+    val p = planOf(EventOps.hwForecast(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }

@@ -106,4 +106,80 @@ class SketchesSpec extends SparkSuite {
       assert(r.getAs[Long]("approx_users") <= (cap * 1.05).toLong + 2)
     }
   }
+
+  // ---- A89 SpaceSaving heavy hitters ---------------------------------------
+
+  test("spacesaving: exact-capacity twin reproduces the plain top-k with est = lo") {
+    val exact = Sketches.heavyHittersExact(spark, sf).collect()
+    assert(exact.nonEmpty)
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("c").desc, col("user_id"))).cast("long"))
+      .filter(col("rank") <= 10).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("user_id"), r.getAs[Long]("c")))).toMap
+    assert(exact.length == direct.size)
+    exact.foreach { r =>
+      val (u, c) = direct((r.getAs[String]("event_type"), r.getAs[Long]("rank")))
+      assert(r.getAs[Long]("user_id") == u, s"$r")
+      assert(r.getAs[Long]("est") == c && r.getAs[Long]("lo") == c, s"$r")
+    }
+  }
+
+  test("spacesaving: bounds hold under eviction; the big hitters are guaranteed present") {
+    import graft.functions.SpaceSaving
+    // one planted stream, pushed through two partial sketches + a merge —
+    // the executor-partial shape — with capacity 8 and >capacity distinct:
+    // key 1 x 1000, key 2 x 500, keys 100..299 x 1 (true n = 1700)
+    val stream = Seq.fill(1000)(1L) ++ Seq.fill(500)(2L) ++
+      (100L until 300L)
+    val trueCount = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (h1, h2) = stream.zipWithIndex.partition(_._2 % 2 == 0)
+    val a = new SpaceSaving(8); h1.foreach(x => a.add(x._1))
+    val b = new SpaceSaving(8); h2.foreach(x => b.add(x._1))
+    a.merge(b)
+    val entries = a.sorted()
+    assert(entries.size <= 8)
+    // upper/lower bounds and the err <= n/m guarantee, per surviving key
+    entries.foreach { case (k, est, err) =>
+      val t = trueCount.getOrElse(k, 0L)
+      assert(est >= t, s"key $k: est $est < true $t")
+      assert(est - err <= t, s"key $k: lo ${est - err} > true $t")
+      assert(err <= 1700 / 8 + 1, s"key $k err $err")
+    }
+    // any key with true share > n/m must be present: 1000, 500 >> 212
+    assert(entries.exists(_._1 == 1L) && entries.exists(_._1 == 2L))
+    // and the two giants rank first in that order
+    assert(entries.take(2).map(_._1) == Seq(1L, 2L))
+  }
+
+  test("spacesaving: disjoint-key merge is exact and canonical; rollup agg equals one-shot build") {
+    import graft.functions.SpaceSaving
+    import graft.functions.SpaceSavingFunctions._
+    import SparkSuite.spark.implicits._
+    // disjoint halves under capacity: merge must be byte-canonical vs the
+    // one-shot sketch regardless of which side merges which
+    val x = new SpaceSaving(64); (1L to 30L).foreach(k => (1L to k).foreach(_ => x.add(k)))
+    val y = new SpaceSaving(64); (31L to 60L).foreach(k => (1L to k).foreach(_ => y.add(k)))
+    val one = new SpaceSaving(64)
+    (1L to 60L).foreach(k => (1L to k).foreach(_ => one.add(k)))
+    x.merge(y)
+    assert(java.util.Arrays.equals(x.serialize(), one.serialize()))
+    // distributed rollup: per-day partial sketches folded by ssMergeAgg
+    // reproduce the direct whole-corpus counts (exact regime)
+    val rows = (1L to 50L).flatMap(u => (0L until u % 5 + 1).map(day => (u, day)))
+    val daily = rows.toDF("user_id", "day")
+      .groupBy("day").agg(ssAgg(col("user_id"), 1024).as("ss"))
+    val merged = daily.agg(ssMergeAgg(col("ss"), 1024).as("ss"))
+      .select(explode(ssTopK(col("ss"), lit(1000))).as("hh"))
+      .select(col("hh.key"), col("hh.est"), col("hh.lo")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = rows.groupBy(_._1).map { case (u, v) => u -> v.size.toLong }
+    assert(merged.keySet == expect.keySet)
+    expect.foreach { case (u, c) =>
+      assert(merged(u) == ((c, c)), s"user $u: ${merged(u)} vs exact $c") }
+  }
 }
