@@ -642,6 +642,12 @@ object SparkEntry {
     "doc_hybrid_rrf"    -> ((s, d) => TextOps.hybridRrf(s, d)),
     // C101 Kendall τ-b agreement between the BM25 and QLM top-k lists
     "doc_rank_tau"      -> ((s, d) => TextOps.rankTau(s, d)),
+    // C103 unigram-LM (SentencePiece) tokenizer: hard-EM training +
+    // Viterbi encoding (rows-only: the EM/DP recurrences aren't SQL;
+    // spec-gated against hand-computed segmentations + the monotone
+    // hard-EM objective)
+    "doc_unigram_train" -> ((s, d) => TextOps.unigramTrain(s, d)),
+    "doc_unigram_encode" -> ((s, d) => TextOps.unigramEncode(s, d)),
     // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census

@@ -1577,6 +1577,213 @@ object TextOps {
         sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
   }
 
+  // ---- C103 unigram-LM tokenizer (SentencePiece) --------------------------
+
+  private val UniDec = org.apache.spark.sql.types.DecimalType(18, 9)
+
+  /** Distinct-word census: (w, freq) — the tokenizer trainers' shared
+    * input shape (one corpus scan, vocabulary-sized thereafter). */
+  private def uniWordCensus(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Laplace-smoothed quantized piece scores from usage counts: score =
+    * ln((cnt + 1)/(total + |pieces|)) as DECIMAL(18,9) — smoothing keeps
+    * never-used single chars (kept for coverage) finite, quantization
+    * makes every DP comparison an exact decimal op. */
+  private[graft] def uniScored(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("npc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        log((col("cnt") + lit(1)).cast("double") /
+          (col("tot") + col("npc")).cast("double")).cast(UniDec).as("sc"))
+  }
+
+  /** Viterbi-segment every census word under the CURRENT piece scores —
+    * the hard-EM E-step, and the encoder's core. Occurrences come from an
+    * in-row substring explode JOINED against the distributed pieces table
+    * (vocab co-shuffles — no broadcast-literal vocab, no UDF); the DP and
+    * its backtrack are in-row array folds over exact decimals, ties broken
+    * (higher score, then longer last piece), so the segmentation is
+    * deterministic in any engine/partitioning. Single-char pieces are
+    * guaranteed in vocab, so every word segments. Adds columns:
+    * pieces ARRAY<STRING>, ll DECIMAL (the word's Viterbi log-likelihood). */
+  private[graft] def uniSegment(words: DataFrame, pieces: DataFrame,
+                                maxPieceLen: Int): DataFrame = {
+    val occ = words
+      .select(col("w"), col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(w))), e ->
+           |    named_struct('s', i - 1, 'e', e,
+           |      'piece', substring(w, i, e - i + 1)))))""".stripMargin)).as("o"))
+      .select(col("w"), col("freq"), col("o.s").as("s"), col("o.e").as("e"),
+        col("o.piece").as("piece"))
+      .join(pieces.select(col("piece"), col("sc")), "piece")
+    val cands = occ.groupBy("w", "freq")
+      .agg(sort_array(collect_list(
+        struct(col("e"), col("s"), col("sc")))).as("cands"))
+    // forward DP: best(i) = max over candidates ending at i of
+    // best(start) + score; sentinel −10⁹ marks unreachable (never hit —
+    // single chars cover every position). Tie rule: equal score prefers
+    // the SMALLER back pointer (the longer last piece), fixed fold order
+    // via the sorted candidate array.
+    cands
+      .withColumn("best", expr(
+        """aggregate(sequence(1, length(w)),
+          |  array(named_struct('sc', CAST(0 AS DECIMAL(28,9)), 'back', 0)),
+          |  (acc, i) -> array_append(acc,
+          |    aggregate(filter(cands, c -> c.e = i),
+          |      named_struct('sc', CAST(-999999999 AS DECIMAL(28,9)),
+          |                   'back', -1),
+          |      (m, c) -> CASE WHEN
+          |          element_at(acc, c.s + 1).sc + c.sc > m.sc
+          |          OR (element_at(acc, c.s + 1).sc + c.sc = m.sc
+          |              AND c.s < m.back)
+          |        THEN named_struct(
+          |          'sc', CAST(element_at(acc, c.s + 1).sc + c.sc
+          |                     AS DECIMAL(28,9)),
+          |          'back', c.s)
+          |        ELSE m END)))""".stripMargin))
+      .withColumn("cuts", expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', length(w),
+          |               'cuts', CAST(array() AS ARRAY<INT>)),
+          |  (st, x) -> CASE WHEN st.pos > 0
+          |    THEN named_struct(
+          |      'pos', element_at(best, st.pos + 1).back,
+          |      'cuts', array_append(st.cuts, st.pos))
+          |    ELSE st END).cuts""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(reverse(cuts), e ->
+          |  substring(w, element_at(best, e + 1).back + 1,
+          |    e - element_at(best, e + 1).back))""".stripMargin))
+      .withColumn("ll", expr("element_at(best, length(w) + 1).sc"))
+      .select(col("w"), col("freq"), col("pieces"), col("ll"))
+  }
+
+  /** Candidate seed for training: every substring of length ≤ maxPieceLen
+    * of every census word, frequency-weighted; the top `seedSize` by
+    * (count desc, piece) PLUS every single character (coverage — a word
+    * must always be segmentable). */
+  private[graft] def uniSeed(words: DataFrame, maxPieceLen: Int,
+                             seedSize: Int): DataFrame = {
+    val subs = words.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(w))), e ->
+         |    substring(w, i, e - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(true) // the top-k and the char branch share it
+    // the substring census is CORPUS-VOCAB-scale: the cut must be a
+    // bounded TakeOrdered (each partition keeps seedSize), never a global
+    // rank window (single-reducer sort at 10⁹ candidates)
+    val top = subs.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+    val chars = subs.filter(length(col("piece")) === 1)
+      .join(top, Seq("piece"), "left_anti")
+    top.unionByName(chars.select(col("piece"), col("cnt")))
+  }
+
+  /** One hard-EM round: segment the census under the current scores,
+    * re-count piece usage (frequency-weighted), prune to the vocab budget
+    * (single chars always kept), re-score. Returns (pieces', totalLl)
+    * where totalLl = Σ freq·ll under the INCOMING scores — the monotone
+    * hard-EM objective the spec pins. */
+  private[graft] def uniRound(words: DataFrame, pieces: DataFrame,
+                              maxPieceLen: Int, vocabSize: Int)
+      : (DataFrame, java.math.BigDecimal) = {
+    val seg = uniSegment(words, pieces, maxPieceLen).localCheckpoint(true)
+    val ll = seg.agg(sum(col("ll") *
+        col("freq").cast(org.apache.spark.sql.types.DecimalType(10, 0))))
+      .head().getDecimal(0)
+    val counts = seg.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    // coverage union: single chars that lost every Viterbi race re-enter
+    // at count 0 (the Laplace smoothing keeps their score finite)
+    val chars = pieces.filter(length(col("piece")) === 1)
+      .select(col("piece")).join(counts, Seq("piece"), "left_anti")
+      .select(col("piece"), lit(0L).as("cnt"))
+    val all = counts.unionByName(chars)
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    val kept = all.withColumn("r", row_number().over(w))
+      .filter(col("r") <= vocabSize || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"))
+    (uniScored(kept).localCheckpoint(true), ll)
+  }
+
+  /** C103: UNIGRAM-LM tokenizer training (Kudo, ACL 2018 — the
+    * SentencePiece algorithm; the production tokenizer family beside
+    * C53's BPE): seed a large candidate inventory from frequent
+    * substrings, then alternate (E) Viterbi-segmenting the corpus under
+    * the current piece scores with (V) re-estimating scores from usage and
+    * pruning to the vocab budget. This engine runs the HARD-EM variant
+    * (Viterbi counts, not marginal counts — deterministic, and each
+    * E/M pair provably never decreases the joint objective until pruning;
+    * the spec pins that monotonicity with pruning disabled). Deviation
+    * from the reference implementation is documented: Kudo prunes by
+    * held-out likelihood loss and mixes in marginal (forward-backward)
+    * counts; the hard variant is the standard deterministic simplification
+    * and keeps every comparison an exact decimal op cross-engine.
+    *
+    * Scale: the corpus is touched ONCE (the word census); every EM round
+    * is census-sized — the substring explode is bounded by maxPieceLen ×
+    * word length, occurrences join the DISTRIBUTED pieces table (vocab
+    * co-shuffles; AQE broadcasts it while small — never a plan-literal
+    * vocab, never a UDF), the DP is an in-row fold, and counts are one
+    * piece-keyed partial agg. Driver traffic = one scalar (the objective)
+    * per round. */
+  def unigramTrain(spark: SparkSession, dir: String, vocabSize: Int = 512,
+                   seedSize: Int = 2048, maxPieceLen: Int = 8,
+                   rounds: Int = 3): DataFrame =
+    unigramTrainOf(Tables.documents(spark, dir), vocabSize, seedSize,
+      maxPieceLen, rounds)
+
+  private[graft] def unigramTrainOf(docs: DataFrame, vocabSize: Int,
+                                    seedSize: Int, maxPieceLen: Int,
+                                    rounds: Int): DataFrame = {
+    val words = uniWordCensus(docs).localCheckpoint(true)
+    var pieces = uniScored(uniSeed(words, maxPieceLen, seedSize))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      pieces = uniRound(words, pieces, maxPieceLen, vocabSize)._1
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    pieces
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("piece"), col("cnt"),
+        round(col("sc"), 6).cast("double").as("score"))
+  }
+
+  /** C103b: unigram ENCODING with a trained piece table — per-doc word
+    * and piece counts plus the summed Viterbi log-likelihood (the
+    * SentencePiece encoder's output shape). Same scale contract as
+    * C53b: the DISTINCT-word table segments once, then the corpus-scale
+    * work is one explode + a word-key join + a per-doc partial agg. */
+  def unigramEncode(spark: SparkSession, dir: String, vocabSize: Int = 512,
+                    seedSize: Int = 2048, maxPieceLen: Int = 8,
+                    rounds: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pieces = unigramTrainOf(docs, vocabSize, seedSize, maxPieceLen, rounds)
+      .select(col("piece"), col("score").cast(UniDec).as("sc"))
+    unigramEncodeWith(docs, pieces, maxPieceLen)
+  }
+
+  private[graft] def unigramEncodeWith(docs: DataFrame, pieces: DataFrame,
+                                       maxPieceLen: Int): DataFrame = {
+    val vocab = uniWordCensus(docs) // distinct corpus words, freq unused here
+    val seg = uniSegment(vocab, pieces, maxPieceLen)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"),
+        col("ll"))
+      .localCheckpoint(true)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(seg, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_uni_tokens"),
+        round(sum(col("ll")), 6).cast("double").as("ll"))
+  }
+
   // ---- BM25 retrieval (C72) ---------------------------------------------
 
   /** C72: Okapi BM25 top-k retrieval (Robertson & Walker / Sparck Jones —

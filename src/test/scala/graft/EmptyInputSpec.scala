@@ -253,6 +253,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.msprt(spark, dir).count() == 0)
     assert(graft.operators.Sketches.heavyHitters(spark, dir).count() == 0)
     assert(EventOps.hwForecast(spark, dir).count() == 0)
+    assert(TextOps.unigramTrain(spark, dir).count() == 0)
+    assert(TextOps.unigramEncode(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)

@@ -1408,6 +1408,87 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C103 unigram-LM tokenizer -------------------------------------------
+
+  private def uniPieces(ps: (String, Double)*) = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    ps.toSeq.toDF("piece", "sc0")
+      .select(col("piece"), col("sc0").cast(dec).as("sc"))
+  }
+
+  test("unigram viterbi: picks the max-likelihood segmentation; score tie prefers the longer last piece") {
+    val words = Seq(("abab", 1L)).toDF("w", "freq")
+    // ab+ab = -3.0 beats a+b+a+b = -4.4 and ab+a+b / a+b+ab = -3.7
+    val seg = TextOps.uniSegment(words,
+      uniPieces("a" -> -1.0, "b" -> -1.2, "ab" -> -1.5), 8).collect().head
+    assert(seg.getAs[scala.collection.Seq[String]]("pieces").toSeq == Seq("ab", "ab"))
+    assert(seg.getDecimal(3).doubleValue == -3.0)
+    // exact tie: a+b = -3.0 = ab — the longer-last-piece rule wins
+    val tie = TextOps.uniSegment(Seq(("ab", 1L)).toDF("w", "freq"),
+      uniPieces("a" -> -1.0, "b" -> -2.0, "ab" -> -3.0), 8).collect().head
+    assert(tie.getAs[scala.collection.Seq[String]]("pieces").toSeq == Seq("ab"))
+    // maxPieceLen caps candidates: with len 1 the same vocab must fall
+    // back to characters
+    val chars = TextOps.uniSegment(Seq(("abab", 1L)).toDF("w", "freq"),
+      uniPieces("a" -> -1.0, "b" -> -1.2, "ab" -> -1.5), 1).collect().head
+    assert(chars.getAs[scala.collection.Seq[String]]("pieces").toSeq == Seq("a", "b", "a", "b"))
+  }
+
+  test("unigram hard-EM: the objective is non-decreasing round over round on a planted census") {
+    val words = Seq(
+      ("international", 20L), ("internal", 15L), ("intern", 10L),
+      ("nation", 12L), ("national", 8L), ("ration", 5L), ("rational", 4L),
+      ("relation", 6L), ("relational", 3L), ("inter", 2L))
+      .toDF("w", "freq")
+    var pieces = TextOps.uniScored(TextOps.uniSeed(words, 8, 500))
+    var lls = Vector.empty[java.math.BigDecimal]
+    for (_ <- 1 to 3) {
+      val (p, ll) = TextOps.uniRound(words, pieces, 8, 100000)
+      pieces = p; lls :+= ll
+    }
+    assert(lls.size == 3 && lls.forall(_ != null))
+    lls.zip(lls.tail).foreach { case (a, b) =>
+      assert(b.compareTo(a) >= 0, s"objective decreased: $a -> $b ($lls)") }
+  }
+
+  test("unigram: every corpus word segments and the pieces concatenate back exactly") {
+    val docs = Tables.documents(spark, sf)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val pieces = TextOps.unigramTrainOf(docs, 512, 2048, 8, 2)
+      .select(col("piece"), col("score").cast(dec).as("sc"))
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val seg = TextOps.uniSegment(words, pieces, 8)
+    assert(seg.count() == words.count()) // coverage: nothing unsegmentable
+    assert(seg.filter(concat_ws("", col("pieces")) =!= col("w")).count() == 0)
+    assert(seg.filter(size(col("pieces")) < 1).count() == 0)
+  }
+
+  test("unigram train is deterministic and encode reconciles with the census") {
+    val a = TextOps.unigramTrain(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val b = TextOps.unigramTrain(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(a == b && a.nonEmpty)
+    // encode: per doc, words <= pieces <= characters, ll strictly negative
+    val enc = TextOps.unigramEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    val chars = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        "CAST(aggregate(filter(split(text, ' '), w -> length(w) > 0), 0L, (a, w) -> a + length(w)) AS BIGINT)").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    enc.foreach { r =>
+      val nw = r.getAs[Long]("n_words"); val np = r.getAs[Long]("n_uni_tokens")
+      assert(nw >= 1 && np >= nw, s"$r")
+      assert(np <= chars(r.getAs[Long]("doc_id")), s"$r")
+      assert(r.getAs[Double]("ll") < 0.0)
+    }
+  }
+
   // ---- C99 Zipf fit / C100 Heaps curve ------------------------------------
 
   test("zipf: exact planted power law fits slope -1, r2 ~ 1; degenerate source null") {
