@@ -43,6 +43,9 @@ final class SpaceSaving(val capacity: Int) {
   private[functions] val counters = new java.util.HashMap[Long, Array[Long]]
   private[functions] var n: Long = 0L
 
+  /** Total stream length folded into this sketch (the n in err ≤ n/m). */
+  def total: Long = n
+
   private def minEntry(): (Long, Array[Long]) = {
     var bestK = 0L; var best: Array[Long] = null
     val it = counters.entrySet.iterator

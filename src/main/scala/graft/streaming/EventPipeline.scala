@@ -1085,4 +1085,40 @@ object EventPipeline {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  case class HeavyHitter(event_type: String, rank: Int, user_id: Long,
+                         est: Long, lo: Long, n: Long)
+
+  /** A89 streaming twin: LIVE per-type heavy hitters — the "top users
+    * right now" dashboard tile, maintained in BOUNDED streaming state (one
+    * ≤ capacity-entry SpaceSaving sketch per event type — the state the
+    * exact A9 top-k can't stream, because exact per-user counts grow with
+    * the user population). Each trigger folds the micro-batch into the
+    * type's sketch (deterministic in-batch order: (ts, event_id)) and
+    * re-emits that type's current top-k with upper/lower bounds and the
+    * stream length n (update mode — a tile overwrite, not a changelog).
+    * The sketch state is the SAME serialized form the batch aggregate
+    * persists, so the stream's answer after a bounded replay equals a
+    * single-buffer batch sketch over the identical prefix — in the
+    * under-capacity regime that is the EXACT per-type top-k, which is the
+    * spec's oracle. No timeout: heavy-hitter state is the product, not a
+    * session — m entries per type forever. */
+  def heavyHittersStream(events: Dataset[Event], k: Int = 10,
+                         capacity: Int = 64): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    import graft.functions.SpaceSaving
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Byte], HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (tpe, batch, state: GroupState[Array[Byte]]) =>
+          val s = state.getOption.map(SpaceSaving.deserialize)
+            .getOrElse(new SpaceSaving(capacity))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach(e => s.add(e.user_id))
+          state.update(s.serialize())
+          s.sorted().take(k).zipWithIndex.map { case ((key, c, err), i) =>
+            HeavyHitter(tpe, i + 1, key, c, c - err, s.total)
+          }.iterator
+      }
+  }
 }

@@ -1344,4 +1344,46 @@ class StreamingSpec extends SparkSuite {
     assert(out(100L)._1 == batch(0L) && out(101L)._1 == batch(3L),
       s"stream/batch divergence: $out vs $batch")
   }
+
+  test("A89 stream: live heavy hitters carry state across batches; exact under capacity") { withRocksDB {
+    val B = 1700000000000L
+    def e(id: Long, k: Long, u: Long, t: String) =
+      Event(id, new Timestamp(B + k), u, t, 1.0)
+    // view: u1 x3, u2 x1 in b1; u2 x3 more + u3 x1 in b2 (u2 overtakes u1
+    // only with the carried state); click: u5 x2 in b1 only
+    val b1 = Seq(e(1, 1, 1, "view"), e(2, 2, 1, "view"), e(3, 3, 1, "view"),
+      e(4, 4, 2, "view"), e(5, 5, 5, "click"), e(6, 6, 5, "click"))
+    val b2 = Seq(e(7, 7, 2, "view"), e(8, 8, 2, "view"), e(9, 9, 2, "view"),
+      e(10, 10, 3, "view"))
+    val src = Files.createTempDirectory("graft-hh-src").toString
+    val chk = Files.createTempDirectory("graft-hh-chk").toString
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.heavyHittersStream(
+      EventPipeline.fileSource(spark, src).as[Event], k = 10, capacity = 64)
+      .toDF().writeStream.format("memory").queryName("hh_live")
+      .outputMode(OutputMode.Update).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    val mid = spark.table("hh_live").collect()
+      .filter(r => r.getAs[String]("event_type") == "view")
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("est"), r.getAs[Long]("lo")))
+    assert(mid.toSet == Set((1, 1L, 3L, 3L), (2, 2L, 1L, 1L)), mid.toSeq.toString)
+    writeBatch(src, "b2", b2)
+    q.processAllAvailable(); q.stop()
+    // latest emission per type = the rows with the max stream length n
+    val all = spark.table("hh_live").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Int]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("est"), r.getAs[Long]("lo")))
+    val lastView = { val n = all.filter(_._1 == "view").map(_._2).max
+      all.filter(t => t._1 == "view" && t._2 == n).map(t => (t._3, t._4, t._5, t._6)).toSet }
+    // exact regime (capacity 64 >> 3 users): est = lo = true cumulative
+    // counts, u2 (4) now beats u1 (3)
+    assert(lastView == Set((1, 2L, 4L, 4L), (2, 1L, 3L, 3L), (3, 3L, 1L, 1L)),
+      lastView.toString)
+    val lastClick = { val n = all.filter(_._1 == "click").map(_._2).max
+      all.filter(t => t._1 == "click" && t._2 == n).map(t => (t._3, t._4, t._5, t._6)).toSet }
+    assert(lastClick == Set((1, 5L, 2L, 2L)))
+    spark.catalog.dropTempView("hh_live")
+  }}
 }
