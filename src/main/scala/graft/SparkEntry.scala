@@ -690,6 +690,17 @@ object SparkEntry {
         graft.multimodal.Multimodal.mediaTable(s, d)).toDF()
         .select(org.apache.spark.sql.functions.col("media_id"),
           org.apache.spark.sql.functions.col("kind"))),
+    // C12b perceptual image dedup: every 5th visual row re-enters under a
+    // shifted id — the planted exact copies the pHash pairing must find
+    // (distance 0; organic noise-image collisions at d<=3 are ~2^-45/pair)
+    "mm_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val m = graft.multimodal.Multimodal.mediaTable(s, d)
+      val dup = m.filter(x =>
+          (x.kind == "image" || x.kind == "video") && x.media_id % 5 == 0)
+        .map(x => x.copy(media_id = x.media_id + 10000000L))
+      graft.multimodal.Multimodal.phashPairs(m.union(dup))
+    }),
   )
 
   // Shared SQL fragments for the oracle (DuckDB 1.0 dialect).

@@ -60,6 +60,51 @@ object ImageCodec {
     img
   }
 
+  /** 64-bit DCT perceptual hash (pHash — the public DCT-hash scheme, e.g.
+    * Zauner 2010 "Implementation and benchmarking of perceptual image hash
+    * functions"; the image near-dup fingerprint large training-corpus
+    * dedup pipelines run): decode → 32×32 grayscale (the real codec path)
+    * → 2-D DCT-II → the top-left 8×8 LOW-FREQUENCY block → bit i =
+    * coefficient_i > median (median over the 63 non-DC coefficients, so
+    * global brightness doesn't vote). Robust to re-encoding and rescaling
+    * (low frequencies survive resampling); deterministic — fixed double
+    * arithmetic, no normalization (per-coefficient scale factors are
+    * monotone and cancel against the median compare's purpose). */
+  def phash(payload: Array[Byte]): Long = {
+    val px = decodeResizeGray(payload, 32, 32)
+    // cos table for the first 8 DCT-II outputs over 32 samples
+    val cos = Array.tabulate(8, 32)((k, n) =>
+      math.cos(math.Pi * k * (2 * n + 1) / 64.0))
+    val tmp = Array.ofDim[Double](32, 8) // rows transformed, 8 coeffs kept
+    var y = 0
+    while (y < 32) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0; var x = 0
+        while (x < 32) { s += (px(y * 32 + x) & 0xFF).toDouble * cos(k)(x); x += 1 }
+        tmp(y)(k) = s; k += 1
+      }
+      y += 1
+    }
+    val c = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 32) { s += tmp(yy)(k) * cos(v)(yy); yy += 1 }
+        c(v * 8 + k) = s; k += 1
+      }
+      v += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val median = nonDc(31) // 63 values, the middle one
+    var bits = 0L; var i = 0
+    while (i < 64) { if (c(i) > median) bits |= 1L << i; i += 1 }
+    bits
+  }
+
   /** Decode + bilinear resize to w×h, returning the grayscale raster:
     * exactly w*h bytes, row-major — the fixed-size contract
     * [[Multimodal.decodeResize]]'s schema promises. */

@@ -130,4 +130,60 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
         sum(col("duration_ms")).as("total_duration_ms"))
+
+  /** C12b: 64-bit pHash per visual row — images hash their own pixels,
+    * videos their demuxed first frame (the keyframe convention). One
+    * decode pass, payloads never leave the executor; the output is
+    * (media_id, 8 bytes) — the corpus compresses ~10⁶× before any join. */
+  def phashes(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        m.kind match {
+          case "image" => Iterator((m.media_id, ImageCodec.phash(m.payload)))
+          case "video" => Iterator((m.media_id,
+            ImageCodec.phash(VideoCodec.firstFrame(m.payload))))
+          case _ => Iterator.empty
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** C12b: perceptual near-duplicate IMAGE pairs — the visual twin of the
+    * text dedup family (the LAION-style pipeline step: re-encoded /
+    * rescaled copies of one picture collapse before training): pairs of
+    * visual rows whose pHashes sit within `maxDist` Hamming bits.
+    *
+    * Candidate generation is EXACT, not probabilistic: the 64-bit hash
+    * splits into 4 × 16-bit bands, and any pair within distance ≤ 3 has
+    * at most 3 differing bits spread over 4 bands, so BY PIGEONHOLE at
+    * least one band matches — the banded equi-join provably surfaces
+    * every qualifying pair (this is blocking for the join plan, not an
+    * LSH recall trade; hence the maxDist ≤ 3 guard). Verification is one
+    * xor+bit_count per candidate.
+    *
+    * Scale: the hash table is 16 bytes/row (localCheckpoint'd so the
+    * self-join's two branches don't re-decode the corpus); the band join
+    * shuffles on (band, chunk) — near-dup clusters collide, unrelated
+    * noise spreads over 4·2¹⁶ buckets. */
+  def phashPairs(media: Dataset[Media], maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band blocking is pigeonhole-exact only for maxDist <= 3, got $maxDist")
+    val h = phashes(media).localCheckpoint(true)
+    val bands = h.select(col("media_id"), col("phash"), explode(expr(
+      """transform(sequence(0, 3), b ->
+        |  named_struct('b', b, 'chunk', shiftright(phash, b * 16) & 65535L))"""
+        .stripMargin)).as("bd"))
+      .select(col("media_id"), col("phash"),
+        col("bd.b").as("b"), col("bd.chunk").as("chunk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct() // a close pair can share several bands
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -255,6 +255,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.hwForecast(spark, dir).count() == 0)
     assert(TextOps.unigramTrain(spark, dir).count() == 0)
     assert(TextOps.unigramEncode(spark, dir).count() == 0)
+    assert(graft.multimodal.Multimodal.phashPairs(
+      graft.multimodal.Multimodal.mediaTable(spark, dir)).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)

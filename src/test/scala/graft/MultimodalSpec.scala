@@ -129,6 +129,74 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.forall(_.embedding.length == 16))
   }
 
+  private def patternPng(w: Int, h: Int): Array[Byte] = {
+    // a smooth RICH-SPECTRUM pattern: energy in every low-frequency DCT
+    // cell with well-separated magnitudes, so no coefficient sits near the
+    // median (a single-sine pattern leaves most coefficients ≈ 0 ≈ median
+    // and numerical jitter flips bits — measured, hence this shape).
+    // Noise dies under rescaling; these low frequencies survive — exactly
+    // what pHash keys on.
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val u = (x + 0.5) / w; val v = (y + 0.5) / h
+      var g = 127.5
+      for (i <- 0 until 8; j <- 0 until 8 if i + j > 0) {
+        val sgn = if ((i * 3 + j * 5) % 2 == 0) 1.0 else -1.0
+        g += sgn * (40.0 / (1 + i + j) / (1 + i + j)) *
+          math.cos(math.Pi * i * u) * math.cos(math.Pi * j * v)
+      }
+      val p = math.max(0, math.min(255, g.toInt))
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("phash: identical payloads collide at distance 0; a rescaled re-render stays near; noise images sit far") {
+    import graft.multimodal.ImageCodec
+    val a = patternPng(64, 64)
+    assert(ImageCodec.phash(a) == ImageCodec.phash(patternPng(64, 64)))
+    // the SAME continuous pattern re-rendered at another raster size: the
+    // low-frequency DCT block survives the resample
+    val d = java.lang.Long.bitCount(
+      ImageCodec.phash(a) ^ ImageCodec.phash(patternPng(96, 96)))
+    assert(d <= 3, s"rescaled twin drifted to distance $d")
+    // unrelated noise images: ~Binomial(64, 1/2) apart
+    val n1 = ImageCodec.phash(ImageCodec.synthPng(64, 64, seed = 1L))
+    val n2 = ImageCodec.phash(ImageCodec.synthPng(64, 64, seed = 2L))
+    assert(java.lang.Long.bitCount(n1 ^ n2) > 10)
+    assert(java.lang.Long.bitCount(n1 ^ ImageCodec.phash(a)) > 10)
+  }
+
+  test("phash pairs: banded blocking is pigeonhole-complete vs brute force; planted copies all surface at 0") {
+    import SparkSuite.spark.implicits._
+    val dup = media.filter(x =>
+        (x.kind == "image" || x.kind == "video") && x.media_id % 5 == 0)
+      .map(x => x.copy(media_id = x.media_id + 10000000L))
+    val planted = media.union(dup)
+    val got = Multimodal.phashPairs(planted).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSet
+    // brute force over the collected hash table (test-sized corpus)
+    val hs = Multimodal.phashes(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    // every planted copy pairs with its original at exactly distance 0.
+    // (The synthetic corpus also contains ORGANIC exact duplicates — the
+    // generator's seed is id ^ text_length, which collides — and the op
+    // correctly surfaces those too; completeness vs brute covers them.)
+    val expected = hs.map(_._1).filter(_ < 10000000L)
+      .filter(id => id % 5 == 0).toSet
+    expected.foreach { id =>
+      assert(got.contains((id, id + 10000000L, 0L)), s"missing copy pair $id") }
+  }
+
   test("metaStats covers all kinds without touching payloads") {
     val stats = Multimodal.metaStats(media).collect()
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
