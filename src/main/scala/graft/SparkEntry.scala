@@ -234,6 +234,8 @@ object SparkEntry {
     // B39: keyed snapshot diff (added/removed/changed between two
     // time-cuts of the A2 latest-state view; unchanged rows suppressed)
     "qa_snapshot_diff" -> ((s, d) => Analytics.snapshotDiff(s, d)),
+    // B40: header/detail reconciliation (o_totalprice vs lineitem rollup)
+    "qa_reconcile"     -> ((s, d) => Analytics.reconcile(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -650,6 +652,8 @@ object SparkEntry {
     "doc_unigram_encode" -> ((s, d) => TextOps.unigramEncode(s, d)),
     // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
+    // C104 Pearson correlation audit between per-doc metrics
+    "doc_metric_corr"   -> ((s, d) => TextOps.metricCorr(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -2905,6 +2909,28 @@ object SparkEntry {
         |SELECT user_id, status, old_ts_ms, old_type, old_value,
         |  new_ts_ms, new_type, new_value
         |FROM d WHERE status <> 'unchanged'""".stripMargin,
+    // B40: per-line quantization DECIMAL(18,6) before the exact sums (the
+    // q1 revenue discipline); all verdict arithmetic exact decimal
+    "qa_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice * (1.0 + l_tax) * (1.0 - l_discount)
+        |        AS DECIMAL(18,6))) AS recomputed
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderkey,
+        |    CASE WHEN li.recomputed IS NULL THEN 'no_lineitems'
+        |         ELSE 'matched' END AS status,
+        |    CASE WHEN li.recomputed IS NOT NULL
+        |         THEN CAST(o.o_totalprice AS DECIMAL(18,6)) - li.recomputed
+        |    END AS delta
+        |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+        |SELECT status, count(*) AS n_orders,
+        |  count(*) FILTER (WHERE abs(delta) > CAST(0.01 AS DECIMAL(18,6)))
+        |    AS n_mismatch,
+        |  CAST(max(abs(delta)) AS DOUBLE) AS max_abs_delta,
+        |  CAST(sum(delta) AS DOUBLE) AS sum_delta
+        |FROM j GROUP BY 1""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (
@@ -3283,6 +3309,56 @@ object SparkEntry {
         |        / CAST(n_chars AS DOUBLE) AS es_key
         |    FROM documents WHERE n_chars > 0) t1) t2
         |WHERE sample_rank <= 100""".stripMargin,
+    // C104: the A85 moment ladder (per-doc DECIMAL(18,9), cross terms
+    // DECIMAL(28,6), one fixed IEEE tree over the exact sums)
+    "doc_metric_corr" ->
+      s"""WITH d AS (
+         |  SELECT
+         |    CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,9)) AS c,
+         |    CAST(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+         |      AS DECIMAL(18,9)) AS t,
+         |    CAST(least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+         |          / 100.0, 1.0)
+         |      * (1.0 - CAST(${hits(stop)} AS DOUBLE)
+         |          / len(regexp_split_to_array(text, '\\s+')))
+         |      AS DECIMAL(18,9)) AS q
+         |  FROM documents WHERE text IS NOT NULL),
+         |d2 AS (SELECT *, CAST(c AS DOUBLE) AS cd, CAST(t AS DOUBLE) AS td,
+         |        CAST(q AS DOUBLE) AS qd FROM d),
+         |s AS (SELECT count(*) AS n,
+         |  sum(c) AS s_c, sum(t) AS s_t, sum(q) AS s_q,
+         |  sum(CAST(cd * cd AS DECIMAL(28,6))) AS s_cc,
+         |  sum(CAST(td * td AS DECIMAL(28,6))) AS s_tt,
+         |  sum(CAST(qd * qd AS DECIMAL(28,6))) AS s_qq,
+         |  sum(CAST(cd * td AS DECIMAL(28,6))) AS s_ct,
+         |  sum(CAST(cd * qd AS DECIMAL(28,6))) AS s_cq,
+         |  sum(CAST(td * qd AS DECIMAL(28,6))) AS s_tq
+         |  FROM d2),
+         |p AS (
+         |  SELECT 'chars_tokens' AS pair, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(s_c AS DOUBLE) AS sxd, CAST(s_t AS DOUBLE) AS syd,
+         |    CAST(s_cc AS DOUBLE) AS sxxd, CAST(s_tt AS DOUBLE) AS syyd,
+         |    CAST(s_ct AS DOUBLE) AS sxyd FROM s WHERE n > 0
+         |  UNION ALL
+         |  SELECT 'chars_quality', n, CAST(n AS DOUBLE),
+         |    CAST(s_c AS DOUBLE), CAST(s_q AS DOUBLE),
+         |    CAST(s_cc AS DOUBLE), CAST(s_qq AS DOUBLE),
+         |    CAST(s_cq AS DOUBLE) FROM s WHERE n > 0
+         |  UNION ALL
+         |  SELECT 'tokens_quality', n, CAST(n AS DOUBLE),
+         |    CAST(s_t AS DOUBLE), CAST(s_q AS DOUBLE),
+         |    CAST(s_tt AS DOUBLE), CAST(s_qq AS DOUBLE),
+         |    CAST(s_tq AS DOUBLE) FROM s WHERE n > 0),
+         |v AS (SELECT pair, n,
+         |    sxd / nd AS mx, syd / nd AS my,
+         |    sxxd / nd - (sxd / nd) * (sxd / nd) AS vx,
+         |    syyd / nd - (syd / nd) * (syd / nd) AS vy,
+         |    sxyd / nd AS mxy
+         |  FROM p)
+         |SELECT pair, n,
+         |  round(CASE WHEN vx * vy > 0
+         |    THEN (mxy - mx * my) / sqrt(vx * vy) END, 6) AS corr
+         |FROM v""".stripMargin,
     "doc_split" ->
       """SELECT source,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

@@ -790,4 +790,41 @@ object Analytics {
         col("old_ts_ms"), col("old_type"), col("old_value"),
         col("new_ts_ms"), col("new_type"), col("new_value"))
   }
+
+  /** B40: cross-table RECONCILIATION — does the order header's total agree
+    * with its lineitems recomputed (the invariant every warehouse checks
+    * before publishing: header/detail drift = a partial load, a double
+    * apply, or upstream rounding rot; on THIS synthetic corpus the
+    * invariant genuinely fails, which is exactly the report's point).
+    * Per order: recomputed = Σ extendedprice·(1+tax)·(1−discount), each
+    * line quantized DECIMAL(18,6) before the exact sum (the q1 revenue
+    * discipline — order-free, engine-exact); delta = header − recomputed;
+    * a summary row per status (matched / no_lineitems) with order count,
+    * |delta| > 0.01 mismatch count, max |delta| and net delta.
+    *
+    * Scale: ONE l_orderkey partial-agg shuffle over lineitem + one key
+    * join against orders (same key — co-partitioned), then a ≤2-row
+    * status rollup. All comparisons exact decimal ops — hash-exact. */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
+          (lit(1.0) - col("l_discount"))).cast(dec).as("line_total"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("line_total")).as("recomputed"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("status", when(col("recomputed").isNull,
+        lit("no_lineitems")).otherwise(lit("matched")))
+      .withColumn("delta", when(col("recomputed").isNotNull,
+        col("o_totalprice").cast(dec) - col("recomputed")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(abs(col("delta")) > lit(0.01).cast(dec), lit(1)))
+          .as("n_mismatch"),
+        max(abs(col("delta"))).cast("double").as("max_abs_delta"),
+        sum(col("delta")).cast("double").as("sum_delta"))
+  }
 }

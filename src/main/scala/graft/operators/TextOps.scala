@@ -2256,6 +2256,59 @@ object TextOps {
     * shuffle; the per-doc dup flag is a count window on that
     * partitioning and the source rollup is a second summary-level
     * shuffle; the rate is one IEEE division of exact longs. */
+  /** C104: exact Pearson correlation audit between per-doc metrics —
+    * length (chars), whitespace tokens, and the C9 quality score: the
+    * sanity panel behind any learned quality filter ("is the classifier
+    * just measuring length?" — a |corr(quality, length)| near 1 means the
+    * expensive signal is a ruler; the standard curation-bias audit).
+    * corr = (Σxy/n − x̄ȳ)/√(var_x·var_y), computed the A85 way: per-doc
+    * metrics quantize DECIMAL(18,9) (ints exact by construction), cross
+    * terms are single IEEE products quantized DECIMAL(28,6), every
+    * statistic one fixed IEEE tree over the exact sums — hash-exact;
+    * zero-variance metrics read NULL on both engines. ONE corpus scan →
+    * one 10-sum summary row → 3 output rows. */
+  def metricCorr(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val dec2 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("n_chars").cast("double").cast(dec).as("c"),
+        wsTokens(col("text")).cast("double").cast(dec).as("t"),
+        qualityScore(col("text")).cast(dec).as("q"))
+      .withColumn("cd", col("c").cast("double"))
+      .withColumn("td", col("t").cast("double"))
+      .withColumn("qd", col("q").cast("double"))
+    val s = d.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s_c"), sum(col("t")).as("s_t"), sum(col("q")).as("s_q"),
+      sum((col("cd") * col("cd")).cast(dec2)).as("s_cc"),
+      sum((col("td") * col("td")).cast(dec2)).as("s_tt"),
+      sum((col("qd") * col("qd")).cast(dec2)).as("s_qq"),
+      sum((col("cd") * col("td")).cast(dec2)).as("s_ct"),
+      sum((col("cd") * col("qd")).cast(dec2)).as("s_cq"),
+      sum((col("td") * col("qd")).cast(dec2)).as("s_tq"))
+      .filter(col("n") > 0)
+      // one summary row feeding three projections — materialized so the
+      // per-pair branches don't each replay the corpus scan
+      .localCheckpoint(true)
+    def pair(name: String, sx: String, sy: String, sxx: String, syy: String,
+             sxy: String) =
+      s.select(lit(name).as("pair"), col("n"),
+        expr(s"""CAST(n AS DOUBLE)""").as("nd"),
+        col(sx).cast("double").as("sxd"), col(sy).cast("double").as("syd"),
+        col(sxx).cast("double").as("sxxd"), col(syy).cast("double").as("syyd"),
+        col(sxy).cast("double").as("sxyd"))
+        .withColumn("mx", col("sxd") / col("nd"))
+        .withColumn("my", col("syd") / col("nd"))
+        .withColumn("vx", col("sxxd") / col("nd") - col("mx") * col("mx"))
+        .withColumn("vy", col("syyd") / col("nd") - col("my") * col("my"))
+        .withColumn("corr", when(col("vx") * col("vy") > lit(0.0),
+          (col("sxyd") / col("nd") - col("mx") * col("my")) /
+            sqrt(col("vx") * col("vy"))))
+        .select(col("pair"), col("n"), round(col("corr"), 6).as("corr"))
+    pair("chars_tokens", "s_c", "s_t", "s_cc", "s_tt", "s_ct")
+      .unionByName(pair("chars_quality", "s_c", "s_q", "s_cc", "s_qq", "s_cq"))
+      .unionByName(pair("tokens_quality", "s_t", "s_q", "s_tt", "s_qq", "s_tq"))
+  }
+
   def dupRate(spark: SparkSession, dir: String): DataFrame = {
     val byFp = Window.partitionBy("fp")
     Tables.documents(spark, dir)

@@ -169,6 +169,31 @@ class AnalyticsSpec extends SparkSuite {
       a.getAs[Double]("new_value") == 3.0)
   }
 
+  test("reconcile: planted header/detail drift is flagged; exact totals read delta 0") {
+    import SparkSuite.spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    Seq((1L, 330.0), (2L, 150.0), (3L, 42.0))
+      .toDF("o_orderkey", "o_totalprice").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 100.0, 0.1, 0.0), (1L, 200.0, 0.1, 0.0), // 110 + 220 = header
+      (2L, 100.0, 0.0, 0.0))                          // header says 150
+      .toDF("l_orderkey", "l_extendedprice", "l_tax", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = Analytics.reconcile(spark, d).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    val m = out("matched")
+    assert(m.getAs[Long]("n_orders") == 2L)
+    assert(m.getAs[Long]("n_mismatch") == 1L)
+    assert(m.getAs[Double]("max_abs_delta") == 50.0)
+    assert(m.getAs[Double]("sum_delta") == 50.0)
+    val nl = out("no_lineitems")
+    assert(nl.getAs[Long]("n_orders") == 1L && nl.getAs[Long]("n_mismatch") == 0L)
+    assert(nl.isNullAt(nl.fieldIndex("max_abs_delta")))
+    // real corpus: status counts cover every order exactly once
+    val real = Analytics.reconcile(spark, sf).collect()
+    val total = real.map(_.getAs[Long]("n_orders")).sum
+    assert(total == graft.Tables.orders(spark, sf).count())
+  }
+
   test("snapshotDiff on the sf corpus: append-only source never reads 'removed'; changed rows advance in time") {
     val rows = Analytics.snapshotDiff(spark, sf).collect()
     assert(rows.nonEmpty)

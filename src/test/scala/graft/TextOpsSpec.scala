@@ -1408,6 +1408,39 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C104 metric correlation audit ----------------------------------------
+
+  test("metricCorr: planted linear relations read ±1; a constant metric reads NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mcorr").toString
+    // k words of text; n_chars planted exactly linear in k
+    (1 to 20).map(k => (k.toLong, Seq.fill(k)("w").mkString(" "), 7L * k + 3))
+      .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val up = TextOps.metricCorr(spark, dir).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    assert(up("chars_tokens").getAs[Double]("corr") == 1.0)
+    // anti-correlated chars: corr flips sign exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mcorr2").toString
+    (1 to 20).map(k => (k.toLong, Seq.fill(k)("w").mkString(" "), 500L - 7 * k))
+      .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir2/documents.parquet")
+    assert(TextOps.metricCorr(spark, dir2).collect()
+      .find(_.getAs[String]("pair") == "chars_tokens").get
+      .getAs[Double]("corr") == -1.0)
+    // constant tokens (same text everywhere): zero variance ⇒ NULL
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-mcorr3").toString
+    (1 to 10).map(k => (k.toLong, "a b c", k.toLong * 11))
+      .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir3/documents.parquet")
+    val c3 = TextOps.metricCorr(spark, dir3).collect()
+      .find(_.getAs[String]("pair") == "chars_tokens").get
+    assert(c3.isNullAt(c3.fieldIndex("corr")))
+    // real corpus: three rows, every corr inside [-1, 1]
+    val real = TextOps.metricCorr(spark, sf).collect()
+    assert(real.length == 3)
+    real.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr"))) {
+        val c = r.getAs[Double]("corr"); assert(c >= -1.0 && c <= 1.0, s"$r") }
+    }
+  }
+
   // ---- C103 unigram-LM tokenizer -------------------------------------------
 
   private def uniPieces(ps: (String, Double)*) = {
