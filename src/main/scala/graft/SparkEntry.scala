@@ -654,6 +654,8 @@ object SparkEntry {
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C104 Pearson correlation audit between per-doc metrics
     "doc_metric_corr"   -> ((s, d) => TextOps.metricCorr(s, d)),
+    // C105 Flesch reading ease / FK grade per doc
+    "doc_readability"   -> ((s, d) => TextOps.readability(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -3359,6 +3361,29 @@ object SparkEntry {
          |  round(CASE WHEN vx * vy > 0
          |    THEN (mxy - mx * my) / sqrt(vx * vy) END, 6) AS corr
          |FROM v""".stripMargin,
+    // C105: identical regex semantics for sentence runs / vowel groups;
+    // one fixed IEEE tree over exact integer counts
+    "doc_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
+        |      w -> CASE WHEN length(w) = 0 THEN 0
+        |        ELSE greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))
+        |      END)) AS BIGINT) AS n_syllables
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT *, CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+        |    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+        |  FROM d WHERE n_words > 0)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+        |    - CAST(84.6 AS DOUBLE) * spw, 6) AS flesch_ease,
+        |  round(CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
+        |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+        |FROM r""".stripMargin,
     "doc_split" ->
       """SELECT source,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

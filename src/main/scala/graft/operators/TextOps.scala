@@ -2256,6 +2256,43 @@ object TextOps {
     * shuffle; the per-doc dup flag is a count window on that
     * partitioning and the source rollup is a second summary-level
     * shuffle; the rate is one IEEE division of exact longs. */
+  /** C105: Flesch readability per doc (Flesch 1948 reading ease; Kincaid
+    * et al. 1975 grade level — public formulas, the oldest text-quality
+    * signals still in every curation stack beside the C9/C64 heuristics):
+    *   ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    *   grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    * Sentences = non-overlapping [.!?]+ runs (min 1 — an unpunctuated doc
+    * is one long sentence); syllables = vowel-group count per word, min 1
+    * (the standard heuristic). Counts are exact integers computed by
+    * identical regex semantics in both engines; the two formulas are one
+    * fixed IEEE tree over them (constants parsed from the same literals),
+    * 6-dp rounds. Map-only — no shuffle at all; null text excluded. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("n_sentences"),
+        wsTokens(col("text")).cast("long").as("n_words"),
+        expr(
+          """aggregate(split(text, '\\s+'), 0L, (acc, w) ->
+            |  acc + CASE WHEN length(w) = 0 THEN 0L
+            |    ELSE greatest(1L, CAST(size(
+            |      regexp_extract_all(lower(w), '[aeiouy]+', 0)) AS BIGINT))
+            |  END)""".stripMargin).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw",
+        col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"),
+          6).as("flesch_ease"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59),
+          6).as("fk_grade"))
+
   /** C104: exact Pearson correlation audit between per-doc metrics —
     * length (chars), whitespace tokens, and the C9 quality score: the
     * sanity panel behind any learned quality filter ("is the classifier

@@ -258,6 +258,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.multimodal.Multimodal.phashPairs(
       graft.multimodal.Multimodal.mediaTable(spark, dir)).count() == 0)
     assert(TextOps.metricCorr(spark, dir).count() == 0)
+    assert(TextOps.readability(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)

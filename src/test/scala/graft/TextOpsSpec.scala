@@ -1408,6 +1408,38 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C105 readability -------------------------------------------------------
+
+  test("readability: hand-computed Flesch cell; unpunctuated text is one sentence; vowelless words read one syllable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-read").toString
+    Seq((1L, "Hello world. It works!"),
+        (2L, "no punctuation here"),
+        (3L, "xyz tsk"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.readability(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = out(1L)
+    // sentences: "." and "!" runs = 2; words 4; syllables: he-llo(2: e,o),
+    // world.(1: o), it(1), works!(1) = 5
+    assert(d1.getAs[Long]("n_sentences") == 2L)
+    assert(d1.getAs[Long]("n_words") == 4L)
+    assert(d1.getAs[Long]("n_syllables") == 5L)
+    assert(d1.getAs[Double]("flesch_ease") ==
+      r6(206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (5.0 / 4.0)))
+    assert(d1.getAs[Double]("fk_grade") ==
+      r6(0.39 * (4.0 / 2.0) + 11.8 * (5.0 / 4.0) - 15.59))
+    assert(out(2L).getAs[Long]("n_sentences") == 1L)
+    // vowelless words still count one syllable each (the standard floor)
+    assert(out(3L).getAs[Long]("n_syllables") == 2L)
+    // real corpus: every doc emits, ease bounded sanely for word text
+    val real = TextOps.readability(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Long]("n_syllables") >=
+      r.getAs[Long]("n_words") - 1, s"$r")) // phantom empty token at most
+  }
+
   // ---- C104 metric correlation audit ----------------------------------------
 
   test("metricCorr: planted linear relations read ±1; a constant metric reads NULL") {
