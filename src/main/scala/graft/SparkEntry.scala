@@ -650,6 +650,18 @@ object SparkEntry {
     // hard-EM objective)
     "doc_unigram_train" -> ((s, d) => TextOps.unigramTrain(s, d)),
     "doc_unigram_encode" -> ((s, d) => TextOps.unigramEncode(s, d)),
+    // C103c: encode from the persisted piece table — must reproduce the
+    // direct encode bit-for-bit (frozen-vocabulary contract)
+    "doc_unigram_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-unis")
+      try {
+        TextOps.writeUnigramStore(graft.Tables.documents(s, d), tmp.toString)
+        TextOps.unigramEncodeFromStore(s, d, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C104 Pearson correlation audit between per-doc metrics

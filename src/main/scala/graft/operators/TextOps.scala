@@ -1767,6 +1767,31 @@ object TextOps {
     unigramEncodeWith(docs, pieces, maxPieceLen)
   }
 
+  /** C103c: persist a trained piece table — the tokenizer artifact every
+    * training run ships (train once on the reference corpus, encode every
+    * future batch with the FROZEN vocabulary; retraining per batch would
+    * silently change token boundaries mid-corpus). Scores persist as the
+    * exact DECIMAL(18,9) the DP compares, so store-served segmentation is
+    * bit-equal to the training-time segmentation. */
+  def writeUnigramStore(docs: DataFrame, storeDir: String,
+                        vocabSize: Int = 512, seedSize: Int = 2048,
+                        maxPieceLen: Int = 8, rounds: Int = 3): Unit =
+    unigramTrainOf(docs, vocabSize, seedSize, maxPieceLen, rounds)
+      .select(col("rank"), col("piece"), col("cnt"),
+        col("score").cast(UniDec).as("sc"), lit(maxPieceLen).as("max_len"))
+      .write.mode("overwrite").parquet(s"$storeDir/pieces.parquet")
+
+  /** Encode any corpus with a persisted piece table: the C53b/C103b scale
+    * contract (distinct words segment once, corpus work = explode + word
+    * join + per-doc agg), the vocabulary frozen at store write. */
+  def unigramEncodeFromStore(spark: SparkSession, dir: String,
+                             storeDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$storeDir/pieces.parquet")
+    val maxLen = stored.agg(max(col("max_len"))).head().getInt(0)
+    unigramEncodeWith(Tables.documents(spark, dir),
+      stored.select(col("piece"), col("sc")), maxLen)
+  }
+
   private[graft] def unigramEncodeWith(docs: DataFrame, pieces: DataFrame,
                                        maxPieceLen: Int): DataFrame = {
     val vocab = uniWordCensus(docs) // distinct corpus words, freq unused here

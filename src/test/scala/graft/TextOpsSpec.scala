@@ -1531,6 +1531,18 @@ class TextOpsSpec extends SparkSuite {
     assert(seg.filter(size(col("pieces")) < 1).count() == 0)
   }
 
+  test("unigram store: encode-from-store reproduces the direct encode bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-unistore").toString
+    TextOps.writeUnigramStore(Tables.documents(spark, sf), tmp)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_uni_tokens"), r.getAs[Double]("ll")))
+      .sortBy(_._1).toSeq
+    val fromStore = key(TextOps.unigramEncodeFromStore(spark, sf, tmp).collect())
+    val direct = key(TextOps.unigramEncode(spark, sf).collect())
+    assert(fromStore == direct && fromStore.nonEmpty)
+  }
+
   test("unigram train is deterministic and encode reconciles with the census") {
     val a = TextOps.unigramTrain(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
