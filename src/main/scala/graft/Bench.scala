@@ -72,7 +72,7 @@ object Bench {
     "ev_msprt", "doc_rank_tau", "doc_weighted_sample", "qa_snapshot_diff",
     "ev_heavy_hitters", "ev_hw_forecast",
     "doc_unigram_train", "doc_unigram_encode", "mm_phash_pairs",
-    "qa_reconcile", "doc_metric_corr", "doc_readability",
+    "qa_reconcile", "doc_metric_corr", "doc_readability", "doc_pmi",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

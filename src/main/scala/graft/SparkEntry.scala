@@ -668,6 +668,8 @@ object SparkEntry {
     "doc_metric_corr"   -> ((s, d) => TextOps.metricCorr(s, d)),
     // C105 Flesch reading ease / FK grade per doc
     "doc_readability"   -> ((s, d) => TextOps.readability(s, d)),
+    // C106 PMI collocations over a ±2 token window
+    "doc_pmi"           -> ((s, d) => TextOps.pmiPairs(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -3396,6 +3398,36 @@ object SparkEntry {
         |  round(CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
         |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
         |FROM r""".stripMargin,
+    // C106: exact integer counts; pmi one fixed IEEE tree quantized
+    // DECIMAL(18,9) before the rank (generate_series(1, 0) is empty,
+    // covering one-token docs)
+    "doc_pmi" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT unnest(ts) AS tok FROM t),
+        |ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM ucnt),
+        |npx AS (SELECT CAST(sum(greatest(0, len(ts) - 1)
+        |    + greatest(0, len(ts) - 2)) AS BIGINT) AS np FROM t),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p FROM t
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+        |    i -> struct_pack(a := ts[i], b := ts[i + 2]))) AS p FROM t),
+        |pc AS (SELECT p.a AS a, p.b AS b, count(*) AS n_ab
+        |       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT pc.a, pc.b, pc.n_ab,
+        |  CAST(ln((CAST(pc.n_ab AS DOUBLE) * CAST(nn.nt AS DOUBLE)
+        |        * CAST(nn.nt AS DOUBLE))
+        |      / (CAST(npx.np AS DOUBLE) * CAST(ua.n AS DOUBLE)
+        |        * CAST(ub.n AS DOUBLE))) AS DECIMAL(18,9)) AS pmi_q
+        |  FROM pc JOIN ucnt ua ON pc.a = ua.tok
+        |    JOIN ucnt ub ON pc.b = ub.tok, nn, npx)
+        |SELECT row_number() OVER (ORDER BY pmi_q DESC, a, b) AS rank,
+        |  a, b, n_ab, CAST(round(pmi_q, 6) AS DOUBLE) AS pmi
+        |FROM sc QUALIFY rank <= 50""".stripMargin,
     "doc_split" ->
       """SELECT source,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

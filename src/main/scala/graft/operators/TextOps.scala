@@ -2281,6 +2281,69 @@ object TextOps {
     * shuffle; the per-doc dup flag is a count window on that
     * partitioning and the source rollup is a second summary-level
     * shuffle; the rate is one IEEE division of exact longs. */
+  /** C106: PMI collocations (Church & Hanks 1990, public — pointwise
+    * mutual information over a ±2 token window, the classic collocation
+    * extractor beside C68's Dunning LLR: PMI surfaces "strongly bound"
+    * pairs, LLR surfaces "reliably frequent" ones; corpus analysts read
+    * both). Ordered skip-bigrams (gap ≤ 2) define the joint space:
+    *   pmi(a,b) = ln( (n_ab/P) / ((n_a/N)·(n_b/N)) ),
+    * P = pair positions, N = token positions; pairs under `minCount`
+    * drop (PMI's low-frequency pathology — the documented filter), top-k
+    * by the quantized score.
+    *
+    * Portability: counts are exact integers; pmi is one fixed IEEE tree
+    * over them, quantized DECIMAL(18,9) so ranking is an exact decimal
+    * compare ((a, b) tie-break), 6-dp decimal-first round.
+    *
+    * Scale: ONE corpus scan into token arrays (localCheckpoint'd — the
+    * unigram census and the pair explode both derive from it); the pair
+    * explode is in-row zip_with (2 rows per position), one (a, b)
+    * partial-agg shuffle; scalars broadcast; the final cut is a bounded
+    * TakeOrdered (never a global rank window over the pair census). */
+  def pmiPairs(spark: SparkSession, dir: String, window: Int = 2,
+               minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(window == 2, "the zip_with pair expansion is written for window 2")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(expr("filter(split(text, ' '), w -> length(w) > 0)").as("ts"))
+      .localCheckpoint(true)
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // census feeds both scalars and two joins
+    val nTok = broadcast(uni.agg(sum(col("n")).as("nt")))
+    // P derives from array lengths — never a checkpoint of the
+    // corpus-sized pair stream just to count it
+    val nPair = broadcast(toks.agg(
+      sum(greatest(lit(0), size(col("ts")) - 1) +
+        greatest(lit(0), size(col("ts")) - 2)).cast("long").as("np")))
+    val pairs = toks.select(explode(expr(
+      """concat(
+        |  zip_with(slice(ts, 1, greatest(0, size(ts) - 1)),
+        |           slice(ts, 2, greatest(0, size(ts) - 1)),
+        |           (x, y) -> named_struct('a', x, 'b', y)),
+        |  zip_with(slice(ts, 1, greatest(0, size(ts) - 2)),
+        |           slice(ts, 3, greatest(0, size(ts) - 2)),
+        |           (x, y) -> named_struct('a', x, 'b', y)))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val scored = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(nTok).crossJoin(nPair)
+      .withColumn("pmi_q", log(
+        (col("n_ab").cast("double") * col("nt").cast("double") *
+          col("nt").cast("double")) /
+          (col("np").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double"))).cast(dec))
+    scored.orderBy(col("pmi_q").desc, col("a"), col("b")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_q").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("n_ab"),
+        round(col("pmi_q"), 6).cast("double").as("pmi"))
+  }
+
   /** C105: Flesch readability per doc (Flesch 1948 reading ease; Kincaid
     * et al. 1975 grade level — public formulas, the oldest text-quality
     * signals still in every curation stack beside the C9/C64 heuristics):

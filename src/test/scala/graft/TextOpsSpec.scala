@@ -1408,6 +1408,40 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C106 PMI collocations ---------------------------------------------------
+
+  test("pmi: hand-computed window pairs; low-count pairs drop; ranking is on the quantized score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "a b a b": adjacent (a,b) x2, (b,a) x1; skip-1 (a,a), (b,b).
+    // N = 4 tokens, P = 3 + 2 = 5 pair positions.
+    Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.pmiPairs(spark, dir, minCount = 1, k = 10).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"),
+          r.getAs[Long]("rank")))).toMap
+    def ref(nab: Long, na: Long, nb: Long) = {
+      val v = (nab.toDouble * 4.0 * 4.0) / (5.0 * na.toDouble * nb.toDouble)
+      BigDecimal(math.log(v)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
+    assert(out(("a", "b"))._1 == 2L && out(("a", "b"))._2 == ref(2, 2, 2))
+    assert(out(("b", "a"))._1 == 1L && out(("b", "a"))._2 == ref(1, 2, 2))
+    // (a,b) outranks the count-1 pairs; equal scores tie on (a, b)
+    assert(out(("a", "b"))._3 == 1L)
+    assert(Seq(out(("a", "a"))._3, out(("b", "a"))._3, out(("b", "b"))._3)
+      .sorted == Seq(2L, 3L, 4L))
+    // the default minCount=5 gate drops everything in this tiny corpus
+    assert(TextOps.pmiPairs(spark, dir).count() == 0)
+    // real corpus: k rows, ranks consecutive, every pair above the count gate
+    val real = TextOps.pmiPairs(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to real.length).toSeq)
+    real.foreach(r => assert(r.getAs[Long]("n_ab") >= 5L))
+  }
+
   // ---- C105 readability -------------------------------------------------------
 
   test("readability: hand-computed Flesch cell; unpunctuated text is one sentence; vowelless words read one syllable") {
