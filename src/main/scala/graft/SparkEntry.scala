@@ -102,6 +102,8 @@ object SparkEntry {
     "ev_msprt"          -> ((s, d) => EventOps.msprt(s, d)),
     // A90 Holt-Winters additive weekly-seasonal forecast (h = 1..7)
     "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
+    // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
+    "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -1445,6 +1447,93 @@ object SparkEntry {
         |  l AS level, b AS trend,
         |  l + CAST(g.h AS DOUBLE) * b + s[CAST(g.h AS INT)] AS forecast
         |FROM (SELECT * FROM hw WHERE t = n) f, generate_series(1, 7) g(h)""".stripMargin,
+    // A91: the A50/A90 recursions verbatim with a quantized |error|
+    // accumulator riding along; naive via lag; winner compared on the
+    // UNROUNDED identical doubles
+    "ev_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 15),
+        |dense0 AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+        |    hi - lo + 1 AS n
+        |  FROM rng),
+        |dense AS (
+        |  SELECT g.event_type, g.d,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS t,
+        |    CAST(coalesce(dl.y, 0) AS DOUBLE) AS y,
+        |    CAST(g.n AS BIGINT) AS n
+        |  FROM dense0 g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |mm AS (
+        |  SELECT event_type, max(n) AS n,
+        |    sum(y) FILTER (WHERE t BETWEEN 1 AND 7) / 7.0 AS m1,
+        |    sum(y) FILTER (WHERE t BETWEEN 8 AND 14) / 7.0 AS m2
+        |  FROM dense GROUP BY 1),
+        |s0 AS (
+        |  SELECT d.event_type, list(d.y - mm.m1 ORDER BY d.t) AS s
+        |  FROM dense d JOIN mm USING (event_type) WHERE d.t <= 7 GROUP BY 1),
+        |nv AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_naive,
+        |    sum(CAST(abs(py - y) AS DECIMAL(18,9))) AS err_naive
+        |  FROM (SELECT event_type, y,
+        |          lag(y) OVER (PARTITION BY event_type ORDER BY t) AS py
+        |        FROM dense) q
+        |  WHERE py IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT d1.event_type, d1.n, 2 AS t, d1.y AS l, d2.y - d1.y AS b,
+        |    CAST(0 AS DECIMAL(28,9)) AS err
+        |  FROM dense d1 JOIN dense d2 ON d1.event_type = d2.event_type
+        |    AND d1.t = 1 AND d2.t = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.n, h.t + 1,
+        |    0.5 * d.y + 0.5 * (h.l + h.b),
+        |    0.5 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+        |    CAST(h.err + CAST(abs(h.l + h.b - d.y) AS DECIMAL(18,9))
+        |      AS DECIMAL(28,9))
+        |  FROM h JOIN dense d
+        |    ON d.event_type = h.event_type AND d.t = h.t + 1
+        |  WHERE h.t < h.n),
+        |hw AS (
+        |  SELECT mm.event_type, mm.n, 14 AS t, mm.m1 AS l,
+        |    (mm.m2 - mm.m1) / 7.0 AS b, s0.s AS s,
+        |    CAST(0 AS DECIMAL(28,9)) AS err
+        |  FROM mm JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.n, hw.t + 1,
+        |    0.5 * (d.y - hw.s[1]) + 0.5 * (hw.l + hw.b),
+        |    0.5 * ((0.5 * (d.y - hw.s[1]) + 0.5 * (hw.l + hw.b)) - hw.l)
+        |      + 0.5 * hw.b,
+        |    hw.s[2:7] || [0.5 * (d.y - (0.5 * (d.y - hw.s[1])
+        |      + 0.5 * (hw.l + hw.b))) + 0.5 * hw.s[1]],
+        |    CAST(hw.err + CAST(abs(hw.l + hw.b + hw.s[1] - d.y)
+        |      AS DECIMAL(18,9)) AS DECIMAL(28,9))
+        |  FROM hw JOIN dense d
+        |    ON d.event_type = hw.event_type AND d.t = hw.t + 1
+        |  WHERE hw.t < hw.n),
+        |r AS (
+        |  SELECT nv.event_type, hf.n AS n_days, nv.n_naive,
+        |    CAST(hf.n - 2 AS BIGINT) AS n_holt,
+        |    CAST(hwf.n - 14 AS BIGINT) AS n_hw,
+        |    CAST(nv.err_naive AS DOUBLE) / CAST(nv.n_naive AS DOUBLE)
+        |      AS mae_naive,
+        |    CAST(hf.err AS DOUBLE) / CAST(hf.n - 2 AS DOUBLE) AS mae_holt,
+        |    CAST(hwf.err AS DOUBLE) / CAST(hwf.n - 14 AS DOUBLE) AS mae_hw
+        |  FROM nv
+        |  JOIN (SELECT * FROM h WHERE t = n) hf USING (event_type)
+        |  JOIN (SELECT * FROM hw WHERE t = n) hwf USING (event_type))
+        |SELECT event_type, n_days, n_naive, n_holt, n_hw,
+        |  round(mae_naive, 6) AS mae_naive,
+        |  round(mae_holt, 6) AS mae_holt,
+        |  round(mae_hw, 6) AS mae_hw,
+        |  CASE WHEN mae_naive <= mae_holt AND mae_naive <= mae_hw THEN 'naive'
+        |       WHEN mae_holt <= mae_hw THEN 'holt'
+        |       ELSE 'hw' END AS best_model
+        |FROM r""".stripMargin,
     // A89 exact twin: at capacity >= distinct keys the sketch must equal
     // the plain ranking, est = lo = the true count
     "ev_heavy_hitters_exact" ->

@@ -1378,17 +1378,24 @@ object EventOps {
     * array expressions over horizon-length state (the A50/A83
     * model-as-summary shape — series length is the horizon at any
     * corpus size). */
-  def hwForecast(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  /** Dense per-type daily count series (interior gaps filled as REAL
+    * zeros) — the shared input of the A90 forecaster and A91 backtest.
+    * One (type, day) partial-agg shuffle → ≤types×horizon summary. */
+  private def denseDailySeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("event_type"), tsMs(col("ts")).as("ms"))
       .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
       .agg(count(lit(1)).as("y"))
-    daily.groupBy("event_type")
+      .groupBy("event_type")
       .agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"),
         map_from_entries(collect_list(struct(col("day_idx"), col("y"))))
           .as("m"))
       .withColumn("ys", expr(
         "transform(sequence(lo, hi), d -> CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))"))
+      .select(col("event_type"), col("ys"))
+
+  def hwForecast(spark: SparkSession, dir: String): DataFrame = {
+    denseDailySeries(spark, dir)
       .filter(size(col("ys")) >= 14)
       .withColumn("n_days", size(col("ys")).cast("long"))
       .withColumn("st", expr(
@@ -1417,6 +1424,94 @@ object EventOps {
         col("level"), col("trend"),
         (col("level") + col("h").cast("double") * col("trend") +
           element_at(col("s"), col("h"))).as("forecast"))
+  }
+
+  /** A91: rolling-origin FORECAST BACKTEST — the model-selection readout
+    * behind A50/A90 (Tashman 2000's rolling-origin evaluation, public;
+    * "which forecaster do I trust for this series" is a measured answer,
+    * not a preference): every day t, each model predicts y_t from data
+    * through t−1, and the one-step absolute errors accumulate —
+    *   naive (f = yesterday), Holt (the A50 recurrence), Holt–Winters
+    *   (the A90 recurrence) —
+    * with per-type MAE and the winning model (ties prefer the simpler
+    * model: naive ≺ holt ≺ hw). The folds are the A50/A90 recurrences
+    * VERBATIM with an error accumulator riding along (the forecast for t
+    * reads the state BEFORE folding y_t in — no lookahead); each |error|
+    * quantizes DECIMAL(18,9) before the exact in-fold sum, so the error
+    * totals are order-free exact and the winner compare is deterministic.
+    * Types with a horizon under 15 days drop (HW needs one evaluation).
+    *
+    * Scale: the A90 shape — one (type, day) shuffle to the dense summary,
+    * then per-type array folds over horizon-length state. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    denseDailySeries(spark, dir)
+      .filter(size(col("ys")) >= 15)
+      .withColumn("n_days", size(col("ys")).cast("long"))
+      // naive: f_t = y_{t-1}, evaluated t = 2..n
+      .withColumn("err_naive", expr(
+        """aggregate(
+          |  zip_with(slice(ys, 2, size(ys) - 1), slice(ys, 1, size(ys) - 1),
+          |    (cur, prev) -> CAST(abs(prev - cur) AS DECIMAL(18,9))),
+          |  CAST(0 AS DECIMAL(28,9)),
+          |  (a, x) -> CAST(a + x AS DECIMAL(28,9)))""".stripMargin))
+      .withColumn("n_naive", (size(col("ys")) - 1).cast("long"))
+      // Holt: the A50 recurrence with the error riding along (t = 3..n)
+      .withColumn("holt", expr(
+        """aggregate(
+          |  slice(ys, 3, size(ys) - 2),
+          |  named_struct(
+          |    'l', element_at(ys, 1),
+          |    'b', element_at(ys, 2) - element_at(ys, 1),
+          |    'err', CAST(0 AS DECIMAL(28,9))),
+          |  (acc, y) -> named_struct(
+          |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+          |    'b', 0.5D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l)
+          |      + 0.5D * acc.b,
+          |    'err', CAST(acc.err +
+          |      CAST(abs(acc.l + acc.b - y) AS DECIMAL(18,9))
+          |      AS DECIMAL(28,9))))""".stripMargin))
+      .withColumn("n_holt", (size(col("ys")) - 2).cast("long"))
+      // Holt–Winters: the A90 recurrence + error (t = 15..n)
+      .withColumn("hw", expr(
+        """aggregate(
+          |  slice(ys, 15, size(ys) - 14),
+          |  named_struct(
+          |    'l', aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D,
+          |    'b', (aggregate(slice(ys, 8, 7), 0D, (a, x) -> a + x) / 7.0D
+          |      - aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D)
+          |      / 7.0D,
+          |    's', transform(slice(ys, 1, 7), x ->
+          |      x - aggregate(slice(ys, 1, 7), 0D, (a, x2) -> a + x2) / 7.0D),
+          |    'err', CAST(0 AS DECIMAL(28,9))),
+          |  (acc, y) -> named_struct(
+          |    'l', 0.5D * (y - element_at(acc.s, 1)) + 0.5D * (acc.l + acc.b),
+          |    'b', 0.5D * ((0.5D * (y - element_at(acc.s, 1))
+          |        + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b,
+          |    's', array_append(slice(acc.s, 2, 6),
+          |      0.5D * (y - (0.5D * (y - element_at(acc.s, 1))
+          |          + 0.5D * (acc.l + acc.b))) + 0.5D * element_at(acc.s, 1)),
+          |    'err', CAST(acc.err +
+          |      CAST(abs(acc.l + acc.b + element_at(acc.s, 1) - y)
+          |        AS DECIMAL(18,9))
+          |      AS DECIMAL(28,9))))""".stripMargin))
+      .withColumn("n_hw", (size(col("ys")) - 14).cast("long"))
+      .withColumn("mae_naive",
+        col("err_naive").cast("double") / col("n_naive").cast("double"))
+      .withColumn("mae_holt",
+        col("holt.err").cast("double") / col("n_holt").cast("double"))
+      .withColumn("mae_hw",
+        col("hw.err").cast("double") / col("n_hw").cast("double"))
+      .withColumn("best_model",
+        when(col("mae_naive") <= col("mae_holt") &&
+             col("mae_naive") <= col("mae_hw"), lit("naive"))
+          .when(col("mae_holt") <= col("mae_hw"), lit("holt"))
+          .otherwise(lit("hw")))
+      .select(col("event_type"), col("n_days"),
+        col("n_naive"), col("n_holt"), col("n_hw"),
+        round(col("mae_naive"), 6).as("mae_naive"),
+        round(col("mae_holt"), 6).as("mae_holt"),
+        round(col("mae_hw"), 6).as("mae_hw"),
+        col("best_model"))
   }
 
   /** A59: SCD Type-2 dimension build — the warehouse staple the engine was

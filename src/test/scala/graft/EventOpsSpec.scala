@@ -1534,6 +1534,66 @@ class EventOpsSpec extends SparkSuite {
     assert(b > 0.0, s"trend $b")
   }
 
+  test("forecast backtest: per-model MAEs match an independent reference; constant series ties to naive; short types drop") {
+    import SparkSuite.spark.implicits._
+    val season = Array(4, -2, 0, 1, -3, 2, -2)
+    def yA(d: Int): Int = 50 + 3 * d + season(d % 7) // seasonal + trend
+    def yC(d: Int): Int = 20                          // constant: all exact
+    val rows =
+      (0 until 21).flatMap(d => (1 to yA(d)).map(i =>
+        (d * 100000L + i, new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "a", 1.0))) ++
+      (0 until 21).flatMap(d => (1 to yC(d)).map(i =>
+        (900000L + d * 1000L + i, new java.sql.Timestamp(d * 86400000L + 50000 + i),
+          i.toLong, "c", 1.0))) ++
+      (0 until 5).map(d => (990000L + d,
+        new java.sql.Timestamp(d * 86400000L + 70000), 1L, "short", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.forecastBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.keySet == Set("a", "c")) // 5-day type drops
+
+    // ---- reference: same recurrences + quantized error sums -------------
+    def q9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(y: Array[Double]): (Double, Double, Double) = {
+      val n = y.length
+      val eNaive = (1 until n).map(t => q9(math.abs(y(t - 1) - y(t)))).sum
+      var l = y(0); var b = y(1) - y(0); var eH = BigDecimal(0)
+      for (t <- 2 until n) {
+        eH += q9(math.abs(l + b - y(t)))
+        val ln = 0.5 * y(t) + 0.5 * (l + b)
+        b = 0.5 * ((0.5 * y(t) + 0.5 * (l + b)) - l) + 0.5 * b; l = ln
+      }
+      val m1 = y.slice(0, 7).foldLeft(0.0)(_ + _) / 7.0
+      val m2 = y.slice(7, 14).foldLeft(0.0)(_ + _) / 7.0
+      var hl = m1; var hb = (m2 - m1) / 7.0
+      var s = y.slice(0, 7).map(_ - m1); var eW = BigDecimal(0)
+      for (t <- 14 until n) {
+        eW += q9(math.abs(hl + hb + s(0) - y(t)))
+        val ln = 0.5 * (y(t) - s(0)) + 0.5 * (hl + hb)
+        val bn = 0.5 * ((0.5 * (y(t) - s(0)) + 0.5 * (hl + hb)) - hl) + 0.5 * hb
+        val sn = 0.5 * (y(t) - (0.5 * (y(t) - s(0)) + 0.5 * (hl + hb))) + 0.5 * s(0)
+        s = s.drop(1) :+ sn; hl = ln; hb = bn
+      }
+      (eNaive.toDouble / (n - 1), eH.toDouble / (n - 2), eW.toDouble / (n - 14))
+    }
+    val (na, ha, wa) = ref((0 until 21).map(d => yA(d).toDouble).toArray)
+    val ra = got("a")
+    assert(ra.getAs[Double]("mae_naive") == r6(na), s"$ra vs $na")
+    assert(ra.getAs[Double]("mae_holt") == r6(ha))
+    assert(ra.getAs[Double]("mae_hw") == r6(wa))
+    val best = Seq("naive" -> na, "holt" -> ha, "hw" -> wa).minBy(_._2)._1
+    assert(ra.getAs[String]("best_model") == best)
+    // constant series: every model is exact — the tie prefers naive
+    val rc = got("c")
+    assert(rc.getAs[Double]("mae_naive") == 0.0 &&
+      rc.getAs[Double]("mae_holt") == 0.0 && rc.getAs[Double]("mae_hw") == 0.0)
+    assert(rc.getAs[String]("best_model") == "naive")
+  }
+
   test("changepoints: planted step series splits once at the step; flat series never splits") {
     import SparkSuite.spark.implicits._
     // type "a": days 0..5 at 10 events/day, days 6..11 at 50/day;
