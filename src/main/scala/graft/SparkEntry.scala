@@ -104,6 +104,8 @@ object SparkEntry {
     "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
+    // A92 interrupted-time-series segmented regression at the midpoint
+    "ev_its"            -> ((s, d) => EventOps.its(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -672,6 +674,8 @@ object SparkEntry {
     "doc_readability"   -> ((s, d) => TextOps.readability(s, d)),
     // C106 PMI collocations over a ±2 token window
     "doc_pmi"           -> ((s, d) => TextOps.pmiPairs(s, d)),
+    // C107 held-out bigram NLL (train on the md5 80%, score the rest)
+    "doc_heldout_ppl"   -> ((s, d) => TextOps.heldoutPpl(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -1534,6 +1538,71 @@ object SparkEntry {
         |       WHEN mae_holt <= mae_hw THEN 'holt'
         |       ELSE 'hw' END AS best_model
         |FROM r""".stripMargin,
+    // A92: per-side OLS moments as exact DECIMAL(38,0) FILTER sums; each
+    // slope is one IEEE division of exact integers
+    "ev_its" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 4),
+        |dense0 AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+        |    hi - lo + 1 AS n
+        |  FROM rng),
+        |dense AS (
+        |  SELECT g.event_type,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) - 1 AS i,
+        |    CAST(g.n // 2 AS BIGINT) AS t0,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+        |  FROM dense0 g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |pts AS (
+        |  SELECT event_type, t0, i < t0 AS pre,
+        |    CAST(CASE WHEN i < t0 THEN i ELSE i - t0 END AS DECIMAL(38,0)) AS t,
+        |    CAST(y AS DECIMAL(38,0)) AS y
+        |  FROM dense),
+        |f AS (
+        |  SELECT event_type, max(t0) AS t0_idx,
+        |    count(*) FILTER (WHERE pre) AS n_pre,
+        |    count(*) FILTER (WHERE NOT pre) AS n_post,
+        |    coalesce(sum(t) FILTER (WHERE pre), 0) AS st1,
+        |    coalesce(sum(y) FILTER (WHERE pre), 0) AS sy1,
+        |    coalesce(sum(t * t) FILTER (WHERE pre), 0) AS stt1,
+        |    coalesce(sum(t * y) FILTER (WHERE pre), 0) AS sty1,
+        |    coalesce(sum(t) FILTER (WHERE NOT pre), 0) AS st2,
+        |    coalesce(sum(y) FILTER (WHERE NOT pre), 0) AS sy2,
+        |    coalesce(sum(t * t) FILTER (WHERE NOT pre), 0) AS stt2,
+        |    coalesce(sum(t * y) FILTER (WHERE NOT pre), 0) AS sty2
+        |  FROM pts GROUP BY 1),
+        |g AS (
+        |  SELECT *,
+        |    CAST(CAST(n_pre AS DECIMAL(38,0)) * sty1 - st1 * sy1 AS DOUBLE)
+        |      / CAST(CAST(n_pre AS DECIMAL(38,0)) * stt1 - st1 * st1 AS DOUBLE)
+        |      AS slope_pre,
+        |    CAST(CAST(n_post AS DECIMAL(38,0)) * sty2 - st2 * sy2 AS DOUBLE)
+        |      / CAST(CAST(n_post AS DECIMAL(38,0)) * stt2 - st2 * st2 AS DOUBLE)
+        |      AS slope_post
+        |  FROM f WHERE n_pre >= 2 AND n_post >= 2),
+        |h AS (
+        |  SELECT *,
+        |    (CAST(sy1 AS DOUBLE) - slope_pre * CAST(st1 AS DOUBLE))
+        |      / CAST(n_pre AS DOUBLE) AS icept_pre,
+        |    (CAST(sy2 AS DOUBLE) - slope_post * CAST(st2 AS DOUBLE))
+        |      / CAST(n_post AS DOUBLE) AS icept_post
+        |  FROM g)
+        |SELECT event_type, t0_idx, CAST(n_pre AS BIGINT) AS n_pre,
+        |  CAST(n_post AS BIGINT) AS n_post,
+        |  round(icept_pre, 6) AS intercept_pre,
+        |  round(slope_pre, 6) AS slope_pre,
+        |  round(icept_post, 6) AS intercept_post,
+        |  round(slope_post, 6) AS slope_post,
+        |  round(icept_post - (icept_pre + slope_pre * CAST(t0_idx AS DOUBLE)), 6)
+        |    AS level_change,
+        |  round(slope_post - slope_pre, 6) AS slope_change
+        |FROM h""".stripMargin,
     // A89 exact twin: at capacity >= distinct keys the sketch must equal
     // the plain ranking, est = lo = the true count
     "ev_heavy_hitters_exact" ->
@@ -2784,6 +2853,40 @@ object SparkEntry {
         |      FROM pp JOIN bc USING (a, b) JOIN ac USING (a), v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS nll2
+        |FROM s GROUP BY 1""".stripMargin,
+    // C107: the C68 model on the md5 TRAIN split, scored on the held-out
+    // docs with LEFT joins + coalesce (unseen pairs/words pay the
+    // smoothed price); identical tokenization and quantization
+    "doc_heldout_ppl" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        |       WHERE h2 < 'cd'),
+        |hd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        |       WHERE h2 >= 'cd'),
+        |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM tr WHERE len(ws) >= 2),
+        |tpp AS (SELECT struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM tp),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM tpp GROUP BY 1, 2),
+        |ac AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS tok FROM d
+        |        WHERE h2 < 'cd')),
+        |hp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM hd WHERE len(ws) >= 2),
+        |hpp AS (SELECT doc_id, struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM hp),
+        |s AS (SELECT hpp.doc_id,
+        |        CAST(-ln((coalesce(bc.n_ab, 0) + 1)
+        |          / (coalesce(ac.n_a, 0) + v.n_vocab)) AS DECIMAL(18,9))
+        |          AS tok_nll
+        |      FROM hpp LEFT JOIN bc USING (a, b) LEFT JOIN ac USING (a), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS heldout_nll
         |FROM s GROUP BY 1""".stripMargin,
     // interpolated Kneser-Ney (d = 0.75): every model table derives from
     // the pair census; identical double association order as the Spark plan

@@ -1426,6 +1426,85 @@ object EventOps {
           element_at(col("s"), col("h"))).as("forecast"))
   }
 
+  /** A92: INTERRUPTED TIME SERIES readout — segmented regression around a
+    * fixed intervention day (Wagner et al. 2002, public; the standard
+    * quasi-experimental tool when there IS no control arm: a deploy, a
+    * pricing change, a policy flip): per event type, OLS level+slope fit
+    * on the pre-period and the post-period, reporting the LEVEL CHANGE at
+    * the intervention (post intercept minus the pre fit's counterfactual
+    * continuation) and the SLOPE CHANGE. The intervention here is the
+    * horizon midpoint (a deterministic, engine-agnostic anchor; real
+    * deployments pass their own day). Interior missing days are real
+    * zeros (the A86/A90 discipline); types with fewer than 2 days per
+    * side drop (no fit).
+    *
+    * Portability: OLS slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) with t as
+    * small per-side indices and y exact counts — BOTH numerator and
+    * denominator are exact DECIMAL(38,0) sums (the A63b Gini discipline;
+    * products overflow longs at planetary scale), so each slope is ONE
+    * IEEE division of exact integers and every derived value is a fixed
+    * tree — hash-exact; 6-dp rounds.
+    *
+    * Scale: one (type, day) partial-agg shuffle → dense horizon summary;
+    * the fits are FILTER-aggregated moments over that summary — no
+    * per-side re-scan, no driver math. */
+  def its(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = denseDailySeries(spark, dir)
+      .filter(size(col("ys")) >= 4)
+      .select(col("event_type"), posexplode(col("ys")).as(Seq("i", "yd")))
+      .withColumn("t0", floor(count(lit(1)).over(
+        Window.partitionBy("event_type")) / 2).cast("long"))
+      .withColumn("y", col("yd").cast("long"))
+      .withColumn("pre", col("i") < col("t0"))
+      // per-side time index from the side's own origin
+      .withColumn("t", when(col("pre"), col("i").cast("long"))
+        .otherwise(col("i").cast("long") - col("t0")))
+    def m(side: Boolean, e: org.apache.spark.sql.Column) = sum(when(col("pre") === side, e)
+      .otherwise(lit(0).cast(dec)))
+    val fits = series.groupBy("event_type").agg(
+      max(col("t0")).as("t0_idx"),
+      count(when(col("pre"), lit(1))).as("n_pre"),
+      count(when(!col("pre"), lit(1))).as("n_post"),
+      m(true, col("t").cast(dec)).as("st1"),
+      m(true, col("y").cast(dec)).as("sy1"),
+      m(true, col("t").cast(dec) * col("t").cast(dec)).as("stt1"),
+      m(true, col("t").cast(dec) * col("y").cast(dec)).as("sty1"),
+      m(false, col("t").cast(dec)).as("st2"),
+      m(false, col("y").cast(dec)).as("sy2"),
+      m(false, col("t").cast(dec) * col("t").cast(dec)).as("stt2"),
+      m(false, col("t").cast(dec) * col("y").cast(dec)).as("sty2"))
+      .filter(col("n_pre") >= 2 && col("n_post") >= 2)
+    def slope(n: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column,
+              sy: org.apache.spark.sql.Column, stt: org.apache.spark.sql.Column,
+              sty: org.apache.spark.sql.Column) =
+      (n.cast(dec) * sty - st * sy).cast("double") /
+        (n.cast(dec) * stt - st * st).cast("double")
+    def icept(n: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column,
+              sy: org.apache.spark.sql.Column, sl: org.apache.spark.sql.Column) =
+      (sy.cast("double") - sl * st.cast("double")) / n.cast("double")
+    fits
+      .withColumn("slope_pre",
+        slope(col("n_pre"), col("st1"), col("sy1"), col("stt1"), col("sty1")))
+      .withColumn("slope_post",
+        slope(col("n_post"), col("st2"), col("sy2"), col("stt2"), col("sty2")))
+      .withColumn("icept_pre",
+        icept(col("n_pre"), col("st1"), col("sy1"), col("slope_pre")))
+      .withColumn("icept_post",
+        icept(col("n_post"), col("st2"), col("sy2"), col("slope_post")))
+      // counterfactual continuation of the pre fit at the intervention
+      .withColumn("level_change", col("icept_post") -
+        (col("icept_pre") + col("slope_pre") * col("t0_idx").cast("double")))
+      .withColumn("slope_change", col("slope_post") - col("slope_pre"))
+      .select(col("event_type"), col("t0_idx"), col("n_pre"), col("n_post"),
+        round(col("icept_pre"), 6).as("intercept_pre"),
+        round(col("slope_pre"), 6).as("slope_pre"),
+        round(col("icept_post"), 6).as("intercept_post"),
+        round(col("slope_post"), 6).as("slope_post"),
+        round(col("level_change"), 6).as("level_change"),
+        round(col("slope_change"), 6).as("slope_change"))
+  }
+
   /** A91: rolling-origin FORECAST BACKTEST — the model-selection readout
     * behind A50/A90 (Tashman 2000's rolling-origin evaluation, public;
     * "which forecaster do I trust for this series" is a measured answer,

@@ -1213,6 +1213,53 @@ object TextOps {
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("nll2"))
   }
 
+  /** C107: HELD-OUT bigram negative log-likelihood — the proper LM-eval
+    * loop C68 (which scores the training corpus itself) was missing: the
+    * Laplace-smoothed bigram model fits on the md5 TRAIN split (the C23
+    * derandomized 80% assignment) and scores only HELD-OUT docs, so
+    * unseen words and unseen pairs genuinely occur and pay their smoothed
+    * price — P(b|a) = (c(a,b)+1)/(c(a,·)+V) with c = 0 for anything the
+    * train split never saw (LEFT joins + coalesce, V = train vocab).
+    * This is the decider behind perplexity-filter thresholds and "did
+    * more data actually improve the model" checks.
+    *
+    * Portability: identical tokenization/pair construction to C68; each
+    * token NLL quantizes DECIMAL(18,9) before the order-free sum; the
+    * per-doc mean is one IEEE division, 6-dp rounds. Scale: one corpus
+    * scan feeds both splits; counts are pair-keyed partial aggs on the
+    * TRAIN side only; scoring is two key joins against census-sized
+    * tables; the vocab scalar broadcasts. */
+  def heldoutPpl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .withColumn("h2", substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+    val train = docs.filter(col("h2") < "cd")
+    val held = docs.filter(col("h2") >= "cd")
+    def pairsOf(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bc = pairsOf(train).groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val ac = bc.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val vocab = train.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("n_vocab"))
+    pairsOf(held)
+      .join(bc, Seq("a", "b"), "left")
+      .join(ac, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("tok_nll", (-log(
+        (coalesce(col("n_ab"), lit(0L)) + 1) /
+          (coalesce(col("n_a"), lit(0L)) + col("n_vocab"))))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6)
+          .as("heldout_nll"))
+  }
+
   /** C70: T5-style span-corruption manifest (Raffel et al. 2020 §3.1.4,
     * public — the denoising objective's mask layout): each token position
     * independently starts a `spanLen`-token mask span with probability

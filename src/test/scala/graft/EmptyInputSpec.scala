@@ -261,6 +261,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.readability(spark, dir).count() == 0)
     assert(TextOps.pmiPairs(spark, dir).count() == 0)
     assert(EventOps.forecastBacktest(spark, dir).count() == 0)
+    assert(EventOps.its(spark, dir).count() == 0)
+    assert(TextOps.heldoutPpl(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)

@@ -1534,6 +1534,33 @@ class EventOpsSpec extends SparkSuite {
     assert(b > 0.0, s"trend $b")
   }
 
+  test("its: planted segmented series reads exact level and slope changes; short types drop") {
+    import SparkSuite.spark.implicits._
+    // horizon 20, intervention at index 10: pre y = 10 + 2t, post y = 50 + 5t'
+    def yOf(i: Int): Int = if (i < 10) 10 + 2 * i else 50 + 5 * (i - 10)
+    val rows = (0 until 20).flatMap(i => (1 to yOf(i)).map(k =>
+      (i * 10000L + k, new java.sql.Timestamp(i * 86400000L + k), k.toLong,
+        "a", 1.0))) ++
+      (0 until 3).map(i => (90000L + i,
+        new java.sql.Timestamp(i * 86400000L + 7), 1L, "short", 1.0))
+    val d = java.nio.file.Files.createTempDirectory("graft-its").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val out = EventOps.its(spark, d).collect()
+    assert(out.map(_.getAs[String]("event_type")).toSeq == Seq("a"))
+    val r = out.head
+    assert(r.getAs[Long]("t0_idx") == 10L)
+    assert(r.getAs[Long]("n_pre") == 10L && r.getAs[Long]("n_post") == 10L)
+    // exact linear segments ⇒ exact OLS recovery
+    assert(r.getAs[Double]("intercept_pre") == 10.0 &&
+      r.getAs[Double]("slope_pre") == 2.0)
+    assert(r.getAs[Double]("intercept_post") == 50.0 &&
+      r.getAs[Double]("slope_post") == 5.0)
+    // counterfactual at the intervention: 10 + 2*10 = 30 ⇒ jump of 20
+    assert(r.getAs[Double]("level_change") == 20.0)
+    assert(r.getAs[Double]("slope_change") == 3.0)
+  }
+
   test("forecast backtest: per-model MAEs match an independent reference; constant series ties to naive; short types drop") {
     import SparkSuite.spark.implicits._
     val season = Array(4, -2, 0, 1, -3, 2, -2)

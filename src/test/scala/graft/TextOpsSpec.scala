@@ -1408,6 +1408,38 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C107 held-out bigram NLL -------------------------------------------------
+
+  test("heldout ppl: unseen pairs and words pay the smoothed price; hand-computed cells") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 200L)
+    val trainIds = ids.filter(i => md5hex(i.toString).substring(0, 2) < "cd").take(3)
+    val heldIds = ids.filter(i => md5hex(i.toString).substring(0, 2) >= "cd").take(2)
+    val docs = trainIds.map(i => (i, "a b a c")) ++
+      Seq((heldIds(0), "a b z"), (heldIds(1), "z q"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hop").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.heldoutPpl(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("heldout_nll")))).toMap
+    assert(out.keySet == heldIds.toSet) // train docs never score
+    def q9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(b: BigDecimal) = b.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // train model (3 copies of "a b a c"): c(a,b)=3, c(b,a)=3, c(a,c)=3,
+    // c(a,.)=6, c(b,.)=3; V = |{a,b,c}| = 3
+    // held "a b z": -ln(4/9) (seen) + -ln(1/(3+3)) (unseen pair, seen a=b? b:3)
+    val d1 = r6((q9(-math.log(4.0 / 9.0)) + q9(-math.log(1.0 / 6.0))) / 2)
+    assert(out(heldIds(0)) == ((2L, d1)), s"${out(heldIds(0))} vs $d1")
+    // held "z q": z unseen entirely: -ln((0+1)/(0+3))
+    val d2 = r6(q9(-math.log(1.0 / 3.0)))
+    assert(out(heldIds(1)) == ((1L, d2)))
+    // real corpus: held docs only, every nll positive
+    val real = TextOps.heldoutPpl(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Double]("heldout_nll") > 0.0))
+  }
+
   // ---- C106 PMI collocations ---------------------------------------------------
 
   test("pmi: hand-computed window pairs; low-count pairs drop; ranking is on the quantized score") {
