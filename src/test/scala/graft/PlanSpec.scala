@@ -378,4 +378,25 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("readability: map-only — no exchange anywhere in the plan") {
+    val p = planOf(TextOps.readability(spark, sf))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("pmi: the top-k cut is a bounded TakeOrdered, never a global sort") {
+    val p = planOf(TextOps.pmiPairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("its and backtest: one corpus scan each, summary-level work after") {
+    val p1 = planOf(EventOps.its(spark, sf))
+    assert("Scan parquet".r.findAllIn(p1).length == 1, p1.take(1500))
+    assert(!p1.contains("SortMergeJoin"), p1.take(1500))
+    val p2 = planOf(EventOps.forecastBacktest(spark, sf))
+    assert("Scan parquet".r.findAllIn(p2).length == 1, p2.take(1500))
+    assert(!p2.contains("Join"), p2.take(1500))
+  }
 }
