@@ -73,7 +73,7 @@ object Bench {
     "ev_heavy_hitters", "ev_hw_forecast",
     "doc_unigram_train", "doc_unigram_encode", "mm_phash_pairs",
     "qa_reconcile", "doc_metric_corr", "doc_readability", "doc_pmi",
-    "ev_forecast_backtest", "ev_its", "doc_heldout_ppl",
+    "ev_forecast_backtest", "ev_its", "doc_heldout_ppl", "ev_retention_fit",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -106,6 +106,8 @@ object SparkEntry {
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A92 interrupted-time-series segmented regression at the midpoint
     "ev_its"            -> ((s, d) => EventOps.its(s, d)),
+    // A93 retention-curve power-law fit + day-30 projection
+    "ev_retention_fit"  -> ((s, d) => EventOps.retentionFit(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -1602,6 +1604,49 @@ object SparkEntry {
         |  round(icept_post - (icept_pre + slope_pre * CAST(t0_idx AS DOUBLE)), 6)
         |    AS level_change,
         |  round(slope_post - slope_pre, 6) AS slope_change
+        |FROM h""".stripMargin,
+    // A93: the C99 ln-quantized OLS discipline over the pooled offset
+    // census; projection = exp over the identical fixed tree
+    "ev_retention_fit" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ud),
+        |o AS (
+        |  SELECT day - min(day) OVER (PARTITION BY user_id) AS off
+        |  FROM ud),
+        |c AS (SELECT off, CAST(count(*) AS BIGINT) AS n_ret FROM o
+        |      WHERE off BETWEEN 1 AND 30 GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(ln(CAST(off AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+        |    CAST(ln(CAST(n_ret AS DOUBLE) / CAST(n.n_users AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS y, n.n_users
+        |  FROM c, n),
+        |s AS (
+        |  SELECT count(*) AS n_points, max(n_users) AS n_users,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM p),
+        |f AS (
+        |  SELECT *, CAST(n_points AS DOUBLE) AS nd,
+        |    nd * sxy - sx * sy AS num,
+        |    nd * sxx - sx * sx AS denx,
+        |    nd * syy - sy * sy AS deny
+        |  FROM s WHERE n_points >= 2),
+        |g AS (
+        |  SELECT *, CASE WHEN denx <> 0 THEN num / denx END AS slope
+        |  FROM f),
+        |h AS (
+        |  SELECT *, (sy - slope * sx) / nd AS intercept FROM g)
+        |SELECT n_points, n_users,
+        |  round(slope, 6) AS slope,
+        |  round(intercept, 6) AS intercept,
+        |  round(CASE WHEN denx * deny <> 0
+        |    THEN num * num / (denx * deny) END, 6) AS r2,
+        |  round(exp(intercept + slope * ln(CAST(30.0 AS DOUBLE))), 6)
+        |    AS proj_d30
         |FROM h""".stripMargin,
     // A89 exact twin: at capacity >= distinct keys the sketch must equal
     // the plain ranking, est = lo = the true count

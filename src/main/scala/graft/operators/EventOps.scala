@@ -1426,6 +1426,74 @@ object EventOps {
           element_at(col("s"), col("h"))).as("forecast"))
   }
 
+  /** A93: RETENTION-CURVE power-law fit — ln-ln OLS of the pooled daily
+    * retention rate on the day offset (the "retention decays as t^(−b)"
+    * model practitioners project long-term retention with; the same
+    * public OLS discipline as C99's Zipf fit): rate(d) = users active at
+    * offset d from their first day / all users, fitted over offsets
+    * 1..maxOffset with rate > 0. Slope = −b (shallower is stickier),
+    * intercept = ln a, r², and the day-30 projection exp(â + b̂·ln 30) —
+    * the number a growth dashboard actually quotes.
+    *
+    * Portability: counts exact; rate one IEEE division; ln values
+    * quantize DECIMAL(18,9) (the C72/C99 ln discipline) so the OLS
+    * moments are exact decimal sums and the fit statistics one fixed
+    * IEEE tree; 6-dp rounds. Scale: corpus → distinct (user, day) in one
+    * shuffle (localCheckpoint'd — the first-day window, the offset census
+    * and the user total all derive from it); the fit folds over
+    * ≤ maxOffset summary rows. */
+  def retentionFit(spark: SparkSession, dir: String,
+                   maxOffset: Int = 30): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val nUsers = broadcast(
+      ud.agg(countDistinct(col("user_id")).as("n_users")))
+    val pts = ud
+      .withColumn("f", min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("off", col("day") - col("f"))
+      .filter(col("off") >= 1 && col("off") <= maxOffset)
+      .groupBy("off").agg(count(lit(1)).as("n_ret")) // (user, day) distinct
+      .crossJoin(nUsers)
+      .withColumn("rate",
+        col("n_ret").cast("double") / col("n_users").cast("double"))
+      .withColumn("x", log(col("off").cast("double")).cast(dec))
+      .withColumn("y", log(col("rate")).cast(dec))
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        max(col("n_users")).as("n_users"),
+        sum(col("x")).as("sxq"), sum(col("y")).as("syq"),
+        sum(col("x") * col("x")).as("sxxq"),
+        sum(col("x") * col("y")).as("sxyq"),
+        sum(col("y") * col("y")).as("syyq"))
+      .filter(col("n_points") >= 2)
+      .withColumn("nd", col("n_points").cast("double"))
+      .withColumn("sx", col("sxq").cast("double"))
+      .withColumn("sy", col("syq").cast("double"))
+      .withColumn("sxx", col("sxxq").cast("double"))
+      .withColumn("sxy", col("sxyq").cast("double"))
+      .withColumn("syy", col("syyq").cast("double"))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("nd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope",
+        when(col("denx") =!= lit(0.0), col("num") / col("denx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("nd"))
+      .withColumn("r2", when(col("denx") * col("deny") =!= lit(0.0),
+        col("num") * col("num") / (col("denx") * col("deny"))))
+      .withColumn("proj_d30",
+        exp(col("intercept") + col("slope") * lit(math.log(30.0))))
+      .select(col("n_points"), col("n_users"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"),
+        round(col("proj_d30"), 6).as("proj_d30"))
+  }
+
   /** A92: INTERRUPTED TIME SERIES readout — segmented regression around a
     * fixed intervention day (Wagner et al. 2002, public; the standard
     * quasi-experimental tool when there IS no control arm: a deploy, a

@@ -262,6 +262,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.pmiPairs(spark, dir).count() == 0)
     assert(EventOps.forecastBacktest(spark, dir).count() == 0)
     assert(EventOps.its(spark, dir).count() == 0)
+    assert(EventOps.retentionFit(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)

@@ -1534,6 +1534,24 @@ class EventOpsSpec extends SparkSuite {
     assert(b > 0.0, s"trend $b")
   }
 
+  test("retention fit: planted 1/d curve reads slope -1, r2 ~ 1, and the d30 projection") {
+    import SparkSuite.spark.implicits._
+    // 720 users on day 0; exactly 720/d of them return on day d (d = 1..6)
+    val rows = (1L to 720L).map(u => (u, 0)) ++
+      (1 to 6).flatMap(d => (1L to 720L / d).map(u => (u, d)))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, new java.sql.Timestamp(d * 86400000L + u), u, "view", 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfit").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = EventOps.retentionFit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_points") == 6L && r.getAs[Long]("n_users") == 720L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-6, s"$r")
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-6)
+    assert(r.getAs[Double]("r2") > 0.999999)
+    assert(math.abs(r.getAs[Double]("proj_d30") - 1.0 / 30.0) < 1e-4)
+  }
+
   test("its: planted segmented series reads exact level and slope changes; short types drop") {
     import SparkSuite.spark.implicits._
     // horizon 20, intervention at index 10: pre y = 10 + 2t, post y = 50 + 5t'
