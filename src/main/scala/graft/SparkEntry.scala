@@ -183,6 +183,18 @@ object SparkEntry {
     // gates the kernel against a plain SQL ranking)
     "ev_heavy_hitters"  -> ((s, d) => Sketches.heavyHitters(s, d)),
     "ev_heavy_hitters_exact" -> ((s, d) => Sketches.heavyHittersExact(s, d)),
+    // A89c: store-served full-range top-k must equal the exact twin's
+    // oracle (under-capacity regime: merged partials are provably exact)
+    "ev_hh_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hhs")
+      try {
+        Sketches.writeHeavyHitterStore(s, d, tmp.toString)
+        Sketches.heavyHittersFromStore(s, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
     "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
     "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),
@@ -730,6 +742,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.phashPairs(m.union(dup))
     }),
   )
+
+  // A89/A89c shared oracle: the plain exact per-type top-k ranking
+  private val hhExactSql =
+    """SELECT event_type, rank, user_id, c AS est, c AS lo FROM (
+      |  SELECT event_type, user_id, count(*) AS c,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY count(*) DESC, user_id) AS rank
+      |  FROM events GROUP BY 1, 2) t
+      |WHERE rank <= 10""".stripMargin
 
   // Shared SQL fragments for the oracle (DuckDB 1.0 dialect).
   private val rev = "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -1650,13 +1671,10 @@ object SparkEntry {
         |FROM h""".stripMargin,
     // A89 exact twin: at capacity >= distinct keys the sketch must equal
     // the plain ranking, est = lo = the true count
-    "ev_heavy_hitters_exact" ->
-      """SELECT event_type, rank, user_id, c AS est, c AS lo FROM (
-        |  SELECT event_type, user_id, count(*) AS c,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY count(*) DESC, user_id) AS rank
-        |  FROM events GROUP BY 1, 2) t
-        |WHERE rank <= 10""".stripMargin,
+    "ev_heavy_hitters_exact" -> hhExactSql,
+    // A89c: the store-served full-range top-k must reproduce the same
+    // exact ranking (merged under-capacity partials are provably exact)
+    "ev_hh_store" -> hhExactSql,
     // A63: naive global row_number reproduces the two-level rank; shares
     // are single IEEE divisions of exact integers.
     "ev_concentration" ->

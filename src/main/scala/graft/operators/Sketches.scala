@@ -178,4 +178,39 @@ object Sketches {
   def heavyHittersExact(spark: SparkSession, dir: String,
                         k: Int = 10): DataFrame =
     heavyHitters(spark, dir, k, capacity = 1 << 22)
+
+  /** A89c: the PERSISTED rollup form — per-(type, day) sketches land once
+    * (the A80/A24 store pattern: sketch the raw stream daily, answer any
+    * coarser window by MERGING partials, never a corpus re-scan); the
+    * mergeable-summaries rule means the served window carries the same
+    * upper/lower bounds, and in the under-capacity regime it is exact. */
+  def writeHeavyHitterStore(spark: SparkSession, dir: String,
+                            storeDir: String, capacity: Int = 1 << 22): Unit = {
+    import graft.functions.SpaceSavingFunctions._
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Cols.tsMs(col("ts")).as("ts_ms"), col("user_id"))
+      .withColumn("day_idx", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "day_idx")
+      .agg(ssAgg(col("user_id"), capacity).as("ss"))
+      .write.mode("overwrite").parquet(s"$storeDir/hh_daily.parquet")
+  }
+
+  /** Serve per-type top-k over a day range from the store — one partial
+    * agg over ≤ types×days sketch rows, zero raw-event reads. */
+  def heavyHittersFromStore(spark: SparkSession, storeDir: String,
+                            fromDay: Long = Long.MinValue,
+                            toDay: Long = Long.MaxValue, k: Int = 10,
+                            capacity: Int = 1 << 22): DataFrame = {
+    import graft.functions.SpaceSavingFunctions._
+    spark.read.parquet(s"$storeDir/hh_daily.parquet")
+      .filter(col("day_idx") >= fromDay && col("day_idx") <= toDay)
+      .groupBy("event_type")
+      .agg(ssMergeAgg(col("ss"), capacity).as("ss"))
+      .select(col("event_type"),
+        posexplode(ssTopK(col("ss"), lit(k))).as(Seq("pos", "hh")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("hh.key").as("user_id"), col("hh.est").as("est"),
+        col("hh.lo").as("lo"))
+  }
 }

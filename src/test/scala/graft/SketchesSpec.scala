@@ -156,6 +156,34 @@ class SketchesSpec extends SparkSuite {
     assert(entries.take(2).map(_._1) == Seq(1L, 2L))
   }
 
+  test("spacesaving store: windowed serve from daily partials equals a direct ranking over the window") {
+    import SparkSuite.spark.implicits._
+    // 3 days: u1 heavy on day 0, u2 heavy on days 1-2
+    val rows = (1 to 9).map(i => (i.toLong, 0L, 1L)) ++
+      (1 to 2).map(i => (100L + i, 0L, 2L)) ++
+      (1 to 6).map(i => (200L + i, 1L, 2L)) ++
+      (1 to 6).map(i => (300L + i, 2L, 2L)) ++
+      (1 to 3).map(i => (400L + i, 2L, 1L))
+    val ev = rows.map { case (id, day, u) =>
+      (id, new java.sql.Timestamp(day * 86400000L + id), u, "view", 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhstore-src").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-hhstore").toString
+    Sketches.writeHeavyHitterStore(spark, dir, store)
+    // full range: u1 = 12, u2 = 14
+    val full = Sketches.heavyHittersFromStore(spark, store).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("est"), r.getAs[Long]("lo"))).toSet
+    assert(full == Set((1L, 2L, 14L, 14L), (2L, 1L, 12L, 12L)), full.toString)
+    // days 1-2 only: u2 = 12, u1 = 3 — the window re-ranks without any
+    // raw-event re-read
+    val win = Sketches.heavyHittersFromStore(spark, store, fromDay = 1, toDay = 2)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("est"), r.getAs[Long]("lo"))).toSet
+    assert(win == Set((1L, 2L, 12L, 12L), (2L, 1L, 3L, 3L)), win.toString)
+  }
+
   test("spacesaving: disjoint-key merge is exact and canonical; rollup agg equals one-shot build") {
     import graft.functions.SpaceSaving
     import graft.functions.SpaceSavingFunctions._
