@@ -1382,10 +1382,16 @@ object EventOps {
     * zeros) — the shared input of the A90 forecaster and A91 backtest.
     * One (type, day) partial-agg shuffle → ≤types×horizon summary. */
   private def denseDailySeries(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    denseFromDaily(Tables.events(spark, dir)
       .select(col("event_type"), tsMs(col("ts")).as("ms"))
       .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
-      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("y")))
+
+  /** Dense-fill a (event_type, day_idx, y) table — shared with the
+    * streaming twin, which derives its daily table from watermark-closed
+    * windows instead of raw events. */
+  private[graft] def denseFromDaily(daily: DataFrame): DataFrame =
+    daily
       .groupBy("event_type")
       .agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"),
         map_from_entries(collect_list(struct(col("day_idx"), col("y"))))
@@ -1394,8 +1400,13 @@ object EventOps {
         "transform(sequence(lo, hi), d -> CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))"))
       .select(col("event_type"), col("ys"))
 
-  def hwForecast(spark: SparkSession, dir: String): DataFrame = {
-    denseDailySeries(spark, dir)
+  def hwForecast(spark: SparkSession, dir: String): DataFrame =
+    hwFromDense(denseDailySeries(spark, dir))
+
+  /** The A90 fold over an already-dense (event_type, ys) table — shared
+    * with the streaming twin (one recurrence, two transports). */
+  private[graft] def hwFromDense(dense: DataFrame): DataFrame = {
+    dense
       .filter(size(col("ys")) >= 14)
       .withColumn("n_days", size(col("ys")).cast("long"))
       .withColumn("st", expr(

@@ -1086,6 +1086,43 @@ object EventPipeline {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** A90 streaming twin: the LIVE Holt–Winters forecast — daily tumbling
+    * windows close exactly once at the watermark (append mode, the A69
+    * sloBurnStream discipline); foreachBatch appends each closed
+    * (type, day, count) to a compact parquet day-history, then re-runs
+    * the BATCH A90 fold over that history (horizon-sized — the fold is
+    * model-as-summary, so the recompute costs nothing at any corpus
+    * size) and OVERWRITES the forecast table. Replay-invariant +
+    * exactly-once by construction: the watermark is monotone so each day
+    * lands once, and the recompute reads the full closed-day history —
+    * after a bounded replay the forecast table is BIT-EQUAL to
+    * [[graft.operators.EventOps.hwForecast]] over the closed days (the
+    * spec's oracle: one recurrence, two transports). */
+  def hwForecastStream(events: DataFrame, historyDir: String,
+                       outDir: String, checkpoint: String,
+                       watermark: String = "0 seconds"): StreamingQuery = {
+    val daily = events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .select(expr("unix_millis(window.start) div 86400000").as("day_idx"),
+        col("event_type"), col("y"))
+    daily.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(historyDir) // each day lands once
+          val hist = batch.sparkSession.read.parquet(historyDir)
+            .select(col("event_type"), col("day_idx"), col("y"))
+          graft.operators.EventOps
+            .hwFromDense(graft.operators.EventOps.denseFromDaily(hist))
+            .write.mode("overwrite").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   case class HeavyHitter(event_type: String, rank: Int, user_id: Long,
                          est: Long, lo: Long, n: Long)
 

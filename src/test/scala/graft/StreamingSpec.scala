@@ -1345,6 +1345,39 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch divergence: $out vs $batch")
   }
 
+  test("A90 stream: the day-close live forecast equals the batch forecaster bit-for-bit") { withRocksDB {
+    val D = 86400000L
+    def e(id: Long, day: Int, k: Long) =
+      Event(id, new Timestamp(day * D + k), k % 50, "a", 1.0)
+    // 16 days of trending+weekly counts for type "a"
+    val rows = (0 until 16).flatMap { d =>
+      (1 to (30 + 3 * d + (d % 7) * 2)).map(i => e(d * 10000L + i, d, i.toLong))
+    }
+    val (b1, b2) = rows.partition(_.ts.getTime < 8 * D)
+    val sentinel = Event(9999999L, new Timestamp(40L * D), 1L, "sentinel", 1.0)
+    import SparkSuite.spark.implicits._
+    val batchDir = Files.createTempDirectory("graft-hwf-batch").toString
+    rows.toDF().write.parquet(s"$batchDir/events.parquet") // no sentinel
+    val src = Files.createTempDirectory("graft-hwf-src").toString
+    val hist = Files.createTempDirectory("graft-hwf-hist").toString + "/h"
+    val out = Files.createTempDirectory("graft-hwf-out").toString + "/f"
+    val chk = Files.createTempDirectory("graft-hwf-chk").toString
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.hwForecastStream(
+      EventPipeline.fileSource(spark, src), hist, out, chk)
+    q.processAllAvailable()
+    writeBatch(src, "b2", b2 :+ sentinel) // closes every real day
+    q.processAllAvailable(); q.stop()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("h"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast"))).toSet
+    val stream = key(spark.read.parquet(out).collect())
+    val batch = key(graft.operators.EventOps.hwForecast(spark, batchDir).collect())
+    assert(stream == batch && stream.nonEmpty,
+      s"stream ${stream.size} vs batch ${batch.size}")
+  }}
+
   test("A89 stream: live heavy hitters carry state across batches; exact under capacity") { withRocksDB {
     val B = 1700000000000L
     def e(id: Long, k: Long, u: Long, t: String) =
