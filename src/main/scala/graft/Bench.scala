@@ -74,7 +74,7 @@ object Bench {
     "doc_unigram_train", "doc_unigram_encode", "mm_phash_pairs",
     "qa_reconcile", "doc_metric_corr", "doc_readability", "doc_pmi",
     "ev_forecast_backtest", "ev_its", "doc_heldout_ppl", "ev_retention_fit",
-    "ev_hh_store",
+    "ev_hh_store", "ev_experiment_segments", "doc_tok_compare",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -108,6 +108,8 @@ object SparkEntry {
     "ev_its"            -> ((s, d) => EventOps.its(s, d)),
     // A93 retention-curve power-law fit + day-30 projection
     "ev_retention_fit"  -> ((s, d) => EventOps.retentionFit(s, d)),
+    // A94 per-cohort treatment effects + Cochran Q / I² heterogeneity
+    "ev_experiment_segments" -> ((s, d) => EventOps.experimentSegments(s, d)),
     // A63 Lorenz deciles of per-user activity + exact Gini coefficient
     "ev_concentration"  -> ((s, d) => EventOps.concentration(s, d)),
     "ev_gini"           -> ((s, d) => EventOps.gini(s, d)),
@@ -690,6 +692,9 @@ object SparkEntry {
     "doc_pmi"           -> ((s, d) => TextOps.pmiPairs(s, d)),
     // C107 held-out bigram NLL (train on the md5 80%, score the rest)
     "doc_heldout_ppl"   -> ((s, d) => TextOps.heldoutPpl(s, d)),
+    // C108 BPE-vs-unigram fertility bake-off per source (rows-only:
+    // both encoders are rows-only; reconciliation spec-gated)
+    "doc_tok_compare"   -> ((s, d) => TextOps.tokCompare(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -1626,6 +1631,57 @@ object SparkEntry {
         |    AS level_change,
         |  round(slope_post - slope_pre, 6) AS slope_change
         |FROM h""".stripMargin,
+    // A94: exact cells; weights/lifts one fixed IEEE tree; the Q/pooled
+    // sums quantize each term DECIMAL(28,9) (order-free — segment order
+    // can never wobble the statistic); one-pass Q identity
+    "ev_experiment_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_week,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)
+        |           < '80' THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT cohort_week,
+        |    count(*) FILTER (WHERE variant = 'A') AS n_a,
+        |    count(*) FILTER (WHERE variant = 'A' AND conv = 1) AS conv_a,
+        |    count(*) FILTER (WHERE variant = 'B') AS n_b,
+        |    count(*) FILTER (WHERE variant = 'B' AND conv = 1) AS conv_b
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT *, CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b
+        |  FROM c WHERE n_a > 0 AND n_b > 0),
+        |v AS (
+        |  SELECT *, rate_b - rate_a AS lift,
+        |    rate_a * (CAST(1.0 AS DOUBLE) - rate_a) / CAST(n_a AS DOUBLE)
+        |      + rate_b * (CAST(1.0 AS DOUBLE) - rate_b) / CAST(n_b AS DOUBLE)
+        |      AS var_i
+        |  FROM r),
+        |q AS (
+        |  SELECT count(*) AS k,
+        |    sum(CAST(CAST(1.0 AS DOUBLE) / var_i AS DECIMAL(28,9))) AS sw,
+        |    sum(CAST((CAST(1.0 AS DOUBLE) / var_i) * lift
+        |        AS DECIMAL(28,9))) AS swl,
+        |    sum(CAST((CAST(1.0 AS DOUBLE) / var_i) * lift * lift
+        |        AS DECIMAL(28,9))) AS swll
+        |  FROM v WHERE var_i > 0),
+        |s2 AS (
+        |  SELECT *, CAST(swl AS DOUBLE) / CAST(sw AS DOUBLE) AS pooled_lift,
+        |    CAST(swll AS DOUBLE) - CAST(swl AS DOUBLE) * CAST(swl AS DOUBLE)
+        |      / CAST(sw AS DOUBLE) AS q_stat
+        |  FROM q),
+        |s3 AS (
+        |  SELECT *, CASE WHEN q_stat > 0 AND k > 1 THEN
+        |    greatest(CAST(0.0 AS DOUBLE),
+        |      (q_stat - CAST(k - 1 AS DOUBLE)) / q_stat) END AS i2
+        |  FROM s2)
+        |SELECT v.cohort_week, v.n_a, v.conv_a, v.n_b, v.conv_b,
+        |  round(v.lift, 6) AS lift, s3.k AS k_segments,
+        |  round(s3.pooled_lift, 6) AS pooled_lift,
+        |  round(s3.q_stat, 6) AS q_stat, round(s3.i2, 6) AS i2
+        |FROM v, s3""".stripMargin,
     // A93: the C99 ln-quantized OLS discipline over the pooled offset
     // census; projection = exp over the identical fixed tree
     "ev_retention_fit" ->

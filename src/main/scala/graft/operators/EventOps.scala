@@ -1437,6 +1437,79 @@ object EventOps {
           element_at(col("s"), col("h"))).as("forecast"))
   }
 
+  /** A94: treatment-effect HETEROGENEITY by segment (Cochran 1954's Q,
+    * public — the meta-analysis statistic every experimentation platform
+    * quotes under its segment breakdown: per-segment lifts plus "do the
+    * segments genuinely differ or is the spread noise"): users segment by
+    * first-activity week (the A20b cohort key — behavior-independent
+    * given assignment), each segment gets the A62 2×2 readout, and
+    *   Q = Σ w_i (lift_i − pooled)²,  w_i = 1/var_i,
+    *   pooled = Σ w_i·lift_i / Σ w_i,  I² = max(0, (Q − (k−1))/Q)
+    * quantifies cross-segment heterogeneity (I² near 0: one effect;
+    * near 1: the average hides real differences). Degenerate segments
+    * (zero-variance cells) carry their counts but drop from Q, k counts
+    * contributing segments only.
+    *
+    * Portability: cells are exact integers; lifts/variances/weights are
+    * a fixed IEEE tree over them; the Q/pooled sums quantize each term
+    * DECIMAL(28,9) (order-free exact — segment order can never wobble
+    * the statistic); 6-dp rounds. Scale: ONE user_id shuffle → per-user
+    * row; a ≤weeks-key partial agg → segment cells; Q folds over the
+    * ≤weeks summary (broadcast scalar join back). */
+  def experimentSegments(spark: SparkSession, dir: String,
+                         salt: String = "exp1",
+                         minPurchases: Long = 14): DataFrame = {
+    // 28,9: the weights are 1/var ~ O(n) — DECIMAL(18,9)'s 10^9 integer
+    // ceiling would overflow at planetary per-segment populations
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(expr("ms div 604800000")).as("cohort_week"),
+        count(when(col("event_type") === "purchase", lit(1))).as("np"))
+      .withColumn("conv", (col("np") >= minPurchases).cast("int"))
+      .withColumn("variant", when(substring(md5(
+        concat(lit(salt), lit(":"), col("user_id").cast("string"))
+          .cast("binary")), 1, 2) < "80", "A").otherwise("B"))
+    val cells = users.groupBy("cohort_week").agg(
+      count(when(col("variant") === "A", lit(1))).as("n_a"),
+      count(when(col("variant") === "A" && col("conv") === 1, lit(1))).as("conv_a"),
+      count(when(col("variant") === "B", lit(1))).as("n_b"),
+      count(when(col("variant") === "B" && col("conv") === 1, lit(1))).as("conv_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("lift", col("rate_b") - col("rate_a"))
+      .withColumn("var_i",
+        col("rate_a") * (lit(1.0) - col("rate_a")) / col("n_a").cast("double") +
+          col("rate_b") * (lit(1.0) - col("rate_b")) / col("n_b").cast("double"))
+      .localCheckpoint(true) // summary; the Q fold and the output share it
+    val q = cells.filter(col("var_i") > 0.0)
+      .withColumn("w", lit(1.0) / col("var_i"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum((col("w") * col("lift")).cast(dec)).as("swl"),
+        sum((col("w") * col("lift") * col("lift")).cast(dec)).as("swll"))
+      .withColumn("pooled_lift", col("swl").cast("double") / col("sw").cast("double"))
+      // Q = Σw·lift² − (Σw·lift)²/Σw (the one-pass identity — exact sums)
+      .withColumn("q_stat", col("swll").cast("double") -
+        col("swl").cast("double") * col("swl").cast("double") /
+          col("sw").cast("double"))
+      .withColumn("i2", when(col("q_stat") > lit(0.0) && col("k") > 1,
+        greatest(lit(0.0), (col("q_stat") - (col("k") - 1).cast("double")) /
+          col("q_stat"))))
+      .select(col("k").as("k_segments"), col("pooled_lift"), col("q_stat"),
+        col("i2"))
+    cells.crossJoin(broadcast(q)) // single summary row
+      .select(col("cohort_week"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"),
+        round(col("lift"), 6).as("lift"),
+        col("k_segments"),
+        round(col("pooled_lift"), 6).as("pooled_lift"),
+        round(col("q_stat"), 6).as("q_stat"),
+        round(col("i2"), 6).as("i2"))
+  }
+
   /** A93: RETENTION-CURVE power-law fit — ln-ln OLS of the pooled daily
     * retention rate on the day offset (the "retention decays as t^(−b)"
     * model practitioners project long-term retention with; the same

@@ -2328,6 +2328,47 @@ object TextOps {
     * shuffle; the per-doc dup flag is a count window on that
     * partitioning and the source rollup is a second summary-level
     * shuffle; the rate is one IEEE division of exact longs. */
+  /** C108: TOKENIZER COMPARISON — the C53 BPE encoder and the C103
+    * unigram encoder run on the SAME corpus, per-source fertility
+    * (subword tokens per whitespace word) side by side with a winner
+    * (lower fertility = fewer sequence positions per word = the cheaper
+    * tokenizer for that source; ties prefer BPE, the simpler trainer).
+    * The decision table a tokenizer bake-off actually produces — the
+    * engine carries both real trainers, so the comparison is a join of
+    * two encoders it already serves, not new machinery.
+    *
+    * Scale: both encoders are census-shaped (C53b/C103b contracts); the
+    * comparison is a doc_id join of their per-doc outputs + a ≤sources
+    * rollup; fertility = one IEEE division of exact token sums. */
+  def tokCompare(spark: SparkSession, dir: String, nMerges: Int = 64,
+                 vocabSize: Int = 512): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bpe = bpeEncode(spark, dir, nMerges = nMerges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val uni = unigramEncode(spark, dir, vocabSize = vocabSize)
+      .select(col("doc_id"), col("n_uni_tokens"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"))
+      .join(bpe, "doc_id").join(uni, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+        sum(col("n_uni_tokens")).cast("long").as("uni_tokens"))
+      .withColumn("bpe_fertility",
+        col("bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("uni_fertility",
+        col("uni_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("winner",
+        when(col("bpe_fertility") <= col("uni_fertility"), lit("bpe"))
+          .otherwise(lit("unigram")))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("bpe_tokens"), col("uni_tokens"),
+        round(col("bpe_fertility"), 6).as("bpe_fertility"),
+        round(col("uni_fertility"), 6).as("uni_fertility"),
+        col("winner"))
+  }
+
   /** C106: PMI collocations (Church & Hanks 1990, public — pointwise
     * mutual information over a ±2 token window, the classic collocation
     * extractor beside C68's Dunning LLR: PMI surfaces "strongly bound"

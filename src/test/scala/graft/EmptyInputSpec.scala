@@ -263,6 +263,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.forecastBacktest(spark, dir).count() == 0)
     assert(EventOps.its(spark, dir).count() == 0)
     assert(EventOps.retentionFit(spark, dir).count() == 0)
+    assert(EventOps.experimentSegments(spark, dir).count() == 0)
+    assert(TextOps.tokCompare(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)

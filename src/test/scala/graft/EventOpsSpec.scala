@@ -1534,6 +1534,70 @@ class EventOpsSpec extends SparkSuite {
     assert(b > 0.0, s"trend $b")
   }
 
+  test("experiment segments: per-cohort cells and the Q/I2 fold match an independent reference") {
+    import SparkSuite.spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val W = 604800000L
+    // two cohorts (week 0 and week 1) with DIFFERENT planted effects:
+    // cohort 0 B-heavy conversion, cohort 1 near-null — Q should read it
+    val users = (1L to 80L)
+    val rows = users.flatMap { u =>
+      val week = if (u <= 40) 0L else 1L
+      val isB = md5hex(s"exp1:$u").substring(0, 2) >= "80"
+      val converts =
+        if (week == 0L) (isB && u % 4 != 0) || (!isB && u % 4 == 0)
+        else u % 2 == 0
+      val base = week * W + u * 1000
+      val np = if (converts) 14 else 1
+      (1 to np).map(i =>
+        (u * 100 + i, new java.sql.Timestamp(base + i), u, "purchase", 1.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-segq").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.experimentSegments(spark, dir).collect()
+      .map(r => r.getAs[Long]("cohort_week") -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+
+    // reference: same cells, weights, one-pass Q, quantized DECIMAL(28,9)
+    def q9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    case class Cell(nA: Long, cA: Long, nB: Long, cB: Long) {
+      val ra = cA.toDouble / nA; val rb = cB.toDouble / nB
+      val lift = rb - ra
+      val vi = ra * (1.0 - ra) / nA + rb * (1.0 - rb) / nB
+    }
+    val cells = (0L to 1L).map { wk =>
+      val in = users.filter(u => (if (u <= 40) 0L else 1L) == wk)
+      val (bs, as_) = in.partition(u => md5hex(s"exp1:$u").substring(0, 2) >= "80")
+      def conv(u: Long) =
+        if (wk == 0L) (bs.contains(u) && u % 4 != 0) || (as_.contains(u) && u % 4 == 0)
+        else u % 2 == 0
+      wk -> Cell(as_.size, as_.count(conv), bs.size, bs.count(conv))
+    }.toMap
+    val contrib = cells.values.filter(_.vi > 0).toSeq
+    val sw = contrib.map(c => q9(1.0 / c.vi)).sum
+    val swl = contrib.map(c => q9((1.0 / c.vi) * c.lift)).sum
+    val swll = contrib.map(c => q9((1.0 / c.vi) * c.lift * c.lift)).sum
+    val pooled = swl.toDouble / sw.toDouble
+    val qStat = swll.toDouble - swl.toDouble * swl.toDouble / sw.toDouble
+    val k = contrib.size
+    val i2 = math.max(0.0, (qStat - (k - 1).toDouble) / qStat)
+    (0L to 1L).foreach { wk =>
+      val r = got(wk); val c = cells(wk)
+      assert(r.getAs[Long]("n_a") == c.nA && r.getAs[Long]("conv_a") == c.cA)
+      assert(r.getAs[Long]("n_b") == c.nB && r.getAs[Long]("conv_b") == c.cB)
+      assert(r.getAs[Double]("lift") == r6(c.lift))
+      assert(r.getAs[Long]("k_segments") == k.toLong)
+      assert(r.getAs[Double]("pooled_lift") == r6(pooled))
+      assert(r.getAs[Double]("q_stat") == r6(qStat), s"$r vs $qStat")
+      assert(r.getAs[Double]("i2") == r6(i2))
+    }
+    // the planted heterogeneity is real: Q well above k-1
+    assert(qStat > k.toDouble)
+  }
+
   test("retention fit: planted 1/d curve reads slope -1, r2 ~ 1, and the d30 projection") {
     import SparkSuite.spark.implicits._
     // 720 users on day 0; exactly 720/d of them return on day d (d = 1..6)

@@ -1408,6 +1408,35 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C108 tokenizer bake-off ----------------------------------------------------
+
+  test("tok compare: per-source fertilities reconcile with the two encoders; winner is the argmin") {
+    val out = TextOps.tokCompare(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bpe = TextOps.bpeEncode(spark, sf, nMerges = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    val uni = TextOps.unigramEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_uni_tokens")).toMap
+    val srcOf = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = bpe.keySet.intersect(uni.keySet)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ids = byId.filter(id => srcOf.get(id).contains(src))
+      assert(r.getAs[Long]("n_docs") == ids.size.toLong, s"$src")
+      assert(r.getAs[Long]("n_words") == ids.toSeq.map(bpe(_)._1).sum)
+      assert(r.getAs[Long]("bpe_tokens") == ids.toSeq.map(bpe(_)._2).sum)
+      assert(r.getAs[Long]("uni_tokens") == ids.toSeq.map(uni(_)).sum)
+      val bf = r.getAs[Double]("bpe_fertility")
+      val uf = r.getAs[Double]("uni_fertility")
+      assert(bf >= 1.0 - 1e-9 && uf >= 0.0) // a word is >= one subword
+      assert(r.getAs[String]("winner") ==
+        (if (bf <= uf) "bpe" else "unigram"))
+    }
+  }
+
   // ---- C107 held-out bigram NLL -------------------------------------------------
 
   test("heldout ppl: unseen pairs and words pay the smoothed price; hand-computed cells") {
