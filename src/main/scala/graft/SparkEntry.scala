@@ -259,6 +259,9 @@ object SparkEntry {
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // C2m: measured minhash recall + estimator MAE vs the exact Jaccard
+    // enumeration (gate-SF instrument — the lshEmpiricalRecall discipline)
+    "doc_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     "doc_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_ngram_auto"    -> ((s, d) => Dedup.ngramJaccardAuto(s, d)),

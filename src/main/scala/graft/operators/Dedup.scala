@@ -701,6 +701,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** C2m: MEASURED recall + estimator error for the MinHash-LSH near-dup
+    * path — the text-side companion of the embedding probe
+    * (`Similarity.lshEmpiricalRecall`; this session's discipline: a
+    * recall trade must be a measured number, not a hope): C2's banded
+    * output compared against C4's EXACT Jaccard enumeration over the
+    * same shingle family at the same threshold. Reports true pairs,
+    * found pairs, recall, and the MinHash estimator's mean absolute
+    * error on the found pairs (each |est − true| quantized DECIMAL(18,9)
+    * before the order-free sum — the mean is deterministic in any
+    * partitioning). The exact enumeration is the C4 inverted-index
+    * self-join — a gate-SF / rehearsal-SF instrument, not a production
+    * operator (production runs C2/C31 alone; this measures what the
+    * banding actually costs on THIS corpus). */
+  def minhashRecall(spark: SparkSession, dir: String, shingleK: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val truth = ngramJaccard(spark, dir, shingleK, threshold)
+    val est = minhashLsh(spark, dir, shingleK, numHashes, bands, threshold)
+    truth.join(est, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        count(col("est_jaccard")).as("found_pairs"),
+        sum(when(col("est_jaccard").isNotNull,
+          abs(col("est_jaccard") - col("jaccard")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("err_sum"))
+      .withColumn("recall", when(col("true_pairs") > 0,
+        col("found_pairs").cast("double") / col("true_pairs").cast("double")))
+      .withColumn("est_mae", when(col("found_pairs") > 0,
+        col("err_sum").cast("double") / col("found_pairs").cast("double")))
+      .select(col("true_pairs"), col("found_pairs"),
+        round(col("recall"), 6).as("recall"),
+        round(col("est_mae"), 6).as("est_mae"))
+  }
+
   /** C84: n-gram CONTAINMENT pairs — Broder's (1997) asymmetric companion
     * to resemblance/Jaccard: containment(A in B) = |A∩B| / |A|. Jaccard is
     * blind to the quote-inclusion case a curation pipeline most wants —

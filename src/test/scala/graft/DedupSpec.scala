@@ -707,4 +707,30 @@ class DedupSpec extends SparkSuite {
     assert(real.nonEmpty && real.forall(r => r.getAs[Double]("jaccard") > 0 &&
       r.getAs[Double]("jaccard") <= 1.0))
   }
+
+  test("minhash recall instrument: planted exact dups read recall 1 with zero estimator error; sf corpus bounded") {
+    import SparkSuite.spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mhrec").toString
+    // two identical docs (jaccard 1, every minhash band collides) and two
+    // unrelated ones — truth = exactly the one dup pair
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "one two three four five six seven"),
+        (4L, "lorem ipsum dolor sit amet consectetur"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = Dedup.minhashRecall(spark, d).collect().head
+    assert(r.getAs[Long]("true_pairs") == 1L)
+    assert(r.getAs[Long]("found_pairs") == 1L)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("est_mae") == 0.0) // identical sigs: est = true = 1
+    // real corpus: found ⊆ true, recall and MAE inside their ranges
+    val s = Dedup.minhashRecall(spark, sf).collect().head
+    assert(s.getAs[Long]("found_pairs") <= s.getAs[Long]("true_pairs"))
+    if (s.getAs[Long]("true_pairs") > 0) {
+      val rec = s.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    if (s.getAs[Long]("found_pairs") > 0)
+      assert(s.getAs[Double]("est_mae") >= 0.0 && s.getAs[Double]("est_mae") < 0.5)
+  }
 }
