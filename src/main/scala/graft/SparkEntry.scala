@@ -100,6 +100,33 @@ object SparkEntry {
     "ev_changepoint"    -> ((s, d) => EventOps.changepoints(s, d)),
     // A88 mixture-SPRT always-valid sequential readout (peeking-safe)
     "ev_msprt"          -> ((s, d) => EventOps.msprt(s, d)),
+    // A80g: bitmap-store USER TAKEDOWN — forget every user_id % 7 == 3,
+    // then serve the full span; the masked exact counts must equal the
+    // filtered DISTINCT oracle (id lists are request-sized by nature)
+    "ev_bitmap_forget" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-bmforget").toString
+      try {
+        graft.operators.BitmapOps.bitmapStoreWrite(ev, store, 0L)
+        val ids = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 7 === 3)
+          .collect().map(_.getLong(0)).toSeq
+        graft.operators.BitmapOps.bitmapStoreForget(s, store, ids)
+        val b = ev.agg(
+          expr("min(unix_millis(cast(ts as timestamp_ltz))) div 86400000").as("d0"),
+          expr("max(unix_millis(cast(ts as timestamp_ltz))) div 86400000").as("d1"))
+          .head()
+        val (d0, d1) = if (b.isNullAt(0)) (0L, 0L)
+          else (b.getAs[Long]("d0"), b.getAs[Long]("d1"))
+        graft.operators.BitmapOps.bitmapStoreServe(s, store, d0, d1)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+      }
+    }),
     // A90 Holt-Winters additive weekly-seasonal forecast (h = 1..7)
     "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -1634,6 +1661,13 @@ object SparkEntry {
         |    AS level_change,
         |  round(slope_post - slope_pre, 6) AS slope_change
         |FROM h""".stripMargin,
+    // A80g: id-attributable counts masked, anonymous aggregates untouched
+    "ev_bitmap_forget" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) FILTER (WHERE user_id % 7 != 3) AS n_users,
+        |  count(*) AS n_events,
+        |  count(DISTINCT epoch_ms(ts) // 86400000) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
     // A94: exact cells; weights/lifts one fixed IEEE tree; the Q/pooled
     // sums quantize each term DECIMAL(28,9) (order-free — segment order
     // can never wobble the statistic); one-pass Q identity

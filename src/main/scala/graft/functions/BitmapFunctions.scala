@@ -26,4 +26,7 @@ object BitmapFunctions {
   def bitmapOr(a: Column, b: Column): Column =
     GraftShims.toColumn(BitmapOrExpr(
       GraftShims.toExpression(a), GraftShims.toExpression(b)))
+  def bitmapAndNot(a: Column, b: Column): Column =
+    GraftShims.toColumn(BitmapAndNotExpr(
+      GraftShims.toExpression(a), GraftShims.toExpression(b)))
 }

@@ -126,6 +126,28 @@ final class LongBitmap(var universe: Boolean = false) {
     repl.forEach((k, v) => containers.put(k, v))
   }
 
+  /** In-place DIFFERENCE (this \ other) — the takedown operator: clearing
+    * a tombstone set from a distinct-id bitmap. Containers absent from
+    * `other` are untouched; emptied containers drop. */
+  def andNot(other: LongBitmap): Unit = {
+    require(!universe && !other.universe,
+      "cannot ANDNOT an AND-identity buffer")
+    val it = containers.entrySet.iterator
+    val dead = new java.util.ArrayList[java.lang.Long]
+    val repl = new java.util.HashMap[java.lang.Long, AnyRef]
+    while (it.hasNext) {
+      val e = it.next()
+      other.containers.get(e.getKey) match {
+        case null => // nothing to clear in this 2^16 slice
+        case theirs =>
+          val x = LongBitmap.andNotContainers(e.getValue, theirs)
+          if (x == null) dead.add(e.getKey) else repl.put(e.getKey, x)
+      }
+    }
+    dead.forEach(k => containers.remove(k))
+    repl.forEach((k, v) => containers.put(k, v))
+  }
+
   def serialize(): Array[Byte] = {
     var size = 2 + 4
     val it0 = containers.values.iterator
@@ -301,6 +323,53 @@ object LongBitmap {
     if (k == 0) null else new ArrC(out, k)
   }
 
+  /** mine \ theirs at container level: null when emptied; arrays stay
+    * sorted (merge walks), bitmaps re-classify by the surviving count. */
+  private[functions] def andNotContainers(mine: AnyRef, theirs: AnyRef): AnyRef =
+    (mine, theirs) match {
+      case (x: ArrC, y: ArrC) =>
+        val out = new Array[Char](x.n)
+        var i = 0; var j = 0; var k = 0
+        while (i < x.n) {
+          val cx = x.a(i)
+          while (j < y.n && y.a(j) < cx) j += 1
+          if (j < y.n && y.a(j) == cx) i += 1
+          else { out(k) = cx; k += 1; i += 1 }
+        }
+        if (k == 0) null else new ArrC(out, k)
+      case (x: ArrC, y: Array[Long]) =>
+        val out = new Array[Char](x.n)
+        var i = 0; var k = 0
+        while (i < x.n) {
+          val low = x.a(i).toInt
+          if ((y(low >>> 6) & (1L << (low & 63))) == 0) { out(k) = x.a(i); k += 1 }
+          i += 1
+        }
+        if (k == 0) null else new ArrC(out, k)
+      case (x: Array[Long], y: ArrC) =>
+        var j = 0
+        while (j < y.n) {
+          val low = y.a(j).toInt
+          x(low >>> 6) &= ~(1L << (low & 63))
+          j += 1
+        }
+        var card = 0L; var i = 0
+        while (i < BitmapWords) { card += java.lang.Long.bitCount(x(i)); i += 1 }
+        if (card == 0) null
+        else if (card <= ArrayMax) bmpToArr(x, card.toInt)
+        else x
+      case (x: Array[Long], y: Array[Long]) =>
+        var card = 0L; var i = 0
+        while (i < BitmapWords) {
+          x(i) &= ~y(i)
+          card += java.lang.Long.bitCount(x(i))
+          i += 1
+        }
+        if (card == 0) null
+        else if (card <= ArrayMax) bmpToArr(x, card.toInt)
+        else x
+    }
+
   private def bmpToArr(b: Array[Long], card: Int): ArrC = {
     val out = new Array[Char](card)
     var k = 0
@@ -362,6 +431,11 @@ object BitmapKernel {
   def or(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val x = LongBitmap.deserialize(a)
     x.or(LongBitmap.deserialize(b))
+    x.serialize()
+  }
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = LongBitmap.deserialize(a)
+    x.andNot(LongBitmap.deserialize(b))
     x.serialize()
   }
 }
@@ -505,6 +579,21 @@ case class BitmapAndExpr(left: Expression, right: Expression)
       (a, b) => s"graft.functions.BitmapKernel$$.MODULE$$.and($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BitmapAndExpr = copy(left = l, right = r)
+}
+
+/** bitmap_and_not(a, b): difference a \ b — the tombstone-mask operator. */
+case class BitmapAndNotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_and_not"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapKernel.andNot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BitmapKernel$$.MODULE$$.andNot($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapAndNotExpr = copy(left = l, right = r)
 }
 
 /** bitmap_or(a, b): pairwise union of two serialized bitmaps. */

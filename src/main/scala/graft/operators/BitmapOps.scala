@@ -137,15 +137,84 @@ object BitmapOps {
 
   /** Serve exact distinct users per type over an inclusive day range from
     * the STORE ONLY — no event re-scan: filter partials by day (partition
-    * pruning against the pushed-down day predicate), OR-merge, count. */
+    * pruning against the pushed-down day predicate), OR-merge, AND-NOT
+    * the tombstone mask (if any), count. */
   def bitmapStoreServe(spark: SparkSession, storeDir: String,
-                       fromDay: Long, toDay: Long): DataFrame =
-    spark.read.schema(storeSchema).parquet(s"$storeDir/bitmaps.parquet")
+                       fromDay: Long, toDay: Long): DataFrame = {
+    val merged = spark.read.schema(storeSchema)
+      .parquet(s"$storeDir/bitmaps.parquet")
       .filter(col("day_idx") >= fromDay && col("day_idx") <= toDay)
       .groupBy("event_type")
-      .agg(bitmapCount(bitmapOrAgg(col("bm"))).as("n_users"),
+      .agg(bitmapOrAgg(col("bm")).as("bm"),
         sum(col("n_events")).as("n_events"),
         countDistinct(col("day_idx")).as("n_days"))
+    val masked = tombstoneOf(spark, storeDir).fold(merged)(t =>
+      merged.withColumn("bm", bitmapAndNot(col("bm"), lit(t))))
+    masked.select(col("event_type"), bitmapCount(col("bm")).as("n_users"),
+      col("n_events"), col("n_days"))
+  }
+
+  private def tombPath(storeDir: String) = s"$storeDir/tombstones.parquet"
+
+  /** The current tombstone bitmap, if any — existence probed through
+    * Hadoop's FileSystem (hdfs:// / s3a:// stores; the embDataTag
+    * discipline: java.io would silently read "absent" forever). */
+  private def tombstoneOf(spark: SparkSession,
+                          storeDir: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(storeDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(tombPath(storeDir))
+      .head().getAs[Array[Byte]]("tomb"))
+  }
+
+  /** A80g: USER TAKEDOWN for the bitmap store — the right-to-be-forgotten
+    * operation a billing-grade distinct-users dashboard needs: the
+    * forgotten user_ids land as ONE tombstone bitmap (O(ids) at forget
+    * time, never a partial rewrite — the C74 LSM mask-now-rewrite-later
+    * trade); every serve AND-NOTs it out, so a forgotten user stops
+    * counting IMMEDIATELY and across every historical window at once.
+    * Idempotent and cumulative: a new forget ORs into the standing mask.
+    * Scope note: the mask clears the ID-ATTRIBUTABLE data (the bitmap);
+    * the anonymous per-day event totals are aggregates carrying no id and
+    * are untouched — the standard takedown boundary. */
+  def bitmapStoreForget(spark: SparkSession, storeDir: String,
+                        userIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val bm = new graft.functions.LongBitmap
+    userIds.foreach(bm.add)
+    tombstoneOf(spark, storeDir).foreach(prev =>
+      bm.or(graft.functions.LongBitmap.deserialize(prev)))
+    Seq(Tuple1(bm.serialize())).toDF("tomb")
+      .coalesce(1).write.mode("overwrite").parquet(tombPath(storeDir))
+  }
+
+  /** Fold the tombstone into rewritten partials and clear it: batches
+    * OR-merge per (type, day), the mask is AND-NOT'd in, and the result
+    * lands as net batch 0 — byte-canonical serialization makes each
+    * rewritten partial EQUAL to one a store built without the forgotten
+    * users would hold (spec-pinned). The live view materializes BEFORE
+    * the overwrite (read-own-writes guard), and the tombstone deletes
+    * LAST (a crash between the two steps leaves a correct, still-masked
+    * store). */
+  def bitmapStoreCompact(spark: SparkSession, storeDir: String): Unit = {
+    val tomb = tombstoneOf(spark, storeDir)
+    val live = spark.read.schema(storeSchema)
+      .parquet(s"$storeDir/bitmaps.parquet")
+      .groupBy("event_type", "day_idx")
+      .agg(bitmapOrAgg(col("bm")).as("bm"), sum(col("n_events")).as("n_events"))
+    val masked = tomb.fold(live)(t =>
+      live.withColumn("bm", bitmapAndNot(col("bm"), lit(t))))
+      .localCheckpoint(true) // read-own-writes: materialize, then overwrite
+    val conf = spark.sessionState.newHadoopConf()
+    val bmDir = new org.apache.hadoop.fs.Path(s"$storeDir/bitmaps.parquet")
+    val fs = bmDir.getFileSystem(conf) // Hadoop FS: hdfs://s3a:// stores
+    fs.delete(bmDir, true)
+    masked.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/bitmaps.parquet/batch_id=0")
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath(storeDir)), true)
+    ()
+  }
 
   /** A80e gate entry: 80/20 split by event_id → base write + one ingest →
     * serve the SECOND HALF of the observed day span from the store alone.

@@ -177,4 +177,69 @@ class BitmapSpec extends SparkSuite {
       .map(r => r.getString(0) -> (r.getAs[Long]("u"), r.getAs[Long]("n"))).toMap
     assert(served === direct)
   }
+
+  test("andNot kernel: exact set difference across container shapes") {
+    def bm(vs: Seq[Long]): LongBitmap = {
+      val b = new LongBitmap; vs.foreach(b.add); b
+    }
+    // array \ array, crossing a container boundary (key 0 and key 1)
+    val a = bm(Seq(1L, 2L, 3L, 70000L, 70001L))
+    a.andNot(bm(Seq(2L, 70001L, 99999L)))
+    assert(a.cardinality == 3 && a.contains(1L) && a.contains(3L) &&
+      a.contains(70000L) && !a.contains(2L) && !a.contains(70001L))
+    // bitmap-shaped container \ array: dense 0..9999 minus evens
+    val dense = bm(0L until 10000L)
+    dense.andNot(bm((0L until 10000L).filter(_ % 2 == 0)))
+    assert(dense.cardinality == 5000 && dense.contains(1L) && !dense.contains(2L))
+    // emptied container drops; serialization stays canonical
+    val x = bm(Seq(5L)); x.andNot(bm(Seq(5L)))
+    assert(x.cardinality == 0 &&
+      java.util.Arrays.equals(x.serialize(), new LongBitmap().serialize()))
+  }
+
+  test("bitmap store takedown: forget masks every window immediately; compact folds it in byte-canonically") {
+    import SparkSuite.spark.implicits._
+    val D = 86400000L
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L), (4L, 0L, 5L),
+      (5L, 1L, 2L), (6L, 1L, 4L), (7L, 1L, 5L))
+      .map { case (id, day, u) =>
+        (id, new java.sql.Timestamp(day * D + id), u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val store = java.nio.file.Files.createTempDirectory("graft-bmf").toString
+    BitmapOps.bitmapStoreWrite(ev, store, 0L)
+    def serveUsers() = BitmapOps.bitmapStoreServe(spark, store, 0L, 1L)
+      .collect().map(r => (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).head
+    assert(serveUsers() == ((5L, 7L)))
+    BitmapOps.bitmapStoreForget(spark, store, Seq(2L, 5L))
+    // users 2 and 5 vanish from every window; anonymous totals untouched
+    assert(serveUsers() == ((3L, 7L)))
+    assert(BitmapOps.bitmapStoreServe(spark, store, 1L, 1L).collect()
+      .head.getAs[Long]("n_users") == 1L) // day 1 held {2,4,5} -> {4}
+    BitmapOps.bitmapStoreForget(spark, store, Seq(2L)) // idempotent re-forget
+    assert(serveUsers() == ((3L, 7L)))
+    BitmapOps.bitmapStoreForget(spark, store, Seq(4L)) // cumulative
+    assert(serveUsers() == ((2L, 7L)))
+    BitmapOps.bitmapStoreCompact(spark, store)
+    assert(serveUsers() == ((2L, 7L))) // identical serve, mask folded in
+    // tombstone cleared
+    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    // rewritten partials are byte-equal a store built WITHOUT those users
+    val clean = java.nio.file.Files.createTempDirectory("graft-bmf2").toString
+    BitmapOps.bitmapStoreWrite(
+      ev.filter(!col("user_id").isin(2L, 5L, 4L)), clean, 0L)
+    def rows(dir: String) = spark.read.parquet(s"$dir/bitmaps.parquet")
+      .select(col("event_type"), col("day_idx"), col("bm")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Array[Byte]]("bm"))
+      .toMap
+    val (a, b) = (rows(store), rows(clean))
+    // the compacted store KEEPS the all-forgotten day-1 row: its anonymous
+    // n_events/n_days aggregates must survive the takedown (serve results
+    // may not change across compact) — the bitmap is the canonical EMPTY
+    assert(a.keySet == b.keySet + (("view", 1L)))
+    b.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(a(k), bytes), s"partial $k diverged") }
+    assert(java.util.Arrays.equals(a(("view", 1L)),
+      new LongBitmap().serialize()))
+  }
 }
