@@ -75,6 +75,7 @@ object Bench {
     "qa_reconcile", "doc_metric_corr", "doc_readability", "doc_pmi",
     "ev_forecast_backtest", "ev_its", "doc_heldout_ppl", "ev_retention_fit",
     "ev_hh_store", "ev_experiment_segments", "doc_tok_compare",
+    "ev_bitmap_forget", "doc_minhash_recall", "doc_filter_agreement",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

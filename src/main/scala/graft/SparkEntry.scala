@@ -725,6 +725,8 @@ object SparkEntry {
     // C108 BPE-vs-unigram fertility bake-off per source (rows-only:
     // both encoders are rows-only; reconciliation spec-gated)
     "doc_tok_compare"   -> ((s, d) => TextOps.tokCompare(s, d)),
+    // C109 pairwise agreement matrix over the three keep batteries
+    "doc_filter_agreement" -> ((s, d) => TextOps.filterAgreement(s, d)),
     // C99 per-source Zipf-law fit over the top-500 term census
     "doc_zipf"          -> ((s, d) => TextOps.zipfFit(s, d)),
     // C100 Heaps vocabulary-growth curve at 10 doc_id-range checkpoints
@@ -2991,6 +2993,93 @@ object SparkEntry {
         |      CAST(coalesce(la.dup_chars, 0) AS DOUBLE) / la.chars
         |      ELSE 0.0 END AS dup_line_char_frac
         |  FROM l LEFT JOIN la ON la.doc_id = l.doc_id) t""".stripMargin,
+    // C109: the three keep predicates replayed verbatim (null text
+    // coalesces to a drop on both engines); ratios IEEE over exact longs
+    "doc_filter_agreement" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, coalesce(
+         |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |      AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+         |      AND ellipsis_ratio <= 0.3 AND alpha_ratio > 0.8
+         |      AND stop_hits >= 2, false) AS kg
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |      CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mean_word_len,
+         |      CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |        / len(regexp_split_to_array(text, '\\s+')) AS symbol_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)),
+         |          l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS bullet_ratio,
+         |      CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS DOUBLE)
+         |        / len(string_split(text, chr(10))) AS ellipsis_ratio,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS alpha_ratio,
+         |      ${hits(stop)} AS stop_hits
+         |    FROM documents) t),
+         |c AS (
+         |  SELECT doc_id, coalesce(
+         |    len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+         |      AND NOT contains(text, '{'), false) AS kc
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      list_filter(string_split(text, chr(10)), l ->
+         |        (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+         |          OR ends_with(l, '"'))
+         |        AND len(regexp_split_to_array(l, '\\s+')) >= 3
+         |        AND NOT contains(lower(l), 'javascript')) AS kept
+         |    FROM documents) t),
+         |fl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |flb AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS b FROM documents),
+         |flc AS (SELECT doc_id, b, count(*) AS cnt FROM flb GROUP BY 1, 2),
+         |fla AS (SELECT doc_id, CAST(sum(cnt * length(b)) AS BIGINT) AS chars,
+         |          CAST(sum((cnt - 1) * length(b)) AS BIGINT) AS dup_chars
+         |        FROM flc GROUP BY 1),
+         |f AS (
+         |  SELECT doc_id, coalesce(
+         |    punct_line_ratio > 0.12 AND dup_line_char_frac < 0.1
+         |      AND short_line_frac < 0.67, false) AS kf
+         |  FROM (
+         |    SELECT fl.doc_id,
+         |      CASE WHEN len(ls) > 0 THEN
+         |        CAST(len(list_filter(ls, x -> ends_with(x, '.') OR ends_with(x, '!')
+         |          OR ends_with(x, '?') OR ends_with(x, '"'))) AS DOUBLE) / len(ls)
+         |        ELSE 0.0 END AS punct_line_ratio,
+         |      CASE WHEN len(ls) > 0 THEN
+         |        CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE) / len(ls)
+         |        ELSE 0.0 END AS short_line_frac,
+         |      CASE WHEN fla.chars > 0 THEN
+         |        CAST(coalesce(fla.dup_chars, 0) AS DOUBLE) / fla.chars
+         |        ELSE 0.0 END AS dup_line_char_frac
+         |    FROM fl LEFT JOIN fla ON fla.doc_id = fl.doc_id) t),
+         |s AS (
+         |  SELECT count(*) AS n_docs,
+         |    count(*) FILTER (WHERE kg) AS ng,
+         |    count(*) FILTER (WHERE kc) AS nc,
+         |    count(*) FILTER (WHERE kf) AS nf,
+         |    count(*) FILTER (WHERE kg AND kc) AS ngc,
+         |    count(*) FILTER (WHERE kg AND kf) AS ngf,
+         |    count(*) FILTER (WHERE kc AND kf) AS ncf
+         |  FROM g JOIN c USING (doc_id) JOIN f USING (doc_id)
+         |  HAVING count(*) > 0),
+         |p AS (
+         |  SELECT 'gopher' AS filter_a, 'c4' AS filter_b, n_docs,
+         |    ngc AS both_keep, ng - ngc AS only_a, nc - ngc AS only_b FROM s
+         |  UNION ALL
+         |  SELECT 'gopher', 'fineweb', n_docs,
+         |    ngf, ng - ngf, nf - ngf FROM s
+         |  UNION ALL
+         |  SELECT 'c4', 'fineweb', n_docs,
+         |    ncf, nc - ncf, nf - ncf FROM s)
+         |SELECT filter_a, filter_b, n_docs, both_keep, only_a, only_b,
+         |  n_docs - (both_keep + only_a + only_b) AS both_drop,
+         |  CASE WHEN (both_keep + only_a + only_b) > 0 THEN
+         |    CAST(both_keep AS DOUBLE)
+         |      / CAST(both_keep + only_a + only_b AS DOUBLE) END AS kept_jaccard,
+         |  CAST(both_keep + (n_docs - (both_keep + only_a + only_b)) AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE) AS agreement
+         |FROM p""".stripMargin,
     // same census/smoothing scheme as doc_unigram_ll, keyed by the pair;
     // prefix counts derive from the census, V from the distinct-token count
     "doc_bigram_ll" ->

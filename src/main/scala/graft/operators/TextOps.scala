@@ -2328,6 +2328,56 @@ object TextOps {
     * shuffle; the per-doc dup flag is a count window on that
     * partitioning and the source rollup is a second summary-level
     * shuffle; the rate is one IEEE division of exact longs. */
+  /** C109: FILTER-AGREEMENT matrix — pairwise agreement between the three
+    * published keep batteries the engine carries (C64 Gopher, C65 C4,
+    * C67 FineWeb): both-keep / only-one / both-drop counts, the Jaccard
+    * of the kept sets, and raw agreement. The curation diagnostic behind
+    * "is this filter doing any work the others don't" — a pair at
+    * Jaccard ≈ 1 means one battery is redundant; a large only-X cell
+    * says exactly where the batteries disagree and which docs to sample
+    * for review. NULL keeps (unknown-content docs) read as drops on both
+    * engines (coalesce false — the curate contract).
+    *
+    * Scale: the three batteries are each map-only (their contract); the
+    * matrix is one doc_id join + ONE global agg (7 exact counts) feeding
+    * three summary rows — ratios are IEEE divisions of exact longs. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val g = gopherRules(spark, dir)
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("kg"))
+    val c = c4Clean(spark, dir)
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("kc"))
+    val f = fineWebRules(spark, dir)
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("kf"))
+    val s = g.join(c, "doc_id").join(f, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kg"), lit(1))).as("ng"),
+        count(when(col("kc"), lit(1))).as("nc"),
+        count(when(col("kf"), lit(1))).as("nf"),
+        count(when(col("kg") && col("kc"), lit(1))).as("ngc"),
+        count(when(col("kg") && col("kf"), lit(1))).as("ngf"),
+        count(when(col("kc") && col("kf"), lit(1))).as("ncf"))
+      .filter(col("n_docs") > 0)
+      // one summary row, three projections — never three corpus scans
+      .localCheckpoint(true)
+    def pair(a: String, b: String, na: String, nb: String, nab: String) =
+      s.select(lit(a).as("filter_a"), lit(b).as("filter_b"), col("n_docs"),
+        col(nab).as("both_keep"),
+        (col(na) - col(nab)).as("only_a"),
+        (col(nb) - col(nab)).as("only_b"))
+        .withColumn("both_drop", col("n_docs") -
+          (col("both_keep") + col("only_a") + col("only_b")))
+        .withColumn("kept_jaccard",
+          when((col("both_keep") + col("only_a") + col("only_b")) > 0,
+            col("both_keep").cast("double") /
+              (col("both_keep") + col("only_a") + col("only_b")).cast("double")))
+        .withColumn("agreement",
+          (col("both_keep") + col("both_drop")).cast("double") /
+            col("n_docs").cast("double"))
+    pair("gopher", "c4", "ng", "nc", "ngc")
+      .unionByName(pair("gopher", "fineweb", "ng", "nf", "ngf"))
+      .unionByName(pair("c4", "fineweb", "nc", "nf", "ncf"))
+  }
+
   /** C108: TOKENIZER COMPARISON — the C53 BPE encoder and the C103
     * unigram encoder run on the SAME corpus, per-source fertility
     * (subword tokens per whitespace word) side by side with a winner

@@ -266,6 +266,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.experimentSegments(spark, dir).count() == 0)
     assert(TextOps.tokCompare(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
+    assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)

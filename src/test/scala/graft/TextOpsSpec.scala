@@ -1408,6 +1408,47 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.weightedSample(spark, d, k = 500).count() == 50L)
   }
 
+  // ---- C109 filter agreement --------------------------------------------------------
+
+  test("filter agreement: cells reconcile with the three batteries; null text drops everywhere") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fagree").toString
+    Seq((1L, Option("some plain words " * 20)), (2L, Option.empty[String]))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val tiny = TextOps.filterAgreement(spark, d).collect()
+    assert(tiny.length == 3)
+    tiny.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L) // the null-text doc still counts
+      val cells = Seq("both_keep", "only_a", "only_b", "both_drop")
+        .map(r.getAs[Long](_))
+      assert(cells.sum == 2L && cells.forall(_ >= 0L), s"$r")
+      assert(r.getAs[Long]("both_drop") >= 1L) // null text is a drop in all
+    }
+    // sf corpus: marginals reconcile against the batteries run directly
+    def keeps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (!r.isNullAt(r.fieldIndex("keep")) && r.getAs[Boolean]("keep"))).toMap
+    val kg = keeps(TextOps.gopherRules(spark, sf))
+    val kc = keeps(TextOps.c4Clean(spark, sf))
+    val kf = keeps(TextOps.fineWebRules(spark, sf))
+    val out = TextOps.filterAgreement(spark, sf).collect()
+      .map(r => (r.getAs[String]("filter_a"), r.getAs[String]("filter_b")) -> r)
+      .toMap
+    val ids = kg.keySet
+    def check(a: Map[Long, Boolean], b: Map[Long, Boolean], key: (String, String)): Unit = {
+      val r = out(key)
+      assert(r.getAs[Long]("n_docs") == ids.size.toLong)
+      assert(r.getAs[Long]("both_keep") == ids.count(i => a(i) && b(i)).toLong, s"$key")
+      assert(r.getAs[Long]("only_a") == ids.count(i => a(i) && !b(i)).toLong)
+      assert(r.getAs[Long]("only_b") == ids.count(i => !a(i) && b(i)).toLong)
+      assert(r.getAs[Long]("both_drop") == ids.count(i => !a(i) && !b(i)).toLong)
+      val agree = r.getAs[Double]("agreement")
+      assert(agree >= 0.0 && agree <= 1.0)
+    }
+    check(kg, kc, ("gopher", "c4"))
+    check(kg, kf, ("gopher", "fineweb"))
+    check(kc, kf, ("c4", "fineweb"))
+  }
+
   // ---- C108 tokenizer bake-off ----------------------------------------------------
 
   test("tok compare: per-source fertilities reconcile with the two encoders; winner is the argmin") {
