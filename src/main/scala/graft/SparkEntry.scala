@@ -129,6 +129,8 @@ object SparkEntry {
     }),
     // A90 Holt-Winters additive weekly-seasonal forecast (h = 1..7)
     "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
+    // A95 classical additive decomposition (trend / weekly seasonal / resid)
+    "ev_seasonal_decompose" -> ((s, d) => EventOps.seasonalDecompose(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A92 interrupted-time-series segmented regression at the midpoint
@@ -283,6 +285,8 @@ object SparkEntry {
     "qa_snapshot_diff" -> ((s, d) => Analytics.snapshotDiff(s, d)),
     // B40: header/detail reconciliation (o_totalprice vs lineitem rollup)
     "qa_reconcile"     -> ((s, d) => Analytics.reconcile(s, d)),
+    // B41 Benford first-digit audit over the money columns
+    "qa_benford"       -> ((s, d) => Analytics.benford(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -777,6 +781,43 @@ object SparkEntry {
           (x.kind == "image" || x.kind == "video") && x.media_id % 5 == 0)
         .map(x => x.copy(media_id = x.media_id + 10000000L))
       graft.multimodal.Multimodal.phashPairs(m.union(dup))
+    }),
+    // C12c: the same pairing served from the PERSISTED hash store — the
+    // base corpus is written once, the planted duplicates arrive via
+    // ingest (decoding only the batch), and pairing touches no pixels.
+    // Must equal mm_phash_pairs row-for-row (spec-pinned; same planting).
+    "mm_phash_store" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-phs")
+      try {
+        val m = graft.multimodal.Multimodal.mediaTable(s, d)
+        val dup = m.filter(x =>
+            (x.kind == "image" || x.kind == "video") && x.media_id % 5 == 0)
+          .map(x => x.copy(media_id = x.media_id + 10000000L))
+        graft.multimodal.Multimodal.writePhashStore(m, tmp.toString)
+        graft.multimodal.Multimodal.ingestPhashes(dup, tmp.toString)
+        graft.multimodal.Multimodal.phashPairsFromStore(s, tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
+    // C108b: the bake-off served from the two persisted tokenizer stores
+    // (train once at store-write, compare without retraining) — must be
+    // bit-equal to doc_tok_compare under the same training parameters.
+    "doc_tok_compare_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-toks")
+      try {
+        val docs = graft.Tables.documents(s, d)
+        graft.operators.TextOps.writeBpeStore(docs, s"$tmp/bpe", nMerges = 64)
+        graft.operators.TextOps.writeUnigramStore(docs, s"$tmp/uni")
+        graft.operators.TextOps.tokCompareFromStores(
+          s, d, s"$tmp/bpe", s"$tmp/uni").localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
     }),
   )
 
@@ -1466,6 +1507,52 @@ object SparkEntry {
     // A90: the recursive CTE carries the 7-slot DOUBLE seasonal list and
     // repeats the l_t expression verbatim inside b_t/s_t exactly as the
     // Spark fold does — identical IEEE association, hash-exact raw doubles
+    // A95: same dense fill; centered 7-day window sum is exact integers,
+    // the detrended DOW mean keeps the exact integer numerator 7y − s7
+    // through the group agg, quantizes DECIMAL(18,9), zero-sum adjusts —
+    // every emitted double is then a fixed IEEE tree over equal inputs
+    "ev_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense AS (
+        |  SELECT g.event_type, g.d AS day_idx,
+        |    CAST(coalesce(dl.y, 0) AS DOUBLE) AS y
+        |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d
+        |        FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |win AS (
+        |  SELECT event_type, day_idx, y,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dense),
+        |interior AS (
+        |  SELECT event_type, day_idx, y, s7 / 7.0 AS trend,
+        |    CAST(7.0 * y - s7 AS BIGINT) AS dnum, day_idx % 7 AS dow
+        |  FROM win WHERE rn >= 4 AND rn <= n - 3),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(CAST(sum(dnum) AS DOUBLE) / (7.0 * count(*)) AS DECIMAL(18,9))
+        |      AS mean_dec
+        |  FROM interior GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT event_type, CAST(sum(mean_dec) AS DOUBLE) / 7.0 AS a
+        |  FROM seas GROUP BY 1),
+        |sfin AS (
+        |  SELECT s.event_type, s.dow,
+        |    CAST(s.mean_dec AS DOUBLE) - a.a AS seasonal
+        |  FROM seas s JOIN adj a USING (event_type))
+        |SELECT i.event_type, i.day_idx, i.y, i.trend, f.seasonal,
+        |  i.y - i.trend - f.seasonal AS resid
+        |FROM interior i
+        |JOIN sfin f ON i.event_type = f.event_type AND i.dow = f.dow"""
+        .stripMargin,
     "ev_hw_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
@@ -3384,6 +3471,30 @@ object SparkEntry {
         |  CAST(max(abs(delta)) AS DOUBLE) AS max_abs_delta,
         |  CAST(sum(delta) AS DOUBLE) AS sum_delta
         |FROM j GROUP BY 1""".stripMargin,
+    // B41: first digit from the shortest-round-trip string rendering
+    // (both engines agree on the leading significant digit); expectation
+    // quantized DECIMAL(18,9) over libm log10
+    "qa_benford" ->
+      """WITH src AS (
+        |  SELECT 'o_totalprice' AS col_name,
+        |    regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS digit
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |    regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]')
+        |  FROM lineitem),
+        |cnt AS (
+        |  SELECT col_name, CAST(digit AS INT) AS digit, count(*) AS n
+        |  FROM src WHERE digit <> '' GROUP BY 1, 2),
+        |tot AS (SELECT col_name, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT c.col_name, c.digit, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS obs_frac,
+        |  CAST(CAST(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS exp_frac,
+        |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+        |    - CAST(CAST(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
+        |        AS DECIMAL(18,9)) AS DOUBLE) AS dev
+        |FROM cnt c JOIN tot t USING (col_name)""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

@@ -827,4 +827,44 @@ object Analytics {
         max(abs(col("delta"))).cast("double").as("max_abs_delta"),
         sum(col("delta")).cast("double").as("sum_delta"))
   }
+
+  /** B41: BENFORD first-digit audit over the money columns (Newcomb 1881 /
+    * Benford 1938; Nigrini's forensic-accounting test, public — the
+    * standard "was this column fabricated or truncated" data-quality
+    * probe): organically-grown magnitudes spread over several decades
+    * follow P(d) = log10(1 + 1/d), and a column whose first-significant-
+    * digit histogram deviates hard (synthetic data, capped values, fee
+    * schedules) earns a closer look. One row per (column, digit) with the
+    * observed count/fraction, the Benford expectation, and the deviation.
+    *
+    * First digit extracts from the value's shortest decimal rendering
+    * (both engines print shortest-round-trip doubles, so the leading
+    * significant digit agrees; no log10-near-a-power-of-ten misround
+    * risk). obs_frac is ONE division of exact longs; the expectation
+    * quantizes DECIMAL(18,9) (libm log10's 1-ULP skew sits ~8 digits
+    * below the step), dev is a fixed IEEE tree — hash-exact.
+    *
+    * Scale: one scan per audited column (metadata-pruned to the single
+    * numeric), map-side partial agg into ≤ 9 groups; totals derive from
+    * the 9-row table, never a second scan. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 9)
+    def audit(df: DataFrame, c: String): DataFrame =
+      df.select(regexp_extract(col(c).cast("string"), "[1-9]", 0).as("digit"))
+        .filter(col("digit") =!= "")
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(lit(c).as("col_name"), col("digit").cast("int").as("digit"),
+          col("n"))
+    audit(Tables.orders(spark, dir), "o_totalprice")
+      .unionByName(audit(Tables.lineitem(spark, dir), "l_extendedprice"))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("col_name"))))
+      .withColumn("obs_frac",
+        col("n").cast("double") / col("total").cast("double"))
+      .withColumn("exp_frac",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          .cast(dec).cast("double"))
+      .select(col("col_name"), col("digit"), col("n"), col("obs_frac"),
+        col("exp_frac"), (col("obs_frac") - col("exp_frac")).as("dev"))
+  }
 }

@@ -1398,10 +1398,74 @@ object EventOps {
           .as("m"))
       .withColumn("ys", expr(
         "transform(sequence(lo, hi), d -> CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))"))
-      .select(col("event_type"), col("ys"))
+      .select(col("event_type"), col("lo"), col("ys"))
 
   def hwForecast(spark: SparkSession, dir: String): DataFrame =
     hwFromDense(denseDailySeries(spark, dir))
+
+  /** A95: classical ADDITIVE seasonal decomposition of each type's daily
+    * count series (the textbook moving-average decomposition — Persons
+    * 1919 lineage, the "classical decomposition" every forecasting text
+    * opens with and STL refines): y_t = T_t + S_dow(t) + R_t with
+    *   T_t = centered 7-day moving average (defined for t = 4..n−3),
+    *   S_g = mean of the detrended values in day-of-week group g,
+    *         normalized so the seven indices sum to zero,
+    *   R_t = y_t − T_t − S_g.
+    * The decomposition READ behind A67's DOW anomaly score and A90's
+    * seasonal forecast: how much of a series is trend vs weekly habit vs
+    * noise, day by day. Edge days (no centered window) drop — the
+    * classical convention. Types with under 14 days drop (the A90 rule;
+    * 8+ interior days also guarantees every DOW group is populated).
+    *
+    * Portability: y are exact integer counts in doubles, so the 7-day
+    * window sum is exact in any order and T_t = s7/7 is ONE correctly-
+    * rounded division. The detrended mean stays exact through the group
+    * agg: d_t = y_t − s7/7 is represented as the exact INTEGER numerator
+    * 7·y_t − s7, group-summed as BIGINT (order-free), divided once by
+    * 7·n_g; the per-group mean quantizes DECIMAL(18,9) (the proven-
+    * portable 9-digit double→decimal cast) so the zero-sum adjustment —
+    * a sum over the 7 group means — is exact decimal, order-free. Every
+    * emitted value is then a fixed IEEE tree over identical inputs —
+    * hash-exact raw doubles, no rounding.
+    *
+    * Scale: ONE (type, day) partial-agg shuffle collapses the corpus to
+    * the ≤ types×horizon summary; the window sums are in-row array folds
+    * over horizon-length state; the DOW index table is ≤ types×7 and
+    * joins back broadcast-sized (the A90 model-as-summary shape). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalFromDense(denseDailySeries(spark, dir))
+
+  /** The A95 decomposition over an already-dense (event_type, lo, ys)
+    * table — separable for the planted-series spec. */
+  private[graft] def seasonalFromDense(dense: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val interior = dense
+      .filter(size(col("ys")) >= 14)
+      .select(col("event_type"), col("lo"), explode(expr(
+        """transform(sequence(4, size(ys) - 3), t -> named_struct(
+          |  't', t,
+          |  'y', element_at(ys, t),
+          |  's7', aggregate(slice(ys, t - 3, 7), 0D, (a, x) -> a + x)))"""
+          .stripMargin)).as("r"))
+      .select(col("event_type"),
+        (col("lo") + col("r.t").cast("long") - 1).as("day_idx"),
+        col("r.y").as("y"), (col("r.s7") / lit(7.0)).as("trend"),
+        (lit(7.0) * col("r.y") - col("r.s7")).cast("long").as("dnum"))
+      .withColumn("dow", col("day_idx") % 7)
+      .localCheckpoint(true) // feeds the DOW census and the final join
+    val seas = interior.groupBy("event_type", "dow")
+      .agg((sum(col("dnum")).cast("double") /
+        (lit(7.0) * count(lit(1)).cast("double"))).cast(dec).as("mean_dec"))
+    val adj = seas.groupBy("event_type")
+      .agg((sum(col("mean_dec")).cast("double") / lit(7.0)).as("a"))
+    val sFin = seas.join(adj, "event_type")
+      .select(col("event_type"), col("dow"),
+        (col("mean_dec").cast("double") - col("a")).as("seasonal"))
+    interior.join(broadcast(sFin), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day_idx"), col("y"), col("trend"),
+        col("seasonal"),
+        (col("y") - col("trend") - col("seasonal")).as("resid"))
+  }
 
   /** The A90 fold over an already-dense (event_type, ys) table — shared
     * with the streaming twin (one recurrence, two transports). */

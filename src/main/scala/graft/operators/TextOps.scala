@@ -1602,6 +1602,27 @@ object TextOps {
     bpeEncodeWith(docs, ms)
   }
 
+  /** C53d: persist a trained merge table — the BPE artifact a training
+    * run ships (the merges ARE the tokenizer; re-training per batch would
+    * shift token boundaries mid-corpus, the same frozen-vocabulary
+    * contract as [[writeUnigramStore]]). Rank order is the semantics, so
+    * it persists explicitly. */
+  def writeBpeStore(docs: DataFrame, storeDir: String, nMerges: Int = 20,
+                    minFreq: Long = 2): Unit =
+    bpeTrainOf(docs, nMerges, minFreq)
+      .write.mode("overwrite").parquet(s"$storeDir/merges.parquet")
+
+  /** Encode any corpus with a persisted merge table: merges reload in
+    * rank order, so store-served segmentation is bit-equal to the
+    * training-time segmentation (same contract as C103c). */
+  def bpeEncodeFromStore(spark: SparkSession, dir: String,
+                         storeDir: String): DataFrame = {
+    val ms = spark.read.parquet(s"$storeDir/merges.parquet").collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    bpeEncodeWith(Tables.documents(spark, dir), ms)
+  }
+
   private[graft] def bpeEncodeWith(docs: DataFrame,
                                    merges: Seq[(String, String)]): DataFrame = {
     var vocab = docs.filter(col("text").isNotNull)
@@ -2391,12 +2412,28 @@ object TextOps {
     * comparison is a doc_id join of their per-doc outputs + a ≤sources
     * rollup; fertility = one IEEE division of exact token sums. */
   def tokCompare(spark: SparkSession, dir: String, nMerges: Int = 64,
-                 vocabSize: Int = 512): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val bpe = bpeEncode(spark, dir, nMerges = nMerges)
-      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
-    val uni = unigramEncode(spark, dir, vocabSize = vocabSize)
-      .select(col("doc_id"), col("n_uni_tokens"))
+                 vocabSize: Int = 512): DataFrame =
+    tokCompareOf(Tables.documents(spark, dir),
+      bpeEncode(spark, dir, nMerges = nMerges),
+      unigramEncode(spark, dir, vocabSize = vocabSize))
+
+  /** C108b: the bake-off fed from the two PERSISTED tokenizer stores —
+    * zero training per call (round-11 candidate #4: doc_tok_compare's
+    * 9.4 s bench cost was ~all re-training both tokenizers; the stores
+    * make the comparison an encode-and-join). Both encoders are
+    * bit-deterministic from their frozen artifacts, so the result equals
+    * [[tokCompare]] exactly when the stores were trained with the same
+    * parameters on the same corpus (spec-pinned). */
+  def tokCompareFromStores(spark: SparkSession, dir: String,
+                           bpeStore: String, uniStore: String): DataFrame =
+    tokCompareOf(Tables.documents(spark, dir),
+      bpeEncodeFromStore(spark, dir, bpeStore),
+      unigramEncodeFromStore(spark, dir, uniStore))
+
+  private[graft] def tokCompareOf(docs: DataFrame, bpeEnc: DataFrame,
+                                  uniEnc: DataFrame): DataFrame = {
+    val bpe = bpeEnc.select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val uni = uniEnc.select(col("doc_id"), col("n_uni_tokens"))
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"))
       .join(bpe, "doc_id").join(uni, "doc_id")

@@ -194,6 +194,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(total == graft.Tables.orders(spark, sf).count())
   }
 
+  test("benford: digit histogram matches a direct first-digit count; expectations are the Benford masses") {
+    val got = Analytics.benford(spark, sf).collect()
+    def hist(vs: Array[Double]): Map[Int, Long] =
+      vs.flatMap(v => v.toString.find(c => c >= '1' && c <= '9'))
+        .groupBy(_.asDigit).map { case (d, a) => d -> a.length.toLong }
+    val ref = Map(
+      "o_totalprice" -> hist(graft.Tables.orders(spark, sf)
+        .select("o_totalprice").collect().map(_.getDouble(0))),
+      "l_extendedprice" -> hist(graft.Tables.lineitem(spark, sf)
+        .select("l_extendedprice").collect().map(_.getDouble(0))))
+    assert(got.map(_.getAs[String]("col_name")).toSet == ref.keySet)
+    got.groupBy(_.getAs[String]("col_name")).foreach { case (c, rows) =>
+      val counts = rows.map(r =>
+        r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+      assert(counts == ref(c), s"$c histogram")
+      val total = counts.values.sum
+      rows.foreach { r =>
+        assert(r.getAs[Double]("obs_frac") ==
+          r.getAs[Long]("n").toDouble / total.toDouble)
+        val d = r.getAs[Int]("digit")
+        assert(math.abs(r.getAs[Double]("exp_frac") -
+          math.log10(1.0 + 1.0 / d)) < 1e-9, s"$c digit $d")
+        assert(r.getAs[Double]("dev") ==
+          r.getAs[Double]("obs_frac") - r.getAs[Double]("exp_frac"))
+      }
+      // the nine Benford masses are a distribution
+      val expSum = rows.map(_.getAs[Double]("exp_frac")).sum
+      assert(rows.length <= 9 && (rows.length < 9 || math.abs(expSum - 1.0) < 1e-6))
+    }
+  }
+
   test("snapshotDiff on the sf corpus: append-only source never reads 'removed'; changed rows advance in time") {
     val rows = Analytics.snapshotDiff(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -265,6 +265,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.retentionFit(spark, dir).count() == 0)
     assert(EventOps.experimentSegments(spark, dir).count() == 0)
     assert(TextOps.tokCompare(spark, dir).count() == 0)
+    assert(EventOps.seasonalDecompose(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.benford(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

@@ -1534,6 +1534,50 @@ class EventOpsSpec extends SparkSuite {
     assert(b > 0.0, s"trend $b")
   }
 
+  test("seasonal decompose: exact linear-plus-periodic series recovers trend and seasonal EXACTLY with zero residual") {
+    import SparkSuite.spark.implicits._
+    // y_t = 100 + 2t + s[dow]: the centered 7-MA of a linear series is the
+    // series, and a full period of s sums to 0 — so trend, seasonal, and a
+    // zero residual are all recoverable EXACTLY (every step's exact value
+    // is representable, so any IEEE deviation is a bug, not noise)
+    val s = Array(7.0, -7.0, 3.0, -3.0, 5.0, -5.0, 0.0)
+    val lo = 3L // non-zero origin exercises the day_idx/dow mapping
+    val ys = (0 until 21).map(t => 100.0 + 2.0 * t + s(((lo + t) % 7).toInt))
+    val dense = Seq(("a", lo, ys), ("short", lo, ys.take(13)))
+      .toDF("event_type", "lo", "ys")
+    val got = EventOps.seasonalFromDense(dense).collect()
+    // the 13-day type drops; edges (3 each side) drop from the 21-day type
+    assert(got.map(_.getAs[String]("event_type")).toSet == Set("a"))
+    assert(got.length == 21 - 6)
+    got.foreach { r =>
+      val d = r.getAs[Long]("day_idx"); val t = (d - lo).toInt
+      assert(t >= 3 && t <= 17)
+      assert(r.getAs[Double]("y") == ys(t))
+      assert(r.getAs[Double]("trend") == 100.0 + 2.0 * t, s"trend at day $d")
+      assert(r.getAs[Double]("seasonal") == s((d % 7).toInt), s"seasonal at day $d")
+      assert(r.getAs[Double]("resid") == 0.0, s"resid at day $d")
+    }
+  }
+
+  test("seasonal decompose on the corpus: row count, additive identity, and zero-sum seasonal indices") {
+    val got = EventOps.seasonalDecompose(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r => // resid's defining expression, in its IEEE order
+      assert(r.getAs[Double]("resid") == r.getAs[Double]("y") -
+        r.getAs[Double]("trend") - r.getAs[Double]("seasonal"))
+    }
+    // per type: interior rows = horizon - 6; ≤ 7 distinct seasonal values
+    // summing to ~0 (the zero-sum normalization, up to the 1e-9 quantum)
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val days = rows.map(_.getAs[Long]("day_idx"))
+      assert(days.max - days.min + 1 == rows.length.toLong, s"$t gaps")
+      val seas = rows.map(r =>
+        (r.getAs[Long]("day_idx") % 7, r.getAs[Double]("seasonal"))).distinct
+      assert(seas.length <= 7, s"$t seasonal not a pure DOW function")
+      assert(math.abs(seas.map(_._2).sum) < 1e-6, s"$t indices don't sum to 0")
+    }
+  }
+
   test("experiment segments: per-cohort cells and the Q/I2 fold match an independent reference") {
     import SparkSuite.spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

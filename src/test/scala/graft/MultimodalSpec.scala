@@ -197,6 +197,30 @@ class MultimodalSpec extends SparkSuite {
       assert(got.contains((id, id + 10000000L, 0L)), s"missing copy pair $id") }
   }
 
+  test("phash store: write + ingest serves pairs identical to the direct decode path") {
+    import SparkSuite.spark.implicits._
+    val dup = media.filter(x =>
+        (x.kind == "image" || x.kind == "video") && x.media_id % 5 == 0)
+      .map(x => x.copy(media_id = x.media_id + 10000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phs-spec")
+    try {
+      // base corpus at store write, duplicates via ingest — the lifecycle
+      // a deployment runs (pairing thereafter reads hashes, not pixels)
+      Multimodal.writePhashStore(media, tmp.toString)
+      Multimodal.ingestPhashes(dup, tmp.toString)
+      val fromStore = Multimodal.phashPairsFromStore(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = Multimodal.phashPairs(media.union(dup))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fromStore == direct,
+        s"store ${fromStore.size} vs direct ${direct.size}")
+      assert(fromStore.nonEmpty) // the planted copies guarantee pairs
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("metaStats covers all kinds without touching payloads") {
     val stats = Multimodal.metaStats(media).collect()
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))

@@ -1478,6 +1478,23 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("tok compare from stores: bit-equal to the retraining path under the same parameters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-toks-spec")
+    try {
+      val docs = Tables.documents(spark, sf)
+      TextOps.writeBpeStore(docs, s"$tmp/bpe", nMerges = 64)
+      TextOps.writeUnigramStore(docs, s"$tmp/uni")
+      val stored = TextOps.tokCompareFromStores(spark, sf, s"$tmp/bpe", s"$tmp/uni")
+        .collect().map(_.toSeq).toSet
+      val direct = TextOps.tokCompare(spark, sf).collect().map(_.toSeq).toSet
+      assert(stored == direct)
+      assert(stored.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   // ---- C107 held-out bigram NLL -------------------------------------------------
 
   test("heldout ppl: unseen pairs and words pay the smoothed price; hand-computed cells") {
