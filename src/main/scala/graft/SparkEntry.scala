@@ -716,6 +716,12 @@ object SparkEntry {
         new Directory(tmp.toFile).deleteRecursively()
       }
     }),
+    // C110 WordPiece: likelihood-greedy trainer + MaxMatch encoder (the
+    // third production tokenizer family beside BPE and unigram-LM)
+    "doc_wordpiece_train" -> ((s, d) => TextOps.wordpieceTrain(s, d)),
+    "doc_wordpiece"     -> ((s, d) => TextOps.wordpieceEncode(s, d)),
+    // C111 content-defined chunking: gear-CDC chunk census + dedup readout
+    "doc_cdc_dedup"     -> ((s, d) => TextOps.cdcDedup(s, d)),
     // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C104 Pearson correlation audit between per-doc metrics

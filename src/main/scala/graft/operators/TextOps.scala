@@ -1877,6 +1877,308 @@ object TextOps {
         round(sum(col("ll")), 6).cast("double").as("ll"))
   }
 
+  // ---- C110 WordPiece tokenizer (Schuster & Nakajima / BERT) --------------
+
+  /** WordPiece base symbols: first char plain, continuation chars
+    * '##'-prefixed — the position-aware alphabet that distinguishes
+    * "able" the word from "##able" the suffix. */
+  private def wpSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i =>
+      when(i === lit(1), w.substr(i, lit(1)))
+        .otherwise(concat(lit("##"), w.substr(i, lit(1)))))
+
+  /** Merging a pair concatenates the pieces with the right side's
+    * continuation marker stripped: (a, ##b) -> a##?b stays one piece
+    * whose own marker is inherited from the LEFT side. */
+  private def wpJoin(a: String, b: String): String =
+    a + b.stripPrefix("##")
+
+  /** One WordPiece merge as the leftmost non-overlapping fold (the
+    * [[mergeOnce]] scan with the WordPiece join rule). */
+  private def wpMergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(wpJoin(a, b)))))
+        .otherwise(concat(acc, array(x))))
+
+  /** C110: WORDPIECE vocabulary training (Schuster & Nakajima 2012; the
+    * BERT tokenizer's trainer as published in the original paper and the
+    * HuggingFace `tokenizers` reimplementation — the third production
+    * subword family beside C53's BPE and C103's unigram-LM): greedily
+    * merge the adjacent symbol pair maximizing the unigram-LM likelihood
+    * GAIN, score(a,b) = freq(ab) / (freq(a)·freq(b)) — BPE picks the most
+    * FREQUENT pair, WordPiece the most strongly BOUND one (the PMI-style
+    * numerator/denominator trade), which is why BERT vocabularies keep
+    * rare-but-cohesive affixes that frequency-greedy BPE drops.
+    * Continuation symbols carry the '##' marker through training, so the
+    * learned pieces are position-aware from the start.
+    *
+    * Determinism: counts are exact longs; the score compare is one IEEE
+    * division of exact products (exactly representable through ~2^26-
+    * scale symbol frequencies — far past any plausible VOCABULARY-table
+    * magnitude at the gate SFs), ties break (left, right) lexicographic.
+    * Returns (rank, left, right, pair_freq, score 6-dp).
+    *
+    * Scale: the C53 trainer contract — corpus touched ONCE for the
+    * word-frequency census; each merge iteration re-censuses SYMBOLS and
+    * pairs over the vocabulary-sized table (one zip_with explode + two
+    * partial-agg shuffles + a broadcast-sized freq join), arg-max is a
+    * 1-row TakeOrdered; driver-sequential in nMerges like bpeTrain (the
+    * exact-greedy reference form; a batched variant would follow
+    * bpeTrainFast's prefix-disjoint selection). */
+  def wordpieceTrain(spark: SparkSession, dir: String, nMerges: Int = 32,
+                     minFreq: Long = 2): DataFrame =
+    wordpieceTrainOf(Tables.documents(spark, dir), nMerges, minFreq)
+
+  private[graft] def wordpieceTrainOf(docs: DataFrame, nMerges: Int,
+                                      minFreq: Long): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(wpSyms(col("w")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Double)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val symFreq = words
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy("s").agg(sum(col("freq")).as("fs"))
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .filter(col("n") >= minFreq)
+        .join(symFreq.select(col("s").as("a"), col("fs").as("fa")), "a")
+        .join(symFreq.select(col("s").as("b"), col("fs").as("fb")), "b")
+        .withColumn("score", col("n").cast("double") /
+          (col("fa").cast("double") * col("fb").cast("double")))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+        rank += 1
+        merges += ((rank, a, b, r.getAs[Long]("n"), r.getAs[Double]("score")))
+        words = words.withColumn("syms", wpMergeOnce(col("syms"), a, b))
+        if (rank % BpeCheckpointEvery == 0) words = words.localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_freq", "score")
+  }
+
+  /** C110b: WordPiece ENCODING — greedy longest-match-first (the BERT
+    * `WordpieceTokenizer` MaxMatch loop, public): walk the word taking
+    * the LONGEST vocabulary piece at each position ('##'-prefixed off
+    * the start); any unmatchable position makes the whole word [UNK]
+    * (the published all-or-nothing rule), as does length > `maxWordLen`
+    * (BERT's max_input_chars_per_word guard). Vocabulary = the training
+    * alphabet + one piece per merge.
+    *
+    * Scale: the C53b/C103b contract — the DISTINCT-word table encodes
+    * once via an in-row (start, end) substring explode JOINED against
+    * the distributed vocab (no plan-literal vocab, no UDF); the greedy
+    * walk is one in-row fold over the word's (s asc, e desc)-sorted
+    * surviving candidates (the first candidate at each reached position
+    * IS the longest match); corpus-scale work is one explode + word join
+    * + per-doc partial agg. Output: (doc_id, n_words, n_wp_tokens,
+    * n_unk_words) — UNK words count 1 token. */
+  def wordpieceEncode(spark: SparkSession, dir: String, nMerges: Int = 32,
+                      minFreq: Long = 2, maxWordLen: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    wordpieceEncodeWith(docs, wordpieceVocabOf(docs,
+      wordpieceTrainOf(docs, nMerges, minFreq)), maxWordLen)
+  }
+
+  /** The encoder vocabulary implied by a merge table over a corpus: every
+    * base symbol of the training census plus each merge's produced piece. */
+  private[graft] def wordpieceVocabOf(docs: DataFrame,
+                                      merges: DataFrame): DataFrame = {
+    val alphabet = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(wpSyms(col("w"))).as("piece")).distinct()
+    val produced = merges.select(concat(col("left"),
+      regexp_replace(col("right"), "^##", "")).as("piece")).distinct()
+    alphabet.unionByName(produced).distinct()
+  }
+
+  private[graft] def wordpieceEncodeWith(docs: DataFrame, vocab: DataFrame,
+                                         maxWordLen: Int): DataFrame = {
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val longWords = words.filter(length(col("w")) > maxWordLen)
+      .select(col("w"), lit(1L).as("n_pieces"), lit(true).as("is_unk"))
+    val cands = words.filter(length(col("w")) <= maxWordLen)
+      .select(col("w"), explode(expr(
+        """flatten(transform(sequence(1, length(w)), i ->
+          |  transform(sequence(i, length(w)), e ->
+          |    named_struct('s', i, 'e', e,
+          |      'piece', CASE WHEN i = 1 THEN substring(w, 1, e)
+          |        ELSE concat('##', substring(w, i, e - i + 1)) END))))"""
+          .stripMargin)).as("o"))
+      .select(col("w"), col("o.s").as("s"), col("o.e").as("e"),
+        col("o.piece").as("piece"))
+      .join(vocab, "piece")
+    // greedy walk: candidates sorted (s asc, e desc) — the NEGATED end in
+    // the sort struct gives e desc — so the first candidate seen at each
+    // reached position is the longest match there
+    val segShort = cands.groupBy("w")
+      .agg(sort_array(collect_list(
+        struct(col("s"), (-col("e")).as("ne")))).as("cs"))
+      .withColumn("walk", expr(
+        """aggregate(cs, named_struct('pos', 1, 'k', CAST(0 AS BIGINT)),
+          |  (acc, c) -> IF(c.s = acc.pos,
+          |    named_struct('pos', -c.ne + 1, 'k', acc.k + 1L), acc))"""
+          .stripMargin))
+      .select(col("w"),
+        when(col("walk.pos") === length(col("w")) + 1, col("walk.k"))
+          .otherwise(lit(1L)).as("n_pieces"),
+        (col("walk.pos") =!= length(col("w")) + 1).as("is_unk"))
+    // left join back over ALL distinct words: one with no surviving
+    // candidate at all (alien alphabet) is [UNK] too, not silently absent
+    val seg = words
+      .join(segShort.unionByName(longWords), Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("n_pieces"), lit(1L)).as("n_pieces"),
+        coalesce(col("is_unk"), lit(true)).as("is_unk"))
+      .localCheckpoint(true)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(seg, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_wp_tokens"),
+        count(when(col("is_unk"), lit(1))).as("n_unk_words"))
+  }
+
+  // ---- C111 content-defined chunking (gear CDC, FastCDC lineage) ----------
+
+  /** Deterministic 256-entry gear table (48-bit positive values so the
+    * shifted-sum rolling hash below never overflows a BIGINT in either
+    * engine's arithmetic) — derived from MD5, fixed forever: chunk
+    * boundaries are a CONTRACT (a store built last year must still align
+    * with a batch chunked today). */
+  private[graft] val GearTable: Array[Long] = Array.tabulate(256) { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-gear-$i".getBytes("UTF-8"))
+    BigInt(1, h.take(8).toArray).longValue & 0xFFFFFFFFFFFFL
+  }
+
+  /** C111: CONTENT-DEFINED CHUNKING (the gear rolling hash of Xia et al.'s
+    * Ddelta/FastCDC line, public — the dedup-storage primitive rsync/LBFS
+    * introduced with Rabin fingerprints): a chunk boundary falls where the
+    * rolling hash of the content itself masks to zero, so INSERTING OR
+    * DELETING bytes shifts boundaries only locally and duplicated content
+    * re-aligns at the next content-defined cut — fixed-size blocking would
+    * misalign every block after a one-byte edit. The byte-level dedup
+    * companion to the token-level C54 dup-spans: near-identical documents
+    * (crawl re-fetches, boilerplate-wrapped copies) share most chunks even
+    * when no whole line repeats.
+    *
+    * The gear recurrence h ← (h<<1) + gear[c] has the property the whole
+    * scheme rests on: the low k bits of h equal Σ_{j<k} gear[c_{i−j}]<<j
+    * mod 2^k — terms shifted past bit k contribute nothing there and
+    * addition carries only flow upward — so the boundary test
+    * (h & (2^k−1)) = 0 is a PURE FUNCTION OF THE TRAILING k CHARACTERS.
+    * Candidate positions are computed here in exactly that windowed form
+    * (k literal gear terms per position), making content-locality true by
+    * construction rather than by convention. Cuts then select greedily:
+    * cut at the first candidate ≥ minLen past the previous cut, force at
+    * maxLen — once two documents cut at the same content position, every
+    * later cut coincides (same candidates, same walk).
+    *
+    * mask = 2^k − 1 targets ~2^k expected chunk length between the hard
+    * bounds. Emits one row per chunk: (doc_id, chunk_idx, start, len,
+    * chunk_md5). Scale: map-only — per-doc in-row expressions, linear in
+    * corpus text × k (the doc_pmi cost class), no shuffle at all; the
+    * downstream dedup census shuffles 16-byte hashes, never text. */
+  def cdcChunks(spark: SparkSession, dir: String, maskBits: Int = 6,
+                minLen: Int = 16, maxLen: Int = 256): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), maskBits, minLen, maxLen)
+
+  private[graft] def cdcChunksOf(docs: DataFrame, maskBits: Int,
+                                 minLen: Int, maxLen: Int): DataFrame = {
+    require(minLen >= 1 && maxLen > minLen && maskBits >= 1 && maskBits <= 14)
+    val mask = (1L << maskBits) - 1
+    val gear = array(GearTable.map(lit(_)): _*)
+    // the windowed low-bits sum: k literal terms, each ≤ 2^48 << k — no
+    // BIGINT overflow anywhere near the k ≤ 14 guard
+    val winSum = (0 until maskBits).map(j =>
+      s"IF(i > $j, shiftleft(element_at($GearName, element_at(cs, i - $j) + 1), $j), 0L)")
+      .mkString(" + ")
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn(GearName, gear)
+      .withColumn("cs", expr(
+        "transform(sequence(1, length(text)), p -> ascii(substring(text, p, 1)) & 255)"))
+      .withColumn("cand", expr(
+        s"transform(sequence(1, size(cs)), i -> (($winSum) & $mask) = 0)"))
+      .withColumn("cuts", expr(
+        s"""aggregate(sequence(1, length(text)),
+           |  named_struct('start', 1, 'cuts', CAST(array() AS ARRAY<INT>)),
+           |  (acc, i) -> IF(
+           |    (i - acc.start + 1 >= $minLen AND element_at(cand, i))
+           |      OR (i - acc.start + 1 >= $maxLen),
+           |    named_struct('start', i + 1,
+           |      'cuts', array_append(acc.cuts, i)),
+           |    named_struct('start', acc.start, 'cuts', acc.cuts)),
+           |  acc -> IF(acc.start <= length(text),
+           |    array_append(acc.cuts, length(text)), acc.cuts))"""
+          .stripMargin))
+      .select(col("doc_id"), col("text"), posexplode(expr(
+        """zip_with(cuts,
+          |  concat(array(0), slice(cuts, 1, size(cuts) - 1)),
+          |  (e, s) -> named_struct('start', s + 1, 'len', e - s))"""
+          .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(expr("encode(substring(text, c.start, c.len), 'UTF-8')"))
+          .as("chunk_md5"))
+  }
+
+  private val GearName = "__gear"
+
+  /** C111b: chunk-level dedup census per source — how many stored bytes a
+    * content-defined chunk store saves on this corpus (the question CDC
+    * exists to answer): total vs unique chunk bytes and the dedup ratio.
+    * Unique = first owner wins by (doc_id, chunk_idx) — a chunk seen in
+    * two sources bills its bytes to the first, so the per-source unique
+    * sums add up to the corpus-level truth (no double counting).
+    *
+    * Scale: the census shuffles (hash, len) pairs — 16-byte keys, never
+    * text; first-owner is one min-struct agg; the rollup is ≤ sources. */
+  def cdcDedup(spark: SparkSession, dir: String, maskBits: Int = 6,
+               minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = cdcChunksOf(docs, maskBits, minLen, maxLen)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val uniq = chunks.groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"),
+        col("len"), col("source"))).as("o"))
+      .select(col("o.source").as("source"), col("o.len").as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("len")).cast("long").as("unique_bytes"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).cast("long").as("total_bytes"))
+      .join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"), col("total_bytes"),
+        coalesce(col("n_unique_chunks"), lit(0L)).as("n_unique_chunks"),
+        coalesce(col("unique_bytes"), lit(0L)).as("unique_bytes"),
+        (lit(1.0) - coalesce(col("unique_bytes"), lit(0L)).cast("double") /
+          col("total_bytes").cast("double")).as("dedup_ratio"))
+  }
+
   // ---- BM25 retrieval (C72) ---------------------------------------------
 
   /** C72: Okapi BM25 top-k retrieval (Robertson & Walker / Sparck Jones —

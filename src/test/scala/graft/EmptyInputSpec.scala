@@ -267,6 +267,9 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.tokCompare(spark, dir).count() == 0)
     assert(EventOps.seasonalDecompose(spark, dir).count() == 0)
     assert(graft.operators.Analytics.benford(spark, dir).count() == 0)
+    assert(TextOps.wordpieceTrain(spark, dir).count() == 0)
+    assert(TextOps.wordpieceEncode(spark, dir).count() == 0)
+    assert(TextOps.cdcDedup(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

@@ -1478,6 +1478,96 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  // ---- C111 content-defined chunking ------------------------------------
+
+  /** Deterministic pseudo-random text: seeded LCG over a given alphabet. */
+  private def lcgText(seed: Long, n: Int, alpha: String): String = {
+    var s = seed; val sb = new StringBuilder
+    for (_ <- 0 until n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      sb.append(alpha.charAt(((s >>> 33) % alpha.length).toInt))
+    }
+    sb.toString
+  }
+
+  test("cdc chunks: spans tile the document, bounds hold, cuts match an independent reference, and a prefix edit re-aligns") {
+    import SparkSuite.spark.implicits._
+    val common = lcgText(7L, 4000, "abcdefghijklmnop")
+    val docs = Seq((1L, common), (2L, "XYZ" + common)).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunksOf(docs, maskBits = 5, minLen = 8, maxLen = 128)
+      .collect()
+    val byDoc = ch.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.sortBy(_.getAs[Long]("chunk_idx")) }
+    for ((id, rows) <- byDoc) {
+      val txtLen = if (id == 1L) common.length else common.length + 3
+      var pos = 1
+      rows.foreach { r =>
+        assert(r.getAs[Int]("start") == pos, s"doc $id gap at $pos")
+        pos += r.getAs[Int]("len")
+      }
+      assert(pos == txtLen + 1, s"doc $id does not tile")
+      rows.init.foreach(r =>
+        assert(r.getAs[Int]("len") >= 8 && r.getAs[Int]("len") <= 128))
+      assert(rows.last.getAs[Int]("len") >= 1 &&
+        rows.last.getAs[Int]("len") <= 128)
+    }
+    // independent reference: the same windowed candidate + greedy walk in
+    // plain Scala must yield doc 1's exact cut positions
+    def refEnds(text: String): Seq[Int] = {
+      val g = TextOps.GearTable
+      val cand = (1 to text.length).map { i =>
+        var sum = 0L
+        for (j <- 0 until 5; if i > j)
+          sum += g(text.charAt(i - 1 - j) & 255) << j
+        (sum & 31L) == 0L
+      }
+      val ends = Seq.newBuilder[Int]; var start = 1
+      for (i <- 1 to text.length)
+        if ((i - start + 1 >= 8 && cand(i - 1)) || i - start + 1 >= 128) {
+          ends += i; start = i + 1
+        }
+      if (start <= text.length) ends += text.length
+      ends.result()
+    }
+    val gotEnds = byDoc(1L).map(r =>
+      r.getAs[Int]("start") + r.getAs[Int]("len") - 1).toSeq
+    assert(gotEnds == refEnds(common))
+    // edit locality: the 3-char prefix edit leaves a long IDENTICAL chunk
+    // hash suffix (boundaries are functions of trailing content only)
+    val h1 = byDoc(1L).map(_.getAs[String]("chunk_md5"))
+    val h2 = byDoc(2L).map(_.getAs[String]("chunk_md5"))
+    val shared = h1.reverse.zip(h2.reverse).takeWhile(p => p._1 == p._2).length
+    assert(shared >= h1.length / 2, s"re-aligned only $shared of ${h1.length}")
+  }
+
+  test("cdc dedup census: a planted exact duplicate halves its source's unique bytes; first-owner accounting adds up") {
+    import SparkSuite.spark.implicits._
+    val t1 = lcgText(11L, 3000, "abcdefghijklmnop")
+    val t2 = lcgText(13L, 2500, "qrstuvwxyz")
+    val d = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, t1, "en", "dup", t1.length.toLong),
+        (2L, t1, "en", "dup", t1.length.toLong),
+        (3L, t2, "en", "uniq", t2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.cdcDedup(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val dup = out("dup")
+    assert(dup.getAs[Long]("total_bytes") == 2L * t1.length)
+    assert(dup.getAs[Long]("unique_bytes") == t1.length.toLong)
+    assert(dup.getAs[Double]("dedup_ratio") == 0.5)
+    val un = out("uniq") // disjoint alphabet: nothing shared with "dup"
+    assert(un.getAs[Long]("total_bytes") == t2.length.toLong)
+    assert(un.getAs[Long]("unique_bytes") == t2.length.toLong)
+    assert(un.getAs[Double]("dedup_ratio") == 0.0)
+    // corpus invariant on the real corpus: unique ≤ total, ratio ∈ [0, 1)
+    TextOps.cdcDedup(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("unique_bytes") <= r.getAs[Long]("total_bytes"))
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
   test("tok compare from stores: bit-equal to the retraining path under the same parameters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-toks-spec")
     try {
