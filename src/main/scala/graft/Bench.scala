@@ -79,7 +79,7 @@ object Bench {
     // round-12 additions
     "mm_phash_store", "doc_tok_compare_store",
     "ev_seasonal_decompose", "qa_benford",
-    "doc_wordpiece", "doc_cdc_dedup",
+    "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -227,6 +227,10 @@ object SparkEntry {
       }
     }),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
+    // A96 native KLL/MRL quantile sketch: default capacity (rows-only,
+    // error measured in SketchesSpec) + the exact-capacity oracle twin
+    "ev_quantile_sketch" -> ((s, d) => Sketches.quantileSketch(s, d)),
+    "ev_quantile_sketch_exact" -> ((s, d) => Sketches.exactQuantileSketch(s, d)),
     "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
     "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),
     "ev_bitmap_rollup"  -> ((s, d) => BitmapOps.bitmapRollup(s, d)),
@@ -826,6 +830,18 @@ object SparkEntry {
       }
     }),
   )
+
+  // A27/A96 shared oracle: exact rank-selected per-type quantiles
+  private val quantilesExactSql =
+    """SELECT event_type,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS value_p50,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS value_p95,
+      |  max(n) AS n_events
+      |FROM (SELECT event_type, value,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM events) t
+      |GROUP BY 1""".stripMargin
 
   // A89/A89c shared oracle: the plain exact per-type top-k ranking
   private val hhExactSql =
@@ -2515,16 +2531,10 @@ object SparkEntry {
     "ev_counts_salted" ->
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
-    "ev_quantiles_exact" ->
-      """SELECT event_type,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS value_p50,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS value_p95,
-        |  max(n) AS n_events
-        |FROM (SELECT event_type, value,
-        |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |        count(*) OVER (PARTITION BY event_type) AS n
-        |      FROM events) t
-        |GROUP BY 1""".stripMargin,
+    "ev_quantiles_exact" -> quantilesExactSql,
+    // A96 twin: capacity ≥ any per-type count ⇒ the compactor ladder
+    // never fires and the sketch answers the exact rank rule
+    "ev_quantile_sketch_exact" -> quantilesExactSql,
     // exact-bitmap family: the sketches are exact, so every entry is
     // oracle-gated against plain DISTINCT aggregation
     "ev_bitmap_daily" ->

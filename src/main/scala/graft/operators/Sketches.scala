@@ -55,6 +55,47 @@ object Sketches {
         max(col("n")).as("n_events"))
   }
 
+  /** A96: per-type quantiles from the native KLL/MRL compactor-ladder
+    * sketch ([[graft.functions.KllDoubles]] — the fourth hand-built
+    * mergeable sketch beside the roaring bitmap, HLL/CMS, and
+    * SpaceSaving): map-side partials build k·log(n/k)-sized state per
+    * type, merge freely in any order, and the final quantile read is a
+    * summary-sized scalar kernel. The mergeable middle ground the A27
+    * exact sort-window (one full sort per type) and approx_percentile
+    * (Spark's own GK variant — engine-specific bytes, not an artifact the
+    * engine can persist/rollup itself) bracket. Same discrete rank rule
+    * as A27: value at cumulative weight ceil(q·n), no interpolation.
+    *
+    * Scale: ONE partial-agg shuffle of sketch bytes (k·log(n/k) doubles
+    * per partition×type, NOT the values); no sort, no window. The
+    * [[exactQuantileSketch]] twin runs the same code with capacity ≥ any
+    * gate-SF group, where the ladder provably never compacts, the sketch
+    * IS the multiset, and the output matches ev_quantiles_exact's oracle
+    * bit-for-bit — quantifying exactly what the default capacity trades
+    * (the SketchesSpec measures the realized rank error there). */
+  def quantileSketch(spark: SparkSession, dir: String,
+                     capacity: Int = 256): DataFrame =
+    quantileSketchOf(Tables.events(spark, dir), capacity)
+
+  /** The exact-regime oracle twin: capacity far above any per-type count
+    * at the gate SFs — zero compactions, provably exact in any merge
+    * order (shares ev_quantiles_exact's oracle). */
+  def exactQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchOf(Tables.events(spark, dir), 1 << 16)
+
+  private[graft] def quantileSketchOf(events: DataFrame,
+                                      capacity: Int): DataFrame = {
+    import graft.functions.KllFunctions._
+    events.select(col("event_type"), col("value"))
+      .groupBy("event_type")
+      .agg(kllAgg(col("value"), capacity).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        kllQuantile(col("sk"), lit(0.5)).as("value_p50"),
+        kllQuantile(col("sk"), lit(0.95)).as("value_p95"),
+        col("n_events"))
+  }
+
   /** Bloom-pruned fact-to-fact semi join: all events of users who triggered
     * an error event. The selective side (error events) is far smaller than
     * the probe side but NOT broadcast-small at 100 TB, so the join shuffles —

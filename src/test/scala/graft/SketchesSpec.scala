@@ -210,4 +210,62 @@ class SketchesSpec extends SparkSuite {
     expect.foreach { case (u, c) =>
       assert(merged(u) == ((c, c)), s"user $u: ${merged(u)} vs exact $c") }
   }
+
+  // ---- A96 KLL/MRL quantile sketch ----------------------------------------
+
+  test("kll: exact-capacity twin equals the exact rank-selected quantiles; bytes canonical under repartitioning") {
+    import graft.functions.KllFunctions._
+    val exact = Sketches.exactQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95"),
+          r.getAs[Long]("n_events")))).toMap
+    val twin = Sketches.exactQuantileSketch(spark, sf).collect()
+    assert(twin.nonEmpty && twin.length == exact.size)
+    twin.foreach { r =>
+      val (p50, p95, n) = exact(r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("value_p50") == p50, s"$r")
+      assert(r.getAs[Double]("value_p95") == p95, s"$r")
+      assert(r.getAs[Long]("n_events") == n)
+    }
+    // canonical bytes: in the exact regime the sketch is the multiset —
+    // any partitioning serializes identically
+    def bytesOf(parts: Int) = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).repartition(parts)
+      .groupBy("event_type").agg(kllAgg(col("value"), 1 << 16).as("sk"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Array[Byte]]("sk").toSeq).toMap
+    assert(bytesOf(1) == bytesOf(13))
+  }
+
+  test("kll: compacted regime keeps the weight identity, bounds realized rank error, and rollup-merges day partials") {
+    import graft.functions.{KllDoubles, KllFunctions}
+    import KllFunctions._
+    import SparkSuite.spark.implicits._
+    // planted de-correlated permutation of 1..5000 (LCG order) through a
+    // capacity-64 ladder: heavy compaction (n/k ≈ 78)
+    val n = 5000
+    val perm = (1 to n).sortBy(v => (v * 2654435761L) & 0xFFFFFFFFL)
+    val s = new KllDoubles(64)
+    perm.foreach(v => s.add(v.toDouble))
+    assert(s.total == n.toLong)
+    // weight identity: Σ |level h|·2^h = n exactly (the even-pair rule)
+    val weights = s.levelSizes.zipWithIndex
+      .map { case (sz, h) => sz.toLong << h }.sum
+    assert(weights == n.toLong, s"weight $weights != $n")
+    // realized rank error: value v has true rank v in 1..n
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = s.quantile(q)
+      val err = math.abs(est - math.ceil(q * n))
+      assert(err <= 0.05 * n, s"q=$q est=$est err=$err")
+    }
+    // distributed rollup in the compacted regime: day partials folded by
+    // kllMergeAgg carry the exact total weight and in-range quantiles
+    val rows = perm.zipWithIndex.map { case (v, i) => (v.toDouble, i % 7) }
+    val daily = rows.toDF("value", "day")
+      .groupBy("day").agg(kllAgg(col("value"), 64).as("sk"))
+    val got = daily.agg(kllMergeAgg(col("sk"), 64).as("sk"))
+      .select(kllQuantile(col("sk"), lit(0.5)).as("p50")).head()
+      .getDouble(0)
+    assert(math.abs(got - n / 2.0) <= 0.1 * n, s"rollup p50 $got")
+  }
 }
