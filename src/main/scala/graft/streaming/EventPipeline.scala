@@ -1158,4 +1158,36 @@ object EventPipeline {
           }.iterator
       }
   }
+
+  case class LiveQuantile(event_type: String, n: Long,
+                          value_p50: Double, value_p95: Double)
+
+  /** A96 streaming twin: LIVE per-type value quantiles — the "p95 right
+    * now" latency/spend tile, maintained in BOUNDED streaming state (one
+    * A96 KLL ladder per type: k·log(n/k) doubles however long the stream
+    * runs — the same reason the A89 twin carries SpaceSaving rather than
+    * exact per-user counts). Every trigger folds its batch in event-time
+    * order (ts, event_id — deterministic replay) and emits the type's
+    * refreshed (n, p50, p95); Update mode, serving-table semantics. In
+    * the exact regime (stream length ≤ capacity) the emitted quantiles
+    * equal the batch A27 rank rule over everything seen — the spec's
+    * cross-transport gate; past capacity the ladder degrades exactly as
+    * the batch A96 does. */
+  def quantileStream(events: Dataset[Event],
+                     capacity: Int = 256): Dataset[LiveQuantile] = {
+    import events.sparkSession.implicits._
+    import graft.functions.KllDoubles
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Byte], LiveQuantile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (tpe, batch, state: GroupState[Array[Byte]]) =>
+          val s = state.getOption.map(KllDoubles.deserialize)
+            .getOrElse(new KllDoubles(capacity))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach(e => s.add(e.value))
+          state.update(s.serialize())
+          Iterator(LiveQuantile(tpe, s.total,
+            s.quantile(0.5), s.quantile(0.95)))
+      }
+  }
 }

@@ -1419,4 +1419,43 @@ class StreamingSpec extends SparkSuite {
     assert(lastClick == Set((1, 5L, 2L, 2L)))
     spark.catalog.dropTempView("hh_live")
   }}
+
+  test("A96 stream: live quantiles carry KLL state across batches; exact-regime emissions equal the batch rank rule") { withRocksDB {
+    val B = 1700000000000L
+    def e(id: Long, k: Long, t: String, v: Double) =
+      Event(id, new Timestamp(B + k), 1L, t, v)
+    // "view" values 1..9 split across two batches; "click" 10,20 in b1 only
+    val b1 = (1 to 5).map(i => e(i.toLong, i.toLong, "view", i.toDouble)) ++
+      Seq(e(100, 50, "click", 10.0), e(101, 51, "click", 20.0))
+    val b2 = (6 to 9).map(i => e(i.toLong, i.toLong, "view", i.toDouble))
+    val src = Files.createTempDirectory("graft-kllq-src").toString
+    val chk = Files.createTempDirectory("graft-kllq-chk").toString
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.quantileStream(
+      EventPipeline.fileSource(spark, src).as[Event], capacity = 64)
+      .toDF().writeStream.format("memory").queryName("kllq_live")
+      .outputMode(OutputMode.Update).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    val mid = spark.table("kllq_live").collect()
+      .filter(_.getAs[String]("event_type") == "view")
+      .map(r => (r.getAs[Long]("n"), r.getAs[Double]("value_p50"),
+        r.getAs[Double]("value_p95"))).toSet
+    // rank rule over 1..5: p50 = value at ceil(2.5) = 3, p95 at ceil(4.75) = 5
+    assert(mid == Set((5L, 3.0, 5.0)), mid.toString)
+    writeBatch(src, "b2", b2)
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("kllq_live").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95")))
+    // latest view emission folds BOTH batches: 1..9 → p50 = 5, p95 = 9
+    // (state carried across triggers; exact regime at capacity 64)
+    val lastView = { val n = all.filter(_._1 == "view").map(_._2).max
+      all.filter(t => t._1 == "view" && t._2 == n).map(t => (t._2, t._3, t._4)).toSet }
+    assert(lastView == Set((9L, 5.0, 9.0)), lastView.toString)
+    // click saw no b2 rows: its state (10, 20) stands — p50 at ceil(1) = 10
+    val lastClick = { val n = all.filter(_._1 == "click").map(_._2).max
+      all.filter(t => t._1 == "click" && t._2 == n).map(t => (t._2, t._3, t._4)).toSet }
+    assert(lastClick == Set((2L, 10.0, 20.0)), lastClick.toString)
+    spark.catalog.dropTempView("kllq_live")
+  }}
 }
