@@ -80,6 +80,7 @@ object Bench {
     "mm_phash_store", "doc_tok_compare_store",
     "ev_seasonal_decompose", "qa_benford",
     "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
+    "ev_seasonal_strength", "ev_acf",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

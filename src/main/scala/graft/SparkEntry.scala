@@ -131,6 +131,10 @@ object SparkEntry {
     "ev_hw_forecast"    -> ((s, d) => EventOps.hwForecast(s, d)),
     // A95 classical additive decomposition (trend / weekly seasonal / resid)
     "ev_seasonal_decompose" -> ((s, d) => EventOps.seasonalDecompose(s, d)),
+    // A95b Hyndman-Wang strength-of-component measures over A95
+    "ev_seasonal_strength" -> ((s, d) => EventOps.seasonalStrength(s, d)),
+    // A97 Box-Jenkins autocorrelation at lags 1..14 (exact-decimal moments)
+    "ev_acf"            -> ((s, d) => EventOps.acf(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A92 interrupted-time-series segmented regression at the midpoint
@@ -1575,6 +1579,116 @@ object SparkEntry {
         |FROM interior i
         |JOIN sfin f ON i.event_type = f.event_type AND i.dow = f.dow"""
         .stripMargin,
+    // A95b: the A95 pipeline + quantized component sums; the variance
+    // ratio is the same fixed IEEE tree over exact decimals as Spark's
+    "ev_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense AS (
+        |  SELECT g.event_type, g.d AS day_idx,
+        |    CAST(coalesce(dl.y, 0) AS DOUBLE) AS y
+        |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d
+        |        FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |win AS (
+        |  SELECT event_type, day_idx, y,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dense),
+        |interior AS (
+        |  SELECT event_type, day_idx, y, s7 / 7.0 AS trend,
+        |    CAST(7.0 * y - s7 AS BIGINT) AS dnum, day_idx % 7 AS dow
+        |  FROM win WHERE rn >= 4 AND rn <= n - 3),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(CAST(sum(dnum) AS DOUBLE) / (7.0 * count(*)) AS DECIMAL(18,9))
+        |      AS mean_dec
+        |  FROM interior GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT event_type, CAST(sum(mean_dec) AS DOUBLE) / 7.0 AS a
+        |  FROM seas GROUP BY 1),
+        |sfin AS (
+        |  SELECT s.event_type, s.dow,
+        |    CAST(s.mean_dec AS DOUBLE) - a.a AS seasonal
+        |  FROM seas s JOIN adj a USING (event_type)),
+        |comp AS (
+        |  SELECT i.event_type,
+        |    CAST(CAST(CAST(i.y - i.trend - f.seasonal AS DECIMAL(18,9))
+        |      AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(19,0)) AS r,
+        |    CAST(CAST(CAST(f.seasonal + (i.y - i.trend - f.seasonal)
+        |      AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000
+        |      AS DECIMAL(19,0)) AS sq,
+        |    CAST(CAST(CAST(i.trend + (i.y - i.trend - f.seasonal)
+        |      AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000
+        |      AS DECIMAL(19,0)) AS tq
+        |  FROM interior i
+        |  JOIN sfin f ON i.event_type = f.event_type AND i.dow = f.dow),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_interior,
+        |    CAST(count(*) AS DECIMAL(10,0)) AS nd,
+        |    CAST(sum(r) AS DECIMAL(19,0)) AS sr,
+        |    CAST(sum(r * r) AS DECIMAL(28,0)) AS srr,
+        |    CAST(sum(sq) AS DECIMAL(19,0)) AS ss,
+        |    CAST(sum(sq * sq) AS DECIMAL(28,0)) AS sss,
+        |    CAST(sum(tq) AS DECIMAL(19,0)) AS st,
+        |    CAST(sum(tq * tq) AS DECIMAL(28,0)) AS stt
+        |  FROM comp GROUP BY 1)
+        |SELECT event_type, n_interior,
+        |  CASE WHEN nd * stt - st * st > 0
+        |    THEN greatest(0.0, 1.0 -
+        |      CAST(CAST(nd * srr - sr * sr AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(nd * stt - st * st AS VARCHAR) AS DOUBLE))
+        |  END AS trend_strength,
+        |  CASE WHEN nd * sss - ss * ss > 0
+        |    THEN greatest(0.0, 1.0 -
+        |      CAST(CAST(nd * srr - sr * sr AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(nd * sss - ss * ss AS VARCHAR) AS DOUBLE))
+        |  END AS seasonal_strength
+        |FROM agg""".stripMargin,
+    // A97: exact-integer deviations n·y − S as DECIMAL(38,0); lag products
+    // and both sums exact (the n² factors cancel); one IEEE division
+    "ev_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 15),
+        |dense AS (
+        |  SELECT g.event_type,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS rn,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+        |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+        |          hi - lo + 1 AS n FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |stats AS (
+        |  SELECT event_type, max(n) AS n, sum(y) AS s FROM dense GROUP BY 1),
+        |devs AS (
+        |  SELECT d.event_type, d.rn,
+        |    CAST(st.n * d.y - st.s AS DECIMAL(38,0)) AS dv
+        |  FROM dense d JOIN stats st USING (event_type)),
+        |den AS (
+        |  SELECT d.event_type, max(st.n) AS n, sum(d.dv * d.dv) AS den
+        |  FROM devs d JOIN stats st USING (event_type) GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag, sum(a.dv * b.dv) AS num
+        |  FROM (SELECT event_type, unnest(generate_series(1, 14)) AS lag
+        |        FROM den) l
+        |  JOIN devs a ON a.event_type = l.event_type
+        |  JOIN devs b ON b.event_type = l.event_type AND b.rn = a.rn + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT m.event_type, CAST(m.lag AS BIGINT) AS lag, d.n AS n_days,
+        |  CASE WHEN d.den > 0
+        |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
+        |FROM num m JOIN den d USING (event_type)""".stripMargin,
     "ev_hw_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y

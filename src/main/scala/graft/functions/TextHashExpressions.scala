@@ -9,6 +9,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic 256-entry gear table for C111 content-defined chunking
+  * (48-bit positive values; derived from MD5 and FIXED FOREVER — chunk
+  * boundaries are a store contract: a corpus chunked last year must
+  * align with a batch chunked today). */
+object GearTable {
+  val table: Array[Long] = Array.tabulate(256) { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-gear-$i".getBytes("UTF-8"))
+    BigInt(1, h.take(8)).longValue & 0xFFFFFFFFFFFFL
+  }
+}
+
 /** Native text-hash kernels for dedup signatures.
   *
   * The declarative form (normalize → split → transform(hash) → k-window
@@ -539,7 +553,55 @@ case class DeflateLenExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** cdc_cuts(text): chunk END positions (1-based, inclusive; last = length)
+  * under gear content-defined chunking — the C111 kernel. The unbounded
+  * gear roll h ← h·2 + gear[c] (mod 2⁶⁴, wrapping) has low-k bits equal
+  * to the windowed sum Σ_{j<k} gear[c_{i−j}]·2^j mod 2^k (higher terms
+  * shift out, carries only flow up), so the (h & mask) = 0 boundary test
+  * is a pure function of the trailing k characters — content-local with
+  * no reset convention — while the kernel pays O(1) per character. The
+  * declarative HOF form walks interpreted lambdas per character (~100×
+  * slower, measured as the 10×-rehearsal ceiling); this is the §5.5
+  * kernel-ization, one tight primitive loop inside WSCG. Characters are
+  * UTF-16 code units masked to 8 bits (the corpus contract). */
+case class CdcCutsExpr(child: Expression, maskBits: Int, minLen: Int,
+                       maxLen: Int)
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  require(minLen >= 1 && maxLen > minLen && maskBits >= 1 && maskBits <= 14)
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "cdc_cuts"
+
+  override def compute(input: UTF8String): AnyRef = {
+    val s = input.toString
+    if (s.isEmpty) return null
+    val gear = graft.functions.GearTable.table
+    val mask = (1L << maskBits) - 1
+    val cuts = new ArrayBuffer[Int]()
+    var h = 0L; var start = 1; var i = 1
+    while (i <= s.length) {
+      h = h * 2 + gear(s.charAt(i - 1) & 255)
+      if ((i - start + 1 >= minLen && (h & mask) == 0) ||
+          i - start + 1 >= maxLen) {
+        cuts += i; start = i + 1
+      }
+      i += 1
+    }
+    if (start <= s.length) cuts += s.length
+    new GenericArrayData(cuts.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): CdcCutsExpr =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def cdcCuts(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    GraftShims.toColumn(CdcCutsExpr(GraftShims.toExpression(text),
+      maskBits, minLen, maxLen))
   def deflateLen(text: Column): Column =
     GraftShims.toColumn(DeflateLenExpr(GraftShims.toExpression(text)))
   def repStats(text: Column): Column =

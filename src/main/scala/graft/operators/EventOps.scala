@@ -1467,6 +1467,107 @@ object EventOps {
         (col("y") - col("trend") - col("seasonal")).as("resid"))
   }
 
+  /** A95b: SEASONAL / TREND STRENGTH of each type's series (Hyndman &
+    * Wang's decomposition-based strength measures, public — the features
+    * the forecasting literature uses to route series to models):
+    *   F_seasonal = max(0, 1 − var(R)/var(S+R)),
+    *   F_trend    = max(0, 1 − var(R)/var(T+R)),
+    * over the A95 interior rows — near 1 when the component explains the
+    * series, near 0 when the remainder does. The scalar READ of A95:
+    * "which types are habit-driven vs trend-driven vs noise".
+    *
+    * Portability: the A95 components are already bit-identical; each
+    * component quantizes DECIMAL(18,9) then SHIFTS TO AN EXACT INTEGER
+    * (×10⁹, DECIMAL(38,0) — the A97/ITS moment discipline), so x/x² sums
+    * AND the n·Σx² − (Σx)² variance numerators stay exact integer
+    * decimals end-to-end (the 10¹⁸ factors cancel in the ratio) and the
+    * strength is 1 − ONE IEEE division — a measured r12 finding forced
+    * this: evaluating the numerators as the double tree a·b − c·d
+    * diverged 1-2 ULP cross-engine (FMA contraction), while all-decimal
+    * moments hash exactly. Zero-variance denominators yield NULL on both
+    * engines.
+    *
+    * Scale: rides A95's one-shuffle summary; the strength agg is a
+    * ≤types-row rollup. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val decI = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: org.apache.spark.sql.Column) =
+      (c.cast(dec9) * lit(1000000000L)).cast(decI)
+    val comp = seasonalDecompose(spark, dir)
+      .select(col("event_type"),
+        q(col("resid")).as("r"),
+        q(col("seasonal") + col("resid")).as("sq"),
+        q(col("trend") + col("resid")).as("tq"))
+    comp.groupBy("event_type")
+      .agg(count(lit(1)).as("n_interior"),
+        sum(col("r")).cast(decI).as("sr"),
+        sum(col("r") * col("r")).cast(decI).as("srr"),
+        sum(col("sq")).cast(decI).as("ss"),
+        sum(col("sq") * col("sq")).cast(decI).as("sss"),
+        sum(col("tq")).cast(decI).as("st"),
+        sum(col("tq") * col("tq")).cast(decI).as("stt"))
+      .select(col("event_type"), col("n_interior"),
+        strengthCol(col("n_interior").cast(decI), col("sr"), col("srr"),
+          col("st"), col("stt")).as("trend_strength"),
+        strengthCol(col("n_interior").cast(decI), col("sr"), col("srr"),
+          col("ss"), col("sss")).as("seasonal_strength"))
+  }
+
+  /** max(0, 1 − varnum(R)/varnum(X)) with both numerators EXACT decimal
+    * integers and one IEEE division; NULL when var(X) = 0. */
+  private def strengthCol(n: org.apache.spark.sql.Column,
+                          sr: org.apache.spark.sql.Column,
+                          srr: org.apache.spark.sql.Column,
+                          sx: org.apache.spark.sql.Column,
+                          sxx: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def varNum(s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) =
+      n * s2 - s1 * s1 // exact DECIMAL(38,0) arithmetic
+    when(varNum(sx, sxx) > 0,
+      greatest(lit(0.0), lit(1.0) -
+        varNum(sr, srr).cast("double") / varNum(sx, sxx).cast("double")))
+  }
+
+  /** A97: AUTOCORRELATION function of each type's daily series at lags
+    * 1..maxLag (Box & Jenkins 1970, public — THE seasonality/memory
+    * detector: a spike at lag 7 is the measured form of A95's weekly
+    * assumption; decay shape routes AR vs MA models):
+    *   acf(k) = Σ_{t≤n−k} (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²
+    * (the standard biased estimator — denominator over the full series).
+    *
+    * Portability: deviations carry the EXACT integer numerator n·y_t − S
+    * (the A95 discipline) as DECIMAL(38,0); lag products and both sums
+    * are exact decimals (the n² factors cancel), acf is ONE IEEE
+    * division. A constant series (zero variance) yields NULL acf on both
+    * engines. Scale: one (type, day) shuffle → horizon summary; the lag
+    * products are in-row zip_with folds per (type, lag) — ≤ types×maxLag
+    * output rows. */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    denseDailySeries(spark, dir)
+      .filter(size(col("ys")) >= maxLag + 1)
+      .withColumn("n", size(col("ys")).cast("long"))
+      .withColumn("s", expr(
+        "aggregate(ys, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      .withColumn("ds", expr(
+        "transform(ys, y -> CAST(n * CAST(y AS BIGINT) - s AS DECIMAL(38,0)))"))
+      .withColumn("den", expr(
+        """aggregate(ds, CAST(0 AS DECIMAL(38,0)),
+          |  (a, x) -> CAST(a + x * x AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("lag", explode(expr(s"sequence(1, $maxLag)")))
+      .withColumn("num", expr(
+        """aggregate(
+          |  zip_with(slice(ds, 1, size(ds) - lag),
+          |           slice(ds, lag + 1, size(ds) - lag),
+          |           (a, b) -> CAST(a * b AS DECIMAL(38,0))),
+          |  CAST(0 AS DECIMAL(38,0)),
+          |  (a, x) -> CAST(a + x AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n").as("n_days"),
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")).as("acf"))
+  }
+
   /** The A90 fold over an already-dense (event_type, ys) table — shared
     * with the streaming twin (one recurrence, two transports). */
   private[graft] def hwFromDense(dense: DataFrame): DataFrame = {

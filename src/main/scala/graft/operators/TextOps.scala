@@ -2063,16 +2063,7 @@ object TextOps {
 
   // ---- C111 content-defined chunking (gear CDC, FastCDC lineage) ----------
 
-  /** Deterministic 256-entry gear table (48-bit positive values so the
-    * shifted-sum rolling hash below never overflows a BIGINT in either
-    * engine's arithmetic) — derived from MD5, fixed forever: chunk
-    * boundaries are a CONTRACT (a store built last year must still align
-    * with a batch chunked today). */
-  private[graft] val GearTable: Array[Long] = Array.tabulate(256) { i =>
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"graft-gear-$i".getBytes("UTF-8"))
-    BigInt(1, h.take(8).toArray).longValue & 0xFFFFFFFFFFFFL
-  }
+  /** The C111 gear table lives with its kernel: [[graft.functions.GearTable]]. */
 
   /** C111: CONTENT-DEFINED CHUNKING (the gear rolling hash of Xia et al.'s
     * Ddelta/FastCDC line, public — the dedup-storage primitive rsync/LBFS
@@ -2089,51 +2080,33 @@ object TextOps {
     * scheme rests on: the low k bits of h equal Σ_{j<k} gear[c_{i−j}]<<j
     * mod 2^k — terms shifted past bit k contribute nothing there and
     * addition carries only flow upward — so the boundary test
-    * (h & (2^k−1)) = 0 is a PURE FUNCTION OF THE TRAILING k CHARACTERS.
-    * Candidate positions are computed here in exactly that windowed form
-    * (k literal gear terms per position), making content-locality true by
-    * construction rather than by convention. Cuts then select greedily:
-    * cut at the first candidate ≥ minLen past the previous cut, force at
-    * maxLen — once two documents cut at the same content position, every
-    * later cut coincides (same candidates, same walk).
+    * (h & (2^k−1)) = 0 is a PURE FUNCTION OF THE TRAILING k CHARACTERS
+    * even though the kernel never resets h (the spec's independent
+    * reference computes the explicit windowed sum and must agree).
+    * Cuts select greedily: cut at the first candidate ≥ minLen past the
+    * previous cut, force at maxLen — once two documents cut at the same
+    * content position, every later cut coincides (same candidates, same
+    * walk).
     *
     * mask = 2^k − 1 targets ~2^k expected chunk length between the hard
     * bounds. Emits one row per chunk: (doc_id, chunk_idx, start, len,
-    * chunk_md5). Scale: map-only — per-doc in-row expressions, linear in
-    * corpus text × k (the doc_pmi cost class), no shuffle at all; the
-    * downstream dedup census shuffles 16-byte hashes, never text. */
+    * chunk_md5). Scale: MAP-ONLY over one corpus scan, O(1) per character
+    * inside whole-stage codegen (the [[graft.functions.CdcCutsExpr]]
+    * kernel — the declarative HOF form was measured ~100× slower and
+    * became the 10×-rehearsal wall); the downstream dedup census shuffles
+    * 16-byte hashes, never text. */
   def cdcChunks(spark: SparkSession, dir: String, maskBits: Int = 6,
                 minLen: Int = 16, maxLen: Int = 256): DataFrame =
     cdcChunksOf(Tables.documents(spark, dir), maskBits, minLen, maxLen)
 
   private[graft] def cdcChunksOf(docs: DataFrame, maskBits: Int,
                                  minLen: Int, maxLen: Int): DataFrame = {
-    require(minLen >= 1 && maxLen > minLen && maskBits >= 1 && maskBits <= 14)
-    val mask = (1L << maskBits) - 1
-    val gear = array(GearTable.map(lit(_)): _*)
-    // the windowed low-bits sum: k literal terms, each ≤ 2^48 << k — no
-    // BIGINT overflow anywhere near the k ≤ 14 guard
-    val winSum = (0 until maskBits).map(j =>
-      s"IF(i > $j, shiftleft(element_at($GearName, element_at(cs, i - $j) + 1), $j), 0L)")
-      .mkString(" + ")
+    // the chunk walk is the codegen'd cdc_cuts kernel (§5.5: the
+    // declarative HOF form walked interpreted lambdas per CHARACTER and
+    // was measured as the 10×-rehearsal wall — ~100× the kernel cost)
     docs.filter(col("text").isNotNull && length(col("text")) > 0)
-      .withColumn(GearName, gear)
-      .withColumn("cs", expr(
-        "transform(sequence(1, length(text)), p -> ascii(substring(text, p, 1)) & 255)"))
-      .withColumn("cand", expr(
-        s"transform(sequence(1, size(cs)), i -> (($winSum) & $mask) = 0)"))
-      .withColumn("cuts", expr(
-        s"""aggregate(sequence(1, length(text)),
-           |  named_struct('start', 1, 'cuts', CAST(array() AS ARRAY<INT>)),
-           |  (acc, i) -> IF(
-           |    (i - acc.start + 1 >= $minLen AND element_at(cand, i))
-           |      OR (i - acc.start + 1 >= $maxLen),
-           |    named_struct('start', i + 1,
-           |      'cuts', array_append(acc.cuts, i)),
-           |    named_struct('start', acc.start, 'cuts', acc.cuts)),
-           |  acc -> IF(acc.start <= length(text),
-           |    array_append(acc.cuts, length(text)), acc.cuts))"""
-          .stripMargin))
+      .withColumn("cuts", graft.functions.TextHashExpressions.cdcCuts(
+        col("text"), maskBits, minLen, maxLen))
       .select(col("doc_id"), col("text"), posexplode(expr(
         """zip_with(cuts,
           |  concat(array(0), slice(cuts, 1, size(cuts) - 1)),
@@ -2144,8 +2117,6 @@ object TextOps {
         md5(expr("encode(substring(text, c.start, c.len), 'UTF-8')"))
           .as("chunk_md5"))
   }
-
-  private val GearName = "__gear"
 
   /** C111b: chunk-level dedup census per source — how many stored bytes a
     * content-defined chunk store saves on this corpus (the question CDC

@@ -271,6 +271,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.wordpieceEncode(spark, dir).count() == 0)
     assert(TextOps.cdcDedup(spark, dir).count() == 0)
     assert(graft.operators.Sketches.quantileSketch(spark, dir).count() == 0)
+    assert(EventOps.seasonalStrength(spark, dir).count() == 0)
+    assert(EventOps.acf(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

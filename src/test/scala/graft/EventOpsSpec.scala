@@ -1578,6 +1578,62 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  /** Shared planted-series events dir: type "a" = trend + weekly season
+    * over 21 days; type "b" = pure weekly season over 28 days. */
+  private lazy val plantedSeriesDir: String = {
+    import SparkSuite.spark.implicits._
+    val s = Array(4, -2, 0, 1, -3, 2, -2) // sums to 0
+    def rowsOf(tpe: String, days: Int, yOf: Int => Int) =
+      (0 until days).flatMap { d =>
+        (1 to yOf(d)).map(i => (d * 100000L + i + tpe.hashCode.toLong.abs,
+          new java.sql.Timestamp(d * 86400000L + i), i.toLong, tpe, 1.0))
+      }
+    val rows = rowsOf("a", 21, d => 100 + 2 * d + s(d % 7)) ++
+      rowsOf("b", 28, d => 100 + s(d % 7))
+    val dir = java.nio.file.Files.createTempDirectory("graft-series").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("seasonal strength: exact linear-plus-periodic counts read 1.0; a flat trend reads NULL trend strength") {
+    val got = EventOps.seasonalStrength(spark, plantedSeriesDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = got("a") // resid ≡ 0, trend and season both vary → strength 1
+    assert(a.getAs[Long]("n_interior") == 15L)
+    assert(a.getAs[Double]("trend_strength") == 1.0)
+    assert(a.getAs[Double]("seasonal_strength") == 1.0)
+    val b = got("b") // flat trend: var(T+R) = 0 → NULL; season still 1
+    assert(b.getAs[Long]("n_interior") == 22L)
+    assert(b.isNullAt(b.fieldIndex("trend_strength")))
+    assert(b.getAs[Double]("seasonal_strength") == 1.0)
+  }
+
+  test("acf: bit-equal to an exact BigInt reference on planted series; the weekly period peaks at lag 7") {
+    val s = Array(4, -2, 0, 1, -3, 2, -2)
+    def ref(days: Int, yOf: Int => Int): Map[Long, Double] = {
+      val y = (0 until days).map(d => BigInt(yOf(d)))
+      val n = BigInt(days); val sum = y.sum
+      val dv = y.map(v => n * v - sum)
+      val den = dv.map(d => d * d).sum
+      (1 to 14).map { k =>
+        val num = (0 until days - k).map(t => dv(t) * dv(t + k)).sum
+        k.toLong -> (BigDecimal(num).toDouble / BigDecimal(den).toDouble)
+      }.toMap
+    }
+    val exp = Map(
+      "a" -> ref(21, d => 100 + 2 * d + s(d % 7)),
+      "b" -> ref(28, d => 100 + s(d % 7)))
+    val got = EventOps.acf(spark, plantedSeriesDir).collect()
+    assert(got.length == 28) // 2 types × 14 lags
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type"); val k = r.getAs[Long]("lag")
+      assert(r.getAs[Double]("acf") == exp(t)(k), s"$t lag $k")
+    }
+    // pure period-7 series: lag-7 autocorrelation dominates lag 1
+    assert(exp("b")(7L) > 0.5 && exp("b")(7L) > exp("b")(1L) + 0.3)
+  }
+
   test("experiment segments: per-cohort cells and the Q/I2 fold match an independent reference") {
     import SparkSuite.spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

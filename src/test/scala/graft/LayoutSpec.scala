@@ -151,6 +151,46 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("hilbert kernel: bijective on the grid, consecutive indices grid-adjacent (the property z-order lacks)") {
+    import graft.functions.SpatialKernel
+    val order = 3; val n = 1 << order // 8×8 grid
+    val cells = for (x <- 0L until n; y <- 0L until n) yield
+      ((x, y), SpatialKernel.hilbert(order, x, y))
+    // bijection onto 0..63
+    assert(cells.map(_._2).sorted == (0L until n * n))
+    // walking d = 0..63 moves exactly one grid step each time
+    val byD = cells.map { case (xy, d) => d -> xy }.toMap
+    (1L until n * n).foreach { d =>
+      val (x0, y0) = byD(d - 1); val (x1, y1) = byD(d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at d=$d: ($x0,$y0)->($x1,$y1)")
+    }
+  }
+
+  test("hilbert-clustered layout bounds BOTH dimensions at least as tightly as z-order on the second") {
+    val base = Files.createTempDirectory("graft-hilbert").toString
+    val src = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
+    val n = src.count()
+    Layout.writeHilbertOrdered(src, s"$base/h", "l_partkey", "l_suppkey", nFiles = 8)
+    Layout.writeZOrdered(src, s"$base/z", "l_partkey", "l_suppkey", nFiles = 8)
+    def meanSpan(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col(c), input_file_name().as("f"))
+      val global = df.agg(max(col(c)) - min(col(c))).head().getLong(0).toDouble
+      val spans = df.groupBy("f").agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length / global
+    }
+    assert(spark.read.parquet(s"$base/h").count() == n) // data intact
+    // both dimensions clustered well below full range, and the curve's
+    // locality keeps it in z-order's ballpark or better on each dim
+    val (hp, hs) = (meanSpan(s"$base/h", "l_partkey"), meanSpan(s"$base/h", "l_suppkey"))
+    val (zp, zs) = (meanSpan(s"$base/z", "l_partkey"), meanSpan(s"$base/z", "l_suppkey"))
+    assert(hp < 0.75 && hs < 0.75, s"hilbert spans $hp/$hs")
+    assert(hp <= zp * 1.25 && hs <= zs * 1.25,
+      s"hilbert ($hp,$hs) far worse than z-order ($zp,$zs)")
+  }
+
   test("row-group pruning measured from parquet FOOTERS, not a span proxy") {
     val base = Files.createTempDirectory("graft-zrg").toString
     val src = Tables.lineitem(spark, "/root/testdata/sf0.01")

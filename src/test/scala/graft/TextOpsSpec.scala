@@ -1514,7 +1514,7 @@ class TextOpsSpec extends SparkSuite {
     // independent reference: the same windowed candidate + greedy walk in
     // plain Scala must yield doc 1's exact cut positions
     def refEnds(text: String): Seq[Int] = {
-      val g = TextOps.GearTable
+      val g = graft.functions.GearTable.table
       val cand = (1 to text.length).map { i =>
         var sum = 0L
         for (j <- 0 until 5; if i > j)
