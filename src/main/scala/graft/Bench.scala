@@ -81,6 +81,7 @@ object Bench {
     "ev_seasonal_decompose", "qa_benford",
     "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
     "ev_seasonal_strength", "ev_acf",
+    "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
@@ -115,6 +116,17 @@ object Bench {
           graft.operators.TextOps.writeUnigramStore(docs, s"$tmp/uni")
         })
         graft.operators.TextOps.tokCompareFromStores(s, d, s"$dir/bpe", s"$dir/uni")
+      }),
+      "ev_quantile_store" -> ((s, d) => {
+        val dir = cachedStore(s"qsk:$d", tmp =>
+          graft.operators.Sketches.writeQuantileStore(s, d, tmp))
+        graft.operators.Sketches.quantilesFromStore(s, dir)
+      }),
+      "doc_wordpiece_store" -> ((s, d) => {
+        val dir = cachedStore(s"wps:$d", tmp =>
+          graft.operators.TextOps.writeWordpieceStore(
+            graft.Tables.documents(s, d), tmp))
+        graft.operators.TextOps.wordpieceEncodeFromStore(s, d, dir)
       }))
 
   private[graft] def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -231,6 +231,18 @@ object SparkEntry {
       }
     }),
     "ev_quantiles_exact"-> ((s, d) => Sketches.exactQuantiles(s, d)),
+    // A96c: store-served full-range quantiles — under-capacity daily
+    // partials merge to the exact multiset, sharing the A27 oracle
+    "ev_quantile_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qsk")
+      try {
+        Sketches.writeQuantileStore(s, d, tmp.toString)
+        Sketches.quantilesFromStore(s, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // A96 native KLL/MRL quantile sketch: default capacity (rows-only,
     // error measured in SketchesSpec) + the exact-capacity oracle twin
     "ev_quantile_sketch" -> ((s, d) => Sketches.quantileSketch(s, d)),
@@ -730,6 +742,36 @@ object SparkEntry {
     "doc_wordpiece"     -> ((s, d) => TextOps.wordpieceEncode(s, d)),
     // C111 content-defined chunking: gear-CDC chunk census + dedup readout
     "doc_cdc_dedup"     -> ((s, d) => TextOps.cdcDedup(s, d)),
+    // C110c: encode from the persisted WordPiece vocabulary — must equal
+    // the direct train+encode bit-for-bit (frozen-vocabulary contract)
+    "doc_wordpiece_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wps")
+      try {
+        TextOps.writeWordpieceStore(graft.Tables.documents(s, d), tmp.toString)
+        TextOps.wordpieceEncodeFromStore(s, d, tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
+    // C111c: chunk store + incremental batch accounting — store built on
+    // the even docs, the odd docs arrive as a crawl batch (organic dups
+    // and shared boilerplate produce the known/new split)
+    "doc_cdc_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdcs")
+      try {
+        val docs = graft.Tables.documents(s, d)
+        TextOps.writeCdcStore(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0), tmp.toString)
+        TextOps.cdcIngest(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 1), tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // C102 Efraimidis–Spirakis weighted sample (exponential keys, n_chars)
     "doc_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     // C104 Pearson correlation audit between per-doc metrics
@@ -2649,6 +2691,8 @@ object SparkEntry {
     // A96 twin: capacity ≥ any per-type count ⇒ the compactor ladder
     // never fires and the sketch answers the exact rank rule
     "ev_quantile_sketch_exact" -> quantilesExactSql,
+    // A96c: under-capacity daily partials merge to the exact multiset
+    "ev_quantile_store" -> quantilesExactSql,
     // exact-bitmap family: the sketches are exact, so every entry is
     // oracle-gated against plain DISTINCT aggregation
     "ev_bitmap_daily" ->

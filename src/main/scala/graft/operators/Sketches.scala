@@ -237,6 +237,43 @@ object Sketches {
       .write.mode("overwrite").parquet(s"$storeDir/hh_daily.parquet")
   }
 
+  /** A96c: persisted daily KLL partials — the quantile mirror of the A89c
+    * heavy-hitter store (and the artifact advantage over approx_percentile:
+    * the engine OWNS these bytes): one sketch row per (type, day), written
+    * once, any day window answered later by kll_merge_agg with ZERO raw
+    * re-reads. Under-capacity daily partials merge to the exact multiset
+    * (the A96 exact regime), so full-range serving shares the A27 oracle. */
+  def writeQuantileStore(spark: SparkSession, dir: String,
+                         storeDir: String, capacity: Int = 1 << 16): Unit = {
+    import graft.functions.KllFunctions._
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Cols.tsMs(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("day_idx", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "day_idx")
+      .agg(kllAgg(col("value"), capacity).as("sk"),
+        count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$storeDir/q_daily.parquet")
+  }
+
+  /** Serve per-type p50/p95 over a day range from the store — one partial
+    * agg over ≤ types×days sketch rows, zero raw-event reads. */
+  def quantilesFromStore(spark: SparkSession, storeDir: String,
+                         fromDay: Long = Long.MinValue,
+                         toDay: Long = Long.MaxValue,
+                         capacity: Int = 1 << 16): DataFrame = {
+    import graft.functions.KllFunctions._
+    spark.read.parquet(s"$storeDir/q_daily.parquet")
+      .filter(col("day_idx") >= fromDay && col("day_idx") <= toDay)
+      .groupBy("event_type")
+      .agg(kllMergeAgg(col("sk"), capacity).as("sk"),
+        sum(col("n")).cast("long").as("n_events"))
+      .select(col("event_type"),
+        kllQuantile(col("sk"), lit(0.5)).as("value_p50"),
+        kllQuantile(col("sk"), lit(0.95)).as("value_p95"),
+        col("n_events"))
+  }
+
   /** Serve per-type top-k over a day range from the store — one partial
     * agg over ≤ types×days sketch rows, zero raw-event reads. */
   def heavyHittersFromStore(spark: SparkSession, storeDir: String,

@@ -2061,6 +2061,29 @@ object TextOps {
         count(when(col("is_unk"), lit(1))).as("n_unk_words"))
   }
 
+  /** C110c: persist the trained WordPiece vocabulary — the frozen-artifact
+    * contract shared with C53d (BPE merges) and C103c (unigram pieces):
+    * encode every future batch with the vocabulary trained once, never
+    * retrain per batch. Persists the ENCODER's input (the piece table —
+    * MaxMatch needs nothing else) plus maxWordLen. */
+  def writeWordpieceStore(docs: DataFrame, storeDir: String,
+                          nMerges: Int = 32, minFreq: Long = 2,
+                          maxWordLen: Int = 32): Unit =
+    wordpieceVocabOf(docs, wordpieceTrainOf(docs, nMerges, minFreq))
+      .withColumn("max_word_len", lit(maxWordLen))
+      .write.mode("overwrite").parquet(s"$storeDir/wp_vocab.parquet")
+
+  /** Encode any corpus with a persisted WordPiece vocabulary — bit-equal
+    * to the training-time encode when the store was trained on the same
+    * corpus with the same parameters (spec-pinned). */
+  def wordpieceEncodeFromStore(spark: SparkSession, dir: String,
+                               storeDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$storeDir/wp_vocab.parquet")
+    val maxLen = stored.agg(max(col("max_word_len"))).head().getInt(0)
+    wordpieceEncodeWith(Tables.documents(spark, dir),
+      stored.select(col("piece")), maxLen)
+  }
+
   // ---- C111 content-defined chunking (gear CDC, FastCDC lineage) ----------
 
   /** The C111 gear table lives with its kernel: [[graft.functions.GearTable]]. */
@@ -2148,6 +2171,61 @@ object TextOps {
         coalesce(col("unique_bytes"), lit(0L)).as("unique_bytes"),
         (lit(1.0) - coalesce(col("unique_bytes"), lit(0L)).cast("double") /
           col("total_bytes").cast("double")).as("dedup_ratio"))
+  }
+
+  // ---- C111c persisted chunk store ----------------------------------------
+
+  /** C111c: persist the corpus chunk-hash table — the store a CDC dedup
+    * deployment actually keeps (16-byte hash + length per chunk; the
+    * question every incoming crawl batch asks is "how many of these bytes
+    * do I already hold"). Chunk parameters persist beside the hashes:
+    * boundaries are a contract, and serving with different parameters
+    * would silently mis-align every batch. */
+  def writeCdcStore(docs: DataFrame, storeDir: String, maskBits: Int = 6,
+                    minLen: Int = 16, maxLen: Int = 256): Unit = {
+    cdcChunksOf(docs, maskBits, minLen, maxLen)
+      .select(col("chunk_md5"), col("len")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/chunks.parquet")
+    docs.sparkSession.range(1)
+      .select(lit(maskBits).as("mask_bits"), lit(minLen).as("min_len"),
+        lit(maxLen).as("max_len"))
+      .write.mode("overwrite").parquet(s"$storeDir/params.parquet")
+  }
+
+  /** C111c: incremental batch-vs-store dedup accounting — chunk ONLY the
+    * batch (the store's corpus is never re-read as text), anti-join its
+    * hashes against the stored table, and report per-source how much is
+    * genuinely new; then append the new hashes so the next batch sees
+    * them. Output: (source, n_chunks, total_bytes, known_chunks,
+    * known_bytes, new_bytes, novelty = new/total).
+    *
+    * Scale: batch-sized chunking (map-only kernel), one hash join of
+    * 16-byte keys against the store (AQE broadcasts the smaller side),
+    * a ≤sources rollup, and an append of only the new hashes. */
+  def cdcIngest(batch: DataFrame, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$storeDir/params.parquet").head()
+    val chunks = cdcChunksOf(batch, p.getAs[Int]("mask_bits"),
+        p.getAs[Int]("min_len"), p.getAs[Int]("max_len"))
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+    val stored = spark.read.parquet(s"$storeDir/chunks.parquet")
+      .select(col("chunk_md5"), lit(true).as("known"))
+    val marked = chunks.join(stored, Seq("chunk_md5"), "left")
+      .withColumn("known", coalesce(col("known"), lit(false)))
+      .localCheckpoint(true) // the stats read and the append both consume it
+    val out = marked.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).cast("long").as("total_bytes"),
+        count(when(col("known"), lit(1))).as("known_chunks"),
+        sum(when(col("known"), col("len")).otherwise(lit(0)))
+          .cast("long").as("known_bytes"))
+      .withColumn("new_bytes", col("total_bytes") - col("known_bytes"))
+      .withColumn("novelty",
+        col("new_bytes").cast("double") / col("total_bytes").cast("double"))
+    marked.filter(!col("known"))
+      .select(col("chunk_md5"), col("len")).distinct()
+      .write.mode("append").parquet(s"$storeDir/chunks.parquet")
+    out
   }
 
   // ---- BM25 retrieval (C72) ---------------------------------------------

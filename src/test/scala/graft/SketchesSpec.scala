@@ -211,6 +211,37 @@ class SketchesSpec extends SparkSuite {
       assert(merged(u) == ((c, c)), s"user $u: ${merged(u)} vs exact $c") }
   }
 
+  test("kll store: windowed serve from daily partials equals a direct rank selection over the window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qsk-spec").toString
+    Sketches.writeQuantileStore(spark, sf, tmp)
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_millis(cast(ts as timestamp_ltz)) div 86400000").as("d"))
+      .agg(min("d"), max("d")).head()
+    val (lo, hi) = (days.getLong(0), days.getLong(1))
+    val (from, to) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    val got = Sketches.quantilesFromStore(spark, tmp, from, to).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("value_p50"), r.getAs[Double]("value_p95"),
+          r.getAs[Long]("n_events")))).toMap
+    // direct exact rank rule over the same day window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value"))
+    val nW = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val direct = Tables.events(spark, sf)
+      .withColumn("d", expr("unix_millis(cast(ts as timestamp_ltz)) div 86400000"))
+      .filter(col("d") >= from && col("d") <= to)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nW))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("value"))).as("p95"),
+        max(col("n")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+          r.getAs[Long]("n")))).toMap
+    assert(got.nonEmpty && got == direct)
+  }
+
   // ---- A96 KLL/MRL quantile sketch ----------------------------------------
 
   test("kll: exact-capacity twin equals the exact rank-selected quantiles; bytes canonical under repartitioning") {

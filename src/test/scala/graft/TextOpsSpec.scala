@@ -1568,6 +1568,33 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("cdc store: exact known/new byte accounting across two ingests; appended hashes are visible to the next batch") {
+    import SparkSuite.spark.implicits._
+    val tA = lcgText(17L, 3000, "abcdefghijklmnop")
+    val tB = lcgText(19L, 2500, "qrstuvwxyz") // disjoint alphabet: no overlap
+    def docsOf(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdcs-spec")
+    try {
+      TextOps.writeCdcStore(docsOf(1L -> tA), tmp.toString)
+      // batch 1: an exact re-crawl of A plus the brand-new B
+      val out1 = TextOps.cdcIngest(docsOf(10L -> tA, 11L -> tB), tmp.toString)
+        .collect().head
+      assert(out1.getAs[Long]("total_bytes") == (tA.length + tB.length).toLong)
+      assert(out1.getAs[Long]("known_bytes") == tA.length.toLong)
+      assert(out1.getAs[Long]("new_bytes") == tB.length.toLong)
+      // batch 2: B again — batch 1's append must make it fully known
+      val out2 = TextOps.cdcIngest(docsOf(20L -> tB), tmp.toString).collect().head
+      assert(out2.getAs[Long]("known_bytes") == tB.length.toLong)
+      assert(out2.getAs[Long]("new_bytes") == 0L)
+      assert(out2.getAs[Double]("novelty") == 0.0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("tok compare from stores: bit-equal to the retraining path under the same parameters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-toks-spec")
     try {

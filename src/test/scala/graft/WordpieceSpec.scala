@@ -37,6 +37,21 @@ class WordpieceSpec extends SparkSuite {
     assert(got(3L) == ((1L, 1L, 1L))) // 40 chars > maxWordLen guard
   }
 
+  test("store: encode from the persisted vocabulary is bit-equal to the direct train+encode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wps-spec")
+    try {
+      TextOps.writeWordpieceStore(Tables.documents(spark, sf), tmp.toString)
+      val stored = TextOps.wordpieceEncodeFromStore(spark, sf, tmp.toString)
+        .collect().map(_.toSeq).toSet
+      val direct = TextOps.wordpieceEncode(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(stored == direct && stored.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("encoder on the corpus reconciles with an independent Scala MaxMatch over the trained vocabulary") {
     val docs = Tables.documents(spark, sf)
     val merges = TextOps.wordpieceTrainOf(docs, nMerges = 8, minFreq = 2)
