@@ -81,7 +81,7 @@ object Bench {
     "ev_seasonal_decompose", "qa_benford",
     "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
     "ev_seasonal_strength", "ev_acf",
-    "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store",
+    "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store", "qa_psi",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -307,6 +307,8 @@ object SparkEntry {
     "qa_reconcile"     -> ((s, d) => Analytics.reconcile(s, d)),
     // B41 Benford first-digit audit over the money columns
     "qa_benford"       -> ((s, d) => Analytics.benford(s, d)),
+    // B42 population stability index (first vs second half, per type)
+    "qa_psi"           -> ((s, d) => Analytics.psi(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -3669,6 +3671,62 @@ object SparkEntry {
         |    - CAST(CAST(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
         |        AS DECIMAL(18,9)) AS DOUBLE) AS dev
         |FROM cnt c JOIN tot t USING (col_name)""".stripMargin,
+    // B42: reference-half decile edges by exact rank selection; bucket by
+    // exact comparisons; each PSI term quantized DECIMAL(18,9) over libm ln
+    "qa_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |mid AS (
+        |  SELECT event_type, (min(d) + max(d)) // 2 AS mid
+        |  FROM ev GROUP BY 1),
+        |halves AS (
+        |  SELECT e.event_type, e.value, e.d <= m.mid AS is_ref
+        |  FROM ev e JOIN mid m USING (event_type)),
+        |ref AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM halves WHERE is_ref),
+        |edges AS (
+        |  SELECT r.event_type, list(r.value ORDER BY g.j) AS es
+        |  FROM ref r, generate_series(1, 9) g(j)
+        |  WHERE r.rn = CAST(ceil(r.n * g.j / 10.0) AS BIGINT)
+        |  GROUP BY 1),
+        |binned AS (
+        |  SELECT h.event_type,
+        |    1 + len(list_filter(e.es, x -> h.value > x)) AS bin,
+        |    count(*) FILTER (WHERE h.is_ref) AS n_ref,
+        |    count(*) FILTER (WHERE NOT h.is_ref) AS n_cur
+        |  FROM halves h JOIN edges e USING (event_type)
+        |  GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, bin, n_ref, n_cur,
+        |    sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+        |    sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+        |  FROM binned)
+        |SELECT event_type, CAST(max(tot_ref) AS BIGINT) AS n_ref,
+        |  CAST(max(tot_cur) AS BIGINT) AS n_cur,
+        |  CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) AS psi,
+        |  CASE WHEN CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) < 0.1 THEN 'stable'
+        |  WHEN CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) <= 0.25 THEN 'drifting'
+        |  ELSE 'shifted' END AS band
+        |FROM tots GROUP BY 1""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

@@ -828,6 +828,74 @@ object Analytics {
         sum(col("delta")).cast("double").as("sum_delta"))
   }
 
+  /** B42: POPULATION STABILITY INDEX between the first and second halves
+    * of each type's value stream (the credit-scoring drift standard —
+    * Siddiqi's PSI, public; the bucketed KL-symmetrization every model
+    * monitor quotes): deciles fit on the REFERENCE half (exact A27 rank
+    * selection — engine-agnostic edges), both halves bucketed against
+    * those edges, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). The
+    * interpretation bands (<0.1 stable, 0.1–0.25 drifting, >0.25 shifted)
+    * are the published convention. Frequencies smooth as (n+0.5)/(N+5)
+    * (documented choice — keeps empty bins finite, the standard ε
+    * alternative).
+    *
+    * Portability: edges are exact stored doubles (rank-selected, no
+    * interpolation), bucket assignment is exact comparisons, counts are
+    * exact longs; each PSI term quantizes DECIMAL(18,9) before the
+    * order-free sum (libm ln's 1-ULP skew sits ~8 digits below the
+    * step), total = one cast.
+    *
+    * Scale: two scans (one per half-assignment pass folded into one scan
+    * + the bucket pass), a ≤types×9 edge table joined as an in-row array
+    * (broadcast), one (type, bin) partial agg, a ≤types rollup. */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 9)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr("unix_millis(cast(ts as timestamp_ltz)) div 86400000").as("d"))
+    val mid = ev.groupBy("event_type")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      // `div`, not `/`: fractional halves must floor identically in both
+      // engines (DuckDB CASTs of x.5 round, Spark's truncate)
+      .select(col("event_type"), expr("(lo + hi) div 2").as("mid"))
+    val halves = ev.join(broadcast(mid), "event_type")
+      .withColumn("is_ref", col("d") <= col("mid"))
+      .localCheckpoint(true) // feeds the edge fit and the bucket pass
+    val wOrd = Window.partitionBy("event_type").orderBy(col("value"))
+    val wAll = Window.partitionBy("event_type")
+    val edges = halves.filter(col("is_ref"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("j", explode(expr("sequence(1, 9)")))
+      .filter(col("rn") === ceil(col("n") * col("j") / lit(10.0)).cast("long"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("j"), col("value"))))
+        .as("es"))
+      .select(col("event_type"), expr("transform(es, e -> e.value)").as("edges"))
+    val binned = halves.join(broadcast(edges), "event_type")
+      .withColumn("bin",
+        (lit(1) + size(expr("filter(edges, e -> value > e)"))).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(when(col("is_ref"), lit(1))).as("n_ref"),
+        count(when(!col("is_ref"), lit(1))).as("n_cur"))
+    binned
+      .withColumn("tot_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("tot_cur", sum(col("n_cur")).over(wAll))
+      .withColumn("p_ref", (col("n_ref").cast("double") + lit(0.5)) /
+        (col("tot_ref").cast("double") + lit(5.0)))
+      .withColumn("p_cur", (col("n_cur").cast("double") + lit(0.5)) /
+        (col("tot_cur").cast("double") + lit(5.0)))
+      .withColumn("term", ((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))).cast(dec))
+      .groupBy("event_type")
+      .agg(max(col("tot_ref")).as("n_ref"), max(col("tot_cur")).as("n_cur"),
+        sum(col("term")).cast("double").as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") <= 0.25, lit("drifting"))
+          .otherwise(lit("shifted")))
+  }
+
   /** B41: BENFORD first-digit audit over the money columns (Newcomb 1881 /
     * Benford 1938; Nigrini's forensic-accounting test, public — the
     * standard "was this column fabricated or truncated" data-quality

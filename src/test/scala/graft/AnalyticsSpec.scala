@@ -225,6 +225,40 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("psi: identical halves read ~0/stable, a jumped distribution reads >0.25/shifted; totals reconcile") {
+    import SparkSuite.spark.implicits._
+    // type "same": the SAME value cycle in both halves (days 0..9 ref,
+    // 10..19 cur); type "shift": second half jumps +200 — every current
+    // row lands beyond the reference's top decile edge
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "same", (i % 100).toDouble)) ++
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (100000L + d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i),
+          i.toLong, "shift",
+          (if (d < 10) i % 100 else 200 + i % 100).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Analytics.psi(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val same = got("same")
+    assert(same.getAs[Long]("n_ref") == 500L && same.getAs[Long]("n_cur") == 500L)
+    assert(math.abs(same.getAs[Double]("psi")) < 0.01, same.toString)
+    assert(same.getAs[String]("band") == "stable")
+    val shift = got("shift")
+    assert(shift.getAs[Double]("psi") > 0.25, shift.toString)
+    assert(shift.getAs[String]("band") == "shifted")
+    // corpus run: totals cover every event exactly once; psi finite
+    val corpus = Analytics.psi(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val covered = corpus.map(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum
+    assert(covered == graft.Tables.events(spark, sf).count())
+    corpus.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
+  }
+
   test("snapshotDiff on the sf corpus: append-only source never reads 'removed'; changed rows advance in time") {
     val rows = Analytics.snapshotDiff(spark, sf).collect()
     assert(rows.nonEmpty)

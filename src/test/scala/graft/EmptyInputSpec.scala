@@ -162,6 +162,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.docContamination(spark, dir).count() == 0)
     assert(TextOps.deterministicSplit(spark, dir).count() == 0)
     assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
+    assert(Analytics.benford(spark, dEmpty).count() == 0)
   }
 
   test("round-4 operators survive empty inputs") {
@@ -266,13 +267,13 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.experimentSegments(spark, dir).count() == 0)
     assert(TextOps.tokCompare(spark, dir).count() == 0)
     assert(EventOps.seasonalDecompose(spark, dir).count() == 0)
-    assert(graft.operators.Analytics.benford(spark, dir).count() == 0)
     assert(TextOps.wordpieceTrain(spark, dir).count() == 0)
     assert(TextOps.wordpieceEncode(spark, dir).count() == 0)
     assert(TextOps.cdcDedup(spark, dir).count() == 0)
     assert(graft.operators.Sketches.quantileSketch(spark, dir).count() == 0)
     assert(EventOps.seasonalStrength(spark, dir).count() == 0)
     assert(EventOps.acf(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.psi(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)
