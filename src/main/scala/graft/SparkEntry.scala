@@ -133,6 +133,8 @@ object SparkEntry {
     "ev_seasonal_decompose" -> ((s, d) => EventOps.seasonalDecompose(s, d)),
     // A95b Hyndman-Wang strength-of-component measures over A95
     "ev_seasonal_strength" -> ((s, d) => EventOps.seasonalStrength(s, d)),
+    // A95c seasonally-adjusted robust anomaly days over A95's remainder
+    "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomalies(s, d)),
     // A97 Box-Jenkins autocorrelation at lags 1..14 (exact-decimal moments)
     "ev_acf"            -> ((s, d) => EventOps.acf(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -1623,6 +1625,73 @@ object SparkEntry {
         |FROM interior i
         |JOIN sfin f ON i.event_type = f.event_type AND i.dow = f.dow"""
         .stripMargin,
+    // A95c: the A95 pipeline + two exact rank medians ((value, day_idx)
+    // order) + the A49 robust flag over identical doubles
+    "ev_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense AS (
+        |  SELECT g.event_type, g.d AS day_idx,
+        |    CAST(coalesce(dl.y, 0) AS DOUBLE) AS y
+        |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d
+        |        FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |win AS (
+        |  SELECT event_type, day_idx, y,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dense),
+        |interior AS (
+        |  SELECT event_type, day_idx, y, s7 / 7.0 AS trend,
+        |    CAST(7.0 * y - s7 AS BIGINT) AS dnum, day_idx % 7 AS dow
+        |  FROM win WHERE rn >= 4 AND rn <= n - 3),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(CAST(sum(dnum) AS DOUBLE) / (7.0 * count(*)) AS DECIMAL(18,9))
+        |      AS mean_dec
+        |  FROM interior GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT event_type, CAST(sum(mean_dec) AS DOUBLE) / 7.0 AS a
+        |  FROM seas GROUP BY 1),
+        |sfin AS (
+        |  SELECT s.event_type, s.dow,
+        |    CAST(s.mean_dec AS DOUBLE) - a.a AS seasonal
+        |  FROM seas s JOIN adj a USING (event_type)),
+        |compx AS (
+        |  SELECT i.event_type, i.day_idx, i.y,
+        |    i.y - i.trend - f.seasonal AS resid
+        |  FROM interior i
+        |  JOIN sfin f ON i.event_type = f.event_type AND i.dow = f.dow),
+        |medr AS (
+        |  SELECT event_type, resid AS med FROM (
+        |    SELECT event_type, resid,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY resid, day_idx) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM compx) t
+        |  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)),
+        |wm AS (
+        |  SELECT c.event_type, c.day_idx, c.y, c.resid, m.med,
+        |    abs(c.resid - m.med) AS absdev
+        |  FROM compx c JOIN medr m USING (event_type)),
+        |madr AS (
+        |  SELECT event_type, absdev AS mad FROM (
+        |    SELECT event_type, absdev, day_idx,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY absdev, day_idx) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM wm) t
+        |  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT))
+        |SELECT w.event_type, w.day_idx, w.y, w.resid, w.med, d.mad
+        |FROM wm w JOIN madr d USING (event_type)
+        |WHERE w.absdev > 3.0 * d.mad""".stripMargin,
     // A95b: the A95 pipeline + quantized component sums; the variance
     // ratio is the same fixed IEEE tree over exact decimals as Spark's
     "ev_seasonal_strength" ->

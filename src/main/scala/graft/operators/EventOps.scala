@@ -1529,6 +1529,42 @@ object EventOps {
         varNum(sr, srr).cast("double") / varNum(sx, sxx).cast("double")))
   }
 
+  /** A95c: SEASONALLY-ADJUSTED anomaly days — the robust outlier read on
+    * A95's remainder (the decomposition's whole point: a quiet Sunday is
+    * NOT an anomaly once the weekly shape is removed, and a mid-week dip
+    * the raw A49/A67 z-scores average away pops out of the residual):
+    * flag interior days where |R_t − median(R)| > k·MAD(R) per type — the
+    * A49 robust rule applied to the deseasonalized series. Medians are
+    * exact rank selections ((value, day_idx) order — engine-agnostic),
+    * the flag compare is two IEEE ops over identical doubles.
+    *
+    * Scale: rides the A95 summary (checkpointed — the two rank passes
+    * and the flag pass reuse it, the madAlert discipline); rank windows
+    * partition by the low-cardinality type key. */
+  def seasonalAnomalies(spark: SparkSession, dir: String,
+                        k: Double = 3.0): DataFrame = {
+    val comp = seasonalDecompose(spark, dir).localCheckpoint(true)
+    def rankMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col("day_idx"))
+      val n = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = rankMedian(comp.select(col("event_type"), col("day_idx"),
+      col("resid")), "resid", "med").localCheckpoint(true)
+    val withMed = comp.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("resid") - col("med")))
+    val mad = rankMedian(withMed.select(col("event_type"), col("day_idx"),
+      col("absdev")), "absdev", "mad")
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .filter(col("absdev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("day_idx"), col("y"), col("resid"),
+        col("med"), col("mad"))
+  }
+
   /** A97: AUTOCORRELATION function of each type's daily series at lags
     * 1..maxLag (Box & Jenkins 1970, public — THE seasonality/memory
     * detector: a spike at lag 7 is the measured form of A95's weekly

@@ -274,6 +274,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.seasonalStrength(spark, dir).count() == 0)
     assert(EventOps.acf(spark, dir).count() == 0)
     assert(graft.operators.Analytics.psi(spark, dir).count() == 0)
+    assert(EventOps.seasonalAnomalies(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

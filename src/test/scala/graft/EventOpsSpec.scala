@@ -1609,6 +1609,44 @@ class EventOpsSpec extends SparkSuite {
     assert(b.getAs[Double]("seasonal_strength") == 1.0)
   }
 
+  test("seasonal anomaly: flag set equals an independent median/MAD reference; a planted spike flags, clean series don't") {
+    import SparkSuite.spark.implicits._
+    val s = Array(4, -2, 0, 1, -3, 2, -2)
+    // "clean": exact periodic (resid ≡ 0 → MAD 0 → nothing flags);
+    // "spiky": same plus a +40 burst on day 10 and small ±1 noise
+    val noise = Array(1, 0, -1, 0, 1, -1, 0, 1, 0, -1, 0, 1, -1, 0,
+      1, 0, -1, 1, 0, -1, 0, 1, -1, 0, 1, 0, -1, 0)
+    def yOf(tpe: String)(d: Int): Int = tpe match {
+      case "clean" => 100 + s(d % 7)
+      case _ => 100 + s(d % 7) + noise(d) + (if (d == 10) 40 else 0)
+    }
+    val rows = for (tpe <- Seq("clean", "spiky"); d <- 0 until 28;
+                    i <- 1 to yOf(tpe)(d)) yield
+      (tpe.hashCode.toLong.abs * 1000000L + d * 10000L + i,
+        new java.sql.Timestamp(d * 86400000L + i), i.toLong, tpe, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sanom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.seasonalAnomalies(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"))).toSet
+    // independent reference over the (gate-green) decomposition output
+    val comp = EventOps.seasonalDecompose(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"),
+        r.getAs[Double]("resid")))
+    def rankMed(xs: Seq[(Double, Long)]): Double = {
+      val sorted = xs.sortBy(identity)
+      sorted((math.ceil(sorted.size * 0.5) - 1).toInt)._1
+    }
+    val expect = comp.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val med = rankMed(rs.map(r => (r._3, r._2)).toSeq)
+      val mad = rankMed(rs.map(r => (math.abs(r._3 - med), r._2)).toSeq)
+      rs.filter(r => math.abs(r._3 - med) > 3.0 * mad).map(r => (t, r._2)).toSeq
+    }.toSet
+    assert(got == expect, s"got $got vs $expect")
+    assert(!got.exists(_._1 == "clean"))
+    assert(got.contains(("spiky", 10L)), s"spike day missing: $got")
+  }
+
   test("acf: bit-equal to an exact BigInt reference on planted series; the weekly period peaks at lag 7") {
     val s = Array(4, -2, 0, 1, -3, 2, -2)
     def ref(days: Int, yOf: Int => Int): Map[Long, Double] = {
