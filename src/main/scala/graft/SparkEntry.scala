@@ -137,6 +137,8 @@ object SparkEntry {
     "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomalies(s, d)),
     // A97 Box-Jenkins autocorrelation at lags 1..14 (exact-decimal moments)
     "ev_acf"            -> ((s, d) => EventOps.acf(s, d)),
+    // A98 partial autocorrelation via Durbin-Levinson, lags 1..7
+    "ev_pacf"           -> ((s, d) => EventOps.pacf(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A92 interrupted-time-series segmented regression at the midpoint
@@ -880,6 +882,76 @@ object SparkEntry {
       }
     }),
   )
+
+  // A98 oracle, built with the same expression builders as the Spark side
+  // so the per-op quantization sequence is verbatim-identical
+  private val pacfSql: String = {
+    val ts = "[CAST(CAST(phi[j] AS DOUBLE) * CAST(r[k + 1 - j] AS DOUBLE) " +
+      "AS DECIMAL(18,9)) for j in range(1, k + 1)]"
+    val ssum = s"list_aggregate($ts, 'sum')"
+    val alpha = s"CAST(r[k + 1] - $ssum AS DECIMAL(28,9))"
+    val pkk = s"CAST(CAST($alpha AS DOUBLE) / " +
+      "nullif(CAST(v AS DOUBLE), 0.0) AS DECIMAL(18,9))"
+    val w = s"CAST(CAST($pkk AS DOUBLE) * CAST($pkk AS DOUBLE) AS DECIMAL(18,9))"
+    val phiNew = s"[CAST(phi[j] - CAST(CAST($pkk AS DOUBLE) * " +
+      "CAST(phi[k + 1 - j] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(18,9)) " +
+      s"for j in range(1, k + 1)] || [$pkk]"
+    val vNew = s"CAST(CAST(v AS DOUBLE) * CAST(CAST(" +
+      s"CAST(1 AS DECIMAL(18,9)) - $w AS DECIMAL(18,9)) AS DOUBLE) " +
+      "AS DECIMAL(18,9))"
+    val v0 = "CAST(CAST(1 AS DECIMAL(18,9)) - CAST(CAST(r[1] AS DOUBLE) * " +
+      "CAST(r[1] AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(18,9))"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |rng AS (
+       |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+       |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 8),
+       |dense AS (
+       |  SELECT g.event_type,
+       |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS rn,
+       |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+       |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+       |          hi - lo + 1 AS n FROM rng) g
+       |  LEFT JOIN daily dl
+       |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+       |stats AS (
+       |  SELECT event_type, max(n) AS n, sum(y) AS s FROM dense GROUP BY 1),
+       |devs AS (
+       |  SELECT d.event_type, d.rn,
+       |    CAST(st.n * d.y - st.s AS DECIMAL(38,0)) AS dv
+       |  FROM dense d JOIN stats st USING (event_type)),
+       |dn AS (
+       |  SELECT event_type, sum(dv * dv) AS den FROM devs GROUP BY 1),
+       |nums AS (
+       |  SELECT a.event_type, l.lag, sum(a.dv * b.dv) AS num
+       |  FROM (SELECT event_type, unnest(generate_series(1, 7)) AS lag
+       |        FROM dn) l
+       |  JOIN devs a ON a.event_type = l.event_type
+       |  JOIN devs b ON b.event_type = l.event_type AND b.rn = a.rn + l.lag
+       |  GROUP BY 1, 2),
+       |qr AS (
+       |  SELECT m.event_type, max(s2.n) AS n_days,
+       |    list(CAST(CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+       |      AS DECIMAL(18,9)) ORDER BY m.lag) AS r
+       |  FROM nums m JOIN dn d USING (event_type)
+       |  JOIN stats s2 USING (event_type)
+       |  WHERE d.den > 0 GROUP BY 1),
+       |dl AS (
+       |  SELECT event_type, n_days, r, 1 AS k,
+       |    [r[1]] AS phi, [r[1]] AS pacf, $v0 AS v
+       |  FROM qr
+       |  UNION ALL
+       |  SELECT event_type, n_days, r, k + 1,
+       |    $phiNew,
+       |    pacf || [$pkk],
+       |    $vNew
+       |  FROM dl WHERE k < 7)
+       |SELECT d2.event_type, CAST(g.lag AS BIGINT) AS lag, d2.n_days,
+       |  CAST(d2.pacf[CAST(g.lag AS INT)] AS DOUBLE) AS pacf
+       |FROM (SELECT * FROM dl WHERE k = 7) d2, generate_series(1, 7) g(lag)"""
+      .stripMargin
+  }
 
   // A27/A96 shared oracle: exact rank-selected per-type quantiles
   private val quantilesExactSql =
@@ -1765,6 +1837,11 @@ object SparkEntry {
         |      / CAST(CAST(nd * sss - ss * ss AS VARCHAR) AS DOUBLE))
         |  END AS seasonal_strength
         |FROM agg""".stripMargin,
+    // A98: the A97 moments → quantized r list → Durbin–Levinson recursive
+    // CTE; every intermediate one isolated IEEE op between 9-digit
+    // double→decimal quantizations (decimal→decimal scale-downs never
+    // appear — DuckDB truncates those where Spark rounds)
+    "ev_pacf" -> pacfSql,
     // A97: exact-integer deviations n·y − S as DECIMAL(38,0); lag products
     // and both sums exact (the n² factors cancel); one IEEE division
     "ev_acf" ->

@@ -1579,7 +1579,10 @@ object EventOps {
     * engines. Scale: one (type, day) shuffle → horizon summary; the lag
     * products are in-row zip_with folds per (type, lag) — ≤ types×maxLag
     * output rows. */
-  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+  /** Shared exact-moment base of A97/A98: the deviation array (exact
+    * integer numerators n·y − S as DECIMAL(38,0)) and its square-sum. */
+  private def acfBase(spark: SparkSession, dir: String,
+                      maxLag: Int): DataFrame =
     denseDailySeries(spark, dir)
       .filter(size(col("ys")) >= maxLag + 1)
       .withColumn("n", size(col("ys")).cast("long"))
@@ -1590,6 +1593,9 @@ object EventOps {
       .withColumn("den", expr(
         """aggregate(ds, CAST(0 AS DECIMAL(38,0)),
           |  (a, x) -> CAST(a + x * x AS DECIMAL(38,0)))""".stripMargin))
+
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    acfBase(spark, dir, maxLag)
       .withColumn("lag", explode(expr(s"sequence(1, $maxLag)")))
       .withColumn("num", expr(
         """aggregate(
@@ -1602,6 +1608,76 @@ object EventOps {
         col("n").as("n_days"),
         when(col("den") > 0,
           col("num").cast("double") / col("den").cast("double")).as("acf"))
+  }
+
+  /** A98: PARTIAL autocorrelation at lags 1..maxLag per type via the
+    * Durbin–Levinson recursion (Durbin 1960; Box & Jenkins 1970, public —
+    * ACF's companion: pacf(k) is lag k's correlation with the
+    * intermediate lags' influence regressed out, THE AR-order selector:
+    * an AR(p) series cuts off sharply after lag p where its ACF decays
+    * forever):
+    *   φ₁₁ = r₁;  α_k = r_k − Σ_j φ_{k−1,j}·r_{k−j};  φ_kk = α_k/v_{k−1};
+    *   φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j};  v_k = v_{k−1}(1 − φ_kk²).
+    *
+    * Portability (the r12 §6 findings made the rules explicit): r_k
+    * quantizes DECIMAL(18,9) off the A97 exact-moment ratio; EVERY
+    * recursion intermediate is one isolated IEEE op between 9-digit
+    * quantizations — operands cast decimal→double (exact: |values| ≤ 2,
+    * significands < 2⁵³), ONE multiply/divide, result re-quantized via
+    * the proven-portable double→DECIMAL(18,9) cast; additions and
+    * subtractions stay in exact decimal; decimal→decimal scale-downs
+    * NEVER appear (DuckDB truncates where Spark rounds — measured).
+    * A zero prediction variance mid-recursion (|pacf| = 1 exactly —
+    * impossible for the biased estimator on real data) NULLs the
+    * remaining lags via nullif on both engines.
+    *
+    * Scale: the A97 shape — one (type, day) shuffle to the horizon
+    * summary, the whole recursion an in-row fold over ≤ maxLag lags;
+    * ≤ types×maxLag output rows. */
+  def pacf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val ts = "zip_with(st.phi, reverse(slice(qr, 1, k - 1)), " +
+      "(p, r) -> CAST(CAST(p AS DOUBLE) * CAST(r AS DOUBLE) AS DECIMAL(18,9)))"
+    val ssum = s"aggregate($ts, CAST(0 AS DECIMAL(28,9)), " +
+      "(a, x) -> CAST(a + x AS DECIMAL(28,9)))"
+    val alpha = s"CAST(element_at(qr, k) - $ssum AS DECIMAL(28,9))"
+    val pkk = s"CAST(CAST($alpha AS DOUBLE) / " +
+      "nullif(CAST(st.v AS DOUBLE), 0.0D) AS DECIMAL(18,9))"
+    val w = s"CAST(CAST($pkk AS DOUBLE) * CAST($pkk AS DOUBLE) AS DECIMAL(18,9))"
+    val phiNew = s"array_append(transform(sequence(1, k - 1), " +
+      s"j -> CAST(element_at(st.phi, j) - CAST(CAST($pkk AS DOUBLE) * " +
+      s"CAST(element_at(st.phi, k - j) AS DOUBLE) AS DECIMAL(18,9)) " +
+      s"AS DECIMAL(18,9))), $pkk)"
+    val vNew = s"CAST(CAST(st.v AS DOUBLE) * CAST(CAST(" +
+      s"CAST(1 AS DECIMAL(18,9)) - $w AS DECIMAL(18,9)) AS DOUBLE) " +
+      "AS DECIMAL(18,9))"
+    val v0 = "CAST(CAST(1 AS DECIMAL(18,9)) - " +
+      "CAST(CAST(element_at(qr, 1) AS DOUBLE) * " +
+      "CAST(element_at(qr, 1) AS DOUBLE) AS DECIMAL(18,9)) AS DECIMAL(18,9))"
+    acfBase(spark, dir, maxLag)
+      .filter(col("den") > 0)
+      .withColumn("qr", expr(
+        s"""transform(sequence(1, $maxLag), lag -> CAST(
+           |  CAST(aggregate(
+           |    zip_with(slice(ds, 1, size(ds) - lag),
+           |             slice(ds, lag + 1, size(ds) - lag),
+           |             (a, b) -> CAST(a * b AS DECIMAL(38,0))),
+           |    CAST(0 AS DECIMAL(38,0)),
+           |    (a, x) -> CAST(a + x AS DECIMAL(38,0))) AS DOUBLE)
+           |  / CAST(den AS DOUBLE) AS DECIMAL(18,9)))""".stripMargin))
+      .withColumn("dl", expr(
+        s"""aggregate(sequence(2, $maxLag),
+           |  named_struct(
+           |    'phi', array(element_at(qr, 1)),
+           |    'pacf', array(element_at(qr, 1)),
+           |    'v', $v0),
+           |  (st, k) -> named_struct(
+           |    'phi', $phiNew,
+           |    'pacf', array_append(st.pacf, $pkk),
+           |    'v', $vNew))""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        posexplode(col("dl.pacf")).as(Seq("pos", "p")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("lag"),
+        col("n_days"), col("p").cast("double").as("pacf"))
   }
 
   /** The A90 fold over an already-dense (event_type, ys) table — shared

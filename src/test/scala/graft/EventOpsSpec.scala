@@ -1672,6 +1672,54 @@ class EventOpsSpec extends SparkSuite {
     assert(exp("b")(7L) > 0.5 && exp("b")(7L) > exp("b")(1L) + 0.3)
   }
 
+  test("pacf: matches an independent plain-double Durbin-Levinson reference; lag 1 equals acf(1); magnitudes bounded") {
+    val s = Array(4, -2, 0, 1, -3, 2, -2)
+    // reference: exact-rational ACF then the textbook recursion in doubles
+    // (the operator quantizes each step at 1e-9; tolerance covers that)
+    def refPacf(days: Int, yOf: Int => Int): Array[Double] = {
+      val y = (0 until days).map(d => BigInt(yOf(d)))
+      val n = BigInt(days); val sum = y.sum
+      val dv = y.map(v => n * v - sum)
+      val den = dv.map(d => d * d).sum
+      val r = (1 to 7).map { k =>
+        BigDecimal((0 until days - k).map(t => dv(t) * dv(t + k)).sum)
+          .toDouble / BigDecimal(den).toDouble
+      }.toArray
+      val pacf = Array.fill(7)(0.0)
+      var phi = Array(r(0)); pacf(0) = r(0); var v = 1.0 - r(0) * r(0)
+      for (k <- 2 to 7) {
+        val alpha = r(k - 1) -
+          (1 until k).map(j => phi(j - 1) * r(k - j - 1)).sum
+        val pkk = alpha / v
+        phi = Array.tabulate(k - 1)(j =>
+          phi(j) - pkk * phi(k - 2 - j)) :+ pkk
+        v = v * (1.0 - pkk * pkk)
+        pacf(k - 1) = pkk
+      }
+      pacf
+    }
+    val exp = Map(
+      "a" -> refPacf(21, d => 100 + 2 * d + s(d % 7)),
+      "b" -> refPacf(28, d => 100 + s(d % 7)))
+    val got = EventOps.pacf(spark, plantedSeriesDir).collect()
+    assert(got.length == 14) // 2 types × 7 lags
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type"); val k = r.getAs[Long]("lag").toInt
+      assert(math.abs(r.getAs[Double]("pacf") - exp(t)(k - 1)) < 1e-6,
+        s"$t lag $k: ${r.getAs[Double]("pacf")} vs ${exp(t)(k - 1)}")
+    }
+    // pacf(1) IS acf(1) (quantized) by definition
+    val acf1 = EventOps.acf(spark, plantedSeriesDir).collect()
+      .filter(_.getAs[Long]("lag") == 1L)
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("acf")).toMap
+    got.filter(_.getAs[Long]("lag") == 1L).foreach { r =>
+      assert(math.abs(r.getAs[Double]("pacf") -
+        acf1(r.getAs[String]("event_type"))) < 1e-9)
+    }
+    // partial correlations are correlations: bounded by 1 (quantization slack)
+    got.foreach(r => assert(math.abs(r.getAs[Double]("pacf")) <= 1.0 + 1e-6))
+  }
+
   test("experiment segments: per-cohort cells and the Q/I2 fold match an independent reference") {
     import SparkSuite.spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
