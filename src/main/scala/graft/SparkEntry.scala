@@ -350,6 +350,11 @@ object SparkEntry {
     "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
+    // C112 range (radius) search: brute oracle path, the IVF-probed scale
+    // path, and the exhaustive-probe twin that must equal brute exactly
+    "emb_range_query"   -> ((s, d) => Similarity.rangeQuery(s, d)),
+    "emb_range_ivf"     -> ((s, d) => Similarity.rangeQueryIvf(s, d)),
+    "emb_range_ivf_exhaustive" -> ((s, d) => Similarity.rangeQueryIvfExhaustive(s, d)),
     "emb_neardup_pairs" -> ((s, d) => Similarity.neardupPairs(s, d)),
     "emb_lsh_pairs"     -> ((s, d) => Similarity.lshNeardupPairs(s, d)),
     // threshold 0.4 (the fixed-param entry's), not the 0.85 production
@@ -1140,6 +1145,13 @@ object SparkEntry {
 
   // brute-force cosine top-k — also the oracle for the exhaustive-probe IVF
   // path, which must reproduce it exactly
+  private val bruteRangeSql =
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  $dotCQ / (${nrm("c")} * ${nrm("q")}) AS cos_sim
+       |FROM embeddings c, embeddings q
+       |WHERE q.vec_id < 10 AND c.vec_id >= 10
+       |  AND $dotCQ / (${nrm("c")} * ${nrm("q")}) >= 0.3""".stripMargin
+
   private val bruteTopkSql =
     s"""SELECT q_id, vec_id, rank, cos_sim FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
@@ -3278,6 +3290,8 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "emb_cosine_topk" -> bruteTopkSql,
+    "emb_range_query" -> bruteRangeSql,
+    "emb_range_ivf_exhaustive" -> bruteRangeSql,
     "emb_ivf_exhaustive" -> bruteTopkSql,
     "emb_hamming_exhaustive" -> bruteTopkSql,
     "emb_ivf_ingest" -> bruteTopkSql,

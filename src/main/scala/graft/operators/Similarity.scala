@@ -39,6 +39,56 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** C112: RANGE (radius) search — every corpus vector within a cosine
+    * threshold of each query (the FAISS `range_search` shape, public —
+    * the query-driven sibling of C6's corpus-pair mining: "give me ALL
+    * matches above θ", the retrieval form dedup audits, policy screens,
+    * and recall-oriented RAG use where a fixed k silently truncates).
+    * Brute path: one broadcast-queries corpus scan, a filter instead of
+    * a rank window — strictly cheaper than top-k (no sort at all). */
+  def rangeQuery(spark: SparkSession, dir: String, nQueries: Int = 10,
+                 threshold: Double = 0.3): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    emb.filter(col("vec_id") >= nQueries).crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** C112b: the IVF-served range search — probe the nearest buckets, score
+    * candidates exactly, filter by θ (the scale path: candidates are the
+    * probed fraction of the corpus, and there is no rank window at all).
+    * Exhaustive probes (nprobe = nlist) provably recover the brute result
+    * — the oracle twin; at default probes the miss set is exactly the
+    * θ-matches living in unprobed buckets (the C7 recall trade). */
+  def rangeQueryIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
+                    threshold: Double = 0.3, nlist: Int = 8,
+                    nprobe: Int = 3, lloydIters: Int = 1): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** The exhaustive-probe twin: must equal [[rangeQuery]] exactly. */
+  def rangeQueryIvfExhaustive(spark: SparkSession, dir: String,
+                              nQueries: Int = 10,
+                              threshold: Double = 0.3): DataFrame =
+    rangeQueryIvf(spark, dir, nQueries, threshold, nlist = 8, nprobe = 8)
+
   /** C33: hard-negative mining for contrastive training — for each query
     * vector, the top-k nearest CORPUS vectors carrying a DIFFERENT label
     * (the highest-similarity wrong answers, the negatives that actually

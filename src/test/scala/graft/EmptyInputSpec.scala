@@ -276,6 +276,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Analytics.psi(spark, dir).count() == 0)
     assert(EventOps.seasonalAnomalies(spark, dir).count() == 0)
     assert(EventOps.pacf(spark, dir).count() == 0)
+    assert(Similarity.rangeQuery(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

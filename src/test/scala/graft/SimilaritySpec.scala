@@ -45,6 +45,28 @@ class SimilaritySpec extends SparkSuite {
     assert(q1.head.getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("range query: exactly the above-threshold set on the planted basis; IVF path is a subset closed by exhaustive probes") {
+    // planted basis: query 0 (e0) matches only vec 10 (cos ≈ .995) at θ=.3;
+    // query 1 (e1) matches only its identical copy 11 at cos exactly 1.0
+    val brute = Similarity.rangeQuery(spark, dir, nQueries = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim")))
+    assert(brute.map(t => (t._1, t._2)).toSet == Set((0L, 10L), (1L, 11L)))
+    assert(brute.find(_._2 == 11L).get._3 == 1.0)
+    // sf corpus: exhaustive probes ≡ brute (set-equal incl. scores);
+    // default probes are a SUBSET (the measured recall trade)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val b = key(Similarity.rangeQuery(spark, sf).collect())
+    val ex = key(Similarity.rangeQueryIvfExhaustive(spark, sf).collect())
+    val probed = key(Similarity.rangeQueryIvf(spark, sf).collect())
+    assert(b.nonEmpty && ex == b)
+    assert(probed.subsetOf(b), s"probed emitted a non-match")
+    assert(probed.size >= b.size / 2, // the default probes catch most of it
+      s"recall collapsed: ${probed.size}/${b.size}")
+  }
+
   test("hamming exhaustive twin equals brute-force cosine top-k exactly") {
     val brute = Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
