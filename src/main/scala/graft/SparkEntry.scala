@@ -766,6 +766,23 @@ object SparkEntry {
         new Directory(tmp.toFile).deleteRecursively()
       }
     }),
+    // C113: Bloom membership store — built on the even docs, the odd docs
+    // screened as a batch (organic exact dups land in n_seen; novel is
+    // exact, seen may over-count by <= fpp)
+    "doc_bloom_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom")
+      try {
+        val docs = graft.Tables.documents(s, d)
+        graft.operators.Dedup.writeBloomStore(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0), tmp.toString)
+        graft.operators.Dedup.bloomIngest(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 1), tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // C111c: chunk store + incremental batch accounting — store built on
     // the even docs, the odd docs arrive as a crawl batch (organic dups
     // and shared boilerplate produce the known/new split)

@@ -110,6 +110,8 @@ trait TextHashKernel { self: UnaryExpression =>
     val unbox = dataType match {
       case LongType => s"((java.lang.Long) $boxed).longValue()"
       case DoubleType => s"((java.lang.Double) $boxed).doubleValue()"
+      case org.apache.spark.sql.types.BooleanType =>
+        s"((java.lang.Boolean) $boxed).booleanValue()"
       case _ => s"($jt) $boxed"
     }
     ev.copy(code =
@@ -598,7 +600,35 @@ case class CdcCutsExpr(child: Expression, maskBits: Int, minLen: Int,
     copy(child = newChild)
 }
 
+/** bloom_contains(key): membership probe against a PLAN-LITERAL serialized
+  * Spark BloomFilter (Murmur3-based, deterministic bits; a filter is ~KBs
+  * to low MBs — ships with the plan exactly like the engine's other
+  * frozen-model literals). No UDF: the probe is a codegen'd kernel call,
+  * so the scan → probe projection stays inside WSCG. */
+case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def compute(input: UTF8String): AnyRef =
+    java.lang.Boolean.valueOf(bf.mightContainString(input.toString))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def bloomContains(key: Column, filterBytes: Array[Byte]): Column =
+    GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(key),
+      filterBytes))
   def cdcCuts(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
     GraftShims.toColumn(CdcCutsExpr(GraftShims.toExpression(text),
       maskBits, minLen, maxLen))

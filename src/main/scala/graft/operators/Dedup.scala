@@ -658,6 +658,71 @@ object Dedup {
       .select(col("doc_id"), col("fp"))
   }
 
+  // ---- C113 Bloom membership store -----------------------------------------
+
+  /** C113: BLOOM dedup store (Bloom 1970; Kirsch–Mitzenmacher double
+    * hashing as shipped in Spark's own `util.sketch.BloomFilter`, public)
+    * — the CONSTANT-SIZE alternative to C30's growing fingerprint list:
+    * the crawl-frontier trade (URL-seen tests, ingest pre-screens) where
+    * "have I seen this exact content" may answer yes wrongly at a stated
+    * rate ε but the store must stay ~1.2 bytes/key at ANY corpus size and
+    * the probe must stay map-only. Keys are md5(text) hex; the filter is
+    * built by Spark's distributed `stat.bloomFilter` (partial filters
+    * bit-OR — order-free, byte-canonical under any partitioning) and
+    * persists with its parameters. */
+  def writeBloomStore(docs: DataFrame, storeDir: String,
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): Unit = {
+    import docs.sparkSession.implicits._
+    val bf = docs.filter(col("text").isNotNull)
+      .select(md5(expr("encode(text, 'UTF-8')")).as("k"))
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Seq((bos.toByteArray, expectedItems, fpp))
+      .toDF("filter", "expected_items", "fpp")
+      .write.mode("overwrite").parquet(s"$storeDir/bloom.parquet")
+  }
+
+  /** C113: batch screen + fold-in — probe the batch against the stored
+    * filter (map-only: the filter ships as a plan literal through the
+    * codegen'd `bloom_contains` kernel, no join at all), report per-source
+    * seen/novel counts (seen may over-count by ≤ ε — the documented Bloom
+    * trade; novel is never wrong), then OR the batch's own filter into the
+    * store so the next batch sees it. Per-ingest cost: one batch scan +
+    * one KB-to-MB-sized store rewrite — ZERO reads of prior corpus data,
+    * at any history length (the property the hash-list store can't have). */
+  def bloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$storeDir/bloom.parquet").head()
+    val bytes = st.getAs[Array[Byte]]("filter")
+    val keyed = batch.filter(col("text").isNotNull)
+      .select(col("source"), md5(expr("encode(text, 'UTF-8')")).as("k"))
+      .withColumn("seen",
+        graft.functions.TextHashExpressions.bloomContains(col("k"), bytes))
+      .localCheckpoint(true) // the report and the fold-in both consume it
+    val out = keyed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("seen"), lit(1))).as("n_seen"),
+        count(when(!col("seen"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_docs").cast("double"))
+    // fold the batch in: same (expected, fpp) ⇒ compatible bit arrays
+    val batchBf = keyed.stat.bloomFilter("k",
+      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    merged.mergeInPlace(batchBf)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    import spark.implicits._
+    Seq((bos.toByteArray, st.getAs[Long]("expected_items"),
+        st.getAs[Double]("fpp")))
+      .toDF("filter", "expected_items", "fpp")
+      .write.mode("overwrite").parquet(s"$storeDir/bloom.parquet")
+    out
+  }
+
   /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one
     * n-gram, via an inverted index (gram → doc) self-join — deterministic,
     * engine-agnostic semantics (SQL-oracle-gated). The intersection count is

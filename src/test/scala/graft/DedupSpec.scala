@@ -733,4 +733,37 @@ class DedupSpec extends SparkSuite {
     if (s.getAs[Long]("found_pairs") > 0)
       assert(s.getAs[Double]("est_mae") >= 0.0 && s.getAs[Double]("est_mae") < 0.5)
   }
+
+  test("bloom store: exact re-crawl reads seen, novel content folds in and is seen next batch; FP rate bounded; bytes canonical") {
+    import SparkSuite.spark.implicits._
+    def docsOf(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = (0 until 200).map(i => (i.toLong, s"base document number $i with some words"))
+    val fresh = (0 until 200).map(i => (1000L + i, s"fresh content item $i entirely new"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-spec").toString
+    Dedup.writeBloomStore(docsOf(base: _*), tmp, expectedItems = 4096)
+    // batch 1: exact re-crawl of 100 base docs + 200 fresh
+    val b1 = Dedup.bloomIngest(
+      docsOf((base.take(100).map { case (id, t) => (id + 5000L, t) } ++ fresh): _*),
+      tmp).collect().head
+    assert(b1.getAs[Long]("n_docs") == 300L)
+    assert(b1.getAs[Long]("n_seen") >= 100L)  // all re-crawls hit; + ≤ ε FPs
+    assert(b1.getAs[Long]("n_seen") <= 110L,  // FP on fresh ≤ ~2× the 1% fpp
+      s"FP blowup: ${b1.getAs[Long]("n_seen")}")
+    // batch 2: the fresh content again — batch 1's fold-in must answer seen
+    val b2 = Dedup.bloomIngest(
+      docsOf(fresh.map { case (id, t) => (id + 9000L, t) }: _*), tmp)
+      .collect().head
+    assert(b2.getAs[Long]("n_seen") == 200L && b2.getAs[Long]("n_novel") == 0L)
+    // canonical bytes: the distributed build is a bit-OR — partitioning-free
+    val d = docsOf(base: _*)
+    def bytesOf(parts: Int): Seq[Byte] = {
+      val t2 = java.nio.file.Files.createTempDirectory("graft-bloom-b").toString
+      Dedup.writeBloomStore(d.repartition(parts), t2, expectedItems = 4096)
+      spark.read.parquet(s"$t2/bloom.parquet").head()
+        .getAs[Array[Byte]]("filter").toSeq
+    }
+    assert(bytesOf(1) == bytesOf(7))
+  }
 }
