@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.operators.TextOps
 import graft.functions.TextFunctions.{fingerprint, qualityScore}
@@ -72,6 +73,54 @@ object DocPipeline {
     * are recognized and skipped, so the store converges instead of
     * double-counting. Verdict rows (curate's schema) append to
     * `verdictDir` per batch. */
+  case class ScreenVerdict(doc_id: Long, source: String, seen: Boolean,
+                           n_state_bytes: Long)
+
+  /** C113s: the STREAMING Bloom pre-screen — corpus-LIFETIME exact-content
+    * screening in CONSTANT state: [[curatedStream]]'s keyed dedup grows
+    * state with distinct keys inside the watermark horizon and forgets
+    * beyond it; the Bloom screen remembers EVERYTHING ever ingested in a
+    * fixed bit array (the C113 trade live: "seen" may over-count ≤ ε,
+    * "novel" is never wrong — the right polarity for an admission gate,
+    * which re-examines flagged docs downstream anyway).
+    *
+    * The filter shards by key hash across `nShards` state groups — one
+    * global filter would funnel every row through a single state key (a
+    * one-partition bottleneck); sharding keeps admission parallel and
+    * each shard's filter independent (a key always routes to the same
+    * shard, so correctness is per-shard-local). Per trigger, a shard
+    * folds its batch in doc_id order (deterministic replay), emits one
+    * verdict per doc plus its serialized-state size — the boundedness is
+    * observable in the output, and the spec pins it flat across batches. */
+  def bloomScreenStream(docs: DataFrame, nShards: Int = 8,
+                        expectedPerShard: Long = 1L << 17,
+                        fpp: Double = 0.01): Dataset[ScreenVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(expr("encode(text, 'UTF-8')")).as("k"))
+      .as[(Long, String, String)]
+      .groupByKey { case (_, _, k) => (k.hashCode & Int.MaxValue) % nShards }
+      .flatMapGroupsWithState[Array[Byte], ScreenVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Array[Byte]]) =>
+          val bf = state.getOption
+            .map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b)))
+            .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(
+              expectedPerShard, fpp))
+          val out = rows.toSeq.sortBy(_._1).map { case (id, src, k) =>
+            val seen = bf.mightContainString(k)
+            bf.putString(k)
+            ScreenVerdict(id, src, seen, 0L)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          state.update(bos.toByteArray)
+          out.map(_.copy(n_state_bytes = bos.size().toLong)).iterator
+      }
+  }
+
   def curateNeardupStream(docs: DataFrame, storeDir: String,
                           verdictDir: String, checkpoint: String,
                           minQuality: Double = 0.2, maxDigitRatio: Double = 0.3,

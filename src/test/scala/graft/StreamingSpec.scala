@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Double]("quality") >= 0.2))
   }
 
+  test("C113s bloom screen: corpus-lifetime seen/novel across batches in constant state; in-batch dups caught; doc_id order") { withRocksDB {
+    import graft.streaming.DocPipeline
+    val src = Files.createTempDirectory("graft-bloomscr-src").toString
+    val chk = Files.createTempDirectory("graft-bloomscr-chk").toString
+    val a = "alpha content " * 5; val b = "bravo content " * 5
+    val c = "charlie content " * 5
+    // b1: A, B, and an IN-BATCH exact duplicate of A (higher doc_id)
+    writeDocs(src, "b1", Seq((1L, a), (2L, b), (3L, a)))
+    val q = DocPipeline.bloomScreenStream(DocPipeline.docSource(spark, src))
+      .toDF().writeStream.format("memory").queryName("bloomscr_out")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    // b2: a re-crawl of A (new id) + genuinely new C
+    writeDocs(src, "b2", Seq((10L, a), (11L, c)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bloomscr_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("seen"), r.getAs[Long]("n_state_bytes")))).toMap
+    assert(rows.view.mapValues(_._1).toMap ==
+      Map(1L -> false, 2L -> false, 3L -> true, 10L -> true, 11L -> false),
+      rows.toString)
+    // constant state: the bit array never grows with history
+    assert(rows.values.map(_._2).toSet.size == 1, rows.values.toString)
+    spark.catalog.dropTempView("bloomscr_out")
+  }}
+
   test("streaming curation gate: dedup state survives restart from checkpoint") {
     import graft.streaming.DocPipeline
     val src = Files.createTempDirectory("graft-docrst-src").toString
