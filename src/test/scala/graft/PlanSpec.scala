@@ -399,4 +399,57 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p2).length == 1, p2.take(1500))
     assert(!p2.contains("Join"), p2.take(1500))
   }
+
+  // ---- round-12 operators ---------------------------------------------------
+
+  test("seasonal decompose: the interior summary is checkpointed (no parquet re-scan); the DOW index joins back broadcast") {
+    val p = planOf(EventOps.seasonalDecompose(spark, sf))
+    // both branches hang off the checkpointed interior summary — the final
+    // plan touches NO parquet; the corpus was read once inside the checkpoint
+    assert(!p.contains("Scan parquet"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("acf and pacf: one corpus scan each, in-row folds after — no joins at all") {
+    Seq(planOf(EventOps.acf(spark, sf)), planOf(EventOps.pacf(spark, sf)))
+      .foreach { p =>
+        assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1500))
+        assert(!p.contains("Join"), p.take(1500))
+      }
+  }
+
+  test("quantile sketch: KLL partials merge in ObjectHashAggregate — one type exchange, no value shuffle") {
+    val p = planOf(graft.operators.Sketches.quantileSketch(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("benford: digit census partial-aggregates map-side — exchanges carry at most 9 rows per column") {
+    val p = planOf(graft.operators.Analytics.benford(spark, sf))
+    // two scans (orders + lineitem), each collapsing to a 9-group agg
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("cdc dedup: the chunk kernel is map-only; the census shuffles hashes, never text") {
+    val p = planOf(TextOps.cdcDedup(spark, sf))
+    assert(p.contains("cdc_cuts"), p.take(2000)) // the codegen kernel, not a HOF walk
+    // no exchange may carry the text column — chunk rows are (hash, len)-shaped
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")), p.take(2000))
+  }
+
+  test("range query: queries broadcast — the corpus side never builds a join hash table; no rank window") {
+    val p = planOf(graft.operators.Similarity.rangeQuery(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500)) // a filter, not a top-k
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(1500))
+  }
+
+  test("psi: one checkpointed scan feeds edge fit and bucket pass; edges join broadcast") {
+    val p = planOf(graft.operators.Analytics.psi(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
