@@ -137,6 +137,8 @@ object SparkEntry {
     "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomalies(s, d)),
     // A97 Box-Jenkins autocorrelation at lags 1..14 (exact-decimal moments)
     "ev_acf"            -> ((s, d) => EventOps.acf(s, d)),
+    // A97b the correlogram read: Bartlett white-noise bands + verdicts
+    "ev_acf_bands"      -> ((s, d) => EventOps.acfBands(s, d)),
     // A98 partial autocorrelation via Durbin-Levinson, lags 1..7
     "ev_pacf"           -> ((s, d) => EventOps.pacf(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -311,6 +313,8 @@ object SparkEntry {
     "qa_reconcile"     -> ((s, d) => Analytics.reconcile(s, d)),
     // B41 Benford first-digit audit over the money columns
     "qa_benford"       -> ((s, d) => Analytics.benford(s, d)),
+    // B41b Nigrini MAD conformity verdict over the digit census
+    "qa_benford_mad"   -> ((s, d) => Analytics.benfordMad(s, d)),
     // B42 population stability index (first vs second half, per type)
     "qa_psi"           -> ((s, d) => Analytics.psi(s, d)),
     // C. training-data pipeline
@@ -1873,6 +1877,46 @@ object SparkEntry {
     "ev_pacf" -> pacfSql,
     // A97: exact-integer deviations n·y − S as DECIMAL(38,0); lag products
     // and both sums exact (the n² factors cancel); one IEEE division
+    "ev_acf_bands" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 15),
+        |dense AS (
+        |  SELECT g.event_type,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS rn,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+        |  FROM (SELECT event_type, unnest(generate_series(lo, hi)) AS d,
+        |          hi - lo + 1 AS n FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |stats AS (
+        |  SELECT event_type, max(n) AS n, sum(y) AS s FROM dense GROUP BY 1),
+        |devs AS (
+        |  SELECT d.event_type, d.rn,
+        |    CAST(st.n * d.y - st.s AS DECIMAL(38,0)) AS dv
+        |  FROM dense d JOIN stats st USING (event_type)),
+        |den AS (
+        |  SELECT d.event_type, max(st.n) AS n, sum(d.dv * d.dv) AS den
+        |  FROM devs d JOIN stats st USING (event_type) GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag, sum(a.dv * b.dv) AS num
+        |  FROM (SELECT event_type, unnest(generate_series(1, 14)) AS lag
+        |        FROM den) l
+        |  JOIN devs a ON a.event_type = l.event_type
+        |  JOIN devs b ON b.event_type = l.event_type AND b.rn = a.rn + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT m.event_type, CAST(m.lag AS BIGINT) AS lag, d.n AS n_days,
+        |  CASE WHEN d.den > 0
+        |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf,
+        |  1.96 / sqrt(CAST(d.n AS DOUBLE)) AS band,
+        |  CASE WHEN d.den > 0 THEN
+        |    abs(CASE WHEN d.den > 0
+        |      THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END)
+        |      > 1.96 / sqrt(CAST(d.n AS DOUBLE)) END AS significant
+        |FROM num m JOIN den d USING (event_type)""".stripMargin,
     "ev_acf" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
@@ -3848,6 +3892,37 @@ object SparkEntry {
         |    - CAST(CAST(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
         |        AS DECIMAL(18,9)) AS DOUBLE) AS dev
         |FROM cnt c JOIN tot t USING (col_name)""".stripMargin,
+    // B41b: |dev| per digit quantized DECIMAL(18,9), order-free sum, the
+    // published Nigrini bands as exact compares
+    "qa_benford_mad" ->
+      """WITH src AS (
+        |  SELECT 'o_totalprice' AS col_name,
+        |    regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS digit
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |    regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]')
+        |  FROM lineitem),
+        |cnt AS (
+        |  SELECT col_name, CAST(digit AS INT) AS digit, count(*) AS n
+        |  FROM src WHERE digit <> '' GROUP BY 1, 2),
+        |tot AS (SELECT col_name, sum(n) AS t FROM cnt GROUP BY 1),
+        |devs AS (
+        |  SELECT c.col_name,
+        |    CAST(abs(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+        |      - CAST(CAST(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
+        |          AS DECIMAL(18,9)) AS DOUBLE)) AS DECIMAL(18,9)) AS dv
+        |  FROM cnt c JOIN tot t USING (col_name)),
+        |agg AS (
+        |  SELECT col_name, count(*) AS n_digits,
+        |    CAST(sum(dv) AS DOUBLE) / 9.0 AS mad
+        |  FROM devs GROUP BY 1)
+        |SELECT col_name, n_digits, mad,
+        |  CASE WHEN mad <= 0.006 THEN 'close'
+        |       WHEN mad <= 0.012 THEN 'acceptable'
+        |       WHEN mad <= 0.015 THEN 'marginal'
+        |       ELSE 'nonconformity' END AS conformity
+        |FROM agg""".stripMargin,
     // B42: reference-half decile edges by exact rank selection; bucket by
     // exact comparisons; each PSI term quantized DECIMAL(18,9) over libm ln
     "qa_psi" ->

@@ -828,6 +828,27 @@ object Analytics {
         sum(col("delta")).cast("double").as("sum_delta"))
   }
 
+  /** B41b: Nigrini's MAD CONFORMITY verdict over the B41 digit census
+    * (Nigrini 2012, public — the published read of a Benford audit:
+    * MAD = Σ|obs − exp|/9 with fixed bands ≤.006 close / ≤.012 acceptable
+    * / ≤.015 marginally acceptable / else nonconformity). One row per
+    * audited column. Each |obs−exp| term quantizes DECIMAL(18,9) before
+    * the order-free sum; the band compares are exact against the
+    * published constants. */
+  def benfordMad(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 9)
+    benford(spark, dir)
+      .select(col("col_name"), abs(col("dev")).cast(dec).as("t"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_digits"),
+        (sum(col("t")).cast("double") / lit(9.0)).as("mad"))
+      .withColumn("conformity",
+        when(col("mad") <= 0.006, lit("close"))
+          .when(col("mad") <= 0.012, lit("acceptable"))
+          .when(col("mad") <= 0.015, lit("marginal"))
+          .otherwise(lit("nonconformity")))
+  }
+
   /** B42: POPULATION STABILITY INDEX between the first and second halves
     * of each type's value stream (the credit-scoring drift standard —
     * Siddiqi's PSI, public; the bucketed KL-symmetrization every model

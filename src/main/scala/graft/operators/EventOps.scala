@@ -1579,6 +1579,19 @@ object EventOps {
     * engines. Scale: one (type, day) shuffle → horizon summary; the lag
     * products are in-row zip_with folds per (type, lag) — ≤ types×maxLag
     * output rows. */
+  /** A97b: the correlogram READ — A97's ACF against Bartlett's ±1.96/√n
+    * white-noise band (Bartlett 1946; the dashed lines on every published
+    * correlogram: a lag outside the band is evidence of real structure at
+    * ~5%): emits the band and the significance verdict per (type, lag).
+    * sqrt and the division are single correctly-rounded IEEE ops over
+    * identical inputs; the flag is one exact compare. */
+  def acfBands(spark: SparkSession, dir: String,
+               maxLag: Int = 14): DataFrame =
+    acf(spark, dir, maxLag)
+      .withColumn("band", lit(1.96) / sqrt(col("n_days").cast("double")))
+      .withColumn("significant",
+        when(col("acf").isNotNull, abs(col("acf")) > col("band")))
+
   /** Shared exact-moment base of A97/A98: the deviation array (exact
     * integer numerators n·y − S as DECIMAL(38,0)) and its square-sum. */
   private def acfBase(spark: SparkSession, dir: String,

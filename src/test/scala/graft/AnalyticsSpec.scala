@@ -259,6 +259,28 @@ class AnalyticsSpec extends SparkSuite {
     corpus.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
   }
 
+  test("benford MAD: reconciles with the digit census; verdict follows the published bands") {
+    val mad = Analytics.benfordMad(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val byCol = Analytics.benford(spark, sf).collect()
+      .groupBy(_.getAs[String]("col_name"))
+    assert(mad.keySet == byCol.keySet)
+    byCol.foreach { case (c, rows) =>
+      val expect = rows.map(r => BigDecimal(math.abs(r.getAs[Double]("dev")))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 9.0
+      val m = mad(c)
+      assert(math.abs(m.getAs[Double]("mad") - expect) < 1e-12, c)
+      val v = m.getAs[String]("conformity")
+      val e = m.getAs[Double]("mad") match {
+        case x if x <= 0.006 => "close"
+        case x if x <= 0.012 => "acceptable"
+        case x if x <= 0.015 => "marginal"
+        case _ => "nonconformity"
+      }
+      assert(v == e, s"$c: $v vs $e")
+    }
+  }
+
   test("snapshotDiff on the sf corpus: append-only source never reads 'removed'; changed rows advance in time") {
     val rows = Analytics.snapshotDiff(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -163,6 +163,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.deterministicSplit(spark, dir).count() == 0)
     assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
     assert(Analytics.benford(spark, dEmpty).count() == 0)
+    assert(Analytics.benfordMad(spark, dEmpty).count() == 0)
   }
 
   test("round-4 operators survive empty inputs") {
@@ -277,6 +278,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.seasonalAnomalies(spark, dir).count() == 0)
     assert(EventOps.pacf(spark, dir).count() == 0)
     assert(Similarity.rangeQuery(spark, dir).count() == 0)
+    assert(EventOps.acfBands(spark, dir).count() == 0)
     assert(Dedup.minhashRecall(spark, dir).count() == 1) // one all-zero summary row
     assert(TextOps.filterAgreement(spark, dir).count() == 0)
     assert(TextOps.heldoutPpl(spark, dir).count() == 0)

@@ -1720,6 +1720,19 @@ class EventOpsSpec extends SparkSuite {
     got.foreach(r => assert(math.abs(r.getAs[Double]("pacf")) <= 1.0 + 1e-6))
   }
 
+  test("acf bands: Bartlett band is 1.96/sqrt(n); the flag is the exact band compare on the acf values") {
+    val got = EventOps.acfBands(spark, plantedSeriesDir).collect()
+    assert(got.length == 28)
+    got.foreach { r =>
+      val band = 1.96 / math.sqrt(r.getAs[Long]("n_days").toDouble)
+      assert(r.getAs[Double]("band") == band)
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(r.getAs[Double]("acf")) > band))
+    }
+    // the planted pure period-7 series IS structured: some lag crosses
+    assert(got.exists(_.getAs[Boolean]("significant")))
+  }
+
   test("experiment segments: per-cohort cells and the Q/I2 fold match an independent reference") {
     import SparkSuite.spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
