@@ -82,7 +82,7 @@ object Bench {
     "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
     "ev_seasonal_strength", "ev_acf",
     "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store", "qa_psi",
-    "ev_seasonal_anomaly", "ev_pacf", "emb_range_query", "emb_range_ivf", "doc_bloom_store", "qa_benford_mad", "ev_acf_bands",
+    "ev_seasonal_anomaly", "ev_pacf", "emb_range_query", "emb_range_ivf", "doc_bloom_store", "qa_benford_mad", "ev_acf_bands", "doc_cdc_stats",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

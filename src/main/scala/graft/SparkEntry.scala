@@ -757,6 +757,9 @@ object SparkEntry {
     "doc_wordpiece"     -> ((s, d) => TextOps.wordpieceEncode(s, d)),
     // C111 content-defined chunking: gear-CDC chunk census + dedup readout
     "doc_cdc_dedup"     -> ((s, d) => TextOps.cdcDedup(s, d)),
+    // C111d: chunk-length profile vs the mask's 2^k target (rows-only:
+    // the chunk kernel has no SQL twin; reconciliation spec-gated)
+    "doc_cdc_stats"     -> ((s, d) => TextOps.cdcStats(s, d)),
     // C110c: encode from the persisted WordPiece vocabulary — must equal
     // the direct train+encode bit-for-bit (frozen-vocabulary contract)
     "doc_wordpiece_store" -> ((s, d) => {

@@ -2173,6 +2173,44 @@ object TextOps {
           col("total_bytes").cast("double")).as("dedup_ratio"))
   }
 
+  /** C111d: the chunker's TUNING readout — per-source chunk-length profile
+    * against the mask's 2^k target (is maskBits producing the sizes you
+    * asked for, or is minLen/maxLen clipping doing the work?): count,
+    * total/mean length, exact rank-selected p50/p95, and the FORCED-cut
+    * rate (chunks that hit maxLen — a high rate means the mask almost
+    * never fires on this content and the chunking has degraded toward
+    * fixed-size blocking, losing the edit-locality property). Means are
+    * one IEEE division of exact longs; percentiles are the A27 rank rule
+    * ((len, doc_id, chunk_idx) order). */
+  def cdcStats(spark: SparkSession, dir: String, maskBits: Int = 6,
+               minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = cdcChunksOf(docs, maskBits, minLen, maxLen)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true) // feeds the rank windows and the rollup
+    val w = Window.partitionBy("source")
+      .orderBy(col("len"), col("doc_id"), col("chunk_idx"))
+    val nW = Window.partitionBy("source")
+    val ranked = chunks.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nW))
+    val pcts = ranked.groupBy("source")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+          col("len"))).as("len_p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"),
+          col("len"))).as("len_p95"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).cast("long").as("total_len"),
+        count(when(col("len") === maxLen, lit(1))).as("n_forced"))
+      .join(pcts, "source")
+      .select(col("source"), col("n_chunks"), col("total_len"),
+        (col("total_len").cast("double") / col("n_chunks").cast("double"))
+          .as("mean_len"),
+        col("len_p50"), col("len_p95"),
+        (col("n_forced").cast("double") / col("n_chunks").cast("double"))
+          .as("forced_rate"))
+  }
+
   // ---- C111c persisted chunk store ----------------------------------------
 
   /** C111c: persist the corpus chunk-hash table — the store a CDC dedup

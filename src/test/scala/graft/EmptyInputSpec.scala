@@ -271,6 +271,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.wordpieceTrain(spark, dir).count() == 0)
     assert(TextOps.wordpieceEncode(spark, dir).count() == 0)
     assert(TextOps.cdcDedup(spark, dir).count() == 0)
+    assert(TextOps.cdcStats(spark, dir).count() == 0)
     assert(graft.operators.Sketches.quantileSketch(spark, dir).count() == 0)
     assert(EventOps.seasonalStrength(spark, dir).count() == 0)
     assert(EventOps.acf(spark, dir).count() == 0)

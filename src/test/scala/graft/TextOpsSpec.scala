@@ -1568,6 +1568,34 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("cdc stats: profile reconciles with a direct recomputation over the chunk table") {
+    val chunks = TextOps.cdcChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Int]("len")))
+    val srcOf = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.cdcStats(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    chunks.groupBy(c => srcOf(c._1)).foreach { case (src, cs) =>
+      val r = got(src)
+      assert(r.getAs[Long]("n_chunks") == cs.length.toLong)
+      assert(r.getAs[Long]("total_len") == cs.map(_._3.toLong).sum)
+      assert(r.getAs[Double]("mean_len") ==
+        cs.map(_._3.toLong).sum.toDouble / cs.length.toDouble)
+      val sorted = cs.sortBy(c => (c._3, c._1, c._2)).map(_._3)
+      assert(r.getAs[Int]("len_p50") ==
+        sorted((math.ceil(sorted.length * 0.5) - 1).toInt), src)
+      assert(r.getAs[Int]("len_p95") ==
+        sorted((math.ceil(sorted.length * 0.95) - 1).toInt), src)
+      val forced = cs.count(_._3 == 256)
+      assert(r.getAs[Double]("forced_rate") ==
+        forced.toDouble / cs.length.toDouble)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("cdc store: exact known/new byte accounting across two ingests; appended hashes are visible to the next batch") {
     import SparkSuite.spark.implicits._
     val tA = lcgText(17L, 3000, "abcdefghijklmnop")
