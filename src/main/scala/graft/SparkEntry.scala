@@ -141,6 +141,10 @@ object SparkEntry {
     "ev_acf_bands"      -> ((s, d) => EventOps.acfBands(s, d)),
     // A98 partial autocorrelation via Durbin-Levinson, lags 1..7
     "ev_pacf"           -> ((s, d) => EventOps.pacf(s, d)),
+    // A99 cross-correlation between type pairs' daily series, lags -7..7
+    "ev_ccf"            -> ((s, d) => EventOps.ccf(s, d)),
+    // A100 exact single mean-shift split per type (A86's oracle-exact twin)
+    "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
     "ev_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // A92 interrupted-time-series segmented regression at the midpoint
@@ -317,6 +321,10 @@ object SparkEntry {
     "qa_benford_mad"   -> ((s, d) => Analytics.benfordMad(s, d)),
     // B42 population stability index (first vs second half, per type)
     "qa_psi"           -> ((s, d) => Analytics.psi(s, d)),
+    // B42b calendar-anchored PSI: trailing week vs all prior history
+    "qa_psi_calendar"  -> ((s, d) => Analytics.psiCalendar(s, d)),
+    // B43 chi-square independence cells: event_type x day-of-week
+    "qa_chi2"          -> ((s, d) => Analytics.chi2(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1955,6 +1963,94 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // the ONE global day grid (min..max over the whole corpus) aligns every
+    // type; full-series means/denominators, lag-windowed numerators; ccf =
+    // num / (sqrt(den_a)*sqrt(den_b)) over exact-integer moments
+    "ev_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT min(day_idx) AS lo, max(day_idx) AS hi,
+        |    max(day_idx) - min(day_idx) + 1 AS n
+        |  FROM daily),
+        |grid AS (
+        |  SELECT unnest(generate_series(lo, hi)) AS d, n FROM rng
+        |  WHERE n >= 9),
+        |dense AS (
+        |  SELECT t.event_type,
+        |    row_number() OVER (PARTITION BY t.event_type ORDER BY g.d) AS rn,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN grid g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = t.event_type AND dl.day_idx = g.d),
+        |stats AS (
+        |  SELECT event_type, max(n) AS n, sum(y) AS s FROM dense GROUP BY 1),
+        |devs AS (
+        |  SELECT d.event_type, d.rn,
+        |    CAST(st.n * d.y - st.s AS DECIMAL(38,0)) AS dv
+        |  FROM dense d JOIN stats st USING (event_type)),
+        |den AS (
+        |  SELECT event_type, sum(dv * dv) AS den FROM devs GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |num AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b, l.lag,
+        |    sum(x.dv * y.dv) AS num
+        |  FROM lags l
+        |  CROSS JOIN devs x
+        |  JOIN devs y ON x.event_type < y.event_type AND y.rn = x.rn + l.lag
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.type_a, m.type_b, CAST(m.lag AS BIGINT) AS lag,
+        |  st.n AS n_days,
+        |  CASE WHEN da.den > 0 AND db.den > 0
+        |    THEN CAST(m.num AS DOUBLE)
+        |      / (sqrt(CAST(da.den AS DOUBLE)) * sqrt(CAST(db.den AS DOUBLE)))
+        |  END AS ccf
+        |FROM num m
+        |JOIN den da ON da.event_type = m.type_a
+        |JOIN den db ON db.event_type = m.type_b
+        |JOIN stats st ON st.event_type = m.type_a""".stripMargin,
+    // argmax of the exact-integer likelihood-ratio score G_t^2/(t(n-t)),
+    // earliest-t tie-break; means are single divisions of exact longs
+    "ev_mean_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense AS (
+        |  SELECT g.event_type, g.lo,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS rn,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+        |  FROM (SELECT event_type, lo, unnest(generate_series(lo, hi)) AS d,
+        |          hi - lo + 1 AS n FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(y) AS BIGINT) AS s FROM dense GROUP BY 1),
+        |cand AS (
+        |  SELECT d.event_type, d.lo, d.n, d.rn AS t,
+        |    CAST(sum(d.y) OVER (PARTITION BY d.event_type ORDER BY d.rn)
+        |      AS BIGINT) AS st
+        |  FROM dense d),
+        |scored AS (
+        |  SELECT c.event_type, c.lo, c.n, c.t, c.st, t2.s,
+        |    CAST(CAST(c.n * c.st - c.t * t2.s AS DECIMAL(38,0))
+        |        * CAST(c.n * c.st - c.t * t2.s AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(c.t * (c.n - c.t) AS DOUBLE) AS r
+        |  FROM cand c JOIN tot t2 USING (event_type)
+        |  WHERE c.t < c.n),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY r DESC, t ASC) AS k
+        |  FROM scored)
+        |SELECT event_type, n AS n_days, lo + t AS change_day, t AS t_split,
+        |  r / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS stat,
+        |  CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_pre,
+        |  CAST(s - st AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_post
+        |FROM best WHERE k = 1""".stripMargin,
     "ev_hw_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
@@ -3982,6 +4078,96 @@ object SparkEntry {
         |    AS DECIMAL(18,9))) AS DOUBLE) <= 0.25 THEN 'drifting'
         |  ELSE 'shifted' END AS band
         |FROM tots GROUP BY 1""".stripMargin,
+    // B42's machinery with the calendar split: current = trailing 7 whole
+    // days off ONE global max-day anchor, reference = all prior history
+    "qa_psi_calendar" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |anch AS (SELECT max(d) AS dmax FROM ev),
+        |halves AS (
+        |  SELECT e.event_type, e.value, e.d <= a.dmax - 7 AS is_ref
+        |  FROM ev e CROSS JOIN anch a),
+        |ref AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM halves WHERE is_ref),
+        |edges AS (
+        |  SELECT r.event_type, list(r.value ORDER BY g.j) AS es
+        |  FROM ref r, generate_series(1, 9) g(j)
+        |  WHERE r.rn = CAST(ceil(r.n * g.j / 10.0) AS BIGINT)
+        |  GROUP BY 1),
+        |binned AS (
+        |  SELECT h.event_type,
+        |    1 + len(list_filter(e.es, x -> h.value > x)) AS bin,
+        |    count(*) FILTER (WHERE h.is_ref) AS n_ref,
+        |    count(*) FILTER (WHERE NOT h.is_ref) AS n_cur
+        |  FROM halves h JOIN edges e USING (event_type)
+        |  GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, bin, n_ref, n_cur,
+        |    sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+        |    sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+        |  FROM binned)
+        |SELECT event_type, CAST(max(tot_ref) AS BIGINT) AS n_ref,
+        |  CAST(max(tot_cur) AS BIGINT) AS n_cur,
+        |  CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) AS psi,
+        |  CASE WHEN CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) < 0.1 THEN 'stable'
+        |  WHEN CAST(sum(CAST(
+        |    ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0)
+        |      - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + 5.0))
+        |        / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + 5.0)))
+        |    AS DECIMAL(18,9))) AS DOUBLE) <= 0.25 THEN 'drifting'
+        |  ELSE 'shifted' END AS band
+        |FROM tots GROUP BY 1""".stripMargin,
+    // dense type x dow grid (zero cells ARE the signal); expected =
+    // row*col/N one exact division; contrib/resid fixed IEEE trees
+    "qa_chi2" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT t.event_type, g.dow, CAST(coalesce(c.o, 0) AS BIGINT)
+        |    AS observed
+        |  FROM (SELECT DISTINCT event_type FROM counts) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) g
+        |  LEFT JOIN counts c
+        |    ON c.event_type = t.event_type AND c.dow = g.dow),
+        |m AS (
+        |  SELECT event_type, dow, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS row_n,
+        |    CAST(sum(observed) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+        |    CAST(sum(observed) OVER () AS BIGINT) AS n
+        |  FROM dense),
+        |e AS (
+        |  SELECT event_type, dow, observed,
+        |    CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+        |  FROM m)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, observed, expected,
+        |  CASE WHEN expected > 0 THEN
+        |    (CAST(observed AS DOUBLE) - expected)
+        |      * (CAST(observed AS DOUBLE) - expected) / expected
+        |  END AS contrib,
+        |  CASE WHEN expected > 0 THEN
+        |    (CAST(observed AS DOUBLE) - expected) / sqrt(expected)
+        |  END AS std_resid
+        |FROM e""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

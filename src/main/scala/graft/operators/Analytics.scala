@@ -870,17 +870,43 @@ object Analytics {
     * + the bucket pass), a ≤types×9 edge table joined as an in-row array
     * (broadcast), one (type, bin) partial agg, a ≤types rollup. */
   def psi(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(18, 9)
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"),
-        expr("unix_millis(cast(ts as timestamp_ltz)) div 86400000").as("d"))
+    val ev = psiEvents(spark, dir)
     val mid = ev.groupBy("event_type")
       .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       // `div`, not `/`: fractional halves must floor identically in both
       // engines (DuckDB CASTs of x.5 round, Spark's truncate)
       .select(col("event_type"), expr("(lo + hi) div 2").as("mid"))
-    val halves = ev.join(broadcast(mid), "event_type")
-      .withColumn("is_ref", col("d") <= col("mid"))
+    psiFromHalves(ev.join(broadcast(mid), "event_type")
+      .withColumn("is_ref", col("d") <= col("mid")))
+  }
+
+  /** B42b: CALENDAR-anchored PSI — the monitoring deployment's actual
+    * window shape (trailing week vs all prior history), where B42's
+    * first-half/second-half split is the offline-audit shape: current =
+    * the last 7 whole days anchored at the corpus's max day (the A42
+    * anchor discipline — one GLOBAL 1-row scalar, so every type compares
+    * the same calendar window), reference = everything before. Same
+    * edge-fit/bucket/smoothing/quantization machinery as B42 (shared
+    * core), so the two differ ONLY in the split predicate. A type with an
+    * empty CURRENT window still emits (the (n+0.5)/(N+5) smoothing keeps
+    * every term finite); a type with no reference history drops — there
+    * is no baseline to fit edges on. */
+  def psiCalendar(spark: SparkSession, dir: String,
+                  windowDays: Int = 7): DataFrame = {
+    val ev = psiEvents(spark, dir)
+    val anchor = ev.agg(max(col("d")).as("d_max"))
+    psiFromHalves(ev.crossJoin(broadcast(anchor))
+      .withColumn("is_ref", col("d") <= col("d_max") - windowDays))
+  }
+
+  private def psiEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr("unix_millis(cast(ts as timestamp_ltz)) div 86400000").as("d"))
+
+  private def psiFromHalves(split: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 9)
+    val halves = split
       .localCheckpoint(true) // feeds the edge fit and the bucket pass
     val wOrd = Window.partitionBy("event_type").orderBy(col("value"))
     val wAll = Window.partitionBy("event_type")
@@ -955,5 +981,60 @@ object Analytics {
           .cast(dec).cast("double"))
       .select(col("col_name"), col("digit"), col("n"), col("obs_frac"),
         col("exp_frac"), (col("obs_frac") - col("exp_frac")).as("dev"))
+  }
+
+  /** B43: CHI-SQUARE independence audit of event_type × day-of-week
+    * (Pearson 1900, public — "does this event type have a weekly usage
+    * pattern, or is traffic day-uniform"; the residual table is the
+    * dashboard heat-map every ops review reads). One row per cell with
+    * the observed count, the independence expectation E = row·col/N, the
+    * χ² contribution (O−E)²/E, and the standardized residual (O−E)/√E —
+    * |resid| > 2 marks the cell driving the dependence.
+    *
+    * The cell grid is DENSE (distinct types × the 7 epoch-week days, a
+    * summary-sized cross join): a type that never fires on Mondays is
+    * exactly the signal, so zero cells must appear. dow = (epoch_day+4)
+    * mod 7 with 0 = Sunday (1970-01-01 was a Thursday) — pure integer
+    * arithmetic both engines share, no timezone/locale dependence.
+    *
+    * Portability: O, row, col, N are exact longs; row·col ≤ N² stays an
+    * exact long at any gate SF; E is ONE division of exact-below-2⁵³
+    * casts; contrib and resid are fixed IEEE trees over O_double and E
+    * (sqrt correctly rounded) — hash-exact, no quantization.
+    *
+    * Scale: one scan → (type, dow) partial agg (≤ types×7 keys); the
+    * dense fill and both marginals are windows over the summary. */
+  def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_millis(cast(ts as timestamp_ltz)) div 86400000 + 4) % 7")
+          .as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("o"))
+    val dense = counts.select("event_type").distinct()
+      .crossJoin(broadcast(
+        counts.sparkSession.range(0, 7).select(col("id").as("dow"))))
+      .join(counts, Seq("event_type", "dow"), "left")
+      .withColumn("observed", coalesce(col("o"), lit(0L)))
+    val wRow = Window.partitionBy("event_type")
+    val wCol = Window.partitionBy("dow")
+    val wAll = Window.partitionBy()
+    dense
+      .withColumn("row_n", sum(col("observed")).over(wRow))
+      .withColumn("col_n", sum(col("observed")).over(wCol))
+      .withColumn("n", sum(col("observed")).over(wAll))
+      .withColumn("expected", (col("row_n") * col("col_n")).cast("double") /
+        col("n").cast("double"))
+      .select(col("event_type"), col("dow"), col("observed"),
+        col("expected"),
+        // expected = 0 only on an all-zero margin (degenerate corpus):
+        // NULL beats an engine-dependent 0/0 NaN
+        when(col("expected") > 0,
+          (col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) /
+            col("expected")).as("contrib"),
+        when(col("expected") > 0,
+          (col("observed").cast("double") - col("expected")) /
+            sqrt(col("expected"))).as("std_resid"))
   }
 }

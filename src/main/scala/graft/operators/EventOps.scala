@@ -3142,4 +3142,128 @@ object EventOps {
           |/ CAST(CAST(n_users AS $dec) * CAST(total_events AS $dec) AS DOUBLE)"""
           .stripMargin).as("gini"))
   }
+
+  /** A99: CROSS-correlation function between every ordered pair of event
+    * types' daily count series (Box & Jenkins 1970 ch. 11, public — the
+    * lead/lag detector beside A97's within-series ACF: ccf(a,b,k) =
+    * corr(a_t, b_{t+k}), a positive-lag peak says a LEADS b by k days —
+    * the "errors spike, then purchases drop" dashboard read). Sample CCF
+    * with full-series means/denominators and lag-windowed numerators, the
+    * textbook estimator.
+    *
+    * All types align on ONE global day grid (min..max day over the whole
+    * corpus — per-type grids would silently shift lags), interior gaps
+    * filled as REAL zeros (the A86 discipline). Exact arithmetic end to
+    * end: deviations are exact integers n·y − S in DECIMAL(38,0) (the A97
+    * scheme), so num and both dens are exact; ccf = num / (√den_a·√den_b)
+    * is THREE exact-below-2⁵³ decimal→double casts, two correctly-rounded
+    * IEEE sqrts, one multiply, one divide — a fixed tree, hash-exact with
+    * no quantization. Zero-variance series (den = 0) emit NULL via the
+    * same guard on both engines.
+    *
+    * Scale: ONE (type, day) partial-agg shuffle collapses the corpus to
+    * ≤ types×horizon rows; the global grid is a 1-row broadcast scalar;
+    * the pair join is summary×summary (≤ types² rows each carrying one
+    * horizon-length array); every lag numerator is an in-row zip_with
+    * fold. ≤ types²×(2·maxLag+1) output rows at any corpus size. */
+  def ccf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), tsMs(col("ts")).as("ms"))
+      .groupBy(col("event_type"), expr("ms div 86400000").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    val grid = daily.agg(min(col("day_idx")).as("lo"),
+      max(col("day_idx")).as("hi"))
+    val dense = daily.crossJoin(broadcast(grid))
+      .groupBy("event_type")
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        map_from_entries(collect_list(struct(col("day_idx"), col("y"))))
+          .as("m"))
+      .withColumn("n", (col("hi") - col("lo") + 1).cast("long"))
+      .filter(col("n") >= maxLag + 2)
+      .withColumn("ys", expr(
+        "transform(sequence(lo, hi), d -> coalesce(element_at(m, d), 0L))"))
+      .withColumn("s", expr("aggregate(ys, 0L, (a, x) -> a + x)"))
+      .withColumn("ds", expr(
+        "transform(ys, y -> CAST(n * y - s AS DECIMAL(38,0)))"))
+      .withColumn("den", expr(
+        """aggregate(ds, CAST(0 AS DECIMAL(38,0)),
+          |  (a, x) -> CAST(a + x * x AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("event_type"), col("n"), col("ds"), col("den"))
+      .localCheckpoint(true) // both sides of the pair join read this summary
+    val a = dense.select(col("event_type").as("type_a"), col("n"),
+      col("ds").as("da"), col("den").as("den_a"))
+    val b = dense.select(col("event_type").as("type_b"),
+      col("ds").as("db"), col("den").as("den_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("lag", explode(expr(s"sequence(${-maxLag}, $maxLag)")))
+      .withColumn("num", expr(
+        """aggregate(
+          |  zip_with(slice(da, greatest(1, 1 - lag), n - abs(lag)),
+          |           slice(db, greatest(1, 1 + lag), n - abs(lag)),
+          |           (x, y) -> CAST(x * y AS DECIMAL(38,0))),
+          |  CAST(0 AS DECIMAL(38,0)),
+          |  (a, x) -> CAST(a + x AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("type_a"), col("type_b"), col("lag").cast("long").as("lag"),
+        col("n").as("n_days"),
+        when(col("den_a") > 0 && col("den_b") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den_a").cast("double")) *
+             sqrt(col("den_b").cast("double")))).as("ccf"))
+  }
+
+  /** A100: single MEAN-SHIFT test per type's daily series — the first
+    * split of binary segmentation isolated as an exactly-oracle-checkable
+    * statistic (Scott & Knott 1974; Page's CUSUM 1954, public — "did this
+    * metric's level actually move, and on what day"; A86's multi-segment
+    * form runs the full recursion driver-side on the summary, THIS form
+    * is the distributed one-split twin whose every output value an
+    * independent SQL engine reproduces bit-for-bit): the split t
+    * maximizing the squared shifted-CUSUM (S_t − t·S/n)² / (t(n−t)),
+    * the likelihood-ratio statistic for a mean change at t under
+    * constant variance.
+    *
+    * Exact arithmetic: G_t = n·S_t − t·S is an exact integer (the A97
+    * deviation scheme applied to prefix sums); the selection ratio
+    * G_t²/(t(n−t)) is ONE divide of two exact-below-2⁵³ casts — a
+    * deterministic double both engines produce bit-identically — and the
+    * argmax tie-breaks to the EARLIEST t via struct max. Emitted
+    * means/stat are single divisions of exact integers.
+    *
+    * Scale: the A97 shape — one (type, day) partial-agg shuffle to a
+    * ≤ types×horizon summary; prefix sums + the argmax are in-row folds
+    * over horizon-length arrays; one output row per type. */
+  def meanShift(spark: SparkSession, dir: String): DataFrame = {
+    denseDailySeries(spark, dir)
+      .filter(size(col("ys")) >= 14)
+      .withColumn("n", size(col("ys")).cast("long"))
+      .withColumn("yl", expr("transform(ys, y -> CAST(y AS BIGINT))"))
+      .withColumn("s", expr("aggregate(yl, 0L, (a, x) -> a + x)"))
+      // prefix sums S_1..S_{n-1}: horizon-length in-row fold
+      .withColumn("ps", expr(
+        """aggregate(slice(yl, 1, size(yl) - 1),
+          |  named_struct('cum', 0L, 'arr', CAST(array() AS ARRAY<BIGINT>)),
+          |  (st, y) -> named_struct('cum', st.cum + y,
+          |    'arr', array_append(st.arr, st.cum + y))).arr""".stripMargin))
+      // argmax of G_t²/(t(n−t)) with earliest-t tie-break
+      .withColumn("best", expr(
+        """aggregate(
+          |  zip_with(ps, sequence(1L, size(ps)), (p, t) -> named_struct(
+          |    'r', CAST(CAST(CAST(n * p - t * s AS DECIMAL(38,0))
+          |           * CAST(n * p - t * s AS DECIMAL(38,0)) AS DOUBLE)
+          |         / CAST(t * (n - t) AS DOUBLE) AS DOUBLE),
+          |    'negt', -t, 'st', p, 't', t)),
+          |  CAST(NULL AS STRUCT<r: DOUBLE, negt: BIGINT, st: BIGINT, t: BIGINT>),
+          |  (acc, x) -> CASE WHEN acc IS NULL
+          |    OR struct(x.r, x.negt) > struct(acc.r, acc.negt)
+          |    THEN x ELSE acc END)""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        (col("lo") + col("best.t")).as("change_day"),
+        col("best.t").as("t_split"),
+        (col("best.r") / col("n").cast("double") / col("n").cast("double"))
+          .as("stat"),
+        (col("best.st").cast("double") / col("best.t").cast("double"))
+          .as("mean_pre"),
+        ((col("s") - col("best.st")).cast("double") /
+          (col("n") - col("best.t")).cast("double")).as("mean_post"))
+  }
 }

@@ -291,4 +291,89 @@ class AnalyticsSpec extends SparkSuite {
         assert(r.getAs[Long]("new_ts_ms") > r.getAs[Long]("old_ts_ms"))
     }
   }
+
+  test("calendar PSI: trailing week counted exactly; a last-week jump reads shifted where the steady type is stable") {
+    import SparkSuite.spark.implicits._
+    // 20 days (0..19); current window = days 13..19 (7 whole days off the
+    // global max anchor). "same": one value cycle throughout; "jump":
+    // values +200 in the trailing week only
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "same", (i % 100).toDouble)) ++
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (100000L + d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i),
+          i.toLong, "jump",
+          (if (d < 13) i % 100 else 200 + i % 100).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft-psical").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Analytics.psiCalendar(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val same = got("same")
+    assert(same.getAs[Long]("n_ref") == 650L && same.getAs[Long]("n_cur") == 350L)
+    assert(math.abs(same.getAs[Double]("psi")) < 0.01, same.toString)
+    assert(same.getAs[String]("band") == "stable")
+    val jump = got("jump")
+    assert(jump.getAs[Double]("psi") > 0.25, jump.toString)
+    assert(jump.getAs[String]("band") == "shifted")
+    // corpus run: every event lands in exactly one side; psi finite
+    val corpus = Analytics.psiCalendar(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val covered = corpus.map(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum
+    assert(covered == graft.Tables.events(spark, sf).count())
+    corpus.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
+  }
+
+  test("chi2 cells: a planted weekday-only type earns the big residuals; marginals and the independence expectation are exact") {
+    import SparkSuite.spark.implicits._
+    // 14 days = two full epoch weeks. "uniform": 10/day every day;
+    // "weekday": 20/day only on dows 1..5 (day_idx d has dow (d+4)%7)
+    def dow(d: Int): Int = (d + 4) % 7
+    val rows =
+      (for (d <- 0 until 14; i <- 1 to 10) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "uniform", 1.0)) ++
+      (for (d <- 0 until 14; if dow(d) >= 1 && dow(d) <= 5; i <- 1 to 20)
+        yield (100000L + d * 1000L + i,
+          new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "weekday", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Analytics.chi2(spark, dir).collect()
+    assert(got.length == 14) // 2 types x 7 dows, dense
+    val byCell = got.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("dow")) -> r).toMap
+    // observed: uniform 20/dow (2 weeks x 10), weekday 40 on 1..5, 0 else
+    for (w <- 0L to 6L) {
+      assert(byCell(("uniform", w)).getAs[Long]("observed") == 20L)
+      val exp = byCell(("weekday", w))
+      assert(exp.getAs[Long]("observed") == (if (w >= 1 && w <= 5) 40L else 0L))
+    }
+    // exact expectation: row x col / N, checked by hand
+    val n = 140.0 + 200.0
+    for (w <- 0L to 6L) {
+      val col = 20.0 + (if (w >= 1 && w <= 5) 40.0 else 0.0)
+      val u = byCell(("uniform", w))
+      assert(u.getAs[Double]("expected") == 140.0 * col / n, s"dow $w")
+      val v = byCell(("weekday", w))
+      assert(v.getAs[Double]("expected") == 200.0 * col / n, s"dow $w")
+      // contrib/resid are the published fixed trees over (O, E)
+      val o = v.getAs[Long]("observed").toDouble
+      val e = v.getAs[Double]("expected")
+      assert(v.getAs[Double]("contrib") == (o - e) * (o - e) / e)
+      assert(v.getAs[Double]("std_resid") == (o - e) / math.sqrt(e))
+    }
+    // weekend zero-cells of the weekday type read strongly negative
+    assert(byCell(("weekday", 0L)).getAs[Double]("std_resid") < -2.0)
+    assert(byCell(("weekday", 6L)).getAs[Double]("std_resid") < -2.0)
+    // corpus run: dense grid, cells reconcile with the event total
+    val corpus = Analytics.chi2(spark, sf).collect()
+    val types = corpus.map(_.getAs[String]("event_type")).distinct.length
+    assert(corpus.length == types * 7)
+    assert(corpus.map(_.getAs[Long]("observed")).sum ==
+      graft.Tables.events(spark, sf).count())
+  }
 }

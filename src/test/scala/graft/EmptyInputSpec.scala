@@ -286,6 +286,10 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.rankTau(spark, dir).count() == 0)
     assert(TextOps.weightedSample(spark, dir).count() == 0)
     assert(graft.operators.Analytics.snapshotDiff(spark, dir).count() == 0)
+    assert(EventOps.ccf(spark, dir).count() == 0)
+    assert(EventOps.meanShift(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.psiCalendar(spark, dir).count() == 0)
+    assert(graft.operators.Analytics.chi2(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

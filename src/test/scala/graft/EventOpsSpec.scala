@@ -1962,4 +1962,103 @@ class EventOpsSpec extends SparkSuite {
         s"$tpe day count mismatch")
     }
   }
+
+  test("ccf: a planted 2-day lead peaks at lag +2 and every lag equals the textbook estimator bit-for-bit") {
+    import SparkSuite.spark.implicits._
+    // type a: a spiky deterministic daily count over days 0..19;
+    // type b: the SAME counts shifted +2 days (days 2..21) — b lags a
+    def cnt(d: Int): Int = (d * 7) % 5 + 1 + (if (d % 9 == 0) 10 else 0)
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to cnt(d)) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i * 100L),
+          i.toLong, "a", 1.0)) ++
+      (for (d <- 0 until 20; i <- 1 to cnt(d)) yield
+        (100000L + d * 1000L + i,
+          new java.sql.Timestamp((d + 2) * 86400000L + i * 100L),
+          i.toLong, "b", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccf").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.ccf(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_days"), Option(r.getAs[java.lang.Double]("ccf"))
+          .map(_.doubleValue))).toMap
+    // the shared global grid is days 0..21 -> n = 22
+    assert(got.keySet == (-7L to 7L).toSet && got.values.forall(_._1 == 22L))
+    // in-test textbook reference: full-series means/denominators,
+    // lag-windowed numerator, same exact-integer deviation scheme
+    val n = 22
+    val xa = (0 until n).map(d => if (d < 20) cnt(d).toLong else 0L)
+    val xb = (0 until n).map(d =>
+      if (d >= 2 && d < 22) cnt(d - 2).toLong else 0L)
+    val (sa, sb) = (xa.sum, xb.sum)
+    val da = xa.map(y => BigInt(n) * y - sa)
+    val db = xb.map(y => BigInt(n) * y - sb)
+    val denA = da.map(v => v * v).sum
+    val denB = db.map(v => v * v).sum
+    for (k <- -7 to 7) {
+      val pairs =
+        if (k >= 0) (0 until n - k).map(t => da(t) * db(t + k))
+        else (0 until n + k).map(t => da(t - k) * db(t))
+      val expect = pairs.sum.toDouble /
+        (math.sqrt(denA.toDouble) * math.sqrt(denB.toDouble))
+      assert(got(k.toLong)._2.contains(expect), s"lag $k")
+    }
+    // the lead relationship: lag +2 is the unique maximum
+    val best = got.maxBy(_._2._2.get)._1
+    assert(best == 2L, s"peak at $best")
+    // corpus run: pairs x lags complete, ccf in [-1, 1]
+    val corpus = EventOps.ccf(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val c = Option(r.getAs[java.lang.Double]("ccf")).map(_.doubleValue)
+      c.foreach(v => assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12))
+    }
+    val perPair = corpus.groupBy(r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")))
+    perPair.values.foreach(rs =>
+      assert(rs.map(_.getAs[Long]("lag")).sorted.toSeq == (-7L to 7L)))
+  }
+
+  test("mean shift: a planted step locates its day with exact means; a flat series scores 0 at the earliest split") {
+    import SparkSuite.spark.implicits._
+    // "step": days 0..9 at 5/day, days 10..19 at 50/day;
+    // "flat": 7/day for 20 days (zero-variance tie-break to t = 1)
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to (if (d < 10) 5 else 50)) yield
+        (d * 10000L + i, new java.sql.Timestamp(d * 86400000L + i * 100L),
+          i.toLong, "step", 1.0)) ++
+      (for (d <- 0 until 20; i <- 1 to 7) yield
+        (500000L + d * 10000L + i,
+          new java.sql.Timestamp(d * 86400000L + i * 100L),
+          i.toLong, "flat", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shift").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.meanShift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val step = got("step")
+    assert(step.getAs[Long]("t_split") == 10L)
+    assert(step.getAs[Long]("change_day") == 10L) // first post-shift day
+    assert(step.getAs[Double]("mean_pre") == 5.0)
+    assert(step.getAs[Double]("mean_post") == 50.0)
+    // stat equals the closed form (S_t - t*S/n)^2 / (t(n-t)) at t=10
+    val (t, nn, st, s) = (10.0, 20.0, 50.0, 550.0)
+    val g = nn * st - t * s
+    assert(math.abs(step.getAs[Double]("stat") -
+      g * g / (t * (nn - t)) / nn / nn) < 1e-9)
+    val flat = got("flat")
+    assert(flat.getAs[Double]("stat") == 0.0)
+    assert(flat.getAs[Long]("t_split") == 1L) // earliest-t tie-break
+    assert(flat.getAs[Double]("mean_pre") == 7.0)
+    assert(flat.getAs[Double]("mean_post") == 7.0)
+    // corpus run: one row per qualifying type, split strictly interior
+    val corpus = EventOps.meanShift(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (ts, nd) = (r.getAs[Long]("t_split"), r.getAs[Long]("n_days"))
+      assert(ts >= 1 && ts < nd)
+      assert(r.getAs[Double]("stat") >= 0.0)
+    }
+  }
 }
