@@ -258,6 +258,11 @@ object SparkEntry {
     "ev_quantile_sketch" -> ((s, d) => Sketches.quantileSketch(s, d)),
     "ev_quantile_sketch_exact" -> ((s, d) => Sketches.exactQuantileSketch(s, d)),
     "ev_hll_rollup"     -> ((s, d) => Sketches.hllRollup(s, d)),
+    // A101 theta/KMV sketch set algebra: pairwise audience overlap with
+    // union/intersect/difference (exact regime at the gate SFs)
+    "ev_theta_overlap"  -> ((s, d) => Sketches.thetaOverlap(s, d)),
+    // A101b per-day theta partials merged to horizon + trailing-7 windows
+    "ev_theta_rollup"   -> ((s, d) => Sketches.thetaRollup(s, d)),
     "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),
     "ev_bitmap_rollup"  -> ((s, d) => BitmapOps.bitmapRollup(s, d)),
     "ev_bitmap_sliding" -> ((s, d) => BitmapOps.bitmapSliding(s, d)),
@@ -2766,6 +2771,48 @@ object SparkEntry {
         |    AS jaccard
         |FROM p JOIN t ta ON ta.event_type = type_a
         |       JOIN t tb ON tb.event_type = type_b""".stripMargin,
+    // A101 exact-regime theta algebra = exact distinct set arithmetic;
+    // jaccard is one IEEE division of the exact longs
+    "ev_theta_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_intersect
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+        |    ta.n AS n_a, tb.n AS n_b,
+        |    coalesce(p.n_intersect, CAST(0 AS BIGINT)) AS n_intersect
+        |  FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+        |  LEFT JOIN p ON p.type_a = ta.event_type
+        |    AND p.type_b = tb.event_type)
+        |SELECT type_a, type_b, n_a, n_b,
+        |  n_a + n_b - n_intersect AS n_union, n_intersect,
+        |  n_a - n_intersect AS n_a_only,
+        |  CASE WHEN n_a + n_b - n_intersect > 0 THEN
+        |    CAST(n_intersect AS DOUBLE)
+        |      / CAST(n_a + n_b - n_intersect AS DOUBLE)
+        |  ELSE 0.0 END AS jaccard
+        |FROM f""".stripMargin,
+    // A101b daily partials merged = exact distincts over each window;
+    // the trailing week anchors on one global max day
+    "ev_theta_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    epoch_ms(ts) // 86400000 AS day_idx
+        |  FROM events),
+        |mx AS (SELECT max(day_idx) AS d_max FROM ev)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_all,
+        |  CAST(count(DISTINCT user_id)
+        |    FILTER (WHERE day_idx > d_max - 7) AS BIGINT) AS distinct_last7,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT day_idx) AS BIGINT) AS n_days
+        |FROM ev, mx GROUP BY event_type""".stripMargin,
     // A78: lag/lead classification on the (user, day) grid; churn lands
     // on the day after a run ends, censored at the horizon.
     "ev_growth" ->

@@ -1,0 +1,320 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Mergeable DISTINCT-SET sketch with full set algebra — the KMV/theta
+  * design (Beyer et al. SIGMOD 2007 "On synopses for distinct value
+  * estimation under multiset operations"; Dasgupta et al. 2016, the
+  * DataSketches theta-sketch formulation, both public): keep the k
+  * smallest 64-bit hashes of the distinct items in UNSIGNED order; once
+  * more than k distinct hashes have been seen, θ = u(the (k+1)-th
+  * smallest) and the retained set is every hash < θ, so
+  * estimate = |retained| / θ. Unlike HLL (A24), two theta sketches
+  * support INTERSECTION and DIFFERENCE, not just union — the audience-
+  * overlap algebra — because the retained sets are uniform samples of
+  * the underlying sets at a known inclusion threshold:
+  *
+  *   union(A,B):     θ = min(θa, θb), candidates = (Sa ∪ Sb) ∩ [0,θ),
+  *                   re-trim to k if over capacity
+  *   intersect(A,B): θ = min(θa, θb), retained = Sa ∩ Sb ∩ [0,θ)
+  *   aNotB(A,B):     θ = min(θa, θb), retained = (Sa \ Sb) ∩ [0,θ)
+  *
+  * EXACT REGIME: while a sketch never exceeds k distinct hashes, θ = 1
+  * EXACTLY (a flag, not the lossy (2⁶⁴−1)/2⁶⁴ double) and the retained
+  * set IS the full distinct hash set — every estimate and every set
+  * operation is exact, so the gate twin shares a plain COUNT(DISTINCT)
+  * SQL oracle (the A96 exact-capacity discipline). Production sizes k
+  * below the distinct count and pays the published ~1/√(k−2) relative
+  * standard error, measured by spec rather than assumed.
+  *
+  * Hashing happens OUTSIDE the sketch (the operator feeds xxhash64(col),
+  * a codegen'd Spark expression), so the aggregate folds bare longs.
+  * Canonical serialization (hashes sorted unsigned) makes equal-content
+  * sketches BYTE-EQUAL under any partitioning or merge order. */
+final class ThetaSet(val k: Int) {
+  require(k >= 2, s"capacity must be at least 2, got $k")
+  // unsigned order via the sign-bit flip: (h ^ MinValue) sorts signed
+  private[functions] val set = mutable.TreeSet.empty[Long](
+    Ordering.by((h: Long) => h ^ Long.MinValue))
+  private[functions] var exact: Boolean = true   // θ = 1 exactly
+  private[functions] var thetaRaw: Long = -1L    // unsigned max (unused while exact)
+
+  private def u(h: Long): Double =
+    (h ^ Long.MinValue).toDouble / 1.8446744073709552E19 + 0.5 // / 2^64
+
+  private def below(h: Long, bound: Long): Boolean =
+    (h ^ Long.MinValue) < (bound ^ Long.MinValue)
+
+  def theta: Double = if (exact) 1.0 else u(thetaRaw)
+
+  def size: Int = set.size
+
+  def add(h: Long): Unit = {
+    if (!exact && !below(h, thetaRaw)) return
+    set += h
+    if (set.size > k) { // promote the (k+1)-th smallest to the new bound
+      val top = set.max(Ordering.by((x: Long) => x ^ Long.MinValue))
+      set -= top
+      exact = false
+      thetaRaw = top
+    }
+  }
+
+  def merge(o: ThetaSet): Unit = {
+    require(k == o.k, s"cannot merge theta sketches of capacity $k and ${o.k}")
+    if (!o.exact && (exact || below(o.thetaRaw, thetaRaw))) {
+      exact = false; thetaRaw = o.thetaRaw
+      set.retain(h => below(h, thetaRaw))
+    }
+    o.set.foreach(add)
+  }
+
+  def estimate: Double =
+    if (exact) set.size.toDouble else set.size.toDouble / u(thetaRaw)
+
+  /** Canonical bytes: version, k, exact flag, θ bound, sorted hashes. */
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 + 4 + 1 + 8 + 4 + set.size * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(k).put(if (exact) 1.toByte else 0.toByte)
+      .putLong(thetaRaw).putInt(set.size)
+    set.foreach(buf.putLong) // TreeSet iterates in unsigned order
+    buf.array()
+  }
+}
+
+object ThetaSet {
+  def deserialize(bytes: Array[Byte]): ThetaSet = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = buf.get()
+    require(ver == 1, s"unknown theta sketch version $ver")
+    val s = new ThetaSet(buf.getInt())
+    s.exact = buf.get() == 1
+    s.thetaRaw = buf.getLong()
+    val n = buf.getInt()
+    var i = 0
+    while (i < n) { s.set += buf.getLong(); i += 1 }
+    s
+  }
+
+  private def bound(a: ThetaSet, b: ThetaSet): (Boolean, Long) =
+    if (a.exact && b.exact) (true, -1L)
+    else if (a.exact) (false, b.thetaRaw)
+    else if (b.exact) (false, a.thetaRaw)
+    else if ((a.thetaRaw ^ Long.MinValue) <= (b.thetaRaw ^ Long.MinValue))
+      (false, a.thetaRaw)
+    else (false, b.thetaRaw)
+
+  private def make(k: Int, exact: Boolean, thetaRaw: Long,
+                   hashes: Iterable[Long]): ThetaSet = {
+    val s = new ThetaSet(k)
+    s.exact = exact
+    s.thetaRaw = thetaRaw
+    // keep only hashes under the bound; delegate capacity trim to add()
+    val kept = if (exact) hashes
+      else hashes.filter(h => (h ^ Long.MinValue) < (thetaRaw ^ Long.MinValue))
+    kept.foreach { h => s.set += h }
+    // over-capacity union result: tighten θ until ≤ k retained
+    while (s.set.size > k) {
+      val top = s.set.max(Ordering.by((x: Long) => x ^ Long.MinValue))
+      s.set -= top
+      s.exact = false
+      s.thetaRaw = top
+    }
+    s
+  }
+
+  def union(a: ThetaSet, b: ThetaSet): ThetaSet = {
+    val (ex, th) = bound(a, b)
+    make(math.min(a.k, b.k), ex, th, a.set ++ b.set)
+  }
+
+  def intersect(a: ThetaSet, b: ThetaSet): ThetaSet = {
+    val (ex, th) = bound(a, b)
+    make(math.min(a.k, b.k), ex, th, a.set.intersect(b.set))
+  }
+
+  def aNotB(a: ThetaSet, b: ThetaSet): ThetaSet = {
+    val (ex, th) = bound(a, b)
+    make(math.min(a.k, b.k), ex, th, a.set.diff(b.set))
+  }
+}
+
+/** theta_agg(hash, k): build a theta sketch over pre-hashed longs. */
+case class ThetaAggExpr(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ThetaSet] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_agg"
+  override def createAggregationBuffer(): ThetaSet = new ThetaSet(capacity)
+  override def update(b: ThetaSet, input: InternalRow): ThetaSet = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: ThetaSet, o: ThetaSet): ThetaSet = { b.merge(o); b }
+  override def eval(b: ThetaSet): Any = b.serialize()
+  override def serialize(b: ThetaSet): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): ThetaSet =
+    ThetaSet.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): ThetaAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaAggExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaAggExpr =
+    copy(child = c)
+}
+
+/** theta_merge_agg(sketch, k): fold serialized sketches — the rollup
+  * merge (persist per-day partials, serve any coarser window). */
+case class ThetaMergeAggExpr(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ThetaSet] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_merge_agg"
+  override def createAggregationBuffer(): ThetaSet = new ThetaSet(capacity)
+  override def update(b: ThetaSet, input: InternalRow): ThetaSet = {
+    val bytes = child.eval(input)
+    if (bytes != null)
+      b.merge(ThetaSet.deserialize(bytes.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: ThetaSet, o: ThetaSet): ThetaSet = { b.merge(o); b }
+  override def eval(b: ThetaSet): Any = b.serialize()
+  override def serialize(b: ThetaSet): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): ThetaSet =
+    ThetaSet.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaMergeAggExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaMergeAggExpr =
+    copy(child = c)
+}
+
+/** Row-level kernels shared by interpreted eval and codegen. */
+object ThetaKernel {
+  def estimate(bytes: Array[Byte]): Double =
+    ThetaSet.deserialize(bytes).estimate
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaSet.union(ThetaSet.deserialize(a), ThetaSet.deserialize(b))
+      .serialize()
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaSet.intersect(ThetaSet.deserialize(a), ThetaSet.deserialize(b))
+      .serialize()
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaSet.aNotB(ThetaSet.deserialize(a), ThetaSet.deserialize(b))
+      .serialize()
+}
+
+/** theta_estimate(sketch): the distinct estimate — |retained|/θ. */
+case class ThetaEstimateExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_estimate"
+  override protected def nullSafeEval(bytes: Any): Any =
+    ThetaKernel.estimate(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.ThetaKernel$$.MODULE$$.estimate($b)")
+  override protected def withNewChildInternal(c: Expression): ThetaEstimateExpr =
+    copy(child = c)
+}
+
+/** Binary scalar set-operation over two serialized sketches. */
+sealed abstract class ThetaBinaryOp extends BinaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  protected def kernel: String
+  protected def apply2(a: Array[Byte], b: Array[Byte]): Array[Byte]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    apply2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaKernel$$.MODULE$$.$kernel($a, $b)")
+}
+
+case class ThetaUnionExpr(left: Expression, right: Expression)
+  extends ThetaBinaryOp {
+  override def prettyName: String = "theta_union"
+  override protected def kernel: String = "union"
+  override protected def apply2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaKernel.union(a, b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaUnionExpr = copy(left = l, right = r)
+}
+
+case class ThetaIntersectExpr(left: Expression, right: Expression)
+  extends ThetaBinaryOp {
+  override def prettyName: String = "theta_intersect"
+  override protected def kernel: String = "intersect"
+  override protected def apply2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaKernel.intersect(a, b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaIntersectExpr =
+    copy(left = l, right = r)
+}
+
+case class ThetaANotBExpr(left: Expression, right: Expression)
+  extends ThetaBinaryOp {
+  override def prettyName: String = "theta_a_not_b"
+  override protected def kernel: String = "aNotB"
+  override protected def apply2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaKernel.aNotB(a, b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaANotBExpr = copy(left = l, right = r)
+}
+
+/** Column API over the theta distinct-set sketch family. */
+object ThetaFunctions {
+  def thetaAgg(hash: Column, capacity: Int): Column =
+    GraftShims.toColumn(ThetaAggExpr(
+      GraftShims.toExpression(hash), capacity).toAggregateExpression())
+  def thetaMergeAgg(sketch: Column, capacity: Int): Column =
+    GraftShims.toColumn(ThetaMergeAggExpr(
+      GraftShims.toExpression(sketch), capacity).toAggregateExpression())
+  def thetaEstimate(sketch: Column): Column =
+    GraftShims.toColumn(ThetaEstimateExpr(GraftShims.toExpression(sketch)))
+  def thetaUnion(a: Column, b: Column): Column =
+    GraftShims.toColumn(ThetaUnionExpr(
+      GraftShims.toExpression(a), GraftShims.toExpression(b)))
+  def thetaIntersect(a: Column, b: Column): Column =
+    GraftShims.toColumn(ThetaIntersectExpr(
+      GraftShims.toExpression(a), GraftShims.toExpression(b)))
+  def thetaANotB(a: Column, b: Column): Column =
+    GraftShims.toColumn(ThetaANotBExpr(
+      GraftShims.toExpression(a), GraftShims.toExpression(b)))
+}

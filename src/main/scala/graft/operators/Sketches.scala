@@ -291,4 +291,85 @@ object Sketches {
         col("hh.key").as("user_id"), col("hh.est").as("est"),
         col("hh.lo").as("lo"))
   }
+
+  /** A101: pairwise AUDIENCE OVERLAP via the native theta/KMV sketch
+    * ([[graft.functions.ThetaSet]] — the FIFTH hand-built mergeable
+    * sketch, and the one with SET ALGEBRA: unlike HLL, theta sketches
+    * intersect and difference, so |A∩B| and Jaccard come from the
+    * sketches directly instead of an inclusion-exclusion estimate whose
+    * error explodes on small overlaps — the reason DataSketches exists
+    * beside HLL in every serving stack). Per type: one sketch over
+    * xxhash64(user_id) (hashing stays a codegen'd plan expression; the
+    * aggregate folds bare longs). Per ordered type pair: union /
+    * intersection / difference estimates and Jaccard.
+    *
+    * In the under-capacity EXACT REGIME (θ = 1 as a flag, not a lossy
+    * double) the retained set IS the distinct hash set, every set
+    * operation is exact set arithmetic, and estimates are exactly
+    * integral — so the default-capacity gate run shares a plain
+    * COUNT(DISTINCT) SQL oracle (the A89/A96 twin discipline), which
+    * gates the whole kernel: update, canonical serialization, merge,
+    * and all three set operations. Production sizes capacity below the
+    * distinct count and pays the published ~1/√(k−2) relative error —
+    * MEASURED by spec at capacity 64, not assumed.
+    *
+    * Scale: one (type) partial-agg shuffle of sketch bytes (≤ k hashes
+    * per partition×type — never a row per user); the pair join is a
+    * ≤ types² summary self-join; set ops are row-level scalar kernels. */
+  def thetaOverlap(spark: SparkSession, dir: String,
+                   capacity: Int = 1 << 14): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val sk = Tables.events(spark, dir)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(thetaAgg(col("h"), capacity).as("sk"))
+      .localCheckpoint(true) // both sides of the pair join read this summary
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        thetaEstimate(col("sk_a")).cast("long").as("n_a"),
+        thetaEstimate(col("sk_b")).cast("long").as("n_b"),
+        thetaEstimate(thetaUnion(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"),
+        thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_intersect"),
+        thetaEstimate(thetaANotB(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_a_only"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_intersect").cast("double") / col("n_union").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** A101b: the theta ROLLUP — per-(type, day) sketches built in one
+    * corpus pass, then whole-horizon and trailing-7-day distinct users
+    * served by MERGING daily partials (the A46/A89c/A96c store shape:
+    * a sliding window is a union of member sketches, never a re-scan;
+    * the trailing window anchors on ONE global max day). Exact-regime
+    * default shares the COUNT(DISTINCT) oracle, proving daily partials
+    * merge to precisely the horizon set in any merge order. */
+  def thetaRollup(spark: SparkSession, dir: String,
+                  capacity: Int = 1 << 14, windowDays: Int = 7): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Cols.tsMs(col("ts")).as("ts_ms"),
+        xxhash64(col("user_id")).as("h"))
+      .withColumn("day_idx", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "day_idx")
+      .agg(thetaAgg(col("h"), capacity).as("sk"),
+        count(lit(1)).as("n"))
+    val anchor = daily.agg(max(col("day_idx")).as("d_max"))
+    daily.crossJoin(broadcast(anchor))
+      .groupBy("event_type")
+      .agg(
+        thetaEstimate(thetaMergeAgg(col("sk"), capacity))
+          .cast("long").as("distinct_all"),
+        thetaEstimate(thetaMergeAgg(
+          when(col("day_idx") > col("d_max") - windowDays, col("sk")),
+          capacity)).cast("long").as("distinct_last7"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"))
+  }
 }

@@ -299,4 +299,87 @@ class SketchesSpec extends SparkSuite {
       .getDouble(0)
     assert(math.abs(got - n / 2.0) <= 0.1 * n, s"rollup p50 $got")
   }
+
+  test("theta: exact-regime set algebra equals direct set arithmetic; bytes canonical under repartitioning") {
+    // hand case first: the pure Scala kernel on two known sets
+    import graft.functions.ThetaSet
+    def build(xs: Seq[Long], k: Int = 1024): ThetaSet = {
+      val s = new ThetaSet(k); xs.foreach(s.add); s
+    }
+    val ha = (1L to 100L).map(v => scala.util.hashing.byteswap64(v))
+    val hb = (51L to 130L).map(v => scala.util.hashing.byteswap64(v))
+    val (a, b) = (build(ha), build(hb))
+    assert(a.estimate == 100.0 && b.estimate == 80.0)
+    assert(ThetaSet.union(a, b).estimate == 130.0)
+    assert(ThetaSet.intersect(a, b).estimate == 50.0)
+    assert(ThetaSet.aNotB(a, b).estimate == 50.0)
+    assert(ThetaSet.aNotB(b, a).estimate == 30.0)
+    // merge in arbitrary splits is canonical: byte-equal serializations
+    val whole = build(ha ++ hb)
+    val merged = build(ha.take(37)); val m2 = build(ha.drop(37) ++ hb)
+    merged.merge(m2)
+    assert(java.util.Arrays.equals(whole.serialize(), merged.serialize()))
+    // corpus run: overlap equals the exact SQL-style computation
+    val got = Sketches.thetaOverlap(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ut = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val byType = ut.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).toSet }
+    got.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (sa, sb) = (byType(ta), byType(tb))
+      assert(r.getAs[Long]("n_a") == sa.size && r.getAs[Long]("n_b") == sb.size)
+      assert(r.getAs[Long]("n_union") == (sa ++ sb).size, s"$ta/$tb union")
+      assert(r.getAs[Long]("n_intersect") == (sa & sb).size)
+      assert(r.getAs[Long]("n_a_only") == (sa -- sb).size)
+      assert(r.getAs[Double]("jaccard") ==
+        (sa & sb).size.toDouble / (sa ++ sb).size.toDouble)
+    }
+    // canonical bytes under different partitionings (distributed build)
+    import graft.functions.ThetaFunctions._
+    def bytesAt(parts: Int): Array[Byte] =
+      graft.Tables.events(spark, sf)
+        .repartition(parts)
+        .select(xxhash64(col("user_id")).as("h"))
+        .agg(thetaAgg(col("h"), 1 << 14).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(bytesAt(1), bytesAt(7)))
+  }
+
+  test("theta: over-capacity estimation error sits inside the published envelope; rollup serves exact windows") {
+    // capacity 64 over 150 distinct users (sf0.01): the estimation regime.
+    // Published relative standard error ~ 1/sqrt(k-2) = 12.7%; assert a
+    // generous 4-sigma band — this MEASURES the estimator, not just runs it
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = graft.Tables.events(spark, sf01)
+      .select("user_id").distinct().count()
+    import graft.functions.ThetaFunctions._
+    val est = graft.Tables.events(spark, sf01)
+      .select(xxhash64(col("user_id")).as("h"))
+      .agg(thetaEstimate(thetaAgg(col("h"), 64)).as("e"))
+      .head().getDouble(0)
+    val rse = 1.0 / math.sqrt(62.0)
+    assert(math.abs(est - exact) <= 4 * rse * exact,
+      s"estimate $est vs exact $exact")
+    // rollup: daily partials merged = exact horizon distincts (exact regime)
+    val roll = Sketches.thetaRollup(spark, sf).collect()
+    assert(roll.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        graft.functions.Cols.tsMs(col("ts")).as("ms"))
+      .withColumn("d", expr("ms div 86400000")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("d")))
+    val dMax = ev.map(_._3).max
+    roll.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mine = ev.filter(_._1 == t)
+      assert(r.getAs[Long]("distinct_all") == mine.map(_._2).distinct.length)
+      assert(r.getAs[Long]("distinct_last7") ==
+        mine.filter(_._3 > dMax - 7).map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_days") == mine.map(_._3).distinct.length)
+    }
+  }
 }
