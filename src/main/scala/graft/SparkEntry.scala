@@ -803,6 +803,27 @@ object SparkEntry {
         new Directory(tmp.toFile).deleteRecursively()
       }
     }),
+    // C113b: counting-Bloom lifecycle — build on the even docs, take the
+    // id%4==0 slice DOWN (the deletion C113 can't do), then screen the
+    // odd batch against the reduced store
+    "doc_cbloom_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cbloom")
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(s, d)
+        graft.operators.Dedup.writeCountingBloomStore(
+          docs.filter(col("doc_id") % 2 === 0), tmp.toString)
+        graft.operators.Dedup.countingBloomForget(
+          docs.filter(col("doc_id") % 4 === 0), tmp.toString)
+          .localCheckpoint(true)
+        graft.operators.Dedup.countingBloomIngest(
+          docs.filter(col("doc_id") % 2 === 1), tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // C111c: chunk store + incremental batch accounting — store built on
     // the even docs, the odd docs arrive as a crawl batch (organic dups
     // and shared boilerplate produce the known/new split)

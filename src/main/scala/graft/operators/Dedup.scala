@@ -723,6 +723,97 @@ object Dedup {
     out
   }
 
+  // ---- C113b counting-Bloom membership store (deletion-capable) -----------
+
+  /** C113b: COUNTING Bloom store (Fan et al. 2000, public) — the takedown
+    * answer to C113's documented limitation: a plain Bloom filter cannot
+    * unlearn, so GDPR/DMCA removal forced a periodic rebuild from the
+    * authoritative store; counters subtract instead. Same keying as C113
+    * (md5(text) → xxhash64), same plan-literal probe kernel discipline
+    * (`cbf_contains` rides WSCG, no join), same store shape. The filter
+    * REFCOUNTS: duplicate docs increment the same key's counters, one
+    * forget decrements once, so a text stays "seen" until every holder is
+    * forgotten — the multiset semantics a dedup screen over a corpus with
+    * organic duplicates actually wants. Costs 4 bytes/counter vs 1 bit
+    * (the published 32× price of deletability) — C113 stays the
+    * append-only default. */
+  def writeCountingBloomStore(docs: DataFrame, storeDir: String,
+                              expectedItems: Long = 1L << 16,
+                              fpp: Double = 0.01): Unit = {
+    import graft.functions.CountingBloomFunctions._
+    import docs.sparkSession.implicits._
+    val (m, k) = graft.functions.CountingBloom.geometry(expectedItems, fpp)
+    val bytes = docs.filter(col("text").isNotNull)
+      .select(xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+      .agg(cbfAgg(col("h"), m, k).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    Seq((bytes, expectedItems, fpp))
+      .toDF("filter", "expected_items", "fpp")
+      .write.mode("overwrite").parquet(s"$storeDir/cbloom.parquet")
+  }
+
+  /** C113b: batch screen + fold-in — C113's ingest with counter ADDITION
+    * as the merge. Per-ingest cost: one batch scan + one store-sized
+    * rewrite, zero reads of prior corpus data. */
+  def countingBloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
+    import graft.functions.CountingBloomFunctions._
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$storeDir/cbloom.parquet").head()
+    val bytes = st.getAs[Array[Byte]]("filter")
+    val old = graft.functions.CountingBloom.deserialize(bytes)
+    val keyed = batch.filter(col("text").isNotNull)
+      .select(col("source"),
+        xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+      .withColumn("seen", cbfContains(col("h"), bytes))
+      .localCheckpoint(true) // the report and the fold-in both consume it
+    val out = keyed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("seen"), lit(1))).as("n_seen"),
+        count(when(!col("seen"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_docs").cast("double"))
+    val batchBytes = keyed.agg(cbfAgg(col("h"), old.m, old.k).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    writeCbf(spark, storeDir,
+      graft.functions.CountingBloom.add(bytes, batchBytes),
+      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    out
+  }
+
+  /** C113b: TAKEDOWN — subtract the batch's own filter from the store
+    * (exact integer counter arithmetic: add-then-forget is BYTE-EQUAL to
+    * never-added, spec-pinned), so forgotten keys probe absent while
+    * every surviving key keeps its guarantee of no false negatives.
+    * Callers pass docs from the authoritative store (the C30/C113
+    * pairing) — subtracting a never-inserted key corrupts the filter,
+    * the published caveat. Returns per-source forget counts. */
+  def countingBloomForget(batch: DataFrame, storeDir: String): DataFrame = {
+    import graft.functions.CountingBloomFunctions._
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$storeDir/cbloom.parquet").head()
+    val bytes = st.getAs[Array[Byte]]("filter")
+    val old = graft.functions.CountingBloom.deserialize(bytes)
+    val keyed = batch.filter(col("text").isNotNull)
+      .select(col("source"),
+        xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+      .localCheckpoint(true)
+    val out = keyed.groupBy("source").agg(count(lit(1)).as("n_forgotten"))
+    val batchBytes = keyed.agg(cbfAgg(col("h"), old.m, old.k).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    writeCbf(spark, storeDir,
+      graft.functions.CountingBloom.subtract(bytes, batchBytes),
+      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    out
+  }
+
+  private def writeCbf(spark: SparkSession, storeDir: String,
+                       bytes: Array[Byte], expected: Long,
+                       fpp: Double): Unit = {
+    import spark.implicits._
+    Seq((bytes, expected, fpp)).toDF("filter", "expected_items", "fpp")
+      .write.mode("overwrite").parquet(s"$storeDir/cbloom.parquet")
+  }
+
   /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one
     * n-gram, via an inverted index (gram → doc) self-join — deterministic,
     * engine-agnostic semantics (SQL-oracle-gated). The intersection count is

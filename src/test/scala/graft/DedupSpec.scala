@@ -766,4 +766,64 @@ class DedupSpec extends SparkSuite {
     }
     assert(bytesOf(1) == bytesOf(7))
   }
+
+  test("counting bloom: add-then-forget is byte-equal to never-added; takedown clears keys; refcounting holds") {
+    import SparkSuite.spark.implicits._
+    def docsOf(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keep = (0 until 150).map(i => (i.toLong, s"kept corpus document $i"))
+    val gone = (0 until 150).map(i => (1000L + i, s"takedown target item $i"))
+    // 1) the exact-arithmetic identity: build(A∪B) − build(B) == build(A)
+    val tA = java.nio.file.Files.createTempDirectory("graft-cbf-a").toString
+    val tAB = java.nio.file.Files.createTempDirectory("graft-cbf-ab").toString
+    Dedup.writeCountingBloomStore(docsOf(keep: _*), tA, expectedItems = 4096)
+    Dedup.writeCountingBloomStore(docsOf((keep ++ gone): _*), tAB,
+      expectedItems = 4096)
+    Dedup.countingBloomForget(docsOf(gone: _*), tAB)
+    def bytes(t: String): Seq[Byte] =
+      spark.read.parquet(s"$t/cbloom.parquet").head()
+        .getAs[Array[Byte]]("filter").toSeq
+    assert(bytes(tA) == bytes(tAB), "add-then-forget != never-added")
+    // 2) takedown semantics: every kept key still present (no false
+    //    negatives), forgotten keys read novel on re-ingest
+    val rescreen = Dedup.countingBloomIngest(
+      docsOf(keep.map { case (id, t) => (id + 5000L, t) }: _*), tAB)
+      .collect().head
+    assert(rescreen.getAs[Long]("n_seen") == 150L, rescreen.toString)
+    val t2 = java.nio.file.Files.createTempDirectory("graft-cbf-2").toString
+    Dedup.writeCountingBloomStore(docsOf((keep ++ gone): _*), t2,
+      expectedItems = 4096)
+    Dedup.countingBloomForget(docsOf(gone: _*), t2)
+    val after = Dedup.countingBloomIngest(
+      docsOf(gone.map { case (id, t) => (id + 7000L, t) }: _*), t2)
+      .collect().head
+    // forgotten keys are gone up to the sized ε (collisions may retain a few)
+    assert(after.getAs[Long]("n_novel") >= 140L,
+      s"takedown left ${after.getAs[Long]("n_seen")} seen")
+    // 3) refcounting: a text held by TWO docs survives one forget,
+    //    disappears after the second
+    val t3 = java.nio.file.Files.createTempDirectory("graft-cbf-3").toString
+    Dedup.writeCountingBloomStore(
+      docsOf((10L, "shared text body"), (11L, "shared text body")), t3,
+      expectedItems = 512)
+    Dedup.countingBloomForget(docsOf((10L, "shared text body")), t3)
+    val still = Dedup.countingBloomIngest(
+      docsOf((12L, "shared text body")), t3).collect().head
+    assert(still.getAs[Long]("n_seen") == 1L, "refcount broke early")
+    // that ingest re-added one holder (count back to 2); forget twice
+    Dedup.countingBloomForget(
+      docsOf((11L, "shared text body"), (12L, "shared text body")), t3)
+    val cleared = Dedup.countingBloomIngest(
+      docsOf((13L, "shared text body")), t3).collect().head
+    assert(cleared.getAs[Long]("n_novel") == 1L, "refcount failed to clear")
+    // 4) distributed build canonical under partitioning
+    def bytesOf(parts: Int): Seq[Byte] = {
+      val t4 = java.nio.file.Files.createTempDirectory("graft-cbf-b").toString
+      Dedup.writeCountingBloomStore(docsOf(keep: _*).repartition(parts), t4,
+        expectedItems = 4096)
+      bytes(t4)
+    }
+    assert(bytesOf(1) == bytesOf(7))
+  }
 }
