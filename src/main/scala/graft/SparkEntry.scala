@@ -330,6 +330,8 @@ object SparkEntry {
     "qa_psi_calendar"  -> ((s, d) => Analytics.psiCalendar(s, d)),
     // B43 chi-square independence cells: event_type x day-of-week
     "qa_chi2"          -> ((s, d) => Analytics.chi2(s, d)),
+    // B44 two-sample KS drift test per type (exact integer argmax)
+    "qa_ks"            -> ((s, d) => Analytics.ks(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -4236,6 +4238,42 @@ object SparkEntry {
         |    (CAST(observed AS DOUBLE) - expected) / sqrt(expected)
         |  END AS std_resid
         |FROM e""".stripMargin,
+    // B44: ECDF-gap argmax on exact integers |r*m - c*n|; D and the
+    // critical value are terminal fixed IEEE trees
+    "qa_ks" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |mid AS (
+        |  SELECT event_type, (min(d) + max(d)) // 2 AS mid
+        |  FROM ev GROUP BY 1),
+        |census AS (
+        |  SELECT e.event_type, e.value,
+        |    count(*) FILTER (WHERE e.d <= m.mid) AS nr,
+        |    count(*) FILTER (WHERE e.d > m.mid) AS nc
+        |  FROM ev e JOIN mid m USING (event_type)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    CAST(sum(nr) OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT) AS r,
+        |    CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(nr) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(nc) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM census),
+        |agg AS (
+        |  SELECT event_type, max(n) AS n_ref, max(m) AS n_cur,
+        |    max(abs(r * m - c * n)) AS max_gap
+        |  FROM cum WHERE n > 0 AND m > 0 GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  CAST(max_gap AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS d_stat,
+        |  1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE)) AS d_crit,
+        |  CAST(max_gap AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)
+        |    > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |        / CAST(n_ref * n_cur AS DOUBLE)) AS reject
+        |FROM agg""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

@@ -983,6 +983,58 @@ object Analytics {
         col("exp_frac"), (col("obs_frac") - col("exp_frac")).as("dev"))
   }
 
+  /** B44: two-sample KOLMOGOROV–SMIRNOV drift test per type, first half
+    * vs second half of the value stream (Kolmogorov 1933 / Smirnov 1939,
+    * public — the distribution-free companion to B42's bucketed PSI: PSI
+    * reads drift through ten fitted bins, KS reads the supremum ECDF gap
+    * at full resolution with a distribution-free critical value):
+    * D = sup_v |F_ref(v) − F_cur(v)|, reject at α=0.05 when
+    * D > 1.358·√((n+m)/(n·m)) (the published large-sample constant).
+    *
+    * EXACT ARGMAX: at each distinct value the unnormalized gap is the
+    * exact integer |r_v·m − c_v·n| (r, c cumulative half-counts; n, m
+    * half totals — products ≤ n·m stay long at any gate SF), so the
+    * supremum is an integer max and D is ONE terminal division of
+    * exact-below-2⁵³ casts; d_crit is a fixed sqrt tree — hash-exact,
+    * no quantization anywhere. Ties handled by aggregating to the
+    * (type, value) census BEFORE the cumulative walk (the ECDF jumps
+    * once per distinct value, both engines identically).
+    *
+    * Scale: one scan → (type, value, half) census partial-agg; the
+    * cumulative walk is a per-type value-ordered window over the census
+    * (the A27 sort shape — value-distinct-bounded, and the census
+    * pre-agg means the window never carries raw rows). */
+  def ks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = psiEvents(spark, dir)
+    val mid = ev.groupBy("event_type")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("event_type"), expr("(lo + hi) div 2").as("mid"))
+    val census = ev.join(broadcast(mid), "event_type")
+      .withColumn("is_ref", col("d") <= col("mid"))
+      .groupBy("event_type", "value")
+      .agg(count(when(col("is_ref"), lit(1))).as("nr"),
+        count(when(!col("is_ref"), lit(1))).as("nc"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("value"))
+    val wAll = Window.partitionBy("event_type")
+    census
+      .withColumn("r", sum(col("nr")).over(wCum))
+      .withColumn("c", sum(col("nc")).over(wCum))
+      .withColumn("n", sum(col("nr")).over(wAll))
+      .withColumn("m", sum(col("nc")).over(wAll))
+      .filter(col("n") > 0 && col("m") > 0)
+      .withColumn("gap", abs(col("r") * col("m") - col("c") * col("n")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_ref"), max(col("m")).as("n_cur"),
+        max(col("gap")).as("max_gap"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        (col("max_gap").cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double")).as("d_stat"),
+        (lit(1.358) * sqrt(
+          (col("n_ref") + col("n_cur")).cast("double") /
+            (col("n_ref") * col("n_cur")).cast("double"))).as("d_crit"))
+      .withColumn("reject", col("d_stat") > col("d_crit"))
+  }
+
   /** B43: CHI-SQUARE independence audit of event_type × day-of-week
     * (Pearson 1900, public — "does this event type have a weekly usage
     * pattern, or is traffic day-uniform"; the residual table is the

@@ -326,6 +326,54 @@ class AnalyticsSpec extends SparkSuite {
     corpus.foreach(r => assert(!r.getAs[Double]("psi").isNaN))
   }
 
+  test("ks: identical halves read tiny D, disjoint halves read D=1 and reject; every D equals the exact integer argmax") {
+    import SparkSuite.spark.implicits._
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i), i.toLong,
+          "same", (i % 100).toDouble)) ++
+      (for (d <- 0 until 20; i <- 1 to 50) yield
+        (100000L + d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i),
+          i.toLong, "shift",
+          (if (d < 10) i % 100 else 200 + i % 100).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Analytics.ks(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val same = got("same")
+    assert(same.getAs[Long]("n_ref") == 500L && same.getAs[Long]("n_cur") == 500L)
+    assert(same.getAs[Double]("d_stat") == 0.0) // identical value multisets
+    assert(!same.getAs[Boolean]("reject"))
+    val shift = got("shift")
+    assert(shift.getAs[Double]("d_stat") == 1.0) // disjoint supports
+    assert(shift.getAs[Boolean]("reject"))
+    assert(shift.getAs[Double]("d_crit") ==
+      1.358 * math.sqrt(1000.0 / (500.0 * 500.0)))
+    // corpus: D replays the exact integer supremum computed directly
+    val corpus = Analytics.ks(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        graft.functions.Cols.tsMs(col("ts")).as("ms"))
+      .withColumn("d", expr("ms div 86400000")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("d")))
+    corpus.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mine = ev.filter(_._1 == t)
+      val mid = Math.floorDiv(mine.map(_._3).min + mine.map(_._3).max, 2L)
+      val ref = mine.filter(_._3 <= mid).map(_._2).sorted
+      val cur = mine.filter(_._3 > mid).map(_._2).sorted
+      val (n, m) = (ref.length.toLong, cur.length.toLong)
+      val points = (ref ++ cur).distinct.sorted
+      val maxGap = points.map(v =>
+        math.abs(ref.count(_ <= v) * m - cur.count(_ <= v) * n)).max
+      assert(r.getAs[Double]("d_stat") ==
+        maxGap.toDouble / (n * m).toDouble, s"type $t")
+    }
+  }
+
   test("chi2 cells: a planted weekday-only type earns the big residuals; marginals and the independence expectation are exact") {
     import SparkSuite.spark.implicits._
     // 14 days = two full epoch weeks. "uniform": 10/day every day;

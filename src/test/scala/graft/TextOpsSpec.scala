@@ -1913,4 +1913,5 @@ class TextOpsSpec extends SparkSuite {
     assert(out2(1L) == ((5L, 10L, 6L)))
     assert(out2(10L) == ((10L, 20L, 11L)))
   }
+
 }
