@@ -477,6 +477,8 @@ object SparkEntry {
     "emb_knn_graph"     -> ((s, d) => Similarity.knnGraph(s, d)),
     "emb_knn_graph_ivf" -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "emb_knn_graph_exhaustive" -> ((s, d) => Similarity.knnGraphIvfExhaustive(s, d)),
+    // C115 triangle census + clustering coefficient over the mutual kNN graph
+    "emb_triangles"     -> ((s, d) => Similarity.triangles(s, d)),
     // density pruning (Lloyd's): rows-only, planted-geometry spec-gated
     "emb_prototypes"    -> ((s, d) => Similarity.embPrototypes(s, d)),
     "emb_d4"            -> ((s, d) => Similarity.embD4(s, d)),
@@ -3532,6 +3534,46 @@ object SparkEntry {
     "emb_mips_ivf_exhaustive" -> bruteMipsSql,
     "emb_knn_graph" -> bruteKnnSql,
     "emb_knn_graph_exhaustive" -> bruteKnnSql,
+    // C115: mutual-kNN edges from the brute graph; wedge closure via
+    // EXISTS; coefficient one division of exact longs
+    "emb_triangles" ->
+      s"""WITH knn AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC,
+         |          c.vec_id) AS rank
+         |    FROM embeddings c, embeddings q
+         |    WHERE c.vec_id <> q.vec_id
+         |      AND ${nrm("c")} > 0 AND ${nrm("q")} > 0) t
+         |  WHERE rank <= 5),
+         |e AS (
+         |  SELECT x.q_id AS a, x.vec_id AS b
+         |  FROM knn x JOIN knn y ON x.q_id = y.vec_id AND x.vec_id = y.q_id
+         |  WHERE x.q_id < x.vec_id),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |pn AS (
+         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+         |deg AS (
+         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT unnest([a, b]) AS node FROM e) GROUP BY 1)
+         |SELECT n.vec_id,
+         |  coalesce(d.degree, 0) AS degree,
+         |  coalesce(p.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN coalesce(d.degree, 0) >= 2 THEN
+         |    CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+         |      / CAST(coalesce(d.degree, 0) * (coalesce(d.degree, 0) - 1)
+         |          AS DOUBLE)
+         |  END AS clustering
+         |FROM (SELECT vec_id FROM embeddings t
+         |      WHERE ${nrm("t")} > 0) n
+         |LEFT JOIN deg d USING (vec_id)
+         |LEFT JOIN pn p USING (vec_id)""".stripMargin,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1764,6 +1764,64 @@ object Similarity {
                             nlist: Int = 8, lloydIters: Int = 1): DataFrame =
     knnGraphIvf(spark, dir, k, nlist, nprobe = Int.MaxValue, lloydIters)
 
+  /** C115: TRIANGLE census + local clustering coefficient over the MUTUAL
+    * k-NN graph (Watts & Strogatz 1998 for the coefficient; the
+    * node-iterator/wedge-closure counting scheme of Schank & Wagner 2005,
+    * public — the graph-side curation read on an embedding corpus: dense
+    * triangle neighborhoods are tight semantic clumps (dedup/diversity
+    * targets, C58's blocking made visible), zero-triangle nodes are the
+    * isolated tail). An edge exists iff BOTH endpoints rank each other in
+    * their top-k (the mutual filter makes the graph canonically
+    * undirected); per node: degree, triangle count, clustering
+    * 2T/(d(d−1)).
+    *
+    * All counts are exact integers; the coefficient is ONE division of
+    * exact longs — hash-exact. Scale: the graph comes from the C61
+    * machinery (brute here as the oracle-able base; the IVF-blocked build
+    * swaps in transparently for corpus scale); mutual filtering is a
+    * self-join on the directed edge list (≤ n·k rows); wedges enumerate
+    * a<b<c once via the canonical orientation — the join fans ≤ k per
+    * side so wedges stay ≤ n·k², linear in n at fixed k — and close by
+    * one key-partitioned semi-join against the edge list. Never an n²
+    * pair pass. */
+  def triangles(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    trianglesOf(withNorm(Tables.embeddings(spark, dir)), k)
+
+  private[graft] def trianglesOf(emb: DataFrame, k: Int): DataFrame = {
+    val knn = knnGraphOf(emb, k).select(col("q_id"), col("vec_id"))
+    // mutual edges in canonical a<b orientation: (a,b) directed both ways
+    val edges = knn.as("x")
+      .join(knn.as("y"),
+        col("x.q_id") === col("y.vec_id") && col("x.vec_id") === col("y.q_id"))
+      .filter(col("x.q_id") < col("x.vec_id"))
+      .select(col("x.q_id").as("a"), col("x.vec_id").as("b"))
+      .localCheckpoint(true) // wedges, closure, and degrees all read it
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val closing = edges
+      .select(col("a").as("ca"), col("b").as("cc"))
+    val tri = wedges
+      .join(closing, col("a") === col("ca") && col("c") === col("cc"),
+        "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+    val degrees = edges
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    emb.select(col("vec_id"))
+      .join(degrees, Seq("vec_id"), "left")
+      .join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
   /** C62: SSL-prototype density pruning (Sorscher et al. 2022, "Beyond
     * neural scaling laws", public): cluster the corpus (Lloyd under cosine,
     * [[farthestSeeds]] seeding), score every vector by cosine to its OWN

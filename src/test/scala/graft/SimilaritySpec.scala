@@ -1321,4 +1321,47 @@ class SimilaritySpec extends SparkSuite {
     assert(p.getAs[Long]("max_bucket") == 8L)
     assert(p.getAs[Double]("skew") == 2.4 && p.getAs[Double]("max_share") == 0.8)
   }
+
+  test("triangles: a planted 3-clique reads degree 2 / one triangle / clustering 1; a mutual pair and an isolate read 0") {
+    // cluster A (ids 1-3): near-parallel -> a 3-clique at k=2;
+    // cluster B (ids 10-11): a mutual pair, each with one odd neighbor
+    // that does not reciprocate; id 20: orthogonal isolate
+    def vec(main: Int, tweak: Float): Array[Float] =
+      Array.tabulate(4)(j =>
+        if (j == main) 1f else if (j == 3) tweak else 0f)
+    val d = Files.createTempDirectory("graft-tri").toString
+    Seq(
+      (1L, vec(0, 0.01f), 0), (2L, vec(0, 0.02f), 0), (3L, vec(0, 0.03f), 0),
+      (10L, vec(1, 0.01f), 1), (11L, vec(1, 0.02f), 1),
+      (20L, Array(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.triangles(spark, d, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L))
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(got(id).getAs[Long]("degree") == 2L, s"id $id")
+      assert(got(id).getAs[Long]("n_triangles") == 1L, s"id $id")
+      assert(got(id).getAs[Double]("clustering") == 1.0, s"id $id")
+    }
+    for (id <- Seq(10L, 11L)) {
+      assert(got(id).getAs[Long]("degree") == 1L, s"id $id")
+      assert(got(id).getAs[Long]("n_triangles") == 0L, s"id $id")
+      assert(got(id).isNullAt(got(id).fieldIndex("clustering")), s"id $id")
+    }
+    assert(got(20L).getAs[Long]("degree") == 0L)
+    assert(got(20L).getAs[Long]("n_triangles") == 0L)
+    // corpus invariants: triangle mass divides by 3, degree <= k,
+    // coefficient in [0, 1]
+    val corpus = Similarity.triangles(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("degree") <= 5L)
+      if (!r.isNullAt(r.fieldIndex("clustering"))) {
+        val c = r.getAs[Double]("clustering")
+        assert(c >= 0.0 && c <= 1.0)
+      }
+    }
+  }
 }
