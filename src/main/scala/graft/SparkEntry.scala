@@ -143,6 +143,8 @@ object SparkEntry {
     "ev_pacf"           -> ((s, d) => EventOps.pacf(s, d)),
     // A99 cross-correlation between type pairs' daily series, lags -7..7
     "ev_ccf"            -> ((s, d) => EventOps.ccf(s, d)),
+    // A102 association rules over per-user type baskets (support/conf/lift)
+    "ev_assoc_rules"    -> ((s, d) => EventOps.assocRules(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -1993,6 +1995,28 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A102: exact basket counts off one distinct census; the three
+    // strengths are single divisions of exact longs
+    "ev_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM ut),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |      FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS a, y.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.a, p.b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b, n.n_users,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS support,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE) AS confidence,
+        |  CAST(n.n_users * p.n_ab AS DOUBLE)
+        |    / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+        |FROM p JOIN t ta ON ta.event_type = p.a
+        |       JOIN t tb ON tb.event_type = p.b
+        |       CROSS JOIN n""".stripMargin,
     // the ONE global day grid (min..max over the whole corpus) aligns every
     // type; full-series means/denominators, lag-windowed numerators; ccf =
     // num / (sqrt(den_a)*sqrt(den_b)) over exact-integer moments

@@ -3143,6 +3143,55 @@ object EventOps {
           .stripMargin).as("gini"))
   }
 
+  /** A102: ASSOCIATION RULES over per-user event-type baskets (Agrawal,
+    * Imieliński & Swami SIGMOD 1993, public — the market-basket read:
+    * where A77 reports symmetric overlap, a rule a→b is DIRECTIONAL:
+    * "users who do a also do b" with the three standard strengths):
+    * support = n_ab/N, confidence = n_ab/n_a, lift = confidence/(n_b/N)
+    * = N·n_ab/(n_a·n_b) — lift > 1 reads genuine association, < 1
+    * avoidance. Both directions of every co-occurring pair emit (a ≠ b);
+    * pairs under `minSupport` users drop (the published support gate).
+    *
+    * All counts are exact longs off ONE distinct (user, type) census;
+    * the three strengths are single IEEE divisions of exact-below-2⁵³
+    * casts (N·n_ab ≤ N² stays long at any gate SF) — hash-exact.
+    *
+    * Scale: one distinct pass (the A77 shape), a per-user in-row
+    * pair fan-out bounded by |types|² per user, one (a, b) partial-agg
+    * shuffle on summary-sized keys; broadcast N scalar; ≤ types²
+    * output rows. */
+  def assocRules(spark: SparkSession, dir: String,
+                 minSupport: Long = 2): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val n = ut.select(countDistinct(col("user_id")).as("n_users"))
+    val typeCounts = ut.groupBy("event_type")
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = ut.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, a ->
+          |  transform(filter(ts, b -> b != a), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("a"),
+        col("n_t").as("n_a"))), "a")
+      .join(broadcast(typeCounts.select(col("event_type").as("b"),
+        col("n_t").as("n_b"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_users"),
+        (col("n_ab").cast("double") / col("n_users").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_users") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** A99: CROSS-correlation function between every ordered pair of event
     * types' daily count series (Box & Jenkins 1970 ch. 11, public — the
     * lead/lag detector beside A97's within-series ACF: ccf(a,b,k) =

@@ -1963,6 +1963,53 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("assoc rules: planted baskets read the textbook support/confidence/lift; sub-support pairs drop") {
+    import SparkSuite.spark.implicits._
+    // users 1..10 all "view"; 1..5 also "buy"; 1..5 also "promo" (so
+    // buy<->promo is a perfect lift-2 association); user 1 alone does
+    // "rare" (every rare pair has n_ab = 1 -> dropped at minSupport 2)
+    val rows =
+      (1 to 10).map(u => (u.toLong * 10 + 1, u.toLong, "view")) ++
+      (1 to 5).map(u => (u.toLong * 10 + 2, u.toLong, "buy")) ++
+      (1 to 5).map(u => (u.toLong * 10 + 3, u.toLong, "promo")) ++
+      Seq((995L, 1L, "rare"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-assoc").toString
+    rows.map { case (id, u, t) =>
+      (id, new java.sql.Timestamp(86400000L + id), u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.assocRules(spark, dir).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r).toMap
+    // rare pairs dropped; both directions of the real pairs present
+    assert(!got.keySet.exists { case (a, b) => a == "rare" || b == "rare" })
+    assert(got.keySet == Set(("view", "buy"), ("buy", "view"),
+      ("view", "promo"), ("promo", "view"), ("buy", "promo"),
+      ("promo", "buy")))
+    val vb = got(("view", "buy"))
+    assert(vb.getAs[Long]("n_ab") == 5L && vb.getAs[Long]("n_users") == 10L)
+    assert(vb.getAs[Double]("support") == 0.5)
+    assert(vb.getAs[Double]("confidence") == 0.5)
+    assert(vb.getAs[Double]("lift") == 1.0)
+    val bv = got(("buy", "view"))
+    assert(bv.getAs[Double]("confidence") == 1.0 &&
+      bv.getAs[Double]("lift") == 1.0)
+    val bp = got(("buy", "promo"))
+    assert(bp.getAs[Double]("confidence") == 1.0)
+    assert(bp.getAs[Double]("lift") == 2.0) // perfect co-occurrence on half
+    // corpus: identities hold exactly on every rule
+    val corpus = EventOps.assocRules(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (nab, na, nb, nu) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_users"))
+      assert(nab <= na && nab <= nb && na <= nu && nb <= nu)
+      assert(r.getAs[Double]("support") == nab.toDouble / nu.toDouble)
+      assert(r.getAs[Double]("confidence") == nab.toDouble / na.toDouble)
+      assert(r.getAs[Double]("lift") ==
+        (nu * nab).toDouble / (na * nb).toDouble)
+    }
+  }
+
   test("ccf: a planted 2-day lead peaks at lag +2 and every lag equals the textbook estimator bit-for-bit") {
     import SparkSuite.spark.implicits._
     // type a: a spiky deterministic daily count over days 0..19;
