@@ -83,6 +83,11 @@ object Bench {
     "ev_seasonal_strength", "ev_acf",
     "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store", "qa_psi",
     "ev_seasonal_anomaly", "ev_pacf", "emb_range_query", "emb_range_ivf", "doc_bloom_store", "qa_benford_mad", "ev_acf_bands", "doc_cdc_stats",
+    // round-13 additions (triangles bench the IVF-blocked scale path;
+    // the brute form is the oracle base, quadratic by construction)
+    "ev_ccf", "ev_mean_shift", "qa_psi_calendar", "qa_chi2", "qa_ks",
+    "ev_theta_overlap", "ev_theta_rollup", "doc_cbloom_store",
+    "emb_triangles_ivf", "ev_assoc_rules", "ev_user_entropy",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -145,6 +145,8 @@ object SparkEntry {
     "ev_ccf"            -> ((s, d) => EventOps.ccf(s, d)),
     // A102 association rules over per-user type baskets (support/conf/lift)
     "ev_assoc_rules"    -> ((s, d) => EventOps.assocRules(s, d)),
+    // A103 per-user behavioral entropy over the type distribution
+    "ev_user_entropy"   -> ((s, d) => EventOps.userEntropy(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -481,6 +483,9 @@ object SparkEntry {
     "emb_knn_graph_exhaustive" -> ((s, d) => Similarity.knnGraphIvfExhaustive(s, d)),
     // C115 triangle census + clustering coefficient over the mutual kNN graph
     "emb_triangles"     -> ((s, d) => Similarity.triangles(s, d)),
+    // C115b IVF-blocked scale path + the exhaustive twin sharing C115's oracle
+    "emb_triangles_ivf" -> ((s, d) => Similarity.trianglesIvf(s, d)),
+    "emb_triangles_exhaustive" -> ((s, d) => Similarity.trianglesIvfExhaustive(s, d)),
     // density pruning (Lloyd's): rows-only, planted-geometry spec-gated
     "emb_prototypes"    -> ((s, d) => Similarity.embPrototypes(s, d)),
     "emb_d4"            -> ((s, d) => Similarity.embD4(s, d)),
@@ -1262,6 +1267,45 @@ object SparkEntry {
        |  WHERE c.vec_id <> q.vec_id AND ${nrm("c")} > 0 AND ${nrm("q")} > 0) t
        |WHERE rank <= 5""".stripMargin
 
+  private val trianglesSql =
+    s"""WITH knn AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC,
+         |          c.vec_id) AS rank
+         |    FROM embeddings c, embeddings q
+         |    WHERE c.vec_id <> q.vec_id
+         |      AND ${nrm("c")} > 0 AND ${nrm("q")} > 0) t
+         |  WHERE rank <= 5),
+         |e AS (
+         |  SELECT x.q_id AS a, x.vec_id AS b
+         |  FROM knn x JOIN knn y ON x.q_id = y.vec_id AND x.vec_id = y.q_id
+         |  WHERE x.q_id < x.vec_id),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |pn AS (
+         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+         |deg AS (
+         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT unnest([a, b]) AS node FROM e) GROUP BY 1)
+         |SELECT n.vec_id,
+         |  coalesce(d.degree, 0) AS degree,
+         |  coalesce(p.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN coalesce(d.degree, 0) >= 2 THEN
+         |    CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+         |      / CAST(coalesce(d.degree, 0) * (coalesce(d.degree, 0) - 1)
+         |          AS DOUBLE)
+         |  END AS clustering
+         |FROM (SELECT vec_id FROM embeddings t
+         |      WHERE ${nrm("t")} > 0) n
+         |LEFT JOIN deg d USING (vec_id)
+         |LEFT JOIN pn p USING (vec_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ev_dedup_first" ->
       """SELECT user_id, event_type, day, event_id, ts_ms, value FROM (
@@ -1995,6 +2039,32 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A103: per-term DECIMAL(18,9) quantization over libm ln (the C40
+    // discipline); the normalizer ln quantizes before its division
+    "ev_user_entropy" ->
+      """WITH census AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT user_id, event_type, n,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_u
+        |  FROM census),
+        |terms AS (
+        |  SELECT user_id, n_u,
+        |    CAST(-((CAST(n AS DOUBLE) / CAST(n_u AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(n_u AS DOUBLE)))
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM tot),
+        |agg AS (
+        |  SELECT user_id, max(n_u) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(term) AS DOUBLE) AS entropy
+        |  FROM terms GROUP BY 1)
+        |SELECT user_id, n_events, n_types, entropy,
+        |  CASE WHEN n_types > 1 THEN entropy / CAST(CAST(
+        |    ln(CAST(n_types AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+        |  END AS norm_entropy
+        |FROM agg""".stripMargin,
     // A102: exact basket counts off one distinct census; the three
     // strengths are single divisions of exact longs
     "ev_assoc_rules" ->
@@ -3559,45 +3629,10 @@ object SparkEntry {
     "emb_knn_graph" -> bruteKnnSql,
     "emb_knn_graph_exhaustive" -> bruteKnnSql,
     // C115: mutual-kNN edges from the brute graph; wedge closure via
-    // EXISTS; coefficient one division of exact longs
-    "emb_triangles" ->
-      s"""WITH knn AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC,
-         |          c.vec_id) AS rank
-         |    FROM embeddings c, embeddings q
-         |    WHERE c.vec_id <> q.vec_id
-         |      AND ${nrm("c")} > 0 AND ${nrm("q")} > 0) t
-         |  WHERE rank <= 5),
-         |e AS (
-         |  SELECT x.q_id AS a, x.vec_id AS b
-         |  FROM knn x JOIN knn y ON x.q_id = y.vec_id AND x.vec_id = y.q_id
-         |  WHERE x.q_id < x.vec_id),
-         |tri AS (
-         |  SELECT e1.a, e1.b, e2.b AS c
-         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
-         |  WHERE EXISTS (SELECT 1 FROM e e3
-         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
-         |pn AS (
-         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
-         |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
-         |deg AS (
-         |  SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS degree
-         |  FROM (SELECT unnest([a, b]) AS node FROM e) GROUP BY 1)
-         |SELECT n.vec_id,
-         |  coalesce(d.degree, 0) AS degree,
-         |  coalesce(p.n_triangles, 0) AS n_triangles,
-         |  CASE WHEN coalesce(d.degree, 0) >= 2 THEN
-         |    CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
-         |      / CAST(coalesce(d.degree, 0) * (coalesce(d.degree, 0) - 1)
-         |          AS DOUBLE)
-         |  END AS clustering
-         |FROM (SELECT vec_id FROM embeddings t
-         |      WHERE ${nrm("t")} > 0) n
-         |LEFT JOIN deg d USING (vec_id)
-         |LEFT JOIN pn p USING (vec_id)""".stripMargin,
+    // EXISTS; coefficient one division of exact longs (the exhaustive
+    // IVF twin provably equals brute, so it shares this oracle)
+    "emb_triangles" -> trianglesSql,
+    "emb_triangles_exhaustive" -> trianglesSql,
     "emb_neardup_pairs" ->
       s"""SELECT label, id_a, id_b, cos_sim FROM (
          |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -3143,6 +3143,43 @@ object EventOps {
           .stripMargin).as("gini"))
   }
 
+  /** A103: per-user behavioral ENTROPY over the event-type distribution
+    * (Shannon 1948, public — the event-side twin of C19's document
+    * entropy: a user's type mix as a diversity score; H = 0 reads a
+    * single-track client (scripted scanner, monitoring bot, one-feature
+    * user), H near ln(k) reads uniform engagement across k types; the
+    * normalized form is comparable across users with different type
+    * alphabets): H = Σ −p_t·ln(p_t) over the user's type shares,
+    * norm = H / ln(n_types) (NULL for single-type users).
+    *
+    * Portability: counts exact longs; p is ONE division; each −p·ln p
+    * term quantizes DECIMAL(18,9) before the order-free sum (the C40/B42
+    * libm-ln discipline), and the normalizer ln(n_types) quantizes the
+    * same way before its single division.
+    *
+    * Scale: one (user, type) partial-agg shuffle; the per-user total is
+    * a user-partitioned window over that census (≤ |types| rows per
+    * user); one user rollup. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val census = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wU = Window.partitionBy("user_id")
+    census
+      .withColumn("n_u", sum(col("n")).over(wU))
+      .withColumn("p", col("n").cast("double") / col("n_u").cast("double"))
+      .withColumn("term", (-(col("p") * log(col("p")))).cast(dec))
+      .groupBy("user_id")
+      .agg(max(col("n_u")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("term")).cast("double").as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1,
+          col("entropy") /
+            log(col("n_types").cast("double")).cast(dec).cast("double")))
+  }
+
   /** A102: ASSOCIATION RULES over per-user event-type baskets (Agrawal,
     * Imieliński & Swami SIGMOD 1993, public — the market-basket read:
     * where A77 reports symmetric overlap, a rule a→b is DIRECTIONAL:

@@ -1784,11 +1784,34 @@ object Similarity {
     * side so wedges stay ≤ n·k², linear in n at fixed k — and close by
     * one key-partitioned semi-join against the edge list. Never an n²
     * pair pass. */
-  def triangles(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    trianglesOf(withNorm(Tables.embeddings(spark, dir)), k)
+  def triangles(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    trianglesFromKnn(emb, knnGraphOf(emb, k))
+  }
 
-  private[graft] def trianglesOf(emb: DataFrame, k: Int): DataFrame = {
-    val knn = knnGraphOf(emb, k).select(col("q_id"), col("vec_id"))
+  /** C115b: the census at corpus scale — the graph comes from the
+    * IVF-blocked C61b build (O(n^1.5) under the auto-sized √n bucket
+    * regime) instead of the brute n² base; everything downstream of the
+    * edge list is identical. With nprobe = nlist the graph provably
+    * equals the brute one, so the exhaustive twin shares C115's oracle —
+    * gating the wedge/closure/rollup machinery over the probed plumbing. */
+  def trianglesIvf(spark: SparkSession, dir: String, k: Int = 5,
+                   nlist: Int = 0, nprobe: Int = 3,
+                   lloydIters: Int = 1): DataFrame =
+    trianglesFromKnn(withNorm(Tables.embeddings(spark, dir)),
+      knnGraphIvf(spark, dir, k, nlist, nprobe, lloydIters))
+
+  def trianglesIvfExhaustive(spark: SparkSession, dir: String,
+                             k: Int = 5, nlist: Int = 8,
+                             lloydIters: Int = 1): DataFrame =
+    trianglesFromKnn(withNorm(Tables.embeddings(spark, dir)),
+      knnGraphIvfExhaustive(spark, dir, k, nlist, lloydIters))
+
+  private[graft] def trianglesOf(emb: DataFrame, k: Int): DataFrame =
+    trianglesFromKnn(emb, knnGraphOf(emb, k))
+
+  private def trianglesFromKnn(emb: DataFrame, graph: DataFrame): DataFrame = {
+    val knn = graph.select(col("q_id"), col("vec_id"))
     // mutual edges in canonical a<b orientation: (a,b) directed both ways
     val edges = knn.as("x")
       .join(knn.as("y"),

@@ -295,6 +295,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Analytics.ks(spark, dir).count() == 0)
     assert(Similarity.triangles(spark, dir).count() == 0)
     assert(EventOps.assocRules(spark, dir).count() == 0)
+    assert(EventOps.userEntropy(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

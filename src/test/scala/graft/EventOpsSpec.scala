@@ -1963,6 +1963,52 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("user entropy: a single-track user reads 0, a uniform two-type user reads ln 2 with norm 1; terms replay exactly") {
+    import SparkSuite.spark.implicits._
+    // user 1: 10x "view" only; user 2: 5x "view" + 5x "buy" (uniform);
+    // user 3: 8x "view" + 2x "buy" (skewed)
+    val rows =
+      (1 to 10).map(i => (100L + i, 1L, "view")) ++
+      ((1 to 5).map(i => (200L + i, 2L, "view")) ++
+        (1 to 5).map(i => (210L + i, 2L, "buy"))) ++
+      ((1 to 8).map(i => (300L + i, 3L, "view")) ++
+        (1 to 2).map(i => (310L + i, 3L, "buy")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-uent").toString
+    rows.map { case (id, u, t) =>
+      (id, new java.sql.Timestamp(86400000L + id), u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.userEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    def q9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_events") == 10L && u1.getAs[Long]("n_types") == 1L)
+    assert(u1.getAs[Double]("entropy") == 0.0)
+    assert(u1.isNullAt(u1.fieldIndex("norm_entropy")))
+    val u2 = got(2L)
+    val ln2Term = q9(-(0.5 * math.log(0.5)))
+    assert(u2.getAs[Double]("entropy") == (ln2Term + ln2Term).toDouble)
+    assert(u2.getAs[Double]("norm_entropy") ==
+      (ln2Term + ln2Term).toDouble / q9(math.log(2.0)).toDouble)
+    val u3 = got(3L)
+    val t8 = q9(-(0.8 * math.log(0.8))); val t2 = q9(-(0.2 * math.log(0.2)))
+    assert(u3.getAs[Double]("entropy") == (t8 + t2).toDouble)
+    assert(u3.getAs[Double]("entropy") < u2.getAs[Double]("entropy"))
+    // corpus: bounds 0 <= H <= ln(n_types); norm in [0, 1]
+    val corpus = EventOps.userEntropy(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      assert(h >= 0.0 &&
+        h <= math.log(r.getAs[Long]("n_types").toDouble) + 1e-6)
+      if (!r.isNullAt(r.fieldIndex("norm_entropy"))) {
+        val nh = r.getAs[Double]("norm_entropy")
+        assert(nh >= 0.0 && nh <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("assoc rules: planted baskets read the textbook support/confidence/lift; sub-support pairs drop") {
     import SparkSuite.spark.implicits._
     // users 1..10 all "view"; 1..5 also "buy"; 1..5 also "promo" (so

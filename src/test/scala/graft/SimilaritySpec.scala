@@ -1363,5 +1363,18 @@ class SimilaritySpec extends SparkSuite {
         assert(c >= 0.0 && c <= 1.0)
       }
     }
+    // exhaustive-probe IVF twin = brute, row for row (the C61 discipline:
+    // full probes erase the blocking, gating the probed plumbing)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"),
+        if (r.isNullAt(r.fieldIndex("clustering"))) None
+        else Some(r.getAs[Double]("clustering")))).sortBy(_._1).toSeq
+    val exh = Similarity.trianglesIvfExhaustive(spark, sf).collect()
+    assert(keyed(exh) == keyed(corpus))
+    // probed path: one row per vector, degree still k-bounded
+    val ivf = Similarity.trianglesIvf(spark, sf).collect()
+    assert(ivf.length == corpus.length)
+    ivf.foreach(r => assert(r.getAs[Long]("degree") <= 5L))
   }
 }
