@@ -147,6 +147,8 @@ object SparkEntry {
     "ev_assoc_rules"    -> ((s, d) => EventOps.assocRules(s, d)),
     // A103 per-user behavioral entropy over the type distribution
     "ev_user_entropy"   -> ((s, d) => EventOps.userEntropy(s, d)),
+    // A104 EWMA control chart with exact start-up limits per type/day
+    "ev_ewma"           -> ((s, d) => EventOps.ewmaChart(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -2039,6 +2041,55 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A104: the recursive CTE repeats the fold expressions verbatim
+    // (the ev_hw_forecast discipline); exact-representable constants
+    "ev_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT event_type, min(day_idx) AS lo, max(day_idx) AS hi
+        |  FROM daily GROUP BY 1 HAVING hi - lo + 1 >= 14),
+        |dense AS (
+        |  SELECT g.event_type, g.lo,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.d) AS rn,
+        |    CAST(coalesce(dl.y, 0) AS BIGINT) AS y, CAST(g.n AS BIGINT) AS n
+        |  FROM (SELECT event_type, lo, unnest(generate_series(lo, hi)) AS d,
+        |          hi - lo + 1 AS n FROM rng) g
+        |  LEFT JOIN daily dl
+        |    ON dl.event_type = g.event_type AND dl.day_idx = g.d),
+        |params AS (
+        |  SELECT d.event_type, max(d.lo) AS lo, max(d.n) AS n,
+        |    CAST(sum(d.y) AS DOUBLE) / CAST(max(d.n) AS DOUBLE) AS mu,
+        |    (CAST(sum(abs(d.y - p.py)) AS DOUBLE)
+        |      / CAST(max(d.n) - 1 AS DOUBLE)) / 1.128 AS sig
+        |  FROM dense d
+        |  LEFT JOIN (SELECT event_type, rn,
+        |               lag(y) OVER (PARTITION BY event_type ORDER BY rn)
+        |                 AS py
+        |             FROM dense) p
+        |    ON p.event_type = d.event_type AND p.rn = d.rn
+        |  GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, lo, mu, sig, 0 AS t, mu AS z,
+        |    CAST(1.0 AS DOUBLE) AS w
+        |  FROM params
+        |  UNION ALL
+        |  SELECT r.event_type, r.lo, r.mu, r.sig, r.t + 1,
+        |    0.25 * CAST(d.y AS DOUBLE) + 0.75 * r.z,
+        |    r.w * 0.5625
+        |  FROM rec r JOIN dense d
+        |    ON d.event_type = r.event_type AND d.rn = r.t + 1)
+        |SELECT r.event_type, r.lo + r.t - 1 AS day_idx,
+        |  CAST(d.y AS DOUBLE) AS y, r.z AS ewma,
+        |  r.mu + 3.0 * r.sig * sqrt((0.25 / 1.75) * (1.0 - r.w)) AS ucl,
+        |  r.mu - 3.0 * r.sig * sqrt((0.25 / 1.75) * (1.0 - r.w)) AS lcl,
+        |  (r.z > r.mu + 3.0 * r.sig * sqrt((0.25 / 1.75) * (1.0 - r.w))
+        |   OR r.z < r.mu - 3.0 * r.sig * sqrt((0.25 / 1.75) * (1.0 - r.w)))
+        |    AS flag
+        |FROM rec r JOIN dense d
+        |  ON d.event_type = r.event_type AND d.rn = r.t
+        |WHERE r.t >= 1""".stripMargin,
     // A103: per-term DECIMAL(18,9) quantization over libm ln (the C40
     // discipline); the normalizer ln quantizes before its division
     "ev_user_entropy" ->

@@ -3143,6 +3143,65 @@ object EventOps {
           .stripMargin).as("gini"))
   }
 
+  /** A104: EWMA control chart per type's daily series (Roberts 1959;
+    * Hunter 1986; the individuals-chart σ̂ = MR̄/d₂ estimator with
+    * d₂ = 1.128, public — the remaining classic beside A57's CUSUM and
+    * A49's MAD: EWMA catches small sustained shifts a Shewhart chart
+    * misses, with exact time-varying start-up limits):
+    * z_t = λ·y_t + (1−λ)·z_{t−1}, z₀ = μ; limits μ ± 3σ̂·√(λ/(2−λ)·
+    * (1−(1−λ)^{2t})). λ = 0.25 — exactly representable, so the fold is
+    * a fixed two-multiply-one-add IEEE tree per step and (1−λ)² = 0.5625
+    * tracks the start-up factor by one exact multiply per step; the
+    * oracle's recursive CTE repeats the expressions VERBATIM (the A90
+    * Holt-Winters discipline — hash-exact, no quantization).
+    *
+    * μ is one division of exact integers; σ̂ = (Σ|Δ|/(n−1))/1.128 two
+    * divisions; the limit is a fixed sqrt tree.
+    *
+    * Scale: the A97 shape — one (type, day) partial-agg shuffle to a
+    * ≤types×horizon summary; the recursion is an in-row fold; output
+    * one row per (type, day). */
+  def ewmaChart(spark: SparkSession, dir: String): DataFrame = {
+    denseDailySeries(spark, dir)
+      .filter(size(col("ys")) >= 14)
+      .withColumn("n", size(col("ys")).cast("long"))
+      .withColumn("s", expr(
+        "aggregate(ys, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sumabs", expr(
+        """aggregate(
+          |  zip_with(slice(ys, 1, size(ys) - 1), slice(ys, 2, size(ys) - 1),
+          |    (a, b) -> CAST(abs(CAST(b AS BIGINT) - CAST(a AS BIGINT))
+          |      AS BIGINT)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("sig",
+        (col("sumabs").cast("double") / (col("n") - 1).cast("double")) /
+          lit(1.128))
+      .withColumn("zw", expr(
+        """aggregate(ys,
+          |  named_struct('z', mu, 'w', CAST(1.0 AS DOUBLE),
+          |    'arr', CAST(array() AS ARRAY<STRUCT<z: DOUBLE, w: DOUBLE>>)),
+          |  (st, y) -> named_struct(
+          |    'z', 0.25D * y + 0.75D * st.z,
+          |    'w', st.w * 0.5625D,
+          |    'arr', array_append(st.arr, named_struct(
+          |      'z', 0.25D * y + 0.75D * st.z,
+          |      'w', st.w * 0.5625D)))).arr""".stripMargin))
+      .select(col("event_type"), col("lo"), col("mu"), col("sig"),
+        col("ys"), posexplode(col("zw")).as(Seq("pos", "st")))
+      .select(col("event_type"),
+        (col("lo") + col("pos")).as("day_idx"),
+        expr("element_at(ys, pos + 1)").as("y"),
+        col("st.z").as("ewma"),
+        (col("mu") + lit(3.0) * col("sig") *
+          sqrt((lit(0.25) / lit(1.75)) * (lit(1.0) - col("st.w"))))
+          .as("ucl"),
+        (col("mu") - lit(3.0) * col("sig") *
+          sqrt((lit(0.25) / lit(1.75)) * (lit(1.0) - col("st.w"))))
+          .as("lcl"))
+      .withColumn("flag", col("ewma") > col("ucl") || col("ewma") < col("lcl"))
+  }
+
   /** A103: per-user behavioral ENTROPY over the event-type distribution
     * (Shannon 1948, public — the event-side twin of C19's document
     * entropy: a user's type mix as a diversity score; H = 0 reads a

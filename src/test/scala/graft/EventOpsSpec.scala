@@ -1963,6 +1963,56 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("ewma chart: flat series pins z to the mean with zero-width limits; a step flags; the fold replays bit-for-bit") {
+    import SparkSuite.spark.implicits._
+    val rows =
+      (for (d <- 0 until 20; i <- 1 to 7) yield
+        (d * 1000L + i, new java.sql.Timestamp(d * 86400000L + i * 100L),
+          i.toLong, "flat", 1.0)) ++
+      (for (d <- 0 until 20; i <- 1 to (if (d < 10) 5 else 50)) yield
+        (100000L + d * 1000L + i,
+          new java.sql.Timestamp(d * 86400000L + i * 100L),
+          i.toLong, "step", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.ewmaChart(spark, dir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val flat = got("flat").sortBy(_.getAs[Long]("day_idx"))
+    assert(flat.length == 20)
+    flat.foreach { r =>
+      assert(r.getAs[Double]("ewma") == 7.0)
+      assert(r.getAs[Double]("ucl") == 7.0 && r.getAs[Double]("lcl") == 7.0)
+      assert(!r.getAs[Boolean]("flag"))
+    }
+    // exact fold replay for the step series
+    val ys = (0 until 20).map(d => if (d < 10) 5.0 else 50.0)
+    val mu = ys.sum / 20.0
+    val sig = ys.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum /
+      19.0 / 1.128
+    var z = mu; var w = 1.0
+    val step = got("step").sortBy(_.getAs[Long]("day_idx"))
+    assert(step.length == 20)
+    step.zip(ys).foreach { case (r, y) =>
+      z = 0.25 * y + 0.75 * z
+      w = w * 0.5625
+      assert(r.getAs[Double]("y") == y)
+      assert(r.getAs[Double]("ewma") == z, s"day ${r.getAs[Long]("day_idx")}")
+      val ucl = mu + 3.0 * sig * math.sqrt((0.25 / 1.75) * (1.0 - w))
+      assert(r.getAs[Double]("ucl") == ucl)
+      assert(r.getAs[Boolean]("flag") == (z > ucl ||
+        z < mu - 3.0 * sig * math.sqrt((0.25 / 1.75) * (1.0 - w))))
+    }
+    // the sustained post-step level must flag
+    assert(step.drop(12).exists(_.getAs[Boolean]("flag")))
+    // corpus run: one row per (type, day); limits bracket symmetric
+    val corpus = EventOps.ewmaChart(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("ucl") >= r.getAs[Double]("lcl"))
+    }
+  }
+
   test("user entropy: a single-track user reads 0, a uniform two-type user reads ln 2 with norm 1; terms replay exactly") {
     import SparkSuite.spark.implicits._
     // user 1: 10x "view" only; user 2: 5x "view" + 5x "buy" (uniform);
