@@ -1190,4 +1190,38 @@ object EventPipeline {
             s.quantile(0.5), s.quantile(0.95)))
       }
   }
+
+  case class LiveDistinct(event_type: String, distinct_users: Double,
+                          retained: Long)
+
+  /** A101s streaming twin: LIVE per-type distinct users — the "uniques
+    * right now" dashboard tile in BOUNDED streaming state (one A101 theta
+    * sketch per type: ≤ capacity hashes however long the stream runs —
+    * where the A80f roaring-bitmap form is exact but grows with the user
+    * base, this is the fixed-footprint trade, and past capacity it
+    * degrades exactly as the batch sketch does). Keys hash through the
+    * SAME xxhash64(seed 42) Spark's own expression applies to a LongType
+    * column, so in the exact regime the stream's state is BYTE-compatible
+    * with the batch build and the emitted estimate equals batch
+    * COUNT(DISTINCT) over everything seen — the spec's cross-transport
+    * gate. Set semantics make the fold order-insensitive (no event-time
+    * sort needed for determinism, unlike the KLL twin). Update mode,
+    * serving-table semantics. */
+  def thetaStream(events: Dataset[Event],
+                  capacity: Int = 1 << 14): Dataset[LiveDistinct] = {
+    import events.sparkSession.implicits._
+    import graft.functions.ThetaSet
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Byte], LiveDistinct](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (tpe, batch, state: GroupState[Array[Byte]]) =>
+          val s = state.getOption.map(ThetaSet.deserialize)
+            .getOrElse(new ThetaSet(capacity))
+          batch.foreach(e => s.add(
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(e.user_id, 42L)))
+          state.update(s.serialize())
+          Iterator(LiveDistinct(tpe, s.estimate, s.size.toLong))
+      }
+  }
 }

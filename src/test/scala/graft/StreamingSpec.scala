@@ -1485,4 +1485,42 @@ class StreamingSpec extends SparkSuite {
     assert(lastClick == Set((2L, 10.0, 20.0)), lastClick.toString)
     spark.catalog.dropTempView("kllq_live")
   }}
+
+  test("A101s theta stream: live distinct equals batch COUNT(DISTINCT) across batches; re-seen users never inflate") {
+    val src = Files.createTempDirectory("graft-theta-src").toString
+    val chk = Files.createTempDirectory("graft-theta-chk").toString
+    val B = 1704103200000L
+    def e(id: Long, u: Long, t: String): Event =
+      Event(id, new Timestamp(B + id), u, t, 1.0)
+    // batch 1: view by users 1,2,3 (user 2 twice); click by users 10,11
+    val b1 = Seq(e(1, 1, "view"), e(2, 2, "view"), e(3, 2, "view"),
+      e(4, 3, "view"), e(5, 10, "click"), e(6, 11, "click"))
+    // batch 2: view re-sees 1 and 3, adds 4 and 5; click silent
+    val b2 = Seq(e(7, 1, "view"), e(8, 3, "view"), e(9, 4, "view"),
+      e(10, 5, "view"))
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.thetaStream(
+      EventPipeline.fileSource(spark, src).as[Event])
+      .toDF().writeStream.format("memory").queryName("theta_live")
+      .outputMode(OutputMode.Update).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    val mid = spark.table("theta_live").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("distinct_users"), r.getAs[Long]("retained"))).toSet
+    // exact regime: estimates ARE the distinct counts; the duplicate view
+    // by user 2 does not inflate
+    assert(mid == Set(("view", 3.0, 3L), ("click", 2.0, 2L)), mid.toString)
+    writeBatch(src, "b2", b2)
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("theta_live").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("distinct_users"), r.getAs[Long]("retained")))
+    // latest view emission accumulates across batches: {1,2,3,4,5} = 5;
+    // the re-seen users 1 and 3 added nothing
+    val lastView = all.filter(_._1 == "view").map(_._2).max
+    assert(lastView == 5.0, all.mkString(","))
+    // click state stands untouched by a view-only batch
+    assert(all.filter(_._1 == "click").map(_._2).max == 2.0)
+    spark.catalog.dropTempView("theta_live")
+  }
 }
