@@ -1063,6 +1063,8 @@ object Analytics {
           .as("dow"))
       .groupBy("event_type", "dow")
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // ≤ types×7 rows feed BOTH the distinct-types
+                             // branch and the join — one corpus scan total
     val dense = counts.select("event_type").distinct()
       .crossJoin(broadcast(
         counts.sparkSession.range(0, 7).select(col("id").as("dow"))))

@@ -452,4 +452,56 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("ccf: one corpus scan to the day census; the pair join runs on the checkpointed summary, never the corpus") {
+    val p = planOf(EventOps.ccf(spark, sf))
+    // the corpus is touched once (daily census); the grid agg and the
+    // pair self-join read the checkpointed summary
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("theta overlap: sketch bytes aggregate through ObjectHashAggregate; the pair join is summary-sized") {
+    // the build stage (pre-checkpoint): partial theta sketches merge
+    // map-side — the ONE corpus exchange carries serialized sketch
+    // payloads, never a row per user
+    import graft.functions.ThetaFunctions._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val build = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type").agg(thetaAgg(col("h"), 1 << 14).as("sk"))
+    val p0 = planOf(build)
+    assert(p0.contains("ObjectHashAggregate"), p0.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p0).length == 1,
+      p0.take(1500))
+    // the serving stage: the pair join runs on the checkpointed summary
+    // (broadcast, no shuffle join)
+    val p = planOf(graft.operators.Sketches.thetaOverlap(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("ks: the (type, value) census partial-aggregates BEFORE the cumulative window — raw rows never sort") {
+    val p = planOf(graft.operators.Analytics.ks(spark, sf))
+    // HashAggregate (census) must appear below the Window in the tree:
+    // the window input is the aggregated census, not the scan
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx, p.take(1500))
+  }
+
+  test("chi2: the census checkpoints once — the dense grid and marginals never re-touch parquet") {
+    val p = planOf(graft.operators.Analytics.chi2(spark, sf))
+    // the ≤types×7 census is checkpointed: zero parquet scans downstream
+    // (the corpus is read exactly once, inside the checkpoint build)
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("assoc rules: one distinct census; type counts and the N scalar join broadcast") {
+    val p = planOf(EventOps.assocRules(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
