@@ -149,6 +149,8 @@ object SparkEntry {
     "ev_user_entropy"   -> ((s, d) => EventOps.userEntropy(s, d)),
     // A104 EWMA control chart with exact start-up limits per type/day
     "ev_ewma"           -> ((s, d) => EventOps.ewmaChart(s, d)),
+    // A105 Hill tail-index estimate over the top-k order statistics
+    "ev_tail_index"     -> ((s, d) => EventOps.tailIndex(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -2041,6 +2043,33 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A105: exact rank selection through ties; per-term DECIMAL(18,9)
+    // over libm ln; hill/alpha single divisions of the exact sum
+    "ev_tail_index" ->
+      """WITH top AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value > 0.0
+        |  QUALIFY rn <= 51),
+        |sized AS (
+        |  SELECT event_type, value, rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_top,
+        |    min(value) OVER (PARTITION BY event_type) AS thresh
+        |  FROM top),
+        |terms AS (
+        |  SELECT event_type, CAST(n_top - 1 AS BIGINT) AS k_used, thresh,
+        |    CAST(ln(value / thresh) AS DECIMAL(18,9)) AS term
+        |  FROM sized WHERE n_top >= 6 AND rn < n_top),
+        |agg AS (
+        |  SELECT event_type, max(k_used) AS k_used,
+        |    max(thresh) AS x_threshold, sum(term) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT event_type, k_used, x_threshold,
+        |  CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) AS hill,
+        |  CASE WHEN s > 0
+        |    THEN CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE) END AS alpha
+        |FROM agg""".stripMargin,
     // A104: the recursive CTE repeats the fold expressions verbatim
     // (the ev_hw_forecast discipline); exact-representable constants
     "ev_ewma" ->

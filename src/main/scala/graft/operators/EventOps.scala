@@ -3143,6 +3143,51 @@ object EventOps {
           .stripMargin).as("gini"))
   }
 
+  /** A105: HILL tail-index estimate per type's value distribution (Hill
+    * 1975, public — the heavy-tail diagnostic behind capacity planning
+    * and spend-risk reads: α ≲ 2 means infinite variance, "whales
+    * dominate"; large α reads light-tailed/thin): over the top k+1 order
+    * statistics, H = (1/k)·Σ ln(x_(i)/x_(k+1)), α = 1/H — estimated at
+    * the standard fixed-k operating point (k = 50, clamped to n−1 when a
+    * type has fewer positive values; types with < 6 usable points drop).
+    *
+    * Portability: the order statistics are exact rank selection
+    * ((value desc, event_id) — deterministic through ties); each
+    * ln-ratio term quantizes DECIMAL(18,9) (the C40 libm discipline);
+    * hill and alpha are single divisions of the exact decimal sum.
+    *
+    * Scale: rank ≤ k+1 per type is the rank-pushdown window shape
+    * (WindowGroupLimit keeps k+1 per type map-side before the
+    * exchange); the fold runs on ≤ types×(k+1) rows; one row per
+    * type. */
+  def tailIndex(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val top = Tables.events(spark, dir)
+      .filter(col("value") > 0.0)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+    val wT = Window.partitionBy("event_type")
+    top
+      .withColumn("n_top", count(lit(1)).over(wT))
+      .withColumn("thresh", min(col("value")).over(wT)) // value at rn = n_top
+      .filter(col("n_top") >= 6 && col("rn") < col("n_top"))
+      .withColumn("term", log(col("value") / col("thresh")).cast(dec))
+      .groupBy("event_type")
+      .agg((max(col("n_top")) - 1).as("k_used"),
+        max(col("thresh")).as("x_threshold"),
+        sum(col("term")).as("s"))
+      .select(col("event_type"), col("k_used"), col("x_threshold"),
+        (col("s").cast("double") / col("k_used").cast("double")).as("hill"),
+        // a degenerate all-equal top (s = 0) reads NULL, not an
+        // engine-dependent division by zero
+        when(col("s") > 0,
+          col("k_used").cast("double") / col("s").cast("double"))
+          .as("alpha"))
+  }
+
   /** A104: EWMA control chart per type's daily series (Roberts 1959;
     * Hunter 1986; the individuals-chart σ̂ = MR̄/d₂ estimator with
     * d₂ = 1.128, public — the remaining classic beside A57's CUSUM and

@@ -1963,6 +1963,57 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("tail index: planted Pareto samples rank by heaviness and replay the quantized Hill fold exactly") {
+    import SparkSuite.spark.implicits._
+    // exact Pareto quantile samples: x_i = (n/i)^(1/alpha), n = 200 —
+    // alpha = 1 is the heavy tail, alpha = 3 the lighter one
+    val n = 200
+    def sample(alpha: Double): Seq[Double] =
+      (1 to n).map(i => math.pow(n.toDouble / i, 1.0 / alpha))
+    val rows =
+      sample(1.0).zipWithIndex.map { case (v, i) =>
+        (1000L + i, 1L + i, "heavy", v) } ++
+      sample(3.0).zipWithIndex.map { case (v, i) =>
+        (5000L + i, 1L + i, "light", v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hill").toString
+    rows.map { case (id, u, t, v) =>
+      (id, new java.sql.Timestamp(86400000L + id), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.tailIndex(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    def q9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def replay(alpha: Double): (Long, Double, Double) = {
+      val sorted = sample(alpha).sorted(Ordering[Double].reverse).take(51)
+      val thresh = sorted.last
+      val s = sorted.dropRight(1).map(v => q9(math.log(v / thresh))).sum
+      (50L, s.toDouble / 50.0, 50.0 / s.toDouble)
+    }
+    for ((t, a) <- Seq(("heavy", 1.0), ("light", 3.0))) {
+      val (kU, hill, alpha) = replay(a)
+      val r = got(t)
+      assert(r.getAs[Long]("k_used") == kU)
+      assert(r.getAs[Double]("hill") == hill, s"$t hill")
+      assert(r.getAs[Double]("alpha") == alpha, s"$t alpha")
+      // the estimate sits near the generating exponent at this k
+      assert(math.abs(alpha - a) < 0.45 * a, s"$t alpha $alpha vs $a")
+    }
+    assert(got("heavy").getAs[Double]("alpha") <
+      got("light").getAs[Double]("alpha"))
+    // corpus: hill > 0, alpha consistent with its definition
+    val corpus = EventOps.tailIndex(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("hill") >= 0.0)
+      if (!r.isNullAt(r.fieldIndex("alpha")))
+        assert(r.getAs[Double]("alpha") ==
+          r.getAs[Long]("k_used").toDouble /
+            (r.getAs[Double]("hill") * r.getAs[Long]("k_used")) ||
+          r.getAs[Double]("alpha") > 0.0)
+    }
+  }
+
   test("ewma chart: flat series pins z to the mean with zero-width limits; a step flags; the fold replays bit-for-bit") {
     import SparkSuite.spark.implicits._
     val rows =
