@@ -700,6 +700,8 @@ object SparkEntry {
         .select(col("vec_id"), col("dim_idx"), round(col("value"), 6).as("value"))
     }),
     "doc_source_stats"  -> ((s, d) => TextOps.sourceStats(s, d)),
+    // C116 lexical diversity per source: TTR / Yule's K / Simpson's D
+    "doc_lexical_diversity" -> ((s, d) => TextOps.lexicalDiversity(s, d)),
     "ev_top_paths"      -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_pattern"        -> ((s, d) => EventOps.patternMatch(s, d)),
     "ev_dropout"        -> ((s, d) => EventOps.patternDropout(s, d)),
@@ -5571,6 +5573,31 @@ object SparkEntry {
         |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS nll
         |FROM toks JOIN tf USING (term), tot
         |GROUP BY doc_id""".stripMargin,
+    // C116: exact integer moments end-to-end (no ln anywhere); widths
+    // bounded so DuckDB never degrades a product to DOUBLE
+    "doc_lexical_diversity" ->
+      """WITH census AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |      AS DECIMAL(30,0)) AS s2
+        |  FROM census GROUP BY 1 HAVING sum(n) >= 2)
+        |SELECT source, vocab, n_tokens,
+        |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(CAST(10000 AS DECIMAL(5,0))
+        |      * (s2 - CAST(n_tokens AS DECIMAL(30,0))) AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS DECIMAL(19,0))
+        |        * CAST(n_tokens AS DECIMAL(19,0)) AS DOUBLE) AS yule_k,
+        |  CAST(s2 - CAST(n_tokens AS DECIMAL(30,0)) AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS DECIMAL(19,0))
+        |        * CAST(n_tokens - 1 AS DECIMAL(19,0)) AS DOUBLE)
+        |    AS simpson_d
+        |FROM agg""".stripMargin,
     // per-lang terciles over the unigram-LL score: plain ntile here; the
     // Spark side derives the identical SQL-standard bucket closed-form from
     // a two-level rank (no single-reducer-per-lang window)

@@ -1142,6 +1142,50 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"),
         (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dup_docs"))
 
+  /** C116: LEXICAL DIVERSITY report per source — the three classic
+    * vocabulary-richness statistics (Yule 1944 "The Statistical Study of
+    * Literary Vocabulary"; Simpson 1949; plain type-token ratio, all
+    * public — the dataset-card read beside C99's Zipf slope: template
+    * farms and spam repeat a tiny vocabulary, so K spikes and TTR
+    * collapses; Yule's K and Simpson's D are length-insensitive where
+    * raw TTR is not, which is why both ship):
+    *   TTR = V/N; Yule K = 10⁴·(Σn_t² − N)/N²;
+    *   Simpson D = Σn_t(n_t−1)/(N(N−1)) — the repeat-probability.
+    *
+    * EVERYTHING is exact integer arithmetic — counts, squares, sums —
+    * with one terminal IEEE division per statistic: no ln, no
+    * quantization, hash-exact by construction (Σn² ≤ N² stays inside
+    * DECIMAL(38,0) at any conceivable SF).
+    *
+    * Scale: one corpus scan → (source, term) census partial-agg; the
+    * three statistics fold the census per source (≤ sources output
+    * rows). */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val decI = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("n").cast(decI) * col("n").cast(decI)).cast(decI).as("s2"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        ((lit(10000).cast(decI) *
+          (col("s2") - col("n_tokens").cast(decI))).cast("double") /
+          (col("n_tokens").cast(decI) * col("n_tokens").cast(decI))
+            .cast("double")).as("yule_k"),
+        ((col("s2") - col("n_tokens").cast(decI)).cast("double") /
+          (col("n_tokens").cast(decI) *
+            (col("n_tokens") - 1).cast(decI)).cast("double"))
+          .as("simpson_d"))
+  }
+
   /** Unigram-LM document scoring — the CCNet-style "perplexity" quality
     * signal without an external LM: train add-one-smoothed unigram
     * probabilities on the corpus itself, then score each document by its

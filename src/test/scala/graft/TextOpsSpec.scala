@@ -1914,4 +1914,40 @@ class TextOpsSpec extends SparkSuite {
     assert(out2(10L) == ((10L, 20L, 11L)))
   }
 
+  test("lexical diversity: hand-counted census reads exact TTR/K/D; a repetitive source spikes K and collapses TTR") {
+    import SparkSuite.spark.implicits._
+    // "rich": 10 distinct tokens once each (V=10, N=10, s2=10);
+    // "spam": one token 9 times + one once (V=2, N=10, s2=82)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "rich", 60L),
+      (2L, (Seq.fill(9)("buy") :+ "now").mkString(" "), "en", "spam", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.lexicalDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val rich = got("rich")
+    assert(rich.getAs[Long]("vocab") == 10L &&
+      rich.getAs[Long]("n_tokens") == 10L)
+    assert(rich.getAs[Double]("ttr") == 1.0)
+    assert(rich.getAs[Double]("yule_k") == 0.0)   // no repeats at all
+    assert(rich.getAs[Double]("simpson_d") == 0.0)
+    val spam = got("spam")
+    assert(spam.getAs[Long]("vocab") == 2L &&
+      spam.getAs[Long]("n_tokens") == 10L)
+    assert(spam.getAs[Double]("ttr") == 0.2)
+    // s2 = 81 + 1 = 82: K = 1e4*(82-10)/100 = 7200; D = 72/90 = 0.8
+    assert(spam.getAs[Double]("yule_k") == 7200.0)
+    assert(spam.getAs[Double]("simpson_d") == 0.8)
+    // corpus: D in [0,1], K >= 0, TTR in (0,1]
+    val corpus = TextOps.lexicalDiversity(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val d = r.getAs[Double]("simpson_d")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("yule_k") >= 0.0)
+      val t = r.getAs[Double]("ttr")
+      assert(t > 0.0 && t <= 1.0)
+    }
+  }
 }
