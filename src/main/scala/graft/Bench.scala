@@ -309,7 +309,32 @@ object Bench {
         val drps = if (wall > 0) dn / wall else 0.0
         f""","doc_gate":{"input_docs":$dn,"admitted":$admitted,"wall_sec":$wall%.3f,"docs_per_sec":$drps%.0f,"n_batches":${tm.length},"p50_batch_ms":$dp50}"""
       } else ""
-      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson$docJson}"""
+      // optional FOUR-stage topology (the standing fourth-stage question,
+      // measured): dedup → rate-limit → theta distinct-enrich → z-score —
+      // the enrichment stage passes events through carrying the type's
+      // live distinct estimate. Off by default; the headline stays the
+      // reference three-stage chain so rounds compare
+      val stage4Json = if (sys.env.get("SPARK_GRAFT_STREAM_STAGE4").contains("1")) {
+        val name = s"bench_stream_s4_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val in = spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+        val limited = EventPipeline
+          .rateLimited(EventPipeline.deduped(in, "2 hours")
+            .as[EventPipeline.Event], limit = 1000)
+          .filter(_.admitted)
+        val enriched = EventPipeline.distinctEnrichedStream(limited.map(a =>
+          EventPipeline.Event(a.event_id, a.ts, a.user_id, a.event_type, a.value)))
+        val scored = EventPipeline.zscoreAlertStream(enriched.map(e =>
+          EventPipeline.Event(e.event_id, e.ts, e.user_id, e.event_type, e.value)))
+        val q = scored.toDF().writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+        val (wall, tm, sp50) = drainAndMeasure(q, t0)
+        q.stop(); spark.catalog.dropTempView(name)
+        val srps = if (wall > 0) nRows / wall else 0.0
+        f""","stage4":{"rows_per_sec":$srps%.0f,"n_batches":${tm.length},"p50_batch_ms":$sp50}"""
+      } else ""
+      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson$docJson$stage4Json}"""
     } finally {
       val ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation")
       tuning.restore(spark, savedTuning)

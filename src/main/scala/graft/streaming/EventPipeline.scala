@@ -1207,6 +1207,40 @@ object EventPipeline {
     * gate. Set semantics make the fold order-insensitive (no event-time
     * sort needed for determinism, unlike the KLL twin). Update mode,
     * serving-table semantics. */
+  case class EventDistinct(event_id: Long, ts: java.sql.Timestamp,
+                           user_id: Long, event_type: String, value: Double,
+                           live_distinct: Double)
+
+  /** A101s pass-through form: every event flows on ENRICHED with its
+    * type's live distinct-user estimate (the same per-type theta state as
+    * [[thetaStream]]) — the chain-friendly shape that slots INSIDE a
+    * topology (dedup → rate-limit → THIS → alerts), where the emit-one-
+    * row-per-type form terminates it. An alert consumer downstream reads
+    * "z-spike while the type has N live uniques" off one stream. The
+    * estimate an event carries is the type's value as of its trigger
+    * (all of a trigger's events see the post-fold estimate — a serving
+    * read, not a per-row causal cut). */
+  def distinctEnrichedStream(events: Dataset[Event],
+                             capacity: Int = 1 << 14): Dataset[EventDistinct] = {
+    import events.sparkSession.implicits._
+    import graft.functions.ThetaSet
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Byte], EventDistinct](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (tpe, batch, state: GroupState[Array[Byte]]) =>
+          val s = state.getOption.map(ThetaSet.deserialize)
+            .getOrElse(new ThetaSet(capacity))
+          val evs = batch.toSeq
+          evs.foreach(e => s.add(
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(e.user_id, 42L)))
+          state.update(s.serialize())
+          val est = s.estimate
+          evs.iterator.map(e => EventDistinct(e.event_id, e.ts, e.user_id,
+            e.event_type, e.value, est))
+      }
+  }
+
   def thetaStream(events: Dataset[Event],
                   capacity: Int = 1 << 14): Dataset[LiveDistinct] = {
     import events.sparkSession.implicits._

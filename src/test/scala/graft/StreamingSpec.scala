@@ -1523,4 +1523,34 @@ class StreamingSpec extends SparkSuite {
     assert(all.filter(_._1 == "click").map(_._2).max == 2.0)
     spark.catalog.dropTempView("theta_live")
   }
+
+  test("A101s enrichment: events pass through once each, carrying their type's live distinct estimate per trigger") {
+    val src = Files.createTempDirectory("graft-thetae-src").toString
+    val chk = Files.createTempDirectory("graft-thetae-chk").toString
+    val B = 1704103200000L
+    def e(id: Long, u: Long, t: String): Event =
+      Event(id, new Timestamp(B + id), u, t, 1.0)
+    val b1 = Seq(e(1, 1, "view"), e(2, 2, "view"), e(3, 2, "view"))
+    val b2 = Seq(e(4, 3, "view"), e(5, 1, "view"))
+    writeBatch(src, "b1", b1)
+    val q = EventPipeline.distinctEnrichedStream(
+      EventPipeline.fileSource(spark, src).as[Event])
+      .toDF().writeStream.format("memory").queryName("theta_enrich")
+      .outputMode(OutputMode.Append).option("checkpointLocation", chk).start()
+    q.processAllAvailable()
+    val mid = spark.table("theta_enrich").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("live_distinct")))
+      .toSet
+    // batch 1 saw users {1, 2}: every event carries estimate 2
+    assert(mid == Set((1L, 2.0), (2L, 2.0), (3L, 2.0)), mid.toString)
+    writeBatch(src, "b2", b2)
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("theta_enrich").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("live_distinct")))
+      .toSet
+    // batch 2 adds user 3 (user 1 re-seen): its events carry 3; batch 1
+    // rows are append-final and unchanged; multiplicity exactly once each
+    assert(all == mid ++ Set((4L, 3.0), (5L, 3.0)), all.toString)
+    spark.catalog.dropTempView("theta_enrich")
+  }
 }
