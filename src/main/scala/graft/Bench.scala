@@ -88,7 +88,7 @@ object Bench {
     "ev_ccf", "ev_mean_shift", "qa_psi_calendar", "qa_chi2", "qa_ks",
     "ev_theta_overlap", "ev_theta_rollup", "doc_cbloom_store",
     "emb_triangles_ivf", "ev_assoc_rules", "ev_user_entropy", "ev_ewma",
-    "ev_tail_index", "doc_lexical_diversity",
+    "ev_tail_index", "doc_lexical_diversity", "ev_stationary",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

@@ -151,6 +151,8 @@ object SparkEntry {
     "ev_ewma"           -> ((s, d) => EventOps.ewmaChart(s, d)),
     // A105 Hill tail-index estimate over the top-k order statistics
     "ev_tail_index"     -> ((s, d) => EventOps.tailIndex(s, d)),
+    // A106 damped stationary attention share over the A43 transition chain
+    "ev_stationary"     -> ((s, d) => EventOps.stationary(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -2045,6 +2047,79 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A106: the power iteration carried as ONE list row per round (the
+    // ev_hw_forecast recursive-CTE discipline); every term quantized
+    // DECIMAL(18,9) exactly as the Spark loop quantizes it
+    "ev_stationary" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_ms, event_id) AS to_type
+        |  FROM i),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT from_type, to_type,
+        |    CAST(n_transitions AS DOUBLE) / CAST(sum(n_transitions)
+        |      OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |  FROM c),
+        |sts AS (
+        |  SELECT list(state ORDER BY state) AS states,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT from_type AS state FROM e0
+        |        UNION SELECT to_type FROM e0)),
+        |meta AS (
+        |  SELECT sts.states, sts.n,
+        |    (SELECT list(list_position(sts.states, x.from_type)
+        |       ORDER BY x.from_type, x.to_type) FROM e0 x) AS efrom,
+        |    (SELECT list(list_position(sts.states, x.to_type)
+        |       ORDER BY x.from_type, x.to_type) FROM e0 x) AS eto,
+        |    (SELECT list(x.p ORDER BY x.from_type, x.to_type) FROM e0 x)
+        |      AS ep,
+        |    (SELECT list(DISTINCT x.from_type) FROM e0 x) AS srcs
+        |  FROM sts),
+        |rec AS (
+        |  SELECT 0 AS it,
+        |    list_transform(m.states, x ->
+        |      CAST(CAST(1.0 / m.n AS VARCHAR) AS DECIMAL(18,9))) AS pis
+        |  FROM meta m
+        |  UNION ALL
+        |  SELECT r.it + 1,
+        |    list_transform(range(1, CAST(m.n AS BIGINT) + 1), j ->
+        |      CAST(CAST(
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / m.n
+        |        + 0.85 * (
+        |        CAST(list_sum(list_transform(range(1, len(m.ep) + 1), k ->
+        |          CASE WHEN m.eto[k] = j
+        |            THEN CAST(CAST(
+        |              CAST(r.pis[m.efrom[k]] AS DOUBLE) * m.ep[k]
+        |              AS VARCHAR) AS DECIMAL(18,9))
+        |            ELSE CAST(0 AS DECIMAL(18,9)) END)) AS DOUBLE)
+        |        + CAST(list_sum(list_transform(
+        |            range(1, CAST(m.n AS BIGINT) + 1), i ->
+        |            CASE WHEN NOT list_contains(m.srcs, m.states[i])
+        |              THEN r.pis[i] ELSE CAST(0 AS DECIMAL(18,9)) END))
+        |            AS DOUBLE) / m.n
+        |      ) AS VARCHAR) AS DECIMAL(18,9)))
+        |  FROM rec r, meta m WHERE r.it < 20)
+        |SELECT m.states[g.j] AS event_type,
+        |  CAST(r.pis[g.j] AS DOUBLE) AS stationary
+        |FROM rec r, meta m,
+        |  (SELECT unnest(range(1, 1000)) AS j) g
+        |WHERE r.it = 20 AND g.j <= CAST(m.n AS BIGINT)""".stripMargin,
     // A105: exact rank selection through ties; per-term DECIMAL(18,9)
     // over libm ln; hill/alpha single divisions of the exact sum
     "ev_tail_index" ->

@@ -3143,6 +3143,65 @@ object EventOps {
           .stripMargin).as("gini"))
   }
 
+  /** A106: STATIONARY attention share per event type — the long-run
+    * distribution of the A43 session-transition chain (power iteration
+    * with the standard 0.85 damping; Page et al. 1999's treatment of
+    * dangling states, public — the "where do sessions settle" read that
+    * single-step transition probabilities can't give: a type that every
+    * path funnels INTO outranks its raw volume): π'(b) = (1−d)/|S| +
+    * d·(Σ_a π(a)·P(a→b) + dangling_mass/|S|), 20 iterations from the
+    * uniform start.
+    *
+    * Portability (the C73 emb_pagerank discipline, here WITH an oracle):
+    * P(a→b) is one exact-long division; each inflow term π(a)·P(a→b) is
+    * ONE double multiply quantized DECIMAL(18,9) before the order-free
+    * decimal sum; the damping update is a fixed IEEE tree re-quantized
+    * per iteration — the DuckDB recursive CTE repeats every expression
+    * verbatim, so 20 rounds stay bit-identical.
+    *
+    * Scale: the corpus-sized work is transitionCounts' one user_id
+    * shuffle; the iteration runs on the ≤\|types\|² edge summary
+    * (localCheckpoint'd per round — the star-CC lineage discipline);
+    * ≤\|types\| output rows. */
+  def stationary(spark: SparkSession, dir: String, damping: Double = 0.85,
+                 iters: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val wFrom = Window.partitionBy("from_type")
+    val edges = transitionCounts(spark, dir)
+      .withColumn("n_from", sum(col("n_transitions")).over(wFrom))
+      .select(col("from_type"), col("to_type"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .localCheckpoint(true)
+    val states = edges.select(col("from_type").as("state"))
+      .union(edges.select(col("to_type").as("state")))
+      .distinct().localCheckpoint(true)
+    val n = states.count().toDouble // bounded: ≤ |types|
+    val sources = edges.select(col("from_type").as("state")).distinct()
+      .localCheckpoint(true)
+    var pi = states.withColumn("pi", (lit(1.0) / lit(n)).cast(dec))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(pi, edges("from_type") === pi("state"))
+        .select(col("to_type").as("state"),
+          (col("pi").cast("double") * col("p")).cast(dec).as("term"))
+        .groupBy("state").agg(sum(col("term")).as("inflow"))
+      val dangling = pi.join(sources, Seq("state"), "left_anti")
+        .agg(coalesce(sum(col("pi")), lit(0).cast(dec)).as("dm"))
+      pi = states
+        .join(inflow, Seq("state"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("state"),
+          ((lit(1.0 - damping) / lit(n)) + lit(damping) *
+            (coalesce(col("inflow").cast("double"), lit(0.0)) +
+              col("dm").cast("double") / lit(n))).cast(dec).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state").as("event_type"),
+      col("pi").cast("double").as("stationary"))
+  }
+
   /** A105: HILL tail-index estimate per type's value distribution (Hill
     * 1975, public — the heavy-tail diagnostic behind capacity planning
     * and spend-risk reads: α ≲ 2 means infinite variance, "whales

@@ -1963,6 +1963,60 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("stationary: the quantized damped iteration replays exactly; the self-looping attractor holds the most mass") {
+    import SparkSuite.spark.implicits._
+    // user 1 alternates A/B in one session (A->B x3, B->A x2); user 2
+    // loops C (C->C x2); user 3 walks B->C->C — so P(B->C) = 1/3 leaks
+    // mass into the self-looping C, which only the teleport drains:
+    // a genuine attractor (a doubly-stochastic chain would fix uniform)
+    val rows =
+      (0 until 6).map(i => (10L + i, 1L, if (i % 2 == 0) "A" else "B")) ++
+      (0 until 3).map(i => (20L + i, 2L, "C")) ++
+      Seq((30L, 3L, "B"), (31L, 3L, "C"), (32L, 3L, "C"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stat").toString
+    rows.map { case (id, u, t) =>
+      (id, new java.sql.Timestamp(86400000L + id * 60000L), u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.stationary(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("stationary")).toMap
+    // in-test replay of the exact quantized iteration
+    def q9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def replay(states: Seq[String], edges: Seq[(String, String, Double)],
+               iters: Int): Map[String, Double] = {
+      val srcs = edges.map(_._1).toSet
+      val n = states.length.toDouble
+      var pi = states.map(s => s -> q9(1.0 / n)).toMap
+      for (_ <- 1 to iters) {
+        val dm = pi.collect { case (s, v) if !srcs(s) => v }
+          .foldLeft(BigDecimal(0))(_ + _)
+        pi = states.map { b =>
+          val inflow = edges.collect { case (a, b2, p) if b2 == b =>
+            q9(pi(a).toDouble * p) }.foldLeft(BigDecimal(0))(_ + _)
+          b -> q9((1.0 - 0.85) / n +
+            0.85 * (inflow.toDouble + dm.toDouble / n))
+        }.toMap
+      }
+      pi.map { case (k, v) => k -> v.toDouble }
+    }
+    // census: A->B x3; B->A x2, B->C x1; C->C x3
+    val ref = replay(Seq("A", "B", "C"),
+      Seq(("A", "B", 1.0), ("B", "A", 2.0 / 3.0), ("B", "C", 1.0 / 3.0),
+        ("C", "C", 1.0)), 20)
+    assert(got.keySet == Set("A", "B", "C"))
+    got.foreach { case (s, v) => assert(v == ref(s), s"state $s") }
+    // the self-looping attractor holds the most long-run mass
+    assert(got("C") > got("A") && got("C") > got("B"))
+    // corpus: a distribution (damping guarantees total mass ~ 1)
+    val corpus = EventOps.stationary(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val total = corpus.map(_.getAs[Double]("stationary")).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"mass $total")
+    corpus.foreach(r => assert(r.getAs[Double]("stationary") > 0.0))
+  }
+
   test("tail index: planted Pareto samples rank by heaviness and replay the quantized Hill fold exactly") {
     import SparkSuite.spark.implicits._
     // exact Pareto quantile samples: x_i = (n/i)^(1/alpha), n = 200 —
