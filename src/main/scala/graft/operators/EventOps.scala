@@ -3177,6 +3177,9 @@ object EventOps {
       .union(edges.select(col("to_type").as("state")))
       .distinct().localCheckpoint(true)
     val n = states.count().toDouble // bounded: ≤ |types|
+    if (n == 0) // empty corpus: 1/n would constant-fold to an ANSI error
+      return states.select(col("state").as("event_type"),
+        lit(0.0).as("stationary"))
     val sources = edges.select(col("from_type").as("state")).distinct()
       .localCheckpoint(true)
     var pi = states.withColumn("pi", (lit(1.0) / lit(n)).cast(dec))
