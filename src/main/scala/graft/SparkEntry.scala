@@ -153,6 +153,8 @@ object SparkEntry {
     "ev_tail_index"     -> ((s, d) => EventOps.tailIndex(s, d)),
     // A106 damped stationary attention share over the A43 transition chain
     "ev_stationary"     -> ((s, d) => EventOps.stationary(s, d)),
+    // A107 absorbing-chain conversion probability per state
+    "ev_absorption"     -> ((s, d) => EventOps.absorption(s, d)),
     // A100 exact single mean-shift split per type (A86's oracle-exact twin)
     "ev_mean_shift"     -> ((s, d) => EventOps.meanShift(s, d)),
     // A91 rolling-origin backtest: naive vs Holt vs HW one-step MAE
@@ -2047,6 +2049,72 @@ object SparkEntry {
         |  CASE WHEN d.den > 0
         |    THEN CAST(m.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
         |FROM num m JOIN den d USING (event_type)""".stripMargin,
+    // A107: value iteration carried as one list row per round; terms
+    // VARCHAR-quantized (the r13 decimal-tie rule — p can be exactly 0.5)
+    "ev_absorption" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_ms, event_id) AS to_type
+        |  FROM i),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |occ AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM events GROUP BY 1),
+        |e0 AS (
+        |  SELECT c.from_type, c.to_type,
+        |    CAST(c.n_transitions AS DOUBLE) / CAST(o.n_occ AS DOUBLE) AS p
+        |  FROM c JOIN occ o ON o.event_type = c.from_type),
+        |sts AS (
+        |  SELECT list(event_type ORDER BY event_type) AS states,
+        |    count(*) AS n
+        |  FROM occ),
+        |meta AS (
+        |  SELECT sts.states, sts.n,
+        |    (SELECT list(list_position(sts.states, x.from_type)
+        |       ORDER BY x.from_type, x.to_type) FROM e0 x) AS efrom,
+        |    (SELECT list(list_position(sts.states, x.to_type)
+        |       ORDER BY x.from_type, x.to_type) FROM e0 x) AS eto,
+        |    (SELECT list(x.p ORDER BY x.from_type, x.to_type) FROM e0 x)
+        |      AS ep
+        |  FROM sts),
+        |rec AS (
+        |  SELECT 0 AS it,
+        |    list_transform(m.states, x -> CASE WHEN x = 'purchase'
+        |      THEN CAST(1.0 AS DECIMAL(18,9))
+        |      ELSE CAST(0.0 AS DECIMAL(18,9)) END) AS xs
+        |  FROM meta m
+        |  UNION ALL
+        |  SELECT r.it + 1,
+        |    list_transform(range(1, CAST(m.n AS BIGINT) + 1), j ->
+        |      CASE WHEN m.states[j] = 'purchase'
+        |        THEN CAST(1.0 AS DECIMAL(18,9))
+        |      ELSE CAST(list_sum(list_transform(range(1, len(m.ep) + 1),
+        |        k -> CASE WHEN m.efrom[k] = j
+        |          THEN CAST(CAST(CAST(r.xs[m.eto[k]] AS DOUBLE) * m.ep[k]
+        |            AS VARCHAR) AS DECIMAL(18,9))
+        |          ELSE CAST(0 AS DECIMAL(18,9)) END)) AS DECIMAL(18,9))
+        |      END)
+        |  FROM rec r, meta m WHERE r.it < 30)
+        |SELECT m.states[g.j] AS event_type,
+        |  CAST(r.xs[g.j] AS DOUBLE) AS p_convert
+        |FROM rec r, meta m,
+        |  (SELECT unnest(range(1, 1000)) AS j) g
+        |WHERE r.it = 30 AND g.j <= CAST(m.n AS BIGINT)""".stripMargin,
     // A106: the power iteration carried as ONE list row per round (the
     // ev_hw_forecast recursive-CTE discipline); every term quantized
     // DECIMAL(18,9) exactly as the Spark loop quantizes it

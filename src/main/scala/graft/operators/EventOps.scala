@@ -3205,6 +3205,64 @@ object EventOps {
       col("pi").cast("double").as("stationary"))
   }
 
+  /** A107: ABSORPTION probability per state — "from here, what's the
+    * chance this session reaches `target` before it ends" (the
+    * absorbing-Markov-chain read of the A43 transition model; Kemeny &
+    * Snell 1960, public — the state-level form of A19's funnel: a funnel
+    * counts one fixed path, this scores EVERY state by its downstream
+    * conversion odds, which is what "which screen should we fix"
+    * actually asks). Unconditional one-step probabilities
+    * P(a→b) = n(a→b)/n_a over ALL type-a events, so 1 − Σ_b P(a→b) is
+    * exactly the session-end (non-converting) exit mass; value iteration
+    * x_a ← P(a→target) + Σ_{b≠target} P(a→b)·x_b from x = 0 (30 rounds
+    * — geometric convergence), x_target ≡ 1.
+    *
+    * Portability: the A106 discipline — P one exact-long division, each
+    * term one double multiply quantized DECIMAL(18,9) before the
+    * order-free decimal sum, re-quantized per round; the oracle's
+    * recursive CTE repeats it verbatim with the §6 VARCHAR-mediated
+    * quantization (the decimal-tie rule).
+    *
+    * Scale: corpus work is transitionCounts' one shuffle + one ≤types
+    * occurrence census; 30 rounds run on the ≤types² checkpointed
+    * summary; ≤types output rows. */
+  def absorption(spark: SparkSession, dir: String,
+                 target: String = "purchase", iters: Int = 30): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val occ = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(true)
+    val edges = transitionCounts(spark, dir)
+      .join(occ.select(col("event_type").as("from_type"), col("n_occ")),
+        "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("n_transitions").cast("double") / col("n_occ").cast("double"))
+          .as("p"))
+      .localCheckpoint(true)
+    val states = occ.select(col("event_type").as("state"))
+      .localCheckpoint(true)
+    var x = states.withColumn("x",
+      when(col("state") === target, lit(1.0).cast(dec))
+        .otherwise(lit(0.0).cast(dec)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(x, edges("to_type") === x("state"))
+        .select(col("from_type"),
+          (col("x").cast("double") * col("p")).cast(dec).as("term"))
+        .groupBy("from_type").agg(sum(col("term")).as("s"))
+      x = states
+        .join(inflow, states("state") === inflow("from_type"), "left")
+        .select(col("state"),
+          when(col("state") === target, lit(1.0).cast(dec))
+            .otherwise(coalesce(col("s").cast(dec), lit(0.0).cast(dec)))
+            .as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("state").as("event_type"), col("x").cast("double")
+      .as("p_convert"))
+  }
+
   /** A105: HILL tail-index estimate per type's value distribution (Hill
     * 1975, public — the heavy-tail diagnostic behind capacity planning
     * and spend-risk reads: α ≲ 2 means infinite variance, "whales

@@ -300,6 +300,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.tailIndex(spark, dir).count() == 0)
     assert(TextOps.lexicalDiversity(spark, dir).count() == 0)
     assert(EventOps.stationary(spark, dir).count() == 0)
+    assert(EventOps.absorption(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {

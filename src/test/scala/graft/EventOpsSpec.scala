@@ -2017,6 +2017,51 @@ class EventOpsSpec extends SparkSuite {
     corpus.foreach(r => assert(r.getAs[Double]("stationary") > 0.0))
   }
 
+  test("absorption: a hand funnel reads exact conversion odds; the quantized value iteration replays exactly") {
+    import SparkSuite.spark.implicits._
+    // users 1-3: A->B->purchase (full conversions); user 4: A->B then the
+    // session ends; user 5: a lone C. So P(A->B)=1, P(B->purchase)=3/4:
+    // x_B = 0.75, x_A = 0.75, x_C = 0, x_purchase = 1
+    val rows =
+      (1 to 3).flatMap(u => Seq(
+        (u * 10L + 1, u.toLong, "A"), (u * 10L + 2, u.toLong, "B"),
+        (u * 10L + 3, u.toLong, "purchase"))) ++
+      Seq((41L, 4L, "A"), (42L, 4L, "B"), (51L, 5L, "C"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-abs").toString
+    rows.map { case (id, u, t) =>
+      (id, new java.sql.Timestamp(86400000L + id * 60000L), u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.absorption(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("p_convert")).toMap
+    assert(got == Map("A" -> 0.75, "B" -> 0.75, "C" -> 0.0,
+      "purchase" -> 1.0), got.toString)
+    // the in-test replay of the exact quantized iteration on the same
+    // census (the A106 reference discipline)
+    def q9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val edges = Seq(("A", "B", 4.0 / 4.0), ("B", "purchase", 3.0 / 4.0))
+    val states = Seq("A", "B", "C", "purchase")
+    var x = states.map(s =>
+      s -> (if (s == "purchase") BigDecimal(1) else BigDecimal(0))).toMap
+    for (_ <- 1 to 30) {
+      x = states.map { a =>
+        a -> (if (a == "purchase") BigDecimal(1)
+        else edges.collect { case (a2, b, p) if a2 == a =>
+          q9(x(b).toDouble * p) }.foldLeft(BigDecimal(0))(_ + _))
+      }.toMap
+    }
+    states.foreach(s => assert(got(s) == x(s).toDouble, s"state $s"))
+    // corpus: probabilities, with the target exactly 1 when present
+    val corpus = EventOps.absorption(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("p_convert")).toMap
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (_, p) => assert(p >= 0.0 && p <= 1.0) }
+    corpus.get("purchase").foreach(p => assert(p == 1.0))
+  }
+
   test("tail index: planted Pareto samples rank by heaviness and replay the quantized Hill fold exactly") {
     import SparkSuite.spark.implicits._
     // exact Pareto quantile samples: x_i = (n/i)^(1/alpha), n = 200 —
