@@ -237,4 +237,78 @@ class PropertySpec extends SparkSuite {
         s"seed $seed minCount $minCount diverged")
     }
   }
+
+  test("theta sketch invariants over random streams: canonical bytes, exact regime, monotone algebra, bounded error") {
+    import graft.functions.ThetaSet
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val nDistinct = 10 + rnd.nextInt(4000)
+      val k = Seq(64, 256, 1024, 1 << 14)(rnd.nextInt(4))
+      val hashes = (1 to nDistinct)
+        .map(i => scala.util.hashing.byteswap64(trial * 1000003L + i))
+      // duplicates folded in must never change the sketch
+      val stream = rnd.shuffle(hashes ++ hashes.take(nDistinct / 2))
+      val s = new ThetaSet(k)
+      stream.foreach(s.add)
+      // 1) canonical bytes: any split/merge order is byte-equal
+      val parts = stream.grouped(math.max(1, stream.length / 5)).toSeq
+      val merged = new ThetaSet(k)
+      rnd.shuffle(parts).foreach { p =>
+        val part = new ThetaSet(k); p.foreach(part.add); merged.merge(part)
+      }
+      assert(java.util.Arrays.equals(s.serialize(), merged.serialize()),
+        s"trial $trial k=$k non-canonical")
+      // 2) exact regime iff under capacity
+      if (nDistinct <= k) assert(s.estimate == nDistinct.toDouble)
+      else {
+        // 3) bounded error: 6 sigma of the published 1/sqrt(k-2) rse
+        val err = math.abs(s.estimate - nDistinct) / nDistinct
+        assert(err <= 6.0 / math.sqrt(k - 2.0),
+          s"trial $trial k=$k n=$nDistinct est=${s.estimate} err=$err")
+      }
+      // 4) algebra vs an exact reference on two random subsets
+      val setA = hashes.filter(_ => rnd.nextBoolean()).toSet
+      val setB = hashes.filter(_ => rnd.nextBoolean()).toSet
+      val (sa, sb) = (new ThetaSet(1 << 15), new ThetaSet(1 << 15))
+      setA.foreach(sa.add); setB.foreach(sb.add)
+      assert(ThetaSet.union(sa, sb).estimate == (setA ++ setB).size.toDouble)
+      assert(ThetaSet.intersect(sa, sb).estimate == (setA & setB).size.toDouble)
+      assert(ThetaSet.aNotB(sa, sb).estimate == (setA -- setB).size.toDouble)
+      // 5) serialization round trip preserves bytes
+      val rt = ThetaSet.deserialize(s.serialize())
+      assert(java.util.Arrays.equals(rt.serialize(), s.serialize()))
+    }
+  }
+
+  test("counting bloom invariants over random key sets: subtraction identity, membership, merge commutativity") {
+    import graft.functions.{CountingBloom, CountingBloomBuf}
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val (m, k) = CountingBloom.geometry(2048, 0.01)
+      val keysA = (1 to 500 + rnd.nextInt(1000))
+        .map(i => scala.util.hashing.byteswap64(trial * 7919L + i))
+      val keysB = (1 to 300 + rnd.nextInt(700))
+        .map(i => scala.util.hashing.byteswap64(trial * 104729L + 500000 + i))
+      def build(keys: Seq[Long]): CountingBloomBuf = {
+        val b = new CountingBloomBuf(m, k); keys.foreach(b.add); b
+      }
+      // build(A ++ B) - build(B) == build(A), byte-for-byte, any order
+      val ab = build(rnd.shuffle(keysA ++ keysB))
+      ab.subtract(build(keysB))
+      assert(java.util.Arrays.equals(ab.serialize(),
+        build(keysA).serialize()), s"trial $trial subtraction identity")
+      // no false negatives ever
+      val a = build(keysA)
+      assert(keysA.forall(a.contains), s"trial $trial false negative")
+      // false-positive rate within ~4x the sized fpp on fresh keys
+      val fresh = (1 to 2000).map(i =>
+        scala.util.hashing.byteswap64(trial * 15485863L + 900000 + i))
+      val fp = fresh.count(a.contains).toDouble / fresh.length
+      assert(fp <= 0.04, s"trial $trial fp rate $fp")
+      // merge commutes byte-for-byte
+      val m1 = build(keysA); m1.merge(build(keysB))
+      val m2 = build(keysB); m2.merge(build(keysA))
+      assert(java.util.Arrays.equals(m1.serialize(), m2.serialize()))
+    }
+  }
 }
