@@ -89,7 +89,7 @@ object Bench {
     "ev_theta_overlap", "ev_theta_rollup", "doc_cbloom_store",
     "emb_triangles_ivf", "ev_assoc_rules", "ev_user_entropy", "ev_ewma",
     "ev_tail_index", "doc_lexical_diversity", "ev_stationary",
-    "ev_absorption",
+    "ev_absorption", "doc_rouge_pairs",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the

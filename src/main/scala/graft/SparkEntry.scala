@@ -347,6 +347,8 @@ object SparkEntry {
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // C117 ROUGE-L (token LCS) scoring of the banded near-dup candidates
+    "doc_rouge_pairs"   -> ((s, d) => Dedup.rougePairs(s, d)),
     // C2m: measured minhash recall + estimator MAE vs the exact Jaccard
     // enumeration (gate-SF instrument — the lshEmpiricalRecall discipline)
     "doc_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),

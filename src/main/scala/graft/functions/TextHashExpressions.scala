@@ -625,10 +625,92 @@ case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Row-level LCS kernel: token-level longest-common-subsequence length
+  * over whitespace tokens (capped per side) — the ROUGE-L core. Two-row
+  * DP, O(m·n) time / O(n) space. Tokens compare as STRINGS (interned
+  * per call) — a 32-bit token hash would silently inflate the LCS on a
+  * collision; exactness is the point of the metric. */
+object LcsKernel {
+  private def tokens(s: UTF8String, cap: Int): Array[String] = {
+    val toks = s.toString.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      math.min(toks.length, cap))
+    var i = 0
+    while (i < toks.length && out.length < cap) {
+      if (toks(i).nonEmpty) out += toks(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  def lcsTokens(a: UTF8String, b: UTF8String, cap: Int): Int = {
+    val x = tokens(a, cap); val y = tokens(b, cap)
+    if (x.isEmpty || y.isEmpty) return 0
+    val prev = new Array[Int](y.length + 1)
+    val cur = new Array[Int](y.length + 1)
+    var i = 1
+    while (i <= x.length) {
+      var j = 1
+      while (j <= y.length) {
+        cur(j) =
+          if (x(i - 1) == y(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(y.length)
+  }
+
+  /** Capped token count with the same tokenization as the LCS — the
+    * ROUGE denominators must count what the numerator saw. */
+  def nTokens(a: UTF8String, cap: Int): Int = tokens(a, cap).length
+}
+
+/** lcs_tokens(a, b): token-level LCS length (capped) as a codegen'd
+  * kernel call — no UDF, the pair scoring stays inside WSCG. */
+case class LcsTokensExpr(left: Expression, right: Expression, cap: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lcs_tokens"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsKernel.lcsTokens(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LcsKernel$$.MODULE$$.lcsTokens($a, $b, $cap)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LcsTokensExpr = copy(left = l, right = r)
+}
+
+/** n_tokens_capped(a): the LCS tokenization's capped token count. */
+case class NTokensCappedExpr(child: Expression, cap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "n_tokens_capped"
+  override def nullSafeEval(a: Any): Any =
+    LcsKernel.nTokens(a.asInstanceOf[UTF8String], cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LcsKernel$$.MODULE$$.nTokens($a, $cap)")
+  override protected def withNewChildInternal(c: Expression): NTokensCappedExpr =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   def bloomContains(key: Column, filterBytes: Array[Byte]): Column =
     GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(key),
       filterBytes))
+  def lcsTokens(a: Column, b: Column, cap: Int = 256): Column =
+    GraftShims.toColumn(LcsTokensExpr(GraftShims.toExpression(a),
+      GraftShims.toExpression(b), cap))
+  def nTokensCapped(a: Column, cap: Int = 256): Column =
+    GraftShims.toColumn(NTokensCappedExpr(GraftShims.toExpression(a), cap))
   def cdcCuts(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
     GraftShims.toColumn(CdcCutsExpr(GraftShims.toExpression(text),
       maskBits, minLen, maxLen))

@@ -723,6 +723,54 @@ object Dedup {
     out
   }
 
+  /** C117: ROUGE-L scoring of the C2 near-dup candidates (Lin 2004,
+    * public — the eval-metric read on a dedup verdict: MinHash estimates
+    * SET overlap, ROUGE-L's token-level longest common subsequence
+    * measures how much of the text survives IN ORDER, separating true
+    * rewrites/quotes from bag-of-words coincidences; the score every
+    * summarization/leaderboard hygiene check quotes): per candidate pair,
+    * P = LCS/|b|, R = LCS/|a|, F = 2PR/(P+R) over whitespace tokens
+    * capped at `cap` per side (the documented truncation — O(cap²) per
+    * pair bounds the DP regardless of document length).
+    *
+    * The LCS runs as the codegen `lcs_tokens` kernel (no UDF — the
+    * naive SQL formulation is a quadratic self-join per pair; the DP is
+    * exactly the §5.5 kernel-boundary rule), with `n_tokens_capped`
+    * sharing its tokenization so the denominators count what the
+    * numerator saw. P/R/F are single divisions of exact ints.
+    *
+    * Scale: pair volume is C2's banded candidate set (never all-pairs);
+    * per-pair cost a fixed cap² DP inside WSCG; the text join is two
+    * doc_id-keyed joins. */
+  def rougePairs(spark: SparkSession, dir: String,
+                 cap: Int = 256): DataFrame = {
+    import graft.functions.TextHashExpressions.{lcsTokens, nTokensCapped}
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    minhashLsh(spark, dir)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+        "id_b")
+      .withColumn("lcs",
+        lcsTokens(col("text_a"), col("text_b"), cap).cast("long"))
+      .withColumn("n_a", nTokensCapped(col("text_a"), cap).cast("long"))
+      .withColumn("n_b", nTokensCapped(col("text_b"), cap).cast("long"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("rouge_r",
+        col("lcs").cast("double") / col("n_a").cast("double"))
+      .withColumn("rouge_p",
+        col("lcs").cast("double") / col("n_b").cast("double"))
+      .withColumn("rouge_l_f",
+        when(col("lcs") > 0,
+          lit(2.0) * col("rouge_p") * col("rouge_r") /
+            (col("rouge_p") + col("rouge_r"))).otherwise(lit(0.0)))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("lcs"),
+        col("n_a"), col("n_b"), col("rouge_p"), col("rouge_r"),
+        col("rouge_l_f"))
+  }
+
   // ---- C113b counting-Bloom membership store (deletion-capable) -----------
 
   /** C113b: COUNTING Bloom store (Fan et al. 2000, public) — the takedown

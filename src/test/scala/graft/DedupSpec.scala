@@ -767,6 +767,58 @@ class DedupSpec extends SparkSuite {
     assert(bytesOf(1) == bytesOf(7))
   }
 
+  test("rouge-l: kernel equals an independent DP on hand and random token sequences; candidate pairs score the published P/R/F") {
+    import SparkSuite.spark.implicits._
+    // independent reference DP over token STRINGS
+    def refLcs(a: String, b: String, cap: Int = 256): Int = {
+      val x = a.split("\\s+").filter(_.nonEmpty).take(cap)
+      val y = b.split("\\s+").filter(_.nonEmpty).take(cap)
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(x.length)(y.length)
+    }
+    import org.apache.spark.sql.functions.col
+    def kernel(a: String, b: String): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.TextHashExpressions
+          .lcsTokens(col("a"), col("b"), 256).as("l"))
+        .head().getInt(0)
+    // hand cases: identity, disjoint, order-sensitivity (the ROUGE-L
+    // point: same bag, different order scores lower)
+    assert(kernel("the quick brown fox", "the quick brown fox") == 4)
+    assert(kernel("alpha beta gamma", "delta epsilon") == 0)
+    assert(kernel("a b c d", "d c b a") == 1)
+    assert(kernel("x a b c y", "z a b c w") == 3)
+    // randomized cross-check against the reference
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 25) {
+      val vocab = Vector("t0", "t1", "t2", "t3", "t4")
+      def randDoc(): String =
+        (1 to 3 + rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(5))).mkString(" ")
+      val (a, b) = (randDoc(), randDoc())
+      assert(kernel(a, b) == refLcs(a, b), s"'$a' vs '$b'")
+    }
+    // corpus candidates: every scored pair carries the published P/R/F
+    // identities over its own lcs and capped token counts
+    val got = graft.operators.Dedup.rougePairs(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (l, na, nb) = (r.getAs[Long]("lcs"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(l <= math.min(na, nb))
+      val (p, rr) = (r.getAs[Double]("rouge_p"), r.getAs[Double]("rouge_r"))
+      assert(p == l.toDouble / nb.toDouble && rr == l.toDouble / na.toDouble)
+      val f = r.getAs[Double]("rouge_l_f")
+      if (l > 0) assert(f == 2.0 * p * rr / (p + rr)) else assert(f == 0.0)
+      assert(f >= 0.0 && f <= 1.0 + 1e-12)
+    }
+    // near-dup candidates from the synthetic corpus's planted duplicates
+    // include high-F pairs (the detector actually detects)
+    assert(got.exists(_.getAs[Double]("rouge_l_f") > 0.8))
+  }
+
   test("counting bloom: add-then-forget is byte-equal to never-added; takedown clears keys; refcounting holds") {
     import SparkSuite.spark.implicits._
     def docsOf(rows: (Long, String)*) = rows.toSeq

@@ -301,6 +301,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.lexicalDiversity(spark, dir).count() == 0)
     assert(EventOps.stationary(spark, dir).count() == 0)
     assert(EventOps.absorption(spark, dir).count() == 0)
+    assert(Dedup.rougePairs(spark, dir).count() == 0)
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {
