@@ -71,15 +71,20 @@ object Bench {
     "ev_power", "ev_changepoint",
     "ev_msprt", "doc_rank_tau", "doc_weighted_sample", "qa_snapshot_diff",
     "ev_heavy_hitters", "ev_hw_forecast",
-    "doc_unigram_train", "doc_unigram_encode", "mm_phash_pairs",
+    "doc_unigram_train", "doc_unigram_encode",
     "qa_reconcile", "doc_metric_corr", "doc_readability", "doc_pmi",
     "ev_forecast_backtest", "ev_its", "doc_heldout_ppl", "ev_retention_fit",
-    "ev_hh_store", "ev_experiment_segments", "doc_tok_compare",
+    "ev_hh_store", "ev_experiment_segments",
     "ev_bitmap_forget", "doc_minhash_recall", "doc_filter_agreement",
-    // round-12 additions
+    // round-12 additions. The tokenizer-TRAINING and image-DECODE paths
+    // (doc_tok_compare, doc_wordpiece, mm_phash_pairs) were benched through
+    // r9 and are dropped from the headline as of r10: their determinism is
+    // spec-pinned and their store/serving twins below are what a deployment
+    // re-runs (VERDICT r9 #1b — ~17 s/rep of re-proving training, ~100 s of
+    // scale10 wall). Re-measure on demand with SPARK_GRAFT_ONLY.
     "mm_phash_store", "doc_tok_compare_store",
     "ev_seasonal_decompose", "qa_benford",
-    "doc_wordpiece", "doc_cdc_dedup", "ev_quantile_sketch",
+    "doc_cdc_dedup", "ev_quantile_sketch",
     "ev_seasonal_strength", "ev_acf",
     "ev_quantile_store", "doc_wordpiece_store", "doc_cdc_store", "qa_psi",
     "ev_seasonal_anomaly", "ev_pacf", "emb_range_query", "emb_range_ivf", "doc_bloom_store", "qa_benford_mad", "ev_acf_bands", "doc_cdc_stats",
@@ -498,7 +503,21 @@ object Bench {
       if (!recording || sys.env.get("SPARK_GRAFT_SCALE10").contains("0")) "null"
       else try {
         val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE10_COPIES", "10").toInt
-        val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "2").toInt
+        // Default 1 rep per query as of r10 (VERDICT r9 #1c): the quiet
+        // brackets have been stable ≥2 rounds for every family, and the
+        // 2-rep protocol was ~950 s of the wall that killed the r9 driver
+        // bench at its 60-min cap. Min-of-2 is kept only for the WATCH
+        // list — queries with super-linear 10× ratios still under active
+        // adjudication — because one noisy sample on those is not a usable
+        // regression surface.
+        val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "1").toInt
+        val watch = Set("emb_lsh_auto", "q_cube", "doc_ngram_auto",
+          "doc_containment_auto", "doc_minhash_recall", "doc_ngram_jaccard")
+        // The fixed-param LSH baseline is the DOCUMENTED quadratic twin
+        // (92× at 10×, ≈300 s of scale10 wall to re-prove a law measured
+        // in r8/r9 and pinned in SURVEY §5). It stays in the sf0.1 rep
+        // pass; its scaling is re-measurable on demand via BenchScale.
+        val scale10Skip = Set("emb_lsh_pairs")
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
@@ -517,8 +536,9 @@ object Bench {
         var spin = cal0
         var done = 0
         val busyQs = scala.collection.mutable.ArrayBuffer[String]()
-        val timed = picked.flatMap { name =>
+        val timed = picked.filterNot(scale10Skip).flatMap { name =>
           benchFn(name).map { fn =>
+            val wantReps = if (watch(name)) math.max(scaleReps, 2) else scaleReps
             var quietTimes = List.empty[Double]
             var allTimes = List.empty[Option[Double]]
             // burst-escape retries only make sense against a BURST — once
@@ -526,8 +546,8 @@ object Bench {
             // host is degraded (r9: an all-day calib 54-60 put every query
             // in `busy` and the retries doubled the section for nothing)
             val hostDegraded = done >= 10 && busyQs.length == done
-            val maxTries = if (hostDegraded) scaleReps else scaleReps + 2
-            while (allTimes.length < maxTries && quietTimes.length < scaleReps) {
+            val maxTries = if (hostDegraded) wantReps else wantReps + 2
+            while (allTimes.length < maxTries && quietTimes.length < wantReps) {
               val pre = spin
               spark.catalog.clearCache()
               val t0 = System.nanoTime()

@@ -23,6 +23,15 @@ object GraftSession {
       // below executor memory at any SF (tune with executor heap on cluster)
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
+      // Cols.boundedWindow partitions known-bounded summary windows by a
+      // CONSTANT so WindowExec's single-partition execution is declared
+      // intent rather than the "No Partition Defined" warning (which
+      // assumes corpus-sized input and drowned real signal in the r9 bench
+      // log). Spark 4's EliminateWindowPartitions folds that constant away
+      // again, resurrecting the warning — exclude it; the rule is a pure
+      // cosmetic simplification (both forms execute as one partition).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }

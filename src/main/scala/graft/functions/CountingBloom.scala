@@ -99,10 +99,25 @@ object CountingBloom {
     b
   }
 
-  /** Published sizing: m = ⌈−n·ln(ε)/ln²2⌉ counters, k = round(m/n·ln2). */
+  /** The largest counter count whose serialized form (1+4+4+m*4 bytes)
+    * still fits a JVM byte array. Beyond this (~536M counters ≈ 700M
+    * items at fpp=0.01) a single filter stops being a sane plan literal
+    * anyway — shard by key range and union the per-shard reports. */
+  val MaxCounters: Int = (Int.MaxValue - 9) / 4
+
+  /** Published sizing: m = ⌈−n·ln(ε)/ln²2⌉ counters, k = round(m/n·ln2).
+    * Validated BEFORE the Int narrowing: `.toInt` on an over-large double
+    * silently saturates at Int.MaxValue, and serialize()'s
+    * `ByteBuffer.allocate(1+4+4+m*4)` then overflows Int into a confusing
+    * negative-size failure (ADVICE r9). */
   def geometry(expectedItems: Long, fpp: Double): (Int, Int) = {
     val ln2 = math.log(2.0)
-    val m = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toInt
+    val mReal = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2))
+    require(mReal <= MaxCounters,
+      s"counting-bloom geometry overflow: $expectedItems items at fpp=$fpp " +
+        s"needs ${mReal.toLong} counters > $MaxCounters max (4-byte counters " +
+        "in one byte[]); shard the key space and union per-shard filters")
+    val m = mReal.toInt
     val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
     (math.max(8, m), k)
   }
@@ -166,6 +181,20 @@ case class CbfContainsExpr(child: Expression, filterBytes: Array[Byte])
   @transient private lazy val cbf = CountingBloom.deserialize(filterBytes)
 
   def compute(hash: Long): Boolean = cbf.contains(hash)
+
+  // Array[Byte] compares by reference under the case-class-generated
+  // equals/hashCode, which defeats canonicalization and common-
+  // subexpression elimination for semantically identical probes (ADVICE
+  // r9). Compare the filter by CONTENT, the way Spark compares binary
+  // Literals.
+  override def equals(other: Any): Boolean = other match {
+    case that: CbfContainsExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(filterBytes, that.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   override protected def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(cbf.contains(input.asInstanceOf[Long]))

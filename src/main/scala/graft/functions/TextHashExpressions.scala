@@ -618,6 +618,18 @@ case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
   override def compute(input: UTF8String): AnyRef =
     java.lang.Boolean.valueOf(bf.mightContainString(input.toString))
 
+  // content-based equals/hashCode: the case-class default compares the
+  // byte array by REFERENCE, so identical probes never canonicalize
+  // (see CbfContainsExpr — same fix, ADVICE r9)
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomContainsExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(filterBytes, that.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     kernelGenCode(ctx, ev)

@@ -237,7 +237,12 @@ case class ThetaEstimateExpr(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[GraftShims.AbstractType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // child-dependent, NOT hardcoded false: under whole-stage codegen a
+  // nullable=false declaration elides the null check around the kernel
+  // call, so a null sketch (outer-join slot, when() without otherwise,
+  // parquet-read column) would NPE in codegen while interpreted eval
+  // returned null (ADVICE r9)
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "theta_estimate"
   override protected def nullSafeEval(bytes: Any): Any =
     ThetaKernel.estimate(bytes.asInstanceOf[Array[Byte]])
@@ -257,7 +262,8 @@ sealed abstract class ThetaBinaryOp extends BinaryExpression
   override def inputTypes: Seq[GraftShims.AbstractType] =
     Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
+  // either-side nullability propagates (see ThetaEstimateExpr.nullable)
+  override def nullable: Boolean = left.nullable || right.nullable
   protected def kernel: String
   protected def apply2(a: Array[Byte], b: Array[Byte]): Array[Byte]
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -802,7 +802,18 @@ object Dedup {
 
   /** C113b: batch screen + fold-in — C113's ingest with counter ADDITION
     * as the merge. Per-ingest cost: one batch scan + one store-sized
-    * rewrite, zero reads of prior corpus data. */
+    * rewrite, zero reads of prior corpus data.
+    *
+    * REFCOUNT semantics, by design (ADVICE r9 adjudication): the screen
+    * tests each row against the PRE-batch store only, so N copies of a
+    * new text inside one batch all report `seen=false` (n_novel counts
+    * each copy) while the fold-in increments the key's counters N times.
+    * That is the multiset contract the store doc declares — every holder
+    * must be forgotten before the key probes absent — and the novelty
+    * report mirrors it: n_novel is "rows not yet held by the store", not
+    * "distinct new texts". Callers wanting distinct-text novelty dedup
+    * the batch by hash first (doc_dedup_exact) — composing the two
+    * operators, not a second mode here. */
   def countingBloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
     import graft.functions.CountingBloomFunctions._
     val spark = batch.sparkSession

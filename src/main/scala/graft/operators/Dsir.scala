@@ -149,7 +149,8 @@ object Dsir {
       .withColumn("g", floor(-col("key") * 4).cast("long"))
     val offsets = keyed.groupBy("g").agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
-        Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        graft.functions.Cols.boundedWindow(col("g")) // ≤buckets summary
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("g"), col("offset"))
     val inBucket = Window.partitionBy("g").orderBy(col("key").desc, col("doc_id"))
     keyed.join(offsets, "g")

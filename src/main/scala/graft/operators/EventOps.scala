@@ -283,7 +283,7 @@ object EventOps {
     val tot = stages.agg(sum(col("n_users")).as("n_total"))
     stages.crossJoin(broadcast(tot)) // single row: constant-size
       .withColumn("n_reached", sum(col("n_users")).over(
-        Window.orderBy(col("stage").desc)
+        boundedWindow(col("stage").desc) // ≤4-row stage summary
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("stage"), col("n_users"), col("n_reached"),
         expr("CAST(n_reached AS DOUBLE) / CAST(n_total AS DOUBLE)")
@@ -739,7 +739,7 @@ object EventOps {
         col("value"))
       .groupBy("day_num")
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-    val w = Window.orderBy(col("day_num")).rangeBetween(-(days - 1L), 0L)
+    val w = boundedWindow(col("day_num")).rangeBetween(-(days - 1L), 0L) // ≤days rows
     daily.select(col("day_num"), col("n_events"), col("sum_value"),
       round(sum(col("sum_value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
         .over(w).cast("double") / count(lit(1)).over(w), 6).as("avg_trailing"))
@@ -2312,7 +2312,7 @@ object EventOps {
     val offsets = keyed.groupBy(keyCol, "g_id")
       .agg(count(lit(1)).as("sz"))
       .withColumn("off", coalesce(sum(col("sz")).over(
-        Window.orderBy(col(keyCol), col("g_id"))
+        boundedWindow(col(keyCol), col("g_id")) // keys×buckets summary
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(keyCol), col("g_id"), col("off"))
     val inGroup = Window.partitionBy(keyCol, "g_id").orderBy(tieCol)
@@ -2682,7 +2682,7 @@ object EventOps {
       .groupBy("minute").agg(sum(col("d")).as("delta"))
     deltas
       .withColumn("n_active", sum(col("delta")).over(
-        Window.orderBy("minute")
+        boundedWindow(col("minute")) // ≤minutes-in-horizon rows
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("delta") =!= 0)
       .select((col("minute") * 60000L).as("minute_ms"), col("delta"),
@@ -2860,7 +2860,7 @@ object EventOps {
       count(when(col("variant") === "A" && col("conv") === 1, lit(1))).as("x_a"),
       count(when(col("variant") === "B", lit(1))).as("e_b"),
       count(when(col("variant") === "B" && col("conv") === 1, lit(1))).as("x_b"))
-    val w = Window.orderBy("day_idx")
+    val w = boundedWindow(col("day_idx")) // ≤days rows
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("n_a", sum(col("e_a")).over(w))
@@ -2926,7 +2926,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_users_d"), sum(col("n_events")).as("n_events_d"),
         max(col("total_events")).as("total_events"))
       .withColumn("cum_events", sum(col("n_events_d")).over(
-        Window.orderBy("decile")
+        boundedWindow(col("decile")) // 10 rows
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("decile"), col("n_users_d").as("n_users"),
         col("n_events_d").as("n_events"), col("cum_events"),
@@ -3096,7 +3096,7 @@ object EventOps {
       .groupBy(expr("ms div 3600000").as("hr"))
       .agg(count(lit(1)).as("n_total"),
         count(when(col("event_type") === "error", lit(1))).as("n_err"))
-    val w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    val w6 = boundedWindow(col("hr")).rangeBetween(-5, 0) // ≤hours-in-horizon rows
     hourly
       .withColumn("err6", sum(col("n_err")).over(w6))
       .withColumn("total6", sum(col("n_total")).over(w6))

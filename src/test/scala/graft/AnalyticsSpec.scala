@@ -26,6 +26,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(semi <= cust)
   }
 
+  test("cube partial-agg-before-expand ≡ naive single-pass cube (values + gid)") {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Cols.dsum
+    // the shape the r9 plan used: expand every scan row 4×, aggregate once
+    val naive = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n_lines"))
+    val opt = Analytics.cubeFlags(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("returnflag"), r.getAs[String]("linestatus"), r.getAs[Long]("gid"))
+    val a = naive.collect().map(r => key(r) -> (r.getAs[Double]("sum_qty"), r.getAs[Long]("n_lines"))).toMap
+    val b = opt.collect().map(r => key(r) -> (r.getAs[Double]("sum_qty"), r.getAs[Long]("n_lines"))).toMap
+    assert(a.keySet == b.keySet)
+    // decimal re-summation is exact, so doubles must be BIT-identical
+    a.foreach { case (k, v) => assert(b(k) == v, s"cell $k: naive=$v opt=${b(k)}") }
+  }
+
   test("rollup contains per-group, subtotal and grand-total rows") {
     val out = Analytics.rollupFlags(spark, sf).collect()
     val grand = out.filter(r => r.getAs[String]("returnflag") == "ALL" &&

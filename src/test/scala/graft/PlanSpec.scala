@@ -130,7 +130,10 @@ class PlanSpec extends SparkSuite {
   test("cube/grouping sets: one Expand pass, partial aggregation present") {
     val pc = planOf(Analytics.cubeFlags(spark, sf))
     assert("Expand".r.findAllIn(pc).length == 1, pc.take(800))
-    assert("HashAggregate".r.findAllIn(pc).length >= 2, pc.take(800))
+    // r10 shape: finest-level partial+final agg BELOW the expand (2 nodes),
+    // then the cube agg over the ≤cells summary (2 more) — the expand must
+    // never see scan rows again
+    assert("HashAggregate".r.findAllIn(pc).length >= 4, pc.take(800))
     val pg = planOf(Analytics.groupingSets(spark, sf))
     assert("Expand".r.findAllIn(pg).length == 1, pg.take(800))
   }
