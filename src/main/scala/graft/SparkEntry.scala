@@ -429,6 +429,22 @@ object SparkEntry {
     // brute force EXACTLY — oracle-gated end-to-end check of assignment,
     // probing and ranking
     "emb_ivf_exhaustive"-> ((s, d) => Similarity.ivfTopK(s, d, nprobe = 8)),
+    // recall-floor gates (r10, VERDICT r9 #6): the four approximate serving
+    // paths each carry a CHECKED delivered-recall bound vs the brute twin —
+    // the entry THROWS (gate goes red) if recall undercuts the envelope /
+    // the index's own measured curve, instead of dumping unchecked rows
+    "emb_ivf_recall"    -> ((s, d) => Similarity.ivfRecallGate(s, d)),
+    "emb_pq_recall"     -> ((s, d) => Similarity.pqRecallGate(s, d)),
+    "emb_ivf_query_recall" -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(s, d)}"
+      if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
+      Similarity.ivfQueryRecallGate(s, d, idx)
+    }),
+    "emb_pq_query_recall" -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-m8k16-${embDataTag(s, d)}"
+      if (!new java.io.File(s"$idx/codes.parquet").exists) Similarity.writePqIndex(s, d, idx)
+      Similarity.pqQueryRecallGate(s, d, idx)
+    }),
     // corpus-growth ingest: base index on the first 80% of corpus ids, the
     // last 20% ingested against the STORED centroids, then served
     // exhaustively — must hash-equal brute force over the FULL corpus
@@ -874,6 +890,8 @@ object SparkEntry {
     "doc_pmi"           -> ((s, d) => TextOps.pmiPairs(s, d)),
     // C107 held-out bigram NLL (train on the md5 80%, score the rest)
     "doc_heldout_ppl"   -> ((s, d) => TextOps.heldoutPpl(s, d)),
+    // C107 at a second split ratio (70/30): pins the Laplace V-scaling
+    "doc_heldout_ppl70" -> ((s, d) => TextOps.heldoutPpl(s, d, "b3")),
     // C108 BPE-vs-unigram fertility bake-off per source (rows-only:
     // both encoders are rows-only; reconciliation spec-gated)
     "doc_tok_compare"   -> ((s, d) => TextOps.tokCompare(s, d)),
@@ -1059,6 +1077,43 @@ object SparkEntry {
       |      ORDER BY count(*) DESC, user_id) AS rank
       |  FROM events GROUP BY 1, 2) t
       |WHERE rank <= 10""".stripMargin
+
+  /** C107 oracle at a parameterized train/held md5-prefix boundary —
+    * 'cd' = the 80/20 production default; 'b3' (179/256 ≈ 0.70) is the
+    * r10 second-ratio fixture pinning the V-scaling of the Laplace
+    * denominator (a wrong vocab scope shifts every unseen-pair cell at
+    * one ratio but not the other). */
+  private def heldoutPplSql(h: String): String =
+    s"""WITH d AS (SELECT doc_id, text,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        |       WHERE h2 < '$h'),
+        |hd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        |       WHERE h2 >= '$h'),
+        |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM tr WHERE len(ws) >= 2),
+        |tpp AS (SELECT struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM tp),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM tpp GROUP BY 1, 2),
+        |ac AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS tok FROM d
+        |        WHERE h2 < '$h')),
+        |hp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
+        |      FROM hd WHERE len(ws) >= 2),
+        |hpp AS (SELECT doc_id, struct_extract(pr, 'a') AS a,
+        |         struct_extract(pr, 'b') AS b FROM hp),
+        |s AS (SELECT hpp.doc_id,
+        |        CAST(-ln((coalesce(bc.n_ab, 0) + 1)
+        |          / (coalesce(ac.n_a, 0) + v.n_vocab)) AS DECIMAL(18,9))
+        |          AS tok_nll
+        |      FROM hpp LEFT JOIN bc USING (a, b) LEFT JOIN ac USING (a), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS heldout_nll
+        |FROM s GROUP BY 1""".stripMargin
 
   // Shared SQL fragments for the oracle (DuckDB 1.0 dialect).
   private val rev = "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -4083,37 +4138,8 @@ object SparkEntry {
     // C107: the C68 model on the md5 TRAIN split, scored on the held-out
     // docs with LEFT joins + coalesce (unseen pairs/words pay the
     // smoothed price); identical tokenization and quantization
-    "doc_heldout_ppl" ->
-      """WITH d AS (SELECT doc_id, text,
-        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
-        |  FROM documents WHERE text IS NOT NULL),
-        |tr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
-        |       WHERE h2 < 'cd'),
-        |hd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d
-        |       WHERE h2 >= 'cd'),
-        |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
-        |      FROM tr WHERE len(ws) >= 2),
-        |tpp AS (SELECT struct_extract(pr, 'a') AS a,
-        |         struct_extract(pr, 'b') AS b FROM tp),
-        |bc AS (SELECT a, b, count(*) AS n_ab FROM tpp GROUP BY 1, 2),
-        |ac AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab FROM
-        |       (SELECT unnest(string_split(text, ' ')) AS tok FROM d
-        |        WHERE h2 < 'cd')),
-        |hp AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |        i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr
-        |      FROM hd WHERE len(ws) >= 2),
-        |hpp AS (SELECT doc_id, struct_extract(pr, 'a') AS a,
-        |         struct_extract(pr, 'b') AS b FROM hp),
-        |s AS (SELECT hpp.doc_id,
-        |        CAST(-ln((coalesce(bc.n_ab, 0) + 1)
-        |          / (coalesce(ac.n_a, 0) + v.n_vocab)) AS DECIMAL(18,9))
-        |          AS tok_nll
-        |      FROM hpp LEFT JOIN bc USING (a, b) LEFT JOIN ac USING (a), v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS heldout_nll
-        |FROM s GROUP BY 1""".stripMargin,
+    "doc_heldout_ppl" -> heldoutPplSql("cd"),
+    "doc_heldout_ppl70" -> heldoutPplSql("b3"),
     // interpolated Kneser-Ney (d = 0.75): every model table derives from
     // the pair census; identical double association order as the Spark plan
     "doc_kn_ll" ->

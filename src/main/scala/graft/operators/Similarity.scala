@@ -582,6 +582,102 @@ object Similarity {
         col("kk").as("k"))
   }
 
+  // ---- delivered-recall floor gates (r10, VERDICT r9 #6) -----------------
+  // The approximate top-k paths used to enter the correctness gate as bare
+  // rows-only dumps; these wrappers make each entry CARRY A CHECKED BOUND:
+  // delivered recall@k vs the exact brute-force twin is computed inside the
+  // gate run and the query THROWS if it undercuts the floor — a recall
+  // regression now turns the driver gate red instead of silently shipping.
+
+  /** One-row report (path, k, n_true, n_hit, recall, floor) with a hard
+    * `require(recall >= floor)`. Recall is exact containment of the exact
+    * twin's (q_id, vec_id) result set in the approximate one — the standard
+    * ANN retrieval metric, not a score comparison, so ties and float noise
+    * can't flap the gate. */
+  private[graft] def recallFloorReport(spark: SparkSession, path: String,
+                                       approx: DataFrame, exact: DataFrame,
+                                       k: Int, floor: Double): DataFrame = {
+    import spark.implicits._
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val nTrue = e.count()
+    val nHit = e.join(approx.select(col("q_id"), col("vec_id")),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
+    require(recall >= floor,
+      f"$path delivered recall@$k $recall%.4f (hit $nHit of $nTrue) " +
+        f"undercuts its floor $floor%.4f — the index/probe machinery regressed")
+    Seq((path, k.toLong, nTrue, nHit, recall, floor))
+      .toDF("path", "k", "n_true", "n_hit", "recall", "floor")
+  }
+
+  /** In-train IVF path (emb_ivf_topk params: nlist=8, nprobe=3): floor is
+    * the published sizing envelope at the probed fraction — delivering
+    * below the envelope the operator's own `defaultNprobe` sizing promises
+    * means assignment/probing broke, not that the corpus got unlucky (the
+    * envelope is the measured MINIMUM across SFs and nlists). */
+  def ivfRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val floor = envelopeFloor(nprobe = 3, nlist = 8)
+    recallFloorReport(spark, "emb_ivf_topk", ivfTopK(spark, dir),
+      cosineTopK(spark, dir), k = 5, floor = floor)
+  }
+
+  /** Persisted-index IVF serving path: floor is THIS index's own measured
+    * curve value at the (nprobe, k) the serving call actually uses —
+    * measureRecallCurve is exact for the query sample, so delivered recall
+    * below the curve means the serving path lost or misrouted a bucket. */
+  def ivfQueryRecallGate(spark: SparkSession, dir: String,
+                         indexDir: String): DataFrame = {
+    val k = 5
+    val nlist = spark.read.parquet(s"$indexDir/centroids.parquet").count().toInt
+    val probes = indexNprobe(spark, indexDir, nlist, targetRecall = 0.85, k)
+    val floor = indexCurveRecall(spark, indexDir, probes, k)
+      .map(_ - 1e-9) // identical sample: equality expected, guard FP noise
+      .getOrElse(envelopeFloor(probes, nlist))
+    recallFloorReport(spark, "emb_ivf_query",
+      ivfTopKFromIndex(spark, dir, indexDir),
+      cosineTopK(spark, dir), k, floor)
+  }
+
+  /** PQ paths (m=8, ksub=16, shortlist=64): no per-index curve exists (the
+    * PQ analog of nprobe is the shortlist), so the floor is the measured
+    * minimum with margin — delivered recall@5 measured 0.52-0.68 across
+    * sf0.001/0.01/0.1 (r10 probe; the synthetic corpus is near-random,
+    * PQ's worst case — 8 sub-codes over 64 unclustered dims is heavy
+    * quantization noise, and real clustered corpora sit well above).
+    * 0.40 is far above broken-machinery recall (a scrambled ADC table or
+    * lost shortlist scores ~shortlist/n ≈ 0.01-0.1) without flapping on
+    * corpus regeneration. */
+  val PqRecallFloor = 0.40
+
+  def pqRecallGate(spark: SparkSession, dir: String): DataFrame =
+    recallFloorReport(spark, "emb_pq_topk", pqTopK(spark, dir),
+      cosineTopK(spark, dir), k = 5, floor = PqRecallFloor)
+
+  def pqQueryRecallGate(spark: SparkSession, dir: String,
+                        indexDir: String): DataFrame =
+    recallFloorReport(spark, "emb_pq_query",
+      pqTopKFromIndex(spark, dir, indexDir),
+      cosineTopK(spark, dir), k = 5, floor = PqRecallFloor)
+
+  /** Envelope recall at the probed fraction (conservative published floor). */
+  private def envelopeFloor(nprobe: Int, nlist: Int): Double = {
+    val f = nprobe.toDouble / nlist
+    measuredRecallEnvelope.takeWhile(_._1 <= f + 1e-9).lastOption
+      .map(_._2).getOrElse(measuredRecallEnvelope.head._2)
+  }
+
+  /** The persisted curve's recall at exactly (nprobe, k), if measured. */
+  private def indexCurveRecall(spark: SparkSession, indexDir: String,
+                               nprobe: Int, k: Int): Option[Double] = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/recall.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return None
+    val curve = spark.read.parquet(s"$indexDir/recall.parquet")
+    if (!curve.columns.contains("k")) return None
+    curve.filter(col("k") === k && col("nprobe") === nprobe)
+      .collect().headOption.map(_.getAs[Double]("recall"))
+  }
+
   /** Per-JVM cache of the curve-derived probe decision, keyed by
     * (indexDir, targetRecall, k). The decision is INDEX metadata — a
     * serving session resolves it once at index load, not with a

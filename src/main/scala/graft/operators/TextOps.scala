@@ -1273,12 +1273,18 @@ object TextOps {
     * scan feeds both splits; counts are pair-keyed partial aggs on the
     * TRAIN side only; scoring is two key joins against census-sized
     * tables; the vocab scalar broadcasts. */
-  def heldoutPpl(spark: SparkSession, dir: String): DataFrame = {
+  /** `splitHex`: the md5-prefix train/held boundary — "cd" (205/256) is the
+    * 80/20 production default; the r10 gate also runs "b3" (179/256 ≈ 70/30)
+    * so the Laplace V-scaling is oracle-pinned at TWO ratios (VERDICT r9
+    * #7: a vocab-scope bug shifts every unseen-pair cell at one ratio but
+    * not identically at the other, so the pair of gates discriminates it). */
+  def heldoutPpl(spark: SparkSession, dir: String,
+                 splitHex: String = "cd"): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .withColumn("h2", substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 2))
-    val train = docs.filter(col("h2") < "cd")
-    val held = docs.filter(col("h2") >= "cd")
+    val train = docs.filter(col("h2") < splitHex)
+    val held = docs.filter(col("h2") >= splitHex)
     def pairsOf(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)

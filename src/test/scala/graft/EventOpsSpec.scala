@@ -1963,6 +1963,77 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("stationary/markov: planted HALF-WAY decimal tie pins the quantization rounding mode") {
+    // VERDICT r9 #2: the chain ops' portability rests on double→DECIMAL(18,9)
+    // quantization agreeing between engines; corpus data essentially never
+    // lands exactly half-way at the 9th digit, so a silent switch from
+    // HALF_UP (Spark's Cast) to HALF_EVEN would pass every existing spec.
+    // Plant a chain whose iteration-1 terms are EXACT ties: one session of
+    // 512 A's then a B gives P(A→A)=511/512, P(A→B)=1/512 (exact dyadic
+    // doubles), and with π₀=1/2 the products are 511/1024 = 0.4990234375
+    // and 1/1024 = 0.0009765625 — ten decimal digits ending in 5, i.e. a
+    // half-way tie at scale 9 with NOTHING beyond it.
+    import SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // prove the planted values discriminate the mode before using them
+    assert(BigDecimal(0.5 * (1.0 / 512)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      == BigDecimal("0.000976563"))
+    assert(BigDecimal(0.5 * (1.0 / 512)).setScale(9, BigDecimal.RoundingMode.HALF_EVEN)
+      == BigDecimal("0.000976562")) // differs — the tie is real
+    assert(BigDecimal(0.5 * (511.0 / 512)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      == BigDecimal("0.499023438"))
+    // Spark's Cast(double → decimal) must take the HALF_UP branch
+    val cast = spark.range(1).select(
+      lit(0.0009765625).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("t"),
+      lit(0.4990234375).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("u"))
+      .head()
+    assert(cast.getDecimal(0) == BigDecimal("0.000976563").bigDecimal)
+    assert(cast.getDecimal(1) == BigDecimal("0.499023438").bigDecimal)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-tie").toString
+    (0 until 513).map { i =>
+      (i.toLong, new java.sql.Timestamp(86400000L + i * 1000L), 1L,
+        if (i < 512) "A" else "B", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+
+    // markov: probs are single IEEE divisions of exact longs — bit equality
+    val mk = EventOps.markovChain(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Double]("prob")).toMap
+    assert(mk(("A", "A")) == 511.0 / 512.0 && mk(("A", "B")) == 1.0 / 512.0)
+
+    // stationary: the quantized replay must match exactly, and at
+    // ITERATION 1 — where the planted products ARE the ties — a HALF_EVEN
+    // replay must disagree. (At depth 20 the damped contraction converges
+    // both modes to the same quantized fixpoint, so the discrimination
+    // assert must sit at the iteration the tie is live.)
+    def replayTie(mode: BigDecimal.RoundingMode.Value, iters: Int): Map[String, Double] = {
+      def q(v: Double): BigDecimal = BigDecimal(v).setScale(9, mode)
+      val edges = Seq(("A", "A", 511.0 / 512.0), ("A", "B", 1.0 / 512.0))
+      val states = Seq("A", "B")
+      var pi = states.map(s => s -> q(1.0 / 2)).toMap
+      for (_ <- 1 to iters) {
+        val dm = pi("B") // B is the only dangling state
+        pi = states.map { b =>
+          val inflow = edges.collect { case (a, b2, p) if b2 == b =>
+            q(pi(a).toDouble * p) }.foldLeft(BigDecimal(0))(_ + _)
+          b -> q((1.0 - 0.85) / 2 + 0.85 * (inflow.toDouble + dm.toDouble / 2))
+        }.toMap
+      }
+      pi.map { case (k, v) => k -> v.toDouble }
+    }
+    def gotAt(iters: Int): Map[String, Double] =
+      EventOps.stationary(spark, dir, iters = iters).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("stationary")).toMap
+    val up1 = replayTie(BigDecimal.RoundingMode.HALF_UP, 1)
+    val even1 = replayTie(BigDecimal.RoundingMode.HALF_EVEN, 1)
+    assert(up1 != even1, "planted tie failed to discriminate the rounding mode")
+    assert(gotAt(1) == up1, s"iter-1 ${gotAt(1)} != HALF_UP replay $up1")
+    val up20 = replayTie(BigDecimal.RoundingMode.HALF_UP, 20)
+    assert(gotAt(20) == up20, s"full-depth ${gotAt(20)} != HALF_UP replay $up20")
+  }
+
   test("stationary: the quantized damped iteration replays exactly; the self-looping attractor holds the most mass") {
     import SparkSuite.spark.implicits._
     // user 1 alternates A/B in one session (A->B x3, B->A x2); user 2

@@ -1377,4 +1377,38 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.length == corpus.length)
     ivf.foreach(r => assert(r.getAs[Long]("degree") <= 5L))
   }
+
+  test("recall-floor gates: report fields exact; undercut floor throws; gate entries clear") {
+    import SparkSuite.spark.implicits._
+    // synthetic known case: exact = {(1,10),(1,11),(2,10),(2,12)}, approx
+    // misses (2,12) -> recall 0.75
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L)).toDF("q_id", "vec_id")
+    val rep = Similarity.recallFloorReport(spark, "t", approx, exact, k = 2, floor = 0.7)
+      .collect().head
+    assert(rep.getAs[String]("path") == "t" && rep.getAs[Long]("n_true") == 4L &&
+      rep.getAs[Long]("n_hit") == 3L && rep.getAs[Double]("recall") == 0.75 &&
+      rep.getAs[Double]("floor") == 0.7)
+    // a floor above delivered recall must throw (the gate-red path)
+    intercept[IllegalArgumentException] {
+      Similarity.recallFloorReport(spark, "t", approx, exact, k = 2, floor = 0.8).collect()
+    }
+    // empty exact set: recall defined as 1.0, never divides by zero
+    val empty = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
+    assert(Similarity.recallFloorReport(spark, "t", approx, empty, 2, 1.0)
+      .collect().head.getAs[Double]("recall") == 1.0)
+    // the four shipped gates clear their floors at spec SF (delivered
+    // recall measured r10: ivf 0.64+, pq 0.52+, ivf_query = its own curve)
+    assert(Similarity.ivfRecallGate(spark, sf).count() == 1)
+    assert(Similarity.pqRecallGate(spark, sf).count() == 1)
+    val ivfIdx = Files.createTempDirectory("spec-rg-ivf").toString
+    Similarity.writeIvfIndex(spark, sf, ivfIdx)
+    val r = Similarity.ivfQueryRecallGate(spark, sf, ivfIdx).collect().head
+    // persisted-index path: delivered recall must EQUAL the index's own
+    // curve value (same sample) -- >= floor is the gate, == is the physics
+    assert(math.abs(r.getAs[Double]("recall") - (r.getAs[Double]("floor") + 1e-9)) < 1e-12)
+    val pqIdx = Files.createTempDirectory("spec-rg-pq").toString
+    Similarity.writePqIndex(spark, sf, pqIdx)
+    assert(Similarity.pqQueryRecallGate(spark, sf, pqIdx).count() == 1)
+  }
 }
