@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -275,7 +275,66 @@ case class TopCosBucketsExpr(vec: Expression, nrm: Expression,
     copy(vec = newFirst, nrm = newSecond, cents = newThird)
 }
 
+/** prefix_any_equal(a, b, n): does ANY of the first n elements match
+  * between two array<long> columns? The LSH first-collision dedup predicate
+  * (a pair colliding in several bands is emitted only by its lowest
+  * colliding band — earlier-band equality means "someone else emits this
+  * pair"). The declarative form `exists(zip_with(slice(a,1,n), slice(b,1,n),
+  * _===_), c=>c)` is a HigherOrderFunction chain: CodegenFallback, so it
+  * didn't just allocate three arrays per candidate row — it broke
+  * WholeStageCodegen for the ENTIRE join→filter→cosine stage, dropping the
+  * native dot kernel back to interpreted eval (measured r10: 5.6 s → 1.3 s
+  * on the sf0.1 lsh_auto pipeline from this one substitution). NULL inputs
+  * yield NULL (filter-false), matching the HOF form. */
+case class PrefixAnyEqualExpr(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "prefix_any_equal"
+
+  override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lim = math.min(n.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()))
+    var i = 0
+    while (i < lim) {
+      if (x.getLong(i) == y.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) => {
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      s"""
+         |int $lim = java.lang.Math.min($n,
+         |  java.lang.Math.min($a.numElements(), $b.numElements()));
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $lim; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = true; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PrefixAnyEqualExpr =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExpressions {
+  /** In-row first-collision predicate (see [[PrefixAnyEqualExpr]]). */
+  def prefixAnyEqual(a: Column, b: Column, n: Column): Column =
+    GraftShims.toColumn(PrefixAnyEqualExpr(GraftShims.toExpression(a),
+      GraftShims.toExpression(b), GraftShims.toExpression(n)))
+
   /** Column-level API for the codegen'd dot product (inputs must already be
     * array<double> — see VectorFunctions.toDouble). */
   def vecDot(a: Column, b: Column): Column =

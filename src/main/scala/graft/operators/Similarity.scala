@@ -218,14 +218,27 @@ object Similarity {
     val banded = emb
       .select(col("vec_id"), col("v"), col("nrm"), col("bsigs"), posexplode(col("bsigs")))
       .toDF("vec_id", "v", "nrm", "bsigs", "band", "bucket")
-    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      // cheap int-prefix filter before the 64-float dot product
-      .filter(!exists(
+    // first-collision dedup: a NATIVE prefix predicate for the common
+    // single-word band regime (bits ≤ 60 → bsigs: array<long>). The
+    // declarative exists(zip_with(slice…)) form is kept only for the
+    // multi-word wide-band regime (bits > 60 → array<array<long>>, i.e.
+    // corpora past ~2^60·occupancy vectors) — as a HigherOrderFunction it
+    // is CodegenFallback and broke WholeStageCodegen for the whole
+    // join→filter→cosine stage, interpreting the dot kernel too
+    // (measured r10: 5.6 s → 1.3 s at sf0.1 from this substitution alone)
+    val earlierBandCollides =
+      if (bits <= 60)
+        graft.functions.VectorExpressions.prefixAnyEqual(
+          col("a.bsigs"), col("b.bsigs"), col("band"))
+      else exists(
         zip_with(slice(col("a.bsigs"), lit(1), col("band")),
                  slice(col("b.bsigs"), lit(1), col("band")),
                  (x, y) => x === y),
-        c => c))
+        c => c)
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      // cheap int-prefix filter before the 64-float dot product
+      .filter(!earlierBandCollides)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
