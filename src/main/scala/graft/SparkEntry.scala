@@ -32,6 +32,27 @@ object SparkEntry {
       sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
 
+  /** C12d planting helpers: xor masks with exactly d bits. `spreadMasks`
+    * places flips round-robin across the four 16-bit bands — the layout
+    * that DEFEATS 4-band blocking at d ≥ 4 (every band touched) while
+    * 8-band blocking still catches it; `concMasks` packs all d flips into
+    * band 0, which any banding catches. Twins plant one provable-distance
+    * pair per selected source row (d = media_id mod 7 or 8, +1). */
+  private def spreadMasks(maxD: Int): Seq[Long] =
+    (1 to maxD).map(dd => (0 until dd).map(i => 1L << ((i % 4) * 16 + i / 4))
+      .reduce(_ | _))
+  private def concMasks(maxD: Int): Seq[Long] =
+    (1 to maxD).map(dd => (1L << dd) - 1)
+  private def phashTwins(h: DataFrame, idOffset: Long,
+                         masks: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = masks.length
+    h.filter(pmod(col("media_id"), lit(5)) === 1)
+      .select((col("media_id") + idOffset).as("media_id"),
+        col("phash").bitwiseXOR(element_at(array(masks.map(lit): _*),
+          (pmod(col("media_id"), lit(n)) + 1).cast("int"))).as("phash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. event-stream operators (reference semantics)
     "ev_dedup_first"    -> ((s, d) => EventOps.dedupFirst(s, d)),
@@ -968,6 +989,32 @@ object SparkEntry {
         import scala.reflect.io.Directory
         new Directory(tmp.toFile).deleteRecursively()
       }
+    }),
+    // C12d: WIDE-RADIUS (r ≤ 7, 8-band pigeonhole-exact) pairing over the
+    // hash table, with twins planted at CONTROLLED Hamming distances 1..7
+    // (a d-bit xor mask with flips spread round-robin across the 16-bit
+    // bands — the adversarial layout for 4-band blocking, provably
+    // harmless to 8-band). Every planted pair must surface with its exact
+    // distance; rows-only (banding is blocking, not SQL).
+    "mm_phash_pairs_r7" -> ((s, d) => {
+      val h = graft.multimodal.Multimodal.phashes(
+        graft.multimodal.Multimodal.mediaTable(s, d)).localCheckpoint(true)
+      graft.multimodal.Multimodal.phashPairsRadius(
+        h.unionByName(phashTwins(h, 20000000L, spreadMasks(7))), maxDist = 7)
+    }),
+    // C12d instrument: measured per-radius recall of the production 4-band
+    // scheme vs the brute Hamming enumeration (the C7d curve discipline on
+    // the visual family). Twins planted BOTH band-spread (missed by 4-band
+    // past r=3) and band-concentrated (always found), so the curve reads
+    // 1.0 through r=3 — the pigeonhole guarantee — and a real, non-trivial
+    // fraction beyond it.
+    "mm_phash_recall_curve" -> ((s, d) => {
+      val h = graft.multimodal.Multimodal.phashes(
+        graft.multimodal.Multimodal.mediaTable(s, d)).localCheckpoint(true)
+      val planted = h
+        .unionByName(phashTwins(h, 20000000L, spreadMasks(8)))
+        .unionByName(phashTwins(h, 40000000L, concMasks(8)))
+      graft.multimodal.Multimodal.phashRecallCurve(planted, maxRadius = 8)
     }),
     // C108b: the bake-off served from the two persisted tokenizer stores
     // (train once at store-write, compare without retraining) — must be

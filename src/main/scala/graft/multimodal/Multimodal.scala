@@ -170,14 +170,30 @@ object Multimodal {
     pairsOfHashes(phashes(media).localCheckpoint(true), maxDist)
 
   /** The banded pairing kernel over any (media_id, phash) table — shared
-    * by the decode-path [[phashPairs]] and the store-served
-    * [[phashPairsFromStore]]; pigeonhole-exactness argument above. */
-  private[graft] def pairsOfHashes(h: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"4-band blocking is pigeonhole-exact only for maxDist <= 3, got $maxDist")
+    * by the decode-path [[phashPairs]], the store-served
+    * [[phashPairsFromStore]], and the wide-radius [[phashPairsRadius]];
+    * pigeonhole-exactness argument above generalizes: `nBands` bands of
+    * 64/nBands bits are EXACT for maxDist ≤ nBands − 1 (maxDist flips
+    * spread over nBands bands leave at least one band untouched).
+    *
+    * The radius/cost trade is explicit, not hidden: narrower chunks mean
+    * more organic bucket collisions — at nBands = b the expected random
+    * candidate volume is n²·b/2^(64/b+1), so 4 bands (2⁻⁴⁵/pair) is free,
+    * 8 bands (2⁻⁸·8/2 per pair over buckets ≈ n²/64) is a deliberate
+    * verification-pass cost, and 16 bands is effectively all-pairs —
+    * hence the {4, 8} whitelist; r ≥ 8 wants multi-index Hamming schemes,
+    * not deeper banding. */
+  private[graft] def pairsOfHashes(h: DataFrame, maxDist: Int,
+                                   nBands: Int = 4): DataFrame = {
+    require(nBands == 4 || nBands == 8,
+      s"banding supports 4 (r<=3) or 8 (r<=7) bands, got $nBands")
+    require(maxDist >= 0 && maxDist < nBands,
+      s"$nBands-band blocking is pigeonhole-exact only for maxDist <= ${nBands - 1}, got $maxDist")
+    val cb = 64 / nBands
+    val mask = (1L << cb) - 1
     val bands = h.select(col("media_id"), col("phash"), explode(expr(
-      """transform(sequence(0, 3), b ->
-        |  named_struct('b', b, 'chunk', shiftright(phash, b * 16) & 65535L))"""
+      s"""transform(sequence(0, ${nBands - 1}), b ->
+        |  named_struct('b', b, 'chunk', shiftright(phash, b * $cb) & ${mask}L))"""
         .stripMargin)).as("bd"))
       .select(col("media_id"), col("phash"),
         col("bd.b").as("b"), col("bd.chunk").as("chunk"))
@@ -190,6 +206,67 @@ object Multimodal {
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** C12d (r10): WIDE-RADIUS exact Hamming pairing over a hash table —
+    * picks the smallest band scheme whose pigeonhole guarantee covers
+    * `maxDist` (4 bands for r ≤ 3, 8 bands for r ≤ 7). Same exactness
+    * contract as [[phashPairs]]: every qualifying pair is surfaced, every
+    * surfaced pair is xor-verified. The r = 4..7 regime is where
+    * re-encoded JPEGs at different quality settings land (dist-0/≤3
+    * catches resizes and format swaps; quality-ladder variants drift a few
+    * more bits) — the takedown/audit sweep a visual-dedup deployment runs
+    * OFF the 16-byte/row hash store, never re-decoding a pixel. */
+  def phashPairsRadius(h: DataFrame, maxDist: Int): DataFrame =
+    pairsOfHashes(h, maxDist, nBands = if (maxDist <= 3) 4 else 8)
+
+  /** C12d instrument: per-radius RECALL CURVE of the production 4-band
+    * scheme against the brute Hamming enumeration — the C7d discipline
+    * (measure the index's own curve, don't extrapolate) applied to the
+    * visual family. For r ≤ 3 the curve must read 1.0 (the pigeonhole
+    * guarantee, spec-pinned); beyond it the measured value quantifies
+    * exactly what the default trades away at each radius, which is what
+    * sizes the decision to run the 8-band sweep. Brute pair product over
+    * the 16-byte/row hash table — an instrument for gate/rehearsal scales
+    * (hashes, never pixels; 2000 rows = 2M cheap xors), not a production
+    * default. */
+  def phashRecallCurve(h: DataFrame, maxRadius: Int = 8): DataFrame = {
+    val spark = h.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val a = h.select(col("media_id").as("id_a"), col("phash").as("ha"))
+      .repartition(par) // the hash table lands as one file at probe scales
+    val b = h.select(col("media_id").as("id_b"), col("phash").as("hb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxRadius)
+    // the 4-band CANDIDATE set regardless of distance (maxDist caps only
+    // the verify filter; BANDING is what loses pairs, so candidate
+    // membership is the thing measured)
+    val bandsDf = h.select(col("media_id"), explode(expr(
+      """transform(sequence(0, 3), b ->
+        |  named_struct('b', b, 'chunk', shiftright(phash, b * 16) & 65535L))"""
+        .stripMargin)).as("bd"))
+      .select(col("media_id"), col("bd.b").as("b"), col("bd.chunk").as("chunk"))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+      .withColumn("found", lit(true))
+    val marked = truePairs.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("dist"), coalesce(col("found"), lit(false)).as("found"))
+      .localCheckpoint(true) // ≤ true-pair rows; re-read per radius below
+    spark.range(1, maxRadius + 1L).select(col("id").as("radius"))
+      .join(marked, marked("dist") <= col("radius"), "left")
+      .groupBy("radius")
+      .agg(count(col("dist")).as("n_true"),
+        count(when(col("found"), lit(1))).as("n_found"))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_found").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(1.0)))
+      .orderBy("radius")
   }
 
   // ---- C12c: persisted pHash store ---------------------------------------

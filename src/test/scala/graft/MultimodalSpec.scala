@@ -226,4 +226,58 @@ class MultimodalSpec extends SparkSuite {
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
     assert(stats.map(_.getAs[Long]("n_media")).sum == media.count())
   }
+
+  test("C12d: wide-radius pairing is brute-exact at r<=7; 4-band recall curve pins the pigeonhole floor") {
+    import SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-built hash table — controlled distances, zero decodes
+    val base = 0x0123456789abcdefL
+    def spread(d: Int) = (0 until d).map(i => 1L << ((i % 4) * 16 + i / 4)).reduce(_ | _)
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ spread(4)),      // dist 4, one flip in EVERY 16-bit band
+      3L -> (base ^ 0xfL),           // dist 4, all flips in band 0
+      4L -> (base ^ spread(7)),      // dist 7, spread
+      5L -> (base ^ 0x7L),           // dist 3, concentrated
+      6L -> 0x7777777777777777L)     // far from everything
+    val h = rows.toDF("media_id", "phash")
+    // brute reference
+    def bits(x: Long) = java.lang.Long.bitCount(x)
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = bits(ha ^ hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Multimodal.phashPairsRadius(h, maxDist = 7).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist"))).toSet
+    assert(got == brute, s"got $got vs brute $brute")
+    assert(brute.exists(_._3 == 4L) && brute.exists(_._3 == 7L)) // fixture is non-trivial
+    // r<=3 uses 4 bands and must also be brute-exact
+    val got3 = Multimodal.phashPairsRadius(h, maxDist = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist"))).toSet
+    assert(got3 == brute.filter(_._3 <= 3L))
+    // past the 8-band guarantee the kernel must refuse, not silently lose
+    intercept[IllegalArgumentException] { Multimodal.phashPairsRadius(h, maxDist = 8) }
+
+    // recall curve vs an in-test replica: found iff >=1 shared 16-bit band
+    def sharesBand(a: Long, b: Long) =
+      (0 until 4).exists(k => ((a >>> (k * 16)) & 0xffffL) == ((b >>> (k * 16)) & 0xffffL))
+    val all = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = bits(ha ^ hb) if d <= 8
+    } yield (d.toLong, sharesBand(ha, hb)))
+    val curve = Multimodal.phashRecallCurve(h, maxRadius = 8).collect()
+      .map(r => r.getAs[Long]("radius") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_found"), r.getAs[Double]("recall")))).toMap
+    (1 to 8).foreach { r =>
+      val t = all.count(_._1 <= r).toLong
+      val f = all.count(p => p._1 <= r && p._2).toLong
+      val expect = if (t > 0) f.toDouble / t else 1.0
+      assert(curve(r.toLong) == ((t, f, expect)), s"radius $r: ${curve(r.toLong)} vs ($t,$f,$expect)")
+    }
+    // the pigeonhole guarantee: recall is exactly 1.0 through r = 3
+    (1 to 3).foreach(r => assert(curve(r.toLong)._3 == 1.0))
+    // and the spread-4 twin proves the 4-band default genuinely loses
+    // pairs past the guarantee (the curve is an instrument, not a tautology)
+    assert(curve(4L)._3 < 1.0)
+  }
 }
