@@ -512,12 +512,26 @@ object Bench {
         // regression surface.
         val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "1").toInt
         val watch = Set("emb_lsh_auto", "q_cube", "doc_ngram_auto",
-          "doc_containment_auto", "doc_minhash_recall", "doc_ngram_jaccard")
+          "doc_containment_auto", "doc_minhash_recall", "doc_ngram_jaccard",
+          // in-query index builders with super-linear r10 ratios (ivfpq
+          // 16.8×, ivf_q 12.4× — O(n·nlist) assignment): min-of-2 so the
+          // adjudication surface isn't one sample
+          "emb_ivfpq", "emb_ivf_q", "doc_pii_scrub")
         // The fixed-param LSH baseline is the DOCUMENTED quadratic twin
         // (92× at 10×, ≈300 s of scale10 wall to re-prove a law measured
         // in r8/r9 and pinned in SURVEY §5). It stays in the sf0.1 rep
         // pass; its scaling is re-measurable on demand via BenchScale.
         val scale10Skip = Set("emb_lsh_pairs")
+        // Entries whose FIRST call against a new data dir builds a
+        // persisted store/index (the benchOverrides cachedStore entries and
+        // the tmp-dir ANN indexes): at the base SF min-of-3 absorbs the
+        // build; at scale10's 1 rep the build IS the measurement — the r10
+        // first run recorded mm_phash_store at 284× because the one timed
+        // rep decoded the whole 10× corpus into the store. Pre-touch them
+        // untimed so the timed rep measures SERVING, the number the base
+        // column holds (a deployment builds at ingest, serves many).
+        val firstTouchBuilds = benchOverrides.keySet ++
+          Set("emb_pq_query", "emb_ivf_query")
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
@@ -538,6 +552,9 @@ object Bench {
         val busyQs = scala.collection.mutable.ArrayBuffer[String]()
         val timed = picked.filterNot(scale10Skip).flatMap { name =>
           benchFn(name).map { fn =>
+            if (firstTouchBuilds(name))
+              try materialize(fn(spark, dst))
+              catch { case _: Throwable => () } // the timed rep reports it
             val wantReps = if (watch(name)) math.max(scaleReps, 2) else scaleReps
             var quietTimes = List.empty[Double]
             var allTimes = List.empty[Option[Double]]

@@ -370,6 +370,19 @@ object SparkEntry {
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     // C117 ROUGE-L (token LCS) scoring of the banded near-dup candidates
     "doc_rouge_pairs"   -> ((s, d) => Dedup.rougePairs(s, d)),
+    // C117b: the same adjudication served from the persisted signature
+    // store — candidates from stored bands, zero re-shingling; must be
+    // row-identical to doc_rouge_pairs (spec-pinned)
+    "doc_rouge_store" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rgs")
+      try {
+        Dedup.writeSignatureStore(graft.Tables.documents(s, d), tmp.toString)
+        Dedup.rougePairsFromStore(s, d, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     // C2m: measured minhash recall + estimator MAE vs the exact Jaccard
     // enumeration (gate-SF instrument — the lshEmpiricalRecall discipline)
     "doc_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),

@@ -743,12 +743,50 @@ object Dedup {
     * per-pair cost a fixed cap² DP inside WSCG; the text join is two
     * doc_id-keyed joins. */
   def rougePairs(spark: SparkSession, dir: String,
-                 cap: Int = 256): DataFrame = {
+                 cap: Int = 256): DataFrame =
+    rougeScoreOf(minhashLsh(spark, dir),
+      Tables.documents(spark, dir), cap)
+
+  /** C117b (r10): ROUGE-L served from the PERSISTED signature store —
+    * candidates pair from the stored band table and verify on stored
+    * signatures (zero shingling/minhash recomputation; the C71/C12c
+    * serve-many discipline applied to the adjudication layer), then the
+    * texts join by id for the LCS pass. Row-identical to [[rougePairs]]
+    * when the store was written with the live defaults (spec-pinned) —
+    * so re-adjudicating a corpus after a cap/threshold policy change
+    * costs one text join + DP pass, never a re-shingle. Tombstoned docs
+    * drop out via the store's live views. */
+  def rougePairsFromStore(spark: SparkSession, dir: String, storeDir: String,
+                          threshold: Double = 0.5, cap: Int = 256): DataFrame = {
+    val numHashes = spark.read.parquet(s"$storeDir/params.parquet")
+      .head().getAs[Int]("num_hashes")
+    val sigs = liveStoreSigs(spark, storeDir)
+    val bands = liveStoreBands(spark, storeDir)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.TextHashExpressions.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    rougeScoreOf(pairs, Tables.documents(spark, dir), cap)
+  }
+
+  /** The shared C117 scoring pass over any (id_a, id_b, est_jaccard)
+    * candidate table: text join + capped two-row-DP LCS kernel + exact
+    * P/R/F arithmetic. */
+  private def rougeScoreOf(pairs: DataFrame, documents: DataFrame,
+                           cap: Int): DataFrame = {
     import graft.functions.TextHashExpressions.{lcsTokens, nTokensCapped}
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-    minhashLsh(spark, dir)
+    pairs
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")),
         "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")),

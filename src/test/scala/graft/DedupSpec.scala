@@ -817,6 +817,17 @@ class DedupSpec extends SparkSuite {
     // near-dup candidates from the synthetic corpus's planted duplicates
     // include high-F pairs (the detector actually detects)
     assert(got.exists(_.getAs[Double]("rouge_l_f") > 0.8))
+
+    // C117b: store-served adjudication is ROW-IDENTICAL to the direct path
+    // (candidates from stored bands, signatures never recomputed)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-rg-store").toString
+    graft.operators.Dedup.writeSignatureStore(Tables.documents(spark, sf), storeDir)
+    val served = graft.operators.Dedup.rougePairsFromStore(spark, sf, storeDir).collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("est_jaccard"), r.getAs[Long]("lcs"),
+          r.getAs[Double]("rouge_l_f")))).toMap
+    assert(keyed(served) == keyed(got))
   }
 
   test("counting bloom: add-then-forget is byte-equal to never-added; takedown clears keys; refcounting holds") {
