@@ -513,10 +513,10 @@ object Bench {
         val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "1").toInt
         val watch = Set("emb_lsh_auto", "q_cube", "doc_ngram_auto",
           "doc_containment_auto", "doc_minhash_recall", "doc_ngram_jaccard",
-          // in-query index builders with super-linear r10 ratios (ivfpq
-          // 16.8×, ivf_q 12.4× — O(n·nlist) assignment): min-of-2 so the
-          // adjudication surface isn't one sample
-          "emb_ivfpq", "emb_ivf_q", "doc_pii_scrub")
+          // 14.5× in the r10 first pass for a map-only scrub — min-of-2
+          // until adjudicated (the other super-linear readings that round
+          // were all first-touch index builds, now pre-touched)
+          "doc_pii_scrub")
         // The fixed-param LSH baseline is the DOCUMENTED quadratic twin
         // (92× at 10×, ≈300 s of scale10 wall to re-prove a law measured
         // in r8/r9 and pinned in SURVEY §5). It stays in the sf0.1 rep
@@ -531,7 +531,7 @@ object Bench {
         // untimed so the timed rep measures SERVING, the number the base
         // column holds (a deployment builds at ingest, serves many).
         val firstTouchBuilds = benchOverrides.keySet ++
-          Set("emb_pq_query", "emb_ivf_query")
+          Set("emb_pq_query", "emb_ivf_query", "emb_ivf_q", "emb_ivfpq")
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")

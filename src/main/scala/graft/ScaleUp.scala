@@ -123,11 +123,19 @@ object ScaleUp {
       }
       .groupBy(_._1).map { case (dom, ms) => dom -> strideFor(ms.map(_._2).max) }
     println(s"[scaleup] domain strides: $domainMax")
-    // pass 2: shift + write
+    // pass 2: shift + write. The scaled FACT tables are repartitioned to
+    // `copies` output files: the source SF dirs are single small parquet
+    // files, and explode-within-one-task would write the N× table as ONE
+    // file = one row group = ONE scan task — so every map-only operator
+    // measured "N×" serial execution on 1 of 32 cores, a layout artifact,
+    // not a scaling law (r10: doc_pii_scrub read 12.3× at 10× from this
+    // alone). A real N× ingest arrives as ~N× the files; the rehearsal
+    // should model that.
     keyDomains.foreach { case (table, cols) =>
       val in = load(spark, src, table)
-      replicate(in, cols.map { case (c, dom) => c -> domainMax(dom) },
-          copies, table, mode)
+      val out = replicate(in, cols.map { case (c, dom) => c -> domainMax(dom) },
+        copies, table, mode)
+      (if (cols.isEmpty) out else out.repartition(copies))
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${in.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()} rows")
     }
