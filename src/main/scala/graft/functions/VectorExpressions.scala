@@ -285,7 +285,11 @@ case class TopCosBucketsExpr(vec: Expression, nrm: Expression,
   * WholeStageCodegen for the ENTIRE join→filter→cosine stage, dropping the
   * native dot kernel back to interpreted eval (measured r10: 5.6 s → 1.3 s
   * on the sf0.1 lsh_auto pipeline from this one substitution). NULL inputs
-  * yield NULL (filter-false), matching the HOF form. */
+  * yield NULL (filter-false), matching the HOF form at the TOP level;
+  * element-level nulls read as raw storage (0L), not SQL null — the
+  * band-key domain is non-null by construction (rhpSign nulls whole
+  * signatures and callers filter those rows), so don't reuse this kernel
+  * on arrays with meaningful null elements. */
 case class PrefixAnyEqualExpr(first: Expression, second: Expression,
                               third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression

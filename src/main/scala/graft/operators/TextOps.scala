@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Cols.boundedWindow
 import graft.functions.TextFunctions._
 
 /** Document-level text analysis (C8–C11): embarrassingly parallel map-side
@@ -760,7 +761,8 @@ object TextOps {
     val offsets = toks.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        boundedWindow(col("bucket")) // ≤buckets summary
+          .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("bucket"), col("offset"))
     val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
@@ -815,7 +817,8 @@ object TextOps {
     val offsets = toks.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        boundedWindow(col("bucket")) // ≤buckets summary
+          .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("bucket"), col("offset"))
     val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
@@ -994,7 +997,8 @@ object TextOps {
     val offsets = units.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        boundedWindow(col("bucket")) // ≤buckets summary
+          .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("bucket"), col("offset"))
     val inBucket = Window.partitionBy("bucket").orderBy("h", "doc_id", "rep")
@@ -1029,7 +1033,7 @@ object TextOps {
     val offsets = tc.groupBy("n_occurrences", "pfx")
       .agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
-        Window.orderBy(col("n_occurrences").desc, col("pfx"))
+        boundedWindow(col("n_occurrences").desc, col("pfx")) // count×prefix groups
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("n_occurrences").as("o_n"), col("pfx").as("o_p"), col("offset"))
     val inGroup = Window.partitionBy("n_occurrences", "pfx").orderBy("term")
@@ -1052,7 +1056,7 @@ object TextOps {
     val offsets = keyed.groupBy("n_chars", "g_id")
       .agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
-        Window.orderBy(col("n_chars"), col("g_id"))
+        boundedWindow(col("n_chars"), col("g_id")) // length×bucket groups
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("n_chars"), col("g_id"), col("offset"))
     val inGroup = Window.partitionBy("n_chars", "g_id").orderBy("doc_id")
@@ -1091,7 +1095,7 @@ object TextOps {
     val offsets = scored.groupBy("quality", "g_id")
       .agg(sum(col("n_tokens")).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
-        Window.orderBy(col("quality").desc, col("g_id"))
+        boundedWindow(col("quality").desc, col("g_id")) // quality×bucket groups
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("quality"), col("g_id"), col("offset"))
     val inGroup = Window.partitionBy("quality", "g_id").orderBy("doc_id")
@@ -1822,7 +1826,7 @@ object TextOps {
       .select(col("piece")).join(counts, Seq("piece"), "left_anti")
       .select(col("piece"), lit(0L).as("cnt"))
     val all = counts.unionByName(chars)
-    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    val w = boundedWindow(col("cnt").desc, col("piece")) // candidate-piece census
     val kept = all.withColumn("r", row_number().over(w))
       .filter(col("r") <= vocabSize || length(col("piece")) === 1)
       .select(col("piece"), col("cnt"))
@@ -1864,7 +1868,7 @@ object TextOps {
       .localCheckpoint(true)
     for (_ <- 1 to rounds)
       pieces = uniRound(words, pieces, maxPieceLen, vocabSize)._1
-    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    val w = boundedWindow(col("cnt").desc, col("piece")) // candidate-piece census
     pieces
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("piece"), col("cnt"),
@@ -2763,9 +2767,15 @@ object TextOps {
         lit(4503599627370496.0)).cast(dec)) // 2^52
       .withColumn("es_key", col("lnu").cast("double") /
         col("weight").cast("double"))
-    val w = Window.orderBy(col("es_key").desc, col("doc_id"))
-    scored.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= k)
+    // top-k via orderBy+limit (TakeOrderedAndProject: map-side top-k per
+    // partition, driver merges k·partitions rows), NOT a global rank window
+    // — the window form moved the whole scored corpus to one partition
+    // before discarding all but k rows (the one genuinely corpus-sized
+    // unpartitioned window the r10 sweep found). Ranks are then assigned
+    // on the ≤k-row result; output is bit-identical (same order, same k).
+    scored.orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      .withColumn("sample_rank", row_number().over(
+        boundedWindow(col("es_key").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("weight"), col("es_key"), col("sample_rank"))
   }
 
@@ -2953,7 +2963,7 @@ object TextOps {
             col("n_b").cast("double"))).cast(dec))
     scored.orderBy(col("pmi_q").desc, col("a"), col("b")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("pmi_q").desc, col("a"), col("b"))).cast("long"))
+        boundedWindow(col("pmi_q").desc, col("a"), col("b"))).cast("long")) // pair census
       .select(col("rank"), col("a"), col("b"), col("n_ab"),
         round(col("pmi_q"), 6).cast("double").as("pmi"))
   }
@@ -3454,7 +3464,7 @@ object TextOps {
     val offsets = keyed.groupBy("n_occurrences", "pfx")
       .agg(count(lit(1)).as("sz"))
       .withColumn("offset", coalesce(sum(col("sz")).over(
-        Window.orderBy(col("n_occurrences").desc, col("pfx"))
+        boundedWindow(col("n_occurrences").desc, col("pfx")) // count×prefix groups
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("n_occurrences").as("o_n"), col("pfx").as("o_p"), col("offset"))
     val inGroup = Window.partitionBy("n_occurrences", "pfx").orderBy("term")
@@ -3575,7 +3585,7 @@ object TextOps {
     val dHist = docTok.crossJoin(span)
       .groupBy(bucket(col("doc_id")).as("b"))
       .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
-    val w = Window.orderBy(col("b"))
+    val w = boundedWindow(col("b")) // 10 checkpoint buckets
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dHist.join(vHist, Seq("b"), "full")
       .na.fill(0L, Seq("nv", "nd", "nt"))

@@ -302,6 +302,23 @@ class EmptyInputSpec extends SparkSuite {
     assert(EventOps.stationary(spark, dir).count() == 0)
     assert(EventOps.absorption(spark, dir).count() == 0)
     assert(Dedup.rougePairs(spark, dir).count() == 0)
+    // r10 additions
+    assert(TextOps.heldoutPpl(spark, dir, "b3").count() == 0)
+    locally {
+      val sd = Files.createTempDirectory("graft-empty-rgs").toString
+      Dedup.writeSignatureStore(Tables.documents(spark, dir), sd)
+      assert(Dedup.rougePairsFromStore(spark, dir, sd).count() == 0)
+    }
+    locally {
+      val h = Seq.empty[(Long, Long)].toDF("media_id", "phash")
+      assert(graft.multimodal.Multimodal.phashPairsRadius(h, 7).count() == 0)
+      // the curve on an empty table: every radius row exists with the
+      // defined recall-of-nothing = 1.0 (no silent empty frame)
+      val curve = graft.multimodal.Multimodal.phashRecallCurve(h, 4).collect()
+      assert(curve.length == 4 &&
+        curve.forall(r => r.getAs[Long]("n_true") == 0 &&
+          r.getAs[Double]("recall") == 1.0))
+    }
   }
 
   test("single-class weak labels degrade to heuristic passthrough") {
