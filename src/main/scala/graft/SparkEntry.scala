@@ -294,6 +294,9 @@ object SparkEntry {
     // A101 theta/KMV sketch set algebra: pairwise audience overlap with
     // union/intersect/difference (exact regime at the gate SFs)
     "ev_theta_overlap"  -> ((s, d) => Sketches.thetaOverlap(s, d)),
+    // A101c: theta estimates WITH error bars (estimation regime by sizing;
+    // rows-only — interval arithmetic replayed and coverage-checked in spec)
+    "ev_theta_ci"       -> ((s, d) => Sketches.thetaCi(s, d)),
     // A101b per-day theta partials merged to horizon + trailing-7 windows
     "ev_theta_rollup"   -> ((s, d) => Sketches.thetaRollup(s, d)),
     "ev_bitmap_daily"   -> ((s, d) => BitmapOps.bitmapDaily(s, d)),

@@ -230,6 +230,61 @@ object ThetaKernel {
   def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     ThetaSet.aNotB(ThetaSet.deserialize(a), ThetaSet.deserialize(b))
       .serialize()
+
+  /** (estimate, rse, lo, hi) — the [[ThetaCiExpr]] kernel (math there). */
+  def ci(bytes: Array[Byte], z: Double): InternalRow = {
+    val s = ThetaSet.deserialize(bytes)
+    val est = s.estimate
+    val row =
+      if (s.exact) Array[Any](est, 0.0, est, est)
+      else if (s.size == 0) Array[Any](0.0, 0.0, 0.0, 3.0 / s.theta)
+      else {
+        val r = s.size.toDouble
+        val rse = math.sqrt((1.0 - s.theta) / r)
+        Array[Any](est, rse, math.max(r, est * (1.0 - z * rse)),
+          est * (1.0 + z * rse))
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+  }
+}
+
+/** theta_ci(sketch, z): the distinct estimate WITH its error bars —
+  * struct(estimate, rse, lo, hi). The published KMV error model (Beyer et
+  * al. 2007; the same binomial bound the DataSketches theta library
+  * quotes for post-set-operation sketches): conditioned on θ, the
+  * retained count r is Binomial(n, θ), so Var(r/θ) = n(1−θ)/θ and the
+  * RELATIVE standard error is √((1−θ)/r) — for a full sketch (r = k,
+  * θ small) this is the familiar ~1/√k. Bounds are the Gaussian interval
+  * est·(1 ± z·rse), with lo additionally clamped to r (the retained
+  * hashes are REAL distinct values — the truth is never below them).
+  * Special cases: exact regime → (est, 0, est, est) — the bars collapse
+  * because the sketch IS the distinct set; r = 0 in estimation regime →
+  * (0, 0, 0, 3/θ), the rule-of-three 95% upper bound for zero successes
+  * at inclusion rate θ. Applies unchanged to union/intersect/difference
+  * results — the set-operation retained sets are still θ-inclusion
+  * samples, which is exactly why the theta family can carry error bars
+  * where HLL set operations cannot. */
+case class ThetaCiExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] =
+    Seq(BinaryType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("rse", DoubleType, nullable = false),
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false)))
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "theta_ci"
+  override protected def nullSafeEval(bytes: Any, z: Any): Any =
+    ThetaKernel.ci(bytes.asInstanceOf[Array[Byte]], z.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, z) => s"graft.functions.ThetaKernel$$.MODULE$$.ci($b, $z)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaCiExpr = copy(left = l, right = r)
 }
 
 /** theta_estimate(sketch): the distinct estimate — |retained|/θ. */
@@ -315,6 +370,9 @@ object ThetaFunctions {
   def thetaMergeAgg(sketch: Column, capacity: Int): Column =
     GraftShims.toColumn(ThetaMergeAggExpr(
       GraftShims.toExpression(sketch), capacity).toAggregateExpression())
+  def thetaCi(sketch: Column, z: Double): Column =
+    GraftShims.toColumn(ThetaCiExpr(GraftShims.toExpression(sketch),
+      GraftShims.toExpression(org.apache.spark.sql.functions.lit(z))))
   def thetaEstimate(sketch: Column): Column =
     GraftShims.toColumn(ThetaEstimateExpr(GraftShims.toExpression(sketch)))
   def thetaUnion(a: Column, b: Column): Column =

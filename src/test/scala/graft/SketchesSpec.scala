@@ -382,4 +382,73 @@ class SketchesSpec extends SparkSuite {
       assert(r.getAs[Long]("n_days") == mine.map(_._3).distinct.length)
     }
   }
+
+  test("theta_ci: interval arithmetic replays from the sketch fields; z=3 bars cover the planted truth; exact regime collapses") {
+    import SparkSuite.spark.implicits._
+    import graft.functions.ThetaFunctions._
+    // planted stream: 5000 distinct longs through a k=64 sketch — deep in
+    // the estimation regime, truth known exactly
+    val n = 5000
+    val df = spark.range(n).select(xxhash64(col("id")).as("h"))
+    val row = df.agg(thetaAgg(col("h"), 64).as("sk"))
+      .select(col("sk"), thetaCi(col("sk"), 3.0).as("ci")).head()
+    val sk = row.getAs[Array[Byte]]("sk")
+    val ci = row.getStruct(1)
+    val (est, rse, lo, hi) = (ci.getDouble(0), ci.getDouble(1),
+      ci.getDouble(2), ci.getDouble(3))
+    // replay the interval from the serialized sketch's own fields
+    val buf = java.nio.ByteBuffer.wrap(sk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.get() == 1)          // version
+    assert(buf.getInt() == 64)      // k
+    assert(buf.get() == 0)          // estimation regime
+    val thetaRaw = buf.getLong()
+    val r = buf.getInt()
+    val theta = (thetaRaw ^ Long.MinValue).toDouble / 1.8446744073709552E19 + 0.5
+    assert(r == 64)
+    assert(est == r.toDouble / theta)
+    val rseRef = math.sqrt((1.0 - theta) / r)
+    assert(rse == rseRef)
+    assert(lo == math.max(r.toDouble, est * (1.0 - 3.0 * rseRef)))
+    assert(hi == est * (1.0 + 3.0 * rseRef))
+    // coverage: truth inside the z=3 bars (P(miss) ~ 0.3% — deterministic
+    // here: the stream and hashes are fixed)
+    assert(lo <= n && n <= hi, s"truth $n outside [$lo, $hi]")
+    // the bars are bars: rse in the published ~1/sqrt(k) ballpark
+    assert(rse > 0.05 && rse < 0.25)
+
+    // exact regime: bars collapse to the exact count
+    val small = spark.range(20).select(xxhash64(col("id")).as("h"))
+      .agg(thetaCi(thetaAgg(col("h"), 64), 3.0).as("ci")).head().getStruct(0)
+    assert(small.getDouble(0) == 20.0 && small.getDouble(1) == 0.0 &&
+      small.getDouble(2) == 20.0 && small.getDouble(3) == 20.0)
+
+    // set-operation result carries bars too: intersect of two overlapping
+    // planted sets — truth inside the interval, lo >= retained
+    val a = spark.range(0, 4000).select(xxhash64(col("id")).as("h"))
+      .agg(thetaAgg(col("h"), 64).as("ska"))
+    val b = spark.range(2000, 6000).select(xxhash64(col("id")).as("h"))
+      .agg(thetaAgg(col("h"), 64).as("skb"))
+    val inter = a.crossJoin(b)
+      .select(thetaCi(thetaIntersect(col("ska"), col("skb")), 3.0).as("ci"))
+      .head().getStruct(0)
+    assert(inter.getDouble(2) <= 2000.0 && 2000.0 <= inter.getDouble(3),
+      s"intersect truth 2000 outside [${inter.getDouble(2)}, ${inter.getDouble(3)}]")
+
+    // the corpus operator: every row's bars bracket its own estimate, the
+    // per-type exact counts land inside their bars, and __all_types rides
+    // the merge
+    val out = Sketches.thetaCi(spark, sf).collect()
+    assert(out.exists(_.getAs[String]("event_type") == "__all_types"))
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    out.foreach { rr =>
+      val (e, l, h) = (rr.getAs[Double]("estimate"), rr.getAs[Double]("lo"),
+        rr.getAs[Double]("hi"))
+      assert(l <= e + 1e-9 && e <= h + 1e-9)
+      exact.get(rr.getAs[String]("event_type")).foreach { t =>
+        assert(l <= t && t <= h, s"${rr.getAs[String]("event_type")}: $t outside [$l, $h]")
+      }
+    }
+  }
 }
