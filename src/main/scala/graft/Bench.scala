@@ -402,11 +402,14 @@ object Bench {
 
     // JVM + whole-stage-codegen warm-up per query shape on the smallest SF
     // (not timed): measures steady-state throughput, not Janino compilation.
-    // SPARK_GRAFT_ONLY=a,b,c restricts the run (targeted re-measurement);
-    // the full headline stays the default so round benches are comparable
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (targeted re-measurement) —
+    // resolved against benchFn, NOT intersected with the headline, so
+    // entries deliberately dropped from the default list (the tokenizer-
+    // training / image-decode paths) stay re-measurable on demand; the
+    // full headline stays the default so round benches are comparable
     val picked = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-      .fold(headline)(s => headline.filter(s))
+      .map(_.split(",").map(_.trim).toSeq.filter(n => benchFn(n).isDefined))
+      .getOrElse(headline)
     picked.foreach { name =>
       benchFn(name).foreach { fn =>
         try { materialize(fn(spark, "/root/testdata/sf0.001")) }
@@ -530,8 +533,13 @@ object Bench {
         // rep decoded the whole 10× corpus into the store. Pre-touch them
         // untimed so the timed rep measures SERVING, the number the base
         // column holds (a deployment builds at ingest, serves many).
-        val firstTouchBuilds = benchOverrides.keySet ++
-          Set("emb_pq_query", "emb_ivf_query", "emb_ivf_q", "emb_ivfpq")
+        // explicit keys, NOT benchOverrides.keySet: emb_project/emb_pca
+        // are overrides too but build no store — sweeping them in would
+        // buy each a free warm 10× run (skewed-low ratios) and waste wall
+        val firstTouchBuilds = Set(
+          "mm_phash_store", "doc_tok_compare_store", "doc_wordpiece_store",
+          "ev_quantile_store",
+          "emb_pq_query", "emb_ivf_query", "emb_ivf_q", "emb_ivfpq")
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")
@@ -552,9 +560,14 @@ object Bench {
         val busyQs = scala.collection.mutable.ArrayBuffer[String]()
         val timed = picked.filterNot(scale10Skip).flatMap { name =>
           benchFn(name).map { fn =>
-            if (firstTouchBuilds(name))
+            if (firstTouchBuilds(name)) {
               try materialize(fn(spark, dst))
               catch { case _: Throwable => () } // the timed rep reports it
+              // a build can run minutes — refresh the bracket so the first
+              // timed rep's `pre` spin isn't stale (a steal burst inside
+              // the build window must not pass as a quiet bracket)
+              spin = calibMs()
+            }
             val wantReps = if (watch(name)) math.max(scaleReps, 2) else scaleReps
             var quietTimes = List.empty[Double]
             var allTimes = List.empty[Option[Double]]

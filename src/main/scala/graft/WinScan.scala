@@ -8,8 +8,6 @@ object WinScan {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString
-        // WindowExec prints: Window [funcs], [part], [order] — an empty
-        // partition spec drops to: Window [funcs], [order]
         // WindowExec prints Window [funcs], [part], [order]; with an EMPTY
         // partition spec it prints Window [funcs], [order]. Partition-only
         // windows (no orderBy) also show one separator but their second

@@ -231,13 +231,33 @@ object ThetaKernel {
     ThetaSet.aNotB(ThetaSet.deserialize(a), ThetaSet.deserialize(b))
       .serialize()
 
+  /** Φ(−z), the one-sided Gaussian tail, via the Abramowitz & Stegun
+    * 7.1.26 erfc polynomial (public; |ε| < 1.5e-7) — ties the r = 0
+    * zero-count bound to the SAME z as the Gaussian bars, instead of a
+    * hardcoded 95% rule-of-three that would contradict the z column the
+    * operator reports next to it. */
+  private def normalUpperTail(z: Double): Double = {
+    val x = math.max(0.0, z) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    0.5 * poly * math.exp(-x * x)
+  }
+
   /** (estimate, rse, lo, hi) — the [[ThetaCiExpr]] kernel (math there). */
   def ci(bytes: Array[Byte], z: Double): InternalRow = {
     val s = ThetaSet.deserialize(bytes)
     val est = s.estimate
     val row =
       if (s.exact) Array[Any](est, 0.0, est, est)
-      else if (s.size == 0) Array[Any](0.0, 0.0, 0.0, 3.0 / s.theta)
+      else if (s.size == 0) {
+        // zero retained at inclusion rate θ: exact binomial inversion
+        // P(r=0 | n) = (1−θ)^n ≤ α ⟺ n ≤ ln(α)/ln(1−θ), with α the
+        // one-sided tail matching the caller's z (z = 1.645 recovers the
+        // classic rule-of-three 3/θ; z = 3 gives ≈ 6.6/θ)
+        val alpha = math.max(normalUpperTail(z), 1e-300)
+        Array[Any](0.0, 0.0, 0.0, math.log(alpha) / math.log1p(-s.theta))
+      }
       else {
         val r = s.size.toDouble
         val rse = math.sqrt((1.0 - s.theta) / r)
@@ -259,8 +279,9 @@ object ThetaKernel {
   * hashes are REAL distinct values — the truth is never below them).
   * Special cases: exact regime → (est, 0, est, est) — the bars collapse
   * because the sketch IS the distinct set; r = 0 in estimation regime →
-  * (0, 0, 0, 3/θ), the rule-of-three 95% upper bound for zero successes
-  * at inclusion rate θ. Applies unchanged to union/intersect/difference
+  * (0, 0, 0, ln(Φ(−z))/ln(1−θ)), the exact zero-count binomial inversion
+  * at the same one-sided confidence as the Gaussian bars (z = 1.645
+  * recovers the classic rule-of-three 3/θ). Applies unchanged to union/intersect/difference
   * results — the set-operation retained sets are still θ-inclusion
   * samples, which is exactly why the theta family can carry error bars
   * where HLL set operations cannot. */

@@ -1089,7 +1089,12 @@ object Analytics {
       .withColumn("observed", coalesce(col("o"), lit(0L)))
     val wRow = Window.partitionBy("event_type")
     val wCol = Window.partitionBy("dow")
-    val wAll = Window.partitionBy()
+    // constant partition key, not an empty spec: the grand total runs over
+    // the ≤types×7 dense grid (bounded by design), and the constant key
+    // declares that intent instead of tripping WindowExec's warning — the
+    // last benched source of it (the boundedWindow discipline; this window
+    // has no ordering, so partitionBy(lit(0)) directly)
+    val wAll = Window.partitionBy(lit(0))
     dense
       .withColumn("row_n", sum(col("observed")).over(wRow))
       .withColumn("col_n", sum(col("observed")).over(wCol))

@@ -434,6 +434,26 @@ class SketchesSpec extends SparkSuite {
     assert(inter.getDouble(2) <= 2000.0 && 2000.0 <= inter.getDouble(3),
       s"intersect truth 2000 outside [${inter.getDouble(2)}, ${inter.getDouble(3)}]")
 
+    // r = 0 zero-count bound is z-CONSISTENT (not a hardcoded 95% rule of
+    // three): intersect of DISJOINT saturated sets retains nothing; at
+    // z = 1.645 the exact binomial inversion must recover ~3/theta, and a
+    // larger z must widen it
+    val c = spark.range(100000, 104000).select(xxhash64(col("id")).as("h"))
+      .agg(thetaAgg(col("h"), 64).as("skc"))
+    val z0 = a.crossJoin(c)
+      .select(thetaIntersect(col("ska"), col("skc")).as("sk"))
+      .select(col("sk"), thetaCi(col("sk"), 1.645).as("ci1"),
+        thetaCi(col("sk"), 3.0).as("ci3")).head()
+    val skBytes = z0.getAs[Array[Byte]]("sk")
+    val zb = java.nio.ByteBuffer.wrap(skBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zb.get(); zb.getInt(); val exactFlag = zb.get(); val tRaw = zb.getLong()
+    assert(exactFlag == 0 && zb.getInt() == 0) // estimation regime, r = 0
+    val th = (tRaw ^ Long.MinValue).toDouble / 1.8446744073709552E19 + 0.5
+    val (hi1, hi3) = (z0.getStruct(1).getDouble(3), z0.getStruct(2).getDouble(3))
+    assert(math.abs(hi1 - 3.0 / th) / (3.0 / th) < 0.02,
+      s"z=1.645 upper $hi1 should be ~rule-of-three ${3.0 / th}")
+    assert(hi3 > hi1 * 2.0 && hi3 < hi1 * 2.4, s"z=3 bound $hi3 vs $hi1")
+
     // the corpus operator: every row's bars bracket its own estimate, the
     // per-type exact counts land inside their bars, and __all_types rides
     // the merge
