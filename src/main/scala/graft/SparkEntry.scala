@@ -542,6 +542,9 @@ object SparkEntry {
     "emb_mips_ivf"      -> ((s, d) => Similarity.mipsIvfTopK(s, d)),
     "emb_mips_ivf_exhaustive" -> ((s, d) => Similarity.mipsIvfTopK(s, d, nprobe = 8)),
     "emb_knn_graph"     -> ((s, d) => Similarity.knnGraph(s, d)),
+    // C118: k-NN label-recovery eval (majority vote over the exact graph;
+    // deterministic tie rules make it oracle-gated end-to-end)
+    "emb_knn_label_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
     "emb_knn_graph_ivf" -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "emb_knn_graph_exhaustive" -> ((s, d) => Similarity.knnGraphIvfExhaustive(s, d)),
     // C115 triangle census + clustering coefficient over the mutual kNN graph
@@ -3972,6 +3975,25 @@ object SparkEntry {
     "emb_mips_topk" -> bruteMipsSql,
     "emb_mips_ivf_exhaustive" -> bruteMipsSql,
     "emb_knn_graph" -> bruteKnnSql,
+    "emb_knn_label_eval" ->
+      s"""WITH r AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $dotCQ / (${nrm("c")} * ${nrm("q")}) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE c.vec_id <> q.vec_id AND ${nrm("c")} > 0 AND ${nrm("q")} > 0),
+        |votes AS (SELECT q_id, q_label, n_label, count(*) AS nv
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |pred AS (SELECT q_id, q_label, n_label AS pred_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY nv DESC, n_label) AS vr
+        |  FROM votes)
+        |SELECT CAST(q_label AS BIGINT) AS label,
+        |  count(*) AS n_vectors,
+        |  CAST(count(CASE WHEN pred_label = q_label THEN 1 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(count(CASE WHEN pred_label = q_label THEN 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM pred WHERE vr = 1 GROUP BY 1""".stripMargin,
     "emb_knn_graph_exhaustive" -> bruteKnnSql,
     // C115: mutual-kNN edges from the brute graph; wedge closure via
     // EXISTS; coefficient one division of exact longs (the exhaustive

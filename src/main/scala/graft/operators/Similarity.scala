@@ -1812,6 +1812,44 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** C118 (r10): k-NN LABEL-RECOVERY eval — "can the labels be read back
+    * from the geometry": every vector is classified by the MAJORITY label
+    * of its exact k nearest neighbors (leave-self-out), reported as
+    * per-label (n_vectors, n_correct, accuracy). The standard
+    * embedding-quality probe run before trusting a space for semantic
+    * dedup, curation, or mixture balancing — a space whose labels can't
+    * be recovered by its own neighborhoods won't support them.
+    *
+    * Deterministic end-to-end, hence ORACLE-gated: neighbor ranking
+    * breaks cosine ties by vec_id, the vote breaks count ties to the
+    * SMALLEST label, and accuracy is one IEEE division of exact longs.
+    *
+    * Scale: this is the eval INSTRUMENT on the brute exact graph (the
+    * oracle-able base, like emb_cosine_topk); at corpus scale the same
+    * vote runs on [[knnGraphIvf]]'s blocked graph — the vote and the
+    * accuracy fold are summary-sized either way (≤ labels² rows). */
+  def knnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnGraph(spark, dir, k)
+      .join(labels.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("nv"))
+    val vw = Window.partitionBy(col("q_id")).orderBy(col("nv").desc, col("n_label"))
+    val pred = votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"))
+    pred
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")),
+        "q_id")
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("pred_label") === col("true_label"), lit(1)))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_vectors").cast("double"))
+  }
+
   /** C61b: the k-NN graph at scale — IVF-blocked candidate generation.
     * Unlike the query-serving paths ([[ivfTopK]] and kin), the probe side
     * here is the WHOLE corpus (n·nprobe rows), so it is NOT broadcast: the

@@ -309,6 +309,7 @@ class EmptyInputSpec extends SparkSuite {
       Dedup.writeSignatureStore(Tables.documents(spark, dir), sd)
       assert(Dedup.rougePairsFromStore(spark, dir, sd).count() == 0)
     }
+    assert(Similarity.knnLabelEval(spark, dir).count() == 0)
     locally {
       val h = Seq.empty[(Long, Long)].toDF("media_id", "phash")
       assert(graft.multimodal.Multimodal.phashPairsRadius(h, 7).count() == 0)

@@ -1436,4 +1436,45 @@ class SimilaritySpec extends SparkSuite {
     Similarity.writePqIndex(spark, sf, pqIdx)
     assert(Similarity.pqQueryRecallGate(spark, sf, pqIdx).count() == 1)
   }
+
+  test("knnLabelEval: planted clusters recover their labels; a planted impostor votes with its geometry") {
+    import SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three orthogonal 6-vector clusters (tiny within-cluster jitter on a
+    // distinct dim per member keeps vectors unique but firmly clustered),
+    // plus ONE impostor: labeled 0 but placed inside cluster 1 — its 5
+    // nearest are all label-1, so the vote must misclassify it
+    def v(axis: Int, jitterDim: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(12)(0f); a(axis) = 1f; a(jitterDim) = eps; a
+    }
+    val rows = (for {
+      cl <- 0 until 3
+      i <- 0 until 6
+    } yield ((cl * 100 + i).toLong, v(cl, 3 + cl * 3 + (i % 3), 0.01f * (i + 1)), cl)) :+
+      ((999L, v(1, 4, 0.07f), 0)) // impostor: label 0, geometry cluster 1
+    val d = Files.createTempDirectory("graft-knnle").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.knnLabelEval(spark, d).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Long]("n_correct"),
+          r.getAs[Double]("accuracy")))).toMap
+    // label 0: 6 true members correct + the impostor wrong -> 6/7
+    assert(out(0L) == ((7L, 6L, 6.0 / 7.0)), s"${out(0L)}")
+    // labels 1 and 2 fully recovered (the impostor can at most appear as a
+    // NEIGHBOR of cluster-1 members — one stray label-0 vote never beats
+    // the in-cluster majority at k=5)
+    assert(out(1L) == ((6L, 6L, 1.0)) && out(2L) == ((6L, 6L, 1.0)))
+    // corpus: accuracy well-formed, per-label counts reconcile
+    val corpus = Similarity.knnLabelEval(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val total = corpus.map(_.getAs[Long]("n_vectors")).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(total == nVecs, s"$total classified of $nVecs")
+    corpus.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0 &&
+        acc == r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_vectors"))
+    }
+  }
 }
