@@ -113,10 +113,12 @@ object Bench {
       build(tmp.toString); tmp.toString
     })
 
-  private val benchOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)),
-      "emb_pca" -> ((s, d) => graft.operators.Similarity.embPca(s, d)),
-      "mm_phash_store" -> ((s, d) => {
+  /** Overrides that BUILD a cachedStore on first touch — kept as their own
+    * map so the scale10 pre-touch set derives from it structurally (a new
+    * store-backed override can't silently reproduce the 284× first-rep
+    * build artifact by being forgotten in a hand-maintained name list). */
+  private val storeOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("mm_phash_store" -> ((s, d) => {
         val dir = cachedStore(s"phash:$d", tmp =>
           graft.multimodal.Multimodal.writePhashStore(
             graft.multimodal.Multimodal.mediaTable(s, d), tmp))
@@ -141,6 +143,11 @@ object Bench {
             graft.Tables.documents(s, d), tmp))
         graft.operators.TextOps.wordpieceEncodeFromStore(s, d, dir)
       }))
+
+  private val benchOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    storeOverrides ++
+      Map("emb_project" -> ((s, d) => graft.operators.Similarity.randomProject(s, d)),
+        "emb_pca" -> ((s, d) => graft.operators.Similarity.embPca(s, d)))
 
   private[graft] def benchFn(name: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
     benchOverrides.get(name).orElse(SparkEntry.queries.get(name))
@@ -408,7 +415,8 @@ object Bench {
     // training / image-decode paths) stay re-measurable on demand; the
     // full headline stays the default so round benches are comparable
     val picked = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSeq.filter(n => benchFn(n).isDefined))
+      .map(_.split(",").map(_.trim).toSeq.distinct
+        .filter(n => benchFn(n).isDefined))
       .getOrElse(headline)
     picked.foreach { name =>
       benchFn(name).foreach { fn =>
@@ -533,13 +541,11 @@ object Bench {
         // rep decoded the whole 10× corpus into the store. Pre-touch them
         // untimed so the timed rep measures SERVING, the number the base
         // column holds (a deployment builds at ingest, serves many).
-        // explicit keys, NOT benchOverrides.keySet: emb_project/emb_pca
-        // are overrides too but build no store — sweeping them in would
-        // buy each a free warm 10× run (skewed-low ratios) and waste wall
-        val firstTouchBuilds = Set(
-          "mm_phash_store", "doc_tok_compare_store", "doc_wordpiece_store",
-          "ev_quantile_store",
-          "emb_pq_query", "emb_ivf_query", "emb_ivf_q", "emb_ivfpq")
+        // storeOverrides (structurally) + the disk-cached ANN indexes; NOT
+        // all of benchOverrides — emb_project/emb_pca build no store, and
+        // sweeping them in would buy each a free warm 10× run
+        val firstTouchBuilds = storeOverrides.keySet ++
+          Set("emb_pq_query", "emb_ivf_query", "emb_ivf_q", "emb_ivfpq")
         val dst = s"/tmp/graft_bench_scale${copies}_distinct"
         val genT0 = System.nanoTime()
         ScaleUp.generate(spark, sfDir, dst, copies, "distinct")

@@ -9,12 +9,12 @@ import org.apache.logging.log4j.core.config.Property
   * INTERNAL jobs (localCheckpoint'd intermediates) that the plan-level
   * WinScan cannot see. */
 object WinScan2 {
-  @volatile var hits = 0
+  val hits = new java.util.concurrent.atomic.AtomicInteger(0)
   def main(args: Array[String]): Unit = {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val app = new AbstractAppender("wincount", null, null, true, Property.EMPTY_ARRAY) {
       override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
-        if (e.getMessage.getFormattedMessage.contains("No Partition Defined")) hits += 1
+        if (e.getMessage.getFormattedMessage.contains("No Partition Defined")) hits.incrementAndGet()
     }
     app.start()
     val cfg = ctx.getConfiguration
@@ -23,16 +23,16 @@ object WinScan2 {
     val spark = GraftSession.local(8)
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val before = hits
+      val before = hits.get()
       try fn(spark, d).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      if (hits > before) println(s"[winscan2] $name: ${hits - before}")
+      if (hits.get() > before) println(s"[winscan2] $name: ${hits.get() - before}")
     }
     // the streaming bench path too
-    val b4 = hits
+    val b4 = hits.get()
     try Bench.streamingBench(spark, d) catch { case _: Throwable => () }
-    if (hits > b4) println(s"[winscan2] streamingBench: ${hits - b4}")
-    println(s"[winscan2] total: $hits")
+    if (hits.get() > b4) println(s"[winscan2] streamingBench: ${hits.get() - b4}")
+    println(s"[winscan2] total: ${hits.get()}")
     spark.stop()
   }
 }

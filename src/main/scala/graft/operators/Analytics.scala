@@ -1090,11 +1090,9 @@ object Analytics {
     val wRow = Window.partitionBy("event_type")
     val wCol = Window.partitionBy("dow")
     // constant partition key, not an empty spec: the grand total runs over
-    // the ≤types×7 dense grid (bounded by design), and the constant key
-    // declares that intent instead of tripping WindowExec's warning — the
-    // last benched source of it (the boundedWindow discipline; this window
-    // has no ordering, so partitionBy(lit(0)) directly)
-    val wAll = Window.partitionBy(lit(0))
+    // the ≤types×7 dense grid (bounded by design) — the shared
+    // boundedWindow discipline (order-less here)
+    val wAll = boundedWindow()
     dense
       .withColumn("row_n", sum(col("observed")).over(wRow))
       .withColumn("col_n", sum(col("observed")).over(wCol))

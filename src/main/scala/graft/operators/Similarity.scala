@@ -1818,7 +1818,8 @@ object Similarity {
     * per-label (n_vectors, n_correct, accuracy). The standard
     * embedding-quality probe run before trusting a space for semantic
     * dedup, curation, or mixture balancing — a space whose labels can't
-    * be recovered by its own neighborhoods won't support them.
+    * be recovered by its own neighborhoods won't support them. (Zero-norm
+    * vectors are excluded — no cosine neighborhood exists for them.)
     *
     * Deterministic end-to-end, hence ORACLE-gated: neighbor ranking
     * breaks cosine ties by vec_id, the vote breaks count ties to the
@@ -1829,8 +1830,13 @@ object Similarity {
     * vote runs on [[knnGraphIvf]]'s blocked graph — the vote and the
     * accuracy fold are summary-sized either way (≤ labels² rows). */
   def knnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // every NONZERO-NORM vector is classified (zero-norm rows have no
+    // cosine neighborhood — excluded from all cosine paths here, same as
+    // the graph itself). Checkpointed: both the neighbor join and the
+    // truth join read this 2-column projection.
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
+      .localCheckpoint(true)
     val votes = knnGraph(spark, dir, k)
       .join(labels.select(col("vec_id"), col("label").as("n_label")), "vec_id")
       .groupBy(col("q_id"), col("n_label"))

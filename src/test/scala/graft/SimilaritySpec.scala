@@ -1469,7 +1469,11 @@ class SimilaritySpec extends SparkSuite {
     val corpus = Similarity.knnLabelEval(spark, sf).collect()
     assert(corpus.nonEmpty)
     val total = corpus.map(_.getAs[Long]("n_vectors")).sum
-    val nVecs = Tables.embeddings(spark, sf).count()
+    // denominator = NONZERO-NORM vectors (zero-norm rows have no cosine
+    // neighborhood and are excluded by contract)
+    val nVecs = Tables.embeddings(spark, sf)
+      .filter(VectorFunctions.norm(
+        VectorFunctions.toDouble(col("embedding"))) > 0.0).count()
     assert(total == nVecs, s"$total classified of $nVecs")
     corpus.foreach { r =>
       val acc = r.getAs[Double]("accuracy")
