@@ -261,9 +261,19 @@ object Bench {
       wq.processAllAvailable(); wq.stop()
 
       // min-of-reps wall like the batch queries: a fresh query + checkpoint
-      // per rep (no state reuse), steady-state latency robust to host noise
+      // per rep (no state reuse), steady-state latency robust to host
+      // noise. CALIB-BRACKETED like the batch queries as of r11 (VERDICT
+      // r10 #4): the headline rows_per_sec swung 25.6k → 15.5k between two
+      // same-code runs and nothing in the artifact could adjudicate it —
+      // each rep now carries fixed-work spins on both sides, the min is
+      // taken over QUIET reps when any exist, and "degraded":true marks a
+      // streaming number no quiet rep backed.
+      val streamGateMs =
+        sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE_MS", "58").toDouble
       val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
-      val measured = (1 to streamReps).map { _ =>
+      var streamSpin = calibMs()
+      val repsRun = (1 to streamReps).map { _ =>
+        val pre = streamSpin
         val name = s"bench_stream_${System.nanoTime()}"
         val t0 = System.nanoTime()
         val q = run(stage, name)
@@ -275,9 +285,14 @@ object Bench {
         q.stop()
         val outRows = spark.table(name).count()
         spark.catalog.dropTempView(name)
-        (wallSec, trigMs, opRows, outRows)
-      }.minBy(_._1)
-      val (wallSec, trigMs, opRows, outRows) = measured
+        streamSpin = calibMs()
+        val quiet = pre <= streamGateMs && streamSpin <= streamGateMs
+        (wallSec, trigMs, opRows, outRows, quiet)
+      }
+      val quietReps = repsRun.filter(_._5)
+      val streamDegraded = quietReps.isEmpty
+      val (wallSec, trigMs, opRows, outRows, _) =
+        (if (streamDegraded) repsRun else quietReps).minBy(_._1)
       val stateRows = opRows.map(_._2).sum
       val stateJson = opRows.map { case (k, v) => "\"" + k + s"""\":$v""" }
         .mkString("{", ",", "}")
@@ -347,7 +362,7 @@ object Bench {
         val srps = if (wall > 0) nRows / wall else 0.0
         f""","stage4":{"rows_per_sec":$srps%.0f,"n_batches":${tm.length},"p50_batch_ms":$sp50}"""
       } else ""
-      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps$matrixJson$docJson$stage4Json}"""
+      f"""{"input_rows":$nRows,"output_rows":$outRows,"wall_sec":$wallSec%.3f,"rows_per_sec":$rps%.0f,"n_batches":${trigMs.length},"p50_batch_ms":$p50,"max_batch_ms":$maxTrig,"state_rows":$stateRows,"state_rows_by_operator":$stateJson,"reps":$streamReps,"quiet_reps":${quietReps.length},"degraded":$streamDegraded$matrixJson$docJson$stage4Json}"""
     } finally {
       val ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation")
       tuning.restore(spark, savedTuning)
@@ -415,8 +430,14 @@ object Bench {
     // training / image-decode paths) stay re-measurable on demand; the
     // full headline stays the default so round benches are comparable
     val picked = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSeq.distinct
-        .filter(n => benchFn(n).isDefined))
+      .map { raw =>
+        val asked = raw.split(",").map(_.trim).toSeq.distinct
+        val (ok, unknown) = asked.partition(n => benchFn(n).isDefined)
+        // a typo must not silently shrink a targeted run (ADVICE r10)
+        unknown.foreach(n => System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY name does not resolve, skipping: $n"))
+        ok
+      }
       .getOrElse(headline)
     picked.foreach { name =>
       benchFn(name).foreach { fn =>
@@ -521,18 +542,25 @@ object Bench {
         // list — queries with super-linear 10× ratios still under active
         // adjudication — because one noisy sample on those is not a usable
         // regression surface.
-        val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE10_REPS", "1").toInt
+        val scaleRepsEnv = sys.env.get("SPARK_GRAFT_SCALE10_REPS")
+        val scaleReps = scaleRepsEnv.map(_.toInt).getOrElse(1)
         val watch = Set("emb_lsh_auto", "q_cube", "doc_ngram_auto",
           "doc_containment_auto", "doc_minhash_recall", "doc_ngram_jaccard",
           // 14.5× in the r10 first pass for a map-only scrub — min-of-2
           // until adjudicated (the other super-linear readings that round
           // were all first-touch index builds, now pre-touched)
           "doc_pii_scrub")
-        // The fixed-param LSH baseline is the DOCUMENTED quadratic twin
-        // (92× at 10×, ≈300 s of scale10 wall to re-prove a law measured
-        // in r8/r9 and pinned in SURVEY §5). It stays in the sf0.1 rep
-        // pass; its scaling is re-measurable on demand via BenchScale.
-        val scale10Skip = Set("emb_lsh_pairs")
+        // DOCUMENTED quadratic twins stay out of scale10 (their scaling
+        // laws are measured and pinned in SURVEY §5; re-proving them every
+        // round only keeps the worst-list noisy — VERDICT r10 #3): the
+        // fixed-param LSH baseline (92× at 10×, r10 removal), and as of
+        // r11 the broadcast-queries×corpus range filter and the
+        // within-block exact pair enumeration (both ~8× at 10× in the
+        // quiet record, quadratic by construction, with linear production
+        // paths emb_range_ivf / emb_lsh_auto still measured). All three
+        // stay in the sf0.1 rep pass; re-measure via BenchScale.
+        val scale10Skip = Set("emb_lsh_pairs", "emb_range_query",
+          "emb_neardup_pairs")
         // Entries whose FIRST call against a new data dir builds a
         // persisted store/index (the benchOverrides cachedStore entries and
         // the tmp-dir ANN indexes): at the base SF min-of-3 absorbs the
@@ -574,7 +602,12 @@ object Bench {
               // the build window must not pass as a quiet bracket)
               spin = calibMs()
             }
-            val wantReps = if (watch(name)) math.max(scaleReps, 2) else scaleReps
+            // watch queries default to min-of-2, but an EXPLICIT rep-count
+            // request wins for them too (ADVICE r10: a silent override
+            // makes the recorded rep count unexplainable from the env)
+            val wantReps =
+              if (watch(name) && scaleRepsEnv.isEmpty) math.max(scaleReps, 2)
+              else scaleReps
             var quietTimes = List.empty[Double]
             var allTimes = List.empty[Option[Double]]
             // burst-escape retries only make sense against a BURST — once
@@ -603,18 +636,82 @@ object Bench {
                      else { busyQs += name; Some(allTimes.flatten.min) })
           }
         }
+        // SELF-ADJUDICATION (VERDICT r10 #2): with scale10 at 1 rep, one
+        // steal window fabricates a multi-query "regression" the artifact
+        // cannot distinguish from a real one (r10 driver run: doc_kn_ll
+        // 68× vs the same code's 6.0× quiet record, ev_bloom_join 55.9×
+        // UNFLAGGED because the burst landed between calib brackets). So
+        // the artifact now adjudicates itself: any query whose ratio
+        // exceeds 2.5× its last committed quiet ratio (BENCH_FULL.json;
+        // 10× absolute when no prior exists) is re-run ONCE after waiting
+        // for a quiet calib window, and BOTH attempts are recorded in
+        // "readjudicated". A quiet retry replaces the reading and clears
+        // the busy flag; a busy retry keeps the min and stays flagged.
+        val priorQuiet: Map[String, Double] = try {
+          val txt = Files.readString(Paths.get("BENCH_FULL.json"))
+          val s10 = txt.drop(math.max(0, txt.indexOf("\"scale10\"")))
+          val busyPrior = "\"busy\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s10)
+            .map(_.group(1).split(",").map(
+              _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty[String])
+          val ri = s10.indexOf("\"ratios\"")
+          if (ri < 0) Map.empty[String, Double]
+          else {
+            val obj = s10.drop(ri).take(s10.drop(ri).indexOf('}') + 1)
+            "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(obj)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filterNot { case (k, _) => busyPrior(k) || k == "ratios" }
+              .toMap
+          }
+        } catch { case _: Throwable => Map.empty }
+        val adjDeadline = System.nanoTime() +
+          (sys.env.getOrElse("SPARK_GRAFT_SCALE10_ADJ_SEC", "420").toDouble * 1e9).toLong
+        val timedMap = scala.collection.mutable.LinkedHashMap(timed: _*)
+        val readj = scala.collection.mutable.ArrayBuffer[String]()
+        val outliers = timed.collect {
+          case (k, Some(v)) if base.contains(k) &&
+            priorQuiet.get(k).map(p => v / base(k) > 2.5 * p)
+              .getOrElse(v / base(k) > 10.0) => k
+        }
+        outliers.take(12).foreach { name =>
+          if (System.nanoTime() < adjDeadline) benchFn(name).foreach { fn =>
+            var pre = calibMs()
+            while (pre > gateMs && System.nanoTime() < adjDeadline) {
+              System.err.println(f"[bench] scale10 readjudication of $name waiting for quiet window (calib $pre%.0f ms)")
+              Thread.sleep(10000); pre = calibMs()
+            }
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val retry = try { materialize(fn(spark, dst)); Some((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale10 retry $name failed: ${e.getMessage}")
+                None
+              }
+            val post = calibMs()
+            retry.foreach { v =>
+              val first = timedMap(name).get
+              val quietRetry = pre <= gateMs && post <= gateMs
+              readj += f""""$name":{"first":$first%.3f,"retry":$v%.3f,"quiet_retry":$quietRetry}"""
+              // steal only INFLATES wall time, so min is always safe
+              timedMap(name) = Some(math.min(first, v))
+              if (quietRetry) busyQs -= name
+            }
+          }
+        }
         val cal1 = calibMs()
-        val ratios = timed.collect {
+        val adjusted = timedMap.toSeq
+        val ratios = adjusted.collect {
           case (k, Some(v)) if base.contains(k) => k -> v / base(k) }
         val medR = if (ratios.isEmpty) Double.NaN
           else ratios.map(_._2).sorted.apply(ratios.length / 2)
         val rJson = ratios.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
           .mkString("{", ",", "}")
-        val errs = timed.collect { case (k, None) => "\"" + k + "\"" }
+        val errs = adjusted.collect { case (k, None) => "\"" + k + "\"" }
           .mkString("[", ",", "]")
-        val sum10 = timed.flatMap(_._2).sum
+        val sum10 = adjusted.flatMap(_._2).sum
         val busyJson = busyQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-        f"""{"copies":$copies,"mode":"distinct","gen_sec":$genSec%.1f,"sum_sec":$sum10%.3f,"median_ratio":$medR%.2f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"busy":$busyJson,"ratios":$rJson,"errors":$errs}"""
+        val readjJson = readj.mkString("{", ",", "}")
+        f"""{"copies":$copies,"mode":"distinct","gen_sec":$genSec%.1f,"sum_sec":$sum10%.3f,"median_ratio":$medR%.2f,"calib_start_ms":$cal0%.0f,"calib_end_ms":$cal1%.0f,"busy":$busyJson,"readjudicated":$readjJson,"ratios":$rJson,"errors":$errs}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
         "null"

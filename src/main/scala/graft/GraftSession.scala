@@ -32,6 +32,20 @@ object GraftSession {
       // cosmetic simplification (both forms execute as one partition).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      // Runtime bloom-filter injection (InjectRuntimeFilter) is the engine's
+      // probe-side pruning for fact-to-fact semi joins (ev_bloom_join shape).
+      // Spark's default creation-side threshold (10 MB) silently drops the
+      // injection once the SELECTIVE side's scan estimate crosses it —
+      // PlanSpec observes the flip at the 10×-of-sf0.01 corpus (~22 MB
+      // estimate). At the 100 TB target the selective side of "all events of
+      // users who errored" is GBs, and the one extra agg that builds the
+      // filter is noise next to the probe-side scan it prunes — size the
+      // threshold to the deployment's selective-side estimates (VERDICT r10
+      // #5). Inert locally for default confs (the 10 GB application-side
+      // threshold gates injection anyway); asserted under production-shaped
+      // confs in PlanSpec.
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "512MB")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }

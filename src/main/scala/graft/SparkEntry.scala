@@ -418,6 +418,10 @@ object SparkEntry {
     "doc_dedup_clusters"-> ((s, d) => Dedup.neardupClusters(s, d)),
     "doc_winnow_pairs"  -> ((s, d) => Dedup.winnowPairs(s, d)),
     "doc_contamination" -> ((s, d) => Dedup.docContamination(s, d)),
+    // C119 (r11): per-benchmark-suite decontamination REPORT — the
+    // dataset-card table over C22's pair flags (zero rows for clean
+    // suites are explicit, not omitted)
+    "doc_decontam_report" -> ((s, d) => Dedup.decontamReport(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     // C112 range (radius) search: brute oracle path, the IVF-probed scale
@@ -472,6 +476,11 @@ object SparkEntry {
     // the index's own measured curve, instead of dumping unchecked rows
     "emb_ivf_recall"    -> ((s, d) => Similarity.ivfRecallGate(s, d)),
     "emb_pq_recall"     -> ((s, d) => Similarity.pqRecallGate(s, d)),
+    // C6b recall floor (r11, VERDICT r10 #6): the production near-dup
+    // default gets the same in-gate discipline — delivered PAIR recall vs
+    // the exact cosine enumeration, floored at the scheme's own sizing
+    // promise (0.85 × at-threshold theoretical recall)
+    "emb_lsh_recall"    -> ((s, d) => Similarity.lshRecallGate(s, d)),
     "emb_ivf_query_recall" -> ((s, d) => {
       val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
@@ -914,6 +923,26 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("doc_id") % 2 === 0), tmp.toString)
         TextOps.cdcIngest(docs.filter(
           org.apache.spark.sql.functions.col("doc_id") % 2 === 1), tmp.toString)
+          .localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
+    // C111e store lifecycle (r11, VERDICT r10 #8): takedown tombstone →
+    // re-arrival under the STANDING mask (reads novel, resurrects) →
+    // compact (fold + clear) → a fresh odd-docs ingest against the
+    // rewritten store; returns the final ingest report
+    "doc_cdc_forget" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdcf")
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(s, d)
+        TextOps.writeCdcStore(docs.filter(col("doc_id") % 2 === 0), tmp.toString)
+        TextOps.cdcForget(docs.filter(col("doc_id") % 4 === 0), tmp.toString)
+        TextOps.cdcIngest(docs.filter(col("doc_id") % 4 === 0), tmp.toString)
+        TextOps.cdcCompact(s, tmp.toString)
+        TextOps.cdcIngest(docs.filter(col("doc_id") % 2 === 1), tmp.toString)
           .localCheckpoint(true)
       } finally {
         import scala.reflect.io.Directory

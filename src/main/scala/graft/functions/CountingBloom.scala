@@ -37,7 +37,7 @@ import org.apache.spark.sql.types._
   * Cost shape: 4 bytes/counter vs the plain filter's 1 bit — the
   * published 32× price of deletability (production keeps C113 for
   * append-only screens and pays this only where takedown is required). */
-final class CountingBloomBuf(val m: Int, val k: Int) {
+final class CountingBloomBuf(val m: Int, val k: Int) extends Serializable {
   require(m >= 8 && k >= 1, s"bad counting-bloom geometry m=$m k=$k")
   private[functions] var counts = new Array[Int](m)
 
@@ -101,8 +101,8 @@ object CountingBloom {
 
   /** The largest counter count whose serialized form (1+4+4+m*4 bytes)
     * still fits a JVM byte array. Beyond this (~536M counters ≈ 700M
-    * items at fpp=0.01) a single filter stops being a sane plan literal
-    * anyway — shard by key range and union the per-shard reports. */
+    * items at fpp=0.01) a single filter stops being a sane broadcast
+    * value anyway — shard by key range and union the per-shard reports. */
   val MaxCounters: Int = (Int.MaxValue - 9) / 4
 
   /** Published sizing: m = ⌈−n·ln(ε)/ln²2⌉ counters, k = round(m/n·ln2).
@@ -168,33 +168,36 @@ case class CbfAggExpr(
     copy(child = c)
 }
 
-/** cbf_contains(hash): membership probe against a PLAN-LITERAL serialized
-  * counting Bloom filter — the C113 kernel discipline (no UDF, no join;
-  * the filter ships with the plan like the engine's other frozen-model
-  * literals and the probe stays inside WSCG). */
-case class CbfContainsExpr(child: Expression, filterBytes: Array[Byte])
+/** cbf_contains(hash): membership probe against a BROADCAST counting
+  * Bloom filter — the C113 kernel discipline (no UDF, no join; the probe
+  * stays inside WSCG) with the C113 transport fix: the filter rides a
+  * `Broadcast` variable (one fetch + deserialize per executor, the
+  * InjectRuntimeFilter mechanism) instead of a plan literal serialized
+  * into every task closure, so a production-sized counter array never
+  * bloats the task binary. */
+case class CbfContainsExpr(
+    child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[CountingBloomBuf])
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[GraftShims.AbstractType] = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "cbf_contains"
 
-  @transient private lazy val cbf = CountingBloom.deserialize(filterBytes)
+  @transient private lazy val cbf = bcast.value
 
   def compute(hash: Long): Boolean = cbf.contains(hash)
 
-  // Array[Byte] compares by reference under the case-class-generated
-  // equals/hashCode, which defeats canonicalization and common-
-  // subexpression elimination for semantically identical probes (ADVICE
-  // r9). Compare the filter by CONTENT, the way Spark compares binary
-  // Literals.
+  // identity = broadcast id (immutable value ⇒ equal ids mean equal
+  // filters) — canonicalization/CSE still works for identical probes
+  // without comparing counter-array content (ADVICE r9, adapted to the
+  // broadcast transport)
   override def equals(other: Any): Boolean = other match {
     case that: CbfContainsExpr =>
-      child == that.child &&
-        java.util.Arrays.equals(filterBytes, that.filterBytes)
+      child == that.child && bcast.id == that.bcast.id
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+    31 * child.hashCode() + java.lang.Long.hashCode(bcast.id)
 
   override protected def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(cbf.contains(input.asInstanceOf[Long]))
@@ -215,7 +218,8 @@ object CountingBloomFunctions {
   def cbfAgg(hash: Column, m: Int, k: Int): Column =
     GraftShims.toColumn(CbfAggExpr(
       GraftShims.toExpression(hash), m, k).toAggregateExpression())
-  def cbfContains(hash: Column, filterBytes: Array[Byte]): Column =
+  def cbfContains(hash: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[CountingBloomBuf]): Column =
     GraftShims.toColumn(CbfContainsExpr(
-      GraftShims.toExpression(hash), filterBytes))
+      GraftShims.toExpression(hash), bcast))
 }

@@ -600,35 +600,44 @@ case class CdcCutsExpr(child: Expression, maskBits: Int, minLen: Int,
     copy(child = newChild)
 }
 
-/** bloom_contains(key): membership probe against a PLAN-LITERAL serialized
-  * Spark BloomFilter (Murmur3-based, deterministic bits; a filter is ~KBs
-  * to low MBs — ships with the plan exactly like the engine's other
-  * frozen-model literals). No UDF: the probe is a codegen'd kernel call,
-  * so the scan → probe projection stays inside WSCG. */
-case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
+/** bloom_contains(key): membership probe against a BROADCAST Spark
+  * BloomFilter (Murmur3-based, deterministic bits). The filter rides a
+  * `Broadcast` variable — the same transport Spark's own
+  * InjectRuntimeFilter uses via BroadcastExchange — so the task binary
+  * carries only the broadcast HANDLE (~bytes) and each executor fetches +
+  * deserializes the filter ONCE into its block manager, however many
+  * tasks and stages probe it. The earlier plan-literal transport (r≤10)
+  * serialized the filter bytes into every task closure: fine at KB
+  * filters, a `TaskSetManager` large-task warning at the gate's 2^20-key
+  * geometry, and a driver OOM at the 10⁹-key corpus the store exists for.
+  * No UDF: the probe is a codegen'd kernel call, so the scan → probe
+  * projection stays inside WSCG. */
+case class BloomContainsExpr(
+    child: Expression,
+    bfBcast: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
     extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
   override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "bloom_contains"
 
-  @transient private lazy val bf =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
+  // block-manager-cached: one fetch + deserialize per executor, not per task
+  @transient private lazy val bf = bfBcast.value
 
   override def compute(input: UTF8String): AnyRef =
     java.lang.Boolean.valueOf(bf.mightContainString(input.toString))
 
-  // content-based equals/hashCode: the case-class default compares the
-  // byte array by REFERENCE, so identical probes never canonicalize
-  // (see CbfContainsExpr — same fix, ADVICE r9)
+  // identity = broadcast id: a broadcast value is immutable, so equal ids
+  // mean equal filters — identical probes canonicalize without comparing
+  // (potentially huge) filter content (the r9 ADVICE discipline, adapted
+  // to the broadcast transport)
   override def equals(other: Any): Boolean = other match {
     case that: BloomContainsExpr =>
-      child == that.child &&
-        java.util.Arrays.equals(filterBytes, that.filterBytes)
+      child == that.child && bfBcast.id == that.bfBcast.id
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+    31 * child.hashCode() + java.lang.Long.hashCode(bfBcast.id)
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -715,9 +724,10 @@ case class NTokensCappedExpr(child: Expression, cap: Int)
 }
 
 object TextHashExpressions {
-  def bloomContains(key: Column, filterBytes: Array[Byte]): Column =
-    GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(key),
-      filterBytes))
+  def bloomContains(key: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(key), bf))
   def lcsTokens(a: Column, b: Column, cap: Int = 256): Column =
     GraftShims.toColumn(LcsTokensExpr(GraftShims.toExpression(a),
       GraftShims.toExpression(b), cap))

@@ -289,7 +289,13 @@ case class TopCosBucketsExpr(vec: Expression, nrm: Expression,
   * element-level nulls read as raw storage (0L), not SQL null — the
   * band-key domain is non-null by construction (rhpSign nulls whole
   * signatures and callers filter those rows), so don't reuse this kernel
-  * on arrays with meaningful null elements. */
+  * on arrays with meaningful null elements. RAGGED inputs fail loudly
+  * (ADVICE r10): the HOF form this kernel replaced zip_with-pads the
+  * short side with null and returns null/drop, while a prefix compare
+  * over the common length would return false/keep — rather than silently
+  * diverge, unequal lengths throw (signature arrays are equal-length by
+  * construction; a future caller with ragged arrays must not inherit
+  * either semantics blind). */
 case class PrefixAnyEqualExpr(first: Expression, second: Expression,
                               third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
@@ -304,8 +310,11 @@ case class PrefixAnyEqualExpr(first: Expression, second: Expression,
   override def nullSafeEval(a: Any, b: Any, n: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lim = math.min(n.asInstanceOf[Int],
-      math.min(x.numElements(), y.numElements()))
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"prefix_any_equal: ragged inputs (${x.numElements()} vs " +
+          s"${y.numElements()} elements) — signature arrays must be equal-length")
+    val lim = math.min(n.asInstanceOf[Int], x.numElements())
     var i = 0
     while (i < lim) {
       if (x.getLong(i) == y.getLong(i)) return true
@@ -319,8 +328,12 @@ case class PrefixAnyEqualExpr(first: Expression, second: Expression,
       val i = ctx.freshName("i")
       val lim = ctx.freshName("lim")
       s"""
-         |int $lim = java.lang.Math.min($n,
-         |  java.lang.Math.min($a.numElements(), $b.numElements()));
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "prefix_any_equal: ragged inputs (" + $a.numElements() + " vs " +
+         |    $b.numElements() + " elements) — signature arrays must be equal-length");
+         |}
+         |int $lim = java.lang.Math.min($n, $a.numElements());
          |${ev.value} = false;
          |for (int $i = 0; $i < $lim; $i++) {
          |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = true; break; }

@@ -685,21 +685,26 @@ object Dedup {
   }
 
   /** C113: batch screen + fold-in — probe the batch against the stored
-    * filter (map-only: the filter ships as a plan literal through the
-    * codegen'd `bloom_contains` kernel, no join at all), report per-source
-    * seen/novel counts (seen may over-count by ≤ ε — the documented Bloom
-    * trade; novel is never wrong), then OR the batch's own filter into the
-    * store so the next batch sees it. Per-ingest cost: one batch scan +
-    * one KB-to-MB-sized store rewrite — ZERO reads of prior corpus data,
-    * at any history length (the property the hash-list store can't have). */
+    * filter (map-only: the filter rides a BROADCAST variable into the
+    * codegen'd `bloom_contains` kernel — one deserialize per executor,
+    * task binaries carry only the handle; no join at all), report
+    * per-source seen/novel counts (seen may over-count by ≤ ε — the
+    * documented Bloom trade; novel is never wrong), then OR the batch's
+    * own filter into the store so the next batch sees it. Per-ingest
+    * cost: one batch scan + one KB-to-MB-sized store rewrite — ZERO reads
+    * of prior corpus data, at any history length (the property the
+    * hash-list store can't have). */
   def bloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
     val st = spark.read.parquet(s"$storeDir/bloom.parquet").head()
     val bytes = st.getAs[Array[Byte]]("filter")
+    val bfBcast = spark.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
     val keyed = batch.filter(col("text").isNotNull)
       .select(col("source"), md5(expr("encode(text, 'UTF-8')")).as("k"))
       .withColumn("seen",
-        graft.functions.TextHashExpressions.bloomContains(col("k"), bytes))
+        graft.functions.TextHashExpressions.bloomContains(col("k"), bfBcast))
       .localCheckpoint(true) // the report and the fold-in both consume it
     val out = keyed.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -815,8 +820,9 @@ object Dedup {
     * answer to C113's documented limitation: a plain Bloom filter cannot
     * unlearn, so GDPR/DMCA removal forced a periodic rebuild from the
     * authoritative store; counters subtract instead. Same keying as C113
-    * (md5(text) → xxhash64), same plan-literal probe kernel discipline
-    * (`cbf_contains` rides WSCG, no join), same store shape. The filter
+    * (md5(text) → xxhash64), same broadcast probe kernel discipline
+    * (`cbf_contains` rides WSCG off a Broadcast variable, no join), same
+    * store shape. The filter
     * REFCOUNTS: duplicate docs increment the same key's counters, one
     * forget decrements once, so a text stays "seen" until every holder is
     * forgotten — the multiset semantics a dedup screen over a corpus with
@@ -858,10 +864,14 @@ object Dedup {
     val st = spark.read.parquet(s"$storeDir/cbloom.parquet").head()
     val bytes = st.getAs[Array[Byte]]("filter")
     val old = graft.functions.CountingBloom.deserialize(bytes)
+    // broadcast a SEPARATE deserialization: `old` feeds the driver-side
+    // fold-in arithmetic; the broadcast copy must stay immutable
+    val cbfBcast = spark.sparkContext.broadcast(
+      graft.functions.CountingBloom.deserialize(bytes))
     val keyed = batch.filter(col("text").isNotNull)
       .select(col("source"),
         xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
-      .withColumn("seen", cbfContains(col("h"), bytes))
+      .withColumn("seen", cbfContains(col("h"), cbfBcast))
       .localCheckpoint(true) // the report and the fold-in both consume it
     val out = keyed.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1506,6 +1516,73 @@ object Dedup {
       docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
       docs.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"), col("text")),
+      k, window, minShared)
+  }
+
+  /** C119 (r11, VERDICT r10 #8): DECONTAMINATION REPORT — the dataset-card
+    * table a model release actually publishes (the Llama/GPT-3/Gopher
+    * appendix shape): per benchmark SUITE, what fraction of the suite's
+    * items were found in the training corpus and how much of the corpus
+    * is implicated. C22 flags the pairs; this rolls them up against the
+    * full suite dimension so UNTOUCHED suites report an explicit zero row
+    * (the card must say "we checked X and found nothing", not omit X).
+    *
+    * Columns: n_bench_docs (suite size), n_bench_hit / bench_hit_frac
+    * (items with ≥1 contaminated corpus doc — the number quoted as "N% of
+    * benchmark X appears in our data"), n_corpus_flagged /
+    * corpus_flagged_frac (distinct training docs implicated — the removal
+    * cost of decontaminating), max_shared / mean_shared (fingerprint-
+    * overlap severity among flagged pairs).
+    *
+    * Scale: the pair set is C22's broadcast-join output (benchmark-sized
+    * × flagged docs, never corpus²); the rollup is two partial aggs keyed
+    * by suite (≤ suites rows); the corpus total is a 1-row broadcast
+    * scalar. Rows-only by inheritance (the winnowing kernel isn't SQL);
+    * the spec plants verbatim quotes in one suite and asserts the exact
+    * fractions plus the other suite's zero row. */
+  def decontamReportOf(corpus: DataFrame, benchmark: DataFrame,
+                       k: Int = 3, window: Int = 4,
+                       minShared: Int = 2): DataFrame = {
+    val pairs = contaminationPairs(
+      corpus.select(col("doc_id"), col("text")),
+      benchmark.select(col("bench_id"), col("text")), k, window, minShared)
+      .join(benchmark.select(col("bench_id"), col("benchmark")), "bench_id")
+    val suites = benchmark.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_bench_docs"))
+    val hits = pairs.groupBy("benchmark")
+      .agg(countDistinct(col("bench_id")).as("n_bench_hit"),
+        countDistinct(col("doc_id")).as("n_corpus_flagged"),
+        max(col("n_shared")).as("max_shared"),
+        avg(col("n_shared")).as("mean_shared"))
+    // single-row scalar: constant-size broadcast, policy-compliant
+    val corpusN = corpus.agg(count(lit(1)).as("n_corpus"))
+    suites.join(hits, Seq("benchmark"), "left")
+      .crossJoin(broadcast(corpusN))
+      .select(col("benchmark"), col("n_bench_docs"),
+        coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
+        (coalesce(col("n_bench_hit"), lit(0L)).cast("double") /
+          col("n_bench_docs").cast("double")).as("bench_hit_frac"),
+        coalesce(col("n_corpus_flagged"), lit(0L)).as("n_corpus_flagged"),
+        (coalesce(col("n_corpus_flagged"), lit(0L)).cast("double") /
+          col("n_corpus").cast("double")).as("corpus_flagged_frac"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        coalesce(col("mean_shared"), lit(0.0)).as("mean_shared"))
+  }
+
+  /** C119 over the documents table: the C22 gate split (every 20th doc is
+    * a benchmark item) with four deterministic suites — suite = (doc_id
+    * div 20) mod 4, so suite membership survives any partitioning. */
+  def decontamReport(spark: SparkSession, dir: String,
+                     k: Int = 3, window: Int = 4,
+                     minShared: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontamReportOf(
+      docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat(lit("suite_"), ((col("doc_id") / 20) % 4).cast("long"))
+            .as("benchmark"),
+          col("text")),
       k, window, minShared)
   }
 

@@ -2300,7 +2300,15 @@ object TextOps {
     val chunks = cdcChunksOf(batch, p.getAs[Int]("mask_bits"),
         p.getAs[Int]("min_len"), p.getAs[Int]("max_len"))
       .join(batch.select(col("doc_id"), col("source")), "doc_id")
-    val stored = spark.read.parquet(s"$storeDir/chunks.parquet")
+    // the LIVE view: stored hashes minus any standing takedown tombstones
+    // (C111e) — tombstoned content correctly reads NOVEL (the store no
+    // longer holds those bytes), and re-ingesting it RESURRECTS the chunk
+    // (its hash re-appends below and leaves the tombstone, so the next
+    // compaction cannot delete the re-added copy)
+    val tomb = cdcTombstonesOf(spark, storeDir)
+    val storedRaw = spark.read.parquet(s"$storeDir/chunks.parquet")
+    val stored = tomb.fold(storedRaw)(t =>
+        storedRaw.join(t.select("chunk_md5"), Seq("chunk_md5"), "left_anti"))
       .select(col("chunk_md5"), lit(true).as("known"))
     val marked = chunks.join(stored, Seq("chunk_md5"), "left")
       .withColumn("known", coalesce(col("known"), lit(false)))
@@ -2317,7 +2325,91 @@ object TextOps {
     marked.filter(!col("known"))
       .select(col("chunk_md5"), col("len")).distinct()
       .write.mode("append").parquet(s"$storeDir/chunks.parquet")
+    // resurrection bookkeeping: hashes this batch re-added leave the
+    // tombstone (tombstones are takedown-sized — the rewrite is tiny)
+    tomb.foreach { t =>
+      val kept = t.join(marked.filter(!col("known"))
+          .select(col("chunk_md5")).distinct(),
+        Seq("chunk_md5"), "left_anti")
+        .localCheckpoint(true) // read-own-writes: materialize, then overwrite
+      kept.coalesce(1).write.mode("overwrite")
+        .parquet(cdcTombPath(storeDir))
+    }
     out
+  }
+
+  // ---- C111e store lifecycle: takedown + compaction (A80g discipline) -----
+
+  private def cdcTombPath(storeDir: String): String =
+    s"$storeDir/tombstones.parquet"
+
+  private def cdcTombstonesOf(spark: SparkSession,
+                              storeDir: String): Option[DataFrame] = {
+    // Hadoop FileSystem, not java.io: hdfs:// / s3a:// stores (the
+    // embDataTag discipline — java.io would read "absent" forever)
+    val p = new org.apache.hadoop.fs.Path(cdcTombPath(storeDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(cdcTombPath(storeDir)))
+  }
+
+  /** C111e: CONTENT TAKEDOWN for the chunk store — the DMCA/GDPR answer
+    * for byte-level dedup state, mirroring A80g's mask-now-rewrite-later
+    * lifecycle: the removed docs chunk under the STORED parameters
+    * (boundaries are a contract) and their hashes land as a tombstone
+    * table (takedown-sized write, never a store rewrite at forget time);
+    * every subsequent ingest screens against the live view (stored ANTI
+    * tombstone), so the store stops claiming those bytes IMMEDIATELY.
+    * Semantics are content-holding, not refcounting (the deliberate
+    * contrast with C113b's counting filter): a takedown clears the bytes
+    * wholesale, and if an unrelated doc legitimately re-ingests the same
+    * content later it reads novel once and resurrects the chunk —
+    * under-claiming briefly, never over-claiming. Idempotent and
+    * cumulative: new forgets union into the standing tombstone. Returns
+    * per-source tombstoned-chunk counts. */
+  def cdcForget(batch: DataFrame, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$storeDir/params.parquet").head()
+    val chunks = cdcChunksOf(batch, p.getAs[Int]("mask_bits"),
+        p.getAs[Int]("min_len"), p.getAs[Int]("max_len"))
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true) // the report and the tombstone both consume it
+    val out = chunks.groupBy("source")
+      .agg(countDistinct(col("chunk_md5")).as("n_chunks_tombstoned"))
+    val newTomb = chunks.select(col("chunk_md5")).distinct()
+    val merged = cdcTombstonesOf(spark, storeDir)
+      .fold(newTomb)(t => t.select(col("chunk_md5")).unionByName(newTomb)
+        .distinct())
+      .localCheckpoint(true) // read-own-writes: materialize, then overwrite
+    merged.coalesce(1).write.mode("overwrite").parquet(cdcTombPath(storeDir))
+    out
+  }
+
+  /** C111e: fold standing tombstones into a rewritten store and clear
+    * them — the A80g rewrite-later step, plus FILE compaction (every
+    * ingest appends a file set; a long-lived store fragments into
+    * thousands of small files whose listing cost rides every probe). The
+    * rewritten table is the live view (distinct chunks ANTI tombstone),
+    * coalesced; on a disjoint-content corpus it equals a store built
+    * without the forgotten docs (spec-pinned as set equality). Crash-safe
+    * ordering as in A80g: the rewrite materializes BEFORE the overwrite
+    * (read-own-writes guard) and the tombstone deletes LAST — a crash
+    * between the two steps leaves a correct, still-masked store. */
+  def cdcCompact(spark: SparkSession, storeDir: String): Unit = {
+    val tomb = cdcTombstonesOf(spark, storeDir)
+    val raw = spark.read.parquet(s"$storeDir/chunks.parquet")
+      .select(col("chunk_md5"), col("len")).distinct()
+    val live = tomb.fold(raw)(t =>
+        raw.join(t.select("chunk_md5"), Seq("chunk_md5"), "left_anti"))
+      .localCheckpoint(true) // read-own-writes: materialize, then overwrite
+    val conf = spark.sessionState.newHadoopConf()
+    val chunkDir = new org.apache.hadoop.fs.Path(s"$storeDir/chunks.parquet")
+    val fs = chunkDir.getFileSystem(conf)
+    fs.delete(chunkDir, true)
+    live.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/chunks.parquet")
+    fs.delete(new org.apache.hadoop.fs.Path(cdcTombPath(storeDir)), true)
+    ()
   }
 
   // ---- BM25 retrieval (C72) ---------------------------------------------

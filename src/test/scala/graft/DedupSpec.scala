@@ -198,6 +198,40 @@ class DedupSpec extends SparkSuite {
     assert(!flagged.contains((1L, 200L)) && !flagged.contains((3L, 100L)),
       s"wrong benchmark attribution: $flagged")
 
+    // C119 report over the same plant, with suites: suite_A holds bench
+    // 100 (quoted by docs 1, 2) and a CLEAN bench doc 300; suite_B holds
+    // bench 200 (quoted by doc 3); suite_C is entirely clean and must
+    // still get its explicit zero row
+    val bq3 = (1 to 12).map(i => s"bench3tok$i").mkString(" ")
+    val bq4 = (1 to 12).map(i => s"bench4tok$i").mkString(" ")
+    val suites = Seq(
+      (100L, "suite_A", bq1), (300L, "suite_A", bq3),
+      (200L, "suite_B", bq2), (400L, "suite_C", bq4))
+      .toDF("bench_id", "benchmark", "text")
+    val report = Dedup.decontamReportOf(corpus, suites, minShared = 1)
+      .collect().map(r => r.getAs[String]("benchmark") -> r).toMap
+    assert(report.size == 3, s"expected 3 suite rows: ${report.keys}")
+    val a = report("suite_A")
+    assert(a.getAs[Long]("n_bench_docs") == 2L &&
+      a.getAs[Long]("n_bench_hit") == 1L &&
+      a.getAs[Double]("bench_hit_frac") == 0.5 &&
+      a.getAs[Long]("n_corpus_flagged") == 2L &&
+      a.getAs[Double]("corpus_flagged_frac") == 0.4 &&
+      a.getAs[Long]("max_shared") >= 1L, s"$a")
+    val b = report("suite_B")
+    assert(b.getAs[Long]("n_bench_docs") == 1L &&
+      b.getAs[Double]("bench_hit_frac") == 1.0 &&
+      b.getAs[Long]("n_corpus_flagged") == 1L &&
+      b.getAs[Double]("corpus_flagged_frac") == 0.2, s"$b")
+    val c = report("suite_C")
+    assert(c.getAs[Long]("n_bench_hit") == 0L &&
+      c.getAs[Double]("bench_hit_frac") == 0.0 &&
+      c.getAs[Long]("n_corpus_flagged") == 0L &&
+      c.getAs[Long]("max_shared") == 0L &&
+      c.getAs[Double]("mean_shared") == 0.0, s"clean suite must report an explicit zero row: $c")
+    // gate shape on the real corpus: 4 deterministic suites, all reported
+    assert(Dedup.decontamReport(spark, sf).count() == 4)
+
     // the documents-table entry point runs clean and benchmark/corpus split
     // never overlaps (bench ids are multiples of 20, corpus ids are not)
     val table = Dedup.docContamination(spark, dir)
@@ -765,6 +799,50 @@ class DedupSpec extends SparkSuite {
         .getAs[Array[Byte]]("filter").toSeq
     }
     assert(bytesOf(1) == bytesOf(7))
+  }
+
+  test("bloom/cbf probe transport: a >=16MB filter probes correctly while the serialized expression stays KB-sized (broadcast handle, not plan literal)") {
+    import SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def javaSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    // --- plain Bloom: 15M expected keys at 1% fpp ⇒ ~18 MB of bits ---
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(15000000L, 0.01)
+    assert(bf.bitSize() / 8 >= 16L * 1024 * 1024, s"filter too small: ${bf.bitSize() / 8}")
+    Seq("alpha", "beta", "gamma").foreach(bf.putString)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val bloomExpr = graft.functions.BloomContainsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("alpha"), bfB)
+    // what rides every task closure: the broadcast HANDLE, not the bits
+    val bloomSer = javaSize(bloomExpr)
+    assert(bloomSer < 64 * 1024,
+      s"bloom probe expression serialized to $bloomSer bytes — the filter is riding the task binary again")
+    // end-to-end over multiple partitions (each task re-deserializes the
+    // expression; the filter itself must come from the block manager)
+    val probed = Seq("alpha", "beta", "nope1", "nope2").toDF("k").repartition(4)
+      .select(col("k"),
+        graft.functions.TextHashExpressions.bloomContains(col("k"), bfB).as("seen"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed("alpha") && probed("beta"))
+    assert(!probed("nope1") && !probed("nope2")) // 3 keys in 134M bits: FP ~0
+    // --- counting Bloom: 4.5M counters * 4B = 18 MB ---
+    val big = new graft.functions.CountingBloomBuf(4500000, 7)
+    big.add(42L); big.add(-7L)
+    val cbfB = spark.sparkContext.broadcast(big)
+    val cbfExpr = graft.functions.CbfContainsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(42L), cbfB)
+    val cbfSer = javaSize(cbfExpr)
+    assert(cbfSer < 64 * 1024,
+      s"cbf probe expression serialized to $cbfSer bytes — the counters are riding the task binary again")
+    val cbfProbed = Seq(42L, -7L, 123456L).toDF("h").repartition(3)
+      .select(col("h"), graft.functions.CountingBloomFunctions
+        .cbfContains(col("h"), cbfB).as("seen"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(cbfProbed(42L) && cbfProbed(-7L) && !cbfProbed(123456L))
+    bfB.destroy(); cbfB.destroy()
   }
 
   test("rouge-l: kernel equals an independent DP on hand and random token sequences; candidate pairs score the published P/R/F") {

@@ -160,6 +160,7 @@ class EmptyInputSpec extends SparkSuite {
     // matching DuckDB's GROUP BY CUBE on empty
     assert(Analytics.cubeFlags(spark, dEmpty).count() == 0)
     assert(Dedup.docContamination(spark, dir).count() == 0)
+    assert(Dedup.decontamReport(spark, dir).count() == 0)
     assert(TextOps.deterministicSplit(spark, dir).count() == 0)
     assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
     assert(Analytics.benford(spark, dEmpty).count() == 0)
@@ -272,6 +273,15 @@ class EmptyInputSpec extends SparkSuite {
     assert(TextOps.wordpieceEncode(spark, dir).count() == 0)
     assert(TextOps.cdcDedup(spark, dir).count() == 0)
     assert(TextOps.cdcStats(spark, dir).count() == 0)
+    // C111e lifecycle on an empty corpus: empty store, empty forget
+    // report, compact a no-op, empty ingest report — never a crash
+    locally {
+      val t = Files.createTempDirectory("graft-cdcf-empty").toString
+      TextOps.writeCdcStore(Tables.documents(spark, dir), t)
+      assert(TextOps.cdcForget(Tables.documents(spark, dir), t).count() == 0)
+      TextOps.cdcCompact(spark, t)
+      assert(TextOps.cdcIngest(Tables.documents(spark, dir), t).count() == 0)
+    }
     assert(graft.operators.Sketches.quantileSketch(spark, dir).count() == 0)
     assert(EventOps.seasonalStrength(spark, dir).count() == 0)
     assert(EventOps.acf(spark, dir).count() == 0)
@@ -292,6 +302,17 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Analytics.chi2(spark, dir).count() == 0)
     assert(graft.operators.Sketches.thetaOverlap(spark, dir).count() == 0)
     assert(graft.operators.Sketches.thetaRollup(spark, dir).count() == 0)
+    // A101c (ADVICE r10): per-type rows vanish, but the merged __all_types
+    // row SURVIVES (an agg with no GROUP BY always yields one row) in the
+    // exact regime with zero estimate and collapsed bars — pinned so the
+    // empty-buffer serialization path can't drift silently
+    val ciRows = graft.operators.Sketches.thetaCi(spark, dir).collect()
+    assert(ciRows.length == 1, s"thetaCi on empty: ${ciRows.length} rows")
+    assert(ciRows.head.getAs[String]("event_type") == "__all_types")
+    assert(ciRows.head.getAs[Double]("estimate") == 0.0 &&
+      ciRows.head.getAs[Double]("rse") == 0.0 &&
+      ciRows.head.getAs[Double]("lo") == 0.0 &&
+      ciRows.head.getAs[Double]("hi") == 0.0, s"${ciRows.head}")
     assert(graft.operators.Analytics.ks(spark, dir).count() == 0)
     assert(Similarity.triangles(spark, dir).count() == 0)
     assert(EventOps.assocRules(spark, dir).count() == 0)

@@ -91,6 +91,53 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bloom join at 10x: the creation-side threshold flip is OBSERVED at the scaled corpus, and GraftSession's sizing clears it by two decades") {
+    // VERDICT r10 #5: the sf0.1 assertion observed injection at a 2 MB
+    // corpus and ASSUMED it survives scale — but InjectRuntimeFilter also
+    // gates on the CREATION side's size estimate, and that gate had never
+    // been watched flipping. This spec runs at the bench's own 10× corpus
+    // shape (10×-distinct of sf0.01, ~22 MB events scan; the user_id
+    // Project prunes the estimate to ~1/10 of that), reads the estimate
+    // Catalyst actually compares (optimizedPlan.stats of the selective
+    // side), and pins BOTH sides of the flip around it: a threshold below
+    // the estimate drops the injection, one above keeps it. It then names
+    // the scale GraftSession's 512 MB sizing covers: two decades beyond
+    // this corpus's estimate (so the 10× bench and a further 100× keep the
+    // filter; past that a deployment re-sizes to its own selective-side
+    // estimates — the documented crossover).
+    import org.apache.spark.sql.functions.col
+    val dst = java.nio.file.Files.createTempDirectory("graft-bloom10x").toString
+    ScaleUp.generate(spark, "/root/testdata/sf0.01", dst, 10, "distinct")
+    // the estimate the optimizer sees for the creation side (same visitor:
+    // Project scales the scan estimate by output row width; Filter keeps it)
+    val est = Tables.events(spark, dst)
+      .filter(col("event_type") === "error").select(col("user_id"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(est > 0, s"degenerate creation-side estimate $est")
+    def planAt(creationThresholdBytes: Long): String = withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> creationThresholdBytes.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Sketches.bloomPrunedJoin(spark, dst).queryExecution.optimizedPlan.toString
+    }
+    // below the measured estimate: the injection is DROPPED — this is the
+    // silent flip a deployment hits when its selective side outgrows the
+    // threshold (Spark's default is 10 MB)
+    val below = planAt(est / 2)
+    assert(!below.contains("might_contain"),
+      s"creation threshold ${est / 2} < estimate $est should drop injection:\n" +
+        below.take(1200))
+    // above it: the injection survives at the same corpus
+    val above = planAt(est * 2)
+    assert(above.contains("might_contain") && above.contains("bloom_filter_agg"),
+      s"creation threshold ${est * 2} > estimate $est should keep injection:\n" +
+        above.take(1500))
+    // GraftSession's sizing clears this corpus by >= two decades
+    assert(est * 100 <= 512L * 1024 * 1024,
+      s"10x creation-side estimate $est * 100 outgrew the 512MB GraftSession sizing — re-derive the conf")
+  }
+
   test("text-hash kernels stay inside whole-stage codegen (no CodegenFallback eviction)") {
     val sigs = Dedup.minhashSigs(Tables.documents(spark, sf), 3, 16)
     val p = sigs.queryExecution.executedPlan.toString

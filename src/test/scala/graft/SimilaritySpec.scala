@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSuite {
       .select(graft.functions.VectorExpressions
         .prefixAnyEqual(col("a"), col("b"), col("n")).as("v")).collect()
     assert(nulls.head.isNullAt(0))
+    // ragged inputs FAIL LOUDLY (ADVICE r10): the HOF form null-pads and
+    // drops while a common-prefix compare would keep — a silent divergence
+    // trap for any future caller; the kernel refuses instead
+    val ragged = intercept[Exception] {
+      Seq((Array(1L, 2L), Array(1L), 2)).toDF("a", "b", "n")
+        .select(graft.functions.VectorExpressions
+          .prefixAnyEqual(col("a"), col("b"), col("n")).as("v")).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage)).toSeq.mkString(" | "))
+    assert(rootMsg(ragged).contains("ragged"), rootMsg(ragged))
   }
 
   private lazy val dir: String = {

@@ -1623,6 +1623,65 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("cdc forget/compact: tombstone masks immediately, re-ingest resurrects, compact equals a never-held store and clears the tombstone") {
+    import SparkSuite.spark.implicits._
+    val tA = lcgText(17L, 3000, "abcdefghijklmnop")
+    val tB = lcgText(19L, 2500, "qrstuvwxyz") // disjoint alphabet: no overlap
+    def docsOf(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def chunkSet(store: String): Set[(String, Int)] =
+      spark.read.parquet(s"$store/chunks.parquet").collect()
+        .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Int]("len"))).toSet
+    def tombExists(store: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/tombstones.parquet"))
+    val t1 = java.nio.file.Files.createTempDirectory("graft-cdcf-a")
+    val t2 = java.nio.file.Files.createTempDirectory("graft-cdcf-b")
+    val t3 = java.nio.file.Files.createTempDirectory("graft-cdcf-c")
+    try {
+      // mask-now: forgotten content reads NOVEL under the standing
+      // tombstone, and the re-ingest RESURRECTS it
+      TextOps.writeCdcStore(docsOf(1L -> tA, 2L -> tB), t1.toString)
+      val fr = TextOps.cdcForget(docsOf(1L -> tA), t1.toString).collect().head
+      assert(fr.getAs[Long]("n_chunks_tombstoned") > 0)
+      assert(tombExists(t1.toString))
+      val re = TextOps.cdcIngest(docsOf(10L -> tA), t1.toString).collect().head
+      assert(re.getAs[Long]("known_bytes") == 0L &&
+        re.getAs[Long]("new_bytes") == tA.length.toLong,
+        s"tombstoned content must read novel: $re")
+      val again = TextOps.cdcIngest(docsOf(11L -> tA), t1.toString).collect().head
+      assert(again.getAs[Long]("new_bytes") == 0L,
+        s"re-ingested content must be resurrected: $again")
+      // B was never forgotten: still known throughout
+      val bStill = TextOps.cdcIngest(docsOf(12L -> tB), t1.toString).collect().head
+      assert(bStill.getAs[Long]("new_bytes") == 0L, s"$bStill")
+
+      // rewrite-later: compact folds the tombstone — the rewritten store
+      // EQUALS one that never held the forgotten content (disjoint
+      // alphabets ⇒ no shared chunks; boundaries are content-local), the
+      // tombstone clears, and the file count collapses
+      TextOps.writeCdcStore(docsOf(1L -> tA, 2L -> tB), t2.toString)
+      TextOps.cdcIngest(docsOf(20L -> tB), t2.toString) // append fragmentation
+      def nFiles(store: String): Long =
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$store/chunks.parquet"))
+          .filter(p => p.getFileName.toString.startsWith("part-")).count()
+      val filesBefore = nFiles(t2.toString)
+      TextOps.cdcForget(docsOf(2L -> tB), t2.toString)
+      TextOps.cdcCompact(spark, t2.toString)
+      assert(!tombExists(t2.toString), "compact must clear the tombstone")
+      assert(nFiles(t2.toString) <= filesBefore, "compact must not fragment further")
+      TextOps.writeCdcStore(docsOf(1L -> tA), t3.toString)
+      assert(chunkSet(t2.toString) == chunkSet(t3.toString),
+        "compacted store must equal a store that never held the forgotten content")
+      // post-compact: the forgotten content is fully novel again
+      val post = TextOps.cdcIngest(docsOf(30L -> tB), t2.toString).collect().head
+      assert(post.getAs[Double]("novelty") == 1.0, s"$post")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(t1, t2, t3).foreach(t => new Directory(t.toFile).deleteRecursively())
+    }
+  }
+
   test("tok compare from stores: bit-equal to the retraining path under the same parameters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-toks-spec")
     try {
