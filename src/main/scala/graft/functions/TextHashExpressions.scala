@@ -600,32 +600,34 @@ case class CdcCutsExpr(child: Expression, maskBits: Int, minLen: Int,
     copy(child = newChild)
 }
 
-/** bloom_contains(key): membership probe against a BROADCAST Spark
-  * BloomFilter (Murmur3-based, deterministic bits). The filter rides a
-  * `Broadcast` variable — the same transport Spark's own
-  * InjectRuntimeFilter uses via BroadcastExchange — so the task binary
-  * carries only the broadcast HANDLE (~bytes) and each executor fetches +
-  * deserializes the filter ONCE into its block manager, however many
-  * tasks and stages probe it. The earlier plan-literal transport (r≤10)
-  * serialized the filter bytes into every task closure: fine at KB
-  * filters, a `TaskSetManager` large-task warning at the gate's 2^20-key
-  * geometry, and a driver OOM at the 10⁹-key corpus the store exists for.
-  * No UDF: the probe is a codegen'd kernel call, so the scan → probe
-  * projection stays inside WSCG. */
+/** bloom_contains(hash): membership probe against a BROADCAST Spark
+  * BloomFilter over pre-hashed xxhash64 keys (the InjectRuntimeFilter
+  * keying: the builder aggregates `putLong(xxhash64(k))`, the probe tests
+  * `mightContainLong(xxhash64(k))` — hashing stays a codegen'd plan
+  * expression on both sides). The filter rides a `Broadcast` variable —
+  * the same transport Spark's own InjectRuntimeFilter uses via
+  * BroadcastExchange — so the task binary carries only the broadcast
+  * HANDLE (~bytes) and each executor fetches + deserializes the filter
+  * ONCE into its block manager, however many tasks and stages probe it.
+  * The earlier plan-literal transport (r≤10) serialized the filter bytes
+  * into every task closure: fine at KB filters, a `TaskSetManager`
+  * large-task warning at the gate's 2^20-key geometry, and a driver OOM
+  * at the 10⁹-key corpus the store exists for. No UDF: the probe is a
+  * codegen'd kernel call, so the scan → probe projection stays inside
+  * WSCG. */
 case class BloomContainsExpr(
     child: Expression,
     bfBcast: org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter])
-    extends UnaryExpression with TextHashKernel with ExpectsInputTypes {
-  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(StringType)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(LongType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "bloom_contains"
 
   // block-manager-cached: one fetch + deserialize per executor, not per task
   @transient private lazy val bf = bfBcast.value
 
-  override def compute(input: UTF8String): AnyRef =
-    java.lang.Boolean.valueOf(bf.mightContainString(input.toString))
+  def compute(hash: Long): Boolean = bf.mightContainLong(hash)
 
   // identity = broadcast id: a broadcast value is immutable, so equal ids
   // mean equal filters — identical probes canonicalize without comparing
@@ -639,9 +641,13 @@ case class BloomContainsExpr(
   override def hashCode(): Int =
     31 * child.hashCode() + java.lang.Long.hashCode(bfBcast.id)
 
-  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    kernelGenCode(ctx, ev)
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomContainsExpr].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.compute($h)")
+  }
   override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
     copy(child = newChild)
 }
@@ -724,10 +730,31 @@ case class NTokensCappedExpr(child: Expression, cap: Int)
 }
 
 object TextHashExpressions {
-  def bloomContains(key: Column,
+  def bloomContains(hash: Column,
       bf: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
-    GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(key), bf))
+    GraftShims.toColumn(BloomContainsExpr(GraftShims.toExpression(hash), bf))
+
+  /** Distributed Bloom build over pre-hashed xxhash64 keys via Spark's own
+    * `BloomFilterAggregate` (a TypedImperativeAggregate: partial filters
+    * are allocated EXECUTOR-SIDE and merged by bit-OR through the agg
+    * exchange as data). The replaced `DataFrameStatFunctions.bloomFilter`
+    * ships a PRE-ALLOCATED filter as `treeAggregate`'s zero value in every
+    * task closure — the same task-binary bloat the probe transport fix
+    * removed, on the build side (1.2 MB/task at the gate geometry; the
+    * whole filter per task at production sizes). Geometry matches
+    * `BloomFilter.create(n, fpp)` exactly (numBits = optimalNumOfBits), so
+    * filters from either path merge and serialize identically. */
+  def bloomAgg(hash: Column, expectedItems: Long, fpp: Double): Column = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    GraftShims.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftShims.toExpression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+  }
   def lcsTokens(a: Column, b: Column, cap: Int = 256): Column =
     GraftShims.toColumn(LcsTokensExpr(GraftShims.toExpression(a),
       GraftShims.toExpression(b), cap))

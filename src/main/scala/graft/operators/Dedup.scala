@@ -666,22 +666,79 @@ object Dedup {
     * the crawl-frontier trade (URL-seen tests, ingest pre-screens) where
     * "have I seen this exact content" may answer yes wrongly at a stated
     * rate ε but the store must stay ~1.2 bytes/key at ANY corpus size and
-    * the probe must stay map-only. Keys are md5(text) hex; the filter is
-    * built by Spark's distributed `stat.bloomFilter` (partial filters
-    * bit-OR — order-free, byte-canonical under any partitioning) and
-    * persists with its parameters. */
+    * the probe must stay map-only. Keys are xxhash64(md5(text)) longs
+    * (the InjectRuntimeFilter keying, shared with C113b; r11 — the
+    * earlier putString keying rode `stat.bloomFilter`, whose treeAggregate
+    * ships a PRE-ALLOCATED filter as the zero value in every task
+    * closure: the build-side twin of the probe-transport bug). The filter
+    * is built by Spark's own `BloomFilterAggregate` (TypedImperativeAggregate
+    * — partials allocate executor-side and bit-OR through the agg
+    * exchange as data; order-free, byte-canonical under any partitioning)
+    * and persists as a raw byte file with its parameters beside it. */
+  // ---- raw-file store I/O (C113/C113b): the filter bytes stream between
+  // the driver and the store path through Hadoop's FileSystem (hdfs://,
+  // s3a://), NEVER through a single-row DataFrame — a local-relation write
+  // ships the bytes as one task's binary (TaskSetManager warnings at MB
+  // filters, an unworkable task at GB production geometry). Meta (sizing
+  // params) stays a tiny parquet row beside it.
+  private def writeStoreBytes(spark: SparkSession, path: String,
+                              bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readStoreBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  private def writeFilterMeta(spark: SparkSession, path: String,
+                              expectedItems: Long, fpp: Double): Unit =
+    spark.range(1)
+      .select(lit(expectedItems).as("expected_items"), lit(fpp).as("fpp"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Distributed build over the md5→xxhash64 key column (the C113b keying,
+    * now shared by both stores — the InjectRuntimeFilter discipline:
+    * hashing is a plan expression, the aggregate folds bare longs).
+    * Returns serialized bytes; an EMPTY input yields the empty filter of
+    * the same geometry (byte-compatible with every later merge). */
+  private def buildBloomBytes(keyed: DataFrame, expectedItems: Long,
+                              fpp: Double): Array[Byte] = {
+    val row = keyed
+      .agg(graft.functions.TextHashExpressions
+        .bloomAgg(col("h"), expectedItems, fpp).as("f"))
+      .head()
+    if (!row.isNullAt(0)) row.getAs[Array[Byte]]("f")
+    else { // zero rows: the aggregate yields null — substitute the empty filter
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        .writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  private def bloomKeys(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+
   def writeBloomStore(docs: DataFrame, storeDir: String,
                       expectedItems: Long = 1L << 20,
                       fpp: Double = 0.01): Unit = {
-    import docs.sparkSession.implicits._
-    val bf = docs.filter(col("text").isNotNull)
-      .select(md5(expr("encode(text, 'UTF-8')")).as("k"))
-      .stat.bloomFilter("k", expectedItems, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    Seq((bos.toByteArray, expectedItems, fpp))
-      .toDF("filter", "expected_items", "fpp")
-      .write.mode("overwrite").parquet(s"$storeDir/bloom.parquet")
+    val spark = docs.sparkSession
+    val bytes = buildBloomBytes(bloomKeys(docs), expectedItems, fpp)
+    writeStoreBytes(spark, s"$storeDir/bloom.bin", bytes)
+    writeFilterMeta(spark, s"$storeDir/bloom_meta.parquet", expectedItems, fpp)
   }
 
   /** C113: batch screen + fold-in — probe the batch against the stored
@@ -696,15 +753,14 @@ object Dedup {
     * hash-list store can't have). */
   def bloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
-    val st = spark.read.parquet(s"$storeDir/bloom.parquet").head()
-    val bytes = st.getAs[Array[Byte]]("filter")
+    val meta = spark.read.parquet(s"$storeDir/bloom_meta.parquet").head()
+    val bytes = readStoreBytes(spark, s"$storeDir/bloom.bin")
     val bfBcast = spark.sparkContext.broadcast(
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes)))
-    val keyed = batch.filter(col("text").isNotNull)
-      .select(col("source"), md5(expr("encode(text, 'UTF-8')")).as("k"))
+    val keyed = bloomKeys(batch)
       .withColumn("seen",
-        graft.functions.TextHashExpressions.bloomContains(col("k"), bfBcast))
+        graft.functions.TextHashExpressions.bloomContains(col("h"), bfBcast))
       .localCheckpoint(true) // the report and the fold-in both consume it
     val out = keyed.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -713,18 +769,15 @@ object Dedup {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_docs").cast("double"))
     // fold the batch in: same (expected, fpp) ⇒ compatible bit arrays
-    val batchBf = keyed.stat.bloomFilter("k",
-      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    val batchBytes = buildBloomBytes(keyed,
+      meta.getAs[Long]("expected_items"), meta.getAs[Double]("fpp"))
     val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
-    merged.mergeInPlace(batchBf)
+    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(batchBytes)))
     val bos = new java.io.ByteArrayOutputStream()
     merged.writeTo(bos)
-    import spark.implicits._
-    Seq((bos.toByteArray, st.getAs[Long]("expected_items"),
-        st.getAs[Double]("fpp")))
-      .toDF("filter", "expected_items", "fpp")
-      .write.mode("overwrite").parquet(s"$storeDir/bloom.parquet")
+    writeStoreBytes(spark, s"$storeDir/bloom.bin", bos.toByteArray)
     out
   }
 
@@ -833,15 +886,13 @@ object Dedup {
                               expectedItems: Long = 1L << 16,
                               fpp: Double = 0.01): Unit = {
     import graft.functions.CountingBloomFunctions._
-    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
     val (m, k) = graft.functions.CountingBloom.geometry(expectedItems, fpp)
-    val bytes = docs.filter(col("text").isNotNull)
-      .select(xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+    val bytes = bloomKeys(docs)
       .agg(cbfAgg(col("h"), m, k).as("f"))
       .head().getAs[Array[Byte]]("f")
-    Seq((bytes, expectedItems, fpp))
-      .toDF("filter", "expected_items", "fpp")
-      .write.mode("overwrite").parquet(s"$storeDir/cbloom.parquet")
+    writeStoreBytes(spark, s"$storeDir/cbloom.bin", bytes)
+    writeFilterMeta(spark, s"$storeDir/cbloom_meta.parquet", expectedItems, fpp)
   }
 
   /** C113b: batch screen + fold-in — C113's ingest with counter ADDITION
@@ -861,16 +912,13 @@ object Dedup {
   def countingBloomIngest(batch: DataFrame, storeDir: String): DataFrame = {
     import graft.functions.CountingBloomFunctions._
     val spark = batch.sparkSession
-    val st = spark.read.parquet(s"$storeDir/cbloom.parquet").head()
-    val bytes = st.getAs[Array[Byte]]("filter")
+    val bytes = readStoreBytes(spark, s"$storeDir/cbloom.bin")
     val old = graft.functions.CountingBloom.deserialize(bytes)
     // broadcast a SEPARATE deserialization: `old` feeds the driver-side
     // fold-in arithmetic; the broadcast copy must stay immutable
     val cbfBcast = spark.sparkContext.broadcast(
       graft.functions.CountingBloom.deserialize(bytes))
-    val keyed = batch.filter(col("text").isNotNull)
-      .select(col("source"),
-        xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
+    val keyed = bloomKeys(batch)
       .withColumn("seen", cbfContains(col("h"), cbfBcast))
       .localCheckpoint(true) // the report and the fold-in both consume it
     val out = keyed.groupBy("source")
@@ -881,9 +929,8 @@ object Dedup {
         col("n_novel").cast("double") / col("n_docs").cast("double"))
     val batchBytes = keyed.agg(cbfAgg(col("h"), old.m, old.k).as("f"))
       .head().getAs[Array[Byte]]("f")
-    writeCbf(spark, storeDir,
-      graft.functions.CountingBloom.add(bytes, batchBytes),
-      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    writeStoreBytes(spark, s"$storeDir/cbloom.bin",
+      graft.functions.CountingBloom.add(bytes, batchBytes))
     out
   }
 
@@ -897,28 +944,15 @@ object Dedup {
   def countingBloomForget(batch: DataFrame, storeDir: String): DataFrame = {
     import graft.functions.CountingBloomFunctions._
     val spark = batch.sparkSession
-    val st = spark.read.parquet(s"$storeDir/cbloom.parquet").head()
-    val bytes = st.getAs[Array[Byte]]("filter")
+    val bytes = readStoreBytes(spark, s"$storeDir/cbloom.bin")
     val old = graft.functions.CountingBloom.deserialize(bytes)
-    val keyed = batch.filter(col("text").isNotNull)
-      .select(col("source"),
-        xxhash64(md5(expr("encode(text, 'UTF-8')"))).as("h"))
-      .localCheckpoint(true)
+    val keyed = bloomKeys(batch).localCheckpoint(true)
     val out = keyed.groupBy("source").agg(count(lit(1)).as("n_forgotten"))
     val batchBytes = keyed.agg(cbfAgg(col("h"), old.m, old.k).as("f"))
       .head().getAs[Array[Byte]]("f")
-    writeCbf(spark, storeDir,
-      graft.functions.CountingBloom.subtract(bytes, batchBytes),
-      st.getAs[Long]("expected_items"), st.getAs[Double]("fpp"))
+    writeStoreBytes(spark, s"$storeDir/cbloom.bin",
+      graft.functions.CountingBloom.subtract(bytes, batchBytes))
     out
-  }
-
-  private def writeCbf(spark: SparkSession, storeDir: String,
-                       bytes: Array[Byte], expected: Long,
-                       fpp: Double): Unit = {
-    import spark.implicits._
-    Seq((bytes, expected, fpp)).toDF("filter", "expected_items", "fpp")
-      .write.mode("overwrite").parquet(s"$storeDir/cbloom.parquet")
   }
 
   /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one
@@ -976,14 +1010,26 @@ object Dedup {
     * partitioning). The exact enumeration is the C4 inverted-index
     * self-join — a gate-SF / rehearsal-SF instrument, not a production
     * operator (production runs C2/C31 alone; this measures what the
-    * banding actually costs on THIS corpus). */
+    * banding actually costs on THIS corpus).
+    *
+    * r11 (the emb_lsh_recall discipline applied text-side): the entry
+    * THROWS when measured recall undercuts 0.85 × the banding scheme's
+    * own at-threshold collision bound 1 − (1 − t^r)^b (r = hashes/bands
+    * rows per band) — the worst-case promise for a pair at exactly the
+    * threshold; pairs above do better (measured 1.0 on this corpus vs
+    * the 0.19 floor at t=0.5, r=4, b=4 — the floor is deliberately the
+    * SCHEME's number, catching broken band machinery, never flapping on
+    * corpus regeneration). */
   def minhashRecall(spark: SparkSession, dir: String, shingleK: Int = 3,
                     numHashes: Int = 16, bands: Int = 4,
                     threshold: Double = 0.5): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)
     val truth = ngramJaccard(spark, dir, shingleK, threshold)
     val est = minhashLsh(spark, dir, shingleK, numHashes, bands, threshold)
-    truth.join(est, Seq("id_a", "id_b"), "left")
+    val r = numHashes / bands
+    val floor = 0.85 *
+      (1.0 - math.pow(1.0 - math.pow(threshold, r.toDouble), bands.toDouble))
+    val out = truth.join(est, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("true_pairs"),
         count(col("est_jaccard")).as("found_pairs"),
         sum(when(col("est_jaccard").isNotNull,
@@ -995,7 +1041,16 @@ object Dedup {
         col("err_sum").cast("double") / col("found_pairs").cast("double")))
       .select(col("true_pairs"), col("found_pairs"),
         round(col("recall"), 6).as("recall"),
-        round(col("est_mae"), 6).as("est_mae"))
+        round(col("est_mae"), 6).as("est_mae"),
+        lit(floor).as("floor"))
+      .localCheckpoint(true) // the floor check and the gate both read it
+    val head = out.head()
+    if (!head.isNullAt(head.fieldIndex("recall")))
+      require(head.getAs[Double]("recall") >= floor,
+        f"doc_dedup_minhash delivered recall ${head.getAs[Double]("recall")}%.4f " +
+          f"undercuts the banding scheme's floor $floor%.4f " +
+          "(hashes/bands machinery regressed)")
+    out
   }
 
   /** C84: n-gram CONTAINMENT pairs — Broder's (1997) asymmetric companion

@@ -795,8 +795,8 @@ class DedupSpec extends SparkSuite {
     def bytesOf(parts: Int): Seq[Byte] = {
       val t2 = java.nio.file.Files.createTempDirectory("graft-bloom-b").toString
       Dedup.writeBloomStore(d.repartition(parts), t2, expectedItems = 4096)
-      spark.read.parquet(s"$t2/bloom.parquet").head()
-        .getAs[Array[Byte]]("filter").toSeq
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t2/bloom.bin")).toSeq
     }
     assert(bytesOf(1) == bytesOf(7))
   }
@@ -812,10 +812,16 @@ class DedupSpec extends SparkSuite {
     // --- plain Bloom: 15M expected keys at 1% fpp ⇒ ~18 MB of bits ---
     val bf = org.apache.spark.util.sketch.BloomFilter.create(15000000L, 0.01)
     assert(bf.bitSize() / 8 >= 16L * 1024 * 1024, s"filter too small: ${bf.bitSize() / 8}")
-    Seq("alpha", "beta", "gamma").foreach(bf.putString)
+    // keys enter as xxhash64 longs (the builder keying) — hash via Spark
+    // so probe and build agree bit-for-bit
+    import org.apache.spark.sql.functions.xxhash64
+    val hashOf = Seq("alpha", "beta", "nope1", "nope2").toDF("k")
+      .select(col("k"), xxhash64(col("k")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("alpha", "beta").foreach(k => bf.putLong(hashOf(k)))
     val bfB = spark.sparkContext.broadcast(bf)
     val bloomExpr = graft.functions.BloomContainsExpr(
-      org.apache.spark.sql.catalyst.expressions.Literal("alpha"), bfB)
+      org.apache.spark.sql.catalyst.expressions.Literal(hashOf("alpha")), bfB)
     // what rides every task closure: the broadcast HANDLE, not the bits
     val bloomSer = javaSize(bloomExpr)
     assert(bloomSer < 64 * 1024,
@@ -823,11 +829,19 @@ class DedupSpec extends SparkSuite {
     // end-to-end over multiple partitions (each task re-deserializes the
     // expression; the filter itself must come from the block manager)
     val probed = Seq("alpha", "beta", "nope1", "nope2").toDF("k").repartition(4)
-      .select(col("k"),
-        graft.functions.TextHashExpressions.bloomContains(col("k"), bfB).as("seen"))
+      .select(col("k"), graft.functions.TextHashExpressions
+        .bloomContains(xxhash64(col("k")), bfB).as("seen"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(probed("alpha") && probed("beta"))
-    assert(!probed("nope1") && !probed("nope2")) // 3 keys in 134M bits: FP ~0
+    assert(!probed("nope1") && !probed("nope2")) // 2 keys in 143M bits: FP ~0
+    // the distributed builder (BloomFilterAggregate geometry) matches
+    // BloomFilter.create at the same (n, fpp) — both feed the UNROUNDED
+    // optimalNumOfBits into the same BitArray (which word-aligns it), so
+    // filters from either path merge/readFrom-compatibly
+    val wordAligned = (org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(15000000L, 0.01) + 63) / 64 * 64
+    assert(wordAligned == bf.bitSize(),
+      s"geometry drift: $wordAligned vs ${bf.bitSize()}")
     // --- counting Bloom: 4.5M counters * 4B = 18 MB ---
     val big = new graft.functions.CountingBloomBuf(4500000, 7)
     big.add(42L); big.add(-7L)
@@ -923,8 +937,8 @@ class DedupSpec extends SparkSuite {
       expectedItems = 4096)
     Dedup.countingBloomForget(docsOf(gone: _*), tAB)
     def bytes(t: String): Seq[Byte] =
-      spark.read.parquet(s"$t/cbloom.parquet").head()
-        .getAs[Array[Byte]]("filter").toSeq
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/cbloom.bin")).toSeq
     assert(bytes(tA) == bytes(tAB), "add-then-forget != never-added")
     // 2) takedown semantics: every kept key still present (no false
     //    negatives), forgotten keys read novel on re-ingest
