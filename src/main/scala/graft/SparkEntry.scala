@@ -422,6 +422,9 @@ object SparkEntry {
     // dataset-card table over C22's pair flags (zero rows for clean
     // suites are explicit, not omitted)
     "doc_decontam_report" -> ((s, d) => Dedup.decontamReport(s, d)),
+    // C119b (r11): the same rollup driven by exact n-gram CONTAINMENT
+    // (the GPT-3-style rule) — fully SQL-expressible, oracle-hash-gated
+    "doc_decontam_exact" -> ((s, d) => Dedup.decontamExact(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     // C112 range (radius) search: brute oracle path, the IVF-probed scale
@@ -4434,6 +4437,53 @@ object SparkEntry {
         |  JOIN sizes sb ON ipairs.id_b = sb.doc_id
         |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
         |               CAST(shared AS DOUBLE) / sb.n) >= 0.5""".stripMargin,
+    // C119b: exact n-gram-containment decontam report — the C4 grams CTE
+    // split bench/corpus, containment(bench IN doc) >= 0.5, suite rollup
+    // with explicit zero rows; mean quantizes DECIMAL(18,9) pre-sum
+    "doc_decontam_exact" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |bench AS (
+        |  SELECT doc_id AS bench_id,
+        |    'suite_' || CAST((doc_id // 20) % 4 AS VARCHAR) AS benchmark
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bgrams AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 20 = 0),
+        |bsizes AS (SELECT bench_id, count(*) AS n FROM bgrams GROUP BY 1),
+        |shared AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+        |  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0) c
+        |  JOIN bgrams b ON c.g = b.g GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT s.doc_id, s.bench_id,
+        |    CAST(s.shared AS DOUBLE) / bs.n AS containment
+        |  FROM shared s JOIN bsizes bs ON s.bench_id = bs.bench_id
+        |  WHERE CAST(s.shared AS DOUBLE) / bs.n >= 0.5),
+        |suites AS (SELECT benchmark, count(*) AS n_bench_docs FROM bench GROUP BY 1),
+        |hits AS (
+        |  SELECT b.benchmark, count(DISTINCT p.bench_id) AS n_bench_hit,
+        |    count(DISTINCT p.doc_id) AS n_corpus_flagged,
+        |    max(p.containment) AS max_containment,
+        |    CAST(SUM(CAST(p.containment AS DECIMAL(18,9))) AS DOUBLE)
+        |      / count(*) AS mean_containment
+        |  FROM pairs p JOIN bench b ON p.bench_id = b.bench_id GROUP BY 1),
+        |ncorp AS (SELECT count(*) AS n_corpus FROM documents WHERE doc_id % 20 <> 0)
+        |SELECT s.benchmark, s.n_bench_docs,
+        |  COALESCE(h.n_bench_hit, 0) AS n_bench_hit,
+        |  CAST(COALESCE(h.n_bench_hit, 0) AS DOUBLE) / s.n_bench_docs AS bench_hit_frac,
+        |  COALESCE(h.n_corpus_flagged, 0) AS n_corpus_flagged,
+        |  CAST(COALESCE(h.n_corpus_flagged, 0) AS DOUBLE)
+        |    / (SELECT n_corpus FROM ncorp) AS corpus_flagged_frac,
+        |  COALESCE(h.max_containment, 0.0) AS max_containment,
+        |  COALESCE(h.mean_containment, 0.0) AS mean_containment
+        |FROM suites s LEFT JOIN hits h ON s.benchmark = h.benchmark""".stripMargin,
     // per-column counts: all integers, one row per (table, column)
     "qa_profile" ->
       """SELECT 'events' AS entity, 'user_id' AS "column", count(*) AS n_rows,

@@ -1635,10 +1635,73 @@ object Dedup {
       docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
       docs.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"),
-          concat(lit("suite_"), ((col("doc_id") / 20) % 4).cast("long"))
-            .as("benchmark"),
+          concat(lit("suite_"), expr("(doc_id div 20) % 4")).as("benchmark"),
           col("text")),
       k, window, minShared)
+  }
+
+  /** C119b (r11): EXACT decontamination report — the same dataset-card
+    * rollup driven by the GPT-3/PaLM-style n-gram CONTAINMENT rule
+    * instead of winnowing fingerprints: a benchmark item is contaminated
+    * when ≥ τ of its k-gram set appears in some training doc
+    * (containment(bench IN corpus doc) = shared / |bench grams| — the
+    * C84 asymmetric normalizer, which is exactly what eval-leak hunting
+    * wants: the SHORT benchmark item wholly quoted inside a long training
+    * doc scores ~0 by Jaccard but 1.0 by containment). Fully
+    * SQL-expressible (the C4 inverted-index family), so unlike C119's
+    * winnowing form this report is ORACLE-HASH-GATED end to end: every
+    * fraction is an exact division of longs, mean_containment quantizes
+    * each pair score DECIMAL(18,9) before the order-free sum.
+    *
+    * Scale: bench grams are benchmark-sized (broadcast side of the
+    * inverted join); the corpus side is the C4 gram explode (hashes,
+    * never strings); the rollup is suite-keyed partial aggs. Corpora past
+    * the boilerplate knee route candidates through LSH exactly as
+    * ngramJaccardAuto does — at which point use C119 (winnowing). */
+  def decontamExact(spark: SparkSession, dir: String, k: Int = 3,
+                    tau: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat(lit("suite_"), expr("(doc_id div 20) % 4")).as("benchmark"),
+        col("text"))
+    def grams(df: DataFrame, idCol: String) = df
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col(idCol), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+    val benchGrams = grams(bench, "bench_id")
+    val benchSizes = benchGrams.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val shared = grams(corpus, "doc_id")
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+    val pairs = shared.join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_bench_grams").cast("double"))
+      .filter(col("containment") >= tau)
+      .join(broadcast(bench.select(col("bench_id"), col("benchmark"))), "bench_id")
+    val suites = bench.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_bench_docs"))
+    val hits = pairs.groupBy("benchmark")
+      .agg(countDistinct(col("bench_id")).as("n_bench_hit"),
+        countDistinct(col("doc_id")).as("n_corpus_flagged"),
+        max(col("containment")).as("max_containment"),
+        (sum(col("containment").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_containment"))
+    val corpusN = corpus.agg(count(lit(1)).as("n_corpus"))
+    suites.join(hits, Seq("benchmark"), "left")
+      .crossJoin(broadcast(corpusN))
+      .select(col("benchmark"), col("n_bench_docs"),
+        coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
+        (coalesce(col("n_bench_hit"), lit(0L)).cast("double") /
+          col("n_bench_docs").cast("double")).as("bench_hit_frac"),
+        coalesce(col("n_corpus_flagged"), lit(0L)).as("n_corpus_flagged"),
+        (coalesce(col("n_corpus_flagged"), lit(0L)).cast("double") /
+          col("n_corpus").cast("double")).as("corpus_flagged_frac"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+        coalesce(col("mean_containment"), lit(0.0)).as("mean_containment"))
   }
 
   /** Exact n-gram Jaccard verification over MinHash-LSH candidates only —

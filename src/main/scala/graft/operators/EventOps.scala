@@ -3160,49 +3160,55 @@ object EventOps {
     * verbatim, so 20 rounds stay bit-identical.
     *
     * Scale: the corpus-sized work is transitionCounts' one user_id
-    * shuffle; the iteration runs on the ≤\|types\|² edge summary
-    * (localCheckpoint'd per round — the star-CC lineage discipline);
-    * ≤\|types\| output rows. */
+    * shuffle; the 20 damped-power rounds run DRIVER-SIDE on the collected
+    * ≤\|types\|² edge summary (r11 — the A107 bounded-collect rationale:
+    * the summary is type-bounded, the per-round distributed jobs were
+    * pure stage overhead, and the arithmetic — double multiplies and the
+    * damping tree quantized to scale-9 HALF_UP decimals, exact decimal
+    * sums — is replicated exactly, proven by the recursive-CTE oracle
+    * staying hash-green); ≤\|types\| output rows. */
   def stationary(spark: SparkSession, dir: String, damping: Double = 0.85,
                  iters: Int = 20): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    import spark.implicits._
     val wFrom = Window.partitionBy("from_type")
+    // bounded: ≤ |types|² probability edges
     val edges = transitionCounts(spark, dir)
       .withColumn("n_from", sum(col("n_transitions")).over(wFrom))
       .select(col("from_type"), col("to_type"),
         (col("n_transitions").cast("double") / col("n_from").cast("double"))
           .as("p"))
-      .localCheckpoint(true)
-    val states = edges.select(col("from_type").as("state"))
-      .union(edges.select(col("to_type").as("state")))
-      .distinct().localCheckpoint(true)
-    val n = states.count().toDouble // bounded: ≤ |types|
-    if (n == 0) // empty corpus: 1/n would constant-fold to an ANSI error
-      return states.select(col("state").as("event_type"),
-        lit(0.0).as("stationary"))
-    val sources = edges.select(col("from_type").as("state")).distinct()
-      .localCheckpoint(true)
-    var pi = states.withColumn("pi", (lit(1.0) / lit(n)).cast(dec))
-      .localCheckpoint(true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = states.length.toDouble // bounded: ≤ |types|
+    if (n == 0) // empty corpus
+      return Seq.empty[(String, Double)].toDF("event_type", "stationary")
+    val sources = edges.map(_._1).toSet
+    val ZERO = java.math.BigDecimal.ZERO.setScale(9)
+    def dec9(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP)
+    var pi: Map[String, java.math.BigDecimal] =
+      states.map(s => s -> dec9(1.0 / n)).toMap
     for (_ <- 1 to iters) {
-      val inflow = edges
-        .join(pi, edges("from_type") === pi("state"))
-        .select(col("to_type").as("state"),
-          (col("pi").cast("double") * col("p")).cast(dec).as("term"))
-        .groupBy("state").agg(sum(col("term")).as("inflow"))
-      val dangling = pi.join(sources, Seq("state"), "left_anti")
-        .agg(coalesce(sum(col("pi")), lit(0).cast(dec)).as("dm"))
-      pi = states
-        .join(inflow, Seq("state"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("state"),
-          ((lit(1.0 - damping) / lit(n)) + lit(damping) *
-            (coalesce(col("inflow").cast("double"), lit(0.0)) +
-              col("dm").cast("double") / lit(n))).cast(dec).as("pi"))
-        .localCheckpoint(true)
+      // inflow(b) = Σ_a dec9(pi(a)_as_double · p(a→b)) — exact decimal sum
+      val inflow = scala.collection.mutable.Map.empty[String, java.math.BigDecimal]
+      edges.foreach { case (a, b, p) =>
+        val term = dec9(pi(a).doubleValue * p)
+        inflow(b) = inflow.getOrElse(b, ZERO).add(term)
+      }
+      // dangling mass: exact decimal sum over no-outgoing states
+      val dm = states.filterNot(sources)
+        .foldLeft(ZERO)((acc, s) => acc.add(pi(s)))
+      val dmD = dm.doubleValue
+      pi = states.map { s =>
+        val inflowD = inflow.get(s).map(_.doubleValue).getOrElse(0.0)
+        // the exact IEEE tree of the former plan expression:
+        // (1−d)/n + d · (inflow + dm/n), then the scale-9 quantization
+        s -> dec9((1.0 - damping) / n + damping * (inflowD + dmD / n))
+      }.toMap
     }
-    pi.select(col("state").as("event_type"),
-      col("pi").cast("double").as("stationary"))
+    states.toSeq.map(s => (s, pi(s).doubleValue))
+      .toDF("event_type", "stationary")
   }
 
   /** A107: ABSORPTION probability per state — "from here, what's the
@@ -3224,11 +3230,18 @@ object EventOps {
     * quantization (the decimal-tie rule).
     *
     * Scale: corpus work is transitionCounts' one shuffle + one ≤types
-    * occurrence census; 30 rounds run on the ≤types² checkpointed
-    * summary; ≤types output rows. */
+    * occurrence census; the 30 value-iteration rounds run DRIVER-SIDE on
+    * the collected ≤types² edge summary (r11 — bounded collect with the
+    * engine's standard justification: the summary is event-type-bounded,
+    * never corpus-sized; iterating it as 30 tiny distributed jobs paid
+    * ~3 s of pure stage overhead for arithmetic a driver does in
+    * microseconds, and the arithmetic is replicated EXACTLY — double
+    * multiply, BigDecimal.valueOf quantization to scale 9 HALF_UP, exact
+    * decimal sums — so the DuckDB recursive-CTE oracle stays hash-green,
+    * which is itself the proof of bit-identity); ≤types output rows. */
   def absorption(spark: SparkSession, dir: String,
                  target: String = "purchase", iters: Int = 30): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    import spark.implicits._
     val occ = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_occ"))
       .localCheckpoint(true)
@@ -3238,29 +3251,31 @@ object EventOps {
       .select(col("from_type"), col("to_type"),
         (col("n_transitions").cast("double") / col("n_occ").cast("double"))
           .as("p"))
-      .localCheckpoint(true)
-    val states = occ.select(col("event_type").as("state"))
-      .localCheckpoint(true)
-    var x = states.withColumn("x",
-      when(col("state") === target, lit(1.0).cast(dec))
-        .otherwise(lit(0.0).cast(dec)))
-      .localCheckpoint(true)
+      // bounded: ≤ |types|² probability edges (the iteration summary)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // bounded: ≤ |types| states
+    val states = occ.select(col("event_type")).collect().map(_.getString(0))
+    val ZERO = java.math.BigDecimal.ZERO.setScale(9)
+    val ONE = java.math.BigDecimal.ONE.setScale(9)
+    var x: Map[String, java.math.BigDecimal] =
+      states.map(s => s -> (if (s == target) ONE else ZERO)).toMap
     for (_ <- 1 to iters) {
-      val inflow = edges
-        .join(x, edges("to_type") === x("state"))
-        .select(col("from_type"),
-          (col("x").cast("double") * col("p")).cast(dec).as("term"))
-        .groupBy("from_type").agg(sum(col("term")).as("s"))
-      x = states
-        .join(inflow, states("state") === inflow("from_type"), "left")
-        .select(col("state"),
-          when(col("state") === target, lit(1.0).cast(dec))
-            .otherwise(coalesce(col("s").cast(dec), lit(0.0).cast(dec)))
-            .as("x"))
-        .localCheckpoint(true)
+      // term = dec9(x_b_as_double * p); per-from sums are exact decimal
+      // additions (order-free), mirroring sum(term) over DECIMAL(18,9)
+      val sums = scala.collection.mutable.Map.empty[String, java.math.BigDecimal]
+      edges.foreach { case (a, b, p) =>
+        val term = java.math.BigDecimal.valueOf(x(b).doubleValue * p)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+        sums(a) = sums.getOrElse(a, ZERO).add(term)
+      }
+      x = states.map(s => s ->
+        (if (s == target) ONE
+         else sums.getOrElse(s, ZERO).setScale(9, java.math.RoundingMode.HALF_UP)))
+        .toMap
     }
-    x.select(col("state").as("event_type"), col("x").cast("double")
-      .as("p_convert"))
+    states.toSeq.map(s => (s, x(s).doubleValue))
+      .toDF("event_type", "p_convert")
   }
 
   /** A105: HILL tail-index estimate per type's value distribution (Hill

@@ -231,6 +231,46 @@ class DedupSpec extends SparkSuite {
       c.getAs[Double]("mean_shared") == 0.0, s"clean suite must report an explicit zero row: $c")
     // gate shape on the real corpus: 4 deterministic suites, all reported
     assert(Dedup.decontamReport(spark, sf).count() == 4)
+  }
+
+  test("decontam exact: containment rule flags the full quote, spares the sub-threshold partial, reports explicit zero suites") {
+    import org.apache.spark.sql.functions.col
+    val bq1 = (1 to 12).map(i => s"bench1tok$i").mkString(" ") // 10 distinct 3-grams
+    val bq2 = (1 to 12).map(i => s"bench2tok$i").mkString(" ")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-decontam-exact").toString
+    Seq(
+      // bench items: doc_id % 20 == 0; suite = (id div 20) % 4
+      (0L, filler("cleanA", 15)),  // suite_0, clean
+      (20L, bq1),                  // suite_1, fully quoted by doc 1
+      (40L, bq2),                  // suite_2, quoted verbatim by doc 3
+      (60L, filler("cleanB", 15)), // suite_3, clean
+      // corpus
+      (1L, filler("a", 20) + " " + bq1 + " " + filler("b", 20)), // containment 1.0
+      (2L, bq1.split(" ").take(6).mkString(" ") + " " + filler("c", 40)), // 4/10 = 0.4 < tau
+      (3L, bq2),                                                 // containment 1.0
+      (4L, filler("e", 60)),
+      (5L, filler("f", 60)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rep = Dedup.decontamExact(spark, d)
+      .collect().map(r => r.getAs[String]("benchmark") -> r).toMap
+    assert(rep.size == 4, s"all four suites must report: ${rep.keys}")
+    val s1 = rep("suite_1")
+    assert(s1.getAs[Long]("n_bench_hit") == 1L &&
+      s1.getAs[Long]("n_corpus_flagged") == 1L && // doc 2 at 0.4 spared
+      s1.getAs[Double]("max_containment") == 1.0 &&
+      s1.getAs[Double]("corpus_flagged_frac") == 0.2, s"$s1")
+    val s2 = rep("suite_2")
+    assert(s2.getAs[Long]("n_bench_hit") == 1L &&
+      s2.getAs[Long]("n_corpus_flagged") == 1L &&
+      s2.getAs[Double]("max_containment") == 1.0, s"$s2")
+    Seq("suite_0", "suite_3").foreach { sx =>
+      val r = rep(sx)
+      assert(r.getAs[Long]("n_bench_hit") == 0L &&
+        r.getAs[Double]("mean_containment") == 0.0, s"clean $sx: $r")
+    }
 
     // the documents-table entry point runs clean and benchmark/corpus split
     // never overlaps (bench ids are multiples of 20, corpus ids are not)
