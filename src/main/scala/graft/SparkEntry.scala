@@ -425,6 +425,9 @@ object SparkEntry {
     // C119b (r11): the same rollup driven by exact n-gram CONTAINMENT
     // (the GPT-3-style rule) — fully SQL-expressible, oracle-hash-gated
     "doc_decontam_exact" -> ((s, d) => Dedup.decontamExact(s, d)),
+    // C119c (r11): the decontamination ACTION — the cleaned-corpus
+    // keep-list (corpus anti-join the flagged set), oracle-hash-gated
+    "doc_decontam_keep" -> ((s, d) => Dedup.decontamKeep(s, d)),
     "doc_keep_list"     -> ((s, d) => Dedup.keepList(s, d)),
     "emb_cosine_topk"   -> ((s, d) => Similarity.cosineTopK(s, d)),
     // C112 range (radius) search: brute oracle path, the IVF-probed scale
@@ -4484,6 +4487,32 @@ object SparkEntry {
         |  COALESCE(h.max_containment, 0.0) AS max_containment,
         |  COALESCE(h.mean_containment, 0.0) AS mean_containment
         |FROM suites s LEFT JOIN hits h ON s.benchmark = h.benchmark""".stripMargin,
+    // C119c: the keep-list — corpus minus the containment-flagged docs
+    "doc_decontam_keep" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' ')) END) AS g
+        |    FROM words) t),
+        |bgrams AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 20 = 0),
+        |bsizes AS (SELECT bench_id, count(*) AS n FROM bgrams GROUP BY 1),
+        |shared AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+        |  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0) c
+        |  JOIN bgrams b ON c.g = b.g GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM shared s JOIN bsizes bs ON s.bench_id = bs.bench_id
+        |  WHERE CAST(s.shared AS DOUBLE) / bs.n >= 0.5)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id % 20 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
     // per-column counts: all integers, one row per (table, column)
     "qa_profile" ->
       """SELECT 'events' AS entity, 'user_id' AS "column", count(*) AS n_rows,

@@ -1658,6 +1658,50 @@ object Dedup {
     * never strings); the rollup is suite-keyed partial aggs. Corpora past
     * the boilerplate knee route candidates through LSH exactly as
     * ngramJaccardAuto does — at which point use C119 (winnowing). */
+  /** C119c (r11): the decontamination ACTION — the cleaned-corpus
+    * keep-list a release pipeline actually ships: every corpus doc NOT
+    * flagged by the C119b containment rule, with its flag context
+    * (n_bench_hits, worst containment) carried on the dropped complement
+    * being derivable by anti-join. Returns (doc_id, source, n_chars) for
+    * keepers — the C16 keep-list shape, so downstream packing/budgeting
+    * compose unchanged. Oracle-hash-gated (pure SQL over the C119b pair
+    * set). Scale: the flagged set is benchmark-bounded (≤ corpus docs
+    * sharing ≥τ of some bench item), broadcast into a left-anti join —
+    * the corpus is scanned once for grams, once for the verdict. */
+  def decontamKeep(spark: SparkSession, dir: String, k: Int = 3,
+                   tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val flagged = decontamPairs(spark, dir, k, tau)
+      .select(col("doc_id")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** The C119b (doc, bench, containment) pair set — shared by the report
+    * and the keep-list so τ/k can never diverge between them. */
+  private def decontamPairs(spark: SparkSession, dir: String, k: Int,
+                            tau: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    def grams(df: DataFrame, idCol: String) = df
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col(idCol), explode(graft.functions.Barrier.noInline(
+        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
+    val benchGrams = grams(bench, "bench_id")
+    val benchSizes = benchGrams.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    grams(corpus, "doc_id")
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_bench_grams").cast("double"))
+      .filter(col("containment") >= tau)
+  }
+
   def decontamExact(spark: SparkSession, dir: String, k: Int = 3,
                     tau: Double = 0.5): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)
@@ -1667,20 +1711,7 @@ object Dedup {
       .select(col("doc_id").as("bench_id"),
         concat(lit("suite_"), expr("(doc_id div 20) % 4")).as("benchmark"),
         col("text"))
-    def grams(df: DataFrame, idCol: String) = df
-      .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      .select(col(idCol), explode(graft.functions.Barrier.noInline(
-        graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
-    val benchGrams = grams(bench, "bench_id")
-    val benchSizes = benchGrams.groupBy("bench_id")
-      .agg(count(lit(1)).as("n_bench_grams"))
-    val shared = grams(corpus, "doc_id")
-      .join(broadcast(benchGrams), Seq("g"))
-      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
-    val pairs = shared.join(broadcast(benchSizes), "bench_id")
-      .withColumn("containment",
-        col("shared").cast("double") / col("n_bench_grams").cast("double"))
-      .filter(col("containment") >= tau)
+    val pairs = decontamPairs(spark, dir, k, tau)
       .join(broadcast(bench.select(col("bench_id"), col("benchmark"))), "bench_id")
     val suites = bench.groupBy("benchmark")
       .agg(count(lit(1)).as("n_bench_docs"))

@@ -271,6 +271,11 @@ class DedupSpec extends SparkSuite {
       assert(r.getAs[Long]("n_bench_hit") == 0L &&
         r.getAs[Double]("mean_containment") == 0.0, s"clean $sx: $r")
     }
+    // C119c: the ACTION — flagged docs 1 and 3 leave the corpus, the
+    // sub-threshold partial (2) and the clean docs stay
+    val kept = Dedup.decontamKeep(spark, d).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 4L, 5L), s"keep-list: $kept")
 
     // the documents-table entry point runs clean and benchmark/corpus split
     // never overlaps (bench ids are multiples of 20, corpus ids are not)

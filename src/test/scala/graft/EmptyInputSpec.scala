@@ -162,6 +162,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.docContamination(spark, dir).count() == 0)
     assert(Dedup.decontamReport(spark, dir).count() == 0)
     assert(Dedup.decontamExact(spark, dir).count() == 0)
+    assert(Dedup.decontamKeep(spark, dir).count() == 0)
     assert(TextOps.deterministicSplit(spark, dir).count() == 0)
     assert(TextOps.repetitionNgrams(spark, dir).count() == 0)
     assert(Analytics.benford(spark, dEmpty).count() == 0)
