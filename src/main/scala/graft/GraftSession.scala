@@ -46,6 +46,17 @@ object GraftSession {
       // confs in PlanSpec.
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         "512MB")
+      // BloomFilterAggregate Math.min's its geometry against these caps at
+      // eval — the C113 store build (TextHashExpressions.bloomAgg) refuses
+      // requests above them rather than let the filter silently shrink.
+      // 2^26 items / 2^31 bits ≈ the 256 MB single-filter practical
+      // ceiling; shard the key space above it. Injected runtime filters
+      // keep their own (much smaller) default sizing — these are maxima,
+      // not defaults.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        (1L << 26).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 31).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }

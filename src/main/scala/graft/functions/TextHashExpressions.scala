@@ -744,10 +744,31 @@ object TextHashExpressions {
     * removed, on the build side (1.2 MB/task at the gate geometry; the
     * whole filter per task at production sizes). Geometry matches
     * `BloomFilter.create(n, fpp)` exactly (numBits = optimalNumOfBits), so
-    * filters from either path merge and serialize identically. */
+    * filters from either path merge and serialize identically.
+    *
+    * CAP GUARD (r11 self-review): BloomFilterAggregate Math.min's both
+    * geometry args against `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`maxNumBits` (4M / 64M-bit defaults) AT EVAL — a
+    * request above the caps would SILENTLY build a smaller filter,
+    * breaking the stated fpp and desyncing from every
+    * `BloomFilter.create`-built peer (mergeInPlace then throws
+    * IncompatibleMergeException). Refuse loudly instead: size the session
+    * confs to the store geometry (GraftSession ships 2^26 items /
+    * 2^31 bits — the ~256 MB single-filter practical ceiling; shard the
+    * key space above it). */
   def bloomAgg(hash: Column, expectedItems: Long, fpp: Double): Column = {
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"bloom geometry ($expectedItems items / $bits bits) exceeds the session caps " +
+        s"($maxItems items / $maxBits bits) — BloomFilterAggregate would silently " +
+        "truncate it; raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits or shard the key space")
     GraftShims.toColumn(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         GraftShims.toExpression(hash),

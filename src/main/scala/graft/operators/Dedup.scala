@@ -719,9 +719,13 @@ object Dedup {
         .bloomAgg(col("h"), expectedItems, fpp).as("f"))
       .head()
     if (!row.isNullAt(0)) row.getAs[Array[Byte]]("f")
-    else { // zero rows: the aggregate yields null — substitute the empty filter
+    else { // zero rows: the aggregate yields null — substitute the empty
+      // filter at the EXACT geometry the aggregate would have used (same
+      // unrounded numBits), so it merges with any later agg-built batch
+      val bits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedItems, fpp)
       val bos = new java.io.ByteArrayOutputStream()
-      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, bits)
         .writeTo(bos)
       bos.toByteArray
     }
@@ -914,6 +918,15 @@ object Dedup {
     val spark = batch.sparkSession
     val bytes = readStoreBytes(spark, s"$storeDir/cbloom.bin")
     val old = graft.functions.CountingBloom.deserialize(bytes)
+    // integrity check (r11 self-review — the meta must be load-bearing,
+    // not provenance that can silently drift): the persisted sizing params
+    // must re-derive the filter's actual geometry
+    val meta = spark.read.parquet(s"$storeDir/cbloom_meta.parquet").head()
+    val expect = graft.functions.CountingBloom.geometry(
+      meta.getAs[Long]("expected_items"), meta.getAs[Double]("fpp"))
+    require(expect == ((old.m, old.k)),
+      s"cbloom store corrupt: meta ${meta.mkString(",")} derives geometry " +
+        s"$expect but the filter is (${old.m}, ${old.k})")
     // broadcast a SEPARATE deserialization: `old` feeds the driver-side
     // fold-in arithmetic; the broadcast copy must stay immutable
     val cbfBcast = spark.sparkContext.broadcast(
@@ -1602,26 +1615,39 @@ object Dedup {
       corpus.select(col("doc_id"), col("text")),
       benchmark.select(col("bench_id"), col("text")), k, window, minShared)
       .join(benchmark.select(col("bench_id"), col("benchmark")), "bench_id")
-    val suites = benchmark.groupBy("benchmark")
-      .agg(count(lit(1)).as("n_bench_docs"))
     val hits = pairs.groupBy("benchmark")
       .agg(countDistinct(col("bench_id")).as("n_bench_hit"),
         countDistinct(col("doc_id")).as("n_corpus_flagged"),
         max(col("n_shared")).as("max_shared"),
         avg(col("n_shared")).as("mean_shared"))
+    suiteRollup(benchmark, corpus, hits,
+      Seq("max_shared" -> lit(0L), "mean_shared" -> lit(0.0)))
+  }
+
+  /** The shared dataset-card rollup of C119/C119b (r11 self-review: the
+    * suites-join-hits + zero-row projection existed twice, so a fix to
+    * the zero-row or fraction semantics could silently diverge the
+    * winnowing and containment reports): full suite dimension left-joins
+    * the hit aggregates, clean suites coalesce to explicit zeros, corpus
+    * total rides a 1-row broadcast. `sev` names the severity columns
+    * with their typed zero (counts LONG, scores DOUBLE). */
+  private def suiteRollup(benchmark: DataFrame, corpus: DataFrame,
+                          hits: DataFrame,
+                          sev: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val suites = benchmark.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_bench_docs"))
     // single-row scalar: constant-size broadcast, policy-compliant
     val corpusN = corpus.agg(count(lit(1)).as("n_corpus"))
     suites.join(hits, Seq("benchmark"), "left")
       .crossJoin(broadcast(corpusN))
-      .select(col("benchmark"), col("n_bench_docs"),
+      .select(Seq(col("benchmark"), col("n_bench_docs"),
         coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
         (coalesce(col("n_bench_hit"), lit(0L)).cast("double") /
           col("n_bench_docs").cast("double")).as("bench_hit_frac"),
         coalesce(col("n_corpus_flagged"), lit(0L)).as("n_corpus_flagged"),
         (coalesce(col("n_corpus_flagged"), lit(0L)).cast("double") /
-          col("n_corpus").cast("double")).as("corpus_flagged_frac"),
-        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
-        coalesce(col("mean_shared"), lit(0.0)).as("mean_shared"))
+          col("n_corpus").cast("double")).as("corpus_flagged_frac")) ++
+        sev.map { case (n, zero) => coalesce(col(n), zero).as(n) }: _*)
   }
 
   /** C119 over the documents table: the C22 gate split (every 20th doc is
@@ -1713,26 +1739,14 @@ object Dedup {
         col("text"))
     val pairs = decontamPairs(spark, dir, k, tau)
       .join(broadcast(bench.select(col("bench_id"), col("benchmark"))), "bench_id")
-    val suites = bench.groupBy("benchmark")
-      .agg(count(lit(1)).as("n_bench_docs"))
     val hits = pairs.groupBy("benchmark")
       .agg(countDistinct(col("bench_id")).as("n_bench_hit"),
         countDistinct(col("doc_id")).as("n_corpus_flagged"),
         max(col("containment")).as("max_containment"),
         (sum(col("containment").cast(dec)).cast("double") /
           count(lit(1)).cast("double")).as("mean_containment"))
-    val corpusN = corpus.agg(count(lit(1)).as("n_corpus"))
-    suites.join(hits, Seq("benchmark"), "left")
-      .crossJoin(broadcast(corpusN))
-      .select(col("benchmark"), col("n_bench_docs"),
-        coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
-        (coalesce(col("n_bench_hit"), lit(0L)).cast("double") /
-          col("n_bench_docs").cast("double")).as("bench_hit_frac"),
-        coalesce(col("n_corpus_flagged"), lit(0L)).as("n_corpus_flagged"),
-        (coalesce(col("n_corpus_flagged"), lit(0L)).cast("double") /
-          col("n_corpus").cast("double")).as("corpus_flagged_frac"),
-        coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
-        coalesce(col("mean_containment"), lit(0.0)).as("mean_containment"))
+    suiteRollup(bench, corpus, hits,
+      Seq("max_containment" -> lit(0.0), "mean_containment" -> lit(0.0)))
   }
 
   /** Exact n-gram Jaccard verification over MinHash-LSH candidates only —

@@ -2306,7 +2306,13 @@ object TextOps {
     // (its hash re-appends below and leaves the tombstone, so the next
     // compaction cannot delete the re-added copy)
     val tomb = cdcTombstonesOf(spark, storeDir)
+    // DISTINCT store keys (r11 self-review): a resurrection re-appends a
+    // hash whose pre-forget rows are still physically present, so the raw
+    // table can legitimately hold duplicates until the next compact — an
+    // un-deduplicated join side would multiply `marked` rows and inflate
+    // every byte count for that content
     val storedRaw = spark.read.parquet(s"$storeDir/chunks.parquet")
+      .select(col("chunk_md5")).distinct()
     val stored = tomb.fold(storedRaw)(t =>
         storedRaw.join(t.select("chunk_md5"), Seq("chunk_md5"), "left_anti"))
       .select(col("chunk_md5"), lit(true).as("known"))
@@ -2392,22 +2398,32 @@ object TextOps {
     * rewritten table is the live view (distinct chunks ANTI tombstone),
     * coalesced; on a disjoint-content corpus it equals a store built
     * without the forgotten docs (spec-pinned as set equality). Crash-safe
-    * ordering as in A80g: the rewrite materializes BEFORE the overwrite
-    * (read-own-writes guard) and the tombstone deletes LAST — a crash
-    * between the two steps leaves a correct, still-masked store. */
+    * ordering (r11 self-review — the first cut deleted the live table
+    * BEFORE the rewrite, a window in which a crash lost the whole store):
+    * the rewrite lands in a TEMP sibling first, the swap is two renames
+    * (the chunk data exists on disk in some directory at every instant —
+    * never only in a writer's buffer), and the tombstone deletes LAST. A
+    * crash before the first rename leaves the old still-masked store; a
+    * crash after the second leaves the compacted one; the one instant
+    * between renames leaves the data in `.old` (recover by renaming it
+    * back — data loss is impossible, unlike the delete-first form). */
   def cdcCompact(spark: SparkSession, storeDir: String): Unit = {
     val tomb = cdcTombstonesOf(spark, storeDir)
     val raw = spark.read.parquet(s"$storeDir/chunks.parquet")
       .select(col("chunk_md5"), col("len")).distinct()
     val live = tomb.fold(raw)(t =>
         raw.join(t.select("chunk_md5"), Seq("chunk_md5"), "left_anti"))
-      .localCheckpoint(true) // read-own-writes: materialize, then overwrite
+      .localCheckpoint(true) // read-own-writes: materialize, then rewrite
     val conf = spark.sessionState.newHadoopConf()
     val chunkDir = new org.apache.hadoop.fs.Path(s"$storeDir/chunks.parquet")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$storeDir/chunks.parquet.compacting")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$storeDir/chunks.parquet.old")
     val fs = chunkDir.getFileSystem(conf)
-    fs.delete(chunkDir, true)
-    live.coalesce(1).write.mode("overwrite")
-      .parquet(s"$storeDir/chunks.parquet")
+    fs.delete(tmpDir, true); fs.delete(oldDir, true) // prior crashed attempts
+    live.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    fs.rename(chunkDir, oldDir)
+    fs.rename(tmpDir, chunkDir)
+    fs.delete(oldDir, true)
     fs.delete(new org.apache.hadoop.fs.Path(cdcTombPath(storeDir)), true)
     ()
   }

@@ -1652,6 +1652,12 @@ class TextOpsSpec extends SparkSuite {
       val again = TextOps.cdcIngest(docsOf(11L -> tA), t1.toString).collect().head
       assert(again.getAs[Long]("new_bytes") == 0L,
         s"re-ingested content must be resurrected: $again")
+      // EXACT byte accounting survives the resurrection (r11 self-review:
+      // the resurrected hash's pre-forget rows are still in the store, so
+      // an un-deduplicated join side would DOUBLE total/known here)
+      assert(again.getAs[Long]("total_bytes") == tA.length.toLong &&
+        again.getAs[Long]("known_bytes") == tA.length.toLong,
+        s"duplicate store rows inflated the accounting: $again")
       // B was never forgotten: still known throughout
       val bStill = TextOps.cdcIngest(docsOf(12L -> tB), t1.toString).collect().head
       assert(bStill.getAs[Long]("new_bytes") == 0L, s"$bStill")
