@@ -95,6 +95,12 @@ object Bench {
     "emb_triangles_ivf", "ev_assoc_rules", "ev_user_entropy", "ev_ewma",
     "ev_tail_index", "doc_lexical_diversity", "ev_stationary",
     "ev_absorption", "doc_rouge_pairs",
+    // round-14 additions (r11 session): the decontam family, the CDC
+    // lifecycle, and the LSH recall floor (itself an exact-enumeration
+    // instrument — cheap at gate SF, measured so a recall-gate cost
+    // regression is visible)
+    "doc_decontam_report", "doc_decontam_exact", "doc_decontam_keep",
+    "doc_cdc_forget", "emb_lsh_recall",
   )
 
   /** Bench overrides for entries whose `queries` shape exists only for the
