@@ -563,10 +563,13 @@ object Bench {
         // r11 the broadcast-queries×corpus range filter and the
         // within-block exact pair enumeration (both ~8× at 10× in the
         // quiet record, quadratic by construction, with linear production
-        // paths emb_range_ivf / emb_lsh_auto still measured). All three
-        // stay in the sf0.1 rep pass; re-measure via BenchScale.
+        // paths emb_range_ivf / emb_lsh_auto still measured), and the
+        // emb_lsh_recall gate instrument (11.4× measured at 10× in the r11
+        // close — it embeds the exact O(n²) pair enumeration by design;
+        // the production path it floors, emb_lsh_auto, stays measured).
+        // All stay in the sf0.1 rep pass; re-measure via BenchScale.
         val scale10Skip = Set("emb_lsh_pairs", "emb_range_query",
-          "emb_neardup_pairs")
+          "emb_neardup_pairs", "emb_lsh_recall")
         // Entries whose FIRST call against a new data dir builds a
         // persisted store/index (the benchOverrides cachedStore entries and
         // the tmp-dir ANN indexes): at the base SF min-of-3 absorbs the
