@@ -686,14 +686,25 @@ object Bench {
         // degraded HOST, not 12 independent regressions — but the skipped
         // names must be VISIBLE in the artifact (r11 self-review: a
         // silently un-retried outlier is exactly the unflagged-busy
-        // failure mode this block exists to kill), so they join `busy`
-        val (readjNow, readjSkipped) = outliers.splitAt(12)
+        // failure mode this block exists to kill), so they join `busy`.
+        // The retry budget goes to the LARGEST ratios first (r11 verdict:
+        // run-order splitAt left the 24×/20× ghosts un-retried while the
+        // budget cleared 10× ones — the artifact's `worst` block misled
+        // exactly where it mattered most).
+        val (readjNow, readjSkipped) =
+          outliers.sortBy(k => -(timedMap(k).get / base(k))).splitAt(12)
         readjSkipped.foreach { name =>
           System.err.println(s"[bench] scale10 readjudication cap: $name left un-retried")
           busyQs += name
         }
         readjNow.foreach { name =>
-          if (System.nanoTime() < adjDeadline) benchFn(name).foreach { fn =>
+          // deadline-skips must stay as visible as cap-skips: an outlier
+          // left un-retried because the 420 s adjudication window closed
+          // is the same silently-unflagged failure mode as the cap path
+          if (System.nanoTime() >= adjDeadline) {
+            System.err.println(s"[bench] scale10 readjudication deadline: $name left un-retried")
+            busyQs += name
+          } else benchFn(name).foreach { fn =>
             var pre = calibMs()
             while (pre > gateMs && System.nanoTime() < adjDeadline) {
               System.err.println(f"[bench] scale10 readjudication of $name waiting for quiet window (calib $pre%.0f ms)")

@@ -685,13 +685,52 @@ object Dedup {
                               bytes: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // temp-write + rename swap (r11 advice — same discipline as
+    // cdcCompact): this file IS the store, with no rebuild source, so a
+    // crash mid-write must never leave a truncated filter. The previous
+    // bytes stay on disk (as `.old` for one instant) until the new write
+    // is complete; FileSystem.rename failures surface as booleans, so
+    // each is checked. readStoreBytes recovers the one crash window
+    // (between the two renames) from `.old`.
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true) // prior crashed attempt
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    if (fs.exists(p)) {
+      fs.delete(old, true)
+      require(fs.rename(p, old),
+        s"filter store swap: rename $p -> $old failed; store untouched")
+    }
+    require(fs.rename(tmp, p),
+      s"filter store swap: rename $tmp -> $p failed; prior bytes in $old")
+    fs.delete(old, true)
+    ()
   }
 
   private def readStoreBytes(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      val legacy = new org.apache.hadoop.fs.Path(
+        path.stripSuffix(".bin") + ".parquet")
+      if (fs.exists(old)) {
+        // writeStoreBytes crashed between its two renames: the previous
+        // store bytes are intact in `.old` — recover them
+        require(fs.rename(old, p),
+          s"filter store recovery: rename $old -> $p failed")
+      } else if (path.endsWith(".bin") && fs.exists(legacy)) {
+        // r11 advice: the store format changed incompatibly in r11
+        // (single-row parquet + putString(md5) -> raw .bin + meta +
+        // putLong(xxhash64(md5))); a stale directory must fail loudly,
+        // not with a raw missing-file error
+        sys.error(s"filter store at $path predates the r11 bin+meta " +
+          s"format (found legacy $legacy, whose putString keying is " +
+          "incompatible with the current xxhash64 keying): rebuild the " +
+          "store with writeBloomStore/writeCountingBloomStore")
+      }
+    }
     val in = fs.open(p)
     try {
       val len = fs.getFileStatus(p).getLen.toInt
@@ -782,7 +821,14 @@ object Dedup {
     val bos = new java.io.ByteArrayOutputStream()
     merged.writeTo(bos)
     writeStoreBytes(spark, s"$storeDir/bloom.bin", bos.toByteArray)
-    out
+    // r11 advice: a long-lived session ingesting many batches must not
+    // accumulate MB-sized filter broadcasts and checkpoint blocks until
+    // the GC-driven ContextCleaner runs — materialize the (per-source-
+    // sized) report off the checkpoint, then free both eagerly
+    val result = out.localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(keyed)
+    bfBcast.destroy()
+    result
   }
 
   /** C117: ROUGE-L scoring of the C2 near-dup candidates (Lin 2004,
@@ -944,7 +990,11 @@ object Dedup {
       .head().getAs[Array[Byte]]("f")
     writeStoreBytes(spark, s"$storeDir/cbloom.bin",
       graft.functions.CountingBloom.add(bytes, batchBytes))
-    out
+    // free the filter broadcast + batch checkpoint eagerly (see bloomIngest)
+    val result = out.localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(keyed)
+    cbfBcast.destroy()
+    result
   }
 
   /** C113b: TAKEDOWN — subtract the batch's own filter from the store
@@ -965,7 +1015,10 @@ object Dedup {
       .head().getAs[Array[Byte]]("f")
     writeStoreBytes(spark, s"$storeDir/cbloom.bin",
       graft.functions.CountingBloom.subtract(bytes, batchBytes))
-    out
+    // free the batch checkpoint eagerly (see bloomIngest)
+    val result = out.localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(keyed)
+    result
   }
 
   /** C4: exact word-n-gram Jaccard over ALL pairs sharing at least one

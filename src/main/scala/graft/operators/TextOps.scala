@@ -2421,8 +2421,20 @@ object TextOps {
     val fs = chunkDir.getFileSystem(conf)
     fs.delete(tmpDir, true); fs.delete(oldDir, true) // prior crashed attempts
     live.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    fs.rename(chunkDir, oldDir)
-    fs.rename(tmpDir, chunkDir)
+    // Hadoop FileSystem.rename reports most failures by RETURNING FALSE,
+    // not throwing (r11 advice): a failed swap must abort before the
+    // tombstone delete, or the old un-compacted chunks stay live while
+    // the tombstones that masked them vanish — taken-down content would
+    // read "known" again, violating the never-over-claim guarantee.
+    require(fs.rename(chunkDir, oldDir),
+      s"cdcCompact: rename $chunkDir -> $oldDir failed; store untouched, tombstones kept")
+    if (!fs.rename(tmpDir, chunkDir)) {
+      // restore the live table before failing — data is still in oldDir
+      fs.rename(oldDir, chunkDir)
+      sys.error(s"cdcCompact: rename $tmpDir -> $chunkDir failed; old store restored, tombstones kept")
+    }
+    require(fs.exists(chunkDir),
+      s"cdcCompact: $chunkDir missing after swap; tombstones kept")
     fs.delete(oldDir, true)
     fs.delete(new org.apache.hadoop.fs.Path(cdcTombPath(storeDir)), true)
     ()

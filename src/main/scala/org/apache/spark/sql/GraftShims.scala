@@ -15,6 +15,20 @@ object GraftShims {
     * instead of executor ClassCastExceptions). */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 
+  /** Free the block-manager blocks behind a `localCheckpoint`ed Dataset
+    * (r11 advice: `Dataset.unpersist` routes through the CacheManager,
+    * which does not know checkpoint RDDs — a long-lived session ingesting
+    * many batches otherwise accumulates checkpoint blocks until the
+    * GC-driven ContextCleaner happens to run). Walks the analyzed plan
+    * for the LogicalRDD leaves a checkpoint produces and unpersists their
+    * backing RDDs directly. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Register a native function on a LIVE session (getOrCreate ignores
     * extensions when a session already exists — tests and REPLs need this). */
   def registerFunction(spark: SparkSession,
