@@ -487,6 +487,11 @@ object SparkEntry {
     // the exact cosine enumeration, floored at the scheme's own sizing
     // promise (0.85 × at-threshold theoretical recall)
     "emb_lsh_recall"    -> ((s, d) => Similarity.lshRecallGate(s, d)),
+    // C6d (r12, the r11 verdict's open scale unknown): the maxBands cap's
+    // recall cost as MEASURED numbers — a cap × simulated-corpus-size
+    // sweep (collision probability is scale-free given the scheme, so the
+    // 2^30-vector scheme's recall is measurable on gate-corpus true pairs)
+    "emb_lsh_band_curve" -> ((s, d) => Similarity.lshBandCurve(s, d)),
     "emb_ivf_query_recall" -> ((s, d) => {
       val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
@@ -624,6 +629,19 @@ object SparkEntry {
     "doc_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
     "doc_bpe_train_fast" -> ((s, d) => TextOps.bpeTrainFast(s, d)),
     "doc_bpe_encode"    -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // C53d: encode from the persisted production-scale merge table (r12,
+    // VERDICT r11 #3) — the write is gate-covered here; the bench serves
+    // from a cached store (train once, encode many)
+    "doc_bpe_store"     -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bpes")
+      try {
+        TextOps.writeBpeStoreFast(graft.Tables.documents(s, d), tmp.toString)
+        TextOps.bpeEncodeFromStore(s, d, tmp.toString).localCheckpoint(true)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively()
+      }
+    }),
     "doc_dup_spans"     -> ((s, d) => Dedup.dupSpans(s, d)),
     "doc_quality_model" -> ((s, d) => QualityModel.qualityModel(s, d)),
     "doc_quality_incr" -> ((s, d) => {

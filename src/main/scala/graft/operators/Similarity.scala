@@ -705,6 +705,105 @@ object Similarity {
         "bits", "bands")
   }
 
+  /** C6d (r12, the r11 verdict's open scale unknown): the `maxBands` cap's
+    * measured recall cost, as a maxBands × corpus-size sweep — turning the
+    * past-the-cap envelope from a formula bound into stated numbers.
+    *
+    * The instrument's lever: a pair's collision probability under a
+    * (bits, bands) sign-LSH scheme depends ONLY on the pair's cosine and
+    * the scheme — never on corpus size (n enters solely through
+    * [[lshAutoParams]]' occupancy-pinned choice of bits). So the recall a
+    * 10⁹-vector deployment would deliver is measurable on the gate corpus:
+    * apply the AT-SCALE (bits, bands) to the gate corpus's exact true-pair
+    * set and count collisions. What the simulation cannot import from the
+    * real deployment is its cosine DISTRIBUTION above the threshold (a
+    * corpus whose true pairs hug the threshold does worse than one whose
+    * pairs sit high) — the per-radius honesty caveat phashRecallCurve
+    * documents, carried here: the at-threshold theory column is the
+    * distribution-free floor, the measured column is this corpus's read.
+    *
+    * For each simulated scale n ∈ {gate n, 2²⁰, 2³⁰} and cap ∈ {16, 32,
+    * 64, 128}: bits from occupancy pinning at n, effective bands =
+    * min(cap, bands needed for `targetRecall`), theoretical at-threshold
+    * recall of that scheme, and measured recall over the exact enumeration.
+    * Signatures are computed once per scale at the LARGEST effective band
+    * count (per VECTOR, n·bits·bands planes — never per pair) and every
+    * smaller cap reads as a prefix: first_hit ≤ bands(cap) ⟺ the capped
+    * scheme finds the pair (the same prefix property lshPairsOf's
+    * first-collision dedup rides). O(n²·dim) exact enumeration — a
+    * gate/rehearsal instrument like [[lshEmpiricalRecall]], not a
+    * production operator. */
+  def lshBandCurve(spark: SparkSession, dir: String,
+                   threshold: Double = 0.4,
+                   targetRecall: Double = 0.9,
+                   targetOccupancy: Int = 64,
+                   caps: Seq[Int] = Seq(16, 32, 64, 128),
+                   simScales: Seq[Long] = Seq(0L, 1L << 20, 1L << 30)): DataFrame = {
+    import spark.implicits._
+    val embN = withNorm(Tables.embeddings(spark, dir))
+    val n = math.max(1L, embN.count())
+    val par = spark.sparkContext.defaultParallelism
+    val a = embN.repartition(par)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = embN
+      .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .localCheckpoint(true) // ≤ true-pair rows (ids+cos); re-read per scale
+    val rows = simScales.map(s => if (s == 0L) n else s).distinct.flatMap { simN =>
+      val (bits, needed) = lshAutoParams(simN, threshold, targetRecall,
+        targetOccupancy, Int.MaxValue)
+      val capEff = caps.map(c => c -> math.min(c, needed))
+      val bandsMax = capEff.map(_._2).max
+      val sigs = embN
+        .withColumn("bsigs",
+          array((0 until bandsMax).map(bd => bandSig(bits, bd)): _*))
+        .filter(col("bsigs")(0).isNotNull)
+        .select(col("vec_id"), col("bsigs"))
+      // per-pair collision probability at the pair's ACTUAL cosine —
+      // the distribution-aware expectation that adjudicates the measured
+      // count (at 2^30-sized schemes the expected hit count on a gate
+      // corpus is fractional; measured 0 must read as CONSISTENT, not
+      // broken, and a band-join bug still shows as measured ≪ expected)
+      val pBand = pow(
+        lit(1.0) - acos(least(lit(1.0), greatest(lit(-1.0), col("cos_sim"))))
+          / lit(math.Pi), lit(bits))
+      val marked = truePairs
+        .join(sigs.select(col("vec_id").as("id_a"), col("bsigs").as("sa")), "id_a")
+        .join(sigs.select(col("vec_id").as("id_b"), col("bsigs").as("sb")), "id_b")
+        .select(
+          array_position(
+            zip_with(col("sa"), col("sb"), (x, y) => x === y), true)
+            .as("first_hit"),
+          pBand.as("p_band"))
+      val aggRow = marked.agg(count(lit(1)).as("n_true"),
+        capEff.flatMap { case (c, eff) =>
+          val pHit = lit(1.0) - pow(lit(1.0) - col("p_band"), lit(eff))
+          Seq(
+            count(when(col("first_hit").between(1, eff), lit(1))).as(s"f_$c"),
+            coalesce(sum(pHit), lit(0.0)).as(s"e_$c"),
+            coalesce(sum(pHit * (lit(1.0) - pHit)), lit(0.0)).as(s"v_$c"))
+        }: _*).head()
+      val nTrue = aggRow.getAs[Long]("n_true")
+      capEff.map { case (c, eff) =>
+        val found = aggRow.getAs[Long](s"f_$c")
+        (simN, bits.toLong, c.toLong, eff.toLong, needed.toLong,
+          lshTheoreticalRecall(threshold, bits, eff),
+          nTrue, found,
+          if (nTrue == 0) 1.0 else found.toDouble / nTrue,
+          aggRow.getAs[Double](s"e_$c"),
+          math.sqrt(aggRow.getAs[Double](s"v_$c")))
+      }
+    }
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(truePairs)
+    rows.toDF("sim_n", "bits", "max_bands", "bands", "bands_needed",
+      "recall_theory", "n_true", "n_found", "recall_measured",
+      "n_expected", "sd_expected")
+  }
+
   /** Envelope recall at the probed fraction (conservative published floor). */
   private def envelopeFloor(nprobe: Int, nlist: Int): Double = {
     val f = nprobe.toDouble / nlist

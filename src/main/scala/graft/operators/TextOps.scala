@@ -1666,6 +1666,20 @@ object TextOps {
     bpeTrainOf(docs, nMerges, minFreq)
       .write.mode("overwrite").parquet(s"$storeDir/merges.parquet")
 
+  /** C53d at production merge counts: persist the BATCHED trainer's merge
+    * table (r12, VERDICT r11 #3 — the deployment answer to the trainer
+    * sitting in the default bench protocol: train once with
+    * [[bpeTrainFast]]'s batched exact-greedy, serve every later corpus
+    * from the frozen table via [[bpeEncodeFromStore]], exactly as the
+    * WordPiece/unigram families already ship). batchCap=1 degenerates to
+    * [[writeBpeStore]]'s sequential table bit-for-bit (spec-pinned on the
+    * trainer). */
+  def writeBpeStoreFast(docs: DataFrame, storeDir: String,
+                        nMerges: Int = 256, minFreq: Long = 2,
+                        batchCap: Int = 32): Unit =
+    bpeTrainBatchedOf(docs, nMerges, minFreq, batchCap)
+      .write.mode("overwrite").parquet(s"$storeDir/merges.parquet")
+
   /** Encode any corpus with a persisted merge table: merges reload in
     * rank order, so store-served segmentation is bit-equal to the
     * training-time segmentation (same contract as C103c). */

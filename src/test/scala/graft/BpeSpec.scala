@@ -219,4 +219,31 @@ class BpeSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("n_bpe_tokens")).toSeq
     assert(enc.zip(zero).forall { case (e, z) => e <= z })
   }
+
+  test("C53d store: fast-store-served encode is bit-equal to direct batched train+encode; batchCap=1 store equals the sequential table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpes-spec")
+    try {
+      TextOps.writeBpeStoreFast(Tables.documents(spark, sf), s"$tmp/fast",
+        nMerges = 64)
+      val stored = TextOps.bpeEncodeFromStore(spark, sf, s"$tmp/fast")
+        .collect().map(_.toSeq).toSet
+      val docs = Tables.documents(spark, sf)
+      val ms = TextOps.bpeTrainBatchedOf(docs, 64, 2, 32).collect()
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      val direct = TextOps.bpeEncodeWith(docs, ms).collect().map(_.toSeq).toSet
+      assert(stored == direct && stored.nonEmpty)
+      // batchCap=1 degenerates to the sequential trainer's table bit-for-bit
+      TextOps.writeBpeStoreFast(docs, s"$tmp/seq1", nMerges = 8, batchCap = 1)
+      TextOps.writeBpeStore(docs, s"$tmp/seq2", nMerges = 8)
+      val t1 = spark.read.parquet(s"$tmp/seq1/merges.parquet")
+        .collect().map(_.toSeq).toSet
+      val t2 = spark.read.parquet(s"$tmp/seq2/merges.parquet")
+        .collect().map(_.toSeq).toSet
+      assert(t1 == t2 && t1.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }

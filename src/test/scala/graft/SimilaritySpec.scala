@@ -1493,4 +1493,60 @@ class SimilaritySpec extends SparkSuite {
         acc == r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_vectors"))
     }
   }
+
+  test("lsh band curve: prefix-monotone, cap binds at 2^30, measured counts match the distribution-aware expectation, reconciles with the empirical-recall instrument") {
+    import Similarity.{lshAutoParams, lshEmpiricalRecall}
+    case class R(bits: Long, bands: Long, needed: Long, theory: Double,
+                 nTrue: Long, found: Long, measured: Double,
+                 expected: Double, sd: Double)
+    val curve = Similarity.lshBandCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("sim_n"), r.getAs[Long]("max_bands")) ->
+        R(r.getAs[Long]("bits"), r.getAs[Long]("bands"),
+          r.getAs[Long]("bands_needed"), r.getAs[Double]("recall_theory"),
+          r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall_measured"),
+          r.getAs[Double]("n_expected"), r.getAs[Double]("sd_expected"))).toMap
+    val simNs = curve.keySet.map(_._1)
+    assert(curve.size == simNs.size * 4, s"want a full cap sweep per scale, got ${curve.size}")
+    assert(simNs.contains(1L << 20) && simNs.contains(1L << 30))
+    val nTrue = curve.values.head.nTrue
+    assert(nTrue > 0 && curve.values.forall(_.nTrue == nTrue))
+    // prefix property: more allowed bands can only find MORE pairs
+    for (n <- simNs; Seq(lo, hi) <- Seq(16L, 32L, 64L, 128L).sliding(2)) {
+      assert(curve((n, lo)).found <= curve((n, hi)).found,
+        s"recall not monotone in cap at sim_n=$n")
+    }
+    // the 2^30 scheme NEEDS far more than 128 bands — the cap binds; its
+    // measured price on this corpus is a hit count consistent with the
+    // (near-zero) expectation, i.e. the loose-threshold regime at 10^9
+    // vectors is band-starved by five orders of magnitude
+    assert(curve(((1L << 30), 16L)).needed > 10000L,
+      s"expected bands_needed >> 128 at 2^30, got ${curve(((1L << 30), 16L)).needed}")
+    // every row's measured hit count sits within noise of the per-pair
+    // cosine-driven expectation (pairs share vectors, so collisions are
+    // not independent — allow wide slack over the binomial sd)
+    curve.foreach { case ((n, c), r) =>
+      val tol = math.max(6.0 * r.sd, 6.0)
+      assert(math.abs(r.found - r.expected) <= tol,
+        f"sim_n=$n cap=$c: found ${r.found} vs expected ${r.expected}%.2f (sd ${r.sd}%.2f)")
+    }
+    // and the at-threshold theory is a FLOOR on the distribution-aware
+    // expectation (pairs above threshold collide more often)
+    curve.foreach { case ((n, c), r) =>
+      assert(r.expected / r.nTrue >= r.theory - 1e-9,
+        s"expected recall under at-threshold floor at sim_n=$n cap=$c")
+    }
+    // reconciliation: at the gate's own n and the production cap 32, the
+    // curve's scheme IS lshAutoParams' choice and its found-pair count
+    // matches the lshEmpiricalRecall instrument exactly (same planes,
+    // counted through a different plan: band self-join vs first_hit prefix)
+    val gateN = (simNs - (1L << 20) - (1L << 30)).head
+    val (bitsP, bandsP) = lshAutoParams(gateN, 0.4, 0.9, 64, 32)
+    val g32 = curve((gateN, 32L))
+    assert(g32.bits == bitsP && g32.bands == bandsP,
+      s"curve scheme (${g32.bits}, ${g32.bands}) != lshAutoParams ($bitsP, $bandsP)")
+    val (nTrueE, foundE, _, _, _) = lshEmpiricalRecall(spark, sf, 0.4)
+    assert(g32.nTrue == nTrueE && g32.found == foundE,
+      s"curve (${g32.nTrue}, ${g32.found}) != empirical ($nTrueE, $foundE)")
+  }
 }
