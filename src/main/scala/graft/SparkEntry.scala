@@ -368,6 +368,9 @@ object SparkEntry {
     "qa_chi2"          -> ((s, d) => Analytics.chi2(s, d)),
     // B44 two-sample KS drift test per type (exact integer argmax)
     "qa_ks"            -> ((s, d) => Analytics.ks(s, d)),
+    // B45 k-anonymity audit: QI equivalence-class size distribution per
+    // table (all-integer output, exact on any engine)
+    "qa_k_anonymity"   -> ((s, d) => Analytics.kAnonymity(s, d)),
     // C. training-data pipeline
     "doc_dedup_exact"   -> ((s, d) => Dedup.exact(s, d)),
     "doc_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -492,6 +495,12 @@ object SparkEntry {
     // sweep (collision probability is scale-free given the scheme, so the
     // 2^30-vector scheme's recall is measurable on gate-corpus true pairs)
     "emb_lsh_band_curve" -> ((s, d) => Similarity.lshBandCurve(s, d)),
+    // C120: per-label centroid-distance label-hygiene audit (quantized
+    // per-dim medians; integer-logic top-5% outlier flag)
+    "emb_centroid_quality" -> ((s, d) => Similarity.centroidQuality(s, d)),
+    // C121: MMR representative-yet-diverse k-exemplar selection (greedy
+    // over a TakeOrdered candidate head — rows-only, spec-reconciled)
+    "emb_mmr_select"    -> ((s, d) => Similarity.mmrSelect(s, d)),
     "emb_ivf_query_recall" -> ((s, d) => {
       val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-n8-${embDataTag(s, d)}"
       if (!new java.io.File(s"$idx/assignments.parquet").exists) Similarity.writeIvfIndex(s, d, idx)
@@ -4839,6 +4848,68 @@ object SparkEntry {
         |    > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
         |        / CAST(n_ref * n_cur AS DOUBLE)) AS reject
         |FROM agg""".stripMargin,
+    // B45: all-integer QI equivalence-class census; risky_bp by integer
+    // floor division (exact on any engine)
+    "qa_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT 'customer' AS entity, concat_ws(chr(1),
+        |      coalesce(CAST(c_nationkey AS VARCHAR), ' '),
+        |      coalesce(CAST(c_mktsegment AS VARCHAR), ' ')) AS qi
+        |    FROM customer
+        |  UNION ALL SELECT 'orders', concat_ws(chr(1),
+        |      coalesce(CAST(o_orderstatus AS VARCHAR), ' '),
+        |      coalesce(CAST(o_orderpriority AS VARCHAR), ' '),
+        |      coalesce(CAST(year(o_orderdate) AS VARCHAR), ' '))
+        |    FROM orders
+        |  UNION ALL SELECT 'supplier', concat_ws(chr(1),
+        |      coalesce(CAST(s_nationkey AS VARCHAR), ' '))
+        |    FROM supplier
+        |  UNION ALL SELECT 'documents', concat_ws(chr(1),
+        |      coalesce(CAST(source AS VARCHAR), ' '),
+        |      coalesce(CAST(lang AS VARCHAR), ' '))
+        |    FROM documents),
+        |c AS (SELECT entity, qi, count(*) AS cnt FROM q GROUP BY 1, 2)
+        |SELECT entity, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups, CAST(min(cnt) AS BIGINT) AS k_anon,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_5,
+        |  CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_10,
+        |  (10000 * CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(cnt) AS BIGINT) AS risky_bp
+        |FROM c GROUP BY 1""".stripMargin,
+    // C120: ALL-INTEGER micro-unit arithmetic (qa_ks discipline) — the
+    // centroid is twice the median via two explicit order statistics;
+    // dist2q is an exact BIGINT; the outlier verdict is integer rank logic
+    "emb_centroid_quality" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(1, len(embedding) + 1)) AS d,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS xi
+        |  FROM embeddings),
+        |rk AS (SELECT vec_id, label, d, xi,
+        |         row_number() OVER (PARTITION BY label, d ORDER BY xi) AS rn,
+        |         count(*) OVER (PARTITION BY label, d) AS n
+        |       FROM x),
+        |c AS (SELECT label, d,
+        |        sum(CASE WHEN rn = (n + 1) // 2 THEN xi ELSE 0 END)
+        |          + sum(CASE WHEN rn = (n + 2) // 2 THEN xi ELSE 0 END)
+        |          AS c2
+        |      FROM rk GROUP BY 1, 2),
+        |dd AS (SELECT x.vec_id, x.label,
+        |         CAST(sum((2 * x.xi - c.c2) * (2 * x.xi - c.c2)) AS BIGINT)
+        |           AS dist2q
+        |       FROM x JOIN c ON x.label = c.label AND x.d = c.d
+        |       GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label, dist2q,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY dist2q DESC, vec_id) AS r,
+        |        count(*) OVER (PARTITION BY label) AS n
+        |      FROM dd)
+        |SELECT vec_id, label, dist2q,
+        |  r <= CAST(ceil(n * 0.05) AS BIGINT) AS is_outlier
+        |FROM r""".stripMargin,
     // struct-max tie-break = (cnt, key) lexicographic max in both engines
     "qa_key_skew" ->
       """WITH s AS (

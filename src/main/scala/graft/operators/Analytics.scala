@@ -756,6 +756,49 @@ object Analytics {
         Seq("source", "lang", "text")))
   }
 
+  /** B45 (r12): K-ANONYMITY audit (Sweeney 2002, public) — the re-
+    * identification pre-flight a data owner runs before releasing or
+    * training on a table: group rows by their QUASI-IDENTIFIER tuple
+    * (the attributes an adversary can link externally — nation,
+    * segment, status, language...) and read the equivalence-class size
+    * distribution. k_anon = the SMALLEST class (the table's k-anonymity:
+    * any row in a size-1 class is uniquely re-identifiable from the QI
+    * alone); rows_lt_5/rows_lt_10 = rows in classes under the usual
+    * release thresholds; risky_bp = basis points of rows under k=5
+    * (integer floor division — exact on any engine). One partial-agg
+    * census per table (map-side combinable, ≤|QI-domain| rows through
+    * the exchange) + a single-row fold — the B37/B38 audit shape, never
+    * a row-level shuffle. NULL QI values form their own class (an
+    * adversary sees missingness too). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(entity: String, df: DataFrame, qi: Seq[Column]): DataFrame =
+      df.select(concat_ws("\u0001",
+          qi.map(c => coalesce(c.cast("string"), lit(" "))): _*).as("qi"))
+        .groupBy("qi").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          min(col("cnt")).cast("long").as("k_anon"),
+          sum(when(col("cnt") < 5, col("cnt")).otherwise(lit(0)))
+            .cast("long").as("rows_lt_5"),
+          sum(when(col("cnt") < 10, col("cnt")).otherwise(lit(0)))
+            .cast("long").as("rows_lt_10"))
+        .select(lit(entity).as("entity"), col("n_rows"), col("n_groups"),
+          col("k_anon"), col("rows_lt_5"), col("rows_lt_10"),
+          expr("CAST((10000 * rows_lt_5) DIV n_rows AS BIGINT)").as("risky_bp"))
+        // empty table: Spark's global agg yields one null row where the
+        // oracle's GROUP BY yields none — drop it (0 groups = no audit row)
+        .filter(col("n_groups") > 0)
+    audit("customer", Tables.customer(spark, dir),
+        Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionByName(audit("orders", Tables.orders(spark, dir),
+        Seq(col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")))))
+      .unionByName(audit("supplier", Tables.supplier(spark, dir),
+        Seq(col("s_nationkey"))))
+      .unionByName(audit("documents", Tables.documents(spark, dir),
+        Seq(col("source"), col("lang"))))
+  }
+
   /** B39: keyed SNAPSHOT DIFF — the change-data audit between two
     * versions of a state table (the nightly "what changed since the last
     * snapshot" every warehouse runs before publishing: an unexpected

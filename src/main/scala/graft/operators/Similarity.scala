@@ -942,6 +942,135 @@ object Similarity {
     } finally corpus.unpersist(blocking = false)
   }
 
+  /** C120 (r12): per-label CENTROID-DISTANCE quality audit — the
+    * embedding-space read on label hygiene a curation pipeline runs over
+    * annotated/clustered corpora: a vector far from its own label's
+    * center is the mislabeled/noisy candidate (the distance-based cousin
+    * of emb_semdedup's too-close read). ALL-INTEGER arithmetic (the
+    * qa_ks discipline — no float aggregate to drift between engines):
+    * coordinates quantize to micro-units (round(x·10⁶) as BIGINT), the
+    * per-dimension centroid is TWICE the median read off two explicit
+    * order statistics (rows (n+1)÷2 and (n+2)÷2 of the sorted dimension
+    * — the odd case reads one row twice, so c2 = 2·median exactly, no
+    * interpolation arithmetic), and dist2q = Σ_dim (2·xᵢ − c2)² is an
+    * exact BIGINT in 4·micro² units (≤ dim·(4·10⁶)² ≈ 10¹⁵ ≪ 2⁶³). The
+    * outlier verdict is integer rank logic: top 5% (ceil) within label
+    * by (dist2q desc, vec_id).
+    *
+    * Scale: one posexplode census (n·dim fixed-width rows), per-(label,
+    * dim) sort windows whose partitions are corpus-height but
+    * dimension-count-many (never one global window), a dim-sized
+    * centroid table the census join co-shuffles against (AQE broadcasts
+    * it while small), and a label-partitioned rank window over ≤n rows.
+    * No driver collect, no pair product. */
+  def centroidQuality(spark: SparkSession, dir: String,
+                      outlierFrac: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("label"), col("d"),
+        round(col("xf").cast("double") * lit(1e6), 0).cast("long").as("xi"))
+    val wd = Window.partitionBy(col("label"), col("d")).orderBy(col("xi"))
+    val cent = x
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("label"), col("d"))))
+      .groupBy("label", "d")
+      .agg((sum(when(col("rn") === expr("(n + 1) DIV 2"), col("xi"))
+          .otherwise(lit(0L))) +
+        sum(when(col("rn") === expr("(n + 2) DIV 2"), col("xi"))
+          .otherwise(lit(0L)))).as("c2"))
+    val dist = x.join(cent, Seq("label", "d"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("xi") * 2 - col("c2")) * (col("xi") * 2 - col("c2")))
+        .cast("long").as("dist2q"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2q").desc, col("vec_id"))
+    dist
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label"), col("dist2q"),
+        (col("r") <= ceil(col("n") * lit(outlierFrac))).as("is_outlier"))
+  }
+
+  /** C121 (r12): Maximal-Marginal-Relevance subset selection (Carbonell &
+    * Goldstein, SIGIR 1998, public) — the representative-yet-diverse
+    * pick a curation pipeline uses to choose k exemplars from a corpus
+    * (eval-set seeding, few-shot pools, annotation batches): greedily
+    * take argmax of λ·rel(v) − (1−λ)·max_{s∈selected} cos(v, s), where
+    * relevance here is centrality (cosine to the corpus centroid — the
+    * QUERY-FREE corpus-summarization form of MMR; [[mmrTopK]] (C86) is
+    * the per-query re-ranking form, whose greedy rounds advance all
+    * queries at once — here there is ONE selection over the corpus, so
+    * the driver-solve shape wins). λ=1 degenerates to plain top-k by
+    * centrality (spec-pinned); lower λ forces the picks apart.
+    *
+    * Scale (the farthestSeeds/PLANS driver-solve discipline): relevance
+    * is one map-only pass (dot kernel against the broadcast centroid
+    * literal), candidates are the top k·oversample by (rel desc, vec_id)
+    * — ONE TakeOrdered job, never a corpus collect — and the greedy runs
+    * driver-side on that bounded set (O(k²·oversample·dim) flops,
+    * HashSet bookkeeping). The head bound is the standard production MMR
+    * candidate-generation contract: score ≤ λ·rel, so only items whose
+    * relevance reaches within (1−λ)/λ of the running best can ever win —
+    * at the default λ the oversampled head covers them; the knob is the
+    * recall lever and the PICKED set is always exact-greedy over the
+    * candidates. Ties (score, then vec_id) are deterministic. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 16,
+                lambdaRel: Double = 0.7, oversample: Int = 16): DataFrame = {
+    import spark.implicits._
+    val embN = withNorm(Tables.embeddings(spark, dir))
+    // corpus centroid: a dim-sized per-dimension mean census (one agg of
+    // dim rows, collected as the broadcast-literal query vector)
+    val centArr = embN
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(avg(col("x")).as("c"))
+      .orderBy("d").collect().map(_.getAs[Double]("c"))
+    if (centArr.isEmpty) // empty corpus
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("rank", "vec_id", "rel", "score")
+    val cn = math.sqrt(centArr.map(x => x * x).sum)
+    val centCol = array(centArr.toIndexedSeq.map(lit(_)): _*)
+    val cand = embN
+      .withColumn("rel", dot(col("v"), centCol) / (col("nrm") * lit(cn)))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(k * oversample)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val chosenIds = scala.collection.mutable.HashSet.empty[Long]
+    // maxSim(candidate -> closest already-chosen cosine), refreshed
+    // incrementally: O(|cand|·dim) per pick, the inherent MMR cost
+    val maxSim = scala.collection.mutable.Map(
+      cand.iterator.map(c => c._1 -> -1.0).toSeq: _*)
+    while (chosen.length < math.min(k, cand.length)) {
+      val next = cand.iterator.filterNot(c => chosenIds(c._1)).maxBy { c =>
+        val pen = if (chosen.isEmpty) 0.0 else math.max(0.0, maxSim(c._1))
+        (lambdaRel * c._4 - (1 - lambdaRel) * pen, -c._1)
+      }
+      val pen =
+        if (chosen.isEmpty) 0.0 else math.max(0.0, maxSim(next._1))
+      chosen += ((next._1, next._4, lambdaRel * next._4 - (1 - lambdaRel) * pen))
+      chosenIds += next._1
+      cand.foreach { c =>
+        if (!chosenIds(c._1)) {
+          val s = cos(c._2, c._3, next._2, next._3)
+          if (s > maxSim(c._1)) maxSim(c._1) = s
+        }
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1, id, rel, score) }
+      .toSeq.toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** Deterministic farthest-point seeding, k-means‖-style: ONE cluster pass
     * draws a hash-spread candidate sample (k·`oversample` vectors — bounded,
     * driver-safe), then the greedy k-center sweep runs driver-side on the

@@ -446,4 +446,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(corpus.map(_.getAs[Long]("observed")).sum ==
       graft.Tables.events(spark, sf).count())
   }
+
+  test("k-anonymity: customer row reconciles with an independent QI census; invariants hold for every entity") {
+    val got = Analytics.kAnonymity(spark, sf).collect()
+      .map(r => r.getAs[String]("entity") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("k_anon"), r.getAs[Long]("rows_lt_5"),
+          r.getAs[Long]("rows_lt_10"), r.getAs[Long]("risky_bp")))).toMap
+    assert(got.keySet == Set("customer", "orders", "supplier", "documents"))
+    got.values.foreach { case (n, g, k, lt5, lt10, bp) =>
+      assert(n > 0 && g > 0 && k >= 1 && lt5 <= lt10 && lt10 <= n)
+      assert(bp == 10000L * lt5 / n)
+    }
+    // independent census for customer: group sizes by (nationkey, segment)
+    val sizes = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("string").as("a"),
+        col("c_mktsegment").cast("string").as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val want = (sizes.sum, sizes.length.toLong, sizes.min,
+      sizes.filter(_ < 5).sum, sizes.filter(_ < 10).sum,
+      10000L * sizes.filter(_ < 5).sum / sizes.sum)
+    assert(got("customer") == want)
+  }
 }

@@ -357,4 +357,29 @@ class EmptyInputSpec extends SparkSuite {
     assert(r.size == 5 && r.values.forall(v => v == 1.0 || v == 0.0),
       s"passthrough scores: $r")
   }
+
+  test("round-12 operators survive empty inputs") {
+    assert(Similarity.centroidQuality(spark, dir).count() == 0)
+    assert(Similarity.mmrSelect(spark, dir).count() == 0)
+    assert(Similarity.lshBandCurve(spark, dir,
+      simScales = Seq(0L, 1L << 20)).count() == 8) // 2 scales x 4 caps, n_true=0
+    // k-anonymity over fully-empty tables: zero audit rows (matching the
+    // oracle's GROUP BY on empty), never a null-filled aggregate row
+    val dEmpty = {
+      val d = Files.createTempDirectory("graft-empty-kanon").toString
+      Seq.empty[(Long, Long, String)]
+        .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+        .write.parquet(s"$d/customer.parquet")
+      Seq.empty[(Long, String, String, Timestamp)]
+        .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+        .write.parquet(s"$d/orders.parquet")
+      Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey")
+        .write.parquet(s"$d/supplier.parquet")
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    assert(graft.operators.Analytics.kAnonymity(spark, dEmpty).count() == 0)
+  }
 }
