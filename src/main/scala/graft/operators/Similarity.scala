@@ -966,11 +966,15 @@ object Similarity {
   def centroidQuality(spark: SparkSession, dir: String,
                       outlierFrac: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE materialized census: both the centroid pass and the distance
+    // join read it — without the checkpoint Spark re-runs the parquet
+    // scan + posexplode + quantization twice per call
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("label"), col("d"),
         round(col("xf").cast("double") * lit(1e6), 0).cast("long").as("xi"))
+      .localCheckpoint(true)
     val wd = Window.partitionBy(col("label"), col("d")).orderBy(col("xi"))
     val cent = x
       .withColumn("rn", row_number().over(wd))
@@ -987,11 +991,14 @@ object Similarity {
         .cast("long").as("dist2q"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist2q").desc, col("vec_id"))
-    dist
+    val out = dist
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("vec_id"), col("label"), col("dist2q"),
         (col("r") <= ceil(col("n") * lit(outlierFrac))).as("is_outlier"))
+      .localCheckpoint(true) // ≤ n rows; frees the n·dim census below
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(x)
+    out
   }
 
   /** C121 (r12): Maximal-Marginal-Relevance subset selection (Carbonell &
@@ -1021,19 +1028,31 @@ object Similarity {
                 lambdaRel: Double = 0.7, oversample: Int = 16): DataFrame = {
     import spark.implicits._
     val embN = withNorm(Tables.embeddings(spark, dir))
-    // corpus centroid: a dim-sized per-dimension mean census (one agg of
-    // dim rows, collected as the broadcast-literal query vector)
+    // corpus centroid over MICRO-QUANTIZED coordinates (the C120
+    // discipline): per-dim sums are exact order-free BIGINTs, so the
+    // centroid — and with it the candidate head and every tie — is
+    // run-deterministic (a float avg() merges partials in shuffle-arrival
+    // order and can drift an ulp between runs, flipping head boundaries)
     val centArr = embN
       .select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy("d").agg(avg(col("x")).as("c"))
-      .orderBy("d").collect().map(_.getAs[Double]("c"))
+      .groupBy("d").agg(
+        sum(round(col("x") * lit(1e6), 0).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .orderBy("d").collect()
+      .map(r => r.getAs[Long]("sx").toDouble / (r.getAs[Long]("n") * 1e6))
     if (centArr.isEmpty) // empty corpus
       return Seq.empty[(Int, Long, Double, Double)]
         .toDF("rank", "vec_id", "rel", "score")
     val cn = math.sqrt(centArr.map(x => x * x).sum)
-    val centCol = array(centArr.toIndexedSeq.map(lit(_)): _*)
+    // centered corpus (all per-dim means 0): centrality is undefined —
+    // rel reads 0 for every vector and the selection degrades to pure
+    // diversity with deterministic id ties, never NaN ordering
+    val relExpr =
+      if (cn == 0.0) lit(0.0)
+      else dot(col("v"), array(centArr.toIndexedSeq.map(lit(_)): _*)) /
+        (col("nrm") * lit(cn))
     val cand = embN
-      .withColumn("rel", dot(col("v"), centCol) / (col("nrm") * lit(cn)))
+      .withColumn("rel", relExpr)
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(k * oversample)
       .select(col("vec_id"), col("v"), col("nrm"), col("rel")).collect()
@@ -1047,16 +1066,20 @@ object Similarity {
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
     val chosenIds = scala.collection.mutable.HashSet.empty[Long]
     // maxSim(candidate -> closest already-chosen cosine), refreshed
-    // incrementally: O(|cand|·dim) per pick, the inherent MMR cost
+    // incrementally: O(|cand|·dim) per pick, the inherent MMR cost. The
+    // penalty is the SIGNED max cosine (the documented formula): an
+    // anti-correlated candidate earns a diversity bonus, it is not
+    // clamped to parity with an orthogonal one. The -1.0 sentinel is
+    // never read (the first pick uses the empty-set 0 branch; the
+    // refresh loop then touches every unchosen candidate).
     val maxSim = scala.collection.mutable.Map(
       cand.iterator.map(c => c._1 -> -1.0).toSeq: _*)
     while (chosen.length < math.min(k, cand.length)) {
       val next = cand.iterator.filterNot(c => chosenIds(c._1)).maxBy { c =>
-        val pen = if (chosen.isEmpty) 0.0 else math.max(0.0, maxSim(c._1))
+        val pen = if (chosen.isEmpty) 0.0 else maxSim(c._1)
         (lambdaRel * c._4 - (1 - lambdaRel) * pen, -c._1)
       }
-      val pen =
-        if (chosen.isEmpty) 0.0 else math.max(0.0, maxSim(next._1))
+      val pen = if (chosen.isEmpty) 0.0 else maxSim(next._1)
       chosen += ((next._1, next._4, lambdaRel * next._4 - (1 - lambdaRel) * pen))
       chosenIds += next._1
       cand.foreach { c =>

@@ -2443,9 +2443,13 @@ object TextOps {
     require(fs.rename(chunkDir, oldDir),
       s"cdcCompact: rename $chunkDir -> $oldDir failed; store untouched, tombstones kept")
     if (!fs.rename(tmpDir, chunkDir)) {
-      // restore the live table before failing — data is still in oldDir
-      fs.rename(oldDir, chunkDir)
-      sys.error(s"cdcCompact: rename $tmpDir -> $chunkDir failed; old store restored, tombstones kept")
+      // restore the live table before failing — data is still in oldDir.
+      // The compensating rename can itself fail (the premise of this
+      // block); report which state the store actually landed in.
+      val restored = fs.rename(oldDir, chunkDir)
+      sys.error(s"cdcCompact: rename $tmpDir -> $chunkDir failed; " +
+        (if (restored) "old store restored, tombstones kept"
+         else s"restore ALSO failed — data intact in $oldDir, recover by renaming it to $chunkDir; tombstones kept"))
     }
     require(fs.exists(chunkDir),
       s"cdcCompact: $chunkDir missing after swap; tombstones kept")

@@ -1594,14 +1594,52 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rel")).toMap
     assert(pure == pure.sortBy(id => (-rel(id), id)),
       "lambda=1 ranks must be centrality order")
-    // default lambda: independent greedy over the SAME candidate set
+    // default lambda: FULL independent reimplementation (quantized
+    // centroid, relevance, candidate head, signed-penalty greedy) must
+    // reproduce the operator's selection order and scores exactly
     val k = 6
     val sel = Similarity.mmrSelect(spark, sf, k = k).orderBy("rank").collect()
-    assert(sel.length == k && sel.map(_.getAs[Long]("vec_id")).distinct.length == k)
-    // scores are non-increasing only for lambda=1; for general lambda just
-    // pin determinism: a second run returns the identical selection
-    val sel2 = Similarity.mmrSelect(spark, sf, k = k).orderBy("rank").collect()
-    assert(sel.map(_.toSeq).toSeq == sel2.map(_.toSeq).toSeq)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("rel"),
+        r.getAs[Double]("score"))).toSeq
+    val raw = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .toArray.map(_.toDouble)))
+    val dim = raw.head._2.length
+    val cent = (0 until dim).map { d =>
+      raw.map(v => math.round(v._2(d) * 1e6)).sum.toDouble / (raw.length * 1e6)
+    }.toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cn = math.sqrt(dot(cent, cent))
+    val withRel = raw
+      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+      .filter(_._3 > 0.0)
+      .map { case (id, v, nm) => (id, v, nm, dot(v, cent) / (nm * cn)) }
+    val head = withRel.sortBy { case (id, _, _, rel) => (-rel, id) }.take(6 * 16)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val ids = scala.collection.mutable.HashSet.empty[Long]
+    val ms = scala.collection.mutable.Map(head.map(c => c._1 -> -1.0).toSeq: _*)
+    val lam = 0.7 // (1 - lam) must be the operator's exact double
+    while (chosen.length < k) {
+      val next = head.iterator.filterNot(c => ids(c._1)).maxBy { c =>
+        val pen = if (chosen.isEmpty) 0.0 else ms(c._1)
+        (lam * c._4 - (1 - lam) * pen, -c._1)
+      }
+      val pen = if (chosen.isEmpty) 0.0 else ms(next._1)
+      chosen += ((next._1, next._4, lam * next._4 - (1 - lam) * pen))
+      ids += next._1
+      head.foreach { c =>
+        if (!ids(c._1)) {
+          val scos = dot(c._2, next._2) / (c._3 * next._3)
+          if (scos > ms(c._1)) ms(c._1) = scos
+        }
+      }
+    }
+    assert(sel == chosen.toSeq,
+      s"operator $sel != independent reference ${chosen.toSeq}")
     // planted: two tight clusters; k=2 at lambda=0.5 must take one from each
     val d = java.nio.file.Files.createTempDirectory("graft-mmr").toString
     val rnd = new scala.util.Random(7)
