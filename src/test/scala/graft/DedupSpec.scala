@@ -283,6 +283,50 @@ class DedupSpec extends SparkSuite {
     assert(table.filter(col("doc_id") % 20 === 0).count() == 0)
   }
 
+  test("decontam tau/k sensitivity: partial-quote ladder pins the exact flagged set at every threshold") {
+    // VERDICT r11 #5: C119b/C119c gate at one (k=3, tau) point — pin the
+    // threshold semantics with a ladder of graduated partial quotes so
+    // tau/k drift can't silently change the keep-list. Bench item = 12
+    // tokens -> 10 distinct 3-grams; doc i quotes a prefix whose
+    // containment lands at 0.2 / 0.4 / 0.6 / 0.8 (exact boundary) / 1.0.
+    val bq = (1 to 12).map(i => s"ladtok$i").mkString(" ")
+    def quote(nTok: Int) = bq.split(" ").take(nTok).mkString(" ")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-decontam-tau").toString
+    Seq(
+      (20L, bq),                                               // bench (suite_1)
+      (1L, quote(4) + " " + filler("w", 30)),                  // 2/10 = 0.2
+      (2L, quote(6) + " " + filler("x", 30)),                  // 4/10 = 0.4
+      (3L, quote(8) + " " + filler("y", 30)),                  // 6/10 = 0.6
+      (4L, quote(10) + " " + filler("z", 30)),                 // 8/10 = 0.8
+      (5L, filler("p", 7) + " " + bq + " " + filler("q", 7)),  // 10/10 = 1.0
+      (6L, filler("clean", 40)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val corpusIds = Set(1L, 2L, 3L, 4L, 5L, 6L)
+    def keptAt(tau: Double, k: Int = 3) = Dedup.decontamKeep(spark, d, k, tau)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptAt(0.3) == corpusIds -- Set(2L, 3L, 4L, 5L),
+      "tau=0.3 must flag every rung at containment >= 0.4 and spare 0.2")
+    assert(keptAt(0.5) == corpusIds -- Set(3L, 4L, 5L),
+      "tau=0.5 must flag the 0.6/0.8/1.0 rungs")
+    assert(keptAt(0.8) == corpusIds -- Set(4L, 5L),
+      "containment >= tau: the exact-boundary 0.8 rung must stay flagged at tau=0.8")
+    // k sensitivity: at k=5 the bench item has 8 distinct 5-grams and the
+    // 10-token prefix shares 6 -> 0.75 < 0.8, so the boundary rung is spared
+    assert(keptAt(0.8, k = 5) == corpusIds -- Set(5L),
+      "raising k must drop the 0.8 rung below threshold (6/8 = 0.75)")
+    // the report and the keep-list share one pair set: flagged counts must
+    // equal the keep-list complement at every tau
+    Seq(0.3, 0.5, 0.8).foreach { tau =>
+      val flagged = Dedup.decontamExact(spark, d, 3, tau).collect()
+        .map(_.getAs[Long]("n_corpus_flagged")).sum
+      assert(flagged == (corpusIds -- keptAt(tau)).size,
+        s"report/keep-list divergence at tau=$tau")
+    }
+  }
+
   test("empty and whitespace-only docs never pair up as near-duplicates") {
     val d = Files.createTempDirectory("graft-degenerate").toString
     Seq((0L, "", "en", "s", 0L), (1L, "", "en", "s", 0L),
