@@ -296,6 +296,110 @@ case class TopCosBucketsExpr(vec: Expression, nrm: Expression,
   * diverge, unequal lengths throw (signature arrays are equal-length by
   * construction; a future caller with ragged arrays must not inherit
   * either semantics blind). */
+/** rhp_sign_array(vec, bits, bands): ALL `bands` band signatures of the
+  * sign-LSH scheme in ONE compiled pass — element b equals
+  * rhp_sign(vec, bits, b·bits) bit-for-bit (same XXH64-parity Rademacher
+  * planes, same >0 sign rule, global plane index q = b·bits + p).
+  *
+  * Why it exists (r12 optimization): the LSH family built its per-band
+  * signature column as `array(rhpSign(b=0), …, rhpSign(b=bands−1))` — at
+  * the band-curve instrument's 128 bands that is 128 separate codegen'd
+  * expression subtrees in one Project, whose generated class is past every
+  * JIT inlining budget (measured: the bits=24 × 128-band signature pass ran
+  * 2.5 s on one task; this kernel runs the identical plane arithmetic in
+  * one loop at ~6× less wall). NULL for null/empty vectors — the callers'
+  * `bsigs(0).isNotNull` filter sees the same surviving rows as the
+  * array-of-null-elements the per-band form produced. */
+case class RhpSignArrayExpr(child: Expression, bits: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
+  require(bands >= 1, "bands must be >= 1")
+  override def inputTypes: Seq[GraftShims.AbstractType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rhp_sign_array"
+
+  // one Rademacher table for ALL bands·bits planes, built once per
+  // (executor, dim) — identical per-plane hash derivation to RhpSignExpr
+  // with planeOffset = b·bits, so signatures are unchanged
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+  private def signsFor(dim: Int): Array[Byte] =
+    signCache.computeIfAbsent(dim, _ => {
+      val nPlanes = bands * bits
+      val t = new Array[Byte](nPlanes * dim)
+      var q = 0
+      while (q < nPlanes) {
+        var d = 0
+        while (d < dim) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(q.toLong * 0x9E3779B97F4A7C15L + d, 7L)
+          t(q * dim + d) = if ((h & 1L) == 0L) 1 else -1
+          d += 1
+        }
+        q += 1
+      }
+      t
+    })
+
+  def compute(a: ArrayData): AnyRef = {
+    val n = a.numElements()
+    if (n == 0) return null
+    val signs = signsFor(n)
+    // read the vector once into a primitive array: the band loop touches
+    // every coordinate bands·bits times, and ArrayData.getDouble is an
+    // offset computation per call
+    val v = a.toDoubleArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val base = (b * bits + p) * n
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          if (signs(base + d) == 1) acc += v(d) else acc -= v(d)
+          d += 1
+        }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("rhpArr", this, classOf[RhpSignArrayExpr].getName)
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("rhpArrOut")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        ArrayData ${ev.value} = null;
+        if (!${c.isNull}) {
+          Object $boxed = $ref.compute(${c.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = (ArrayData) $boxed;
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignArrayExpr =
+    copy(child = newChild)
+}
+
 case class PrefixAnyEqualExpr(first: Expression, second: Expression,
                               third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
@@ -366,6 +470,11 @@ object VectorExpressions {
   def rhpSign(v: Column, numPlanes: Int = 16, planeOffset: Int = 0): Column =
     GraftShims.toColumn(RhpSignExpr(GraftShims.toExpression(v), numPlanes,
       planeOffset))
+
+  /** All band signatures in one compiled pass (see [[RhpSignArrayExpr]]):
+    * element b ≡ rhpSign(v, bits, b·bits). */
+  def rhpSignArray(v: Column, bits: Int, bands: Int): Column =
+    GraftShims.toColumn(RhpSignArrayExpr(GraftShims.toExpression(v), bits, bands))
 
   /** In-row top-np bucket selection (see [[TopCosBucketsExpr]]). */
   def topCosBuckets(v: Column, nrm: Column, cents: Column, np: Int): Column =

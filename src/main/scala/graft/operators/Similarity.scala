@@ -209,11 +209,35 @@ object Similarity {
           col("v"), math.min(60, bits - j * 60), b * bits + j * 60)): _*)
     }
 
+  /** ALL band signatures as one column. Single-word regime (bits ≤ 60):
+    * the batched [[graft.functions.RhpSignArrayExpr]] kernel — one compiled
+    * loop per row instead of `bands` separate expression subtrees (the r12
+    * band-curve finding: 128 per-band exprs in one Project blew the JIT
+    * budget and ran 6× slower than the identical arithmetic in one loop).
+    * Wide-band regime (bits > 60, corpora past ~2^60·occupancy): the
+    * per-band multi-word construction, unchanged. Element b is bit-equal
+    * to [[bandSig]](bits, b) in both regimes. */
+  private[graft] def bandSigs(bits: Int, bands: Int): Column =
+    if (bits <= 60)
+      graft.functions.VectorExpressions.rhpSignArray(col("v"), bits, bands)
+    else array((0 until bands).map(b => bandSig(bits, b)): _*)
+
+  /** Rows that survive + their band signatures, signatures evaluated ONCE.
+    * The historical `withColumn("bsigs", …).filter(bsigs(0).isNotNull)`
+    * pattern was harmless per-band (the filter re-evaluated only band 0's
+    * expression, 1/bands of the work) but fatal for the batched kernel:
+    * filter and project are separate operators, so the ALL-bands loop ran
+    * twice per row (measured: emb_lsh_band_curve 5.0 → 8.0 s on the first
+    * kernel wiring). The kernel is NULL exactly for null/empty vectors, so
+    * filtering on that cheap predicate FIRST keeps the identical row set
+    * while the signature loop runs once, in the project. */
+  private[graft] def withBandSigs(embN: DataFrame, bits: Int, bands: Int): DataFrame =
+    embN.filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("bsigs", bandSigs(bits, bands))
+
   private[graft] def lshPairsOf(embN: DataFrame, threshold: Double,
                                 bits: Int, bands: Int): DataFrame = {
-    val emb = embN
-      .withColumn("bsigs", array((0 until bands).map(b => bandSig(bits, b)): _*))
-      .filter(col("bsigs")(0).isNotNull)
+    val emb = withBandSigs(embN, bits, bands)
       .cache() // signatures computed once, read by both self-join sides
     val banded = emb
       .select(col("vec_id"), col("v"), col("nrm"), col("bsigs"), posexplode(col("bsigs")))
@@ -304,9 +328,7 @@ object Similarity {
     val n = math.max(1L, embN.count())
     val (bits, bands) = lshAutoParams(n, threshold, targetRecall,
       targetOccupancy, maxBands)
-    val candPairs = embN
-      .withColumn("bsigs", array((0 until bands).map(b => bandSig(bits, b)): _*))
-      .filter(col("bsigs")(0).isNotNull)
+    val candPairs = withBandSigs(embN, bits, bands)
       .select(posexplode(col("bsigs"))).toDF("band", "bucket")
       .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
@@ -345,11 +367,17 @@ object Similarity {
       .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = embN.repartition(par)
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // materialize the exact enumeration ONCE: it feeds two counts (the
+    // truth size and the semi-join hit count), and as a lazy plan the
+    // O(n²·dim) pair product would run once per action (r12: measured 2×
+    // the dominant cost of emb_lsh_recall). ≤ true-pair rows, ids only.
     val exact = a.join(b, col("id_a") < col("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val nTrue = exact.count()
     val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(exact)
     (nTrue, found, if (nTrue == 0) 1.0 else found.toDouble / nTrue, bits, bands)
   }
 
@@ -758,10 +786,12 @@ object Similarity {
         targetOccupancy, Int.MaxValue)
       val capEff = caps.map(c => c -> math.min(c, needed))
       val bandsMax = capEff.map(_._2).max
-      val sigs = embN
-        .withColumn("bsigs",
-          array((0 until bandsMax).map(bd => bandSig(bits, bd)): _*))
-        .filter(col("bsigs")(0).isNotNull)
+      // the corpus lands as ONE parquet file at gate scales — repartition
+      // so the n·bits·bands signature pass (the instrument's heaviest
+      // per-row loop at the 2^30-simulated schemes) uses every core
+      // instead of one scan task (same discipline as the pair product
+      // above; the shuffle moves only the small corpus once)
+      val sigs = withBandSigs(embN.repartition(par), bits, bandsMax)
         .select(col("vec_id"), col("bsigs"))
       // per-pair collision probability at the pair's ACTUAL cosine —
       // the distribution-aware expectation that adjudicates the measured

@@ -304,6 +304,38 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("batched band-signature kernel is bit-equal to the per-band form") {
+    // r12 optimization: rhp_sign_array(v, bits, bands) replaces the
+    // array(rhpSign(b=0)…rhpSign(b=bands−1)) construction in every
+    // single-word LSH path — element b must equal rhpSign(v, bits, b·bits)
+    // bit-for-bit (same planes, same sign rule), and empty vectors must
+    // yield NULL so the callers' bsigs(0).isNotNull filter keeps the same
+    // rows the array-of-null-elements form kept
+    val df = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.toDouble(col("embedding")).as("v")).limit(100)
+    for ((bits, bands) <- Seq((5, 32), (24, 128), (60, 3))) {
+      val checked = df.select(
+        (VectorExpressions.rhpSignArray(col("v"), bits, bands).as("arr") +:
+          (0 until bands).map(b =>
+            VectorExpressions.rhpSign(col("v"), bits, b * bits).as(s"b$b"))): _*)
+        .collect()
+      assert(checked.nonEmpty)
+      checked.foreach { r =>
+        val arr = r.getAs[scala.collection.Seq[Long]]("arr")
+        assert(arr.length == bands)
+        (0 until bands).foreach { b =>
+          assert(arr(b) == r.getAs[Long](s"b$b"),
+            s"bits=$bits band $b: ${arr(b)} != ${r.getAs[Long](s"b$b")}")
+        }
+      }
+    }
+    import SparkSuite.spark.implicits._
+    val empty = Seq(Array.empty[Double]).toDF("v")
+      .select(VectorExpressions.rhpSignArray(col("v"), 8, 4).as("arr"))
+      .collect()
+    assert(empty.head.isNullAt(0), "empty vector must yield NULL")
+  }
+
   test("adaptive LSH sizing pins occupancy and holds the recall bound") {
     import Similarity.lshAutoParams
     // band width tracks corpus size: 10x vectors -> +log2(10) ~ 3-4 bits
