@@ -1103,7 +1103,7 @@ object SparkEntry {
     "doc_tok_compare_store" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-toks")
       try {
-        val docs = graft.Tables.documents(s, d)
+        val docs = graft.Tables.documentsSpread(s, d)
         graft.operators.TextOps.writeBpeStore(docs, s"$tmp/bpe", nMerges = 64)
         graft.operators.TextOps.writeUnigramStore(docs, s"$tmp/uni")
         graft.operators.TextOps.tokCompareFromStores(

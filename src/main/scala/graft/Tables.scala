@@ -41,4 +41,41 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** [[documents]], guaranteed at least the session's parallelism of
+    * partitions on the compute side (r12, guide §2.6/§6): a gate-SF corpus
+    * lands as ONE small parquet file with one row group, so every
+    * expensive per-row kernel downstream (shingle/minhash/BPE batteries)
+    * runs as a single task while 31 cores idle — measured 1.17 s of
+    * doc_ngram_jaccard's 1.9 s in one scan-side task. The spread is a HASH
+    * repartition on the table's unique key (deterministic under retry, no
+    * round-robin pre-sort of text rows) and fires ONLY when the backing
+    * files are too small to split `defaultParallelism` ways — at
+    * deployment scale (files ≫ cores·maxPartitionBytes) it is the
+    * identity, so no production scan pays an extra text shuffle. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, documents(s, d), s"$d/documents.parquet", "doc_id")
+
+  /** [[embeddings]] with the same under-parallel-scan guard. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, embeddings(s, d), s"$d/embeddings.parquet", "vec_id")
+
+  private def spread(s: SparkSession, df: DataFrame, path: String,
+                     key: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    if (dirBytes(s, path) < maxSplit * par) df.repartition(par, col(key))
+    else df
+  }
+
+  // bytes under a table path, cached per path — one FS listing per
+  // (session lifetime, table), the same metadata the scan planner reads
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def dirBytes(s: SparkSession, path: String): Long =
+    bytesCache.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    })
 }

@@ -50,7 +50,7 @@ object Dedup {
     * bounded by the catalog² — never a gram×gram join); per-source
     * distinct totals ride the same census. Output |sources|²-bounded. */
   def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val fpSrc = Tables.documents(spark, dir)
+    val fpSrc = Tables.documentsSpread(spark, dir)
       .select(col("source"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("fp"))
       .distinct() // one row per (gram, source)
@@ -1040,7 +1040,7 @@ object Dedup {
     // corpus the per-gram pair exchange dominates, and widening every
     // exchanged row by the size column cost ~8% at sf0.1; the second
     // (map-only) kernel pass on the small sizes branch is the cheaper side.
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     val inv = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
     val sizes = docs.select(col("doc_id"),
@@ -1132,7 +1132,7 @@ object Dedup {
     * through the LSH candidates exactly as [[ngramJaccardAuto]] does. */
   def ngramContainment(spark: SparkSession, dir: String, k: Int = 3,
                        threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     val inv = docs.select(col("doc_id"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k))).as("g"))
     val sizes = docs.select(col("doc_id"),
@@ -1178,7 +1178,7 @@ object Dedup {
   def ngramContainmentCapped(spark: SparkSession, dir: String, k: Int = 3,
                              threshold: Double = 0.5,
                              dfCap: Long = 1000): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     val withGrams = docs.select(col("doc_id"), graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.shingleHashes(col("text"), k)).as("grams"))
       .filter(size(col("grams")) > 0)
@@ -1243,7 +1243,7 @@ object Dedup {
   def ngramContainmentAuto(spark: SparkSession, dir: String, k: Int = 3,
                            threshold: Double = 0.5, dfLimit: Long = 1000,
                            pairBudget: Long = 20000000L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     val (maxDf, totalPairs) = gramStats(docs, k)
     ngramPathFor(maxDf, dfLimit, totalPairs, pairBudget) match {
       case "lsh" =>
@@ -1313,7 +1313,7 @@ object Dedup {
   def ngramJaccardAuto(spark: SparkSession, dir: String, k: Int = 3,
                        threshold: Double = 0.3, dfLimit: Long = 1000,
                        pairBudget: Long = 20000000L): DataFrame = {
-    val (maxDf, totalPairs) = gramStats(Tables.documents(spark, dir), k)
+    val (maxDf, totalPairs) = gramStats(Tables.documentsSpread(spark, dir), k)
     ngramPathFor(maxDf, dfLimit, totalPairs, pairBudget) match {
       case "lsh" => ngramJaccardLsh(spark, dir, k, threshold)
       case _     => ngramJaccard(spark, dir, k, threshold)
@@ -1331,7 +1331,7 @@ object Dedup {
     * [[ngramJaccard]] but ~1/window the index size. */
   def winnowPairs(spark: SparkSession, dir: String, k: Int = 3, window: Int = 4,
                   minShared: Int = 2): DataFrame = {
-    val inv = Tables.documents(spark, dir)
+    val inv = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(graft.functions.Barrier.noInline(
         graft.functions.TextHashExpressions.winnowFps(col("text"), k, window))).as("fp"))
     inv.select(col("doc_id").as("id_a"), col("fp"))
@@ -1368,7 +1368,7 @@ object Dedup {
     * partitions, no corpus-scale sort. */
   def dupSpans(spark: SparkSession, dir: String, k: Int = 20,
                minDf: Int = 3): DataFrame =
-    dupSpansOf(Tables.documents(spark, dir), k, minDf)
+    dupSpansOf(Tables.documentsSpread(spark, dir), k, minDf)
 
   private[graft] def dupSpansOf(docs0: DataFrame, k: Int,
                                 minDf: Int): DataFrame = {
@@ -1841,7 +1841,7 @@ object Dedup {
     * key to md5 if 64-bit birthday collisions become a concern. */
   def paraDedup(spark: SparkSession, dir: String,
                 segWords: Int = 4, maxDocs: Long = 1): DataFrame =
-    paraDedupOf(Tables.documents(spark, dir), segWords, maxDocs)
+    paraDedupOf(Tables.documentsSpread(spark, dir), segWords, maxDocs)
 
   private[graft] def paraDedupOf(docs: DataFrame, segWords: Int,
                                  maxDocs: Long): DataFrame = {

@@ -1331,16 +1331,27 @@ object Similarity {
                                        nQueries: Int, nlist: Int,
                                        lloydIters: Int): Unit = {
     val emb = withNorm(raw)
-    val corpus = emb.filter(col("vec_id") >= nQueries)
-    val (centroids, bucketed) = buildIvfIndex(corpus, nlist, lloydIters)
-    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    bucketed.select(col("bucket"), col("vec_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/assignments.parquet")
-    // the index's own recall curve, measured at build time — a few cheap
-    // sample queries against the freshly-bucketed corpus, persisted so
-    // query sessions size nprobe from THIS index, not an extrapolation
-    measureRecallCurve(emb.filter(col("vec_id") < nQueries), bucketed, centroids)
-      .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
+    // cache the corpus for the build (r12, the embClusters discipline —
+    // seeding + each Lloyd pass + the final assignment re-read it; without
+    // the cache the parquet scan + norm ran ~4× per build), and
+    // materialize the final assignment ONCE: it feeds both the
+    // assignments write and the recall-curve scoring pass below, which as
+    // lazy plans each re-ran the whole assignment.
+    val corpus = emb.filter(col("vec_id") >= nQueries).cache()
+    try {
+      val (centroids, bucketedLazy) = buildIvfIndex(corpus, nlist, lloydIters)
+      val bucketed = bucketedLazy.localCheckpoint(true)
+      try {
+        centroids.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+        bucketed.select(col("bucket"), col("vec_id"))
+          .write.mode("overwrite").parquet(s"$indexDir/assignments.parquet")
+        // the index's own recall curve, measured at build time — a few cheap
+        // sample queries against the freshly-bucketed corpus, persisted so
+        // query sessions size nprobe from THIS index, not an extrapolation
+        measureRecallCurve(emb.filter(col("vec_id") < nQueries), bucketed, centroids)
+          .write.mode("overwrite").parquet(s"$indexDir/recall.parquet")
+      } finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(bucketed)
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** C71: corpus-growth ingest for the persisted IVF index — the daily

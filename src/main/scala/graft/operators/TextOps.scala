@@ -3350,7 +3350,12 @@ object TextOps {
     * shuffle twice for nothing — here the whole scored/labeled input is
     * a single projection over one parquet scan, zero joins. Expressions
     * are verbatim C9/C64 (their oracles pin the values). */
-  private def qualityWithVerdict(spark: SparkSession, dir: String): DataFrame = {
+  // `spread` parallelizes the scan-side battery for the one consumer whose
+  // downstream is a single heavy fold (C87 AUC: measured 1.33 → 0.93 s with
+  // it, while the window-pipeline consumers C91/C92 regressed under the
+  // extra exchange — so it is opt-in per call site, not blanket)
+  private def qualityWithVerdict(spark: SparkSession, dir: String,
+                                 spread: Boolean = false): DataFrame = {
     val lines = split(col("text"), "\n")
     val words = split(col("text"), " ")
     val nWords = wsTokens(col("text")).cast("long")
@@ -3360,7 +3365,8 @@ object TextOps {
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val symbols = regexp_count(col("text"), lit("#")) +
       regexp_count(col("text"), lit("\\.\\.\\."))
-    Tables.documents(spark, dir)
+    (if (spread) Tables.documentsSpread(spark, dir)
+     else Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"),
         qualityScore(col("text")).as("quality"),
         (nWords.between(50, 100000) &&
@@ -3632,7 +3638,8 @@ object TextOps {
     * are independently oracle-gated map passes; the AUC reduction is
     * [[aucOf]] (census + two-level prefix — no global sort at any scale). */
   def qualityAuc(spark: SparkSession, dir: String): DataFrame =
-    aucOf(qualityWithVerdict(spark, dir), Seq("source"), "quality", "keep")
+    aucOf(qualityWithVerdict(spark, dir, spread = true),
+      Seq("source"), "quality", "keep")
 
   // ---- Corpus-law fits: Zipf (C99) and Heaps (C100) -----------------------
 
