@@ -19,6 +19,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** [[lineitem]] with the [[documentsSpread]] under-split guard (r12):
+    * the gate-SF table is one ~11 MB single-row-group file, so a heavy
+    * probe/aggregation stage runs on ≤3 tasks (measured: 1.33 s of q7's
+    * 1.6 s in one 3-task stage). OPT-IN per query — blanket application
+    * regressed queries that read lineitem twice under different
+    * projections (q17 0.85→1.15 s, q9 0.81→1.14 s: each projection is its
+    * own exchange, no reuse), while single-pass shapes won (q1 0.95→0.53,
+    * q7 1.60→1.20, q_topk_parts 1.10→0.86). Column pruning + filter
+    * pushdown pass through the RepartitionByExpression; identity at
+    * deployment scale (byte guard). */
+  def lineitemSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "lineitem"), s"$d/lineitem.parquet", "l_orderkey")
   /** `events.ts` has drifted across driver testdata regenerations:
     * TIMESTAMP(NANOS) (readable only as a nanosecond LONG under the legacy
     * conf) through r6, then plain `timestamp[us]` WITHOUT timezone (Spark:

@@ -23,7 +23,7 @@ object Analytics {
 
   /** B1: pricing summary (TPC-H Q1 shape) — single scan, partial agg. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.lineitemSpread(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -42,7 +42,7 @@ object Analytics {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
       .select(col("o_orderkey"), col("o_custkey"), dayStr(col("o_orderdate")).as("order_day"))
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.lineitemSpread(spark, dir)
       .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -103,7 +103,7 @@ object Analytics {
 
   /** B7: top-10 parts by revenue (dim join + agg + TakeOrdered). */
   def topkParts(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
+    val li = Tables.lineitemSpread(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_name")
     li.join(part, li("l_partkey") === part("p_partkey")) // part ∝ SF: AQE decides
       .groupBy("p_partkey", "p_name")
@@ -292,7 +292,7 @@ object Analytics {
     * The only guaranteed big exchange is lineitem ⋈ orders on the order
     * key. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.lineitemSpread(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))

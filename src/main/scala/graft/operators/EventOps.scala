@@ -1655,11 +1655,19 @@ object EventOps {
     val alpha = s"CAST(element_at(qr, k) - $ssum AS DECIMAL(28,9))"
     val pkk = s"CAST(CAST($alpha AS DOUBLE) / " +
       "nullif(CAST(st.v AS DOUBLE), 0.0D) AS DECIMAL(18,9))"
-    val w = s"CAST(CAST($pkk AS DOUBLE) * CAST($pkk AS DOUBLE) AS DECIMAL(18,9))"
-    val phiNew = s"array_append(transform(sequence(1, k - 1), " +
-      s"j -> CAST(element_at(st.phi, j) - CAST(CAST($pkk AS DOUBLE) * " +
-      s"CAST(element_at(st.phi, k - j) AS DOUBLE) AS DECIMAL(18,9)) " +
-      s"AS DECIMAL(18,9))), $pkk)"
+    // pk-bound forms (r12): higher-order-function lambdas run INTERPRETED,
+    // and the historical fold in-lined the $pkk text — and with it the
+    // whole alpha→ssum→ts aggregate subtree — FIVE times per step (phi
+    // twice, pacf once, v twice via w), so each Durbin–Levinson step
+    // re-evaluated the k-term inner aggregate 5×. The fold below binds it
+    // ONCE per step as lambda var `pk` (transform over a singleton array —
+    // SQL's let), then every use reads the bound value: identical casts,
+    // identical IEEE ops, identical outputs, 5× less interpreted work.
+    val w = "CAST(CAST(pk AS DOUBLE) * CAST(pk AS DOUBLE) AS DECIMAL(18,9))"
+    val phiNew = "array_append(transform(sequence(1, k - 1), " +
+      "j -> CAST(element_at(st.phi, j) - CAST(CAST(pk AS DOUBLE) * " +
+      "CAST(element_at(st.phi, k - j) AS DOUBLE) AS DECIMAL(18,9)) " +
+      "AS DECIMAL(18,9))), pk)"
     val vNew = s"CAST(CAST(st.v AS DOUBLE) * CAST(CAST(" +
       s"CAST(1 AS DECIMAL(18,9)) - $w AS DECIMAL(18,9)) AS DOUBLE) " +
       "AS DECIMAL(18,9))"
@@ -1683,10 +1691,10 @@ object EventOps {
            |    'phi', array(element_at(qr, 1)),
            |    'pacf', array(element_at(qr, 1)),
            |    'v', $v0),
-           |  (st, k) -> named_struct(
+           |  (st, k) -> element_at(transform(array($pkk), pk -> named_struct(
            |    'phi', $phiNew,
-           |    'pacf', array_append(st.pacf, $pkk),
-           |    'v', $vNew))""".stripMargin))
+           |    'pacf', array_append(st.pacf, pk),
+           |    'v', $vNew)), 1))""".stripMargin))
       .select(col("event_type"), col("n").as("n_days"),
         posexplode(col("dl.pacf")).as(Seq("pos", "p")))
       .select(col("event_type"), (col("pos") + 1).cast("long").as("lag"),
