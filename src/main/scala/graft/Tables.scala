@@ -69,9 +69,9 @@ object Tables {
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     spread(s, documents(s, d), s"$d/documents.parquet", "doc_id")
 
-  /** [[embeddings]] with the same under-parallel-scan guard. */
-  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
-    spread(s, embeddings(s, d), s"$d/embeddings.parquet", "vec_id")
+  // (an embeddingsSpread twin was probed in r12 and measured NEUTRAL —
+  // dim-64 kernels are arithmetic-light, the emb side's cost is join/agg
+  // latency — so no such helper ships; see OPTIMIZATION_r12.md)
 
   private def spread(s: SparkSession, df: DataFrame, path: String,
                      key: String): DataFrame = {

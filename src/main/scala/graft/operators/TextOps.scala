@@ -50,7 +50,7 @@ object TextOps {
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val symbols = regexp_count(col("text"), lit("#")) +
       regexp_count(col("text"), lit("\\.\\.\\."))
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         nWords.as("n_words"),
@@ -119,7 +119,7 @@ object TextOps {
     val shortLines = size(filter(lines, l => length(l) < 30))
     def ratio(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         size(lines).cast("long").as("n_lines"),
@@ -153,7 +153,7 @@ object TextOps {
     * (count, gram length, gram text) lexicographic max in BOTH engines.
     * `keep` applies the paper's thresholds. */
   def repFractions(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text"))
 
     // all twelve signals are PER-DOC: no shuffle anywhere — one compiled
     // kernel pass per document ([[graft.functions.RepStats]]) computes the
@@ -529,7 +529,7 @@ object TextOps {
     * (ln is 1-ULP engine-dependent). One explode + two partial-agg
     * groupBys, map-side combinable. */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -662,7 +662,7 @@ object TextOps {
     * word n-grams computed entirely inside one row via array expressions —
     * map-only, no explode, no shuffle at any scale. */
   def repetitionNgrams(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // sequence(a, b) COUNTS DOWN when a > b — guard short docs explicitly
       .withColumn("grams",
@@ -725,7 +725,7 @@ object TextOps {
     * the pair column itself), the count is one partial-agg shuffle of
     * ≤|alphabet|² keys, top-k via TakeOrdered. */
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    bpePairsOf(Tables.documents(spark, dir), k)
+    bpePairsOf(Tables.documentsSpread(spark, dir), k)
 
   private[graft] def bpePairsOf(docs: DataFrame, k: Int): DataFrame =
     docs
